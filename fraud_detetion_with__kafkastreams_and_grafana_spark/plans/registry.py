@@ -1,0 +1,42 @@
+"""Aggregates every registered query across plan modules.
+
+Contract (driver's __spark_entry__): each query name maps to a callable
+(spark, sf_dir) -> DataFrame, and — when SQL-expressible — to an ANSI-SQL
+oracle string DuckDB runs over the same parquet tables. Column names/types
+are aligned on both sides; doubles produced by aggregation are rounded
+identically so float-summation order cannot flip the value hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+Query = Callable[[SparkSession, str], DataFrame]
+
+
+def _modules():
+    from . import analytics
+
+    mods = [analytics]
+    for name in ("relational", "llmops"):
+        try:
+            mods.append(__import__(f"{__package__}.{name}", fromlist=[name]))
+        except ImportError:
+            pass
+    return mods
+
+
+def all_queries() -> dict[str, Query]:
+    out: dict[str, Query] = {}
+    for mod in _modules():
+        out.update(getattr(mod, "QUERIES", {}))
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for mod in _modules():
+        out.update(getattr(mod, "ORACLES", {}))
+    return out

@@ -1,0 +1,46 @@
+"""Batch table sources over the driver-provided parquet star schema.
+
+Plain ``spark.read.parquet`` — Catalyst handles predicate pushdown, column
+pruning and (on partitioned layouts) partition pruning at the scan; nothing
+here collects to the driver. At 100 TB the same call reads a partitioned
+parquet/iceberg table; only the path changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import TABLE_NAMES
+
+
+def sf_dir_default() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark reads as a
+        # nanosecond long under spark.sql.legacy.parquet.nanosAsLong.
+        # Convert with integer division (`div`) — a double round-trip at
+        # ~1.7e18 ns would lose sub-microsecond precision.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register each table as a temp view (for the SQL surface)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,154 @@
+"""Local replica of the driver's oracle-differential check.
+
+For each registered query: run the Spark plan and the DuckDB oracle SQL on
+the same sf directory, then compare row count, column names, and
+order-insensitive values (floats with tolerance). Used by tests/ and by
+``python -m fraud_detetion_with__kafkastreams_and_grafana_spark.testing``.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass, field
+
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+from .schemas import TABLE_NAMES
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+            )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+    if len(df):
+        df = df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
+    return df
+
+
+def _values_match(a, b, rtol: float = 1e-6, atol: float = 1e-6) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return str(a) == str(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return math.isclose(fa, fb, rel_tol=rtol, abs_tol=atol)
+    if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
+        if a is None or b is None or len(a) != len(b):
+            return False
+        return all(_values_match(x, y, rtol, atol) for x, y in zip(a, b))
+    return a == b or str(a) == str(b)
+
+
+@dataclass
+class ParityResult:
+    name: str
+    ok: bool
+    detail: str = ""
+    spark_rows: int = -1
+    oracle_rows: int = -1
+    mismatches: list = field(default_factory=list)
+
+
+def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> ParityResult:
+    sp, od = _canon(spark_pdf.copy()), _canon(oracle_pdf.copy())
+    res = ParityResult(name=name, ok=True, spark_rows=len(sp), oracle_rows=len(od))
+    if list(sp.columns) != list(od.columns):
+        return ParityResult(
+            name, False, f"columns differ: spark={list(sp.columns)} oracle={list(od.columns)}",
+            len(sp), len(od),
+        )
+    if len(sp) != len(od):
+        return ParityResult(name, False, f"row count {len(sp)} vs {len(od)}", len(sp), len(od))
+    for i in range(len(sp)):
+        for c in sp.columns:
+            a, b = sp.iloc[i][c], od.iloc[i][c]
+            if (a is pd.NaT or (isinstance(a, float) and math.isnan(a)) or a is None) and (
+                b is pd.NaT or (isinstance(b, float) and math.isnan(b)) or b is None
+            ):
+                continue
+            if not _values_match(a, b):
+                res.mismatches.append((i, c, a, b))
+                if len(res.mismatches) >= 5:
+                    res.ok = False
+                    res.detail = f"value mismatches (first 5): {res.mismatches}"
+                    return res
+    if res.mismatches:
+        res.ok = False
+        res.detail = f"value mismatches: {res.mismatches}"
+    return res
+
+
+def check_query(
+    spark: SparkSession,
+    con: duckdb.DuckDBPyConnection,
+    name: str,
+    fn,
+    sql: str | None,
+    sf_dir: str,
+) -> ParityResult:
+    sdf = fn(spark, sf_dir)
+    spark_pdf = sdf.toPandas()
+    if sql is None:
+        ok = len(spark_pdf) >= 0
+        return ParityResult(name, ok, "rows-only (no oracle)", len(spark_pdf), -1)
+    oracle_pdf = con.execute(sql).df()
+    return compare_frames(name, spark_pdf, oracle_pdf)
+
+
+def run_parity(sf_dir: str, only: list[str] | None = None, spark=None) -> list[ParityResult]:
+    from .plans.registry import all_oracles, all_queries
+    from .session import get_spark
+
+    owns = spark is None
+    spark = spark or get_spark("parity-check")
+    con = duckdb_conn(sf_dir)
+    queries, oracles = all_queries(), all_oracles()
+    results = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            results.append(check_query(spark, con, name, fn, oracles.get(name), sf_dir))
+        except Exception as e:  # noqa: BLE001 — harness must report, not die
+            results.append(ParityResult(name, False, f"EXCEPTION: {e!r}"))
+    if owns:
+        spark.stop()
+    return results
+
+
+def main() -> int:
+    import sys
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    only = sys.argv[1:] or None
+    results = run_parity(sf_dir, only)
+    bad = 0
+    for r in results:
+        status = "OK  " if r.ok else "FAIL"
+        print(f"{status} {r.name:34s} rows={r.spark_rows}/{r.oracle_rows} {r.detail[:400]}")
+        bad += 0 if r.ok else 1
+    print(f"{len(results) - bad}/{len(results)} queries match")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

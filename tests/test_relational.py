@@ -1,0 +1,68 @@
+"""Oracle-differential tests for the relational surface (SURVEY.md §2.3)."""
+
+from __future__ import annotations
+
+import pytest
+
+from fraud_detetion_with__kafkastreams_and_grafana_spark import testing
+from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import relational
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = testing.duckdb_conn(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(relational.QUERIES))
+def test_relational_oracle_parity(spark, duck, sf_dir, name):
+    res = testing.check_query(
+        spark, duck, name, relational.QUERIES[name], relational.ORACLES.get(name), sf_dir
+    )
+    assert res.ok, res.detail
+
+
+def test_every_query_has_oracle():
+    """Every relational query is SQL-expressible -> full-strength check."""
+    assert set(relational.QUERIES) == set(relational.ORACLES)
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right row at-or-before each left ts, per key;
+    nulls when no prior right row; inclusive boundary."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators.asof import (
+        asof_join_backward,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (1, 10, "b"), (1, 20, "c"), (2, 7, "d")],
+        "k INT, t INT, tag STRING",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100), (1, 15, 200), (3, 1, 999)], "k INT, t INT, payload INT"
+    )
+    out = asof_join_backward(
+        left, right, by=["k"], left_ts="t", right_ts="t", payload_cols=["payload"]
+    )
+    got = {(r.k, r.tag): r.asof_payload for r in out.collect()}
+    assert got == {
+        (1, "a"): 100,  # inclusive: right row AT t=5 matches
+        (1, "b"): 100,  # latest <= 10 is t=5
+        (1, "c"): 200,  # latest <= 20 is t=15
+        (2, "d"): None,  # key 2 has no right rows
+    }
+
+
+def test_asof_join_exclusive(spark):
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators.asof import (
+        asof_join_backward,
+    )
+
+    left = spark.createDataFrame([(1, 5, "a")], "k INT, t INT, tag STRING")
+    right = spark.createDataFrame([(1, 5, 100)], "k INT, t INT, payload INT")
+    out = asof_join_backward(
+        left, right, by=["k"], left_ts="t", right_ts="t",
+        payload_cols=["payload"], inclusive=False,
+    )
+    assert out.collect()[0].asof_payload is None

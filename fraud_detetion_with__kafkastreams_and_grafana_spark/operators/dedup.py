@@ -1,0 +1,274 @@
+"""Deduplication operators for LLM training-data pipelines: exact,
+MinHash+LSH, SimHash, and blocked n-gram Jaccard.
+
+All four are pure DataFrame compositions (no Python UDFs): shingling and
+hashing via higher-order array functions + xxhash64, candidate generation
+via band/bucket equi-joins — the classic LSH-join shape that scales
+linearly with corpus size instead of the O(n^2) all-pairs compare.
+
+Scale notes per operator are in the docstrings; the common theme: nothing
+here ever compares all pairs — candidates come from hash-bucket joins, and
+verification runs only on candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import tokens
+
+
+def normalized_text(text_col="text") -> F.Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace."""
+    return F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " ")
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup on normalized text: one hash-aggregate, keep min id.
+
+    groupBy(text) shuffles full text strings; at 100 TB hash first —
+    groupBy(xxhash64(text)) moves 8 bytes per doc instead of the document
+    (collision probability ~n^2/2^64 — negligible below ~10^9 docs; for
+    audit-grade dedup group on (hash, text)). We group on the hash and keep
+    min(id) + count.
+    """
+    return (
+        df.select(F.col(id_col), F.xxhash64(normalized_text(text_col)).alias("_h"))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+def shingles(text_col, n: int = 1) -> F.Column:
+    """Distinct word n-gram shingles of the text (n=1 -> token set)."""
+    toks = tokens(text_col)
+    if n == 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            # try_element_at: a doc shorter than n words yields a single
+            # truncated shingle instead of an ANSI out-of-range error
+            lambda i: F.concat_ws(
+                " ", *[F.try_element_at(toks, (i + j).cast("int")) for j in range(n)]
+            ),
+        )
+    )
+
+
+def minhash_signature(shingle_col: F.Column, num_hashes: int = 32) -> F.Column:
+    """MinHash signature: for each of k seeded hash functions, the min
+    xxhash64 over the shingle set. array<long> of length k."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_col, lambda s, seed=i: F.xxhash64(s, F.lit(seed))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def jaccard(a: F.Column, b: F.Column) -> F.Column:
+    """Exact Jaccard similarity of two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter / F.greatest(union, F.lit(1))
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 1,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs with exact-Jaccard verification.
+
+    Pipeline: shingle -> k minhashes -> split signature into `bands` bands
+    -> hash each band -> self-join on (band, band_hash) -> verify exact
+    Jaccard on candidates only. With r = k/bands rows per band, the LSH
+    S-curve catches pairs with sim >~ (1/bands)^(1/r).
+
+    Scale: explode multiplies rows by `bands` (cheap: row = id + 2 longs);
+    the join is an equi-join on the band hash, so co-candidates colocate in
+    one shuffle. Exact verification re-joins the shingle sets only for
+    candidate pairs. Dedup of pair multiplicity happens BEFORE the
+    verification join.
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
+    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+
+    banded = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bh")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+    sh = base.select("id", "sh")
+    verified = (
+        candidates.join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
+        .join(sh.alias("sb"), F.col("id_b") == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("sa.sh"), F.col("sb.sh")), 4).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+    return verified
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", num_bits: int = 62
+) -> DataFrame:
+    """SimHash of each document's token multiset -> (id, sim BIGINT).
+
+    Formulation chosen for scale: explode tokens, hash once, then ONE
+    grouped aggregation computing all `num_bits` sign-votes as columnar
+    sum(CASE ...) aggregates (partial+final, map-side combined), then pack
+    the sign bits into a long. This keeps the heavy work in vectorized
+    hash-agg instead of per-row nested higher-order loops. 62 bits so the
+    packed value stays clear of long overflow under ANSI mode.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
+    ).select("id", F.xxhash64("tok").alias("h"))
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(num_bits)
+        ]
+    )
+    packed = None
+    for i in range(num_bits):
+        term = (
+            F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        packed = term if packed is None else packed + term
+    return votes.select("id", packed.alias("sim"))
+
+
+def hamming64(a: F.Column, b: F.Column) -> F.Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: candidates via the pigeonhole trick — split
+    the 62-bit simhash into `chunks` chunks; any pair with hamming <=
+    chunks-1 must agree on at least one chunk, so an equi-join per chunk
+    finds all such pairs without comparing all pairs. Verify with exact
+    bit_count(xor) <= max_hamming. max_hamming must be < chunks for recall
+    to be exact.
+    """
+    bits_per_chunk = 64 // chunks  # 16 for 4 chunks over a 62-bit hash
+    sigs = simhash_signatures(df, id_col, text_col)
+    chunked = sigs.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("sim"), c * bits_per_chunk)
+                        .bitwiseAND(F.lit((1 << bits_per_chunk) - 1))
+                        .alias("ch"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "sim", "cc.chunk", "cc.ch")
+
+    cand = (
+        chunked.alias("l")
+        .join(
+            chunked.alias("r"),
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.ch") == F.col("r.ch"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sim").alias("sim_a"),
+            F.col("r.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        hamming64(F.col("sim_a"), F.col("sim_b")).cast("long").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: list[str] | None = None,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Blocked all-pairs token-Jaccard: self-join restricted to blocking
+    keys (e.g. language + length bucket) so the pair count is bounded per
+    block instead of O(n^2) over the corpus. Exact within blocks — the
+    deterministic oracle-checkable complement to the probabilistic LSH
+    variants."""
+    block_cols = block_cols or []
+    base = df.select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), 1).alias("sh"),
+        *[F.col(c) for c in block_cols],
+    )
+    cond = F.col("a.id") < F.col("b.id")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        base.alias("a")
+        .join(base.alias("b"), cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 4).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )

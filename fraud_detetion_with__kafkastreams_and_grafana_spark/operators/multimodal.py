@@ -1,0 +1,91 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched pandas iterators
+(mapInPandas).
+
+The decode step is STUBBED (no image/audio libraries in this container):
+`decode_image_stub` produces deterministic fake features derived from the
+bytes, clearly marked. The Spark-side plumbing is real — schema handling,
+mapInPandas batch iteration, partition-preserving flow — and is what the
+tests exercise. Swapping the stub for a real decoder (PIL / torchaudio /
+pyav) changes only `_fake_decode`, nothing in the plan shape.
+
+Scale notes: mapInPandas streams Arrow batches — the full binary column
+never materializes on the driver; per-batch memory is bounded by
+spark.sql.execution.arrow.maxRecordsPerBatch. Binary payloads ride the
+shuffle only if a repartition happens after attach — do metadata joins on
+ids, not on rows carrying the payload.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+    ]
+)
+
+
+def attach_fake_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Make an opaque binary 'media' column from text bytes — stands in for
+    real image/audio payloads so the plumbing is testable here."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit("image/fake").alias("media_type"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
+    """STUB decoder — deterministic fake dimensions/checksum from bytes.
+
+    A real deployment replaces this body with e.g. PIL.Image.open; the
+    signature and everything calling it stays identical.
+    """
+    n = len(payload)
+    checksum = sum(payload[:64])  # bounded work per record
+    return n, 64 + n % 256, 64 + (n * 7) % 256, checksum
+
+
+def extract_image_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction: Arrow-batched, schema-declared."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [_fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_bytes": [f[0] for f in feats],
+                    "width": [f[1] for f in feats],
+                    "height": [f[2] for f in feats],
+                    "checksum": [f[3] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def decode_image_real(payload: bytes):  # pragma: no cover - documented stub
+    """Placeholder for a real decoder; raises until a library is wired in."""
+    raise NotImplementedError(
+        "image decoding requires PIL/opencv, not available in this environment; "
+        "replace _fake_decode with a real decoder to enable"
+    )

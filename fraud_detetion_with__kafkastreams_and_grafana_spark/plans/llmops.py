@@ -1,0 +1,293 @@
+"""LLM-data-pipeline queries (the north-star extension surface): dedup,
+similarity search, text analysis, multimodal plumbing — over the driver's
+`documents` and `embeddings` tables.
+
+Oracle policy: everything deterministic & SQL-expressible gets a DuckDB
+oracle (exact dedup, blocked Jaccard, brute-force cosine, text stats,
+lang-ID, quality score, multimodal stub features). The probabilistic LSH
+operators (MinHash bands, SimHash chunks, random-hyperplane ANN) have no
+SQL equivalent — they get rows-only driver checks plus recall/planted-dup
+tests in tests/test_llmops.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..operators import dedup as DD
+from ..operators import multimodal as MM
+from ..operators import similarity as SIM
+from ..sources.tables import load_table
+
+Query = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, Query] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn: Query) -> Query:
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# SQL fragments shared by oracles — kept in exact sync with functions/text.py
+_TOKS = r"string_split_regex(trim(text), '\s+')"
+_STOPS = "['" + "','".join(TX.STOPWORDS) + "']"
+_STOP_RATIO = (
+    f"len(list_filter({_TOKS}, t -> list_contains({_STOPS}, lower(t))))::DOUBLE"
+    f" / greatest(len({_TOKS}), 1)"
+)
+_PUNCT_RATIO = (
+    "length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / greatest(length(text), 1)"
+)
+_DIGIT_RATIO = (
+    "length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / greatest(length(text), 1)"
+)
+
+
+# --------------------------------------------------------------------------
+# Dedup
+# --------------------------------------------------------------------------
+@_register(
+    "l01_dedup_exact",
+    r"""
+    SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+    """,
+)
+def l01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text (operators/dedup.dedup_exact): the
+    oracle groups by the normalized text itself; the engine groups by its
+    64-bit hash — identical partitions absent collisions."""
+    return DD.dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "l02_ngram_jaccard_pairs",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+             list_distinct(string_split_regex(trim(text), '\s+')) AS sh
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 4) AS jaccard_sim
+    FROM t a JOIN t b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 4) >= 0.8
+    """,
+)
+def l02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs, blocked on (lang,
+    length-bucket) so the self-join is per-block rather than O(n^2)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "len_bucket", (F.col("n_chars") / 100).cast("long")
+    )
+    return DD.ngram_jaccard_pairs(
+        docs, block_cols=["lang", "len_bucket"], threshold=0.8
+    )
+
+
+@_register("l03_minhash_lsh_pairs")  # probabilistic -> rows-only + pytest
+def l03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs, exact-Jaccard verified
+    (operators/dedup.minhash_near_dups)."""
+    return DD.minhash_near_dups(load_table(spark, sf_dir, "documents"), threshold=0.7)
+
+
+@_register("l04_simhash_pairs")  # probabilistic -> rows-only + pytest
+def l04_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole chunk join
+    (operators/dedup.simhash_near_dups)."""
+    return DD.simhash_near_dups(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@_register("l05_fingerprint")  # xxhash64 has no DuckDB twin -> rows-only
+def l05_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min-hash over the token set — equal for
+    word-permuted duplicates; determinism pinned in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = DD.shingles(F.col("text"), 1)
+    return docs.select(
+        "doc_id",
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(s))).alias("fingerprint"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+_COS_SQL = """
+    round(
+      list_reduce(list_transform(range(1, len(a.embedding) + 1),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+      / (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+       * sqrt(list_reduce(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)))
+    , 4)"""
+
+
+@_register(
+    "l06_cosine_topk",
+    f"""
+    SELECT a.vec_id, {_COS_SQL} AS cosine_sim
+    FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ORDER BY
+      list_reduce(list_transform(range(1, len(a.embedding) + 1),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+      / (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+       * sqrt(list_reduce(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)))
+      DESC, a.vec_id ASC
+    LIMIT 10
+    """,
+)
+def l06_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vector vec_id=0 — the exact ANN
+    baseline (operators/similarity.cosine_topk). The oracle repeats the
+    identical double-precision accumulation element-by-element."""
+    em = load_table(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk(em, em.filter(F.col("vec_id") == 0), k=10)
+
+
+@_register("l07_ann_lsh_topk")  # approximate -> rows-only + recall pytest
+def l07_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN top-10 for vec_id=0
+    (operators/similarity.ann_lsh_topk)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    return SIM.ann_lsh_topk(em, em.filter(F.col("vec_id") == 0), k=10)
+
+
+@_register(
+    "l08_embedding_neardup",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(
+             list_reduce(list_transform(range(1, len(a.embedding) + 1),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+              * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)))
+           , 4) AS cosine_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE cosine_sim >= 0.4
+    """,
+)
+def l08_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs blocked by label, cosine >= 0.4
+    (operators/similarity.embedding_near_dup_pairs)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dup_pairs(em, block_col="label", threshold=0.4)
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+@_register(
+    "l09_text_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{TX.BPE_ISH_PATTERN}')) AS BIGINT) AS bpe_tokens,
+           round({_PUNCT_RATIO}, 6) AS punct_ratio,
+           round({_DIGIT_RATIO}, 6) AS digit_ratio,
+           round({_STOP_RATIO}, 6) AS stop_ratio,
+           round(list_reduce(list_transform({_TOKS}, t -> length(t)::DOUBLE), (x, y) -> x + y)
+                 / greatest(len({_TOKS}), 1), 6) AS avg_word_len
+    FROM documents
+    """,
+)
+def l09_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.whitespace_token_count("text").alias("ws_tokens"),
+        TX.bpe_ish_token_count("text").alias("bpe_tokens"),
+        F.round(TX.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(TX.digit_ratio("text"), 6).alias("digit_ratio"),
+        F.round(TX.stopword_ratio("text"), 6).alias("stop_ratio"),
+        F.round(TX.avg_word_len("text"), 6).alias("avg_word_len"),
+    )
+
+
+def _marker_sql(markers: list[str]) -> str:
+    arr = "['" + "','".join(markers) + "']"
+    return f"len(list_filter({_TOKS}, t -> list_contains({arr}, lower(t))))"
+
+
+_LANG_CASE = (
+    "CASE WHEN greatest("
+    + ", ".join(_marker_sql(m) for m in TX.LANG_MARKERS.values())
+    + ") = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN {_marker_sql(m)} = greatest("
+        + ", ".join(_marker_sql(mm) for mm in TX.LANG_MARKERS.values())
+        + f") THEN '{lang}'"
+        for lang, m in TX.LANG_MARKERS.items()
+    )
+    + " ELSE 'und' END"
+)
+
+
+@_register(
+    "l10_lang_id",
+    f"""
+    SELECT {_LANG_CASE} AS pred_lang, count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def l10_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based language ID (marker-word argmax), aggregated to counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(TX.lang_id("text").alias("pred_lang")).agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+@_register(
+    "l11_quality_score",
+    f"""
+    SELECT doc_id,
+           round((least(length(text) / 500.0, 1.0)
+                + least({_STOP_RATIO} * 4, 1.0)
+                + greatest(1.0 - ({_DIGIT_RATIO} + {_PUNCT_RATIO}) * 2, 0.0)) / 3, 6)
+             AS quality
+    FROM documents
+    """,
+)
+def l11_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.quality_score("text").alias("quality"))
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (stubbed decode, real Spark plan)
+# --------------------------------------------------------------------------
+@_register(
+    "l12_multimodal_features",
+    """
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(64 + strlen(text) % 256 AS BIGINT) AS width,
+           CAST(64 + (strlen(text) * 7) % 256 AS BIGINT) AS height,
+           CAST(list_reduce(list_transform(range(1, least(strlen(text), 64) + 1),
+                i -> ord(substring(text, i, 1))), (x, y) -> x + y) AS BIGINT) AS checksum
+    FROM documents
+    """,
+)
+def l12_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction through mapInPandas
+    (operators/multimodal) — the deterministic stub decode lets the oracle
+    validate the Arrow plumbing end-to-end (ASCII text: byte == ord)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_fake_payload(docs)
+    return MM.extract_image_features(media)

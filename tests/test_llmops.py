@@ -1,0 +1,104 @@
+"""Tests for the LLM-data-pipeline operators: oracle parity where
+SQL-expressible, planted-duplicate recovery and recall checks for the
+probabilistic ops (FIXTURES.md §4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fraud_detetion_with__kafkastreams_and_grafana_spark import testing
+from fraud_detetion_with__kafkastreams_and_grafana_spark.operators import dedup as DD
+from fraud_detetion_with__kafkastreams_and_grafana_spark.operators import (
+    multimodal as MM,
+)
+from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import llmops
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = testing.duckdb_conn(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(llmops.QUERIES))
+def test_llmops_oracle_parity(spark, duck, sf_dir, name):
+    res = testing.check_query(
+        spark, duck, name, llmops.QUERIES[name], llmops.ORACLES.get(name), sf_dir
+    )
+    assert res.ok, res.detail
+
+
+BASE = "the quick brown fox jumps over the lazy dog near the old river bank today"
+PERMUTED = "lazy dog the near quick brown fox jumps over the the old river bank today"
+UNRELATED = "completely different words about spark catalyst optimizer plans and shuffles"
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, PERMUTED), (3, UNRELATED), (4, BASE.upper() + "  ")],
+        "doc_id LONG, text STRING",
+    )
+
+
+def test_dedup_exact_normalization(spark, planted):
+    """Case/whitespace variants collapse; distinct texts don't."""
+    out = DD.dedup_exact(planted).collect()
+    groups = {r.keep_id: r.n_copies for r in out}
+    assert groups[1] == 2  # doc 4 is doc 1 modulo case/trailing space
+    assert groups[2] == 1 and groups[3] == 1
+
+
+def test_minhash_finds_permuted_dup(spark, planted):
+    pairs = {(r.id_a, r.id_b) for r in DD.minhash_near_dups(planted).collect()}
+    assert (1, 2) in pairs  # word-permuted near-dup recovered
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_permutation_invariant(spark, planted):
+    """SimHash of a token multiset is permutation-invariant -> permuted
+    docs hash identically (hamming 0) and are found as pairs."""
+    sigs = {r.id: r.sim for r in DD.simhash_signatures(planted).collect()}
+    assert sigs[1] == sigs[2]
+    pairs = {(r.id_a, r.id_b): r.hamming for r in DD.simhash_near_dups(planted).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) not in pairs
+
+
+def test_fingerprint_permutation_invariant(spark, planted):
+    sh = DD.shingles(F.col("text"), 1)
+    fp = planted.select(
+        "doc_id", F.array_min(F.transform(sh, lambda s: F.xxhash64(s))).alias("fp")
+    )
+    fps = {r.doc_id: r.fp for r in fp.collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_ann_lsh_recall(spark, sf_dir):
+    """LSH ANN must recover a decent fraction of the exact top-10 (banding
+    with 4x4 bits is deliberately recall-biased)."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators import (
+        similarity as SIM,
+    )
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources import load_table
+
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") == 0)
+    exact = {r.vec_id for r in SIM.cosine_topk(em, q, k=10).collect()}
+    approx = {r.vec_id for r in SIM.ann_lsh_topk(em, q, k=10).collect()}
+    assert len(exact & approx) >= 4  # includes the query itself + neighbors
+
+
+def test_multimodal_features_deterministic(spark, planted):
+    media = MM.attach_fake_payload(planted)
+    feats = {r.doc_id: r for r in MM.extract_image_features(media).collect()}
+    n = len(BASE.encode())
+    assert feats[1].n_bytes == n
+    assert feats[1].width == 64 + n % 256
+    assert feats[1].height == 64 + (n * 7) % 256
+    assert feats[1].checksum == sum(BASE.encode()[:64])
+    # permutation changes bytes order but not length-derived dims
+    assert feats[2].n_bytes == len(PERMUTED.encode())

@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run the registered queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is measured to a `noop` sink — full computation, no driver-side
+collect — so the numbers reflect plan cost, not result download.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.registry import all_queries
+from fraud_detetion_with__kafkastreams_and_grafana_spark.session import get_spark
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    only = sys.argv[1:] or None
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+    if only:
+        queries = {k: v for k, v in queries.items() if k in only}
+
+    timings: dict[str, float] = {}
+    t_total0 = time.perf_counter()
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            timings[name] = -1.0
+            print(f"# BENCH ERROR {name}: {e!r}", file=sys.stderr)
+    total = round(time.perf_counter() - t_total0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "n_queries": len(timings),
+            }
+        )
+    )
+    spark.stop()
+    return 1 if any(v < 0 for v in timings.values()) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,157 @@
+"""Streaming tests (SURVEY.md §5.4): batch-stream parity for the fraud
+topology, watermarked windowed aggregation incl. late-data drop, and the
+rate-source generator's distribution contract."""
+
+from __future__ import annotations
+
+import json
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from fraud_detetion_with__kafkastreams_and_grafana_spark.streaming import (
+    generator,
+    topology,
+    windows,
+)
+
+WIRE_ROWS = [
+    '{"userId":"user_001","amount":10500.5,"timestamp":1700000001}',
+    '{"userId":"user_002","amount":9999.0,"timestamp":1700000002}',
+    '{"userId":"user_001","amount":10000.0,"timestamp":1700000003}',  # boundary: NOT fraud
+    '{"userId":',  # corrupt: dropped
+    '{"userId":"user_003","amount":10000.01,"timestamp":1700000004}',
+]
+
+
+def _file_stream(spark, tmpdir, rows):
+    """Write wire rows as JSON-lines text files and open as a file stream."""
+    with open(f"{tmpdir}/part-0.txt", "w") as f:
+        f.write("\n".join(rows))
+    return spark.readStream.format("text").schema("value STRING").load(tmpdir)
+
+
+def test_topology_batch_stream_parity(spark):
+    """The SAME topology function over the same rows must agree between a
+    batch DataFrame and a streaming file source + memory sink."""
+    batch_in = spark.createDataFrame([(r,) for r in WIRE_ROWS], "value STRING")
+    batch_out = {
+        (r.userId, r.amount) for r in topology.fraud_topology(batch_in).collect()
+    }
+
+    with tempfile.TemporaryDirectory() as tmpdir:
+        stream_in = _file_stream(spark, tmpdir, WIRE_ROWS)
+        q = topology.start_to_memory(topology.fraud_topology(stream_in), "fraud_mem")
+        try:
+            q.processAllAvailable()
+            stream_out = {
+                (r.userId, r.amount)
+                for r in spark.sql("SELECT * FROM fraud_mem").collect()
+            }
+        finally:
+            q.stop()
+
+    assert batch_out == stream_out == {("user_001", 10500.5), ("user_003", 10000.01)}
+
+
+def test_serialize_roundtrip(spark):
+    """R7/R2: fraud alerts re-serialize to keyed JSON wire records."""
+    batch_in = spark.createDataFrame([(WIRE_ROWS[0],)], "value STRING")
+    wire = topology.alerts_as_wire(topology.fraud_topology(batch_in)).collect()
+    assert wire[0].key == "user_001"
+    payload = json.loads(wire[0].value)
+    assert payload == {"userId": "user_001", "amount": 10500.5, "timestamp": 1700000001}
+
+
+def test_windowed_agg_with_watermark_drops_late(spark):
+    """Late row behind the watermark is dropped from the streaming result
+    but present in the batch result — the documented semantic difference."""
+    rows = [
+        # window [1700000000, 1700000010): two on-time rows
+        '{"userId":"user_001","amount":10500.0,"timestamp":1700000001}',
+        '{"userId":"user_001","amount":10600.0,"timestamp":1700000002}',
+        # much later row advances the watermark far beyond the first window
+        '{"userId":"user_001","amount":10700.0,"timestamp":1700000500}',
+    ]
+    late = ['{"userId":"user_001","amount":10999.0,"timestamp":1700000003}']
+
+    with tempfile.TemporaryDirectory() as tmpdir:
+        stream_in = _file_stream(spark, tmpdir, rows)
+        tx = topology.fraud_topology(stream_in).withColumn(
+            "event_time", F.timestamp_seconds("timestamp")
+        )
+        agg = windows.windowed_amounts(tx, window="10 seconds", watermark="30 seconds")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("win_mem")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # now the late arrival: watermark is ~1700000500-30s, so a row at
+            # 1700000003 is far behind it -> dropped
+            with open(f"{tmpdir}/b.txt", "w") as f:
+                f.write("\n".join(late))
+            q.processAllAvailable()
+            got = {
+                (r.window_start.isoformat(), round(r.total_amount, 2), r.n_tx)
+                for r in spark.sql("SELECT * FROM win_mem").collect()
+            }
+        finally:
+            q.stop()
+
+    # first window closed with only the two on-time rows; late row dropped
+    assert ("2023-11-14T22:13:20", 21100.0, 2) in got
+
+    # batch formulation of the same input INCLUDES the late row
+    all_rows = rows + late
+    batch_tx = topology.fraud_topology(
+        spark.createDataFrame([(r,) for r in all_rows], "value STRING")
+    ).withColumn("event_time", F.timestamp_seconds("timestamp"))
+    batch = {
+        (r.window_start.isoformat(), round(r.total_amount, 2), r.n_tx)
+        for r in windows.windowed_amounts(batch_tx).collect()
+    }
+    assert ("2023-11-14T22:13:20", 32099.0, 3) in batch
+
+
+def test_generator_distribution_contract(spark):
+    """R1 contract: userId in user_000..user_199, amount in [1000, 11000),
+    timestamp epoch seconds; deterministic for a given seed."""
+    df = generator.batch_transactions(spark, 2000).cache()
+    stats = df.agg(
+        F.min("amount").alias("lo"),
+        F.max("amount").alias("hi"),
+        F.count_distinct("userId").alias("users"),
+    ).collect()[0]
+    assert stats.lo >= 1000.0 and stats.hi < 11000.0
+    assert 150 <= stats.users <= 200
+    bad = df.filter(~F.col("userId").rlike(r"^user_[01]\d\d$")).count()
+    assert bad == 0
+    # deterministic across invocations
+    a = generator.batch_transactions(spark, 50).collect()
+    b = generator.batch_transactions(spark, 50).collect()
+    assert a == b
+
+
+def test_rate_source_streaming_smoke(spark):
+    """The unbounded generator actually streams (micro-batch runs)."""
+    stream = generator.rate_transactions(spark, rows_per_second=500)
+    fraud = stream.filter(F.col("amount") > 10000.0)
+    q = topology.start_to_memory(fraud, "rate_mem")
+    try:
+        import time
+
+        deadline = time.time() + 20
+        n = 0
+        while time.time() < deadline:
+            q.processAllAvailable()
+            n = spark.sql("SELECT count(*) c FROM rate_mem").collect()[0].c
+            if n > 0:
+                break
+            time.sleep(1)
+        assert n > 0
+    finally:
+        q.stop()

@@ -70,9 +70,13 @@ def minhash_signature(shingle_col: F.Column, num_hashes: int = 32) -> F.Column:
 
 
 def jaccard(a: F.Column, b: F.Column) -> F.Column:
-    """Exact Jaccard similarity of two distinct-element arrays."""
+    """Exact Jaccard similarity of two distinct-element arrays.
+
+    Computed as i / (|A| + |B| - i) with a single array_intersect —
+    array_union would redo the same hash-table work for no information.
+    """
     inter = F.size(F.array_intersect(a, b))
-    union = F.size(F.array_union(a, b))
+    union = F.size(a) + F.size(b) - inter
     return inter / F.greatest(union, F.lit(1))
 
 
@@ -254,12 +258,24 @@ def ngram_jaccard_pairs(
     deterministic oracle-checkable complement to the probabilistic LSH
     variants."""
     block_cols = block_cols or []
+    # Compare hashed-token sets (long arrays), not string arrays: the
+    # quadratic stage then intersects 8-byte ints. Hash collisions would
+    # need two distinct tokens colliding within one doc pair — negligible.
     base = df.select(
         F.col(id_col).alias("id"),
-        shingles(F.col(text_col), 1).alias("sh"),
+        F.array_distinct(
+            F.transform(shingles(F.col(text_col), 1), lambda s: F.xxhash64(s))
+        ).alias("sh"),
         *[F.col(c) for c in block_cols],
+    ).withColumn("n", F.size("sh"))
+    # Size-ratio prefilter: jaccard >= t forces |A|/|B| in [t, 1/t] (since
+    # |A∩B| <= min and |A∪B| >= max). Checking two ints per pair prunes
+    # most candidates before the expensive array intersect/union.
+    cond = (
+        (F.col("a.id") < F.col("b.id"))
+        & (F.col("a.n") >= F.col("b.n") * threshold)
+        & (F.col("b.n") >= F.col("a.n") * threshold)
     )
-    cond = F.col("a.id") < F.col("b.id")
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     return (

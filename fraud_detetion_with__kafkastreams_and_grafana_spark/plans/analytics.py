@@ -143,16 +143,26 @@ GROUP BY 1, 2
 def q5_range_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-range scan + per-key mean (screenshots/raudTable.jpg: data
     explorer over [_start,_stop) grouped on userId with mean aggregate).
-    The range predicate is pushed to the parquet scan (row-group pruning on
-    ts min/max stats — at 100 TB this is the partition-pruning path)."""
-    return (
-        fraud_alerts(spark, sf_dir)
-        .filter(
-            (F.col("event_time") >= F.lit("2024-01-08 00:00:00").cast("timestamp_ntz"))
-            & (F.col("event_time") < F.lit("2024-01-22 00:00:00").cast("timestamp_ntz"))
-        )
-        .groupBy("userId")
-        .agg(F.round(F.avg("amount"), 4).alias("mean_amount"), F.count("*").alias("n_tx"))
+    The range predicate is applied on the raw int64 nanos column BEFORE
+    timestamp conversion so it pushes into the parquet scan (row-group
+    min/max pruning — at 100 TB this is the partition-pruning path;
+    verified in PushedFilters)."""
+    import calendar
+    from datetime import datetime
+
+    def ns(s: str) -> int:
+        return calendar.timegm(datetime.fromisoformat(s).timetuple()) * 1_000_000_000
+
+    events = load_table(
+        spark,
+        sf_dir,
+        "events",
+        ts_range_ns=(ns("2024-01-08 00:00:00"), ns("2024-01-22 00:00:00")),
+    )
+    tx = events_as_transactions(events)
+    fraud, _ = branch_fraud(tx, threshold=EVENTS_FRAUD_THRESHOLD)
+    return fraud.groupBy("userId").agg(
+        F.round(F.avg("amount"), 4).alias("mean_amount"), F.count("*").alias("n_tx")
     )
 
 

@@ -19,7 +19,20 @@ def sf_dir_default() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    ts_range_ns: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Load one star-schema table.
+
+    ``ts_range_ns=(lo, hi)``: for `events`, apply a half-open time-range
+    filter on the RAW nanosecond int64 BEFORE the timestamp conversion —
+    the predicate then pushes into the parquet scan (row-group min/max
+    pruning), which the converted-column filter cannot do. At 100 TB this
+    is the partition-pruning path for time-range queries.
+    """
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark reads as a
@@ -28,6 +41,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # ~1.7e18 ns would lose sub-microsecond precision.
         from pyspark.sql import functions as F
 
+        if ts_range_ns is not None:
+            lo, hi = ts_range_ns
+            df = df.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )

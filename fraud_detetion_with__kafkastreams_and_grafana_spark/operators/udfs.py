@@ -1,0 +1,70 @@
+"""Arrow-vectorized Python UDF surface — the sanctioned escape hatch when
+built-ins genuinely can't express the semantics (SURVEY.md §2.3 UDF row).
+
+Two patterns:
+- `@pandas_udf` scalar: batch-vectorized column function (Arrow transfer,
+  ~10-100x over row-at-a-time Python UDFs). Demonstrated with a fraud-risk
+  score whose closed form is also SQL-expressible, so the oracle can check
+  the whole Arrow path end-to-end.
+- `applyInPandas` grouped map: per-group pandas transform (the batch twin
+  of applyInPandasWithState). Demonstrated with per-user z-score
+  normalization, oracle-checked against window-function SQL.
+
+Scale: both stream Arrow record batches executor-side; no driver
+collection. applyInPandas shuffles once on the grouping key and each
+group must fit in one worker's memory — fine for per-user groups, wrong
+for whole-table groups (use window functions then).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+
+# DataType object, not a DDL string: string return types are parsed via the
+# active SparkSession, which doesn't exist yet at module import time.
+@pandas_udf(DoubleType())
+def fraud_risk_score(amount: pd.Series, threshold: pd.Series) -> pd.Series:
+    """Vectorized risk score in [0,1]: sigmoid-free closed form
+    min(1, max(0, (amount/threshold - 0.5) / 1.0)). Deterministic, so the
+    SQL oracle can replay it exactly."""
+    x = amount / threshold - 0.5
+    return x.clip(lower=0.0, upper=1.0)
+
+
+def with_risk_score(df: DataFrame, threshold: float, amount_col: str = "amount") -> DataFrame:
+    return df.withColumn(
+        "risk_score",
+        F.round(fraud_risk_score(F.col(amount_col), F.lit(float(threshold))), 6),
+    )
+
+
+ZSCORE_SCHEMA = (
+    "userId STRING, event_id LONG, amount DOUBLE, amount_z DOUBLE"
+)
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    mu = pdf["amount"].mean()
+    sd = pdf["amount"].std(ddof=1)  # sample stddev, matches stddev_samp
+    z = (pdf["amount"] - mu) / sd if sd and sd > 0 else pdf["amount"] * 0.0
+    return pd.DataFrame(
+        {
+            "userId": pdf["userId"],
+            "event_id": pdf["event_id"],
+            "amount": pdf["amount"],
+            "amount_z": z.round(6),
+        }
+    )
+
+
+def per_user_zscore(tx: DataFrame) -> DataFrame:
+    """Grouped-map normalization: one shuffle on userId, then a pandas
+    transform per group (Arrow batches)."""
+    return tx.select("userId", "event_id", "amount").groupBy("userId").applyInPandas(
+        _zscore_group, schema=ZSCORE_SCHEMA
+    )

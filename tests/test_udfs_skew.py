@@ -1,0 +1,130 @@
+"""Tests: pandas UDF paths, salted skew helpers, stateful streaming."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from fraud_detetion_with__kafkastreams_and_grafana_spark.operators import skew, udfs
+from fraud_detetion_with__kafkastreams_and_grafana_spark.operators.detect import (
+    EVENTS_FRAUD_THRESHOLD,
+    events_as_transactions,
+)
+from fraud_detetion_with__kafkastreams_and_grafana_spark.sources import load_table
+
+
+def _tx(spark, sf_dir):
+    return events_as_transactions(load_table(spark, sf_dir, "events"))
+
+
+def test_pandas_udf_matches_builtin(spark, sf_dir):
+    """The Arrow-vectorized risk score equals the same closed form in
+    built-in expressions."""
+    tx = _tx(spark, sf_dir)
+    got = udfs.with_risk_score(tx, EVENTS_FRAUD_THRESHOLD)
+    builtin = F.round(
+        F.least(
+            F.greatest(F.col("amount") / EVENTS_FRAUD_THRESHOLD - 0.5, F.lit(0.0)),
+            F.lit(1.0),
+        ),
+        6,
+    )
+    diff = got.withColumn("exp", builtin).filter(F.col("risk_score") != F.col("exp"))
+    assert diff.count() == 0
+
+
+def test_apply_in_pandas_zscore_matches_window_sql(spark, sf_dir):
+    """Grouped-map z-score equals the window-function formulation."""
+    tx = _tx(spark, sf_dir)
+    got = {(r.userId, r.event_id): r.amount_z for r in udfs.per_user_zscore(tx).collect()}
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("userId")
+    expect = tx.select(
+        "userId",
+        "event_id",
+        F.round(
+            (F.col("amount") - F.avg("amount").over(w)) / F.stddev_samp("amount").over(w),
+            6,
+        ).alias("z"),
+    )
+    for r in expect.collect():
+        assert abs(got[(r.userId, r.event_id)] - r.z) < 1e-9
+
+
+def test_salted_sum_count_equals_direct(spark, sf_dir):
+    tx = _tx(spark, sf_dir)
+    salted = {
+        r.userId: (round(r.sum_value, 6), r.n_rows)
+        for r in skew.salted_sum_count(tx, ["userId"], "amount").collect()
+    }
+    direct = {
+        r.userId: (round(r.s, 6), r.c)
+        for r in tx.groupBy("userId")
+        .agg(F.sum("amount").alias("s"), F.count("*").alias("c"))
+        .collect()
+    }
+    assert set(salted) == set(direct)
+    for k in direct:
+        assert salted[k][1] == direct[k][1]
+        assert abs(salted[k][0] - direct[k][0]) < 1e-6
+
+
+def test_replicate_broadcast_join_equals_plain(spark, sf_dir):
+    fact = _tx(spark, sf_dir).withColumnRenamed("userId", "k").select("k", "amount")
+    dim = (
+        spark.range(200)
+        .select(F.format_string("user_%03d", F.col("id").cast("int")).alias("k"))
+        .withColumn("tag", F.upper("k"))
+    )
+    plain = fact.join(dim, "k").groupBy("k").count()
+    salted = skew.replicate_broadcast_join(fact, dim, "k").groupBy("k").count()
+    assert sorted((r.k, r["count"]) for r in plain.collect()) == sorted(
+        (r.k, r["count"]) for r in salted.collect()
+    )
+
+
+def test_stateful_running_totals_across_batches(spark):
+    """applyInPandasWithState keeps per-user state across micro-batches:
+    the second batch's emitted totals include the first batch's rows."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.streaming import (
+        stateful,
+        topology,
+    )
+
+    b1 = [
+        '{"userId":"user_001","amount":10500.0,"timestamp":1700000001}',
+        '{"userId":"user_001","amount":10600.0,"timestamp":1700000002}',
+        '{"userId":"user_002","amount":10400.0,"timestamp":1700000003}',
+    ]
+    b2 = ['{"userId":"user_001","amount":10001.0,"timestamp":1700000010}']
+
+    with tempfile.TemporaryDirectory() as tmpdir:
+        with open(f"{tmpdir}/b1.txt", "w") as f:
+            f.write("\n".join(b1))
+        stream_in = spark.readStream.format("text").schema("value STRING").load(tmpdir)
+        fraud = topology.fraud_topology(stream_in)
+        q = (
+            stateful.running_user_totals(fraud)
+            .writeStream.format("memory")
+            .queryName("state_mem")
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            with open(f"{tmpdir}/b2.txt", "w") as f:
+                f.write("\n".join(b2))
+            q.processAllAvailable()
+            rows = spark.sql(
+                "SELECT * FROM state_mem ORDER BY userId, n_tx"
+            ).collect()
+        finally:
+            q.stop()
+
+    by_user = {}
+    for r in rows:  # keep the LAST emission per user
+        by_user[r.userId] = (r.total_amount, r.n_tx)
+    assert by_user["user_001"] == (10500.0 + 10600.0 + 10001.0, 3)
+    assert by_user["user_002"] == (10400.0, 1)

@@ -57,7 +57,7 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
             "userId": pdf["userId"],
             "event_id": pdf["event_id"],
             "amount": pdf["amount"],
-            "amount_z": z.round(6),
+            "amount_z": z,
         }
     )
 

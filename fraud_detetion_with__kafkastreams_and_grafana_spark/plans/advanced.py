@@ -1,0 +1,98 @@
+"""Registered queries for the Arrow/UDF surface and skew-mitigation
+operators — each deliberately oracle-checkable so the driver verifies the
+whole Arrow round-trip (Spark -> Arrow batch -> pandas -> Arrow -> Spark)
+and the salted two-phase aggregation against plain ANSI SQL.
+
+Why these exist (SURVEY.md §2.3 UDF row): the reference's `mapValues`
+lambdas (TransactionProcessor.java:29-36,43-51) are ad-hoc record-level
+UDFs; the engine's sanctioned custom-code path is Arrow-vectorized pandas
+UDFs, never row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import skew as SK
+from ..operators import udfs as U
+from ..operators.detect import EVENTS_FRAUD_THRESHOLD, events_as_transactions
+from ..sources.tables import load_table
+
+Query = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, Query] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn: Query) -> Query:
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _tx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_as_transactions(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "u01_pandas_udf_risk",
+    f"""
+    SELECT printf('user_%03d', user_id) AS userId, event_id,
+           round(least(greatest(value / {EVENTS_FRAUD_THRESHOLD} - 0.5, 0.0), 1.0), 6)
+             AS risk_score
+    FROM events
+    """,
+)
+def u01_pandas_udf_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas_udf: deterministic closed-form risk
+    score, so the oracle replays the exact same arithmetic in SQL. Verifies
+    the Arrow batch transfer end-to-end, not just the formula."""
+    return U.with_risk_score(_tx(spark, sf_dir), EVENTS_FRAUD_THRESHOLD).select(
+        "userId", "event_id", "risk_score"
+    )
+
+
+@_register(
+    "u02_grouped_map_zscore",
+    """
+    SELECT printf('user_%03d', user_id) AS userId, event_id,
+           round(
+             (value - avg(value) OVER w) / stddev_samp(value) OVER w, 4
+           ) AS amount_z
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+)
+def u02_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map (one shuffle on userId, pandas transform
+    per group) checked against the window-function formulation the optimizer
+    would pick natively. Rounded to 4 decimals so the pandas vs SQL-engine
+    accumulation order cannot flip the value hash."""
+    out = U.per_user_zscore(_tx(spark, sf_dir))
+    return out.select("userId", "event_id", F.round("amount_z", 4).alias("amount_z"))
+
+
+@_register(
+    "u03_salted_agg",
+    """
+    SELECT printf('user_%03d', user_id) AS userId,
+           round(sum(value), 2) AS sum_value, count(*) AS n_rows
+    FROM events
+    GROUP BY 1
+    """,
+)
+def u03_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation (operators/skew.salted_sum_count):
+    identical result to a direct groupBy — the oracle proves it — while the
+    hot key spreads across salt_buckets reducers in phase 1. The 100 TB
+    answer to a power-law userId distribution."""
+    out = SK.salted_sum_count(_tx(spark, sf_dir), ["userId"], "amount")
+    return out.select(
+        "userId", F.round("sum_value", 2).alias("sum_value"), "n_rows"
+    )

@@ -20,7 +20,7 @@ def _modules():
     from . import analytics
 
     mods = [analytics]
-    for name in ("relational", "relational2", "llmops"):
+    for name in ("relational", "relational2", "llmops", "advanced"):
         try:
             mods.append(__import__(f"{__package__}.{name}", fromlist=[name]))
         except ImportError:

@@ -44,9 +44,8 @@ def test_apply_in_pandas_zscore_matches_window_sql(spark, sf_dir):
     expect = tx.select(
         "userId",
         "event_id",
-        F.round(
-            (F.col("amount") - F.avg("amount").over(w)) / F.stddev_samp("amount").over(w),
-            6,
+        (
+            (F.col("amount") - F.avg("amount").over(w)) / F.stddev_samp("amount").over(w)
         ).alias("z"),
     )
     for r in expect.collect():

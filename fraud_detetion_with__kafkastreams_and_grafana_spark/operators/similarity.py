@@ -123,6 +123,84 @@ def ann_lsh_topk(
     )
 
 
+def ivf_seed_centroids(
+    corpus: DataFrame, nlist: int, id_col: str, vec_col: str
+) -> list[list[float]]:
+    """Deterministic coarse centroids: the `nlist` lowest-id vectors,
+    L2-normalized. A bounded O(nlist x dim) driver-side constant — the
+    index-build step, like broadcasting a dim table. At 100 TB these come
+    from MLlib KMeans over a sample instead; the query path is unchanged."""
+    rows = corpus.orderBy(id_col).limit(nlist).select(vec_col).collect()
+    cents = []
+    for r in rows:
+        v = [float(x) for x in r[0]]
+        n = sum(x * x for x in v) ** 0.5 or 1.0
+        cents.append([x / n for x in v])
+    return cents
+
+
+def _centroid_dots(vec_col, cents: list[list[float]]) -> list[F.Column]:
+    return [
+        dot(vec_col, F.array(*[F.lit(float(x)) for x in c])) for c in cents
+    ]
+
+
+def _nearest_centroid(vec_col, cents: list[list[float]]) -> F.Column:
+    """argmax_i dot(v, c_i) over unit centroids == nearest by cosine
+    (|v| is constant across candidates). Expressed as sort-of-16-structs,
+    NOT a chained when(): a fold that re-references its accumulator doubles
+    the expression tree per step — 2^nlist nodes hangs Catalyst."""
+    return _probe_set(vec_col, cents, 1)[0]
+
+
+def _probe_set(vec_col, cents: list[list[float]], nprobe: int) -> F.Column:
+    """The query's `nprobe` nearest centroid ids, as an array<int>."""
+    scored = F.array(
+        *[
+            F.struct(d.alias("d"), F.lit(i).alias("cid"))
+            for i, d in enumerate(_centroid_dots(vec_col, cents))
+        ]
+    )
+    top = F.slice(F.sort_array(scored, asc=False), 1, nprobe)
+    return F.transform(top, lambda s: s["cid"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into `nlist` coarse
+    cells by nearest centroid, probe only the query's `nprobe` nearest
+    cells, exact-cosine rerank the survivors.
+
+    Scale path: the cell id is a precomputed partition column of the
+    index table, so a probe is partition pruning — each query touches
+    ~nprobe/nlist of the corpus. `nprobe = nlist` degrades to exact
+    brute force (pinned in tests as the correctness anchor).
+    """
+    cents = ivf_seed_centroids(corpus, nlist, id_col, vec_col)
+    cells = corpus.withColumn("_cell", _nearest_centroid(F.col(vec_col), cents))
+    q = query.select(
+        F.col(vec_col).alias("_qvec"),
+        _probe_set(F.col(vec_col), cents, nprobe).alias("_probes"),
+    )
+    return (
+        cells.join(F.broadcast(q), F.array_contains(F.col("_probes"), F.col("_cell")))
+        .select(
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("_cos"),
+        )
+        .orderBy(F.desc("_cos"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round("_cos", 4).alias("cosine_sim"))
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",

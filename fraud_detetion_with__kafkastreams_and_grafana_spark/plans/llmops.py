@@ -167,6 +167,14 @@ def l07_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ann_lsh_topk(em, em.filter(F.col("vec_id") == 0), k=10)
 
 
+@_register("l13_ivf_topk")  # approximate -> rows-only + exactness-anchor pytest
+def l13_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN top-10 for vec_id=0
+    (operators/similarity.ivf_topk): probe 4 of 16 cells, exact rerank."""
+    em = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(em, em.filter(F.col("vec_id") == 0), k=10)
+
+
 @_register(
     "l08_embedding_neardup",
     f"""

@@ -218,12 +218,22 @@ def r36_approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_percentile. Mergeable sketches -> partial+final agg, constant
     memory per group (exact distinct would buffer every key)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    # Keep the exact-distinct agg SEPARATE from the sketch aggs: mixing them
+    # makes Catalyst's distinct-agg rewrite group by (l_returnflag,
+    # l_partkey) first and carry a percentile/HLL sketch buffer per PAIR
+    # (~10x slower measured). Two single-pass aggs + a 3-row broadcast join
+    # produce the identical result.
+    sketches = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.count_distinct("l_partkey").alias("exact_parts"),
         F.round(
             F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)), 4
         ).alias("approx_median_price"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_parts")
+    )
+    return sketches.join(F.broadcast(exact), "l_returnflag").select(
+        "l_returnflag", "approx_parts", "exact_parts", "approx_median_price"
     )
 
 

@@ -1,0 +1,123 @@
+"""Oracle-checked STREAMING queries: the reference's topology executed as
+genuine Structured Streaming micro-batch runs (streaming/replay.py), with
+the final snapshot compared against batch ANSI SQL by the driver.
+
+s01: R3-R8 + Q1-style aggregation — wire JSON parse -> null-drop -> strict
+     fraud threshold -> streaming groupBy totals, state accumulating
+     across 4 micro-batches (complete output mode).
+s02: streaming tumbling-window histogram (Q4's streaming form,
+     screenshots/AmountHistogram.jpg) — windowed agg state across batches.
+
+Both produce snapshots identical to their batch formulation by
+construction (same column transformations from operators/detect), and the
+driver proves it against DuckDB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.detect import EVENTS_FRAUD_THRESHOLD, events_as_transactions
+from ..sources.tables import load_table
+from ..streaming.replay import replay_wire_stream
+from ..streaming.topology import fraud_topology
+
+Query = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, Query] = {}
+ORACLES: dict[str, str] = {}
+
+_FRAUD_SQL = (
+    "SELECT printf('user_%03d', user_id) AS userId, value AS amount, "
+    "date_trunc('second', ts) AS event_time FROM events WHERE value > 100.0"
+)
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn: Query) -> Query:
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _events_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events in the reference's JSON wire format (TransactionProducer.java:27):
+    {"userId": ..., "amount": ..., "timestamp": epoch-seconds}."""
+    tx = events_as_transactions(load_table(spark, sf_dir, "events"))
+    return tx.select(
+        F.to_json(
+            F.struct(
+                F.col("userId"),
+                F.col("amount"),
+                F.unix_timestamp(F.col("event_time").cast("timestamp")).alias(
+                    "timestamp"
+                ),
+            )
+        ).alias("value")
+    )
+
+
+@_register(
+    "s01_stream_fraud_totals",
+    """
+    SELECT printf('user_%03d', user_id) AS userId,
+           round(sum(value), 2) AS total_amount, count(*) AS n_tx
+    FROM events WHERE value > 100.0
+    GROUP BY 1
+    """,
+)
+def s01_stream_fraud_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user fraud totals: 4 micro-batches through the R4-R8
+    topology, stateful groupBy in complete mode. The snapshot must equal
+    the one-shot batch GROUP BY — the driver's oracle proves batch-stream
+    parity on real streaming execution, not a batch stand-in."""
+
+    def xform(stream: DataFrame) -> DataFrame:
+        fraud = fraud_topology(stream, threshold=EVENTS_FRAUD_THRESHOLD)
+        return fraud.groupBy("userId").agg(
+            F.round(F.sum("amount"), 2).alias("total_amount"),
+            F.count("*").alias("n_tx"),
+        )
+
+    return replay_wire_stream(spark, _events_wire(spark, sf_dir), xform)
+
+
+@_register(
+    "s02_stream_windowed_amounts",
+    f"""
+    SELECT CAST(to_timestamp(floor(epoch(event_time) / 600) * 600) AS TIMESTAMP)
+             AS window_start,
+           userId, round(sum(amount), 2) AS total_amount, count(*) AS n_tx
+    FROM ({_FRAUD_SQL})
+    GROUP BY 1, 2
+    """,
+)
+def s02_stream_windowed_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window (10 min) per-user histogram — Q4 executed
+    as a windowed streaming aggregation whose state spans micro-batches.
+    Complete mode (no watermark): every window stays addressable, so the
+    final snapshot equals the batch windowed GROUP BY; the watermarked
+    append-mode variant (late-data drop) is pinned in tests/test_streaming.py."""
+
+    def xform(stream: DataFrame) -> DataFrame:
+        fraud = fraud_topology(stream, threshold=EVENTS_FRAUD_THRESHOLD)
+        return (
+            fraud.withColumn(
+                "event_time", F.col("event_time").cast("timestamp_ntz")
+            )
+            .groupBy(F.window("event_time", "10 minutes").alias("w"), "userId")
+            .agg(F.sum("amount").alias("_total"), F.count("*").alias("n_tx"))
+            .select(
+                F.col("w.start").alias("window_start"),
+                "userId",
+                F.round("_total", 2).alias("total_amount"),
+                "n_tx",
+            )
+        )
+
+    return replay_wire_stream(spark, _events_wire(spark, sf_dir), xform)

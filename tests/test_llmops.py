@@ -102,3 +102,38 @@ def test_multimodal_features_deterministic(spark, planted):
     assert feats[1].checksum == sum(BASE.encode()[:64])
     # permutation changes bytes order but not length-derived dims
     assert feats[2].n_bytes == len(PERMUTED.encode())
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    """nprobe == nlist degrades IVF to an exact scan: the result must equal
+    brute-force cosine top-k EXACTLY (the correctness anchor for the
+    partition-pruning fast path)."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators import (
+        similarity as SIM,
+    )
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources import load_table
+
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") == 0)
+    exact = [(r.vec_id, r.cosine_sim) for r in SIM.cosine_topk(em, q, k=10).collect()]
+    full = [
+        (r.vec_id, r.cosine_sim)
+        for r in SIM.ivf_topk(em, q, k=10, nlist=8, nprobe=8).collect()
+    ]
+    assert full == exact
+
+
+def test_ivf_partial_probe_contains_query(spark, sf_dir):
+    """The query's own cell is always probed (it is its own nearest
+    neighbor), so vec_id=0 must appear in its result."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators import (
+        similarity as SIM,
+    )
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources import load_table
+
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") == 0)
+    got = SIM.ivf_topk(em, q, k=10, nlist=8, nprobe=2).collect()
+    assert 0 in {r.vec_id for r in got}
+    sims = [r.cosine_sim for r in got]
+    assert sims == sorted(sims, reverse=True)

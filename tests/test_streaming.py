@@ -155,3 +155,29 @@ def test_rate_source_streaming_smoke(spark):
         assert n > 0
     finally:
         q.stop()
+
+
+def test_replay_stream_equals_batch(spark):
+    """Batch-stream parity on real micro-batch execution: the complete-mode
+    snapshot of the replayed wire stream equals the one-shot batch agg."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.streaming_queries import (
+        QUERIES,
+        _events_wire,
+    )
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.streaming.topology import (
+        fraud_topology,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        (r.userId): (r.total_amount, r.n_tx)
+        for r in QUERIES["s01_stream_fraud_totals"](spark, sf).collect()
+    }
+    batch = {
+        r.userId: (r.total_amount, r.n_tx)
+        for r in fraud_topology(_events_wire(spark, sf), threshold=100.0)
+        .groupBy("userId")
+        .agg(F.round(F.sum("amount"), 2).alias("total_amount"), F.count("*").alias("n_tx"))
+        .collect()
+    }
+    assert streamed == batch

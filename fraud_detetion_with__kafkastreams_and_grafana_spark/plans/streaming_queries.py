@@ -62,6 +62,22 @@ def _events_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The serialized wire directory is identical for every streaming query at a
+# given sf_dir — write it once per session and replay from the cache
+# (harness plumbing, not query work: each query still runs its own full
+# micro-batch streaming execution over the files).
+_WIRE_DIRS: dict[tuple[int, str], str] = {}
+
+
+def _wire_dir(spark: SparkSession, sf_dir: str) -> str:
+    from ..streaming.replay import materialize_wire_dir
+
+    key = (id(spark), sf_dir)
+    if key not in _WIRE_DIRS:
+        _WIRE_DIRS[key] = materialize_wire_dir(_events_wire(spark, sf_dir))
+    return _WIRE_DIRS[key]
+
+
 @_register(
     "s01_stream_fraud_totals",
     """
@@ -84,7 +100,39 @@ def s01_stream_fraud_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_tx"),
         )
 
-    return replay_wire_stream(spark, _events_wire(spark, sf_dir), xform)
+    return replay_wire_stream(spark, _wire_dir(spark, sf_dir), xform)
+
+
+@_register(
+    "s03_stream_stateful_totals",
+    """
+    SELECT printf('user_%03d', user_id) AS userId,
+           round(sum(value), 2) AS total_amount, count(*) AS n_tx
+    FROM events WHERE value > 100.0
+    GROUP BY 1
+    """,
+)
+def s03_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState, update mode):
+    per-user running totals whose state survives across micro-batches
+    (streaming/stateful.py). The update-mode sink records every per-batch
+    emission; totals grow monotonically (amounts > 0), so max() per user
+    recovers the final state — which must equal the batch GROUP BY."""
+
+    def xform(stream: DataFrame) -> DataFrame:
+        from ..streaming.stateful import running_user_totals
+
+        return running_user_totals(
+            fraud_topology(stream, threshold=EVENTS_FRAUD_THRESHOLD)
+        )
+
+    snap = replay_wire_stream(
+        spark, _wire_dir(spark, sf_dir), xform, output_mode="update"
+    )
+    return snap.groupBy("userId").agg(
+        F.round(F.max("total_amount"), 2).alias("total_amount"),
+        F.max("n_tx").alias("n_tx"),
+    )
 
 
 @_register(
@@ -120,4 +168,4 @@ def s02_stream_windowed_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return replay_wire_stream(spark, _events_wire(spark, sf_dir), xform)
+    return replay_wire_stream(spark, _wire_dir(spark, sf_dir), xform)

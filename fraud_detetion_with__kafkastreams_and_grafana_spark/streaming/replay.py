@@ -27,28 +27,36 @@ from pyspark.sql import DataFrame, SparkSession
 _RUN = itertools.count()
 
 
+def materialize_wire_dir(wire: DataFrame, n_files: int = 8) -> str:
+    """Write the single-STRING-column `wire` frame to exactly `n_files`
+    text files (repartition, not coalesce, so the file count — and hence
+    the micro-batch count on replay — is known)."""
+    run = next(_RUN)
+    d = tempfile.mkdtemp(prefix=f"spark_graft_replay_{os.getpid()}_{run}_")
+    wire.repartition(n_files).write.mode("overwrite").text(d)
+    return d
+
+
 def replay_wire_stream(
     spark: SparkSession,
-    wire: DataFrame,
+    wire: DataFrame | str,
     transform: Callable[[DataFrame], DataFrame],
     output_mode: str = "complete",
     n_files: int = 8,
     files_per_trigger: int = 2,
 ) -> DataFrame:
-    """Serialize `wire` (single STRING column) to text files, stream them
-    back through `transform` in ceil(n_files/files_per_trigger)
-    micro-batches, and return the final memory-sink snapshot."""
-    run = next(_RUN)
-    d = tempfile.mkdtemp(prefix=f"spark_graft_replay_{os.getpid()}_{run}_")
-    # repartition (not coalesce) so exactly n_files files exist -> a known
-    # number of micro-batches regardless of source partitioning.
-    wire.repartition(n_files).write.mode("overwrite").text(d)
+    """Serialize `wire` (single STRING column, or an already-materialized
+    directory path) to text files, stream them back through `transform` in
+    ceil(n_files/files_per_trigger) micro-batches, and return the final
+    memory-sink snapshot."""
+    d = wire if isinstance(wire, str) else materialize_wire_dir(wire, n_files)
 
     stream = (
         spark.readStream.schema("value STRING")
         .option("maxFilesPerTrigger", files_per_trigger)
         .text(d)
     )
+    run = next(_RUN)
     name = f"replay_mem_{os.getpid()}_{run}"
     q = (
         transform(stream)

@@ -31,7 +31,7 @@ def _update_user_totals(
         cnt += int(len(pdf))
     state.update((total, cnt))
     yield pd.DataFrame(
-        {"userId": [key[0]], "total_amount": [round(total, 6)], "n_tx": [cnt]}
+        {"userId": [key[0]], "total_amount": [total], "n_tx": [cnt]}
     )
 
 

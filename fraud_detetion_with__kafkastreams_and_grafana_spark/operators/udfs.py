@@ -62,6 +62,38 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+@pandas_udf(DoubleType())
+def amount_weighted_mean(amount: pd.Series) -> float:  # grouped-agg UDAF
+    """Self-weighted mean sum(a^2)/sum(a): a custom aggregate the built-in
+    surface lacks, exercised as a pandas GROUPED_AGG (one value per group,
+    Arrow-batched). Algebraic — at scale Spark still map-side-combines the
+    group partitions before the final agg."""
+    s = float(amount.sum())
+    return float((amount * amount).sum()) / s if s else 0.0
+
+
+def shingle_rows(text: str):
+    """Row-generator logic for the UDTF below: (pos, tok) per whitespace
+    token; str.split() matches the engine's \\s+ tokenizer."""
+    for i, t in enumerate((text or "").split()):
+        yield i, t
+
+
+def make_shingle_udtf():
+    """Python UDTF (table function, Spark 4): one input row -> N output
+    rows. The lateral-join shape built-ins can't express when the
+    expansion logic is imperative. Constructed lazily — the udtf decorator
+    parses its DDL return type via the active session."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, tok string")
+    class ShingleUDTF:
+        def eval(self, text: str):
+            yield from shingle_rows(text)
+
+    return ShingleUDTF
+
+
 def per_user_zscore(tx: DataFrame) -> DataFrame:
     """Grouped-map normalization: one shuffle on userId, then a pandas
     transform per group (Arrow batches)."""

@@ -79,6 +79,50 @@ def u02_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "u04_udtf_shingles",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS sh
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id, unnest(range(0, len(sh))) AS pos, unnest(sh) AS tok
+    FROM t
+    """,
+)
+def u04_udtf_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF lateral join: explode each document into (pos, token)
+    rows with imperative row-generation (operators/udfs.make_shingle_udtf).
+    Oracle zips parallel unnests over the same tokenization."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    docs.createOrReplaceTempView("_u04_docs")
+    spark.udtf.register("shingle_udtf", U.make_shingle_udtf())
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.tok
+        FROM _u04_docs d, LATERAL shingle_udtf(d.text) s
+        """
+    )
+
+
+@_register(
+    "u05_grouped_agg_udaf",
+    """
+    SELECT printf('user_%03d', user_id) AS userId,
+           round(sum(value * value) / sum(value), 4) AS wmean
+    FROM events
+    GROUP BY 1
+    """,
+)
+def u05_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas GROUPED_AGG UDAF (amount-weighted mean) checked against its
+    closed-form SQL — verifies the Arrow grouped-aggregate path."""
+    tx = _tx(spark, sf_dir)
+    return tx.groupBy("userId").agg(
+        F.round(U.amount_weighted_mean("amount"), 4).alias("wmean")
+    )
+
+
+@_register(
     "u03_salted_agg",
     """
     SELECT printf('user_%03d', user_id) AS userId,

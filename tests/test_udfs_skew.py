@@ -127,3 +127,38 @@ def test_stateful_running_totals_across_batches(spark):
         by_user[r.userId] = (r.total_amount, r.n_tx)
     assert by_user["user_001"] == (10500.0 + 10600.0 + 10001.0, 3)
     assert by_user["user_002"] == (10400.0, 1)
+
+
+def test_udtf_shingles_match_split(spark, sf_dir):
+    """UDTF output equals built-in posexplode over the same tokenization."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    docs.createOrReplaceTempView("_udtf_test_docs")
+    spark.udtf.register("shingle_udtf_t", udfs.make_shingle_udtf())
+    got = spark.sql(
+        "SELECT d.doc_id, s.pos, s.tok FROM _udtf_test_docs d, LATERAL shingle_udtf_t(d.text) s"
+    )
+    expect = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "tok"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_grouped_agg_udaf_matches_sql(spark, sf_dir):
+    tx = _tx(spark, sf_dir)
+    got = {
+        r.userId: r.wmean
+        for r in tx.groupBy("userId")
+        .agg(F.round(udfs.amount_weighted_mean("amount"), 4).alias("wmean"))
+        .collect()
+    }
+    expect = {
+        r.userId: r.wmean
+        for r in tx.groupBy("userId")
+        .agg((F.round(F.sum(F.col("amount") * F.col("amount")) / F.sum("amount"), 4)).alias("wmean"))
+        .collect()
+    }
+    for k, v in expect.items():
+        assert abs(got[k] - v) < 1e-6

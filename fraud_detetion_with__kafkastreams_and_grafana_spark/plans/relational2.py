@@ -323,3 +323,82 @@ def r39_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ifnull(F.max("o_orderpriority"), F.lit("NONE")).alias("best_priority"),
         )
     )
+
+
+@_register(
+    "r40_unpivot",
+    """
+    SELECT o_orderkey, metric, CAST(val AS DOUBLE) AS val
+    FROM (
+      SELECT o_orderkey, o_totalprice, CAST(o_custkey AS DOUBLE) AS o_custkey
+      FROM orders WHERE o_orderkey < 1000
+    )
+    UNPIVOT (val FOR metric IN (o_totalprice, o_custkey))
+    """,
+)
+def r40_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long) via the native unpivot/melt operator — the
+    inverse of r25_pivot. A narrow projection (Expand), no shuffle."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice"),
+        F.col("o_custkey").cast("double").alias("o_custkey"),
+    ).unpivot(
+        ids=["o_orderkey"],
+        values=["o_totalprice", "o_custkey"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+@_register(
+    "r41_dist_window",
+    """
+    SELECT o_orderkey, o_custkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(ntile(4) OVER w AS INT) AS quartile
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+)
+def r41_dist_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank/cume_dist/ntile) with a
+    deterministic total order per partition."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@_register(
+    "r42_median_mode",
+    """
+    SELECT l_linestatus,
+           round(median(l_extendedprice), 2) AS median_price,
+           CAST(min(l_linenumber) AS BIGINT) AS first_line,
+           round(avg(l_discount), 6) AS avg_disc
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def r42_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median aggregate (plus plain min/avg): median is the
+    buffer-everything aggregate whose 100 TB substitute is r36's
+    percentile_approx sketch — both surfaced so the tradeoff is explicit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.median("l_extendedprice"), 2).alias("median_price"),
+        F.min("l_linenumber").cast("bigint").alias("first_line"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )

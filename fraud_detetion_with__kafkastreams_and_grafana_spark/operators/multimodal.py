@@ -83,6 +83,77 @@ def extract_image_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("out_bytes", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, max_bytes: int = 128) -> DataFrame:
+    """Binary -> binary resize plumbing (mapInPandas): the STUB 'resize'
+    truncates the payload to `max_bytes` (deterministic, so the byte-length
+    contract is oracle-checkable); a real deployment decodes, resamples,
+    re-encodes inside the same batch loop. Payload stays executor-side in
+    Arrow batches end-to-end."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = [bytes(p[:max_bytes]) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "media_type": pdf["media_type"].values,
+                    "out_bytes": [len(o) for o in out],
+                    "payload": out,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("start_offset", T.LongType()),
+        T.StructField("frame_bytes", T.LongType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, frame_size: int = 256) -> DataFrame:
+    """Frame sampling plumbing: one output row per `frame_size`-byte chunk
+    of the payload (the stand-in for per-frame video decode — a real
+    deployment yields decoded frames from pyav here). mapInPandas is the
+    right shape for 1->N row expansion with binary inputs: the expansion
+    happens inside the Arrow batch, no explode of a materialized array."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, offs, sizes = [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(p)
+                for i in range(0, max(1, (n + frame_size - 1) // frame_size)):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    offs.append(i * frame_size)
+                    sizes.append(min(frame_size, n - i * frame_size) if n else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "start_offset": offs,
+                    "frame_bytes": sizes,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
 def decode_image_real(payload: bytes):  # pragma: no cover - documented stub
     """Placeholder for a real decoder; raises until a library is wired in."""
     raise NotImplementedError(

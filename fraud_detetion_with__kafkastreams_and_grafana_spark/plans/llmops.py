@@ -299,3 +299,47 @@ def l12_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = MM.attach_fake_payload(docs)
     return MM.extract_image_features(media)
+
+
+@_register(
+    "l14_frame_sample",
+    """
+    WITH t AS (
+      SELECT doc_id, strlen(text) AS n,
+             range(0, greatest(CAST(ceil(strlen(text) / 256.0) AS BIGINT), 1)) AS idxs
+      FROM documents
+    )
+    SELECT doc_id,
+           unnest(idxs) AS frame_idx,
+           unnest(list_transform(idxs, i -> i * 256)) AS start_offset,
+           unnest(list_transform(idxs,
+             i -> CASE WHEN n = 0 THEN 0
+                       ELSE least(256, n - i * 256) END)) AS frame_bytes
+    FROM t
+    """,
+)
+def l14_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-frame sampling plumbing (operators/multimodal.sample_frames):
+    1->N row expansion inside Arrow batches; the oracle replays the chunk
+    arithmetic on byte lengths."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.sample_frames(MM.attach_fake_payload(docs))
+
+
+@_register(
+    "l15_resize",
+    """
+    SELECT doc_id, 'image/fake' AS media_type,
+           least(strlen(text), 128) AS out_bytes
+    FROM documents
+    """,
+)
+def l15_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing (operators/multimodal.resize_images): binary
+    in, binary out via mapInPandas; the byte-length contract of the
+    deterministic stub is the checkable surface (payload bytes stay
+    executor-side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.resize_images(MM.attach_fake_payload(docs)).select(
+        "doc_id", "media_type", "out_bytes"
+    )

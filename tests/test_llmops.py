@@ -137,3 +137,25 @@ def test_ivf_partial_probe_contains_query(spark, sf_dir):
     assert 0 in {r.vec_id for r in got}
     sims = [r.cosine_sim for r in got]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_resize_and_frame_sample_edges(spark):
+    """Empty payload -> one zero-byte frame; resize truncates to the cap
+    and short payloads pass through."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators import (
+        multimodal as MM2,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "x" * 50), (3, "y" * 300)], "doc_id long, text string"
+    )
+    media = MM2.attach_fake_payload(docs)
+    rs = {r.doc_id: r.out_bytes for r in MM2.resize_images(media, max_bytes=128).collect()}
+    assert rs == {1: 0, 2: 50, 3: 128}
+    frames = MM2.sample_frames(media, frame_size=256).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append((r.frame_idx, r.start_offset, r.frame_bytes))
+    assert by_doc[1] == [(0, 0, 0)]
+    assert by_doc[2] == [(0, 0, 50)]
+    assert sorted(by_doc[3]) == [(0, 0, 256), (1, 256, 44)]

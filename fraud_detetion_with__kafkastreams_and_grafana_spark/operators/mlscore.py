@@ -1,0 +1,84 @@
+"""MLlib fraud scoring: the north-star's "Structured Streaming + MLlib"
+inference path (BASELINE.json). The reference detects fraud with a fixed
+threshold rule (TransactionProcessor.java:15,39); this operator learns a
+probabilistic scorer from the same signal and applies it identically to
+batch DataFrames and Structured Streaming micro-batches.
+
+Streaming-safe by design: features are per-row expressions plus a
+stream-static broadcast join against batch-computed per-user statistics
+(window functions are NOT allowed on streams; a static stats dim is the
+production pattern anyway — recompute it on a cadence, broadcast to the
+stream). `PipelineModel.transform` is a stateless column mapping, so
+batch-stream score parity holds by construction (pinned in tests).
+
+Scale: training is one MLlib LBFGS job (treeAggregate — partial gradients
+combine map-side); scoring is a narrow projection, no shuffle. Model and
+stats dim are O(n_features) / O(n_users) broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.classification import LogisticRegression
+from pyspark.ml.feature import VectorAssembler
+from pyspark.ml.functions import vector_to_array
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .detect import EVENTS_FRAUD_THRESHOLD
+
+FEATURE_COLS = ["amount", "amount_z", "hour"]
+
+
+def user_stats(tx: DataFrame) -> DataFrame:
+    """Per-user amount statistics (the static dim for feature generation)."""
+    return tx.groupBy("userId").agg(
+        F.avg("amount").alias("_mu"), F.stddev_samp("amount").alias("_sd")
+    )
+
+
+def fraud_features(tx: DataFrame, stats: DataFrame) -> DataFrame:
+    """Feature frame: raw amount, per-user z-score (vs the static stats
+    dim), hour-of-day. Broadcast join -> works on batch AND streaming
+    frames (stream-static join, no state)."""
+    return tx.join(F.broadcast(stats), "userId", "left").select(
+        "userId",
+        "event_id",
+        "amount",
+        F.when(F.col("_sd") > 0, (F.col("amount") - F.col("_mu")) / F.col("_sd"))
+        .otherwise(F.lit(0.0))
+        .alias("amount_z"),
+        F.hour("event_time").cast("double").alias("hour"),
+        "event_time",
+    )
+
+
+def train_fraud_scorer(
+    features: DataFrame, threshold: float = EVENTS_FRAUD_THRESHOLD
+) -> PipelineModel:
+    """Train a logistic-regression scorer on the threshold rule's labels.
+    Deterministic: LBFGS from a zero init on a fixed dataset."""
+    labeled = features.withColumn(
+        "label", (F.col("amount") > threshold).cast("double")
+    )
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=FEATURE_COLS, outputCol="features"),
+            LogisticRegression(maxIter=25, regParam=0.01, standardization=True),
+        ]
+    )
+    return pipe.fit(labeled)
+
+
+def score(model: PipelineModel, features: DataFrame) -> DataFrame:
+    """Apply the model; unchanged on batch and streaming frames (narrow
+    ops only). Returns p(fraud) per event."""
+    scored = model.transform(features)
+    p1 = vector_to_array(F.col("probability"))[1]
+    return scored.select(
+        "userId",
+        "event_id",
+        "amount",
+        F.round(p1, 6).alias("fraud_probability"),
+        F.col("prediction").cast("long").alias("predicted_fraud"),
+    )

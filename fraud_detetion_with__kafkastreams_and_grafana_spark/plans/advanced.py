@@ -122,6 +122,20 @@ def u05_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("m01_mllib_fraud_score")  # learned model -> rows-only + AUC pytest
+def m01_mllib_fraud_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib inference path (north star: 'Structured Streaming + MLlib'):
+    logistic regression trained on the reference's threshold rule, scoring
+    every event with p(fraud). Separation quality (AUC ~ 1.0 against the
+    rule) and batch-stream score parity are pinned in tests/test_mlscore.py."""
+    from ..operators import mlscore as ML
+
+    tx = _tx(spark, sf_dir)
+    feats = ML.fraud_features(tx, ML.user_stats(tx))
+    model = ML.train_fraud_scorer(feats)
+    return ML.score(model, feats).drop("amount")
+
+
 @_register(
     "u03_salted_agg",
     """

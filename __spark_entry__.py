@@ -28,8 +28,20 @@ def entry(spark: SparkSession) -> DataFrame:
     return q(spark, "/root/testdata/sf0.001")
 
 
+def _self_configuring(fn: Callable[[SparkSession, str], DataFrame]):
+    """Each query must run on a VANILLA driver session: apply the engine's
+    runtime-settable defaults (UTC timezone, AQE, parquet-nanos handling)
+    before building the plan, exactly like entry() does."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        apply_session_defaults(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return all_queries()
+    return {name: _self_configuring(fn) for name, fn in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

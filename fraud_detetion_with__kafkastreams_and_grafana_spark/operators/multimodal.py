@@ -69,7 +69,8 @@ def extract_image_features(media: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [_fake_decode(p) for p in pdf["payload"]]
+            # NULL payload (e.g. null source text) decodes as empty bytes
+            feats = [_fake_decode(p if p is not None else b"") for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
@@ -102,7 +103,10 @@ def resize_images(media: DataFrame, max_bytes: int = 128) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = [bytes(p[:max_bytes]) for p in pdf["payload"]]
+            out = [
+                bytes(p[:max_bytes]) if p is not None else b""
+                for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
@@ -136,7 +140,7 @@ def sample_frames(media: DataFrame, frame_size: int = 256) -> DataFrame:
         for pdf in it:
             ids, idxs, offs, sizes = [], [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                n = len(p)
+                n = len(p) if p is not None else 0
                 for i in range(0, max(1, (n + frame_size - 1) // frame_size)):
                     ids.append(doc_id)
                     idxs.append(i)

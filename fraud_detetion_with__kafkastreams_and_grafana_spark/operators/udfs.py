@@ -66,16 +66,26 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
 def amount_weighted_mean(amount: pd.Series) -> float:  # grouped-agg UDAF
     """Self-weighted mean sum(a^2)/sum(a): a custom aggregate the built-in
     surface lacks, exercised as a pandas GROUPED_AGG (one value per group,
-    Arrow-batched). Algebraic — at scale Spark still map-side-combines the
-    group partitions before the final agg."""
+    Arrow-batched). Caveat (verified on the plan): unlike JVM aggregates,
+    pandas GROUPED_AGG shuffles RAW rows to one reducer per key — no
+    partial/final split — so a hot key concentrates on one task. For
+    skewed keys prefer the closed-form SQL (partial-aggregating) or the
+    salted two-phase pattern (operators/skew.py)."""
     s = float(amount.sum())
     return float((amount * amount).sum()) / s if s else 0.0
 
 
 def shingle_rows(text: str):
     """Row-generator logic for the UDTF below: (pos, tok) per whitespace
-    token; str.split() matches the engine's \\s+ tokenizer."""
-    for i, t in enumerate((text or "").split()):
+    token. ASCII-\\s+ splitting (re.ASCII) so the boundaries match the
+    Java/RE2 \\s+ used by the engine's tokenizer and the DuckDB oracle —
+    str.split() would additionally split on unicode whitespace (NBSP)."""
+    import re
+
+    stripped = (text or "").strip()
+    if not stripped:
+        return
+    for i, t in enumerate(re.split(r"\s+", stripped, flags=re.ASCII)):
         yield i, t
 
 

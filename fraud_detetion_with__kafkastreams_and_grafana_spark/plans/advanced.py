@@ -63,7 +63,9 @@ def u01_pandas_udf_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT printf('user_%03d', user_id) AS userId, event_id,
            round(
-             (value - avg(value) OVER w) / stddev_samp(value) OVER w, 4
+             coalesce(
+               (value - avg(value) OVER w) / nullif(stddev_samp(value) OVER w, 0),
+               0.0), 4
            ) AS amount_z
     FROM events
     WINDOW w AS (PARTITION BY user_id)
@@ -83,7 +85,7 @@ def u02_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH t AS (
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS sh
-      FROM documents WHERE doc_id < 100
+      FROM documents WHERE doc_id < 100 AND trim(text) <> ''
     )
     SELECT doc_id, unnest(range(0, len(sh))) AS pos, unnest(sh) AS tok
     FROM t

@@ -305,8 +305,8 @@ def l12_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l14_frame_sample",
     """
     WITH t AS (
-      SELECT doc_id, strlen(text) AS n,
-             range(0, greatest(CAST(ceil(strlen(text) / 256.0) AS BIGINT), 1)) AS idxs
+      SELECT doc_id, coalesce(strlen(text), 0) AS n,
+             range(0, greatest(CAST(ceil(coalesce(strlen(text), 0) / 256.0) AS BIGINT), 1)) AS idxs
       FROM documents
     )
     SELECT doc_id,
@@ -330,7 +330,7 @@ def l14_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l15_resize",
     """
     SELECT doc_id, 'image/fake' AS media_type,
-           least(strlen(text), 128) AS out_bytes
+           least(coalesce(strlen(text), 0), 128) AS out_bytes
     FROM documents
     """,
 )

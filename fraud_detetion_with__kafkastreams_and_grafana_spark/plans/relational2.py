@@ -229,11 +229,17 @@ def r36_approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)), 4
         ).alias("approx_median_price"),
     )
-    exact = li.groupBy("l_returnflag").agg(
+    exact = li.groupBy(F.col("l_returnflag").alias("_rf")).agg(
         F.count_distinct("l_partkey").alias("exact_parts")
     )
-    return sketches.join(F.broadcast(exact), "l_returnflag").select(
-        "l_returnflag", "approx_parts", "exact_parts", "approx_median_price"
+    # eqNullSafe: a NULL group key must survive the reassembly join exactly
+    # as it would in the single-aggregation formulation
+    return (
+        sketches.join(
+            F.broadcast(exact),
+            sketches["l_returnflag"].eqNullSafe(exact["_rf"]),
+        )
+        .select("l_returnflag", "approx_parts", "exact_parts", "approx_median_price")
     )
 
 

@@ -100,7 +100,7 @@ def s01_stream_fraud_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_tx"),
         )
 
-    return replay_wire_stream(spark, _wire_dir(spark, sf_dir), xform)
+    return replay_wire_stream(spark, _wire_dir(spark, sf_dir), xform, name="s01_mem")
 
 
 @_register(
@@ -127,7 +127,7 @@ def s03_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     snap = replay_wire_stream(
-        spark, _wire_dir(spark, sf_dir), xform, output_mode="update"
+        spark, _wire_dir(spark, sf_dir), xform, output_mode="update", name="s03_mem"
     )
     return snap.groupBy("userId").agg(
         F.round(F.max("total_amount"), 2).alias("total_amount"),
@@ -168,4 +168,4 @@ def s02_stream_windowed_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return replay_wire_stream(spark, _wire_dir(spark, sf_dir), xform)
+    return replay_wire_stream(spark, _wire_dir(spark, sf_dir), xform, name="s02_mem")

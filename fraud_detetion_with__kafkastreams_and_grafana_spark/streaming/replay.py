@@ -30,9 +30,14 @@ _RUN = itertools.count()
 def materialize_wire_dir(wire: DataFrame, n_files: int = 8) -> str:
     """Write the single-STRING-column `wire` frame to exactly `n_files`
     text files (repartition, not coalesce, so the file count — and hence
-    the micro-batch count on replay — is known)."""
+    the micro-batch count on replay — is known). The directory is removed
+    at interpreter exit."""
+    import atexit
+    import shutil
+
     run = next(_RUN)
     d = tempfile.mkdtemp(prefix=f"spark_graft_replay_{os.getpid()}_{run}_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
     wire.repartition(n_files).write.mode("overwrite").text(d)
     return d
 
@@ -44,11 +49,16 @@ def replay_wire_stream(
     output_mode: str = "complete",
     n_files: int = 8,
     files_per_trigger: int = 2,
+    name: str | None = None,
 ) -> DataFrame:
     """Serialize `wire` (single STRING column, or an already-materialized
     directory path) to text files, stream them back through `transform` in
     ceil(n_files/files_per_trigger) micro-batches, and return the final
-    memory-sink snapshot."""
+    memory-sink snapshot.
+
+    Pass a fixed `name` for repeated invocations (bench loops, driver
+    re-runs): the previous run's memory-sink table of the same name is
+    dropped first, so snapshots don't accumulate in JVM memory."""
     d = wire if isinstance(wire, str) else materialize_wire_dir(wire, n_files)
 
     stream = (
@@ -57,7 +67,9 @@ def replay_wire_stream(
         .text(d)
     )
     run = next(_RUN)
-    name = f"replay_mem_{os.getpid()}_{run}"
+    if name is not None:
+        spark.catalog.dropTempView(name)
+    name = name or f"replay_mem_{os.getpid()}_{run}"
     q = (
         transform(stream)
         .writeStream.format("memory")

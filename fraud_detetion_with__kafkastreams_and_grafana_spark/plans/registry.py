@@ -20,7 +20,14 @@ def _modules():
     from . import analytics
 
     mods = [analytics]
-    for name in ("relational", "relational2", "llmops", "advanced", "streaming_queries"):
+    for name in (
+        "relational",
+        "relational2",
+        "relational3",
+        "llmops",
+        "advanced",
+        "streaming_queries",
+    ):
         try:
             mods.append(__import__(f"{__package__}.{name}", fromlist=[name]))
         except ImportError:

@@ -1,0 +1,257 @@
+"""Relational surface, batch 4: map-typed columns, higher-order array
+lambdas, date/interval arithmetic, bitwise expressions, and the TPC-H
+Q5-style local-supplier star join.
+
+Same contract as relational.py: every query carries an aligned DuckDB
+oracle. Map/array intermediates are always projected back to scalar
+columns before returning, so the driver's column-sorted value hash
+compares plain types on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+Query = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, Query] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn: Query) -> Query:
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+@_register(
+    "r43_map_funcs",
+    """
+    WITH per_line AS (
+      SELECT l_orderkey, l_linenumber, sum(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_orderkey < 1000
+      GROUP BY l_orderkey, l_linenumber
+    )
+    SELECT l_orderkey,
+           max(CASE WHEN l_linenumber = 1 THEN qty END) AS qty_line1,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber)
+             AS line_numbers
+    FROM per_line
+    GROUP BY l_orderkey
+    """,
+)
+def r43_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: build map<linenumber, quantity> per order
+    with map_from_entries, then probe it (element_at), measure it
+    (map_keys/size), and flatten the key set. The oracle states the same
+    facts relationally — a map column itself can't cross the DuckDB hash
+    boundary, which is exactly why the engine projects maps to scalars at
+    its own result edges too.
+
+    Scale: one hash-agg shuffle keyed on l_orderkey (the per-line
+    pre-aggregation reuses the same partitioning, no second shuffle); the
+    map lives only inside the row, never as shuffle-key material. The
+    per-line sum exists because map keys must be unique — the synthetic
+    lineitem repeats (orderkey, linenumber)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    per_line = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    m = F.map_from_entries(F.collect_list(F.struct("l_linenumber", "qty")))
+    return (
+        per_line.groupBy("l_orderkey")
+        .agg(m.alias("_m"))
+        .select(
+            "l_orderkey",
+            F.element_at("_m", 1).alias("qty_line1"),
+            F.size(F.map_keys("_m")).cast("bigint").alias("n_lines"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.map_keys("_m")), lambda k: k.cast("string")
+                ),
+                ",",
+            ).alias("line_numbers"),
+        )
+    )
+
+
+@_register(
+    "r44_higher_order",
+    """
+    WITH t AS (
+      SELECT l_orderkey, list_sort(list(l_quantity)) AS qs
+      FROM lineitem
+      WHERE l_orderkey < 1000
+      GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           round(list_sum(list_transform(qs, q -> q * q)), 2) AS sum_sq_qty,
+           CAST(len(list_filter(qs, q -> q > 25.0)) AS BIGINT) AS n_big,
+           len(list_filter(qs, q -> q > 45.0)) > 0 AS has_jumbo,
+           round(list_sum(qs) / len(qs), 4) AS mean_qty
+    FROM t
+    """,
+)
+def r44_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array lambdas — transform / filter / exists /
+    aggregate over a per-order quantity array. Quantities are
+    integer-valued doubles, so the fold sums are exact and order-proof.
+
+    Scale: lambdas run inside codegen per-row on already-grouped arrays;
+    no extra shuffle beyond the single groupBy."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    qs = F.array_sort(F.collect_list("l_quantity"))
+    return (
+        li.groupBy("l_orderkey")
+        .agg(qs.alias("qs"))
+        .select(
+            "l_orderkey",
+            F.round(
+                F.aggregate(
+                    F.transform("qs", lambda q: q * q),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                2,
+            ).alias("sum_sq_qty"),
+            F.size(F.filter("qs", lambda q: q > 25.0)).cast("bigint").alias("n_big"),
+            F.exists("qs", lambda q: q > 45.0).alias("has_jumbo"),
+            F.round(
+                F.aggregate("qs", F.lit(0.0), lambda acc, x: acc + x)
+                / F.size("qs"),
+                4,
+            ).alias("mean_qty"),
+        )
+    )
+
+
+@_register(
+    "r45_date_arith",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                AS INTEGER) AS days_since_95,
+           CAST(quarter(o_orderdate) AS INTEGER) AS q,
+           CAST(isodow(o_orderdate) AS INTEGER) AS iso_dow,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end
+    FROM orders
+    WHERE o_orderkey < 2000
+    """,
+)
+def r45_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval arithmetic: interval addition, month truncation,
+    day-diff against an epoch, quarter, ISO day-of-week, last_day.
+    All per-row codegen expressions — narrow, no shuffle at any scale.
+
+    Spark weekday() is Monday=0; projected to ISO (Monday=1) to share a
+    definition with the oracle."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_add(d, 30).cast("timestamp").alias("due_date"),
+        F.date_trunc("month", "o_orderdate").cast("date").cast("timestamp").alias(
+            "month_start"
+        ),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+        F.quarter("o_orderdate").alias("q"),
+        (F.weekday("o_orderdate") + F.lit(1)).alias("iso_dow"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+    )
+
+
+@_register(
+    "r46_bitwise",
+    """
+    SELECT CAST(l_orderkey & 255 AS BIGINT) AS bucket,
+           CAST(sum(bit_count(l_orderkey)) AS BIGINT) AS total_bits,
+           CAST(max(l_orderkey << 1) AS BIGINT) AS max_shl,
+           CAST(min(l_orderkey >> 2) AS BIGINT) AS min_shr,
+           CAST(sum(xor(l_orderkey, l_partkey) & 15) AS BIGINT) AS xor_low
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def r46_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise expression surface: AND-masking as the grouping key,
+    bit_count / shifts / XOR under aggregation. The &255 bucket is also
+    the classic salting shape — a uniform synthetic key fanning one hot
+    domain across 256 reducers (operators/skew.py does it with rand).
+
+    Scale: pure codegen expressions; one 256-group hash-agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    k, p = F.col("l_orderkey"), F.col("l_partkey")
+    return (
+        li.groupBy(k.bitwiseAND(F.lit(255)).alias("bucket"))
+        .agg(
+            F.sum(F.bit_count(k)).alias("total_bits"),
+            F.max(F.shiftleft(k, 1)).alias("max_shl"),
+            F.min(F.shiftright(k, 2)).alias("min_shr"),
+            F.sum(k.bitwiseXOR(p).bitwiseAND(F.lit(15))).alias("xor_low"),
+        )
+    )
+
+
+@_register(
+    "r47_local_supplier_join",
+    """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def r47_local_supplier_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue from orders whose supplier and customer
+    share a nation. The s_nationkey = c_nationkey condition makes this the
+    one star query whose dim joins are NOT independent — supplier must
+    join on (suppkey, nationkey) against a row that already carries the
+    customer's nation.
+
+    Scale: the date filter pushes to the orders scan; customer, supplier,
+    nation broadcast (dims), so the only shuffle is lineitem-orders; the
+    25-group agg is map-side combined."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )

@@ -13,9 +13,21 @@ verification runs only on candidates.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.text import tokens
+
+
+def _persist_reused(df: DataFrame) -> DataFrame:
+    """Persist an expensive intermediate that the downstream plan consumes
+    more than once (LSH banding + per-side verification): without this the
+    tokenize/hash work re-executes per consumer. MEMORY_AND_DISK so large
+    corpora spill instead of OOM; at 100 TB the equivalent move is
+    materializing the signature table to storage once and reusing it.
+    Spark's cache manager keys on the canonicalized plan, so repeated
+    calls share one cache entry instead of stacking copies."""
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def normalized_text(text_col="text") -> F.Column:
@@ -103,9 +115,11 @@ def minhash_near_dups(
     verification join.
     """
     rows_per_band = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    base = _persist_reused(
+        df.select(
+            F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
+        ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    )
 
     banded = base.select(
         "id",
@@ -124,8 +138,11 @@ def minhash_near_dups(
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bh")
 
-    left = banded.alias("l")
-    right = banded.alias("r")
+    # merge hint: the self-join must shuffle on the band keys, never
+    # broadcast — the build side here is the whole banded corpus, which is
+    # only "small" at toy scale and would OOM a 100 TB run
+    left = banded.hint("merge").alias("l")
+    right = banded.hint("merge").alias("r")
     candidates = (
         left.join(
             right,
@@ -203,7 +220,7 @@ def simhash_near_dups(
     to be exact.
     """
     bits_per_chunk = 64 // chunks  # 16 for 4 chunks over a 62-bit hash
-    sigs = simhash_signatures(df, id_col, text_col)
+    sigs = _persist_reused(simhash_signatures(df, id_col, text_col))
     chunked = sigs.select(
         "id",
         "sim",
@@ -223,9 +240,10 @@ def simhash_near_dups(
     ).select("id", "sim", "cc.chunk", "cc.ch")
 
     cand = (
-        chunked.alias("l")
+        # merge hint: see minhash_near_dups — never broadcast the corpus
+        chunked.hint("merge").alias("l")
         .join(
-            chunked.alias("r"),
+            chunked.hint("merge").alias("r"),
             (F.col("l.chunk") == F.col("r.chunk"))
             & (F.col("l.ch") == F.col("r.ch"))
             & (F.col("l.id") < F.col("r.id")),
@@ -261,13 +279,15 @@ def ngram_jaccard_pairs(
     # Compare hashed-token sets (long arrays), not string arrays: the
     # quadratic stage then intersects 8-byte ints. Hash collisions would
     # need two distinct tokens colliding within one doc pair — negligible.
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(
-            F.transform(shingles(F.col(text_col), 1), lambda s: F.xxhash64(s))
-        ).alias("sh"),
-        *[F.col(c) for c in block_cols],
-    ).withColumn("n", F.size("sh"))
+    base = _persist_reused(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(
+                F.transform(shingles(F.col(text_col), 1), lambda s: F.xxhash64(s))
+            ).alias("sh"),
+            *[F.col(c) for c in block_cols],
+        ).withColumn("n", F.size("sh"))
+    )
     # Size-ratio prefilter: jaccard >= t forces |A|/|B| in [t, 1/t] (since
     # |A∩B| <= min and |A∪B| >= max). Checking two ints per pair prunes
     # most candidates before the expensive array intersect/union.
@@ -279,8 +299,9 @@ def ngram_jaccard_pairs(
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     return (
-        base.alias("a")
-        .join(base.alias("b"), cond)
+        # merge hint: block-key shuffle join, not a whole-corpus broadcast
+        base.hint("merge").alias("a")
+        .join(base.hint("merge").alias("b"), cond)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),

@@ -224,6 +224,9 @@ def embedding_near_dup_pairs(
     cond = F.col("a.id") < F.col("b.id")
     if block_col:
         cond = cond & (F.col("a.blk") == F.col("b.blk"))
+        # merge hint: shuffle on the block key — broadcasting the whole
+        # normalized corpus is only feasible at toy scale
+        base = base.hint("merge")
     return (
         base.alias("a")
         .join(base.alias("b"), cond)

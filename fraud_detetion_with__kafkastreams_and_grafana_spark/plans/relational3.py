@@ -205,6 +205,44 @@ def r46_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "r48_sql_api",
+    """
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             sum(o_totalprice) AS rev, count(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(month AS TIMESTAMP) AS month, round(rev, 2) AS revenue,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           round(rev - lag(rev) OVER (ORDER BY month), 2) AS delta
+    FROM m
+    """,
+)
+def r48_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL-text surface: the same Catalyst front door the
+    DataFrame queries use, driven through spark.sql over a registered view
+    — CTE, aggregation, and an analytic window in one statement. Proves a
+    reference user can bring raw SQL, not just the DataFrame API.
+
+    Scale: identical plan to the DataFrame formulation (one agg shuffle +
+    one single-partition window over ~80 month rows — the window input is
+    post-aggregation, so the 1-partition sort is bounded, not a smell)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        WITH m AS (
+          SELECT date_trunc('month', o_orderdate) AS month,
+                 sum(o_totalprice) AS rev, count(*) AS n_orders
+          FROM v_orders GROUP BY 1
+        )
+        SELECT month, round(rev, 2) AS revenue, n_orders,
+               round(rev - lag(rev) OVER (ORDER BY month), 2) AS delta
+        FROM m
+        """
+    )
+
+
+@_register(
     "r47_local_supplier_join",
     """
     SELECT n.n_name,

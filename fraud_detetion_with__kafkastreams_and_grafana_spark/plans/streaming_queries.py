@@ -66,15 +66,28 @@ def _events_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
 # given sf_dir — write it once per session and replay from the cache
 # (harness plumbing, not query work: each query still runs its own full
 # micro-batch streaming execution over the files).
-_WIRE_DIRS: dict[tuple[int, str], str] = {}
+_WIRE_DIRS: dict[tuple[str, int, str], str] = {}
 
 
 def _wire_dir(spark: SparkSession, sf_dir: str) -> str:
     from ..streaming.replay import materialize_wire_dir
 
-    key = (id(spark), sf_dir)
+    key = ("plain", id(spark), sf_dir)
     if key not in _WIRE_DIRS:
         _WIRE_DIRS[key] = materialize_wire_dir(_events_wire(spark, sf_dir))
+    return _WIRE_DIRS[key]
+
+
+def _doubled_wire_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Every wire record twice, spread across the replay files by the
+    repartition — so duplicates land in DIFFERENT micro-batches and the
+    streaming dedup must use cross-batch state, not per-batch distinct."""
+    from ..streaming.replay import materialize_wire_dir
+
+    key = ("doubled", id(spark), sf_dir)
+    if key not in _WIRE_DIRS:
+        w = _events_wire(spark, sf_dir)
+        _WIRE_DIRS[key] = materialize_wire_dir(w.union(w))
     return _WIRE_DIRS[key]
 
 
@@ -132,6 +145,46 @@ def s03_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.groupBy("userId").agg(
         F.round(F.max("total_amount"), 2).alias("total_amount"),
         F.max("n_tx").alias("n_tx"),
+    )
+
+
+@_register(
+    "s04_stream_dedup",
+    """
+    SELECT userId, round(sum(amount), 2) AS total_amount, count(*) AS n_tx
+    FROM (
+      SELECT DISTINCT printf('user_%03d', user_id) AS userId, value AS amount,
+             date_trunc('second', ts) AS et
+      FROM events WHERE value > 100.0
+    )
+    GROUP BY userId
+    """,
+)
+def s04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: the wire stream carries every record TWICE
+    (split across different micro-batches), and dropDuplicates' global
+    dedup state must cancel them before the totals aggregate. The snapshot
+    equals batch DISTINCT + GROUP BY — duplicates in earlier batches
+    suppress re-arrivals in later ones.
+
+    Scale: dedup state is one entry per distinct key in the state store;
+    production bounds it with withWatermark + dropDuplicatesWithinWatermark
+    (pinned in tests/test_streaming.py); unbounded here so the snapshot is
+    exactly the batch DISTINCT."""
+
+    def xform(stream: DataFrame) -> DataFrame:
+        fraud = fraud_topology(stream, threshold=EVENTS_FRAUD_THRESHOLD)
+        return (
+            fraud.dropDuplicates(["userId", "amount", "timestamp"])
+            .groupBy("userId")
+            .agg(
+                F.round(F.sum("amount"), 2).alias("total_amount"),
+                F.count("*").alias("n_tx"),
+            )
+        )
+
+    return replay_wire_stream(
+        spark, _doubled_wire_dir(spark, sf_dir), xform, name="s04_mem"
     )
 
 

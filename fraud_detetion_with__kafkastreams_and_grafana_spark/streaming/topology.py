@@ -60,9 +60,13 @@ def alerts_as_points(fraud: DataFrame) -> DataFrame:
     )
 
 
-def start_to_memory(df: DataFrame, name: str) -> StreamingQuery:
-    """Memory sink for tests/demos (complete snapshot queryable as a view)."""
-    return df.writeStream.format("memory").queryName(name).outputMode("append").start()
+def start_to_memory(
+    df: DataFrame, name: str, output_mode: str = "append"
+) -> StreamingQuery:
+    """Memory sink for tests/demos (snapshot queryable as a view)."""
+    return (
+        df.writeStream.format("memory").queryName(name).outputMode(output_mode).start()
+    )
 
 
 def start_to_parquet(df: DataFrame, path: str, checkpoint: str) -> StreamingQuery:

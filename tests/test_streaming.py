@@ -181,3 +181,45 @@ def test_replay_stream_equals_batch(spark):
         .collect()
     }
     assert streamed == batch
+
+
+def test_drop_duplicates_within_watermark(spark):
+    """Watermark-bounded streaming dedup: a duplicate arriving in a LATER
+    micro-batch, while its original is still inside the watermark horizon,
+    is suppressed; distinct rows all emit exactly once. This is the
+    state-bounded production form of s04's unbounded dropDuplicates."""
+    import os
+    import time
+
+    a = '{"userId":"user_001","amount":10500.5,"timestamp":1700000001}'
+    b = '{"userId":"user_002","amount":10700.0,"timestamp":1700000002}'
+    with tempfile.TemporaryDirectory() as tmpdir:
+        with open(f"{tmpdir}/part-0.txt", "w") as f:
+            f.write(a)
+        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+        with open(f"{tmpdir}/part-1.txt", "w") as f:
+            f.write("\n".join([a, b]))  # duplicate of a + a fresh row
+        os.utime(f"{tmpdir}/part-0.txt", (time.time() - 60, time.time() - 60))
+
+        stream = (
+            spark.readStream.format("text")
+            .schema("value STRING")
+            .option("maxFilesPerTrigger", 1)
+            .load(tmpdir)
+        )
+        deduped = (
+            topology.fraud_topology(stream)
+            .withWatermark("event_time", "10 minutes")
+            .dropDuplicatesWithinWatermark(["userId", "amount", "timestamp"])
+        )
+        q = topology.start_to_memory(deduped, "dedup_wm_mem", output_mode="append")
+        try:
+            q.processAllAvailable()
+            rows = spark.sql("SELECT userId, amount FROM dedup_wm_mem").collect()
+        finally:
+            q.stop()
+
+    assert sorted((r.userId, r.amount) for r in rows) == [
+        ("user_001", 10500.5),
+        ("user_002", 10700.0),
+    ]

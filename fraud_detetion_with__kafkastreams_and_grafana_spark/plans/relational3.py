@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -239,6 +239,44 @@ def r48_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(rev - lag(rev) OVER (ORDER BY month), 2) AS delta
         FROM m
         """
+    )
+
+
+@_register(
+    "r49_range_frame_window",
+    """
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER w, 2) AS trailing_90d_rev,
+           CAST(count(*) OVER w AS BIGINT) AS trailing_90d_orders
+    FROM orders
+    WHERE o_custkey < 200
+    WINDOW w AS (
+      PARTITION BY o_custkey
+      ORDER BY date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+      RANGE BETWEEN 90 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def r49_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: trailing 90-day revenue per customer. RANGE
+    (value-based) frames include all same-day peers, so the result is
+    deterministic under orderdate ties — the reason this isn't just r13's
+    ROWS frame with different numbers.
+
+    Scale: one shuffle on o_custkey; the frame is evaluated with a sliding
+    aggregate over each sorted partition (no per-row rescan)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+    ).cast("long")
+    w = (
+        Window.partitionBy("o_custkey").orderBy(day).rangeBetween(-90, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_90d_rev"),
+        F.count("*").over(w).alias("trailing_90d_orders"),
     )
 
 

@@ -189,6 +189,76 @@ def s04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "s05_stream_stream_join",
+    """
+    SELECT printf('user_%03d', a.user_id) AS userId,
+           a.value AS spike_amount, date_trunc('second', a.ts) AS spike_time,
+           b.value AS follow_amount, date_trunc('second', b.ts) AS follow_time
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.value > 300.0
+     AND date_trunc('second', b.ts) > date_trunc('second', a.ts)
+     AND date_trunc('second', b.ts) <= date_trunc('second', a.ts) + INTERVAL 6 HOUR
+    """,
+)
+def s05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: value spikes (amount > 300) joined against
+    the SAME wire replayed as a second independent stream, matching each
+    spike with that user's activity in the following 6 hours. The two file
+    sources batch independently, so matches genuinely form across
+    asynchronous micro-batches via join state.
+
+    No watermark on either side: the replay files are event-time-unordered
+    (repartition mixes the whole time range into every batch), so any
+    watermark would evict state that later batches still need. Unbounded
+    inner-join state makes the append-mode output exactly the batch join —
+    which is what the oracle proves. Production bounds state with
+    withWatermark on both sides + this same time-range condition; that
+    needs event-time-ordered arrival, which Kafka provides and this replay
+    deliberately does not."""
+    from ..operators.detect import parse_wire
+
+    d = _wire_dir(spark, sf_dir)
+
+    def xform(stream: DataFrame) -> DataFrame:
+        spikes = (
+            parse_wire(stream)
+            .filter(F.col("amount") > 300.0)
+            .select(
+                "userId",
+                F.col("amount").alias("spike_amount"),
+                F.col("event_time").alias("spike_time"),
+            )
+        )
+        follows = parse_wire(
+            spark.readStream.schema("value STRING")
+            .option("maxFilesPerTrigger", 4)
+            .text(d)
+        ).select(
+            F.col("userId").alias("_fu"),
+            F.col("amount").alias("follow_amount"),
+            F.col("event_time").alias("follow_time"),
+        )
+        return spikes.join(
+            follows,
+            (F.col("userId") == F.col("_fu"))
+            & (F.col("follow_time") > F.col("spike_time"))
+            & (
+                F.col("follow_time")
+                <= F.col("spike_time") + F.expr("INTERVAL 6 HOURS")
+            ),
+        ).select(
+            "userId", "spike_amount", "spike_time", "follow_amount", "follow_time"
+        )
+
+    # 2 micro-batches per side (vs the default 4): join state still spans
+    # batches, but the per-batch state-store commit cost halves
+    return replay_wire_stream(
+        spark, d, xform, output_mode="append", name="s05_mem", files_per_trigger=4
+    )
+
+
+@_register(
     "s02_stream_windowed_amounts",
     f"""
     SELECT CAST(to_timestamp(floor(epoch(event_time) / 600) * 600) AS TIMESTAMP)

@@ -223,3 +223,40 @@ def test_drop_duplicates_within_watermark(spark):
         ("user_001", 10500.5),
         ("user_002", 10700.0),
     ]
+
+
+def test_stream_stream_join_equals_batch(spark):
+    """s05's stream-stream inner join snapshot equals the batch join of
+    the same wire frame — matches formed across asynchronous micro-batch
+    state, not within one batch."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators.detect import (
+        parse_wire,
+    )
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.streaming_queries import (
+        QUERIES,
+        _events_wire,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        (r.userId, r.spike_time, r.follow_time)
+        for r in QUERIES["s05_stream_stream_join"](spark, sf).collect()
+    }
+
+    tx = parse_wire(_events_wire(spark, sf))
+    spikes = tx.filter(F.col("amount") > 300.0).select(
+        "userId", F.col("event_time").alias("spike_time")
+    )
+    follows = tx.select(
+        F.col("userId").alias("_fu"), F.col("event_time").alias("follow_time")
+    )
+    batch = {
+        (r.userId, r.spike_time, r.follow_time)
+        for r in spikes.join(
+            follows,
+            (F.col("userId") == F.col("_fu"))
+            & (F.col("follow_time") > F.col("spike_time"))
+            & (F.col("follow_time") <= F.col("spike_time") + F.expr("INTERVAL 6 HOURS")),
+        ).collect()
+    }
+    assert streamed == batch and len(streamed) >= 1

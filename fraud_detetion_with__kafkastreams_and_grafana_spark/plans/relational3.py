@@ -58,12 +58,18 @@ def r43_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary, which is exactly why the engine projects maps to scalars at
     its own result edges too.
 
-    Scale: one hash-agg shuffle keyed on l_orderkey (the per-line
-    pre-aggregation reuses the same partitioning, no second shuffle); the
-    map lives only inside the row, never as shuffle-key material. The
-    per-line sum exists because map keys must be unique — the synthetic
-    lineitem repeats (orderkey, linenumber)."""
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    Scale: ONE shuffle total — the explicit repartition on l_orderkey
+    satisfies the clustering requirement of BOTH aggregations (hash
+    partitioning on the coarser key colocates every (orderkey, linenumber)
+    group too), so neither groupBy adds an exchange; verified on the
+    executed plan in tests. The map lives only inside the row, never as
+    shuffle-key material. The per-line sum exists because map keys must be
+    unique — the synthetic lineitem repeats (orderkey, linenumber)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 1000)
+        .repartition("l_orderkey")
+    )
     per_line = li.groupBy("l_orderkey", "l_linenumber").agg(
         F.sum("l_quantity").alias("qty")
     )

@@ -57,3 +57,15 @@ def test_r44_exactness_anchor(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_r43_single_shuffle(spark, sf_dir):
+    """The repartition on l_orderkey must serve BOTH aggregations: exactly
+    one hash-partitioning exchange in the executed plan."""
+    plan = (
+        relational3.QUERIES["r43_map_funcs"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan

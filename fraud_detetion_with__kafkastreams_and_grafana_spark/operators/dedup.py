@@ -154,7 +154,10 @@ def minhash_near_dups(
         .distinct()
     )
 
-    sh = base.select("id", "sh")
+    # merge hint: Catalyst would otherwise broadcast the full shingle
+    # table to the verification join (the un-reduced corpus again); a
+    # shuffle join on id is the only shape that survives at scale
+    sh = base.select("id", "sh").hint("merge")
     verified = (
         candidates.join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
         .join(sh.alias("sb"), F.col("id_b") == F.col("sb.id"))

@@ -343,3 +343,29 @@ def l15_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.resize_images(MM.attach_fake_payload(docs)).select(
         "doc_id", "media_type", "out_bytes"
     )
+
+
+@_register(
+    "l16_label_centroids",
+    """
+    SELECT label, CAST(t.i AS INTEGER) AS dim,
+           round(avg(embedding[CAST(t.i AS INTEGER) + 1]), 6) AS centroid_v
+    FROM embeddings, range(64) t(i)
+    GROUP BY label, t.i
+    """,
+)
+def l16_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (element-wise mean over each label's
+    vectors) — the index-build step of IVF/kmeans-style ANN, as one
+    declarative aggregation instead of a driver-side loop.
+
+    Scale: posexplode fans rows x dim, but the hash aggregate combines
+    map-side, so the shuffle carries only n_labels x dim partial sums per
+    partition — never the exploded data. The oracle indexes each dimension
+    via a range cross join (DuckDB has no ordinal unnest)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "_v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("_v"), 6).alias("centroid_v"))
+    )

@@ -209,6 +209,25 @@ GROUP BY 1
 """
 
 
+def q7_fraud_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R14 parity: the consumer's InfluxDB point shape
+    (FraudAlertConsumer.java:64-67) as a result set — measurement 'fraud'
+    ≅ this table, tag userId, field amount, event time truncated to
+    seconds (WritePrecision.S). Narrow ops only: the filter pushes to the
+    parquet scan and no shuffle occurs at any scale."""
+    tx = events_as_transactions(load_table(spark, sf_dir, "events"))
+    return tx.filter(F.col("amount") > EVENTS_FRAUD_THRESHOLD).select(
+        "event_time", "userId", "amount"
+    )
+
+
+Q7_SQL = """
+SELECT date_trunc('second', ts) AS event_time,
+       printf('user_%03d', user_id) AS userId, value AS amount
+FROM events WHERE value > 100.0
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q1_top10_scammers": q1_top10_scammers,
     "q2_global_stats": q2_global_stats,
@@ -216,6 +235,7 @@ QUERIES: dict[str, Query] = {
     "q4_windowed_amounts": q4_windowed_amounts,
     "q5_range_mean": q5_range_mean,
     "q6_wire_roundtrip": q6_wire_roundtrip,
+    "q7_fraud_points": q7_fraud_points,
 }
 
 ORACLES: dict[str, str] = {
@@ -225,4 +245,5 @@ ORACLES: dict[str, str] = {
     "q4_windowed_amounts": Q4_SQL,
     "q5_range_mean": Q5_SQL,
     "q6_wire_roundtrip": Q6_SQL,
+    "q7_fraud_points": Q7_SQL,
 }

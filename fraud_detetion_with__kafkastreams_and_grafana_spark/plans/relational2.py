@@ -211,12 +211,28 @@ def r35_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("r36_approx_agg")  # sketch-based -> rows-only; accuracy pinned in tests
+@_register(
+    "r36_approx_agg",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           round(median(l_extendedprice), 4) AS exact_median_price,
+           TRUE AS approx_parts_ok,
+           TRUE AS approx_median_ok
+    FROM lineitem GROUP BY 1
+    """,
+)
 def r36_approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — the 100 TB substitutes for exact
     distinct/percentile: HLL++ approx_count_distinct and GK
     approx_percentile. Mergeable sketches -> partial+final agg, constant
-    memory per group (exact distinct would buffer every key)."""
+    memory per group (exact distinct would buffer every key).
+
+    Sketch values have no DuckDB twin, so the oracle-checked surface is the
+    exact aggregates plus booleans pinning each sketch inside its error
+    envelope (HLL++ default rsd 0.05 -> 3-sigma 15%; percentile_approx at
+    accuracy 10000 -> 1% on this data). The oracle asserts the booleans as
+    literal TRUE — a sketch regression flips them and fails the hash."""
     li = load_table(spark, sf_dir, "lineitem")
     # Keep the exact-distinct agg SEPARATE from the sketch aggs: mixing them
     # makes Catalyst's distinct-agg rewrite group by (l_returnflag,
@@ -224,13 +240,14 @@ def r36_approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (~10x slower measured). Two single-pass aggs + a 3-row broadcast join
     # produce the identical result.
     sketches = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.round(
-            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)), 4
-        ).alias("approx_median_price"),
+        F.approx_count_distinct("l_partkey").alias("_approx_parts"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "_approx_median"
+        ),
     )
     exact = li.groupBy(F.col("l_returnflag").alias("_rf")).agg(
-        F.count_distinct("l_partkey").alias("exact_parts")
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.median("l_extendedprice").alias("_exact_median"),
     )
     # eqNullSafe: a NULL group key must survive the reassembly join exactly
     # as it would in the single-aggregation formulation
@@ -239,7 +256,19 @@ def r36_approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(exact),
             sketches["l_returnflag"].eqNullSafe(exact["_rf"]),
         )
-        .select("l_returnflag", "approx_parts", "exact_parts", "approx_median_price")
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            F.round("_exact_median", 4).alias("exact_median_price"),
+            (
+                F.abs(F.col("_approx_parts") - F.col("exact_parts"))
+                <= F.greatest(0.15 * F.col("exact_parts"), F.lit(5.0))
+            ).alias("approx_parts_ok"),
+            (
+                F.abs(F.col("_approx_median") - F.col("_exact_median"))
+                <= 0.01 * F.col("_exact_median")
+            ).alias("approx_median_ok"),
+        )
     )
 
 

@@ -26,8 +26,15 @@ def salted_sum_count(
     Phase 1 shuffles on (key, salt) — the hot key spreads over
     `salt_buckets` partitions; phase 2 shuffles only the tiny partial
     table. Identical result to a direct groupBy(key).
+
+    The salt is derived from row CONTENT (hash of key+value), never from
+    monotonically_increasing_id(): a content hash is stable when a map
+    stage is retried, so a recomputed partition lands its rows in the same
+    salt buckets and partials are never double- or under-counted. An
+    id-based salt can reassign rows on retry — silent wrong answers on a
+    real cluster.
     """
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    salt = F.pmod(F.xxhash64(*key_cols, value_col), F.lit(salt_buckets))
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(*key_cols, "_salt")
@@ -49,9 +56,14 @@ def replicate_broadcast_join(
     and the join key becomes (key, salt) — the hot key's rows spread over
     `salt_buckets` tasks. With a broadcastable dim, prefer plain
     broadcast(); this shape is for when the dim is just over the broadcast
-    threshold but the fact key is pathologically skewed."""
+    threshold but the fact key is pathologically skewed.
+
+    Salt is a content hash of the whole fact row (retry-deterministic, see
+    salted_sum_count); identical rows sharing a bucket is fine — the goal
+    is spreading the hot KEY, and any key with many distinct rows spreads.
+    """
     salted_fact = fact.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets))
     )
     salted_dim = dim.crossJoin(
         F.broadcast(

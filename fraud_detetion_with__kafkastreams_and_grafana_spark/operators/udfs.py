@@ -75,6 +75,47 @@ def amount_weighted_mean(amount: pd.Series) -> float:  # grouped-agg UDAF
     return float((amount * amount).sum()) / s if s else 0.0
 
 
+# Partial aggregates for the SALTED two-phase pandas UDAF: pandas
+# GROUPED_AGG has no JVM partial/final split, so the skew-safe form makes
+# the split explicit — pandas partials per (key, salt), closed-form merge.
+@pandas_udf(DoubleType())
+def partial_sum_sq(amount: pd.Series) -> float:
+    return float((amount * amount).sum())
+
+
+@pandas_udf(DoubleType())
+def partial_sum(amount: pd.Series) -> float:
+    return float(amount.sum())
+
+
+def salted_weighted_mean(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-safe twin of `amount_weighted_mean`: identical result, but the
+    hot key's raw rows spread over `salt_buckets` reducers.
+
+    Phase 1 shuffles raw rows on (key, salt) — bounded rows per task even
+    for a power-law key — and computes pandas partials sum(a^2), sum(a);
+    phase 2 shuffles only the tiny partial table and merges in closed form
+    sum(a^2)/sum(a). Salt is a content hash (retry-deterministic, same
+    rationale as operators/skew.salted_sum_count)."""
+    salt = F.pmod(F.xxhash64(*key_cols, value_col), F.lit(salt_buckets))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*key_cols, "_salt")
+        .agg(
+            partial_sum_sq(value_col).alias("_p2"),
+            partial_sum(value_col).alias("_p1"),
+        )
+    )
+    return partial.groupBy(*key_cols).agg(
+        (F.sum("_p2") / F.sum("_p1")).alias("wmean")
+    )
+
+
 def shingle_rows(text: str):
     """Row-generator logic for the UDTF below: (pos, tok) per whitespace
     token. ASCII-\\s+ splitting (re.ASCII) so the boundaries match the

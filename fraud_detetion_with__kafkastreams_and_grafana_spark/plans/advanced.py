@@ -124,6 +124,26 @@ def u05_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "u06_salted_udaf",
+    """
+    SELECT printf('user_%03d', user_id) AS userId,
+           round(sum(value * value) / sum(value), 4) AS wmean
+    FROM events
+    GROUP BY 1
+    """,
+)
+def u06_salted_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe twin of u05: salted two-phase pandas UDAF
+    (operators/udfs.salted_weighted_mean). Same oracle as u05 — the salt
+    must be invisible in the result — but the plan shows two small
+    shuffles (raw rows spread over (key, salt), then a tiny partial-table
+    merge) instead of u05's raw-row concentration on one reducer per key."""
+    tx = _tx(spark, sf_dir)
+    out = U.salted_weighted_mean(tx, ["userId"], "amount")
+    return out.select("userId", F.round("wmean", 4).alias("wmean"))
+
+
 @_register("m01_mllib_fraud_score")  # learned model -> rows-only + AUC pytest
 def m01_mllib_fraud_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib inference path (north star: 'Structured Streaming + MLlib'):

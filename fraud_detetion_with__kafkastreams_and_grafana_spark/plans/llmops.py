@@ -178,21 +178,30 @@ def l13_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "l08_embedding_neardup",
     f"""
+    WITH n AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) /
+               sqrt(list_reduce(list_transform(embedding,
+                 y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), (x, y) -> x + y))) AS nvec
+      FROM embeddings
+    )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(
-             list_reduce(list_transform(range(1, len(a.embedding) + 1),
-               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
-             / (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
-              * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)))
-           , 4) AS cosine_sim
-    FROM embeddings a JOIN embeddings b
+           round(list_reduce(list_transform(range(1, len(a.nvec) + 1),
+             i -> a.nvec[i] * b.nvec[i]), (x, y) -> x + y), 4) AS cosine_sim
+    FROM n a JOIN n b
       ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE cosine_sim >= 0.4
     """,
 )
 def l08_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs blocked by label, cosine >= 0.4
-    (operators/similarity.embedding_near_dup_pairs)."""
+    (operators/similarity.embedding_near_dup_pairs).
+
+    The oracle mirrors the Spark float pipeline operation-for-operation
+    (normalize each element by its vector's l2 norm, THEN ordered product
+    sum) so the rounded-to-4-decimals value can never diverge by
+    accumulation order — dot/(norm*norm) vs normalized-dot differ in the
+    last ulp on adversarial data."""
     em = load_table(spark, sf_dir, "embeddings")
     return SIM.embedding_near_dup_pairs(em, block_col="label", threshold=0.4)
 
@@ -283,19 +292,34 @@ def l11_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "l12_multimodal_features",
     """
+    WITH b AS (
+      SELECT doc_id, coalesce(text, '') AS t FROM documents
+    ), cp AS (
+      SELECT doc_id, strlen(t) AS nb,
+             list_transform(range(1, length(t) + 1),
+                            i -> unicode(substring(t, i, 1))) AS cps
+      FROM b
+    )
     SELECT doc_id,
-           CAST(strlen(text) AS BIGINT) AS n_bytes,
-           CAST(64 + strlen(text) % 256 AS BIGINT) AS width,
-           CAST(64 + (strlen(text) * 7) % 256 AS BIGINT) AS height,
-           CAST(list_reduce(list_transform(range(1, least(strlen(text), 64) + 1),
-                i -> ord(substring(text, i, 1))), (x, y) -> x + y) AS BIGINT) AS checksum
-    FROM documents
+           CAST(nb AS BIGINT) AS n_bytes,
+           CAST(64 + nb % 256 AS BIGINT) AS width,
+           CAST(64 + (nb * 7) % 256 AS BIGINT) AS height,
+           CAST(CASE WHEN nb = 0 THEN 0 ELSE list_reduce(list_transform(cps,
+             c -> CASE WHEN c < 128 THEN c
+                       WHEN c < 2048 THEN 320 + c // 64 + c % 64
+                       WHEN c < 65536 THEN 480 + c // 4096 + (c // 64) % 64 + c % 64
+                       ELSE 624 + c // 262144 + (c // 4096) % 64 + (c // 64) % 64 + c % 64
+                  END), (x, y) -> x + y) END AS BIGINT) AS checksum
+    FROM cp
     """,
 )
 def l12_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction through mapInPandas
     (operators/multimodal) — the deterministic stub decode lets the oracle
-    validate the Arrow plumbing end-to-end (ASCII text: byte == ord)."""
+    validate the Arrow plumbing end-to-end on ANY text, not just ASCII:
+    the stub sums the UTF-8 payload bytes, and the oracle reconstructs the
+    exact per-character byte sum from codepoints (1-byte c; 2-byte
+    0xC0|c>>6, 0x80|c&63 sums to 320 + c//64 + c%64; likewise 3/4-byte)."""
     docs = load_table(spark, sf_dir, "documents")
     media = MM.attach_fake_payload(docs)
     return MM.extract_image_features(media)

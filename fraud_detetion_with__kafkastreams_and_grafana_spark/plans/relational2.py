@@ -3,8 +3,9 @@ conditional aggregates, session windows, percentiles, correlated EXISTS,
 regexp extraction, null-handling, approximate aggregates.
 
 Same contract as relational.py: every deterministic query carries an
-aligned DuckDB oracle; the approximate-sketch query is rows-only (its
-accuracy is pinned in tests instead).
+aligned DuckDB oracle. The approximate-sketch query (r36) is oracled too:
+it outputs exact aggregates plus booleans pinning each sketch inside its
+error envelope, and the oracle asserts those booleans as literal TRUE.
 """
 
 from __future__ import annotations
@@ -104,15 +105,15 @@ def r31_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "r32_session_windows",
     """
     WITH marked AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL 30 MINUTE OR
+                       >= INTERVAL 30 MINUTE OR
                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     ), islands AS (
       SELECT user_id, ts, value,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM marked
     )

@@ -41,13 +41,15 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _values_match(a, b, rtol: float = 1e-6, atol: float = 1e-6) -> bool:
+    import datetime as _dt
+
     if a is None and b is None:
         return True
     if isinstance(a, float) or isinstance(b, float):
         try:
             fa, fb = float(a), float(b)
         except (TypeError, ValueError):
-            return str(a) == str(b)
+            return False
         if math.isnan(fa) and math.isnan(fb):
             return True
         return math.isclose(fa, fb, rel_tol=rtol, abs_tol=atol)
@@ -55,7 +57,12 @@ def _values_match(a, b, rtol: float = 1e-6, atol: float = 1e-6) -> bool:
         if a is None or b is None or len(a) != len(b):
             return False
         return all(_values_match(x, y, rtol, atol) for x, y in zip(a, b))
-    return a == b or str(a) == str(b)
+    # DATE vs TIMESTAMP drift between Spark/DuckDB pandas conversion is a
+    # real type mismatch UNLESS both sides denote the same instant: compare
+    # datetime-likes on the timeline, never via str().
+    if isinstance(a, (_dt.date, _dt.datetime)) and isinstance(b, (_dt.date, _dt.datetime)):
+        return pd.Timestamp(a) == pd.Timestamp(b)
+    return bool(a == b)
 
 
 @dataclass

@@ -99,7 +99,7 @@ def test_multimodal_features_deterministic(spark, planted):
     assert feats[1].n_bytes == n
     assert feats[1].width == 64 + n % 256
     assert feats[1].height == 64 + (n * 7) % 256
-    assert feats[1].checksum == sum(BASE.encode()[:64])
+    assert feats[1].checksum == sum(BASE.encode())
     # permutation changes bytes order but not length-derived dims
     assert feats[2].n_bytes == len(PERMUTED.encode())
 

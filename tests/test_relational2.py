@@ -25,8 +25,10 @@ def test_relational2_oracle_parity(spark, duck, sf_dir, name):
 
 
 def test_approx_agg_accuracy(spark, sf_dir):
-    """HLL++ distinct count within its documented ~2-5% rsd of exact."""
+    """Each sketch sits inside its documented error envelope: the query
+    surfaces that check as boolean columns, so assert they are all True."""
     rows = relational2.QUERIES["r36_approx_agg"](spark, sf_dir).collect()
     assert rows
     for r in rows:
-        assert abs(r.approx_parts - r.exact_parts) <= max(0.1 * r.exact_parts, 5)
+        assert r.approx_parts_ok, r
+        assert r.approx_median_ok, r

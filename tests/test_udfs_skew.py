@@ -162,3 +162,24 @@ def test_grouped_agg_udaf_matches_sql(spark, sf_dir):
     }
     for k, v in expect.items():
         assert abs(got[k] - v) < 1e-6
+
+
+def test_salted_udaf_equals_direct(spark, sf_dir):
+    """The salt must be invisible: salted two-phase pandas partials merge
+    to the same weighted mean as the single-phase GROUPED_AGG UDAF."""
+    tx = _tx(spark, sf_dir)
+    salted = {
+        r.userId: r.wmean
+        for r in udfs.salted_weighted_mean(tx, ["userId"], "amount")
+        .select("userId", F.round("wmean", 4).alias("wmean"))
+        .collect()
+    }
+    direct = {
+        r.userId: r.wmean
+        for r in tx.groupBy("userId")
+        .agg(F.round(udfs.amount_weighted_mean("amount"), 4).alias("wmean"))
+        .collect()
+    }
+    assert salted.keys() == direct.keys()
+    for k, v in direct.items():
+        assert abs(salted[k] - v) < 1e-3, k

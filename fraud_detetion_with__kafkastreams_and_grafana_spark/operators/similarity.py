@@ -8,15 +8,24 @@ Two paths, per the standard ANN playbook:
   band splits). Sub-linear candidate sets at scale; recall measured
   against brute force in tests.
 
-All vector math is higher-order built-ins (functions/vectors.py) — no
-Python UDF, no collect of the corpus. The plane matrix is a deterministic
-seeded constant broadcast as literals (tiny: num_planes x dim floats).
+Per-pair exact math (cosine rerank, near-dup verification) stays in
+higher-order built-ins (functions/vectors.py). The INDEX math — signature
+and cell assignment against a plane/centroid matrix — is an Arrow-batched
+pandas-UDF matmul against a numpy matrix shipped via SparkContext
+broadcast: one matrix copy per executor, O(batch x planes) BLAS per Arrow
+batch. Never literal `F.array(F.lit(...))` matrices: those blow up the
+Catalyst expression tree linearly in planes x dim and cap the index at
+toy sizes (dim=768, num_planes=64 builds instantly as a matmul; as
+literals it hangs codegen).
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, IntegerType, LongType
 
 from ..functions.vectors import cosine_similarity, dot, l2_norm
 
@@ -44,22 +53,34 @@ def cosine_topk(
     )
 
 
-def random_planes(dim: int, num_planes: int = 16, seed: int = 7) -> list[list[float]]:
+def random_planes(dim: int, num_planes: int = 16, seed: int = 7) -> np.ndarray:
     """Deterministic seeded hyperplane set (public-knowledge SimHash-for-
-    cosine construction, Charikar 2002)."""
+    cosine construction, Charikar 2002). Shape (num_planes, dim)."""
     rng = np.random.default_rng(seed)
-    return rng.standard_normal((num_planes, dim)).tolist()
+    return rng.standard_normal((num_planes, dim))
 
 
-def lsh_bucket(vec_col, planes: list[list[float]]) -> F.Column:
-    """Pack sign(v . plane_i) bits into a long bucket id."""
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        plane_lit = F.array(*[F.lit(float(x)) for x in plane])
-        d = dot(vec_col, plane_lit)
-        bucket = bucket + F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-            F.lit(0).cast("long")
-        )
+def make_lsh_bucket_udf(df: DataFrame, planes: np.ndarray):
+    """Sign-bit signature as an Arrow-batched matmul: bucket =
+    sum_i 2^i * [v . plane_i > 0]. The plane matrix rides a SparkContext
+    broadcast (one copy per executor, any index size); per batch the work
+    is one (batch x dim) @ (dim x planes) BLAS call."""
+    num_planes = planes.shape[0]
+    if num_planes > 62:
+        raise ValueError("bucket id packs sign bits into a signed long (<=62 planes)")
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.ascontiguousarray(planes.T, dtype=np.float64)
+    )
+    weights = np.int64(1) << np.arange(num_planes, dtype=np.int64)
+
+    @pandas_udf(LongType())
+    def bucket(vec: pd.Series) -> pd.Series:
+        if not len(vec):
+            return pd.Series([], dtype="int64")
+        arr = np.asarray(vec.tolist(), dtype=np.float64)
+        bits = (arr @ bc.value) > 0
+        return pd.Series(bits.astype(np.int64) @ weights)
+
     return bucket
 
 
@@ -84,10 +105,10 @@ def ann_lsh_topk(
     """
     planes = random_planes(dim, num_planes, seed)
     bits_per_band = num_planes // bands
+    bucket_udf = make_lsh_bucket_udf(corpus, planes)
 
     def banded(df: DataFrame, name: str) -> DataFrame:
-        b = lsh_bucket(F.col(vec_col), planes)
-        df = df.withColumn("_bucket", b)
+        df = df.withColumn("_bucket", bucket_udf(F.col(vec_col)))
         bandcols = F.array(
             *[
                 F.struct(
@@ -125,44 +146,82 @@ def ann_lsh_topk(
 
 def ivf_seed_centroids(
     corpus: DataFrame, nlist: int, id_col: str, vec_col: str
-) -> list[list[float]]:
+) -> np.ndarray:
     """Deterministic coarse centroids: the `nlist` lowest-id vectors,
     L2-normalized. A bounded O(nlist x dim) driver-side constant — the
-    index-build step, like broadcasting a dim table. At 100 TB these come
-    from MLlib KMeans over a sample instead; the query path is unchanged."""
+    index-build step, like broadcasting a dim table. For real corpora use
+    `ivf_kmeans_centroids` (MLlib) instead; the query path is unchanged."""
     rows = corpus.orderBy(id_col).limit(nlist).select(vec_col).collect()
-    cents = []
-    for r in rows:
-        v = [float(x) for x in r[0]]
-        n = sum(x * x for x in v) ** 0.5 or 1.0
-        cents.append([x / n for x in v])
-    return cents
+    cents = np.asarray([[float(x) for x in r[0]] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(cents, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return cents / norms
 
 
-def _centroid_dots(vec_col, cents: list[list[float]]) -> list[F.Column]:
-    return [
-        dot(vec_col, F.array(*[F.lit(float(x)) for x in c])) for c in cents
-    ]
+def ivf_kmeans_centroids(
+    corpus: DataFrame,
+    nlist: int,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    sample_fraction: float | None = None,
+) -> np.ndarray:
+    """Learned coarse centroids via MLlib KMeans — the production
+    index-build step at 100 TB: train on a row sample (distributed
+    Lloyd's, treeAggregate partials; nothing but the k x dim centers ever
+    reaches the driver), L2-normalize the centers so argmax-dot ==
+    nearest-by-cosine in the query path."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
 
-
-def _nearest_centroid(vec_col, cents: list[list[float]]) -> F.Column:
-    """argmax_i dot(v, c_i) over unit centroids == nearest by cosine
-    (|v| is constant across candidates). Expressed as sort-of-16-structs,
-    NOT a chained when(): a fold that re-references its accumulator doubles
-    the expression tree per step — 2^nlist nodes hangs Catalyst."""
-    return _probe_set(vec_col, cents, 1)[0]
-
-
-def _probe_set(vec_col, cents: list[list[float]], nprobe: int) -> F.Column:
-    """The query's `nprobe` nearest centroid ids, as an array<int>."""
-    scored = F.array(
-        *[
-            F.struct(d.alias("d"), F.lit(i).alias("cid"))
-            for i, d in enumerate(_centroid_dots(vec_col, cents))
-        ]
+    train = corpus.sample(sample_fraction, seed=seed) if sample_fraction else corpus
+    feats = train.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
-    top = F.slice(F.sort_array(scored, asc=False), 1, nprobe)
-    return F.transform(top, lambda s: s["cid"])
+    model = KMeans(k=nlist, seed=seed, maxIter=20).fit(feats)
+    cents = np.asarray(model.clusterCenters(), dtype=np.float64)
+    norms = np.linalg.norm(cents, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return cents / norms
+
+
+def make_cell_udf(df: DataFrame, cents: np.ndarray):
+    """Nearest-centroid cell id: argmax_i dot(v, c_i) over unit centroids
+    == nearest by cosine (|v| constant across candidates). One broadcast
+    matrix + one BLAS matmul per Arrow batch — nlist=1024, dim=768 is a
+    routine (batch x 768) @ (768 x 1024) product, impossible as Catalyst
+    literal expressions."""
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.ascontiguousarray(cents.T, dtype=np.float64)
+    )
+
+    @pandas_udf(IntegerType())
+    def cell(vec: pd.Series) -> pd.Series:
+        if not len(vec):
+            return pd.Series([], dtype="int32")
+        arr = np.asarray(vec.tolist(), dtype=np.float64)
+        return pd.Series(np.argmax(arr @ bc.value, axis=1).astype(np.int32))
+
+    return cell
+
+
+def make_probes_udf(df: DataFrame, cents: np.ndarray, nprobe: int):
+    """The query's `nprobe` nearest centroid ids as array<int> (same
+    broadcast-matmul shape as make_cell_udf; ties resolve to the lowest
+    cell id on both sides, so probing is consistent with assignment)."""
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.ascontiguousarray(cents.T, dtype=np.float64)
+    )
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def probes(vec: pd.Series) -> pd.Series:
+        if not len(vec):
+            return pd.Series([], dtype="object")
+        arr = np.asarray(vec.tolist(), dtype=np.float64)
+        d = arr @ bc.value
+        idx = np.argsort(-d, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
+        return pd.Series([row.tolist() for row in idx])
+
+    return probes
 
 
 def ivf_topk(
@@ -173,6 +232,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     nlist: int = 16,
     nprobe: int = 4,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: partition the corpus into `nlist` coarse
     cells by nearest centroid, probe only the query's `nprobe` nearest
@@ -182,12 +242,21 @@ def ivf_topk(
     index table, so a probe is partition pruning — each query touches
     ~nprobe/nlist of the corpus. `nprobe = nlist` degrades to exact
     brute force (pinned in tests as the correctness anchor).
+
+    `centroids`: pass a precomputed (nlist x dim) unit matrix (e.g. from
+    ivf_kmeans_centroids) to skip the deterministic seed build.
     """
-    cents = ivf_seed_centroids(corpus, nlist, id_col, vec_col)
-    cells = corpus.withColumn("_cell", _nearest_centroid(F.col(vec_col), cents))
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_seed_centroids(corpus, nlist, id_col, vec_col)
+    )
+    cells = corpus.withColumn(
+        "_cell", make_cell_udf(corpus, cents)(F.col(vec_col))
+    )
     q = query.select(
         F.col(vec_col).alias("_qvec"),
-        _probe_set(F.col(vec_col), cents, nprobe).alias("_probes"),
+        make_probes_udf(query, cents, nprobe)(F.col(vec_col)).alias("_probes"),
     )
     return (
         cells.join(F.broadcast(q), F.array_contains(F.col("_probes"), F.col("_cell")))

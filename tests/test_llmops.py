@@ -139,6 +139,62 @@ def test_ivf_partial_probe_contains_query(spark, sf_dir):
     assert sims == sorted(sims, reverse=True)
 
 
+def test_ann_index_builds_at_real_dimensions(spark):
+    """The index math must scale past toy sizes: dim=768 embeddings,
+    62-plane LSH signatures and a 1024-centroid IVF assignment all build
+    and execute as broadcast matmuls (literal-expression matrices hang
+    Catalyst at this size)."""
+    import numpy as np
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators import (
+        similarity as SIM,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((40, 768)).astype(float)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    planes = SIM.random_planes(768, 62)
+    buckets = df.select(SIM.make_lsh_bucket_udf(df, planes)("embedding").alias("b"))
+    assert buckets.count() == 40
+
+    cents = rng.standard_normal((1024, 768))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    cells = df.select(SIM.make_cell_udf(df, cents)("embedding").alias("c")).collect()
+    assert all(0 <= r.c < 1024 for r in cells)
+    probes = df.limit(1).select(
+        SIM.make_probes_udf(df, cents, 4)("embedding").alias("p")
+    ).collect()
+    assert len(probes[0].p) == 4
+
+    # numpy ground truth for one vector's cell assignment
+    expect = int(np.argmax(vecs[0] @ cents.T))
+    got = {r for r in df.filter(F.col("vec_id") == 0).select(
+        SIM.make_cell_udf(df, cents)("embedding").alias("c")).collect()}
+    assert {expect} == {r.c for r in got}
+
+
+def test_ivf_kmeans_centroids_shape(spark, sf_dir):
+    """MLlib KMeans index build returns nlist unit-norm centroids usable
+    by the query path unchanged."""
+    import numpy as np
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators import (
+        similarity as SIM,
+    )
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources import load_table
+
+    em = load_table(spark, sf_dir, "embeddings")
+    cents = SIM.ivf_kmeans_centroids(em, nlist=4)
+    assert cents.shape == (4, 64)
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0)
+    q = em.filter(F.col("vec_id") == 0)
+    got = SIM.ivf_topk(em, q, k=5, nlist=4, nprobe=4, centroids=cents).collect()
+    assert 0 in {r.vec_id for r in got}
+
+
 def test_resize_and_frame_sample_edges(spark):
     """Empty payload -> one zero-byte frame; resize truncates to the cap
     and short payloads pass through."""

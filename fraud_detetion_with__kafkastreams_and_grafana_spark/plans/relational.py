@@ -416,21 +416,28 @@ def r14_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_partkey, p_brand,
            CAST(rank() OVER w AS BIGINT) AS price_rank,
            CAST(dense_rank() OVER w AS BIGINT) AS price_dense_rank,
-           CAST(ntile(4) OVER (ORDER BY p_retailprice ASC, p_partkey ASC) AS BIGINT) AS price_quartile
+           CAST(ntile(4) OVER w2 AS BIGINT) AS price_quartile
     FROM part
-    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC)
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC),
+           w2 AS (PARTITION BY p_brand ORDER BY p_retailprice ASC, p_partkey ASC)
     """,
 )
 def r15_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking windows (rank/dense_rank/ntile), every one PARTITIONED:
+    an unpartitioned ORDER BY window moves the whole table through ONE
+    task (Spark's "No Partition Defined" WindowExec warning) — fine at
+    20 K rows, fatal at 100 TB. A global quartile at scale is instead
+    computed as broadcast percentile boundaries (r35/r36 show both exact
+    and sketch percentile aggs) compared against each row."""
     p = load_table(spark, sf_dir, "part")
     w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
-    wg = Window.orderBy(F.asc("p_retailprice"), F.asc("p_partkey"))
+    wq = Window.partitionBy("p_brand").orderBy(F.asc("p_retailprice"), F.asc("p_partkey"))
     return p.select(
         "p_partkey",
         "p_brand",
         F.rank().over(w).cast("long").alias("price_rank"),
         F.dense_rank().over(w).cast("long").alias("price_dense_rank"),
-        F.ntile(4).over(wg).cast("long").alias("price_quartile"),
+        F.ntile(4).over(wq).cast("long").alias("price_quartile"),
     )
 
 

@@ -7,10 +7,16 @@ s01: R3-R8 + Q1-style aggregation — wire JSON parse -> null-drop -> strict
      across 4 micro-batches (complete output mode).
 s02: streaming tumbling-window histogram (Q4's streaming form,
      screenshots/AmountHistogram.jpg) — windowed agg state across batches.
+s06-s08: the PRODUCTION (bounded-state) shapes — watermarked append-mode
+     window agg, watermarked stream-stream join, streaming session
+     windows — over an event-time-ORDERED replay with a sentinel record
+     that flushes final state (streaming/replay.materialize_ordered_wire_dir).
+s09: foreachBatch idempotent sink (deterministic per-batch dynamic
+     partition overwrite), run twice to prove exactly-once under replay.
 
-Both produce snapshots identical to their batch formulation by
-construction (same column transformations from operators/detect), and the
-driver proves it against DuckDB.
+Every snapshot equals its batch formulation by construction (same column
+transformations from operators/detect), and the driver proves it against
+DuckDB.
 """
 
 from __future__ import annotations
@@ -255,6 +261,299 @@ def s05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batches, but the per-batch state-store commit cost halves
     return replay_wire_stream(
         spark, d, xform, output_mode="append", name="s05_mem", files_per_trigger=4
+    )
+
+
+# Far past any event in the testdata (2100-01-01). The sentinel's amount
+# deliberately PASSES the fraud/spike filters: Catalyst pushes
+# non-event-time predicates below the EventTimeWatermark node, so a
+# filtered-out sentinel would never reach the watermark stats. Passing
+# through is safe — the sentinel's own window/session/join-match lies
+# beyond the final watermark (S - delay), so it is never emitted; it only
+# advances stream time. (Sentinels share one timestamp, so they cannot
+# match each other in the time-range join either: follow > spike fails on
+# equality.)
+_SENTINEL_TS = 4102444800
+_SENTINEL_JSON = (
+    f'{{"userId":"user_999","amount":99999.0,"timestamp":{_SENTINEL_TS}}}'
+)
+
+
+def _ordered_wire_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Wire records replayed in EVENT-TIME order (range-partitioned files +
+    ascending mtimes) with a watermark-flushing sentinel — the Kafka-like
+    arrival pattern the watermarked queries (s06-s08) assume."""
+    from ..streaming.replay import materialize_ordered_wire_dir
+
+    key = ("ordered", id(spark), sf_dir)
+    if key not in _WIRE_DIRS:
+        tx = events_as_transactions(load_table(spark, sf_dir, "events"))
+        wire_ts = tx.select(
+            F.to_json(
+                F.struct(
+                    F.col("userId"),
+                    F.col("amount"),
+                    F.unix_timestamp(F.col("event_time").cast("timestamp")).alias(
+                        "timestamp"
+                    ),
+                )
+            ).alias("value"),
+            F.col("event_time").alias("_ts"),
+        )
+        _WIRE_DIRS[key] = materialize_ordered_wire_dir(
+            wire_ts, "_ts", sentinel=_SENTINEL_JSON
+        )
+    return _WIRE_DIRS[key]
+
+
+@_register(
+    "s06_stream_watermarked_window",
+    f"""
+    SELECT CAST(to_timestamp(floor(epoch(event_time) / 600) * 600) AS TIMESTAMP)
+             AS window_start,
+           userId, round(sum(amount), 2) AS total_amount, count(*) AS n_tx
+    FROM ({_FRAUD_SQL})
+    GROUP BY 1, 2
+    """,
+)
+def s06_stream_watermarked_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of Q4's streaming histogram
+    (screenshots/AmountHistogram.jpg): APPEND-mode 10-min tumbling window
+    agg under a 10-min watermark, over an event-time-ordered replay.
+    Unlike s02 (complete mode, all windows resident forever), finalized
+    windows are emitted once and their state evicted — state is bounded by
+    the windows inside the watermark horizon, the shape that survives an
+    unbounded stream. The sentinel record pushes the watermark past the
+    last real window so the final snapshot equals the batch GROUP BY.
+
+    Watermark is applied BEFORE the fraud filter: watermark tracks stream
+    time, which the below-threshold sentinel must advance."""
+
+    def xform(stream: DataFrame) -> DataFrame:
+        from ..operators.detect import fraud_predicate, parse_wire
+
+        parsed = parse_wire(stream).withWatermark("event_time", "10 minutes")
+        fraud = parsed.filter(
+            fraud_predicate(F.col("amount"), EVENTS_FRAUD_THRESHOLD)
+        )
+        return (
+            fraud.groupBy(F.window("event_time", "10 minutes").alias("w"), "userId")
+            .agg(F.sum("amount").alias("_total"), F.count("*").alias("n_tx"))
+            .select(
+                F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+                "userId",
+                F.round("_total", 2).alias("total_amount"),
+                "n_tx",
+            )
+        )
+
+    return replay_wire_stream(
+        spark,
+        _ordered_wire_dir(spark, sf_dir),
+        xform,
+        output_mode="append",
+        name="s06_mem",
+    )
+
+
+@_register(
+    "s07_stream_watermarked_join",
+    """
+    SELECT printf('user_%03d', a.user_id) AS userId,
+           a.value AS spike_amount, date_trunc('second', a.ts) AS spike_time,
+           b.value AS follow_amount, date_trunc('second', b.ts) AS follow_time
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.value > 300.0
+     AND date_trunc('second', b.ts) > date_trunc('second', a.ts)
+     AND date_trunc('second', b.ts) <= date_trunc('second', a.ts) + INTERVAL 6 HOUR
+    """,
+)
+def s07_stream_watermarked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s05's stream-stream join in its PRODUCTION shape: both sides
+    watermarked + the time-range condition, so the engine evicts spike
+    state older than watermark - 6h instead of holding it forever. Over
+    the event-time-ordered replay no match is ever dropped (a follow for
+    an evicted spike would have had to arrive later than the watermark
+    allows), so the append output equals the batch join — the oracle
+    proves bounded state loses nothing when arrival order matches the
+    watermark contract."""
+    from ..operators.detect import parse_wire
+
+    d = _ordered_wire_dir(spark, sf_dir)
+
+    def xform(stream: DataFrame) -> DataFrame:
+        spikes = (
+            parse_wire(stream)
+            .withWatermark("event_time", "10 minutes")
+            .filter(F.col("amount") > 300.0)
+            .select(
+                "userId",
+                F.col("amount").alias("spike_amount"),
+                F.col("event_time").alias("spike_time"),
+            )
+        )
+        follows = (
+            parse_wire(
+                spark.readStream.schema("value STRING")
+                .option("maxFilesPerTrigger", 4)
+                .text(d)
+            )
+            .withWatermark("event_time", "10 minutes")
+            .select(
+                F.col("userId").alias("_fu"),
+                F.col("amount").alias("follow_amount"),
+                F.col("event_time").alias("follow_time"),
+            )
+        )
+        return spikes.join(
+            follows,
+            (F.col("userId") == F.col("_fu"))
+            & (F.col("follow_time") > F.col("spike_time"))
+            & (
+                F.col("follow_time")
+                <= F.col("spike_time") + F.expr("INTERVAL 6 HOURS")
+            ),
+        ).select(
+            "userId", "spike_amount", "spike_time", "follow_amount", "follow_time"
+        )
+
+    return replay_wire_stream(
+        spark, d, xform, output_mode="append", name="s07_mem", files_per_trigger=4
+    )
+
+
+@_register(
+    "s08_stream_session_windows",
+    """
+    WITH f AS (
+      SELECT printf('user_%03d', user_id) AS userId,
+             date_trunc('second', ts) AS et, value
+      FROM events WHERE value > 100.0
+    ), marked AS (
+      SELECT userId, et, value,
+             CASE WHEN et - lag(et) OVER (PARTITION BY userId ORDER BY et)
+                       >= INTERVAL 30 MINUTE
+                   OR lag(et) OVER (PARTITION BY userId ORDER BY et) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM f
+    ), islands AS (
+      SELECT userId, et, value,
+             sum(new_session) OVER (PARTITION BY userId ORDER BY et
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT userId, CAST(min(et) AS TIMESTAMP) AS session_start,
+           count(*) AS n_events, round(sum(value), 2) AS session_value
+    FROM islands GROUP BY userId, sid
+    """,
+)
+def s08_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING session windows (r32's batch twin): per-user sessions
+    closed by 30 minutes of inactivity, computed by the native
+    session_window state operator under a watermark, append mode. A
+    session's state lives only until the watermark passes its close —
+    the bounded-state form of gaps-and-islands. The oracle reconstructs
+    identical sessions with classic islands SQL (half-open >= gap
+    boundary, matching session_window's [start, last+gap) semantics)."""
+
+    def xform(stream: DataFrame) -> DataFrame:
+        from ..operators.detect import fraud_predicate, parse_wire
+
+        parsed = parse_wire(stream).withWatermark("event_time", "10 minutes")
+        fraud = parsed.filter(
+            fraud_predicate(F.col("amount"), EVENTS_FRAUD_THRESHOLD)
+        )
+        return (
+            fraud.groupBy(
+                F.session_window("event_time", "30 minutes").alias("sw"),
+                "userId",
+            )
+            .agg(
+                F.min("event_time").alias("_start"),
+                F.count("*").alias("n_events"),
+                F.round(F.sum("amount"), 2).alias("session_value"),
+            )
+            .select(
+                "userId",
+                F.col("_start").cast("timestamp_ntz").alias("session_start"),
+                "n_events",
+                "session_value",
+            )
+        )
+
+    return replay_wire_stream(
+        spark,
+        _ordered_wire_dir(spark, sf_dir),
+        xform,
+        output_mode="append",
+        name="s08_mem",
+    )
+
+
+@_register(
+    "s09_foreachbatch_sink",
+    """
+    SELECT date_trunc('second', ts) AS event_time,
+           printf('user_%03d', user_id) AS userId, value AS amount
+    FROM events WHERE value > 100.0
+    """,
+)
+def s09_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch IDEMPOTENT sink — the production replacement for the
+    consumer's InfluxDB write (FraudAlertConsumer.java:64-69): each
+    micro-batch lands as a deterministic dynamic-overwrite of its own
+    `_batch_id=` partition. The stream runs TWICE (fresh checkpoint each
+    time) into the SAME directory before reading back: the file source
+    batches deterministically (same files, same order, same ids), so the
+    re-run overwrites every partition with identical rows — the oracle
+    would double-count if the sink appended. This is exactly-once delivery
+    under replay, by partition overwrite instead of sink transactions."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..streaming.topology import alerts_as_points, fraud_topology
+
+    d = _wire_dir(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="spark_graft_s09_sink_")
+    ckpt_base = tempfile.mkdtemp(prefix="spark_graft_s09_ckpt_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    atexit.register(shutil.rmtree, ckpt_base, ignore_errors=True)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
+
+    for run in range(2):
+        stream = (
+            spark.readStream.schema("value STRING")
+            .option("maxFilesPerTrigger", 2)
+            .text(d)
+        )
+        pts = alerts_as_points(
+            fraud_topology(stream, threshold=EVENTS_FRAUD_THRESHOLD)
+        )
+        q = (
+            pts.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{ckpt_base}/run{run}")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    return spark.read.parquet(out).select(
+        F.col("event_time").cast("timestamp_ntz").alias("event_time"),
+        "userId",
+        "amount",
     )
 
 

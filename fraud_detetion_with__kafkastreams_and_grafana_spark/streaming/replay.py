@@ -42,6 +42,60 @@ def materialize_wire_dir(wire: DataFrame, n_files: int = 8) -> str:
     return d
 
 
+def materialize_ordered_wire_dir(
+    wire_ts: DataFrame,
+    ts_col: str,
+    n_files: int = 8,
+    sentinel: str | None = None,
+    n_sentinel_files: int = 5,
+) -> str:
+    """Event-time-ORDERED replay dir — the arrival pattern Kafka gives and
+    watermarks assume. Records are range-partitioned on `ts_col` so file
+    k's event times all precede file k+1's, and file mtimes are forced
+    ascending so FileStreamSource's oldest-first ordering replays the
+    files in event-time order. `sentinel` (a wire record far past the max
+    event time) is appended as the final file: it pushes the watermark
+    past every real window/session at end-of-stream so append-mode state
+    flushes completely.
+
+    Scale: repartitionByRange is a distributed sort-free shuffle (sampled
+    boundaries); only the driver-side utime loop is local, O(n_files)."""
+    import atexit
+    import glob
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    run = next(_RUN)
+    d = tempfile.mkdtemp(prefix=f"spark_graft_ordered_{os.getpid()}_{run}_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    (
+        wire_ts.repartitionByRange(n_files, F.asc(ts_col))
+        .select("value")
+        .write.mode("overwrite")
+        .text(d)
+    )
+    files = sorted(glob.glob(os.path.join(d, "part-*")))
+    if sentinel is not None:
+        # SEVERAL sentinel files, not one: the watermark computed from
+        # batch k only takes effect in batch k+1, and processAllAvailable
+        # does not wait for no-data batches — so state flushed by the
+        # sentinel must be emitted by a LATER file-bearing batch. With
+        # n_sentinel_files > maxFilesPerTrigger, at least one sentinel
+        # batch runs entirely after a batch that already contained a
+        # sentinel, deterministically emitting every real window/session.
+        for i in range(n_sentinel_files):
+            sf = os.path.join(d, f"part-9999{i}-sentinel.txt")
+            with open(sf, "w") as fh:
+                fh.write(sentinel + "\n")
+            files.append(sf)
+    base = time.time() - len(files) - 10
+    for i, f in enumerate(files):
+        os.utime(f, (base + i, base + i))
+    return d
+
+
 def replay_wire_stream(
     spark: SparkSession,
     wire: DataFrame | str,

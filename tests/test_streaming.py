@@ -183,6 +183,20 @@ def test_replay_stream_equals_batch(spark):
     assert streamed == batch
 
 
+def test_watermarked_append_equals_complete_mode(spark):
+    """s06 (bounded-state watermarked append over ordered replay) must
+    emit exactly the windows s02 (complete mode, unbounded state) holds —
+    the watermark evicts state without losing any finalized window."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.streaming_queries import (
+        QUERIES,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    append = {tuple(r) for r in QUERIES["s06_stream_watermarked_window"](spark, sf).collect()}
+    complete = {tuple(r) for r in QUERIES["s02_stream_windowed_amounts"](spark, sf).collect()}
+    assert append == complete
+
+
 def test_drop_duplicates_within_watermark(spark):
     """Watermark-bounded streaming dedup: a duplicate arriving in a LATER
     micro-batch, while its original is still inside the watermark horizon,

@@ -134,10 +134,12 @@ def make_shingle_udtf():
     """Python UDTF (table function, Spark 4): one input row -> N output
     rows. The lateral-join shape built-ins can't express when the
     expansion logic is imperative. Constructed lazily — the udtf decorator
-    parses its DDL return type via the active session."""
+    parses its DDL return type via the active session. useArrow batches
+    the rows over Arrow instead of pickling one at a time (the plan shows
+    ArrowEvalPythonUDTF, not BatchEvalPythonUDTF)."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="pos int, tok string")
+    @udtf(returnType="pos int, tok string", useArrow=True)
     class ShingleUDTF:
         def eval(self, text: str):
             yield from shingle_rows(text)

@@ -533,7 +533,7 @@ def s09_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     for run in range(2):
         stream = (
             spark.readStream.schema("value STRING")
-            .option("maxFilesPerTrigger", 2)
+            .option("maxFilesPerTrigger", 4)
             .text(d)
         )
         pts = alerts_as_points(

@@ -104,6 +104,7 @@ def replay_wire_stream(
     n_files: int = 8,
     files_per_trigger: int = 2,
     name: str | None = None,
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Serialize `wire` (single STRING column, or an already-materialized
     directory path) to text files, stream them back through `transform` in
@@ -112,7 +113,15 @@ def replay_wire_stream(
 
     Pass a fixed `name` for repeated invocations (bench loops, driver
     re-runs): the previous run's memory-sink table of the same name is
-    dropped first, so snapshots don't accumulate in JVM memory."""
+    dropped first, so snapshots don't accumulate in JVM memory.
+
+    `state_partitions` pins `spark.sql.shuffle.partitions` for the stream's
+    lifetime (restored after): a streaming query's state-store instance
+    count is fixed at start from this conf, and EVERY micro-batch commits
+    every instance — so per-batch latency scales with it regardless of data
+    volume. 8 fits the replay harness's group counts; at cluster scale set
+    it once to ~2-4x executor count before starting the production stream
+    (it cannot be changed across restarts of the same checkpoint)."""
     d = wire if isinstance(wire, str) else materialize_wire_dir(wire, n_files)
 
     stream = (
@@ -124,15 +133,20 @@ def replay_wire_stream(
     if name is not None:
         spark.catalog.dropTempView(name)
     name = name or f"replay_mem_{os.getpid()}_{run}"
-    q = (
-        transform(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .start()
-    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q.processAllAvailable()
+        q = (
+            transform(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)

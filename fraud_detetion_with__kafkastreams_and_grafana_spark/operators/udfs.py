@@ -88,20 +88,70 @@ def partial_sum(amount: pd.Series) -> float:
     return float(amount.sum())
 
 
+def partial_weighted_mean(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Custom UDAF with TRUE map-side combine — the scale-correct form of
+    `amount_weighted_mean`, which as a pandas GROUPED_AGG (a) ships every
+    raw row to one reducer per key and (b) pays one Arrow round-trip per
+    GROUP (salting u05 into (key, salt) groups made it 10x SLOWER locally:
+    16x the per-group overhead).
+
+    Phase 1: mapInPandas computes (sum v^2, sum v) per key WITHIN each
+    input partition — one Arrow batch per partition, zero shuffle of raw
+    rows, exactly like the JVM's partial aggregation. Phase 2: a JVM
+    groupBy(key) merges n_partitions x n_keys partial rows in closed form
+    sum(v^2)/sum(v). Skew-immune by construction — a hot key contributes
+    one partial per partition it appears in, never a concentrated task."""
+    from pyspark.sql import types as T
+
+    key_fields = df.select(*key_cols).schema.fields
+    out_schema = T.StructType(
+        [
+            *key_fields,
+            T.StructField("_p2", T.DoubleType()),
+            T.StructField("_p1", T.DoubleType()),
+        ]
+    )
+
+    def partials(batches):
+        for pdf in batches:
+            v = pdf[value_col]
+            g = (
+                pdf.assign(_sq=v * v)
+                .groupby(list(key_cols), as_index=False, sort=False)
+                .agg(_p2=("_sq", "sum"), _p1=(value_col, "sum"))
+            )
+            yield g
+
+    partial = df.select(*key_cols, value_col).mapInPandas(partials, out_schema)
+    return partial.groupBy(*key_cols).agg(
+        (F.sum("_p2") / F.sum("_p1")).alias("wmean")
+    )
+
+
 def salted_weighted_mean(
     df: DataFrame,
     key_cols: list[str],
     value_col: str,
     salt_buckets: int = 16,
 ) -> DataFrame:
-    """Skew-safe twin of `amount_weighted_mean`: identical result, but the
+    """Salted twin of `amount_weighted_mean`: identical result, with the
     hot key's raw rows spread over `salt_buckets` reducers.
 
     Phase 1 shuffles raw rows on (key, salt) — bounded rows per task even
     for a power-law key — and computes pandas partials sum(a^2), sum(a);
     phase 2 shuffles only the tiny partial table and merges in closed form
     sum(a^2)/sum(a). Salt is a content hash (retry-deterministic, same
-    rationale as operators/skew.salted_sum_count)."""
+    rationale as operators/skew.salted_sum_count).
+
+    Note: prefer `partial_weighted_mean` — GROUPED_AGG pays one Arrow
+    round-trip per group, so multiplying groups by salt_buckets multiplies
+    that overhead; the mapInPandas partial form avoids the raw-row shuffle
+    entirely. This one is kept as the general salting pattern for operators
+    that genuinely need whole-group data per call."""
     salt = F.pmod(F.xxhash64(*key_cols, value_col), F.lit(salt_buckets))
     partial = (
         df.withColumn("_salt", salt)

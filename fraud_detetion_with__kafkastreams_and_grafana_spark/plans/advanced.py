@@ -125,7 +125,7 @@ def u05_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "u06_salted_udaf",
+    "u06_partial_udaf",
     """
     SELECT printf('user_%03d', user_id) AS userId,
            round(sum(value * value) / sum(value), 4) AS wmean
@@ -133,14 +133,17 @@ def u05_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     """,
 )
-def u06_salted_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-safe twin of u05: salted two-phase pandas UDAF
-    (operators/udfs.salted_weighted_mean). Same oracle as u05 — the salt
-    must be invisible in the result — but the plan shows two small
-    shuffles (raw rows spread over (key, salt), then a tiny partial-table
-    merge) instead of u05's raw-row concentration on one reducer per key."""
+def u06_partial_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe twin of u05: custom pandas UDAF with TRUE map-side
+    combine (operators/udfs.partial_weighted_mean). Same oracle as u05 —
+    the partial split must be invisible in the result — but the plan shows
+    mapInPandas partials on the scan partitions plus ONE tiny partial-table
+    shuffle, instead of u05's raw-row shuffle concentrating each key on one
+    reducer. (The salted GROUPED_AGG variant, udfs.salted_weighted_mean, is
+    kept + tested as the pattern for ops needing whole-group data per
+    call.)"""
     tx = _tx(spark, sf_dir)
-    out = U.salted_weighted_mean(tx, ["userId"], "amount")
+    out = U.partial_weighted_mean(tx, ["userId"], "amount")
     return out.select("userId", F.round("wmean", 4).alias("wmean"))
 
 

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import tempfile
 
+import pytest
 from pyspark.sql import functions as F
 
 from fraud_detetion_with__kafkastreams_and_grafana_spark.operators import skew, udfs
@@ -164,13 +165,20 @@ def test_grouped_agg_udaf_matches_sql(spark, sf_dir):
         assert abs(got[k] - v) < 1e-6
 
 
-def test_salted_udaf_equals_direct(spark, sf_dir):
-    """The salt must be invisible: salted two-phase pandas partials merge
-    to the same weighted mean as the single-phase GROUPED_AGG UDAF."""
+@pytest.mark.parametrize("variant", ["partial", "salted"])
+def test_two_phase_udaf_equals_direct(spark, sf_dir, variant):
+    """The partial/salt split must be invisible: both two-phase pandas
+    UDAF forms merge to the same weighted mean as the single-phase
+    GROUPED_AGG UDAF."""
     tx = _tx(spark, sf_dir)
-    salted = {
+    fn = (
+        udfs.partial_weighted_mean
+        if variant == "partial"
+        else udfs.salted_weighted_mean
+    )
+    two_phase = {
         r.userId: r.wmean
-        for r in udfs.salted_weighted_mean(tx, ["userId"], "amount")
+        for r in fn(tx, ["userId"], "amount")
         .select("userId", F.round("wmean", 4).alias("wmean"))
         .collect()
     }
@@ -180,6 +188,6 @@ def test_salted_udaf_equals_direct(spark, sf_dir):
         .agg(F.round(udfs.amount_weighted_mean("amount"), 4).alias("wmean"))
         .collect()
     }
-    assert salted.keys() == direct.keys()
+    assert two_phase.keys() == direct.keys()
     for k, v in direct.items():
-        assert abs(salted[k] - v) < 1e-3, k
+        assert abs(two_phase[k] - v) < 1e-3, k

@@ -370,6 +370,83 @@ def l15_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "l17_train_split",
+    """
+    SELECT doc_id,
+           CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def l17_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) — the split step
+    of every training-data pipeline. Fisher-style multiplicative hash of
+    the stable doc_id, NOT rand(): reproducible across runs/retries/
+    cluster sizes, and no sequential-id bias (raw `doc_id % 100` would
+    correlate the split with ingestion order). A pure narrow projection:
+    splits at 100 TB cost one codegen expression per row, and writing
+    `partitionBy(split)` gives the three datasets as partition prunes.
+
+    Knuth constant 2654435761 = floor(2^32/phi); products stay < 2^63 for
+    ids < 3.5e9 — hash to a wider key (xxhash64) past that."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(100))
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@_register(
+    "l18_doc_chunks",
+    r"""
+    WITH t AS (
+      SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n
+      FROM documents WHERE trim(text) <> ''
+    )
+    SELECT doc_id,
+           CAST(unnest(range(0, CAST(ceil(n / 48.0) AS BIGINT))) AS INT) AS chunk_idx,
+           CAST(unnest(list_transform(range(0, CAST(ceil(n / 48.0) AS BIGINT)),
+                i -> i * 48)) AS INT) AS start_tok,
+           CAST(unnest(list_transform(range(0, CAST(ceil(n / 48.0) AS BIGINT)),
+                i -> least(256, n - i * 48))) AS INT) AS n_toks
+    FROM t
+    """,
+)
+def l18_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-window document chunking with overlap (context window
+    64 tokens, stride 48 -> 16-token overlap) — the chunk step of RAG /
+    pretraining pipelines. Pure sequence arithmetic + explode: the token
+    array itself is never shuffled, each chunk row is (doc_id, chunk_idx,
+    start_tok, n_toks) and the text slice is reconstructable with
+    slice(tokens, start_tok+1, n_toks). Explode fans out pre-shuffle;
+    there is no shuffle at all — linear in corpus at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split(F.trim("text"), r"\s+"))
+    base = docs.filter(F.trim("text") != "").select("doc_id", n.alias("n"))
+    n_chunks = F.ceil(F.col("n") / 48.0).cast("int")
+    return (
+        base.select(
+            "doc_id",
+            "n",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            (F.col("chunk_idx") * 48).cast("int").alias("start_tok"),
+            F.least(F.lit(256), F.col("n") - F.col("chunk_idx") * 48)
+            .cast("int")
+            .alias("n_toks"),
+        )
+    )
+
+
+@_register(
     "l16_label_centroids",
     """
     SELECT label, CAST(t.i AS INTEGER) AS dim,

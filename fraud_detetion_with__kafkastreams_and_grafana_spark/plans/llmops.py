@@ -447,6 +447,77 @@ def l18_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "l19_pipeline_e2e",
+    rf"""
+    WITH keep AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents
+      GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+    ), filtered AS (
+      SELECT d.doc_id,
+             len(string_split_regex(trim(d.text), '\s+')) AS n
+      FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+      WHERE trim(d.text) <> ''
+        AND round((least(length(text) / 500.0, 1.0)
+                 + least({_STOP_RATIO} * 4, 1.0)
+                 + greatest(1.0 - ({_DIGIT_RATIO} + {_PUNCT_RATIO}) * 2, 0.0)) / 3, 6)
+            >= 0.5
+    )
+    SELECT doc_id,
+           CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(unnest(range(0, CAST(ceil(n / 48.0) AS BIGINT))) AS INT) AS chunk_idx,
+           CAST(unnest(list_transform(range(0, CAST(ceil(n / 48.0) AS BIGINT)),
+                i -> least(64, n - i * 48))) AS INT) AS n_toks
+    FROM filtered
+    """,
+)
+def l19_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data prep pipeline as ONE declarative plan:
+    exact dedup (keep lowest doc_id per normalized text) -> quality gate
+    (l11's score >= 0.5) -> deterministic train/val/test split (l17) ->
+    token-window chunking (l18). Composability is the point: each stage is
+    the same operator the standalone queries register, and Catalyst fuses
+    the narrow stages (filter+split+chunk all ride the dedup join's
+    output) — at 100 TB this runs as one scan + one hash-group + one
+    broadcast-back join, not four materialized passes."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep = DD.dedup_exact(docs).select(F.col("keep_id").alias("doc_id"))
+    base = (
+        docs.join(keep, "doc_id")
+        .filter(
+            (F.trim("text") != "")
+            & (TX.quality_score("text") >= 0.5)
+        )
+        .select(
+            "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n")
+        )
+    )
+    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(100))
+    n_chunks = F.ceil(F.col("n") / 48.0).cast("int")
+    return (
+        base.select(
+            "doc_id",
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "val")
+            .otherwise("test")
+            .alias("split"),
+            "n",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "split",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.least(F.lit(64), F.col("n") - F.col("chunk_idx") * 48)
+            .cast("int")
+            .alias("n_toks"),
+        )
+    )
+
+
+@_register(
     "l16_label_centroids",
     """
     SELECT label, CAST(t.i AS INTEGER) AS dim,

@@ -337,3 +337,65 @@ def r47_local_supplier_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+# Serialized csv/json copies of the dims are identical for every query at a
+# given sf_dir — write once per session (harness plumbing; the query still
+# runs the real csv/json readers end-to-end).
+_ALT_SOURCE_DIRS: dict[tuple[int, str], str] = {}
+
+
+def _alt_source_dir(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (id(spark), sf_dir)
+    if key not in _ALT_SOURCE_DIRS:
+        d = tempfile.mkdtemp(prefix="spark_graft_altsrc_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        load_table(spark, sf_dir, "nation").write.mode("overwrite").option(
+            "header", True
+        ).csv(f"{d}/nation")
+        load_table(spark, sf_dir, "region").write.mode("overwrite").json(
+            f"{d}/region"
+        )
+        _ALT_SOURCE_DIRS[key] = d
+    return _ALT_SOURCE_DIRS[key]
+
+
+@_register(
+    "r50_csv_json_sources",
+    """
+    SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1
+    """,
+)
+def r50_csv_json_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-parquet scan formats through the same Catalyst front end:
+    nation rides CSV (quoted header file), region rides JSON lines, and
+    their join must equal the parquet-sourced oracle — format is an I/O
+    concern, not a semantics concern.
+
+    Scale: both readers get an EXPLICIT schema — schema inference is a
+    full extra pass over the data at 100 TB (and type-guesses drift);
+    production locks schemas in a catalog. Column pruning still applies
+    (csv/json scans read only the referenced fields into rows)."""
+    d = _alt_source_dir(spark, sf_dir)
+    nation = (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
+        .option("header", True)
+        .csv(f"{d}/nation")
+    )
+    region = spark.read.schema("r_regionkey int, r_name string").json(
+        f"{d}/region"
+    )
+    return (
+        nation.join(
+            F.broadcast(region),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_nations"))
+    )

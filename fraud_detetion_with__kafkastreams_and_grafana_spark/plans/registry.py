@@ -36,25 +36,30 @@ def _modules():
 
 
 # The driver's correctness harness checks queries in registration order and
-# may cap how many it runs (round 1 stopped at 50 of 83). Emit whole
-# families in coverage order — q* (dashboard), s* (streaming), u* (UDF),
-# m* (MLlib), l* (LLM ops) — before the long r* relational tail, so any
-# prefix of the registry still covers every §2 operator family. Within the
-# r-family, queries that have never received a driver CORRECTNESS row are
-# promoted to the front so the capped window reaches them; r01-r43 were
-# driver-green in rounds 1-2 and their local oracle-parity tests keep
-# pinning them while they wait outside the window.
+# may cap how many it runs (rounds 1-2 stopped at 50). Queries that have
+# never received a driver CORRECTNESS row sort FIRST (grouped by family) so
+# the capped window always reaches every new query; already-driver-green
+# queries fill the remaining slots in family coverage order — q* (dashboard),
+# s* (streaming), u* (UDF), m* (MLlib), l* (LLM ops), then the r* relational
+# tail. Local oracle-parity tests keep pinning whatever waits outside the
+# window (r01-r43 were driver-green in rounds 1-2).
 _FAMILY_RANK = {"q": 0, "s": 1, "u": 2, "m": 3, "l": 4, "r": 5}
 
-# Driver-green in CORRECTNESS_r01/r02; everything else in the family sorts
-# ahead of these until it earns a row.
-_DRIVER_CHECKED_R = {f"r{i:02d}" for i in range(1, 44)}
+# Driver-green in CORRECTNESS_r01/r02.
+_DRIVER_CHECKED = (
+    {f"q{i}" for i in range(1, 8)}
+    | {f"s{i:02d}" for i in range(1, 6)}
+    | {f"u{i:02d}" for i in range(1, 6)}
+    | {"m01"}
+    | {f"l{i:02d}" for i in range(1, 17)}
+    | {f"r{i:02d}" for i in range(1, 44)}
+)
 
 
 def _registry_order(name: str) -> tuple[int, int, str]:
     family = _FAMILY_RANK.get(name[0], 9)
-    seen = 1 if name.split("_", 1)[0] in _DRIVER_CHECKED_R else 0
-    return family, seen, name
+    seen = 1 if name.split("_", 1)[0] in _DRIVER_CHECKED else 0
+    return seen, family, name
 
 
 def all_queries() -> dict[str, Query]:

@@ -312,3 +312,70 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard_sim") >= threshold)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Distributed connected components over an undirected pair list —
+    the grouping step that turns near-dup PAIRS into dedup GROUPS (every
+    doc labeled with the smallest doc id in its duplicate cluster, so
+    "keep min, drop rest" is a filter).
+
+    Algorithm: min-label propagation with pointer jumping. Each round
+    (1) every node takes the min label over itself and its neighbors —
+    one equi-join + a map-side-combining MIN agg; (2) labels flatten one
+    level (comp := comp(comp)) — a second equi-join; so chains converge
+    in O(log n) rounds, and the near-clique clusters dedup actually
+    produces settle in 2-3. The loop is driver-side but iterates on an
+    aggregated convergence SCALAR (did any label change?), never row data.
+
+    Scale: per-round state is one (node, comp) table of two 8-byte
+    columns shuffled on node id — edges are read, never rewritten.
+    `localCheckpoint` truncates the per-round lineage; on a real cluster
+    point `spark.sparkContext.setCheckpointDir` at durable storage and
+    swap in `checkpoint()` for restart-safety.
+    """
+    sym = _persist_reused(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.a == labels.node)
+            .groupBy(F.col("b").alias("_n"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        stepped = labels.join(nbr_min, labels.node == nbr_min._n, "left").select(
+            "node", F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp")
+        )
+        parent = stepped.select(
+            F.col("node").alias("_pn"), F.col("comp").alias("_pc")
+        )
+        jumped = (
+            stepped.join(parent, stepped.comp == parent._pn)
+            .select("node", F.col("_pc").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels

@@ -71,9 +71,9 @@ def l01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dedup_exact(load_table(spark, sf_dir, "documents"))
 
 
-@_register(
-    "l02_ngram_jaccard_pairs",
-    r"""
+# Shared by the l02 oracle and l20's connected-components oracle (which
+# builds its duplicate graph from exactly these pairs).
+_JACCARD_PAIRS_SQL = r"""
     WITH t AS (
       SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
              list_distinct(string_split_regex(trim(text), '\s+')) AS sh
@@ -86,8 +86,10 @@ def l01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
     WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
                 / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 4) >= 0.8
-    """,
-)
+"""
+
+
+@_register("l02_ngram_jaccard_pairs", _JACCARD_PAIRS_SQL)
 def l02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard near-dup pairs, blocked on (lang,
     length-bucket) so the self-join is per-block rather than O(n^2)."""
@@ -540,4 +542,155 @@ def l16_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("label", F.posexplode("embedding").alias("dim", "_v"))
         .groupBy("label", "dim")
         .agg(F.round(F.avg("_v"), 6).alias("centroid_v"))
+    )
+
+
+@_register(
+    "l20_dup_groups",
+    f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+    )
+    SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS group_id
+    FROM reach GROUP BY a
+    """,
+)
+def l20_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS -> dedup GROUPS: connected components over l02's
+    blocked-Jaccard pair graph (operators/dedup.connected_components,
+    min-label propagation + pointer jumping). Every doc in a duplicate
+    cluster is labeled with the cluster's smallest doc_id, making
+    "keep one per group" a single filter(doc_id == group_id).
+
+    This is the step pair-emitting dedup (l02/l03/l04/l08) needs before
+    anything can actually be dropped: A~B and B~C must collapse to one
+    group even when A~C was never emitted. The oracle walks the same
+    graph with a recursive-CTE transitive closure — exponentially more
+    expensive than the log-round label propagation, which is exactly why
+    the engine side exists."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "len_bucket", (F.col("n_chars") / 100).cast("long")
+    )
+    pairs = DD.ngram_jaccard_pairs(
+        docs, block_cols=["lang", "len_bucket"], threshold=0.8
+    )
+    comp = DD.connected_components(pairs, "id_a", "id_b")
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("group_id")
+    )
+
+
+@_register(
+    "l21_tfidf_topk",
+    r"""
+    WITH w AS (
+      SELECT doc_id, t AS term
+      FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '[^a-z0-9]+')) AS t
+        FROM documents WHERE trim(text) <> ''
+      ) WHERE t <> ''
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2
+    ), df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), n AS (
+      SELECT count(DISTINCT doc_id) AS n FROM tf
+    )
+    SELECT doc_id, term, tfidf FROM (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 4) AS tfidf,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY round(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 4) DESC,
+                        tf.term
+             ) AS rn
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ) WHERE rn <= 3
+    """,
+)
+def l21_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: top-3 TF-IDF terms per document. One explode,
+    then tf (group by doc,term), df derived from tf (group by term), and
+    the corpus doc count broadcast as a 1-row frame — the exploded token
+    table is aggregated once and never re-scanned. Top-k per doc is a
+    ranking window over the (doc, term) table, partitioned by doc_id so
+    no global sort exists anywhere.
+
+    Determinism across engines: scores are ordered by their ROUNDED value
+    (4 dp) with a term tiebreak, so a last-ulp ln() difference between
+    the JVM and DuckDB cannot flip the ranking."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    w = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), "[^a-z0-9]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = w.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tf = tf.persist()
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = tf.select(F.count_distinct("doc_id").alias("n"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 4
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+@_register(
+    "l22_balanced_sample",
+    """
+    SELECT vec_id, label FROM (
+      SELECT vec_id, label,
+             row_number() OVER (
+               PARTITION BY label
+               ORDER BY (vec_id * 2654435761) % 1000000007, vec_id
+             ) AS rn
+      FROM embeddings
+    ) WHERE rn <= 20
+    """,
+)
+def l22_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling: cap every label at 20
+    vectors, chosen by a multiplicative hash of the stable vec_id — the
+    class-balancing step of training-set assembly. Hash-ordered (not
+    rand()-ordered) so the sample is reproducible across runs, retries
+    and cluster sizes, and unbiased w.r.t. ingestion order (raw vec_id
+    order would always keep the oldest rows).
+
+    Scale: one ranking window partitioned by label. A pathologically hot
+    label makes that partition a straggler; the fix at 100 TB is a
+    pre-filter pass (keep hash < k*est_fraction) before the exact window,
+    which prunes all but ~k rows per label without changing the result."""
+    e = load_table(spark, sf_dir, "embeddings")
+    from pyspark.sql.window import Window
+
+    h = F.pmod(F.col("vec_id") * F.lit(2654435761), F.lit(1000000007))
+    win = Window.partitionBy("label").orderBy(h.asc(), F.col("vec_id").asc())
+    return (
+        e.select("vec_id", "label")
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 20)
+        .select("vec_id", "label")
     )

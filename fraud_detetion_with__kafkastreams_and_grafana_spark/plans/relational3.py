@@ -399,3 +399,88 @@ def r50_csv_json_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(F.count("*").alias("n_nations"))
     )
+
+
+@_register(
+    "r51_sliding_window",
+    """
+    SELECT CAST(to_timestamp(floor(epoch(date_trunc('second', ts)) / 300) * 300
+                             - k.k * 300) AS TIMESTAMP) AS window_start,
+           round(sum(value), 2) AS total_value,
+           count(*) AS n_events
+    FROM events CROSS JOIN (VALUES (0), (1)) k(k)
+    WHERE value > 100.0
+    GROUP BY 1
+    """,
+)
+def r51_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows in batch: 10-minute windows every 5
+    minutes over the fraud stream — each event lands in exactly
+    window/slide = 2 buckets. Spark's `window(et, '10 minutes',
+    '5 minutes')` expands to that small fan-out BEFORE the aggregation,
+    and the hash agg combines map-side, so the shuffle carries window
+    partials, not doubled events. The oracle reproduces the epoch-aligned
+    window starts arithmetically with a 2-row cross join.
+
+    Completes the SURVEY §2.3 streaming-window triple (tumbling q4/s02,
+    session r32/s08, sliding here) on the batch side."""
+    from ..operators.detect import EVENTS_FRAUD_THRESHOLD, events_as_transactions
+
+    tx = events_as_transactions(load_table(spark, sf_dir, "events")).filter(
+        F.col("amount") > EVENTS_FRAUD_THRESHOLD
+    )
+    return (
+        tx.groupBy(F.window("event_time", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.round(F.sum("amount"), 2).alias("total_value"), F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "total_value", "n_events"
+        )
+    )
+
+
+_ORC_SOURCE_DIRS: dict[tuple[int, str], str] = {}
+
+
+def _orc_source_dir(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (id(spark), sf_dir)
+    if key not in _ORC_SOURCE_DIRS:
+        d = tempfile.mkdtemp(prefix="spark_graft_orcsrc_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        load_table(spark, sf_dir, "orders").write.mode("overwrite").orc(
+            f"{d}/orders"
+        )
+        _ORC_SOURCE_DIRS[key] = d
+    return _ORC_SOURCE_DIRS[key]
+
+
+@_register(
+    "r52_orc_source",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY 1
+    """,
+)
+def r52_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC scan through the same query path (r50's pattern, columnar
+    format): orders is round-tripped through ORC once per session and the
+    aggregate must equal the parquet-sourced oracle. ORC keeps the
+    columnar virtues parquet gives — predicate pushdown hits the stripe
+    index (o_orderstatus = 'O' prunes stripes), and only the 3 referenced
+    columns of 9 are read."""
+    d = _orc_source_dir(spark, sf_dir)
+    orders = spark.read.orc(f"{d}/orders")
+    return (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )

@@ -215,3 +215,26 @@ def test_resize_and_frame_sample_edges(spark):
     assert by_doc[1] == [(0, 0, 0)]
     assert by_doc[2] == [(0, 0, 50)]
     assert sorted(by_doc[3]) == [(0, 0, 256), (1, 256, 44)]
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A-B, B-C, C-D collapse to one group labeled min(id); isolated pair
+    keeps its own label; pointer jumping converges on a path graph."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r.node, r.comp)
+        for r in DD.connected_components(edges, max_iter=10).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_connected_components_empty(spark):
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert DD.connected_components(edges).count() == 0

@@ -323,59 +323,71 @@ def connected_components(
     """Distributed connected components over an undirected pair list —
     the grouping step that turns near-dup PAIRS into dedup GROUPS (every
     doc labeled with the smallest doc id in its duplicate cluster, so
-    "keep min, drop rest" is a filter).
+    "keep one per group" is a filter).
 
-    Algorithm: min-label propagation with pointer jumping. Each round
-    (1) every node takes the min label over itself and its neighbors —
-    one equi-join + a map-side-combining MIN agg; (2) labels flatten one
-    level (comp := comp(comp)) — a second equi-join; so chains converge
-    in O(log n) rounds, and the near-clique clusters dedup actually
-    produces settle in 2-3. The loop is driver-side but iterates on an
-    aggregated convergence SCALAR (did any label change?), never row data.
+    Algorithm: star contraction. Each round every supernode takes the min
+    over itself and its neighbors (one MIN agg with map-side combine),
+    the node->component mapping composes through that assignment (one
+    equi-join on the mapping), and the edge list is REWRITTEN onto the
+    new supernodes with self-loops dropped (two equi-joins + distinct).
+    The graph shrinks geometrically — near-clique dup clusters collapse
+    to a point in one round, chains halve every round (O(log n) total) —
+    so unlike plain label propagation, later rounds touch a vanishing
+    edge set instead of rescanning all edges every round. The loop is
+    driver-side but its exit test is `g.isEmpty()` on the contracted
+    graph, never row data.
 
-    Scale: per-round state is one (node, comp) table of two 8-byte
-    columns shuffled on node id — edges are read, never rewritten.
+    Scale: per-round state is the shrinking (a, b) supernode edge list
+    plus the two-column node->comp mapping, both shuffled on 8-byte ids.
     `localCheckpoint` truncates the per-round lineage; on a real cluster
     point `spark.sparkContext.setCheckpointDir` at durable storage and
     swap in `checkpoint()` for restart-safety.
     """
-    sym = _persist_reused(
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
+    g = _persist_reused(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+            F.col("a") != F.col("b")
+        )
     )
-    labels = (
-        sym.select(F.col("a").alias("node"))
+    mapping = (
+        g.select(F.explode(F.array("a", "b")).alias("node"))
         .distinct()
         .select("node", F.col("node").alias("comp"))
         .localCheckpoint()
     )
     for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym.a == labels.node)
-            .groupBy(F.col("b").alias("_n"))
-            .agg(F.min("comp").alias("nbr_comp"))
+        if g.isEmpty():
+            break
+        # comp(v) = min(v, min neighbor) over the current supernode graph
+        comp = _persist_reused(
+            g.union(g.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .groupBy(F.col("b").alias("_v"))
+            .agg(F.min("a").alias("_m"))
+            .select("_v", F.least("_v", "_m").alias("_c"))
         )
-        stepped = labels.join(nbr_min, labels.node == nbr_min._n, "left").select(
-            "node", F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp")
-        )
-        parent = stepped.select(
-            F.col("node").alias("_pn"), F.col("comp").alias("_pc")
-        )
-        jumped = (
-            stepped.join(parent, stepped.comp == parent._pn)
-            .select("node", F.col("_pc").alias("comp"))
+        mapping = (
+            mapping.join(comp, mapping.comp == comp._v, "left")
+            .select("node", F.coalesce("_c", "comp").alias("comp"))
             .localCheckpoint()
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
+        ca = comp.select(F.col("_v").alias("a"), F.col("_c").alias("_ca"))
+        cb = comp.select(F.col("_v").alias("b"), F.col("_c").alias("_cb"))
+        # localCheckpoint is EAGER: the contracted graph is materialized
+        # (and its lineage truncated) BEFORE the inputs it derives from are
+        # unpersisted — dropping them first would silently re-run the whole
+        # upstream pair generation every round.
+        g_next = (
+            g.join(ca, "a")
+            .join(cb, "b")
+            .select(
+                F.least("_ca", "_cb").alias("a"),
+                F.greatest("_ca", "_cb").alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
         )
-        labels = jumped
-        if changed == 0:
-            break
-    sym.unpersist()
-    return labels
+        g.unpersist()
+        comp.unpersist()
+        g = g_next
+    g.unpersist()
+    return mapping

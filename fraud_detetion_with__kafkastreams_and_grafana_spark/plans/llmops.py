@@ -415,7 +415,7 @@ def l17_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(unnest(list_transform(range(0, CAST(ceil(n / 48.0) AS BIGINT)),
                 i -> i * 48)) AS INT) AS start_tok,
            CAST(unnest(list_transform(range(0, CAST(ceil(n / 48.0) AS BIGINT)),
-                i -> least(256, n - i * 48))) AS INT) AS n_toks
+                i -> least(64, n - i * 48))) AS INT) AS n_toks
     FROM t
     """,
 )
@@ -441,7 +441,7 @@ def l18_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.col("chunk_idx").cast("int").alias("chunk_idx"),
             (F.col("chunk_idx") * 48).cast("int").alias("start_tok"),
-            F.least(F.lit(256), F.col("n") - F.col("chunk_idx") * 48)
+            F.least(F.lit(64), F.col("n") - F.col("chunk_idx") * 48)
             .cast("int")
             .alias("n_toks"),
         )

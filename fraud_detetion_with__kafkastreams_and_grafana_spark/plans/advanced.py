@@ -179,3 +179,28 @@ def u03_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "userId", F.round("sum_value", 2).alias("sum_value"), "n_rows"
     )
+
+
+@_register("m02_kmeans_clusters")  # learned model -> rows-only + pytest
+def m02_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib KMeans over the embeddings table (k=10, fixed seed) — the
+    unsupervised half of the MLlib surface (m01 is supervised LR) and
+    exactly the index-build step l13's IVF path uses in production
+    (operators/similarity.ivf_kmeans_centroids: distributed Lloyd's via
+    treeAggregate; only the k x dim centers reach the driver). Every
+    vector gets its nearest-centroid cluster id through the same
+    broadcast-matmul Arrow batch path the ANN queries use.
+
+    Rows-only by design: a learned model has no SQL twin. Seeded
+    determinism, full coverage (one row per vector), and agreement
+    between MLlib's own transform() and the broadcast-matmul assignment
+    are pinned in tests/test_mlscore.py."""
+    from ..operators import similarity as SIM
+    from ..sources.tables import load_table
+
+    em = load_table(spark, sf_dir, "embeddings")
+    cents = SIM.ivf_kmeans_centroids(em, nlist=10)
+    cell = SIM.make_cell_udf(em, cents)
+    return em.select(
+        "vec_id", "label", cell(F.col("embedding")).alias("cluster")
+    )

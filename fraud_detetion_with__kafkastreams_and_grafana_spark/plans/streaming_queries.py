@@ -591,3 +591,54 @@ def s02_stream_windowed_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return replay_wire_stream(spark, _wire_dir(spark, sf_dir), xform, name="s02_mem")
+
+
+@_register(
+    "s10_stream_sliding_window",
+    """
+    SELECT CAST(to_timestamp(floor(epoch(date_trunc('second', ts)) / 300) * 300
+                             - k.k * 300) AS TIMESTAMP) AS window_start,
+           round(sum(value), 2) AS total_value,
+           count(*) AS n_events
+    FROM events CROSS JOIN (VALUES (0), (1)) k(k)
+    WHERE value > 100.0
+    GROUP BY 1
+    """,
+)
+def s10_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sliding windows — completes the windows triple on the
+    stream side (tumbling s02/s06, session s08, sliding here): 10-minute
+    windows every 5 minutes, append mode under a 10-minute watermark over
+    the event-time-ordered replay. Each fraud event lands in exactly 2
+    window states; a window's state is emitted once and evicted when the
+    watermark passes its end. Batch twin: r51 (identical oracle)."""
+
+    def xform(stream: DataFrame) -> DataFrame:
+        from ..operators.detect import fraud_predicate, parse_wire
+
+        parsed = parse_wire(stream).withWatermark("event_time", "10 minutes")
+        fraud = parsed.filter(
+            fraud_predicate(F.col("amount"), EVENTS_FRAUD_THRESHOLD)
+        )
+        return (
+            fraud.groupBy(
+                F.window("event_time", "10 minutes", "5 minutes").alias("w")
+            )
+            .agg(
+                F.round(F.sum("amount"), 2).alias("total_value"),
+                F.count("*").alias("n_events"),
+            )
+            .select(
+                F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+                "total_value",
+                "n_events",
+            )
+        )
+
+    return replay_wire_stream(
+        spark,
+        _ordered_wire_dir(spark, sf_dir),
+        xform,
+        output_mode="append",
+        name="s10_mem",
+    )

@@ -86,3 +86,52 @@ def test_batch_stream_score_parity(spark):
     got = {r.event_id: r.fraud_probability for r in streamed_rows}
     assert got == batch_same_key
     assert len(batch) > 0  # the native-batch path scored the same events
+
+
+def test_kmeans_clusters_deterministic_and_consistent(spark):
+    """m02: seeded KMeans centroids are deterministic across fits; the
+    broadcast-matmul cell assignment covers every vector, uses all (or
+    nearly all) of k clusters, and agrees with MLlib's own transform()."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators import (
+        similarity as SIM,
+    )
+
+    em = load_table(spark, SF_MED, "embeddings")
+    c1 = SIM.ivf_kmeans_centroids(em, nlist=10)
+    c2 = SIM.ivf_kmeans_centroids(em, nlist=10)
+    assert np.allclose(c1, c2)
+
+    cell = SIM.make_cell_udf(em, c1)
+    got = em.select("vec_id", cell(F.col("embedding")).alias("cluster")).collect()
+    assert len(got) == em.count()
+    clusters = {r.cluster for r in got}
+    assert clusters <= set(range(10)) and len(clusters) >= 8
+
+    # MLlib's own prediction must match the broadcast-matmul assignment
+    # (same centroids; unit-normalization preserves the argmax for
+    # cosine because embeddings are compared against unit centers —
+    # verify on the un-normalized centers MLlib predicts with).
+    feats = em.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=10, seed=7, maxIter=20).fit(feats.select("features"))
+    pred = {r.vec_id: r.prediction for r in model.transform(feats).collect()}
+    raw = np.asarray(model.clusterCenters(), dtype=np.float64)
+    # matmul argmin euclidean == argmax dot only after normalization;
+    # check against the same normalized matrix the engine broadcasts
+    agree = 0
+    embs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in em.collect()}
+    norm = raw / np.linalg.norm(raw, axis=1, keepdims=True)
+    for r in got:
+        v = embs[r.vec_id]
+        assert r.cluster == int(np.argmax(norm @ v))
+        if r.cluster == pred[r.vec_id]:
+            agree += 1
+    # cosine-vs-euclidean assignment differs only for vectors near cell
+    # borders; the two must agree on the overwhelming majority
+    assert agree >= 0.9 * len(got)

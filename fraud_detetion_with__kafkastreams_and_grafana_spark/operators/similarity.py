@@ -306,3 +306,88 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Product-quantization codebook (m subspaces x ksub centroids): the
+    ksub seed vectors with the smallest multiplicative-hash ids, sliced
+    into m contiguous subvectors. Deterministic (same corpus -> same
+    codebook) and bounded: only ksub rows ever reach the driver, like
+    the IVF seed path. Production swap-in: per-subspace MLlib KMeans
+    (same shape, learned centroids), identical encode path.
+
+    Returns m x ksub x (dim/m) float64."""
+    h = F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(1000000007))
+    rows = (
+        corpus.select(F.col(vec_col).alias("v"), F.col(id_col).alias("i"))
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .limit(ksub)
+        .collect()
+    )
+    mat = np.asarray([r.v for r in rows], dtype=np.float64)
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    return np.stack([mat[:, j * sub : (j + 1) * sub] for j in range(m)])
+
+
+def make_pq_encode_udf(df: DataFrame, codebook: np.ndarray):
+    """PQ encoder: per subspace, the index of the nearest centroid by
+    squared euclidean — vectorized as one BLAS matmul per (Arrow batch,
+    subspace) against the broadcast codebook. A 64-dim float vector
+    (256 bytes) compresses to m=8 small ints; at 100 TB the code table
+    is ~32x smaller than the raw embeddings and ADC scans run on codes."""
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.ascontiguousarray(codebook, dtype=np.float64)
+    )
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def encode(vec: pd.Series) -> pd.Series:
+        if not len(vec):
+            return pd.Series([], dtype="object")
+        arr = np.asarray(vec.tolist(), dtype=np.float64)
+        cb = bc.value
+        m, ksub, sub = cb.shape
+        codes = np.empty((arr.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            x = arr[:, j * sub : (j + 1) * sub]
+            c = cb[j]
+            d = (
+                (x * x).sum(axis=1)[:, None]
+                - 2.0 * (x @ c.T)
+                + (c * c).sum(axis=1)[None, :]
+            )
+            codes[:, j] = np.argmin(d, axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return encode
+
+
+def pq_decode(codebook: np.ndarray, codes: np.ndarray) -> np.ndarray:
+    """Reconstruct vectors from PQ codes (test/ADC helper): concatenate
+    each subspace's selected centroid."""
+    m, ksub, sub = codebook.shape
+    return np.concatenate(
+        [codebook[j][codes[:, j]] for j in range(m)], axis=1
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: np.ndarray | None = None,
+) -> DataFrame:
+    """Encode every corpus vector to its PQ codes: (id, codes ARRAY<INT>)."""
+    cb = pq_codebook(corpus, m, ksub, id_col, vec_col) if codebook is None else codebook
+    enc = make_pq_encode_udf(corpus, cb)
+    return corpus.select(F.col(id_col), enc(F.col(vec_col)).alias("codes"))

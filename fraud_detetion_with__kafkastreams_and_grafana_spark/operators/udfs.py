@@ -18,6 +18,8 @@ for whole-table groups (use window functions then).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -203,3 +205,20 @@ def per_user_zscore(tx: DataFrame) -> DataFrame:
     return tx.select("userId", "event_id", "amount").groupBy("userId").applyInPandas(
         _zscore_group, schema=ZSCORE_SCHEMA
     )
+
+
+def make_risk_score_iter(threshold: float):
+    """Iterator-form scalar pandas UDF (SCALAR_ITER): the same closed-form
+    risk score as `fraud_risk_score`, but the function body runs once per
+    PARTITION and streams Arrow batches through — the prologue before the
+    loop is where production pipelines hoist per-partition setup (load a
+    model / tokenizer / codec once, not once per batch). Same oracle as
+    the plain scalar form: the iterator plumbing must be invisible in the
+    result."""
+    @pandas_udf(DoubleType())
+    def risk_iter(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        inv = 1.0 / threshold  # per-partition init slot
+        for amount in batches:
+            yield (amount * inv - 0.5).clip(lower=0.0, upper=1.0)
+
+    return risk_iter

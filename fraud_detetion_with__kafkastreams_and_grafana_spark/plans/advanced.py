@@ -204,3 +204,56 @@ def m02_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return em.select(
         "vec_id", "label", cell(F.col("embedding")).alias("cluster")
     )
+
+
+@_register(
+    "u07_scalar_iter_udf",
+    f"""
+    SELECT printf('user_%03d', user_id) AS userId, event_id,
+           round(least(greatest(value / {EVENTS_FRAUD_THRESHOLD} - 0.5, 0.0), 1.0), 6)
+             AS risk_score
+    FROM events
+    """,
+)
+def u07_scalar_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """u01's risk score through the ITERATOR pandas-UDF form
+    (operators/udfs.make_risk_score_iter): per-partition init + streamed
+    Arrow batches — the shape for UDFs with expensive setup (model /
+    tokenizer load). Identical oracle to u01: same result, different
+    execution contract."""
+    tx = _tx(spark, sf_dir)
+    risk = U.make_risk_score_iter(EVENTS_FRAUD_THRESHOLD)
+    return tx.select(
+        "userId",
+        "event_id",
+        F.round(risk(F.col("amount")), 6).alias("risk_score"),
+    )
+
+
+@_register(
+    "u08_salted_join",
+    """
+    SELECT printf('user_%03d', user_id) AS userId, event_id, value AS amount,
+           CAST(user_id % 5 AS BIGINT) AS cohort
+    FROM events
+    """,
+)
+def u08_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted replicated join (operators/skew.replicate_broadcast_join):
+    the fact side is salted by a content hash, the 150-row cohort dim is
+    replicated across all salt values, and the join key becomes
+    (userId, salt) — the hot user's rows spread over 16 tasks instead of
+    one. The oracle proves result-set equality with the unsalted join:
+    replication+salting must neither drop nor duplicate a single row."""
+    tx = _tx(spark, sf_dir).select("userId", "event_id", "amount")
+    dim = (
+        tx.select("userId")
+        .distinct()
+        .select(
+            "userId",
+            F.pmod(F.substring("userId", 6, 3).cast("long"), F.lit(5)).alias(
+                "cohort"
+            ),
+        )
+    )
+    return SK.replicate_broadcast_join(tx, dim, "userId")

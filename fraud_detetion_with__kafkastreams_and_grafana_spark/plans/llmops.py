@@ -694,3 +694,78 @@ def l22_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("vec_id", "label")
     )
+
+
+@_register(
+    "l23_corpus_upsert",
+    """
+    WITH src AS (
+      SELECT doc_id, text || ' (rev2)' AS text
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 100000, 'new document ' || CAST(doc_id AS VARCHAR)
+      FROM documents WHERE doc_id % 13 = 0
+    )
+    SELECT coalesce(t.doc_id, s.doc_id) AS doc_id,
+           CASE WHEN s.doc_id IS NULL THEN 'kept'
+                WHEN t.doc_id IS NULL THEN 'inserted'
+                ELSE 'updated' END AS status,
+           CAST(length(coalesce(s.text, t.text)) AS BIGINT) AS final_len
+    FROM documents t FULL JOIN src s ON t.doc_id = s.doc_id
+    """,
+)
+def l23_corpus_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus refresh as a MERGE/upsert: a re-crawl batch
+    (updates for every 7th doc, brand-new docs for every 13th) is applied
+    onto the corpus in ONE full-outer shuffle join on doc_id —
+    matched rows take the source text, unmatched-target rows are kept,
+    unmatched-source rows are inserts. This is the Spark-native MERGE
+    shape: at 100 TB both sides hash-partition on doc_id and the rewrite
+    lands as partition overwrites (no transactional table format needed);
+    a broadcast join applies automatically when the delta batch is small.
+
+    The status/final_len projection keeps the compared result narrow
+    while still pinning which branch every row took."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id", F.concat(F.col("text"), F.lit(" (rev2)")).alias("text"))
+        .unionAll(
+            docs.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.concat(
+                    F.lit("new document "), F.col("doc_id").cast("string")
+                ).alias("text"),
+            )
+        )
+    )
+    t = docs.select(F.col("doc_id").alias("t_id"), F.col("text").alias("t_text"))
+    s = src.select(F.col("doc_id").alias("s_id"), F.col("text").alias("s_text"))
+    return t.join(s, t.t_id == s.s_id, "full_outer").select(
+        F.coalesce("t_id", "s_id").alias("doc_id"),
+        F.when(F.col("s_id").isNull(), "kept")
+        .when(F.col("t_id").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("status"),
+        F.length(F.coalesce("s_text", "t_text")).cast("long").alias("final_len"),
+    )
+
+
+@_register("l24_pq_codes")  # data-dependent codebook -> rows-only + pytest
+def l24_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization of the embedding column
+    (operators/similarity.pq_encode): 8 subspaces x 16 centroids — each
+    256-byte vector becomes 8 small ints, the compressed representation
+    ANN systems scan at 100 TB when raw vectors no longer fit. Codebook
+    is the deterministic hash-seeded slice (production: per-subspace
+    KMeans, same encode path). Rows-only by design (nearest-centroid
+    argmin over a data-derived float codebook has no stable SQL twin);
+    determinism, self-encoding anchors, and reconstruction-error bounds
+    are pinned in tests/test_llmops.py."""
+    em = load_table(spark, sf_dir, "embeddings")
+    out = SIM.pq_encode(em, m=8, ksub=16)
+    # driver compare sorts columns; explode codes into scalar cols
+    return out.select(
+        "vec_id",
+        *[F.col("codes")[j].alias(f"code_{j}") for j in range(8)],
+    )

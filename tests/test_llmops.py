@@ -238,3 +238,48 @@ def test_connected_components_chain_and_islands(spark):
 def test_connected_components_empty(spark):
     edges = spark.createDataFrame([], "id_a long, id_b long")
     assert DD.connected_components(edges).count() == 0
+
+
+def test_pq_roundtrip_and_anchors(spark):
+    """l24: PQ codebook/encode determinism; seed vectors self-encode to
+    their own centroid index in every subspace (distance exactly 0);
+    reconstruction beats the zero baseline on mean squared error."""
+    import numpy as np
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators import (
+        similarity as SIM,
+    )
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources import (
+        load_table,
+    )
+
+    em = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    cb1 = SIM.pq_codebook(em, m=8, ksub=16)
+    cb2 = SIM.pq_codebook(em, m=8, ksub=16)
+    assert np.array_equal(cb1, cb2)
+    assert cb1.shape == (8, 16, 8)
+
+    rows = SIM.pq_encode(em, m=8, ksub=16).collect()
+    codes = {r.vec_id: r.codes for r in rows}
+    assert len(codes) == em.count()
+
+    # the 16 seed vectors reconstruct themselves exactly
+    from pyspark.sql import functions as FF
+
+    h = FF.pmod(FF.col("vec_id") * FF.lit(2654435761), FF.lit(1000000007))
+    seeds = (
+        em.select("vec_id", "embedding")
+        .orderBy(h.asc(), FF.col("vec_id").asc())
+        .limit(16)
+        .collect()
+    )
+    for i, r in enumerate(seeds):
+        assert codes[r.vec_id] == [i] * 8, (i, codes[r.vec_id])
+
+    # reconstruction error strictly better than the zero baseline
+    ids = [r.vec_id for r in rows]
+    raw = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in em.collect()}
+    X = np.stack([raw[i] for i in ids])
+    C = np.asarray([codes[i] for i in ids], dtype=np.int32)
+    R = SIM.pq_decode(cb1, C)
+    assert ((X - R) ** 2).mean() < (X**2).mean() * 0.9

@@ -25,7 +25,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, IntegerType, LongType
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType, LongType
 
 from ..functions.vectors import cosine_similarity, dot, l2_norm
 
@@ -391,3 +391,57 @@ def pq_encode(
     cb = pq_codebook(corpus, m, ksub, id_col, vec_col) if codebook is None else codebook
     enc = make_pq_encode_udf(corpus, cb)
     return corpus.select(F.col(id_col), enc(F.col(vec_col)).alias("codes"))
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC (asymmetric distance computation) ANN: the query builds an
+    m x ksub table of squared distances to every subspace centroid ONCE;
+    each corpus vector's approximate distance is then m table lookups
+    over its 8-int code — no float vector is touched during the scan.
+    The `shortlist` nearest-by-ADC ids are exact-cosine reranked.
+
+    Scale: the scan phase reads only the code table (~32x smaller than
+    raw embeddings) plus a broadcast m x ksub lookup table; the rerank
+    touches `shortlist` full vectors via a semi join. The 1-row query
+    fetch and the codebook are bounded driver transfers, like the IVF
+    seed path."""
+    cb = pq_codebook(corpus, m, ksub, id_col, vec_col)
+    codes = pq_encode(corpus, m, ksub, id_col, vec_col, codebook=cb)
+
+    qv = np.asarray(query.select(vec_col).head()[0], dtype=np.float64)
+    sub = qv.shape[0] // m
+    # dist_table[j][c] = || q_j - centroid_{j,c} ||^2
+    dist_table = np.stack(
+        [((cb[j] - qv[j * sub : (j + 1) * sub]) ** 2).sum(axis=1) for j in range(m)]
+    )
+    bc = corpus.sparkSession.sparkContext.broadcast(dist_table)
+
+    @pandas_udf(DoubleType())
+    def adc(code_col: pd.Series) -> pd.Series:
+        if not len(code_col):
+            return pd.Series([], dtype="float64")
+        C = np.asarray(code_col.tolist(), dtype=np.int64)
+        t = bc.value
+        d = np.zeros(C.shape[0], dtype=np.float64)
+        for j in range(t.shape[0]):
+            d += t[j][C[:, j]]
+        return pd.Series(d)
+
+    short = (
+        codes.select(id_col, adc(F.col("codes")).alias("_adc"))
+        .orderBy(F.asc("_adc"), F.asc(id_col))
+        .limit(shortlist)
+        .select(id_col)
+    )
+    return cosine_topk(
+        corpus.join(short, id_col, "left_semi"), query, k, id_col, vec_col
+    )

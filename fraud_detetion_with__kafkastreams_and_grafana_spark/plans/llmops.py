@@ -769,3 +769,15 @@ def l24_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         *[F.col("codes")[j].alias(f"code_{j}") for j in range(8)],
     )
+
+
+@_register("l25_pq_adc_topk")  # approximate -> rows-only + recall pytest
+def l25_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC ANN top-10 for query vec_id=0
+    (operators/similarity.pq_adc_topk): scan 8-int codes with a broadcast
+    distance table, exact-cosine rerank the shortlist. Completes the ANN
+    ladder (brute l06, hyperplane-LSH l07, IVF l13, PQ-ADC here) — the
+    variant for when raw vectors are too large to scan at all. Recall
+    against the exact top-10 is pinned in tests/test_llmops.py."""
+    em = load_table(spark, sf_dir, "embeddings")
+    return SIM.pq_adc_topk(em, em.filter(F.col("vec_id") == 0), k=10)

@@ -283,3 +283,22 @@ def test_pq_roundtrip_and_anchors(spark):
     C = np.asarray([codes[i] for i in ids], dtype=np.int32)
     R = SIM.pq_decode(cb1, C)
     assert ((X - R) ** 2).mean() < (X**2).mean() * 0.9
+
+
+def test_pq_adc_recall(spark):
+    """l25: PQ-ADC top-10 must substantially agree with the exact cosine
+    top-10 (shortlist rerank is exact, so misses come only from ADC
+    shortlist pruning), and the query vector must rank itself first."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators import (
+        similarity as SIM,
+    )
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources import (
+        load_table,
+    )
+
+    em = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = em.filter(F.col("vec_id") == 0)
+    exact = [r.vec_id for r in SIM.cosine_topk(em, q, k=10).collect()]
+    approx = [r.vec_id for r in SIM.pq_adc_topk(em, q, k=10).collect()]
+    assert approx[0] == 0  # self-similarity = 1.0 must survive ADC
+    assert len(set(exact) & set(approx)) >= 5

@@ -391,3 +391,48 @@ def connected_components(
         g = g_next
     g.unpersist()
     return mapping
+
+
+def word_ngrams(text_col, n: int = 8) -> F.Column:
+    """All consecutive word n-grams of the text (NOT distinct-deduped and
+    NOT truncated-padded like `shingles` — decontamination needs every
+    full-length gram exactly once per position). Empty array for docs
+    shorter than n words."""
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.when(F.size(toks) >= n, F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    blocklist: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM recipe): flag every corpus
+    document sharing at least one word n-gram with a held-out blocklist
+    (test/eval set). Returns (id_col, n_hit_grams) for contaminated docs
+    only — n_hit_grams = how many DISTINCT grams of the doc also occur in
+    the blocklist.
+
+    Scale: both sides explode to (id, xxhash64(gram)) — the join and the
+    distinct shuffle 8-byte hashes, never gram text (same collision
+    argument as `dedup_exact`). The blocklist gram set is typically orders
+    of magnitude smaller than the corpus; AQE broadcasts it when it fits,
+    otherwise it's a plain shuffled hash join keyed on the gram hash.
+    """
+    def grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("_gram")
+        ).select(id_col, F.xxhash64("_gram").alias("_gh"))
+
+    block_set = grams(blocklist).select("_gh").distinct()
+    return (
+        grams(corpus)
+        .join(block_set, "_gh")
+        .groupBy(id_col)
+        .agg(F.count_distinct("_gh").alias("n_hit_grams"))
+    )

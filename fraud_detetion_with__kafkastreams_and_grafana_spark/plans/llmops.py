@@ -781,3 +781,132 @@ def l25_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the exact top-10 is pinned in tests/test_llmops.py."""
     em = load_table(spark, sf_dir, "embeddings")
     return SIM.pq_adc_topk(em, em.filter(F.col("vec_id") == 0), k=10)
+
+
+@_register(
+    "l26_decontaminate",
+    r"""
+    WITH s AS (
+      SELECT doc_id, (doc_id * 2654435761) % 100 AS b,
+             string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ), g AS (
+      SELECT doc_id, b, array_to_string(w[i:i+7], ' ') AS gram
+      FROM s, unnest(range(1, len(w) - 6)) AS t(i)
+      WHERE len(w) >= 8
+    )
+    SELECT a.doc_id, count(DISTINCT a.gram) AS n_hit_grams
+    FROM (SELECT doc_id, gram FROM g WHERE b < 90) a
+    JOIN (SELECT DISTINCT gram FROM g WHERE b >= 90) t USING (gram)
+    GROUP BY a.doc_id
+    """,
+)
+def l26_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.decontaminate): flag
+    train/val documents sharing any word 8-gram with the held-out test
+    split (the l17 hash split supplies the blocklist). The engine joins on
+    xxhash64(gram) — 8 bytes shuffled per gram, never text; the oracle
+    joins the gram strings themselves (identical result absent collisions,
+    the l01 argument)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(100))
+    train = docs.where(bucket < 90)
+    test = docs.where(bucket >= 90)
+    return DD.decontaminate(train, test, n=8)
+
+
+@_register(
+    "l27_repetition_quality",
+    r"""
+    WITH s AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+      WHERE len(string_split_regex(trim(text), '\s+')) >= 2
+    ), b AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+      FROM s, unnest(range(1, len(w))) AS t(i)
+    ), c AS (
+      SELECT doc_id, max(cnt) AS top_bg
+      FROM (SELECT doc_id, bg, count(*) AS cnt FROM b GROUP BY 1, 2)
+      GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           len(w) AS n_tokens,
+           1 - len(list_distinct(w))::DOUBLE / len(w) AS dup_token_frac,
+           c.top_bg::DOUBLE / (len(w) - 1) AS top_bigram_frac
+    FROM s JOIN c USING (doc_id)
+    """,
+)
+def l27_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-token
+    fraction (pure column expression — no shuffle) and most-frequent-
+    bigram fraction (explode + two-level hash agg, shuffling (doc_id,
+    bigram) partial counts). The standard filters for boilerplate /
+    keyword-stuffed pages in a pretraining pipeline.
+
+    Scale: the only shuffle is the bigram count keyed by (doc_id, bigram)
+    with map-side partial aggregation; the per-doc max then reuses the
+    doc_id partitioning. Ratios are IEEE-exact in both engines (int/int
+    double division), so the oracle compares values directly."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim("text"), r"\s+")
+    base = docs.select("doc_id", w.alias("w")).where(F.size("w") >= 2)
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(w) - 1), i -> w[i-1] || ' ' || w[i])")
+        ).alias("bg"),
+    )
+    top = (
+        bigrams.groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_bg"))
+    )
+    return (
+        base.join(top, "doc_id")
+        .select(
+            "doc_id",
+            F.size("w").alias("n_tokens"),
+            (F.lit(1) - F.size(F.array_distinct("w")) / F.size("w")).alias(
+                "dup_token_frac"
+            ),
+            (F.col("top_bg") / (F.size("w") - 1)).alias("top_bigram_frac"),
+        )
+    )
+
+
+@_register("l28_semdedup")  # learned clustering -> rows-only + pytest
+def l28_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup of the embedding
+    corpus — cluster with seeded MLlib KMeans (the m02/l13 index-build
+    path), compute exact cosine pairs ONLY within each cluster (the l08
+    join blocked on the learned cluster instead of the gold label), and
+    prune the higher id of every pair >= 0.4 (l08's corpus-calibrated
+    near-dup threshold). Returns every vector with its cluster and the
+    keep/prune verdict.
+
+    Scale: clustering is distributed Lloyd's (only k x dim centers on the
+    driver); the pair join shuffles on cluster id and is quadratic only
+    within a cluster — the whole point of SemDeDup is that clusters bound
+    the comparison set. Rows-only by design (learned model); determinism,
+    keep/prune partition, and planted-dup pruning are pinned in
+    tests/test_llmops.py."""
+    em = load_table(spark, sf_dir, "embeddings")
+    cents = SIM.ivf_kmeans_centroids(em, nlist=10)
+    cell = SIM.make_cell_udf(em, cents)
+    clustered = em.select(
+        "vec_id", cell(F.col("embedding")).alias("cluster"), "embedding"
+    )
+    pairs = SIM.embedding_near_dup_pairs(
+        clustered, block_col="cluster", threshold=0.4
+    )
+    pruned = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return (
+        clustered.join(pruned.withColumn("_pruned", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(F.col("_pruned"), F.lit(False)).alias("is_pruned"),
+        )
+    )

@@ -302,3 +302,40 @@ def test_pq_adc_recall(spark):
     approx = [r.vec_id for r in SIM.pq_adc_topk(em, q, k=10).collect()]
     assert approx[0] == 0  # self-similarity = 1.0 must survive ADC
     assert len(set(exact) & set(approx)) >= 5
+
+
+def test_decontaminate_planted(spark):
+    """l26's operator: a corpus doc sharing a full 8-gram with the
+    blocklist is flagged with the right distinct-gram count; disjoint and
+    too-short docs are not."""
+    eight = "w1 w2 w3 w4 w5 w6 w7 w8"
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix " + eight + " suffix"),   # contains the 8-gram
+            (2, "totally disjoint words only here right now ok yes"),
+            (3, "w1 w2 w3 w4 w5 w6 w7"),          # 7 tokens -> no grams
+        ],
+        "doc_id LONG, text STRING",
+    )
+    block = spark.createDataFrame([(99, eight)], "doc_id LONG, text STRING")
+    out = {r.doc_id: r.n_hit_grams for r in DD.decontaminate(corpus, block).collect()}
+    assert out == {1: 1}
+
+
+def test_semdedup_contract(spark, sf_dir):
+    """l28: every vector gets exactly one verdict row; the pruned set is
+    exactly the higher-id members of the cluster-blocked near-dup pairs;
+    at sf0.01 the prune set is non-trivial; reruns are identical
+    (seeded KMeans)."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = llmops.QUERIES["l28_semdedup"](spark, sf_dir).collect()
+    n_vec = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n_vec
+    assert len({r.vec_id for r in rows}) == n_vec
+    pruned = {r.vec_id for r in rows if r.is_pruned}
+    assert pruned, "expected a non-trivial prune set at sf0.01"
+    rows2 = llmops.QUERIES["l28_semdedup"](spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))

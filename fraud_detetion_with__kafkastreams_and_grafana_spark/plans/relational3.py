@@ -484,3 +484,96 @@ def r52_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+_PART_SOURCE_DIRS: dict[tuple[int, str], str] = {}
+
+
+def _partitioned_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """events rewritten once per session as date-partitioned parquet
+    (`.../event_date=2024-01-07/part-*.parquet`) — the layout every
+    production event lake uses so time-range queries prune whole
+    directories instead of scanning 100 TB of history."""
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (id(spark), sf_dir)
+    if key not in _PART_SOURCE_DIRS:
+        d = tempfile.mkdtemp(prefix="spark_graft_partsrc_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        load_table(spark, sf_dir, "events").withColumn(
+            "event_date", F.to_date("ts")
+        ).write.partitionBy("event_date").mode("overwrite").parquet(f"{d}/events")
+        _PART_SOURCE_DIRS[key] = d
+    return _PART_SOURCE_DIRS[key]
+
+
+@_register(
+    "r53_partition_pruning",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS event_date,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE CAST(date_trunc('day', ts) AS DATE)
+          BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+    GROUP BY 1
+    """,
+)
+def r53_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned time-range scan: events lands date-partitioned
+    (`partitionBy(event_date)`) and a one-week filter on the partition
+    column resolves at PLANNING time — the scan's PartitionFilters lists
+    the range and only 7 of 30 date directories are ever opened (pinned in
+    tests/test_sources_sinks.py by reading the physical plan). This is the
+    100 TB complement to `load_table`'s row-group-level ts pruning: 
+    directory-level pruning first, min/max pruning within the survivors.
+    The oracle computes the same week from the unpartitioned table."""
+    d = _partitioned_events_dir(spark, sf_dir)
+    ev = spark.read.parquet(f"{d}/events")
+    return (
+        ev.filter(
+            F.col("event_date").between("2024-01-08", "2024-01-14")
+        )
+        .groupBy("event_date")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@_register(
+    "r54_listagg",
+    """
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           CAST(count(*) AS BIGINT) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def r54_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): nation names
+    per region as a sorted CSV. collect_list is order-nondeterministic
+    under parallel merge, so the sort happens AFTER collection
+    (array_sort) — the only way to get a deterministic LISTAGG without a
+    single-partition sort. Per-group array size is bounded by the group,
+    not the table; groups too large to listagg are an anti-pattern at any
+    scale."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(
+            F.broadcast(region),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias(
+                "nations"
+            ),
+            F.count("*").alias("n_nations"),
+        )
+    )

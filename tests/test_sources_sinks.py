@@ -65,3 +65,26 @@ def test_partitioned_parquet_sink(spark, sf_dir):
         pruned = back.filter(F.col("day") == F.lit(one_day))
         expect = df.filter(F.col("day") == F.lit(one_day))
         assert pruned.count() == expect.count() > 0
+
+
+def test_r53_prunes_partitions(spark, sf_dir):
+    """r53's scan must resolve the week filter at planning time: the
+    parquet scan node lists the range under PartitionFilters (directory
+    pruning), not as a post-scan Filter over all dates."""
+    import io
+    from contextlib import redirect_stdout
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import (
+        relational3 as R3,
+    )
+
+    df = R3.QUERIES["r53_partition_pruning"](spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    scan = next(
+        s for s in plan.split("\n\n") if "Scan parquet" in s and "event_date" in s
+    )
+    pf = next(ln for ln in scan.splitlines() if ln.startswith("PartitionFilters"))
+    assert "event_date" in pf and ">=" in pf and "<=" in pf, pf

@@ -577,3 +577,73 @@ def r54_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_nations"),
         )
     )
+
+
+_BUCKETED_READY: set[int] = set()
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> None:
+    """orders + lineitem written once per session as bucketed tables
+    (8 buckets on the join key, sorted within buckets) — the co-located
+    layout that removes the fact-fact join shuffle at 100 TB. Tables land
+    in the session warehouse (temp in tests, durable on a cluster)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    key = id(spark)
+    if key in _BUCKETED_READY:
+        return
+    # External tables at a fresh per-session temp path: a managed table
+    # would pin the warehouse location, and a leftover directory from an
+    # earlier session (fresh metastore, so DROP can't see the table) makes
+    # saveAsTable fail with LOCATION_ALREADY_EXISTS.
+    d = tempfile.mkdtemp(prefix="spark_graft_bucketed_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    for name, table, col in (
+        ("spark_graft_b_orders", "orders", "o_orderkey"),
+        ("spark_graft_b_lineitem", "lineitem", "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            load_table(spark, sf_dir, table)
+            .write.format("parquet")
+            .option("path", f"{d}/{name}")
+            .bucketBy(8, col)
+            .sortBy(col)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    _BUCKETED_READY.add(key)
+
+
+@_register(
+    "r55_bucketed_join",
+    """
+    SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_extendedprice), 2) AS total_price
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+)
+def r55_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join through bucketed tables: both sides pre-hashed into
+    8 buckets on the order key, so the sort-merge join reads bucket i
+    against bucket i with NO Exchange on either input (pinned in
+    tests/test_bucketing_recovery.py; here AQE may still choose broadcast
+    at toy scale — the RESULT is what the oracle checks). Bucketing is
+    the standing answer to 'this join shuffles 100 TB every night': pay
+    the shuffle once at write time, never at read time."""
+    _bucketed_tables(spark, sf_dir)
+    return (
+        spark.table("spark_graft_b_orders")
+        .join(
+            spark.table("spark_graft_b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )

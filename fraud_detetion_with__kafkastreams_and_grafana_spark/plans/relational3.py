@@ -647,3 +647,51 @@ def r55_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
         )
     )
+
+
+@_register(
+    "r56_python_datasource",
+    """
+    WITH g AS (
+      SELECT i,
+             (i * 1103515245 + 12345) % 1000000 AS mix,
+             (i * 2654435761) % 200 AS user_id
+      FROM (SELECT unnest(range(0, 20000)) AS i)
+    ), t AS (
+      SELECT i AS event_id, user_id,
+             1000.0 + (mix % 10000) + (mix // 10000) / 100.0 AS amount
+      FROM g
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_fraud,
+           round(sum(amount), 2) AS total_amount
+    FROM t WHERE amount > 10000.0
+    GROUP BY 1
+    """,
+)
+def r56_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's transaction producer as a pluggable Spark source
+    (sources/pydatasource.SyntheticTxDataSource, Python DataSource API):
+    20k generated transactions, the strict->10000 fraud rule, per-user
+    totals. Generation is partitioned across executors and row values are
+    a pure integer function of the row id, so the oracle regenerates the
+    identical table with SQL arithmetic — a custom source earns the same
+    value-hash check as a parquet scan.
+    Reference: TransactionProducer.java:40-50 (200 users, U[1000,11000)
+    amounts); TransactionProcessor.java:39 (strict > threshold)."""
+    from ..sources.pydatasource import register
+
+    register(spark)
+    tx = (
+        spark.read.format("synthetic_tx")
+        .option("rows", 20000)
+        .option("partitions", 8)
+        .load()
+    )
+    return (
+        tx.filter(F.col("amount") > 10000.0)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_fraud"),
+            F.round(F.sum("amount"), 2).alias("total_amount"),
+        )
+    )

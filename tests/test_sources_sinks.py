@@ -88,3 +88,29 @@ def test_r53_prunes_partitions(spark, sf_dir):
     )
     pf = next(ln for ln in scan.splitlines() if ln.startswith("PartitionFilters"))
     assert "event_date" in pf and ">=" in pf and "<=" in pf, pf
+
+
+def test_python_datasource_partition_invariant(spark):
+    """r56's source: the generated table is a pure function of row id —
+    identical rows for any partitioning (retry/exactly-once safety), and
+    the requested parallelism is honored."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.pydatasource import (
+        register,
+    )
+
+    register(spark)
+
+    def rows(parts):
+        df = (
+            spark.read.format("synthetic_tx")
+            .option("rows", 1000)
+            .option("partitions", parts)
+            .load()
+        )
+        assert df.rdd.getNumPartitions() == parts
+        return sorted(map(tuple, df.collect()))
+
+    a, b = rows(3), rows(8)
+    assert a == b and len(a) == 1000
+    amounts = [r[2] for r in a]
+    assert all(1000.0 <= x < 11000.0 for x in amounts)

@@ -642,3 +642,68 @@ def s10_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
         name="s10_mem",
     )
+
+
+@_register(
+    "s11_stream_python_source",
+    """
+    WITH g AS (
+      SELECT i,
+             (i * 1103515245 + 12345) % 1000000 AS mix,
+             (i * 2654435761) % 200 AS user_id
+      FROM (SELECT unnest(range(0, 20000)) AS i)
+    ), t AS (
+      SELECT i AS event_id, user_id,
+             1000.0 + (mix % 10000) + (mix // 10000) / 100.0 AS amount
+      FROM g
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_fraud,
+           round(sum(amount), 2) AS total_amount
+    FROM t WHERE amount > 10000.0
+    GROUP BY 1
+    """,
+)
+def s11_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python DataSource as a STREAM (sources/pydatasource.
+    SyntheticTxStreamReader): 20k generated transactions arrive in 8
+    micro-batches of 2500, the strict fraud filter and per-user totals
+    run as a stateful complete-mode aggregation, and the snapshot must
+    equal r56's batch read of the same source — which the oracle
+    regenerates arithmetically. Deterministic offsets (plain row ranges)
+    make this the rare STREAMING query with a full value-hash oracle, and
+    readBetweenOffsets is the checkpoint-recovery replay path."""
+    from ..sources.pydatasource import register
+
+    register(spark)
+    name = "s11_mem"
+    spark.catalog.dropTempView(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = (
+            spark.readStream.format("synthetic_tx")
+            .option("rows", 20000)
+            .option("stream_batch", 2500)
+            .load()
+        )
+        agg = (
+            stream.filter(F.col("amount") > 10000.0)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_fraud"),
+                F.round(F.sum("amount"), 2).alias("total_amount"),
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)

@@ -22,7 +22,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 # LCG constants (numerical-recipes flavor); all arithmetic stays < 2^63
 # for ids < ~8e9 — hash to a wider mix before that at real scale.
@@ -76,6 +81,34 @@ class SyntheticTxDataSource(DataSource):
     def reader(self, schema) -> SyntheticTxReader:
         return SyntheticTxReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "SyntheticTxStreamReader":
+        return SyntheticTxStreamReader(self.options)
+
 
 def register(spark) -> None:
     spark.dataSource.register(SyntheticTxDataSource)
+
+
+class SyntheticTxStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch reader over the same deterministic generator: offsets
+    are plain row indices, so every (start, end) range replays to
+    identical rows — the property checkpoint recovery and exactly-once
+    sinks depend on (readBetweenOffsets IS the recovery path). The stream
+    is bounded: past `rows` the offset stops advancing, which lets
+    processAllAvailable() terminate in tests and the driver harness.
+    """
+
+    def __init__(self, options):
+        self.total = int(options.get("rows", 10_000))
+        self.batch = int(options.get("stream_batch", 2_500))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        i = start["i"]
+        end = min(i + self.batch, self.total)
+        return iter([_row(j) for j in range(i, end)]), {"i": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_row(j) for j in range(start["i"], end["i"])])

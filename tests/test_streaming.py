@@ -274,3 +274,19 @@ def test_stream_stream_join_equals_batch(spark):
         ).collect()
     }
     assert streamed == batch and len(streamed) >= 1
+
+
+def test_python_stream_source_equals_batch(spark, sf_dir):
+    """s11 (streaming read of the custom Python source) must snapshot to
+    exactly r56's batch read of the same generator — batch-stream parity
+    through a user-defined source, not just built-in file streams."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.relational3 import (
+        QUERIES as RQ,
+    )
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.streaming_queries import (
+        QUERIES as SQ,
+    )
+
+    stream = {tuple(r) for r in SQ["s11_stream_python_source"](spark, sf_dir).collect()}
+    batch = {tuple(r) for r in RQ["r56_python_datasource"](spark, sf_dir).collect()}
+    assert stream == batch and len(stream) == 200

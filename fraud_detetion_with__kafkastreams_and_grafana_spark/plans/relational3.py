@@ -695,3 +695,88 @@ def r56_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("amount"), 2).alias("total_amount"),
         )
     )
+
+
+@_register(
+    "r57_cms_heavy_hitters",
+    """
+    WITH c AS (
+      SELECT user_id, count(*) AS n_events
+      FROM events GROUP BY 1
+      ORDER BY n_events DESC, user_id ASC LIMIT 10
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           TRUE AS cms_lower_ok, TRUE AS cms_upper_ok
+    FROM c
+    """,
+)
+def r57_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters, built RELATIONALLY: d=4 hash rows x
+    w=256 buckets as a (seed, bucket) -> count table — one explode + one
+    hash-agg, mergeable partial+final like any groupBy, constant
+    d x w state per executor regardless of key cardinality. The top-10
+    users' frequencies are then estimated as min over rows of their
+    bucket counts and checked against the exact counts.
+
+    This is the third sketch of the approx family (HLL++/GK in r36): at
+    100 TB the (seed, bucket) table IS the frequency index — 1024 rows
+    summarize any number of events, and estimates never require touching
+    raw data again. Oracle pattern as r36: exact values + booleans
+    pinning the CMS guarantees (est >= exact always; overestimate
+    bounded by ~e*N/w with prob 1 - e^-d), asserted literal TRUE."""
+    ev = load_table(spark, sf_dir, "events")
+    d, w = 4, 256
+    entries = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seed"),
+                        F.pmod(F.xxhash64(F.col("user_id"), F.lit(s)), F.lit(w)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for s in range(d)
+                ]
+            )
+        ).alias("e")
+    )
+    cms = entries.groupBy(
+        F.col("e.seed").alias("seed"), F.col("e.bucket").alias("bucket")
+    ).agg(F.count("*").alias("cnt"))
+
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    top = exact.orderBy(F.desc("n_events"), F.asc("user_id")).limit(10)
+    total = ev.select(F.count("*").alias("_n"))
+
+    probes = top.select(
+        "user_id",
+        "n_events",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seed"),
+                        F.pmod(F.xxhash64(F.col("user_id"), F.lit(s)), F.lit(w)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for s in range(d)
+                ]
+            )
+        ).alias("p"),
+    )
+    est = (
+        probes.join(F.broadcast(cms), (F.col("p.seed") == F.col("seed")) & (F.col("p.bucket") == F.col("bucket")))
+        .groupBy("user_id", "n_events")
+        .agg(F.min("cnt").alias("_est"))
+    )
+    return est.crossJoin(F.broadcast(total)).select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        (F.col("_est") >= F.col("n_events")).alias("cms_lower_ok"),
+        # e/w * N, doubled for slack — deterministic on fixed data
+        ((F.col("_est") - F.col("n_events")) <= 2.0 * 2.71828 * F.col("_n") / w).alias(
+            "cms_upper_ok"
+        ),
+    )

@@ -665,8 +665,8 @@ def s10_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s11_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The custom Python DataSource as a STREAM (sources/pydatasource.
-    SyntheticTxStreamReader): 20k generated transactions arrive in 8
-    micro-batches of 2500, the strict fraud filter and per-user totals
+    SyntheticTxStreamReader): 20k generated transactions arrive in 4
+    micro-batches of 5000, the strict fraud filter and per-user totals
     run as a stateful complete-mode aggregation, and the snapshot must
     equal r56's batch read of the same source — which the oracle
     regenerates arithmetically. Deterministic offsets (plain row ranges)
@@ -683,7 +683,7 @@ def s11_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = (
             spark.readStream.format("synthetic_tx")
             .option("rows", 20000)
-            .option("stream_batch", 2500)
+            .option("stream_batch", 5000)
             .load()
         )
         agg = (

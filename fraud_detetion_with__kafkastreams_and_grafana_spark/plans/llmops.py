@@ -910,3 +910,51 @@ def l28_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("_pruned"), F.lit(False)).alias("is_pruned"),
         )
     )
+
+
+@_register(
+    "l29_unigram_logprob",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+      FROM documents WHERE trim(text) <> ''
+    ), freq AS (
+      SELECT t, count(*) AS c FROM tok GROUP BY 1
+    ), tot AS (
+      SELECT sum(c) AS n FROM freq
+    )
+    SELECT tok.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln(freq.c / tot.n)), 4) AS avg_logprob
+    FROM tok JOIN freq USING (t) CROSS JOIN tot
+    GROUP BY tok.doc_id
+    """,
+)
+def l29_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring (the CCNet/Wikipedia-LM filter
+    shape): every document's mean log-probability under the corpus's own
+    unigram distribution — fluent/typical docs score high, gibberish and
+    outlier token mixes score low. In production the frequency table
+    comes from a trusted reference corpus; here it is self-trained on
+    the same table, which keeps the query closed over driver testdata.
+
+    Scale: the frequency table is vocabulary-sized (tiny next to the
+    corpus) and broadcasts; the token explode feeds ONE hash-agg for tf
+    and one broadcast join back — no quadratic stage, no Python. Ratios
+    ln(c/N) are IEEE-identical in both engines; avg is order-sensitive
+    only below the round(4) guard."""
+    docs = load_table(spark, sf_dir, "documents").where(F.trim("text") != "")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("t")
+    )
+    freq = tok.groupBy("t").agg(F.count("*").alias("c"))
+    total = freq.select(F.sum("c").alias("n"))
+    return (
+        tok.join(F.broadcast(freq), "t")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("c") / F.col("n"))), 4).alias("avg_logprob"),
+        )
+    )

@@ -707,3 +707,55 @@ def s11_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+@_register(
+    "s12_stream_static_join",
+    """
+    SELECT CASE user_id % 3 WHEN 0 THEN 'low' WHEN 1 THEN 'mid'
+           ELSE 'high' END AS risk_tier,
+           CAST(count(*) AS BIGINT) AS n_tx,
+           round(sum(value), 2) AS total_amount
+    FROM events WHERE value > 100.0
+    GROUP BY 1
+    """,
+)
+def s12_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the production shape for joining a
+    stream against a slowly-changing dimension: the fraud stream joins a
+    STATIC risk-tier dim (broadcast; re-resolved every micro-batch, which
+    is how Spark picks up dim refreshes), then aggregates per tier in
+    complete mode. Static-side state is zero — only the 3-tier aggregate
+    lives in the state store; the dim never enters join state the way
+    s05's second stream does. The snapshot must equal the batch
+    join+GROUP BY, which the oracle states directly over events."""
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.format_string("user_%03d", F.col("user_id").cast("int")).alias(
+                "userId"
+            ),
+            (F.col("user_id") % 3).alias("_m"),
+        )
+        .distinct()
+        .select(
+            "userId",
+            F.when(F.col("_m") == 0, "low")
+            .when(F.col("_m") == 1, "mid")
+            .otherwise("high")
+            .alias("risk_tier"),
+        )
+    )
+
+    def xform(stream: DataFrame) -> DataFrame:
+        fraud = fraud_topology(stream, threshold=EVENTS_FRAUD_THRESHOLD)
+        return (
+            fraud.join(F.broadcast(dim), "userId")
+            .groupBy("risk_tier")
+            .agg(
+                F.count("*").alias("n_tx"),
+                F.round(F.sum("amount"), 2).alias("total_amount"),
+            )
+        )
+
+    return replay_wire_stream(spark, _wire_dir(spark, sf_dir), xform, name="s12_mem")

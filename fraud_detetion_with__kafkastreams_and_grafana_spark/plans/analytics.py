@@ -143,10 +143,10 @@ GROUP BY 1, 2
 def q5_range_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-range scan + per-key mean (screenshots/raudTable.jpg: data
     explorer over [_start,_stop) grouped on userId with mean aggregate).
-    The range predicate is applied on the raw int64 nanos column BEFORE
-    timestamp conversion so it pushes into the parquet scan (row-group
-    min/max pruning — at 100 TB this is the partition-pruning path;
-    verified in PushedFilters)."""
+    The range predicate is applied on the raw stored ts column (int64
+    nanos or TIMESTAMP(MICROS), whichever layout the table ships in) so it
+    pushes into the parquet scan (row-group min/max pruning — at 100 TB
+    this is the partition-pruning path; verified in PushedFilters)."""
     import calendar
     from datetime import datetime
 

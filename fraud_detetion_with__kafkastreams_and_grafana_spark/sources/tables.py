@@ -28,25 +28,42 @@ def load_table(
     """Load one star-schema table.
 
     ``ts_range_ns=(lo, hi)``: for `events`, apply a half-open time-range
-    filter on the RAW nanosecond int64 BEFORE the timestamp conversion —
-    the predicate then pushes into the parquet scan (row-group min/max
-    pruning), which the converted-column filter cannot do. At 100 TB this
-    is the partition-pruning path for time-range queries.
+    filter at the scan, whatever physical layout `ts` arrives in
+    (TIMESTAMP(NANOS)-as-long or TIMESTAMP(MICROS)) — either way the
+    predicate sits on the raw stored column, so it pushes into the parquet
+    scan (row-group min/max pruning). At 100 TB this is the
+    partition-pruning path for time-range queries.
     """
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark reads as a
-        # nanosecond long under spark.sql.legacy.parquet.nanosAsLong.
-        # Convert with integer division (`div`) — a double round-trip at
-        # ~1.7e18 ns would lose sub-microsecond precision.
+    if name == "events":
         from pyspark.sql import functions as F
 
-        if ts_range_ns is not None:
-            lo, hi = ts_range_ns
-            df = df.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
+        ts_dtype = dict(df.dtypes).get("ts")
+        if ts_dtype == "bigint":
+            # events.ts is parquet TIMESTAMP(NANOS), which Spark reads as a
+            # nanosecond long under spark.sql.legacy.parquet.nanosAsLong.
+            # Filter on the raw int64, then convert with integer division
+            # (`div`) — a double round-trip at ~1.7e18 ns would lose
+            # sub-microsecond precision.
+            if ts_range_ns is not None:
+                lo, hi = ts_range_ns
+                df = df.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            )
+        elif ts_dtype in ("timestamp", "timestamp_ntz"):
+            # TIMESTAMP(MICROS) layout: compare against timestamp_ntz
+            # literals (timezone-free, like the stored values) so the
+            # filter still pushes to the scan.
+            if ts_range_ns is not None:
+                lo, hi = ts_range_ns
+                lo_ts = F.timestamp_micros(F.lit(lo // 1000)).cast("timestamp_ntz")
+                hi_ts = F.timestamp_micros(F.lit(hi // 1000)).cast("timestamp_ntz")
+                df = df.filter((F.col("ts") >= lo_ts) & (F.col("ts") < hi_ts))
+            if ts_dtype == "timestamp":
+                df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        elif ts_range_ns is not None:
+            raise TypeError(f"events.ts has unsupported dtype {ts_dtype!r}")
     return df
 
 

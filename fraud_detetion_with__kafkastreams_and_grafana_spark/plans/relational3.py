@@ -780,3 +780,56 @@ def r57_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cms_upper_ok"
         ),
     )
+
+
+@_register(
+    "r58_variant_json",
+    """
+    WITH parsed AS (
+      SELECT event_type,
+             CAST(props->>'$.k' AS INT) AS k,
+             TRY_CAST(CASE WHEN user_id % 3 = 0
+                           THEN substr(props, 1, length(props) - 1)
+                           ELSE props END AS JSON) AS maybe
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(max(k) AS INT) AS max_k,
+           CAST(count(*) - count(maybe) AS BIGINT) AS n_corrupt
+    FROM parsed
+    GROUP BY event_type
+    """,
+)
+def r58_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface via the VARIANT type (Spark 4): parse_json
+    turns the raw props JSON into a binary variant, variant_get extracts a
+    typed path, and try_parse_json returns NULL on malformed input (every
+    third user's record is truncated to an unterminated object) instead of failing
+    the job — the null-on-corrupt contract of the reference's parse path
+    (TransactionProcessor.java:38-44) applied to open-schema columns.
+
+    Scale: variant is a binary-encoded columnar type — parse once, then
+    every variant_get is a JVM-side path lookup with no re-parsing and no
+    Python. The aggregate is an ordinary partial+final hash-agg on a
+    5-value key; at 100 TB the expensive part (JSON text -> variant)
+    happens exactly once per row in the scan stage and would normally be
+    materialized at ingest."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.variant_get(F.parse_json("props"), "$.k", "int").alias("k"),
+        F.try_parse_json(
+            F.when(
+                F.col("user_id") % 3 == 0,
+                F.expr("substr(props, 1, length(props) - 1)"),
+            ).otherwise(F.col("props"))
+        ).alias("maybe"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.max("k").cast("int").alias("max_k"),
+        (F.count("*") - F.count("maybe")).cast("bigint").alias("n_corrupt"),
+    )

@@ -17,6 +17,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
 OUTPUT_SCHEMA = "userId STRING, total_amount DOUBLE, n_tx LONG"
 STATE_SCHEMA = "total DOUBLE, cnt LONG"
@@ -44,4 +45,52 @@ def running_user_totals(fraud: DataFrame) -> DataFrame:
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """transformWithStateInPandas form of the same running-totals operator —
+    Spark 4's successor stateful API (SPARK-46815): named state variables
+    on the RocksDB state store instead of a single opaque state tuple.
+    State scale is identical to the applyInPandasWithState form (one
+    (total, cnt) ValueState entry per user, hash-partitioned across
+    executors), but the store is incremental-checkpoint RocksDB, which is
+    the production choice once per-executor state exceeds heap."""
+
+    def init(self, handle) -> None:
+        self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        if self._totals.exists():
+            total, cnt = self._totals.get()
+        else:
+            total, cnt = 0.0, 0
+        for pdf in rows:
+            total += float(pdf["amount"].sum())
+            cnt += int(len(pdf))
+        self._totals.update((total, cnt))
+        yield pd.DataFrame(
+            {"userId": [key[0]], "total_amount": [total], "n_tx": [cnt]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_totals_tws(fraud: DataFrame) -> DataFrame:
+    """Streaming per-user running totals via transformWithStateInPandas.
+
+    Requires (a) the RocksDB state store provider
+    (spark.sql.streaming.stateStore.providerClass) — transformWithState is
+    only implemented on that provider — and (b) the `protobuf` package,
+    which Spark's TransformWithStateInPySpark driver worker imports for
+    its state-server protocol. This sandbox ships neither protobuf nor a
+    way to install it, so the operator is exercised by a skip-gated test
+    (tests/test_streaming.py) rather than a registered driver query; on
+    any standard Spark 4 cluster image it runs as-is."""
+    return fraud.groupBy("userId").transformWithStateInPandas(
+        statefulProcessor=RunningTotalsProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="update",
+        timeMode="none",
     )

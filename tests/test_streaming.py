@@ -290,3 +290,63 @@ def test_python_stream_source_equals_batch(spark, sf_dir):
     stream = {tuple(r) for r in SQ["s11_stream_python_source"](spark, sf_dir).collect()}
     batch = {tuple(r) for r in RQ["r56_python_datasource"](spark, sf_dir).collect()}
     assert stream == batch and len(stream) == 200
+
+
+def test_transform_with_state_running_totals(spark):
+    """transformWithStateInPandas (Spark 4 stateful API, RocksDB-backed)
+    must produce the same final per-user totals as the batch GROUP BY —
+    same contract as s03's applyInPandasWithState form. Skips where the
+    TWS driver worker's protobuf dependency is absent (this sandbox)."""
+    pytest.importorskip("google.protobuf")
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators.detect import (
+        EVENTS_FRAUD_THRESHOLD,
+    )
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.streaming_queries import (
+        _events_wire,
+        _wire_dir,
+    )
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.streaming.replay import (
+        replay_wire_stream,
+    )
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.streaming.stateful import (
+        running_user_totals_tws,
+    )
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.streaming.topology import (
+        fraud_topology,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        snap = replay_wire_stream(
+            spark,
+            _wire_dir(spark, sf),
+            lambda s: running_user_totals_tws(
+                fraud_topology(s, threshold=EVENTS_FRAUD_THRESHOLD)
+            ),
+            output_mode="update",
+            name="tws_mem",
+        )
+        streamed = {
+            r.userId: (round(r.total_amount, 2), r.n_tx)
+            for r in snap.groupBy("userId")
+            .agg(F.max("total_amount").alias("total_amount"), F.max("n_tx").alias("n_tx"))
+            .collect()
+        }
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    batch = {
+        r.userId: (round(r.total_amount, 2), r.n_tx)
+        for r in fraud_topology(_events_wire(spark, sf), threshold=100.0)
+        .groupBy("userId")
+        .agg(F.sum("amount").alias("total_amount"), F.count("*").alias("n_tx"))
+        .collect()
+    }
+    assert streamed == batch

@@ -833,3 +833,36 @@ def r58_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").cast("int").alias("max_k"),
         (F.count("*") - F.count("maybe")).cast("bigint").alias("n_corrupt"),
     )
+
+
+_R59_SQL = """
+SELECT r.r_name AS region_name, t.n_name AS nation_name, t.n_cust
+FROM region r,
+LATERAL (
+  SELECT n.n_name, CAST(count(c.c_custkey) AS BIGINT) AS n_cust
+  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = r.r_regionkey
+  GROUP BY n.n_name
+  ORDER BY n_cust DESC, n.n_name
+  LIMIT 2
+) t
+"""
+
+
+@_register("r59_lateral_topn", _R59_SQL)
+def r59_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: per region, the top-2 nations by
+    customer count. The SAME SQL text runs on both engines (DuckDB
+    executes it verbatim as the oracle) — the per-outer-row ORDER BY +
+    LIMIT is the classic lateral shape that a plain join cannot express.
+
+    Scale: Catalyst DECORRELATES the lateral — the physical plan is a
+    partial+final WindowGroupLimit (top-k per group computed map-side
+    before the shuffle, never a per-row re-execution) over one hash-agg,
+    joined back to `region` by broadcast. Verified via .explain: no
+    nested-loop, no cartesian, top-2 pruning happens before the exchange
+    — the decorrelated plan is what you'd hand-write at 100 TB."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_R59_SQL)

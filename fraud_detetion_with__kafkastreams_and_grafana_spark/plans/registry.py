@@ -24,6 +24,7 @@ def _modules():
         "relational",
         "relational2",
         "relational3",
+        "timeseries",
         "llmops",
         "advanced",
         "streaming_queries",

@@ -759,3 +759,47 @@ def s12_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return replay_wire_stream(spark, _wire_dir(spark, sf_dir), xform, name="s12_mem")
+
+
+@_register(
+    "s13_rocksdb_state_store",
+    """
+    SELECT printf('user_%03d', user_id) AS userId,
+           round(sum(value), 2) AS total_amount, count(*) AS n_tx
+    FROM events WHERE value > 100.0
+    GROUP BY 1
+    """,
+)
+def s13_rocksdb_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s01's stateful aggregation executed on the RocksDB state store
+    provider — the production state backend once per-executor state
+    outgrows the JVM heap (off-heap, incremental snapshot/changelog
+    upload, no GC pressure from state). The provider is a pure physical
+    swap: the snapshot must be bit-identical to the default
+    HDFS-backed-store run, which is exactly what sharing s01's oracle
+    proves. Provider choice is pinned per-query-lifetime (set before
+    start, restored after); on a cluster it is set once per streaming
+    job, not per batch."""
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_conf, "")
+
+    def xform(stream: DataFrame) -> DataFrame:
+        fraud = fraud_topology(stream, threshold=EVENTS_FRAUD_THRESHOLD)
+        return fraud.groupBy("userId").agg(
+            F.round(F.sum("amount"), 2).alias("total_amount"),
+            F.count("*").alias("n_tx"),
+        )
+
+    spark.conf.set(
+        provider_conf,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        return replay_wire_stream(
+            spark, _wire_dir(spark, sf_dir), xform, name="s13_mem"
+        )
+    finally:
+        if prev:
+            spark.conf.set(provider_conf, prev)
+        else:
+            spark.conf.unset(provider_conf)

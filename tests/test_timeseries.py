@@ -1,0 +1,58 @@
+"""Oracle parity + plan pins for the time-series continuous-aggregate
+surface (plans/timeseries.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from fraud_detetion_with__kafkastreams_and_grafana_spark import testing
+from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import timeseries
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = testing.duckdb_conn(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(timeseries.QUERIES))
+def test_timeseries_oracle_parity(spark, duck, sf_dir, name):
+    res = testing.check_query(
+        spark, duck, name, timeseries.QUERIES[name], timeseries.ORACLES.get(name), sf_dir
+    )
+    assert res.ok, res.detail
+
+
+def test_rollup_query_never_reads_raw_events(spark, sf_dir):
+    """The 6-hour query must be answered from the materialized hourly
+    rollup alone — its scan set contains the rollup path and NOT the
+    raw events table. That independence is the whole point of the
+    continuous-aggregate pattern."""
+    df = timeseries.QUERIES["r60_rollup_merge"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "spark_graft_rollup_" in plan
+    assert "events.parquet" not in plan
+
+
+def test_gapfill_spine_is_dense_and_zero_filled(spark, sf_dir):
+    """Every (user, day) cell inside the [min_day, max_day] range is
+    present exactly once; days without events carry n_tx=0 and a
+    non-null ff_mean once the user has at least one earlier data day."""
+    rows = timeseries.QUERIES["r61_gapfill"](spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    days_global = {r.day for r in rows}
+    n_days = len(days_global)
+    assert n_days == (max(days_global) - min(days_global)).days + 1
+    for user_rows in by_user.values():
+        assert len(user_rows) == n_days
+        assert len({r.day for r in user_rows}) == n_days
+        seen_data = False
+        for r in sorted(user_rows, key=lambda r: r.day):
+            if r.n_tx > 0:
+                seen_data = True
+                assert r.day_total > 0.0
+            if seen_data:
+                assert r.ff_mean is not None

@@ -803,3 +803,120 @@ def s13_rocksdb_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(provider_conf, prev)
         else:
             spark.conf.unset(provider_conf)
+
+
+@_register(
+    "s14_stream_rollup_pipeline",
+    f"""
+    SELECT userId,
+           CAST(to_timestamp(floor(epoch(event_time) / 21600) * 21600)
+                AS TIMESTAMP) AS bucket_start,
+           round(sum(amount), 2) AS total_amount,
+           CAST(count(*) AS BIGINT) AS n_tx,
+           min(amount) AS min_amount,
+           max(amount) AS max_amount
+    FROM ({_FRAUD_SQL})
+    GROUP BY 1, 2
+    """,
+)
+def s14_stream_rollup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's WHOLE production pipeline as one oracle-checked
+    query: stream -> continuous aggregate -> dashboard. A watermarked
+    APPEND-mode hourly window agg (s06's bounded-state shape) lands each
+    finalized (userId, hour) rollup row via a foreachBatch
+    dynamic-partition overwrite (s09's idempotent sink shape) into a
+    materialized rollup table; the 6-hour dashboard buckets are then
+    answered from THAT table alone (r60's merge shape — sums/counts add,
+    min/min, max/max, rounding only at the edge). The oracle aggregates
+    raw events directly: nothing may be lost or double-counted between
+    the stream and the dashboard.
+
+    Scale: this is the 100 TB dashboard architecture — raw events are
+    touched exactly once (by the stream), state is bounded by the
+    watermark horizon, the rollup is |users| x |hours| rows, and every
+    dashboard query reads only the rollup. s09 separately proves the
+    sink's exactly-once behavior under full replay."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.detect import fraud_predicate, parse_wire
+
+    d = _ordered_wire_dir(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="spark_graft_s14_rollup_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_s14_ckpt_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = (
+            spark.readStream.schema("value STRING")
+            .option("maxFilesPerTrigger", 2)
+            .text(d)
+        )
+        parsed = parse_wire(stream).withWatermark("event_time", "10 minutes")
+        fraud = parsed.filter(
+            fraud_predicate(F.col("amount"), EVENTS_FRAUD_THRESHOLD)
+        )
+        hourly = (
+            fraud.groupBy(F.window("event_time", "1 hour").alias("w"), "userId")
+            .agg(
+                F.sum("amount").alias("sum_amount"),
+                F.count("*").alias("n_tx"),
+                F.min("amount").alias("min_amount"),
+                F.max("amount").alias("max_amount"),
+            )
+            .select(
+                F.col("w.start").cast("timestamp_ntz").alias("hour_start"),
+                "userId",
+                "sum_amount",
+                "n_tx",
+                "min_amount",
+                "max_amount",
+            )
+        )
+        q = (
+            hourly.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    rollup = spark.read.parquet(out)
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp(F.col("hour_start")) / 21600).cast("long") * 21600
+    ).cast("timestamp_ntz")
+    return (
+        rollup.groupBy("userId", bucket.alias("bucket_start"))
+        .agg(
+            F.sum("sum_amount").alias("_sum"),
+            F.sum("n_tx").alias("n_tx"),
+            F.min("min_amount").alias("min_amount"),
+            F.max("max_amount").alias("max_amount"),
+        )
+        .select(
+            "userId",
+            "bucket_start",
+            F.round("_sum", 2).alias("total_amount"),
+            "n_tx",
+            "min_amount",
+            "max_amount",
+        )
+    )

@@ -436,3 +436,71 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count_distinct("_gh").alias("n_hit_grams"))
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected pair list — centrality
+    on the near-dup graph, used to pick the CANONICAL document per dup
+    cluster (the copy most other copies point at) instead of an arbitrary
+    min-id survivor. Returns (node, rank) after `iterations` synchronous
+    updates of r(v) = (1-d)/N + d * sum_{u~v} r(u)/deg(u), starting
+    uniform at 1/N. N counts nodes IN the graph.
+
+    Scale: per-iteration work is one equi-join of the edge list against
+    the (node, rank) table plus a sum-agg on the destination — both
+    shuffled on 8-byte ids with map-side partials; rank state is 2
+    columns x |nodes|. The iteration count is FIXED (synchronous power
+    iteration), so the driver loop issues a known number of jobs and
+    `localCheckpoint` truncates lineage each round exactly as in
+    connected_components. The scalar 1/N enters as a broadcast 1-row
+    frame, never a collected literal."""
+    g = _persist_reused(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .union(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b")).filter(
+                F.col("a") != F.col("b")
+            )
+        )
+        .distinct()
+    )
+    deg = _persist_reused(
+        g.groupBy("a").agg(F.count("*").cast("double").alias("deg"))
+    )
+    nodes = _persist_reused(g.select(F.col("a").alias("node")).distinct())
+    nfr = nodes.agg(F.count("*").cast("double").alias("n"))
+
+    ranks = (
+        nodes.crossJoin(F.broadcast(nfr))
+        .select("node", (F.lit(1.0) / F.col("n")).alias("rank"))
+        .localCheckpoint()
+    )
+    for _ in range(iterations):
+        contrib = (
+            g.join(ranks, g.a == ranks.node)
+            .join(deg, "a")
+            .groupBy("b")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(nfr))
+            .join(contrib, nodes.node == contrib.b, "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) / F.col("n")
+                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    g.unpersist()
+    deg.unpersist()
+    nodes.unpersist()
+    return ranks

@@ -958,3 +958,68 @@ def l29_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.log(F.col("c") / F.col("n"))), 4).alias("avg_logprob"),
         )
     )
+
+
+def _pagerank_oracle_sql(iterations: int = 5) -> str:
+    """Unrolled fixed-iteration PageRank over the l02 pair graph: one
+    plain CTE per iteration (aggregation is not allowed in a recursive
+    CTE term, and unrolling keeps the oracle's arithmetic order
+    identical to the engine's synchronous updates)."""
+    parts = [
+        f"""
+    WITH pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    deg AS (SELECT a, count(*)::DOUBLE AS deg FROM edges GROUP BY a),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+    pr{i} AS (
+      SELECT nd.node,
+             0.15 / (SELECT n FROM nn) + 0.85 * coalesce(s.contrib, 0) AS rank
+      FROM nodes nd LEFT JOIN (
+        SELECT e.b AS node, sum(p.rank / d.deg) AS contrib
+        FROM edges e JOIN pr{i - 1} p ON e.a = p.node JOIN deg d ON e.a = d.a
+        GROUP BY e.b
+      ) s ON nd.node = s.node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node AS doc_id, round(rank, 6) AS pagerank FROM pr{iterations}
+    """
+    )
+    return "".join(parts)
+
+
+@_register("l30_pagerank", _pagerank_oracle_sql(5))
+def l30_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document centrality: 5 synchronous PageRank iterations
+    over the l02 near-dup pair graph (operators/dedup.pagerank). Where
+    l20 labels dup GROUPS (min-id connected components), PageRank ranks
+    WITHIN them — the highest-rank member is the natural canonical copy
+    (most-connected variant), a better survivor policy than arbitrary
+    min-id when near-dup clusters mix quality tiers.
+
+    Iterative-algorithm pattern on Spark: a fixed driver-side loop of
+    join + agg jobs with localCheckpoint lineage truncation — the same
+    shape as the star-contraction CC and MLlib's own Pregel-style
+    iterations. The oracle unrolls the identical five updates as plain
+    CTEs, so every engine-side arithmetic step is value-checked."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "len_bucket", (F.col("n_chars") / 100).cast("long")
+    )
+    pairs = DD.ngram_jaccard_pairs(
+        docs, block_cols=["lang", "len_bucket"], threshold=0.8
+    )
+    ranks = DD.pagerank(pairs, "id_a", "id_b", iterations=5)
+    return ranks.select(
+        F.col("node").alias("doc_id"), F.round("rank", 6).alias("pagerank")
+    )

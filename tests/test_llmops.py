@@ -339,3 +339,23 @@ def test_semdedup_contract(spark, sf_dir):
     assert pruned, "expected a non-trivial prune set at sf0.01"
     rows2 = llmops.QUERIES["l28_semdedup"](spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_pagerank_mass_conservation_and_chain(spark):
+    """On a dangling-free symmetric graph the synchronous update preserves
+    total rank mass (sum stays 1), every node keeps positive rank, and on
+    a 3-node path the middle node (degree 2) outranks the endpoints."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators.dedup import (
+        pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    rows = {r.node: r.rank for r in pagerank(edges, iterations=8).collect()}
+    assert set(rows) == {1, 2, 3, 10, 11}
+    assert abs(sum(rows.values()) - 1.0) < 1e-9
+    assert all(v > 0 for v in rows.values())
+    assert rows[2] > rows[1] and rows[2] > rows[3]
+    assert abs(rows[1] - rows[3]) < 1e-12
+    assert abs(rows[10] - rows[11]) < 1e-12

@@ -920,3 +920,39 @@ def s14_stream_rollup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_amount",
         )
     )
+
+
+@_register(
+    "s15_available_now_trigger",
+    """
+    SELECT printf('user_%03d', user_id) AS userId,
+           round(sum(value), 2) AS total_amount, count(*) AS n_tx
+    FROM events WHERE value > 100.0
+    GROUP BY 1
+    """,
+)
+def s15_available_now_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s01's aggregation driven by Trigger.AvailableNow — the production
+    trigger for scheduled catch-up jobs: the query snapshots the set of
+    available input files at start, processes them in maxFilesPerTrigger-
+    bounded micro-batches (state accumulating exactly as in continuous
+    mode), and TERMINATES ITSELF at end of data. Sharing s01's oracle
+    proves trigger choice is lifecycle-only — the final snapshot is the
+    batch GROUP BY either way. This is the shape of 'run the streaming
+    pipeline hourly over whatever landed' at 100 TB: same checkpoint,
+    same state, bounded run."""
+
+    def xform(stream: DataFrame) -> DataFrame:
+        fraud = fraud_topology(stream, threshold=EVENTS_FRAUD_THRESHOLD)
+        return fraud.groupBy("userId").agg(
+            F.round(F.sum("amount"), 2).alias("total_amount"),
+            F.count("*").alias("n_tx"),
+        )
+
+    return replay_wire_stream(
+        spark,
+        _wire_dir(spark, sf_dir),
+        xform,
+        name="s15_mem",
+        available_now=True,
+    )

@@ -105,6 +105,7 @@ def replay_wire_stream(
     files_per_trigger: int = 2,
     name: str | None = None,
     state_partitions: int = 8,
+    available_now: bool = False,
 ) -> DataFrame:
     """Serialize `wire` (single STRING column, or an already-materialized
     directory path) to text files, stream them back through `transform` in
@@ -114,6 +115,14 @@ def replay_wire_stream(
     Pass a fixed `name` for repeated invocations (bench loops, driver
     re-runs): the previous run's memory-sink table of the same name is
     dropped first, so snapshots don't accumulate in JVM memory.
+
+    `available_now=True` drives the run with Trigger.AvailableNow — the
+    production catch-up trigger: the query plans all currently-available
+    files up front, still honors maxFilesPerTrigger per batch, and STOPS
+    ITSELF at end of data (awaitTermination instead of
+    processAllAvailable+stop). Semantically identical snapshots; the
+    lifecycle is what differs, and it's the right shape for scheduled
+    incremental jobs over a growing table.
 
     `state_partitions` pins `spark.sql.shuffle.partitions` for the stream's
     lifetime (restored after): a streaming query's state-store instance
@@ -136,17 +145,24 @@ def replay_wire_stream(
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q = (
+        writer = (
             transform(stream)
             .writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
-            .start()
         )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        if available_now:
+            q = writer.trigger(availableNow=True).start()
+            try:
+                q.awaitTermination()
+            finally:
+                q.stop()
+        else:
+            q = writer.start()
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)

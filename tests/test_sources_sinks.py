@@ -114,3 +114,49 @@ def test_python_datasource_partition_invariant(spark):
     assert a == b and len(a) == 1000
     amounts = [r[2] for r in a]
     assert all(1000.0 <= x < 11000.0 for x in amounts)
+
+
+def test_load_table_ts_filter_on_both_layouts(spark, tmp_path):
+    """The events time-range pushdown must filter identically whether the
+    table ships ts as TIMESTAMP(NANOS)-read-as-long or native
+    TIMESTAMP(MICROS) — the driver's testdata has used both layouts
+    across rounds, and the micros layout once silently dropped the
+    filter (the q5 regression this test pins)."""
+    import calendar
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import (
+        load_table,
+    )
+
+    def ns(s: str) -> int:
+        return calendar.timegm(datetime.fromisoformat(s).timetuple()) * 1_000_000_000
+
+    secs = [ns("2024-01-05 00:00:00"), ns("2024-01-10 12:00:00"),
+            ns("2024-01-25 00:00:00")]
+    lo, hi = ns("2024-01-08 00:00:00"), ns("2024-01-22 00:00:00")
+
+    for unit, vals in (
+        ("ns", secs),
+        ("us", [v // 1000 for v in secs]),
+    ):
+        d = tmp_path / f"layout_{unit}"
+        d.mkdir()
+        table = pa.table(
+            {
+                "event_id": pa.array([1, 2, 3], pa.int64()),
+                "ts": pa.array(vals, pa.timestamp(unit)),
+                "user_id": pa.array([0, 1, 2], pa.int64()),
+                "event_type": pa.array(["click"] * 3),
+                "value": pa.array([10.0, 20.0, 30.0]),
+                "props": pa.array(['{"k": 1}'] * 3),
+            }
+        )
+        pq.write_table(table, str(d / "events.parquet"))
+        df = load_table(spark, str(d), "events", ts_range_ns=(lo, hi))
+        rows = df.collect()
+        assert [r.event_id for r in rows] == [2], f"layout {unit}: {rows}"
+        assert dict(df.dtypes)["ts"] == "timestamp_ntz", unit

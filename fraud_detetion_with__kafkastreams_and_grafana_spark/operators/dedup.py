@@ -460,15 +460,17 @@ def pagerank(
     `localCheckpoint` truncates lineage each round exactly as in
     connected_components. The scalar 1/N enters as a broadcast 1-row
     frame, never a collected literal."""
-    g = _persist_reused(
+    # Materialize the projected pair list (eager localCheckpoint) BEFORE
+    # the symmetric union: the two union branches would otherwise each
+    # re-execute the full upstream pair-generation plan — measured as 2x
+    # the dominant cost on the Jaccard-pair graph.
+    e0 = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
-        .union(
-            edges.select(F.col(dst).alias("a"), F.col(src).alias("b")).filter(
-                F.col("a") != F.col("b")
-            )
-        )
-        .distinct()
+        .localCheckpoint()
+    )
+    g = _persist_reused(
+        e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     )
     deg = _persist_reused(
         g.groupBy("a").agg(F.count("*").cast("double").alias("deg"))

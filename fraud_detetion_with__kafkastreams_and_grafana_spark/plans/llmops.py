@@ -1023,3 +1023,96 @@ def l30_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("doc_id"), F.round("rank", 6).alias("pagerank")
     )
+
+
+@_register(
+    "l31_pii_redact",
+    r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || CASE
+               WHEN doc_id % 5 = 0 THEN ' contact u' || doc_id || '@example.com'
+               WHEN doc_id % 5 = 1 THEN ' from 10.0.' || doc_id % 256 || '.7'
+               WHEN doc_id % 5 = 2 THEN ' call +1 555 000 ' || 1000 + doc_id % 9000
+               ELSE ''
+             END AS text
+      FROM documents
+    ),
+    redacted AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>',
+                   'g'),
+                 '\d{1,3}[.]\d{1,3}[.]\d{1,3}[.]\d{1,3}', '<IP>', 'g'),
+               '[+]\d[\d ]{7,}\d', '<PHONE>', 'g') AS red,
+             len(regexp_extract_all(
+               text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}'))
+               AS n_emails,
+             len(regexp_extract_all(
+               text, '\d{1,3}[.]\d{1,3}[.]\d{1,3}[.]\d{1,3}')) AS n_ips
+      FROM seeded
+    )
+    SELECT doc_id, CAST(n_emails AS INT) AS n_emails,
+           CAST(n_ips AS INT) AS n_ips,
+           md5(red) AS redacted_md5
+    FROM redacted
+    """,
+)
+def l31_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction stage every training-data pipeline
+    runs before tokenization: emails, IPv4 addresses, and phone numbers
+    replaced with typed placeholder tokens, plus per-doc detection
+    counts. The synthetic corpus carries no PII, so both engines plant
+    the SAME deterministic contacts on 3 of every 5 docs first — the
+    oracle then value-checks the md5 of the fully-redacted text, pinning
+    every byte of the replacement behavior (pattern reach, ordering,
+    global replace), not just the counts.
+
+    Patterns stay in the common Java-regex/RE2 dialect subset (character
+    classes, bounded repeats — no backrefs or lookaround) so both
+    engines compile identical semantics.
+
+    Scale: pure per-row codegen (regexp_replace/extract_all chains +
+    md5) — narrow projection, zero shuffle, linear scan at any corpus
+    size; at 100 TB this runs inside the ingest scan stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" contact u"), F.col("doc_id"), F.lit("@example.com")),
+            )
+            .when(
+                F.col("doc_id") % 5 == 1,
+                F.concat(F.lit(" from 10.0."), F.col("doc_id") % 256, F.lit(".7")),
+            )
+            .when(
+                F.col("doc_id") % 5 == 2,
+                F.concat(F.lit(" call +1 555 000 "), 1000 + F.col("doc_id") % 9000),
+            )
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+    ipv4 = r"\d{1,3}[.]\d{1,3}[.]\d{1,3}[.]\d{1,3}"
+    phone = r"[+]\d[\d ]{7,}\d"
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email, "<EMAIL>"), ipv4, "<IP>"
+        ),
+        phone,
+        "<PHONE>",
+    )
+    return seeded.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(email), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(ipv4), 0)).alias("n_ips"),
+        F.md5(red).alias("redacted_md5"),
+    )

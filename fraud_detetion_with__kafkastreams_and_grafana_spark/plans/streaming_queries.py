@@ -956,3 +956,76 @@ def s15_available_now_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
         name="s15_mem",
         available_now=True,
     )
+
+
+@_register(
+    "s16_stream_outer_join",
+    """
+    SELECT printf('user_%03d', a.user_id) AS userId,
+           a.value AS spike_amount, date_trunc('second', a.ts) AS spike_time,
+           b.value AS follow_amount, date_trunc('second', b.ts) AS follow_time
+    FROM (SELECT * FROM events WHERE value > 300.0) a
+    LEFT JOIN events b
+      ON a.user_id = b.user_id
+     AND date_trunc('second', b.ts) > date_trunc('second', a.ts)
+     AND date_trunc('second', b.ts) <= date_trunc('second', a.ts) + INTERVAL 6 HOUR
+    """,
+)
+def s16_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s07's watermarked stream-stream join as LEFT OUTER — the semantic
+    inner joins cannot express: a spike with NO follow-up inside its 6h
+    horizon must still emit, null-padded, and may only do so once the
+    watermark proves no match can still arrive (spike_time + 6h + delay
+    behind the watermark). The sentinel pushes the final watermark past
+    every horizon, so each unmatched spike emits exactly once; matched
+    spikes emit their pairs as in s07. The oracle is the plain batch
+    LEFT JOIN — bounded state, null-padding, and exactly-once emission
+    all checked by value.
+
+    Scale: state as in s07 (both sides evicted past watermark - range);
+    the outer side additionally holds unmatched spikes only until their
+    horizon closes — still watermark-bounded, never forever."""
+    from ..operators.detect import parse_wire
+
+    d = _ordered_wire_dir(spark, sf_dir)
+
+    def xform(stream: DataFrame) -> DataFrame:
+        spikes = (
+            parse_wire(stream)
+            .withWatermark("event_time", "10 minutes")
+            .filter(F.col("amount") > 300.0)
+            .select(
+                "userId",
+                F.col("amount").alias("spike_amount"),
+                F.col("event_time").alias("spike_time"),
+            )
+        )
+        follows = (
+            parse_wire(
+                spark.readStream.schema("value STRING")
+                .option("maxFilesPerTrigger", 4)
+                .text(d)
+            )
+            .withWatermark("event_time", "10 minutes")
+            .select(
+                F.col("userId").alias("_fu"),
+                F.col("amount").alias("follow_amount"),
+                F.col("event_time").alias("follow_time"),
+            )
+        )
+        return spikes.join(
+            follows,
+            (F.col("userId") == F.col("_fu"))
+            & (F.col("follow_time") > F.col("spike_time"))
+            & (
+                F.col("follow_time")
+                <= F.col("spike_time") + F.expr("INTERVAL 6 HOURS")
+            ),
+            "left_outer",
+        ).select(
+            "userId", "spike_amount", "spike_time", "follow_amount", "follow_time"
+        )
+
+    return replay_wire_stream(
+        spark, d, xform, output_mode="append", name="s16_mem", files_per_trigger=4
+    )

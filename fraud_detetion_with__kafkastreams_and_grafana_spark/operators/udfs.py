@@ -222,3 +222,37 @@ def make_risk_score_iter(threshold: float):
             yield (amount * inv - 0.5).clip(lower=0.0, upper=1.0)
 
     return risk_iter
+
+
+def arrow_amount_features(tx: DataFrame) -> DataFrame:
+    """mapInArrow — the zero-copy end of the Python-interop ladder (plain
+    scalar pandas_udf -> SCALAR_ITER -> applyInPandas -> mapInPandas ->
+    THIS): batches arrive as pyarrow RecordBatches and all compute runs
+    in pyarrow.compute kernels, so no pandas materialization and no
+    Python-object boxing ever happens. The shape for per-batch work over
+    columnar buffers (codecs, tokenizers with Arrow bindings, FFI).
+
+    Deterministic closed-form features so the SQL oracle replays the
+    identical arithmetic: amount_hundreds = floor(amount/100),
+    amount_frac = round(amount - floor(amount), 6)."""
+    import pyarrow as pa
+
+    def _features(batches):
+        import pyarrow.compute as pc
+
+        for b in batches:
+            amount = b.column("amount")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("userId"),
+                    b.column("event_id"),
+                    pc.cast(pc.floor(pc.divide(amount, 100.0)), pa.int64()),
+                    pc.round(pc.subtract(amount, pc.floor(amount)), ndigits=6),
+                ],
+                ["userId", "event_id", "amount_hundreds", "amount_frac"],
+            )
+
+    return tx.select("userId", "event_id", "amount").mapInArrow(
+        _features,
+        "userId string, event_id long, amount_hundreds long, amount_frac double",
+    )

@@ -257,3 +257,21 @@ def u08_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return SK.replicate_broadcast_join(tx, dim, "userId")
+
+
+@_register(
+    "u09_map_in_arrow",
+    """
+    SELECT printf('user_%03d', user_id) AS userId, event_id,
+           CAST(floor(value / 100.0) AS BIGINT) AS amount_hundreds,
+           round(value - floor(value), 6) AS amount_frac
+    FROM events
+    """,
+)
+def u09_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native batch transform via mapInArrow (operators/udfs.
+    arrow_amount_features): pyarrow.compute kernels over RecordBatches,
+    no pandas materialization — the zero-copy endpoint of the UDF
+    ladder. The oracle replays the identical closed-form arithmetic in
+    SQL."""
+    return U.arrow_amount_features(_tx(spark, sf_dir))

@@ -866,3 +866,50 @@ def r59_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_R59_SQL)
+
+
+_R62_SPARK_SQL = """
+WITH RECURSIVE anc(user_id, anc_id, depth) AS (
+  SELECT DISTINCT user_id, user_id, 0 FROM events
+  UNION ALL
+  SELECT user_id, anc_id DIV 2, depth + 1 FROM anc WHERE anc_id > 0
+)
+SELECT user_id,
+       CAST(max(depth) AS INT) AS depth_to_root,
+       CAST(count(*) AS BIGINT) AS n_ancestors,
+       CAST(sum(anc_id) AS BIGINT) AS anc_id_sum
+FROM anc GROUP BY user_id
+"""
+
+
+@_register(
+    "r62_recursive_cte",
+    """
+    WITH RECURSIVE anc(user_id, anc_id, depth) AS (
+      SELECT DISTINCT user_id, user_id, 0 FROM events
+      UNION ALL
+      SELECT user_id, anc_id // 2, depth + 1 FROM anc WHERE anc_id > 0
+    )
+    SELECT user_id,
+           CAST(max(depth) AS INT) AS depth_to_root,
+           CAST(count(*) AS BIGINT) AS n_ancestors,
+           CAST(sum(anc_id) AS BIGINT) AS anc_id_sum
+    FROM anc GROUP BY user_id
+    """,
+)
+def r62_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, new in Spark 4.0): walk each user's
+    ancestor chain in an implicit binary-tree hierarchy (parent = id/2)
+    to the root, then aggregate depth / ancestor count / ancestor-id sum
+    per user. The oracle runs the same recursion in DuckDB — the only
+    dialect delta is integer division (DIV vs //).
+
+    Scale: Spark executes the recursion as iterated UnionLoop steps —
+    each iteration is an ordinary distributed plan over the previous
+    frontier, so a chain of depth d costs d narrow passes (here d <= 8
+    for 200 users); the frontier shrinks as chains terminate. Same
+    driver-loop shape as l20/l30, but expressed declaratively in SQL."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_R62_SPARK_SQL)

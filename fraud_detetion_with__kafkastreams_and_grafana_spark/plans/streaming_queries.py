@@ -1029,3 +1029,87 @@ def s16_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replay_wire_stream(
         spark, d, xform, output_mode="append", name="s16_mem", files_per_trigger=4
     )
+
+
+def _doubled_ordered_wire_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Every wire record TWICE on the event-time-ordered replay:
+    repartitionByRange keys duplicates (identical event times) into the
+    same or adjacent files, so each duplicate arrives while its original
+    is still inside the watermark horizon — the arrival pattern
+    dropDuplicatesWithinWatermark guarantees correctness for."""
+    from ..streaming.replay import materialize_ordered_wire_dir
+
+    key = ("doubled_ordered", id(spark), sf_dir)
+    if key not in _WIRE_DIRS:
+        tx = events_as_transactions(load_table(spark, sf_dir, "events"))
+        wire_ts = tx.select(
+            F.to_json(
+                F.struct(
+                    F.col("userId"),
+                    F.col("amount"),
+                    F.unix_timestamp(F.col("event_time").cast("timestamp")).alias(
+                        "timestamp"
+                    ),
+                )
+            ).alias("value"),
+            F.col("event_time").alias("_ts"),
+        )
+        _WIRE_DIRS[key] = materialize_ordered_wire_dir(
+            wire_ts.union(wire_ts), "_ts", sentinel=_SENTINEL_JSON
+        )
+    return _WIRE_DIRS[key]
+
+
+@_register(
+    "s17_dedup_within_watermark",
+    """
+    SELECT userId, round(sum(amount), 2) AS total_amount, count(*) AS n_tx
+    FROM (
+      SELECT DISTINCT printf('user_%03d', user_id) AS userId, value AS amount,
+             date_trunc('second', ts) AS et
+      FROM events WHERE value > 100.0
+    )
+    GROUP BY userId
+    """,
+)
+def s17_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s04's streaming dedup in its PRODUCTION (bounded-state) form:
+    dropDuplicatesWithinWatermark evicts dedup state once the watermark
+    passes a row's event time + horizon, instead of holding every key
+    forever. Over the event-time-ordered doubled replay each duplicate
+    arrives inside its original's horizon, so the deduped totals equal
+    the batch DISTINCT + GROUP BY exactly — the oracle proves eviction
+    lost nothing under the arrival pattern the operator contracts for.
+
+    Scale: dedup state is bounded by keys seen within one watermark
+    horizon (vs s04's all-keys-ever); this is the form that survives an
+    unbounded stream with repeating keys."""
+    from ..operators.detect import fraud_predicate, parse_wire
+
+    def xform(stream: DataFrame) -> DataFrame:
+        parsed = parse_wire(stream).withWatermark("event_time", "10 minutes")
+        # The watermark-advancing sentinel must pass the watermark tracker
+        # but not the business logic; unlike s06/s07 (where final-watermark
+        # semantics already exclude it from emission), a complete-mode
+        # aggregation snapshots EVERY group, so the in-band control record
+        # is dropped explicitly by its out-of-range event time.
+        fraud = parsed.filter(
+            fraud_predicate(F.col("amount"), EVENTS_FRAUD_THRESHOLD)
+            & (F.col("event_time") < F.timestamp_seconds(F.lit(_SENTINEL_TS)))
+        )
+        return (
+            fraud.dropDuplicatesWithinWatermark(["userId", "amount", "timestamp"])
+            .groupBy("userId")
+            .agg(
+                F.round(F.sum("amount"), 2).alias("total_amount"),
+                F.count("*").alias("n_tx"),
+            )
+        )
+
+    return replay_wire_stream(
+        spark,
+        _doubled_ordered_wire_dir(spark, sf_dir),
+        xform,
+        name="s17_mem",
+        files_per_trigger=4,
+    )

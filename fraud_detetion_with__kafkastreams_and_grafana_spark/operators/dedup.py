@@ -266,31 +266,42 @@ def simhash_near_dups(
     ).filter(F.col("hamming") <= max_hamming)
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    block_cols: list[str] | None = None,
-    threshold: float = 0.8,
+def hashed_token_sets(
+    df: DataFrame, id_col: str, text_col: str, block_cols: list[str]
 ) -> DataFrame:
-    """Blocked all-pairs token-Jaccard: self-join restricted to blocking
-    keys (e.g. language + length bucket) so the pair count is bounded per
-    block instead of O(n^2) over the corpus. Exact within blocks — the
-    deterministic oracle-checkable complement to the probabilistic LSH
-    variants."""
-    block_cols = block_cols or []
-    # Compare hashed-token sets (long arrays), not string arrays: the
-    # quadratic stage then intersects 8-byte ints. Hash collisions would
-    # need two distinct tokens colliding within one doc pair — negligible.
-    base = _persist_reused(
-        df.select(
-            F.col(id_col).alias("id"),
-            F.array_distinct(
-                F.transform(shingles(F.col(text_col), 1), lambda s: F.xxhash64(s))
-            ).alias("sh"),
-            *[F.col(c) for c in block_cols],
-        ).withColumn("n", F.size("sh"))
+    """(id, sh, n[, block cols]) frame of distinct hashed unigram sets —
+    compare 8-byte ints in the pair stage, not string arrays. Hash
+    collisions would need two distinct tokens colliding within one doc
+    pair — negligible."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.transform(shingles(F.col(text_col), 1), lambda s: F.xxhash64(s))
+        ).alias("sh"),
+        *[F.col(c) for c in block_cols],
+    ).withColumn("n", F.size("sh"))
+
+
+def _jaccard_verify_pairs(base: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
+    """Exact-verify candidate (id_a, id_b) pairs against the full hashed
+    token sets in `base` (id, sh). Shared tail of both candidate paths."""
+    a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("_sha"))
+    b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("_shb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("_sha"), F.col("_shb")), 4).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
     )
+
+
+def _allpairs_block_join(base: DataFrame, block_cols: list[str], threshold: float) -> DataFrame:
+    """Exact all-pairs self-join within blocks (the quadratic path; only
+    ever applied to blocks whose size is under the caller's cap)."""
     # Size-ratio prefilter: jaccard >= t forces |A|/|B| in [t, 1/t] (since
     # |A∩B| <= min and |A∪B| >= max). Checking two ints per pair prunes
     # most candidates before the expensive array intersect/union.
@@ -312,6 +323,98 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard_sim") >= threshold)
     )
+
+
+def prefix_filter_candidates(
+    base: DataFrame, block_cols: list[str], threshold: float
+) -> DataFrame:
+    """Prefix-filtered candidate pairs for an exact Jaccard join — the
+    AllPairs/PPJoin family (Bayardo et al., WWW'07; public algorithm):
+
+    Order each doc's tokens by ascending global frequency (rarest first,
+    token-hash tiebreak). If J(A,B) >= t then the overlap o = |A∩B|
+    satisfies o >= ceil(t * max(|A|,|B|)) =: α, and the classic prefix
+    lemma gives: the first |A| - α + 1 tokens of A and the first
+    |B| - α + 1 tokens of B share at least one token. Using each doc's
+    own (longer) prefix of length n - ceil(t*n) + 1 keeps a superset of
+    those prefixes, so equi-joining prefixes on token yields a candidate
+    superset of every qualifying pair — NO pair is lost; exactness is
+    restored by the verify step.
+
+    Scale: per-token candidate cost is |bucket|^2, but prefixes hold only
+    each doc's ~(1-t)·n RAREST tokens, so stopword buckets never form.
+    The shuffles are one token-frequency agg, one row_number window per
+    doc, and one equi-join on (block, token) — all linear in corpus size.
+    """
+    from pyspark.sql import Window
+
+    ex = base.select(
+        "id", "n", *[F.col(c) for c in block_cols], F.explode("sh").alias("tok")
+    )
+    freq = ex.groupBy("tok").agg(F.count("*").alias("_tf"))
+    w = Window.partitionBy("id").orderBy(F.asc("_tf"), F.asc("tok"))
+    pref = (
+        ex.join(freq, "tok")
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
+        .select("id", "n", "tok", *[F.col(c) for c in block_cols])
+    )
+    cond = (
+        (F.col("a.id") < F.col("b.id"))
+        & (F.col("a.tok") == F.col("b.tok"))
+        & (F.col("a.n") >= F.col("b.n") * threshold)
+        & (F.col("b.n") >= F.col("a.n") * threshold)
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        pref.alias("a")
+        .join(pref.alias("b"), cond)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: list[str] | None = None,
+    threshold: float = 0.8,
+    max_block_size: int | None = 4096,
+) -> DataFrame:
+    """Blocked exact token-Jaccard pairs with a bounded quadratic stage.
+
+    Blocks (e.g. language + length bucket) at or under `max_block_size`
+    use the exact all-pairs self-join; larger blocks route through
+    prefix-filtered candidate generation (`prefix_filter_candidates`) +
+    exact verification. BOTH paths return exactly the pairs with
+    J >= threshold, so the result is identical for any cap — the cap is
+    purely a performance contract: no task ever materializes an O(b^2)
+    pair blowup from one hot (lang, len_bucket) block, which at 100 TB
+    would hold millions of docs. `max_block_size=None` disables routing
+    (pure all-pairs; only for small trusted inputs). Deterministic and
+    oracle-checkable — the exact complement to the probabilistic LSH
+    variants."""
+    block_cols = block_cols or []
+    base = _persist_reused(hashed_token_sets(df, id_col, text_col, block_cols))
+    if max_block_size is None:
+        return _allpairs_block_join(base, block_cols, threshold)
+    if block_cols:
+        sizes = base.groupBy(*block_cols).agg(F.count("*").alias("_bn"))
+        tagged = base.join(sizes, block_cols)
+    else:
+        tagged = base.crossJoin(
+            F.broadcast(base.agg(F.count("*").alias("_bn")))
+        )
+    small = tagged.filter(F.col("_bn") <= max_block_size).drop("_bn")
+    big = tagged.filter(F.col("_bn") > max_block_size).drop("_bn")
+    exact_small = _allpairs_block_join(small, block_cols, threshold)
+    big_pairs = _jaccard_verify_pairs(
+        big, prefix_filter_candidates(big, block_cols, threshold), threshold
+    )
+    # Blocks are disjoint by key, so the union is disjoint — no dedup pass.
+    return exact_small.unionByName(big_pairs)
 
 
 def connected_components(

@@ -70,6 +70,37 @@ def train_fraud_scorer(
     return pipe.fit(labeled)
 
 
+# Index-build/query split (same shape as operators/similarity.py's
+# centroid builds): the LR fit is the expensive offline step, scoring is
+# the cheap repeatable query. Cache one trained model per
+# (application, dataset, threshold); a new SparkSession gets a new
+# applicationId, so stale JVM-bound models are never reused.
+_MODEL_CACHE: dict[tuple[str, str, float], PipelineModel] = {}
+
+
+def get_or_train_fraud_scorer(
+    features: DataFrame,
+    cache_key: str,
+    threshold: float = EVENTS_FRAUD_THRESHOLD,
+) -> PipelineModel:
+    """Train-once accessor: fit on first use for (app, cache_key,
+    threshold), then return the cached PipelineModel. In production this
+    is the model-registry read in front of a scheduled training job — the
+    query path must not pay a refit per invocation."""
+    spark = features.sparkSession
+    key = (spark.sparkContext.applicationId, cache_key, threshold)
+    model = _MODEL_CACHE.get(key)
+    if model is None:
+        model = train_fraud_scorer(features, threshold)
+        # Evict entries from dead applications so long-lived drivers that
+        # cycle sessions don't accumulate unreachable JVM model handles.
+        live = spark.sparkContext.applicationId
+        for k in [k for k in _MODEL_CACHE if k[0] != live]:
+            del _MODEL_CACHE[k]
+        _MODEL_CACHE[key] = model
+    return model
+
+
 def score(model: PipelineModel, features: DataFrame) -> DataFrame:
     """Apply the model; unchanged on batch and streaming frames (narrow
     ops only). Returns p(fraud) per event."""

@@ -960,11 +960,18 @@ def l29_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_oracle_sql(iterations: int = 5) -> str:
+def _pagerank_oracle_sql(iterations: int = 5, damping: float = 0.85) -> str:
     """Unrolled fixed-iteration PageRank over the l02 pair graph: one
     plain CTE per iteration (aggregation is not allowed in a recursive
     CTE term, and unrolling keeps the oracle's arithmetic order
-    identical to the engine's synchronous updates)."""
+    identical to the engine's synchronous updates).
+
+    The teleport/damping constants are emitted via Python ``repr`` of the
+    SAME doubles the engine computes (``F.lit(1.0 - damping)``), so both
+    sides use bit-identical IEEE values for any damping — a hand-written
+    0.15 literal would be 1 ulp off 1.0 - 0.85."""
+    teleport = repr(1.0 - damping)
+    damp = repr(damping)
     parts = [
         f"""
     WITH pairs AS ({_JACCARD_PAIRS_SQL}),
@@ -983,7 +990,7 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
             f""",
     pr{i} AS (
       SELECT nd.node,
-             0.15 / (SELECT n FROM nn) + 0.85 * coalesce(s.contrib, 0) AS rank
+             {teleport} / (SELECT n FROM nn) + {damp} * coalesce(s.contrib, 0) AS rank
       FROM nodes nd LEFT JOIN (
         SELECT e.b AS node, sum(p.rank / d.deg) AS contrib
         FROM edges e JOIN pr{i - 1} p ON e.a = p.node JOIN deg d ON e.a = d.a

@@ -57,8 +57,12 @@ def load_table(
             # filter still pushes to the scan.
             if ts_range_ns is not None:
                 lo, hi = ts_range_ns
-                lo_ts = F.timestamp_micros(F.lit(lo // 1000)).cast("timestamp_ntz")
-                hi_ts = F.timestamp_micros(F.lit(hi // 1000)).cast("timestamp_ntz")
+                # Ceiling division on both bounds: a microsecond value t
+                # satisfies t*1000 >= lo iff t >= ceil(lo/1000), and
+                # t*1000 < hi iff t < ceil(hi/1000) — so both layouts
+                # select the identical event set for any ns-precision range.
+                lo_ts = F.timestamp_micros(F.lit(-(-lo // 1000))).cast("timestamp_ntz")
+                hi_ts = F.timestamp_micros(F.lit(-(-hi // 1000))).cast("timestamp_ntz")
                 df = df.filter((F.col("ts") >= lo_ts) & (F.col("ts") < hi_ts))
             if ts_dtype == "timestamp":
                 df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))

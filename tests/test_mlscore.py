@@ -39,6 +39,24 @@ def test_model_separates_fraud(spark):
     assert agree > 0.95
 
 
+def test_train_once_cache(spark):
+    """get_or_train_fraud_scorer must fit at most once per (session,
+    dataset, threshold): repeat calls return the SAME PipelineModel
+    object (the m01 query path is score-only after the first call), and a
+    different cache key or threshold gets its own independent fit."""
+    tx = events_as_transactions(load_table(spark, SF_MED, "events"))
+    feats = ML.fraud_features(tx, ML.user_stats(tx))
+    m1 = ML.get_or_train_fraud_scorer(feats, cache_key="k1")
+    m2 = ML.get_or_train_fraud_scorer(feats, cache_key="k1")
+    assert m1 is m2
+    m3 = ML.get_or_train_fraud_scorer(feats, cache_key="k2")
+    assert m3 is not m1
+    m4 = ML.get_or_train_fraud_scorer(feats, cache_key="k1", threshold=50.0)
+    assert m4 is not m1
+    # and the cached model still scores: one cheap narrow projection
+    assert ML.score(m2, feats).limit(1).count() == 1
+
+
 def test_batch_stream_score_parity(spark):
     """The SAME model applied to a replayed micro-batch stream yields the
     same per-event probabilities as the batch transform."""

@@ -160,3 +160,44 @@ def test_load_table_ts_filter_on_both_layouts(spark, tmp_path):
         rows = df.collect()
         assert [r.event_id for r in rows] == [2], f"layout {unit}: {rows}"
         assert dict(df.dtypes)["ts"] == "timestamp_ntz", unit
+
+
+def test_load_table_ts_filter_unaligned_ns_bounds(spark, tmp_path):
+    """ns-precision bounds NOT aligned to 1000 must select the identical
+    event set on both physical layouts. Floor division on the micros
+    layout would (a) admit a microsecond value just below the lower
+    bound and (b) drop one just below the upper bound — ceiling division
+    on both bounds is the correct half-open window conversion."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import (
+        load_table,
+    )
+
+    base_us = 1_700_000_000_000_000  # 2023-11-14T22:13:20 in micros
+    us_vals = [base_us - 1, base_us, base_us + 9, base_us + 10]
+    # lo sits 500 ns above (base_us - 1): excludes event 1 under nanos
+    # semantics; hi sits 500 ns above (base_us + 10): includes event 4.
+    lo = (base_us - 1) * 1000 + 500
+    hi = (base_us + 10) * 1000 + 500
+
+    for unit, vals in (("ns", [u * 1000 for u in us_vals]), ("us", us_vals)):
+        d = tmp_path / f"unaligned_{unit}"
+        d.mkdir()
+        table = pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "ts": pa.array(vals, pa.timestamp(unit)),
+                "user_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "event_type": pa.array(["click"] * 4),
+                "value": pa.array([1.0, 2.0, 3.0, 4.0]),
+                "props": pa.array(['{"k": 1}'] * 4),
+            }
+        )
+        pq.write_table(table, str(d / "events.parquet"))
+        got = sorted(
+            r.event_id
+            for r in load_table(spark, str(d), "events", ts_range_ns=(lo, hi)).collect()
+        )
+        assert got == [2, 3, 4], f"layout {unit}: {got}"

@@ -10,6 +10,9 @@ import tempfile
 import pytest
 from pyspark.sql import functions as F
 
+from fraud_detetion_with__kafkastreams_and_grafana_spark.operators.detect import (
+    EVENTS_FRAUD_THRESHOLD,
+)
 from fraud_detetion_with__kafkastreams_and_grafana_spark.streaming import (
     generator,
     topology,
@@ -175,7 +178,7 @@ def test_replay_stream_equals_batch(spark):
     }
     batch = {
         r.userId: (r.total_amount, r.n_tx)
-        for r in fraud_topology(_events_wire(spark, sf), threshold=100.0)
+        for r in fraud_topology(_events_wire(spark, sf), threshold=EVENTS_FRAUD_THRESHOLD)
         .groupBy("userId")
         .agg(F.round(F.sum("amount"), 2).alias("total_amount"), F.count("*").alias("n_tx"))
         .collect()
@@ -344,7 +347,7 @@ def test_transform_with_state_running_totals(spark):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     batch = {
         r.userId: (round(r.total_amount, 2), r.n_tx)
-        for r in fraud_topology(_events_wire(spark, sf), threshold=100.0)
+        for r in fraud_topology(_events_wire(spark, sf), threshold=EVENTS_FRAUD_THRESHOLD)
         .groupBy("userId")
         .agg(F.sum("amount").alias("total_amount"), F.count("*").alias("n_tx"))
         .collect()

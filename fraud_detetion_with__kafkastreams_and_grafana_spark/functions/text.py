@@ -34,6 +34,23 @@ def tokens(text: Column | str) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
+POLYHASH_MOD = 1_000_000_007
+
+
+def polyhash(token: Column) -> Column:
+    """Polynomial rolling hash of a token: fold h = (h*31 + codepoint) mod
+    1e9+7 over its characters. Unlike xxhash64 this has an EXACT DuckDB
+    twin (list_reduce over ord()), so fingerprints built from it are
+    value-checkable by the oracle harness; arithmetic stays in int64
+    (31 * (1e9+7) + cp < 2^35) and runs JVM-side via higher-order array
+    functions — no Python."""
+    return F.aggregate(
+        F.split(token, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % POLYHASH_MOD,
+    )
+
+
 def whitespace_token_count(text: Column | str) -> Column:
     return F.size(tokens(text)).cast("long")
 

@@ -115,15 +115,35 @@ def l04_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_near_dups(load_table(spark, sf_dir, "documents"), max_hamming=3)
 
 
-@_register("l05_fingerprint")  # xxhash64 has no DuckDB twin -> rows-only
+@_register(
+    "l05_fingerprint",
+    r"""
+    SELECT doc_id,
+           list_min(list_transform(
+             string_split_regex(trim(text), '\s+'),
+             tok -> list_reduce(
+               list_prepend(0::BIGINT,
+                 list_transform(string_split(tok, ''), c -> ord(c)::BIGINT)),
+               (a, b) -> (a * 31 + b) % 1000000007)
+           )) AS fingerprint
+    FROM documents
+    WHERE trim(text) != ''
+    """,
+)
 def l05_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprint: min-hash over the token set — equal for
-    word-permuted duplicates; determinism pinned in tests."""
-    docs = load_table(spark, sf_dir, "documents")
+    """Document fingerprint: min over per-token polynomial rolling hashes
+    (functions/text.polyhash) — equal for word-permuted duplicates, like
+    a single-permutation MinHash. The poly hash (vs xxhash64) makes the
+    value exactly reproducible in SQL, so this is hash-checked by the
+    oracle, not rows-only; determinism is additionally pinned in tests.
+    Empty docs are excluded on both sides (the engines disagree on
+    hashing a zero-length token, and a fingerprint of nothing is
+    meaningless anyway)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.trim("text") != "")
     sh = DD.shingles(F.col("text"), 1)
     return docs.select(
         "doc_id",
-        F.array_min(F.transform(sh, lambda s: F.xxhash64(s))).alias("fingerprint"),
+        F.array_min(F.transform(sh, lambda s: TX.polyhash(s))).alias("fingerprint"),
     )
 
 
@@ -751,17 +771,65 @@ def l23_corpus_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("l24_pq_codes")  # data-dependent codebook -> rows-only + pytest
+@_register(
+    "l24_pq_codes",
+    """
+    WITH seeds AS (
+      SELECT embedding,
+             row_number() OVER (
+               ORDER BY (vec_id * 2654435761) % 1000000007 ASC, vec_id ASC
+             ) - 1 AS cid
+      FROM embeddings
+      ORDER BY (vec_id * 2654435761) % 1000000007 ASC, vec_id ASC
+      LIMIT 16
+    ),
+    d AS (
+      SELECT e.vec_id, js.j, s.cid,
+             list_reduce(list_transform(range(1, 9), i ->
+               CAST(s.embedding[js.j * 8 + i] AS DOUBLE)
+                 * CAST(s.embedding[js.j * 8 + i] AS DOUBLE)
+               - 2 * CAST(e.embedding[js.j * 8 + i] AS DOUBLE)
+                 * CAST(s.embedding[js.j * 8 + i] AS DOUBLE)
+             ), (x, y) -> x + y) AS dist
+      FROM embeddings e, seeds s, (SELECT unnest(range(8)) AS j) js
+    ),
+    best AS (
+      SELECT vec_id, j, cid,
+             row_number() OVER (
+               PARTITION BY vec_id, j ORDER BY dist ASC, cid ASC
+             ) AS rn
+      FROM d
+    )
+    SELECT vec_id,
+           max(CASE WHEN j = 0 THEN cid END)::INT AS code_0,
+           max(CASE WHEN j = 1 THEN cid END)::INT AS code_1,
+           max(CASE WHEN j = 2 THEN cid END)::INT AS code_2,
+           max(CASE WHEN j = 3 THEN cid END)::INT AS code_3,
+           max(CASE WHEN j = 4 THEN cid END)::INT AS code_4,
+           max(CASE WHEN j = 5 THEN cid END)::INT AS code_5,
+           max(CASE WHEN j = 6 THEN cid END)::INT AS code_6,
+           max(CASE WHEN j = 7 THEN cid END)::INT AS code_7
+    FROM best WHERE rn = 1
+    GROUP BY vec_id
+    """,
+)
 def l24_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization of the embedding column
     (operators/similarity.pq_encode): 8 subspaces x 16 centroids — each
     256-byte vector becomes 8 small ints, the compressed representation
     ANN systems scan at 100 TB when raw vectors no longer fit. Codebook
     is the deterministic hash-seeded slice (production: per-subspace
-    KMeans, same encode path). Rows-only by design (nearest-centroid
-    argmin over a data-derived float codebook has no stable SQL twin);
-    determinism, self-encoding anchors, and reconstruction-error bounds
-    are pinned in tests/test_llmops.py."""
+    KMeans, same encode path).
+
+    Hash-checked (not rows-only): the codebook selection is plain SQL
+    (multiplicative-hash order, LIMIT ksub) and the per-subspace argmin
+    is reproduced in the oracle as argmin over sumsq(c) - 2*x·c — the
+    sumsq(x) term the engine also adds is constant per (vector,
+    subspace), so it cannot change the ordering beyond sub-ulp ties,
+    which the shared (dist, cid) tiebreak resolves identically to
+    np.argmin's first-min-index. Determinism, self-encoding anchors, and
+    reconstruction-error bounds are additionally pinned in
+    tests/test_llmops.py."""
     em = load_table(spark, sf_dir, "embeddings")
     out = SIM.pq_encode(em, m=8, ksub=16)
     # driver compare sorts columns; explode codes into scalar cols
@@ -771,14 +839,85 @@ def l24_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("l25_pq_adc_topk")  # approximate -> rows-only + recall pytest
+_COS_ORDER_SQL = """
+      list_reduce(list_transform(range(1, len(a.embedding) + 1),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+      / (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+       * sqrt(list_reduce(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)))"""
+
+
+@_register(
+    "l25_pq_adc_topk",
+    f"""
+    WITH seeds AS (
+      SELECT embedding,
+             row_number() OVER (
+               ORDER BY (vec_id * 2654435761) % 1000000007 ASC, vec_id ASC
+             ) - 1 AS cid
+      FROM embeddings
+      ORDER BY (vec_id * 2654435761) % 1000000007 ASC, vec_id ASC
+      LIMIT 16
+    ),
+    d AS (
+      SELECT e.vec_id, js.j, s.cid,
+             list_reduce(list_transform(range(1, 9), i ->
+               CAST(s.embedding[js.j * 8 + i] AS DOUBLE)
+                 * CAST(s.embedding[js.j * 8 + i] AS DOUBLE)
+               - 2 * CAST(e.embedding[js.j * 8 + i] AS DOUBLE)
+                 * CAST(s.embedding[js.j * 8 + i] AS DOUBLE)
+             ), (x, y) -> x + y) AS dist
+      FROM embeddings e, seeds s, (SELECT unnest(range(8)) AS j) js
+    ),
+    codes AS (
+      SELECT vec_id, j, cid FROM (
+        SELECT vec_id, j, cid,
+               row_number() OVER (
+                 PARTITION BY vec_id, j ORDER BY dist ASC, cid ASC
+               ) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    dt AS (
+      SELECT s.cid, js.j,
+             list_reduce(list_transform(range(1, 9), i ->
+               (CAST(s.embedding[js.j * 8 + i] AS DOUBLE)
+                  - CAST(qq.embedding[js.j * 8 + i] AS DOUBLE))
+               * (CAST(s.embedding[js.j * 8 + i] AS DOUBLE)
+                  - CAST(qq.embedding[js.j * 8 + i] AS DOUBLE))
+             ), (x, y) -> x + y) AS dq
+      FROM seeds s,
+           (SELECT embedding FROM embeddings WHERE vec_id = 0) qq,
+           (SELECT unnest(range(8)) AS j) js
+    ),
+    adc AS (
+      SELECT c.vec_id, sum(dt.dq) AS adc_dist
+      FROM codes c JOIN dt ON c.j = dt.j AND c.cid = dt.cid
+      GROUP BY c.vec_id
+    ),
+    short AS (SELECT vec_id FROM adc ORDER BY adc_dist ASC, vec_id ASC LIMIT 100)
+    SELECT a.vec_id, {_COS_SQL} AS cosine_sim
+    FROM embeddings a JOIN short USING (vec_id),
+         (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ORDER BY {_COS_ORDER_SQL} DESC, a.vec_id ASC
+    LIMIT 10
+    """,
+)
 def l25_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ADC ANN top-10 for query vec_id=0
     (operators/similarity.pq_adc_topk): scan 8-int codes with a broadcast
     distance table, exact-cosine rerank the shortlist. Completes the ANN
     ladder (brute l06, hyperplane-LSH l07, IVF l13, PQ-ADC here) — the
     variant for when raw vectors are too large to scan at all. Recall
-    against the exact top-10 is pinned in tests/test_llmops.py."""
+    against the exact top-10 is pinned in tests/test_llmops.py.
+
+    Hash-checked (not rows-only): every stage is deterministic given the
+    hash-seeded codebook — the oracle unrolls codebook selection, PQ
+    encode (as in l24), the query's centroid distance table, the ADC sum,
+    the (adc, vec_id)-ordered 100-vector shortlist, and the exact-cosine
+    rerank. FP accumulation-order ulps cannot flip any ordering here:
+    measured adjacent ADC gaps in the shortlist region are >= 4e-5 vs
+    ~1e-15 noise, and exact code ties break on cid/vec_id identically in
+    both engines."""
     em = load_table(spark, sf_dir, "embeddings")
     return SIM.pq_adc_topk(em, em.filter(F.col("vec_id") == 0), k=10)
 

@@ -353,3 +353,212 @@ def test_transform_with_state_running_totals(spark):
         .collect()
     }
     assert streamed == batch
+
+
+# ---------------------------------------------------------------------------
+# Late-data / watermark-horizon pin-downs (VERDICT r3 next-round #6)
+# ---------------------------------------------------------------------------
+
+_LT0 = 1_700_000_000  # 2023-11-14 22:13:20 UTC
+_LSENT = _LT0 + 10 * 24 * 3600
+
+
+def _late_wire_dir(tmp_path):
+    """Hand-ordered replay dir, one file per micro-batch:
+
+      b0  user_001 200 @ T0
+      b1  user_001 200 @ T0          (exact duplicate, inside the horizon)
+      b2  user_002 150 @ T0+3600     (advances the EVICTION watermark)
+      b3  user_002 160 @ T0+3660     (advances the LATE-EVENTS watermark:
+                                      Spark filters late input with the
+                                      PREVIOUS batch's watermark and evicts
+                                      state with the CURRENT one, so the
+                                      drop needs one extra advancing batch)
+      b4  user_001 200 @ T0 + user_003 170 @ T0   (both now below the
+                                      late-filter watermark -> dropped)
+      b5-7 sentinel                   (flushes append-mode state)
+    """
+    import os
+    import time
+
+    def rec(u, a, t):
+        return f'{{"userId":"{u}","amount":{a},"timestamp":{t}}}'
+
+    batches = [
+        [rec("user_001", 200.0, _LT0)],
+        [rec("user_001", 200.0, _LT0)],
+        [rec("user_002", 150.0, _LT0 + 3600)],
+        [rec("user_002", 160.0, _LT0 + 3660)],
+        [rec("user_001", 200.0, _LT0), rec("user_003", 170.0, _LT0)],
+        [rec("user_999", 99999.0, _LSENT)],
+        [rec("user_999", 99999.0, _LSENT)],
+        [rec("user_999", 99999.0, _LSENT)],
+    ]
+    d = tmp_path / "late_wire"
+    d.mkdir()
+    base = time.time() - len(batches) - 10
+    for i, rows in enumerate(batches):
+        p = d / f"part-{i:05d}.txt"
+        p.write_text("\n".join(rows) + "\n")
+        os.utime(p, (base + i, base + i))
+    return str(d)
+
+
+def test_watermark_drops_late_event_from_window_agg(spark, tmp_path):
+    """s06's operator shape (append-mode tumbling window under a 10-min
+    watermark): an event older than the late-events watermark horizon is
+    EXCLUDED — the T0 window finalizes with the two in-horizon rows only,
+    and the all-late user_003 never appears."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators.detect import (
+        fraud_predicate,
+        parse_wire,
+    )
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.streaming.replay import (
+        replay_wire_stream,
+    )
+
+    def xform(stream):
+        parsed = parse_wire(stream).withWatermark("event_time", "10 minutes")
+        fraud = parsed.filter(fraud_predicate(F.col("amount"), EVENTS_FRAUD_THRESHOLD))
+        return (
+            fraud.groupBy(F.window("event_time", "10 minutes").alias("w"), "userId")
+            .agg(F.round(F.sum("amount"), 2).alias("total"), F.count("*").alias("n"))
+            .select(
+                F.col("w.start").cast("timestamp_ntz").alias("ws"), "userId", "total", "n"
+            )
+        )
+
+    snap = replay_wire_stream(
+        spark,
+        _late_wire_dir(tmp_path),
+        xform,
+        output_mode="append",
+        files_per_trigger=1,
+        name="late_window_mem",
+    )
+    got = {(r.userId, str(r.ws)): (r.total, r.n) for r in snap.collect()}
+    # b4's late user_001 copy is dropped: 2 rows, not 3; 400.0, not 600.0
+    assert got[("user_001", "2023-11-14 22:10:00")] == (400.0, 2)
+    assert got[("user_002", "2023-11-14 23:10:00")] == (310.0, 2)
+    # the all-late user and the sentinel never reach the output
+    assert not any(u == "user_003" or u == "user_999" for u, _ in got)
+
+
+def test_watermark_drops_late_event_from_dedup(spark, tmp_path):
+    """s17's operator (dropDuplicatesWithinWatermark): an in-horizon exact
+    duplicate is deduped (n=1), and a late event below the late-events
+    watermark is dropped entirely (user_003 absent) — pinning that dedup
+    state eviction cannot double-count a beyond-horizon duplicate."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators.detect import (
+        fraud_predicate,
+        parse_wire,
+    )
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.streaming.replay import (
+        replay_wire_stream,
+    )
+
+    def xform(stream):
+        parsed = parse_wire(stream).withWatermark("event_time", "10 minutes")
+        fraud = parsed.filter(
+            fraud_predicate(F.col("amount"), EVENTS_FRAUD_THRESHOLD)
+            & (F.col("event_time") < F.timestamp_seconds(F.lit(_LSENT)))
+        )
+        return (
+            fraud.dropDuplicatesWithinWatermark(["userId", "amount", "timestamp"])
+            .groupBy("userId")
+            .agg(F.round(F.sum("amount"), 2).alias("total"), F.count("*").alias("n"))
+        )
+
+    snap = replay_wire_stream(
+        spark,
+        _late_wire_dir(tmp_path),
+        xform,
+        files_per_trigger=1,
+        name="late_dedup_mem",
+    )
+    got = {r.userId: (r.total, r.n) for r in snap.collect()}
+    assert got == {"user_001": (200.0, 1), "user_002": (310.0, 2)}
+
+
+# ---------------------------------------------------------------------------
+# Kafka wiring (VERDICT r3 next-round #5): skip-gated on a real broker
+# ---------------------------------------------------------------------------
+
+
+def test_kafka_round_trip_when_broker_available(spark, tmp_path):
+    """Full Kafka parity path (TransactionProcessor.java:22-27,54):
+    produce the wire rows to a topic, run the fraud topology from a
+    Kafka source, sink alerts to a second topic, and compare the
+    consumed alerts with the batch topology. Skips cleanly unless
+    SPARK_GRAFT_KAFKA_BROKERS points at a reachable broker AND the
+    spark-sql-kafka package is on the classpath."""
+    import os
+
+    brokers = os.environ.get("SPARK_GRAFT_KAFKA_BROKERS")
+    if not brokers:
+        pytest.skip("no Kafka broker configured (set SPARK_GRAFT_KAFKA_BROKERS)")
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.streaming.topology import (
+        alerts_as_wire,
+        fraud_topology,
+        start_to_kafka,
+        wire_stream_from_kafka,
+    )
+
+    run = f"t{os.getpid()}"
+    in_topic, out_topic = f"transactions-input-{run}", f"fraud-alert-{run}"
+    wire = spark.createDataFrame([(r,) for r in WIRE_ROWS], "value STRING")
+    try:
+        (
+            wire.selectExpr("CAST(NULL AS STRING) AS key", "value")
+            .write.format("kafka")
+            .option("kafka.bootstrap.servers", brokers)
+            .option("topic", in_topic)
+            .save()
+        )
+    except Exception as e:  # pragma: no cover - environment gate
+        if "Failed to find data source: kafka" in str(e):
+            pytest.skip("spark-sql-kafka package not on classpath")
+        raise
+
+    stream = wire_stream_from_kafka(spark, brokers, topic=in_topic)
+    q = start_to_kafka(
+        alerts_as_wire(fraud_topology(stream)),
+        brokers,
+        out_topic,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    consumed = (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", out_topic)
+        .option("startingOffsets", "earliest")
+        .load()
+        .selectExpr("CAST(value AS STRING) AS value")
+    )
+    batch = alerts_as_wire(fraud_topology(wire))
+    assert sorted(r.value for r in consumed.collect()) == sorted(
+        r.value for r in batch.collect()
+    )
+
+
+def test_kafka_wiring_constructs_without_broker(spark):
+    """The Kafka source/sink builders must at least construct their plans:
+    with the package absent the failure mode is the specific
+    'Failed to find data source' analysis error, never a Python-side
+    error in our wiring. With the package present, construction succeeds
+    lazily without contacting any broker."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.streaming.topology import (
+        wire_stream_from_kafka,
+    )
+
+    try:
+        df = wire_stream_from_kafka(spark, "localhost:9092")
+    except Exception as e:
+        assert "kafka" in str(e).lower(), e
+    else:
+        assert df.schema.simpleString() == "struct<value:string>"

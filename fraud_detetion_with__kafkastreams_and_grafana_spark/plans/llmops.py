@@ -1262,3 +1262,127 @@ def l31_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(F.col("text"), F.lit(ipv4), 0)).alias("n_ips"),
         F.md5(red).alias("redacted_md5"),
     )
+
+
+@_register(
+    "l32_vocab_topk",
+    r"""
+    WITH w AS (
+      SELECT doc_id, t AS term
+      FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '[^a-z0-9]+')) AS t
+        FROM documents WHERE trim(text) <> ''
+      ) WHERE t <> ''
+    )
+    SELECT term, tf, df FROM (
+      SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df,
+             row_number() OVER (ORDER BY count(*) DESC, term ASC) AS rn
+      FROM w GROUP BY term
+    ) WHERE rn <= 200
+    """,
+)
+def l32_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build: top-200 terms by total frequency with
+    document frequency — the first step of any tokenizer/BPE training or
+    stopword-mining pass over a training corpus (same normalization as
+    l21's TF-IDF terms, so the two share a vocabulary space).
+
+    Scale: one explode feeds ONE hash aggregate keyed on term (map-side
+    partials collapse each partition's repeats before the shuffle; df via
+    count_distinct adds a doc_id-level partial dedup). The top-200 is
+    orderBy+limit = TakeOrderedAndProject — per-partition heaps, only
+    200 rows to the driver-side merge, never a global sort."""
+    docs = load_table(spark, sf_dir, "documents").where(F.trim("text") != "")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim("text")), r"[^a-z0-9]+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+    return (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("tf"), F.count_distinct("doc_id").alias("df"))
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(200)
+    )
+
+
+@_register(
+    "l33_dedup_survivors",
+    f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS group_id
+      FROM reach GROUP BY a
+    ),
+    q AS (
+      SELECT doc_id,
+             round((least(length(text) / 500.0, 1.0)
+                  + least({_STOP_RATIO} * 4, 1.0)
+                  + greatest(1.0 - ({_DIGIT_RATIO} + {_PUNCT_RATIO}) * 2, 0.0)) / 3, 6)
+               AS quality
+      FROM documents
+    )
+    SELECT group_id, doc_id AS survivor_id, quality, n_members FROM (
+      SELECT c.group_id, c.doc_id, q.quality,
+             count(*) OVER (PARTITION BY c.group_id) AS n_members,
+             row_number() OVER (
+               PARTITION BY c.group_id ORDER BY q.quality DESC, c.doc_id ASC
+             ) AS rn
+      FROM comp c JOIN q USING (doc_id)
+    ) WHERE rn = 1
+    """,
+)
+def l33_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: for every near-dup group (l20's
+    connected components over the blocked-Jaccard pair graph), keep the
+    HIGHEST-QUALITY member (l11's score, doc_id tiebreak) instead of the
+    arbitrary min-id — the production dedup end-state where near-dup
+    clusters mix quality tiers. Output: one row per dup group with its
+    survivor and member count.
+
+    Scale: components via log-round label propagation; the survivor pick
+    is one window over groups (shuffle keyed on group_id, group sizes are
+    dup-cluster sizes — small by construction after dedup blocking). The
+    quality join touches only docs IN dup groups via the comp frame.
+    Ordering ties are impossible cross-engine: quality is rounded to 6
+    before ordering on BOTH sides, and doc_id breaks exact ties."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "len_bucket", (F.col("n_chars") / 100).cast("long")
+    )
+    pairs = DD.ngram_jaccard_pairs(
+        docs, block_cols=["lang", "len_bucket"], threshold=0.8
+    )
+    comp = DD.connected_components(pairs, "id_a", "id_b")
+    quality = docs.select("doc_id", TX.quality_score("text").alias("quality"))
+    joined = comp.select(F.col("node").alias("doc_id"), F.col("comp").alias("group_id")).join(
+        quality, "doc_id"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("group_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        joined.select(
+            "group_id",
+            "doc_id",
+            "quality",
+            F.count("*").over(Window.partitionBy("group_id")).alias("n_members"),
+            F.row_number().over(w).alias("_rn"),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            "group_id", F.col("doc_id").alias("survivor_id"), "quality", "n_members"
+        )
+    )

@@ -46,14 +46,17 @@ def _modules():
 # window (r01-r43 were driver-green in rounds 1-2).
 _FAMILY_RANK = {"q": 0, "s": 1, "u": 2, "m": 3, "l": 4, "r": 5}
 
-# Driver-green in CORRECTNESS_r01/r02.
+# Driver-checked in CORRECTNESS_r01/r02/r03 (rows recorded, incl. the
+# documented rows-only family). Keep this in sync each round: anything NOT
+# here sorts first so the driver's capped window always reaches it — r62
+# missed round 3's window precisely because this set was stale.
 _DRIVER_CHECKED = (
     {f"q{i}" for i in range(1, 8)}
-    | {f"s{i:02d}" for i in range(1, 6)}
-    | {f"u{i:02d}" for i in range(1, 6)}
-    | {"m01"}
-    | {f"l{i:02d}" for i in range(1, 17)}
-    | {f"r{i:02d}" for i in range(1, 44)}
+    | {f"s{i:02d}" for i in range(1, 18)}
+    | {f"u{i:02d}" for i in range(1, 10)}
+    | {"m01", "m02"}
+    | {f"l{i:02d}" for i in range(1, 32)}
+    | {f"r{i:02d}" for i in range(1, 62)}
 )
 
 

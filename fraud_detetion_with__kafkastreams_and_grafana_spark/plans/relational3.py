@@ -913,3 +913,39 @@ def r62_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_R62_SPARK_SQL)
+
+
+@_register(
+    "r63_pivot",
+    """
+    SELECT user_id,
+           round(coalesce(sum(CASE WHEN event_type = 'click' THEN value END), 0), 2) AS click_sum,
+           round(coalesce(sum(CASE WHEN event_type = 'error' THEN value END), 0), 2) AS error_sum,
+           round(coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0), 2) AS purchase_sum,
+           round(coalesce(sum(CASE WHEN event_type = 'signup' THEN value END), 0), 2) AS signup_sum,
+           round(coalesce(sum(CASE WHEN event_type = 'view' THEN value END), 0), 2) AS view_sum
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def r63_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: long-to-wide per-user value totals, one column per event
+    type. The pivot values are EXPLICIT (the five known types), which is
+    the 100 TB contract: with values given, Spark plans ONE pass — a
+    single hash aggregate producing all pivot cells via conditional
+    aggregation (no per-type scan, no driver-side distinct to discover
+    the column set, which at scale would be a blocking extra job).
+    The oracle is that same conditional aggregation written out."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.sum("value"))
+    )
+    return out.select(
+        "user_id",
+        *[
+            F.round(F.coalesce(F.col(t), F.lit(0.0)), 2).alias(f"{t}_sum")
+            for t in ["click", "error", "purchase", "signup", "view"]
+        ],
+    )

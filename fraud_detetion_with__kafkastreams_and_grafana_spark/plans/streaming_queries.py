@@ -1113,3 +1113,71 @@ def s17_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         name="s17_mem",
         files_per_trigger=4,
     )
+
+
+@_register(
+    "s18_chained_stream_aggs",
+    f"""
+    WITH per_user AS (
+      SELECT CAST(to_timestamp(floor(epoch(event_time) / 600) * 600) AS TIMESTAMP)
+               AS window_start,
+             userId, sum(amount) AS total
+      FROM ({_FRAUD_SQL})
+      GROUP BY 1, 2
+    )
+    SELECT CAST(to_timestamp(floor(epoch(window_start) / 3600) * 3600) AS TIMESTAMP)
+             AS hour_start,
+           CAST(count(*) AS BIGINT) AS n_user_windows,
+           round(sum(total), 2) AS grand_total
+    FROM per_user
+    GROUP BY 1
+    """,
+)
+def s18_chained_stream_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful aggregations in one streaming query (multiple
+    stateful operators, Spark 3.4+/4): a 10-min per-user windowed sum
+    feeds a second 1-hour windowed rollup via window_time() — the
+    dashboard drill-up (per-user detail -> hourly overview) computed in a
+    single pass instead of two queries over two sinks. Both operators
+    share the stream's watermark; the first agg's finalized windows flow
+    into the second as they close, so state at BOTH levels stays bounded
+    by the horizon.
+
+    Scale: level-1 state is (active windows x users), level-2 state is
+    active hours only; the inter-level exchange is a shuffle keyed on the
+    hour window — no re-read of the source, which at 100 TB is the
+    difference between one scan and two."""
+
+    def xform(stream: DataFrame) -> DataFrame:
+        from ..operators.detect import fraud_predicate, parse_wire
+
+        parsed = parse_wire(stream).withWatermark("event_time", "10 minutes")
+        fraud = parsed.filter(
+            fraud_predicate(F.col("amount"), EVENTS_FRAUD_THRESHOLD)
+        )
+        per_user = (
+            fraud.groupBy(F.window("event_time", "10 minutes").alias("w"), "userId")
+            .agg(F.sum("amount").alias("total"))
+        )
+        return (
+            per_user.groupBy(
+                F.window(F.window_time("w"), "1 hour").alias("h")
+            )
+            .agg(
+                F.count("*").alias("n_user_windows"),
+                F.round(F.sum("total"), 2).alias("grand_total"),
+            )
+            .select(
+                F.col("h.start").cast("timestamp_ntz").alias("hour_start"),
+                "n_user_windows",
+                "grand_total",
+            )
+        )
+
+    return replay_wire_stream(
+        spark,
+        _ordered_wire_dir(spark, sf_dir),
+        xform,
+        output_mode="append",
+        name="s18_mem",
+    )

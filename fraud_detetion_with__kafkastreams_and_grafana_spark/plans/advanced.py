@@ -281,3 +281,45 @@ def u09_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ladder. The oracle replays the identical closed-form arithmetic in
     SQL."""
     return U.arrow_amount_features(_tx(spark, sf_dir))
+
+
+@_register("m03_stream_mllib_score")  # learned model -> rows-only + parity pytest
+def m03_stream_mllib_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north star assembled end-to-end as ONE registered query:
+    'Structured Streaming + MLlib' (BASELINE.json) — the session-cached
+    LR scorer (m01's build/query split) applied to the replayed event
+    stream micro-batch by micro-batch. Features are per-row expressions
+    plus a STREAM-STATIC broadcast join against batch-computed per-user
+    stats, and PipelineModel.transform is a stateless column mapping, so
+    scoring runs identically on bounded and unbounded frames —
+    batch-stream score parity is pinned in tests/test_mlscore.py.
+
+    Rows-only by design (a learned model has no SQL twin); the batch
+    twin m01 carries the AUC/agreement pytest evidence. Scale: inference
+    is a narrow projection (no shuffle, no state); the stats dim is the
+    production recompute-on-a-cadence broadcast; per-event identity via
+    xxhash64 of the wire triple, not a stateful id assignment."""
+    from ..operators import mlscore as ML
+    from ..operators.detect import parse_wire
+    from ..streaming.replay import replay_wire_stream
+    from .streaming_queries import _wire_dir
+
+    tx = _tx(spark, sf_dir)
+    stats = ML.user_stats(tx)
+    model = ML.get_or_train_fraud_scorer(
+        ML.fraud_features(tx, stats), cache_key=sf_dir
+    )
+
+    def xform(stream: DataFrame) -> DataFrame:
+        parsed = parse_wire(stream).withColumn(
+            "event_id", F.xxhash64("userId", "amount", "timestamp")
+        )
+        return ML.score(model, ML.fraud_features(parsed, stats))
+
+    return replay_wire_stream(
+        spark,
+        _wire_dir(spark, sf_dir),
+        xform,
+        output_mode="append",
+        name="m03_mem",
+    ).drop("amount")

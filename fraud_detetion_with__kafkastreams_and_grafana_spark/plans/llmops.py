@@ -1386,3 +1386,80 @@ def l33_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "group_id", F.col("doc_id").alias("survivor_id"), "quality", "n_members"
         )
     )
+
+
+@_register(
+    "l34_cdc_chunks",
+    r"""
+    WITH s AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents WHERE trim(text) <> ''
+    ),
+    tok AS (
+      SELECT doc_id, i AS pos, w[i + 1] AS tok
+      FROM s, unnest(range(0, len(w))) t(i)
+    ),
+    h AS (
+      SELECT doc_id, pos,
+             list_reduce(
+               list_prepend(0::BIGINT,
+                 list_transform(string_split(tok, ''), c -> ord(c)::BIGINT)),
+               (a, b) -> (a * 31 + b) % 1000000007) AS th
+      FROM tok
+    ),
+    marked AS (
+      SELECT doc_id, pos, th,
+             CASE WHEN th % 64 = 0 THEN 1 ELSE 0 END AS cut
+      FROM h
+    ),
+    chunked AS (
+      SELECT doc_id, pos, th,
+             sum(cut) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - cut AS chunk_idx
+      FROM marked
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(min(pos) AS BIGINT) AS first_pos,
+           CAST(sum(th) AS BIGINT) AS chunk_hash
+    FROM chunked
+    GROUP BY doc_id, chunk_idx
+    """,
+)
+def l34_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (Rabin-style): cut BEFORE any token whose
+    rolling hash ≡ 0 (mod 64), so chunk boundaries depend on CONTENT, not
+    position — insert one word at the head of a document and every
+    fixed-size chunk shifts, but CDC boundaries downstream of the edit
+    stay identical, which is what makes chunk-level dedup stable under
+    edits (the l18 fixed-size splitter is the contrast case). Expected
+    chunk length is the modulus (64 tokens).
+
+    One posexplode -> per-token polyhash (JVM higher-order fold, the same
+    value-checkable hash as l05) -> one running-sum window per doc -> one
+    hash-agg on (doc, chunk). No Python, no self-join; the window
+    partitions by doc_id so chunking parallelizes per document at 100 TB.
+    The oracle replays every step, chunk_hash included, value-exactly."""
+    docs = load_table(spark, sf_dir, "documents").where(F.trim("text") != "")
+    tok = docs.select(
+        "doc_id", F.posexplode(TX.tokens("text")).alias("pos", "tok")
+    )
+    h = tok.select("doc_id", "pos", TX.polyhash(F.col("tok")).alias("th"))
+    cut = (F.col("th") % 64 == 0).cast("long")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunked = h.select(
+        "doc_id", "pos", "th", (F.sum(cut).over(w) - cut).alias("chunk_idx")
+    )
+    return chunked.groupBy("doc_id", "chunk_idx").agg(
+        F.count("*").alias("n_tokens"),
+        F.min("pos").cast("long").alias("first_pos"),
+        F.sum("th").alias("chunk_hash"),
+    )

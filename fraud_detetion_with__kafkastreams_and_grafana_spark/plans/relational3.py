@@ -930,22 +930,27 @@ def r62_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def r63_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: long-to-wide per-user value totals, one column per event
-    type. The pivot values are EXPLICIT (the five known types), which is
-    the 100 TB contract: with values given, Spark plans ONE pass — a
-    single hash aggregate producing all pivot cells via conditional
-    aggregation (no per-type scan, no driver-side distinct to discover
-    the column set, which at scale would be a blocking extra job).
-    The oracle is that same conditional aggregation written out."""
+    type, with the pivot values EXPLICIT (the five known types — never a
+    driver-side distinct-discovery job at scale).
+
+    Deliberately lowered to conditional aggregation instead of
+    DataFrame.pivot(): .explain shows .pivot() plans TWO aggregations
+    (partial_sum keyed on (user, type) -> exchange -> pivotfirst keyed on
+    user -> second exchange), while sum(CASE WHEN ...) per type is ONE
+    hash aggregate with map-side partials and ONE exchange on user_id —
+    half the shuffles for the identical result, which is the plan you
+    want feeding a 100 TB events table. The oracle is the same
+    conditional aggregation in SQL."""
     ev = load_table(spark, sf_dir, "events")
-    out = (
-        ev.groupBy("user_id")
-        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
-        .agg(F.sum("value"))
-    )
-    return out.select(
-        "user_id",
+    return ev.groupBy("user_id").agg(
         *[
-            F.round(F.coalesce(F.col(t), F.lit(0.0)), 2).alias(f"{t}_sum")
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(F.col("event_type") == t, F.col("value"))),
+                    F.lit(0.0),
+                ),
+                2,
+            ).alias(f"{t}_sum")
             for t in ["click", "error", "purchase", "signup", "view"]
-        ],
+        ]
     )

@@ -401,3 +401,42 @@ def test_pagerank_mass_conservation_and_chain(spark):
     assert rows[2] > rows[1] and rows[2] > rows[3]
     assert abs(rows[1] - rows[3]) < 1e-12
     assert abs(rows[10] - rows[11]) < 1e-12
+
+
+def test_cdc_chunks_shift_invariant(spark):
+    """The CDC property that motivates l34: prepending one word shifts
+    every FIXED-size chunk, but content-defined boundaries downstream of
+    the edit are unchanged — the suffix chunks (identified by their
+    content hash) survive the edit; only the chunk containing the edit
+    changes."""
+    import random
+
+    rng = random.Random(7)
+    words = " ".join(f"w{rng.randrange(10_000)}" for _ in range(600))
+    df = spark.createDataFrame(
+        [(1, words), (2, "EDIT " + words)], "doc_id LONG, text STRING"
+    )
+    # same plan as the registered query, applied inline to the tiny frame
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.functions import (
+        text as TX,
+    )
+    from pyspark.sql import Window
+
+    tok = df.select("doc_id", F.posexplode(TX.tokens("text")).alias("pos", "tok"))
+    h = tok.select("doc_id", "pos", TX.polyhash(F.col("tok")).alias("th"))
+    cut = (F.col("th") % 64 == 0).cast("long")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunks = (
+        h.select("doc_id", "pos", "th", (F.sum(cut).over(w) - cut).alias("ci"))
+        .groupBy("doc_id", "ci")
+        .agg(F.count("*").alias("n"), F.sum("th").alias("chash"))
+    )
+    a = {(r.n, r.chash) for r in chunks.filter("doc_id = 1").collect()}
+    b = {(r.n, r.chash) for r in chunks.filter("doc_id = 2").collect()}
+    # every original chunk except (at most) the first survives the edit
+    assert len(a - b) <= 1 and len(b - a) <= 1
+    assert len(a & b) >= len(a) - 1 >= 3

@@ -1472,3 +1472,55 @@ def l34_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("pos").cast("long").alias("first_pos"),
         F.sum("th").alias("chunk_hash"),
     )
+
+
+@_register(
+    "l35_levenshtein_pairs",
+    """
+    WITH d AS (
+      SELECT doc_id, lang, n_chars // 100 AS lb,
+             substring(lower(trim(text)), 1, 32) AS p
+      FROM documents WHERE trim(text) != ''
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.p, b.p) AS INT) AS edit_dist
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.p, b.p) <= 8
+    """,
+)
+def l35_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs: the THIRD dedup family (set-overlap
+    = Jaccard/MinHash, bit-signature = SimHash, and now sequence edit
+    distance), which catches char-level mutations token methods miss
+    (typos, OCR noise). Compared on the 32-char normalized prefix within
+    the same (lang, len_bucket) blocks as l02 — the quadratic stage is
+    block-bounded, and levenshtein is a JVM built-in (no Python).
+
+    At 100 TB the same cap-and-route contract as l02 applies: blocks
+    above the size bound would route through a q-gram prefilter (edit
+    distance <= k forces shared q-grams — the same prefix-filter lemma
+    family); here blocks are bounded so the direct form is exact and
+    oracle-checkable (DuckDB's levenshtein is the identical DP)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.trim("text") != "")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 100).cast("long").alias("lb"),
+        F.substring(F.lower(F.trim("text")), 1, 32).alias("p"),
+    )
+    cond = (
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.lb") == F.col("b.lb"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    return (
+        d.hint("merge").alias("a")
+        .join(d.hint("merge").alias("b"), cond)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein(F.col("a.p"), F.col("b.p")).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 8)
+    )

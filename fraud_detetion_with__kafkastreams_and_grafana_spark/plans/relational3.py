@@ -954,3 +954,75 @@ def r63_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in ["click", "error", "purchase", "signup", "view"]
         ]
     )
+
+
+@_register(
+    "r64_regr_aggs",
+    """
+    SELECT l_returnflag,
+           round(regr_slope(l_discount, l_quantity), 6) AS slope,
+           round(regr_intercept(l_discount, l_quantity), 6) AS intercept,
+           round(regr_r2(l_discount, l_quantity), 6) AS r2,
+           round(corr(l_discount, l_quantity), 6) AS corr_dq,
+           round(covar_samp(l_discount, l_quantity), 6) AS covar_dq,
+           CAST(regr_count(l_discount, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def r64_regr_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (regr_slope/intercept/r2/count plus
+    corr/covar): discount-vs-quantity fit per return flag — the ANSI
+    bivariate-statistics family, one pass, fully mergeable partials
+    (each is algebra over sum/sum-of-products moments), so the plan is a
+    plain partial+final hash aggregate with no extra shuffle beyond the
+    group key. Values round to 6: moment sums differ across engines only
+    at ~1e-13 relative, far inside the rounding guard."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_discount"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.corr(y, x), 6).alias("corr_dq"),
+        F.round(F.covar_samp(y, x), 6).alias("covar_dq"),
+        F.regr_count(y, x).cast("long").alias("n"),
+    )
+
+
+@_register(
+    "r65_try_arith",
+    """
+    SELECT event_id,
+           CASE WHEN user_id % 5 = 0 THEN NULL
+                ELSE round(value / (user_id % 5), 6) END AS safe_div,
+           CASE WHEN user_id % 2 = 0 THEN CAST(user_id AS BIGINT)
+                ELSE NULL END AS safe_cast,
+           CASE WHEN len(event_type) >= 7 THEN substring(event_type, 7, 1)
+                ELSE NULL END AS safe_elem
+    FROM events
+    """,
+)
+def r65_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe try_* family: try_divide (null on /0 instead of error),
+    try_cast (null on malformed input), try_element_at (null past the
+    end) — the error-tolerant forms a pipeline needs under ANSI mode,
+    where the plain operators would kill the job on the first bad row.
+    All three stay whole-stage-codegen expressions; the oracle encodes
+    the same null contract as explicit CASE guards."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.round(
+            F.try_divide(F.col("value"), F.col("user_id") % 5), 6
+        ).alias("safe_div"),
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.when(F.col("user_id") % 2 == 0, F.lit("")).otherwise(F.lit("x")),
+        )
+        .try_cast("bigint")
+        .alias("safe_cast"),
+        F.try_element_at(F.split(F.col("event_type"), ""), F.lit(7)).alias(
+            "safe_elem"
+        ),
+    )

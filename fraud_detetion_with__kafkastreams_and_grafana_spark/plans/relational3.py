@@ -1026,3 +1026,50 @@ def r65_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             "safe_elem"
         ),
     )
+
+
+@_register(
+    "r66_xml_roundtrip",
+    """
+    SELECT event_id,
+           CAST(user_id AS BIGINT) AS xml_user_id,
+           event_type AS xml_event_type,
+           round(value, 2) AS xml_value
+    FROM events
+    WHERE event_id < 2000
+    """,
+)
+def r66_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML surface (from_xml, core in Spark 4): serialize each event to
+    an XML fragment with pure string expressions, parse it back with
+    from_xml under an explicit schema, and return the recovered fields —
+    the q6 JSON wire round-trip's XML twin, covering the other common
+    interchange format feeds arrive in. The oracle states the fixpoint:
+    a parse of a faithful serialization returns the original columns.
+
+    Scale: both directions are per-row codegen expressions (no Python,
+    no shuffle); an explicit schema avoids schema_of_xml's sampling job,
+    the same discovery-job rule as r63's explicit pivot values."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    xml = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("<e><uid>"),
+            F.col("user_id").cast("string"),
+            F.lit("</uid><et>"),
+            F.col("event_type"),
+            F.lit("</et><v>"),
+            F.round("value", 2).cast("string"),
+            F.lit("</v></e>"),
+        ).alias("xml"),
+    )
+    parsed = xml.select(
+        "event_id",
+        F.from_xml("xml", "uid BIGINT, et STRING, v DOUBLE").alias("p"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.uid").alias("xml_user_id"),
+        F.col("p.et").alias("xml_event_type"),
+        F.col("p.v").alias("xml_value"),
+    )

@@ -1520,7 +1520,11 @@ def l35_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.levenshtein(F.col("a.p"), F.col("b.p")).alias("edit_dist"),
+            # threshold form runs the banded DP and early-exits to -1 past
+            # the bound — the per-pair cost is O(len * k) not O(len^2),
+            # and for kept pairs (0 <= d <= k) it returns the exact
+            # distance, so the plain-levenshtein oracle still matches.
+            F.levenshtein(F.col("a.p"), F.col("b.p"), 8).alias("edit_dist"),
         )
-        .filter(F.col("edit_dist") <= 8)
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= 8))
     )

@@ -322,4 +322,9 @@ def m03_stream_mllib_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         xform,
         output_mode="append",
         name="m03_mem",
+        # inference is stateless, so batch cadence doesn't change results;
+        # fewer, larger micro-batches amortize the per-batch planning +
+        # Arrow setup the model pipeline pays (batch size is the streaming
+        # inference throughput knob, exactly as on a real stream)
+        files_per_trigger=4,
     ).drop("amount")

@@ -7,6 +7,8 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from fraud_detetion_with__kafkastreams_and_grafana_spark.sources import load_table
@@ -201,3 +203,21 @@ def test_load_table_ts_filter_unaligned_ns_bounds(spark, tmp_path):
             for r in load_table(spark, str(d), "events", ts_range_ns=(lo, hi)).collect()
         )
         assert got == [2, 3, 4], f"layout {unit}: {got}"
+
+
+def test_avro_roundtrip_when_package_available(spark, tmp_path):
+    """Avro source/sink round-trip — jar-gated like the Kafka path: the
+    spark-avro module is external since Spark 2.4, so this skips cleanly
+    where the package isn't deployed and pins the write/read fidelity
+    where it is."""
+    df = spark.range(100).selectExpr(
+        "id", "printf('user_%03d', id % 200) AS userId", "id * 1.5 AS amount"
+    )
+    try:
+        df.write.format("avro").mode("overwrite").save(str(tmp_path / "avro"))
+    except Exception as e:
+        if "Failed to find data source" in str(e) or "AVRO" in str(e).upper():
+            pytest.skip("spark-avro package not deployed")
+        raise
+    back = spark.read.format("avro").load(str(tmp_path / "avro"))
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))

@@ -184,6 +184,36 @@ def ivf_kmeans_centroids(
     return cents / norms
 
 
+# Index-build/query split (same pattern as mlscore's model cache): the
+# KMeans fit is the expensive offline step; m02 and l28 consume the SAME
+# centroids for the same (dataset, nlist, seed). Keyed on applicationId so
+# nothing leaks across sessions; values are tiny nlist x dim numpy arrays.
+_CENTROID_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def get_or_build_kmeans_centroids(
+    corpus: DataFrame,
+    nlist: int,
+    cache_key: str,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    sample_fraction: float | None = None,
+) -> np.ndarray:
+    """Train-once accessor for the KMeans index build: fit on first use
+    per (application, cache_key, nlist, seed), then reuse — the
+    model-registry read in front of a scheduled index-build job."""
+    spark = corpus.sparkSession
+    app = spark.sparkContext.applicationId
+    key = (app, cache_key, nlist, vec_col, seed, sample_fraction)
+    got = _CENTROID_CACHE.get(key)
+    if got is None:
+        got = ivf_kmeans_centroids(corpus, nlist, vec_col, seed, sample_fraction)
+        for k in [k for k in _CENTROID_CACHE if k[0] != app]:
+            del _CENTROID_CACHE[k]
+        _CENTROID_CACHE[key] = got
+    return got
+
+
 def make_cell_udf(df: DataFrame, cents: np.ndarray):
     """Nearest-centroid cell id: argmax_i dot(v, c_i) over unit centroids
     == nearest by cosine (|v| constant across candidates). One broadcast

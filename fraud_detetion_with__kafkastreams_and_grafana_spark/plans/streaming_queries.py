@@ -1180,4 +1180,9 @@ def s18_chained_stream_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         xform,
         output_mode="append",
         name="s18_mem",
+        # TWO stateful operators -> every micro-batch commits 2x
+        # state_partitions store instances; 4 fits the group counts here
+        # (150 users x active windows, dozens of hours) and halves the
+        # fixed per-batch commit cost vs the replay default of 8
+        state_partitions=4,
     )

@@ -1573,3 +1573,69 @@ def l36_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_lang").cast("long").alias("n_lang"),
         )
     )
+
+
+@_register(
+    "l37_sequence_packing",
+    r"""
+    WITH RECURSIVE s AS (
+      SELECT doc_id, lang, n,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM (
+        SELECT doc_id, lang,
+               len(string_split_regex(trim(text), '\s+')) AS n
+        FROM documents WHERE trim(text) != ''
+      )
+    ),
+    p AS (
+      SELECT doc_id, lang, n, rn, 0 AS bin, n AS cum FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.doc_id, s.lang, s.n, s.rn,
+             CASE WHEN p.cum + s.n > 256 THEN p.bin + 1 ELSE p.bin END,
+             CASE WHEN p.cum + s.n > 256 THEN s.n ELSE p.cum + s.n END
+      FROM p JOIN s ON s.lang = p.lang AND s.rn = p.rn + 1
+    )
+    SELECT doc_id, lang, CAST(bin AS BIGINT) AS bin,
+           CAST(n AS BIGINT) AS n_tokens
+    FROM p
+    """,
+)
+def l37_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: greedy first-fit of documents into fixed
+    token-budget bins (256 here; 4k/8k in a real pretraining pipeline) —
+    the step that turns a deduped corpus into dense training sequences.
+    Deterministic order (doc_id within lang), running total resets when
+    the next doc would overflow; an over-budget doc gets its own bin.
+
+    The packing recurrence is inherently sequential PER GROUP, which is
+    exactly applyInPandas's contract: one shuffle on lang, then an
+    Arrow-batched linear scan per group — the sanctioned imperative
+    escape hatch (no row-at-a-time Python, no driver loop; groups
+    parallelize across executors, and at 100 TB the group key would be
+    (lang, shard) to bound group size). The oracle replays the identical
+    recurrence as a recursive CTE, so the imperative path is value-checked
+    against a declarative twin."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").where(F.trim("text") != "")
+    sized = docs.select(
+        "doc_id", "lang", TX.whitespace_token_count("text").alias("n_tokens")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins = []
+        b, cum = 0, 0
+        for i, n in enumerate(pdf["n_tokens"]):
+            if i > 0 and cum + n > 256:
+                b += 1
+                cum = n
+            else:
+                cum += n
+            bins.append(b)
+        pdf["bin"] = bins
+        return pdf[["doc_id", "lang", "bin", "n_tokens"]]
+
+    return sized.groupBy("lang").applyInPandas(
+        pack, "doc_id LONG, lang STRING, bin LONG, n_tokens LONG"
+    )

@@ -440,3 +440,22 @@ def test_cdc_chunks_shift_invariant(spark):
     # every original chunk except (at most) the first survives the edit
     assert len(a - b) <= 1 and len(b - a) <= 1
     assert len(a & b) >= len(a) - 1 >= 3
+
+
+def test_sequence_packing_budget_respected(spark, sf_dir):
+    """l37 invariants: bins are contiguous per lang, every bin's token
+    total fits the 256 budget UNLESS it holds a single over-budget doc,
+    and no document is split across bins (each doc appears exactly
+    once)."""
+    out = llmops.QUERIES["l37_sequence_packing"](spark, sf_dir).collect()
+    assert len({r.doc_id for r in out}) == len(out)
+    from collections import defaultdict
+
+    bins = defaultdict(list)
+    for r in out:
+        bins[(r.lang, r.bin)].append(r.n_tokens)
+    for (lang, b), toks in bins.items():
+        assert sum(toks) <= 256 or len(toks) == 1, (lang, b, toks)
+    for lang in {r.lang for r in out}:
+        ids = sorted(b for (lg, b) in bins if lg == lang)
+        assert ids == list(range(len(ids))), (lang, ids)

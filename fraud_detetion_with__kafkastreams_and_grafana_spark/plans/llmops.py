@@ -1639,3 +1639,220 @@ def l37_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sized.groupBy("lang").applyInPandas(
         pack, "doc_id LONG, lang STRING, bin LONG, n_tokens LONG"
     )
+
+
+@_register(
+    "l38_bpe_pair_counts",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+                         t -> t <> '') AS w
+      FROM documents
+    ), p AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] AS pair
+      FROM s, unnest(range(1, len(w))) AS t(i)
+      WHERE len(w) >= 2
+    )
+    SELECT pair, tf, df FROM (
+      SELECT pair, count(*) AS tf, count(DISTINCT doc_id) AS df,
+             row_number() OVER (ORDER BY count(*) DESC, pair ASC) AS rn
+      FROM p GROUP BY pair
+    ) WHERE rn <= 100
+    """,
+)
+def l38_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-pair frequency count — the inner loop of BPE/WordPiece
+    tokenizer training (count all adjacent symbol pairs, merge the most
+    frequent, repeat). One iteration at corpus scale, over l32's
+    vocabulary normalization, reporting the top-100 merge candidates with
+    document frequency.
+
+    Scale: the pair list is built INSIDE the array domain — zip_with over
+    the token array against its own 1-shifted slice — so there is no
+    per-token explode followed by a window/self-join on (doc_id, pos);
+    the only wide ops are the single hash agg on pair (map-side partials
+    collapse repeats before the shuffle) and the top-100
+    TakeOrderedAndProject (per-partition heaps, 100 rows to the driver
+    merge). The oracle replays the pairing positionally with a 1-indexed
+    unnest(range) twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim("text")), r"[^a-z0-9]+"), lambda t: t != ""
+    )
+    pairs = (
+        docs.select("doc_id", toks.alias("w"))
+        .where(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("w", 1, F.size("w") - 1),
+                    F.slice("w", 2, F.size("w") - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("pair"),
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("tf"), F.count_distinct("doc_id").alias("df"))
+        .orderBy(F.desc("tf"), F.asc("pair"))
+        .limit(100)
+    )
+
+
+@_register(
+    "l39_bigram_logprob",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+                         t -> t <> '') AS w
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(w) AS t FROM s
+    ), uni AS (
+      SELECT t, count(*) AS c1 FROM tok GROUP BY 1
+    ), v AS (
+      SELECT count(*) AS vocab FROM uni
+    ), bg AS (
+      SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i+1] AS pair
+      FROM s, unnest(range(1, len(w))) AS t(i)
+      WHERE len(w) >= 2
+    ), bgc AS (
+      SELECT pair, count(*) AS c2 FROM bg GROUP BY 1
+    )
+    SELECT bg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((bgc.c2 + 0.5) / (uni.c1 + 0.5 * v.vocab))), 4)
+             AS avg_logprob
+    FROM bg
+    JOIN bgc USING (pair)
+    JOIN uni ON uni.t = bg.w1
+    CROSS JOIN v
+    GROUP BY bg.doc_id
+    """,
+)
+def l39_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring with add-k smoothing (k = 0.5):
+    each document's mean log P(w_i | w_{i-1}) under the corpus's own
+    bigram distribution — the order-2 upgrade of l29's CCNet-style
+    unigram filter, sharper at separating fluent text from
+    shuffled-word-salad (which unigram scoring cannot see).
+
+    Scale: bigram and unigram count tables are corpus-level aggregates
+    (map-side-combined hash aggs keyed on pair / token); the per-doc pass
+    re-derives its pairs array-side (zip_with, as l38) and equi-joins the
+    two count tables — at 100 TB both counts tables are Zipf-shaped but
+    bounded by vocabulary, typically broadcastable after a min-count
+    floor; here they flow through AQE-planned shuffle joins. The vocab
+    size V is a 1-row agg cross-joined (broadcast) for the smoothing
+    denominator."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim("text")), r"[^a-z0-9]+"), lambda t: t != ""
+    )
+    arr = docs.select("doc_id", toks.alias("w"))
+    tok = arr.select(F.explode("w").alias("t"))
+    uni = tok.groupBy("t").agg(F.count("*").alias("c1"))
+    vocab = uni.agg(F.count("*").alias("vocab"))
+    bg = (
+        arr.where(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("w", 1, F.size("w") - 1),
+                    F.slice("w", 2, F.size("w") - 1),
+                    lambda a, b: F.struct(
+                        a.alias("w1"), F.concat_ws(" ", a, b).alias("pair")
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select("doc_id", "e.w1", "e.pair")
+    )
+    bgc = bg.groupBy("pair").agg(F.count("*").alias("c2"))
+    scored = (
+        bg.join(bgc, "pair")
+        .join(uni, bg["w1"] == uni["t"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("c2") + F.lit(0.5))
+                / (F.col("c1") + F.lit(0.5) * F.col("vocab"))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("lp"), 4).alias("avg_logprob"),
+    )
+
+
+@_register(
+    "l40_int8_quantize",
+    """
+    WITH x AS (
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xs
+      FROM embeddings
+    ), sc AS (
+      SELECT vec_id, xs,
+             list_max(list_transform(xs, v -> abs(v))) / 127 AS scale
+      FROM x
+    ), e AS (
+      SELECT vec_id, scale,
+             list_transform(
+               xs, v -> v - floor(v / scale + 0.5) * scale
+             ) AS err,
+             len(xs) AS dim
+      FROM sc
+    )
+    SELECT vec_id,
+           round(scale, 8) AS scale,
+           round(list_max(list_transform(err, v -> abs(v))), 6) AS max_abs_err,
+           round(list_sum(list_transform(err, v -> v * v)) / dim, 6) AS mse
+    FROM e
+    """,
+)
+def l40_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column —
+    the 4x-compression step a vector index applies before PQ (l24) or
+    brute-force scan (l06): scale = max|x| / 127, q_i = round-half-up of
+    x_i/scale, reporting the reconstruction error (max abs + MSE) that
+    decides whether int8 is safe for the downstream ANN recall target.
+
+    Scale: a pure narrow projection — every row's scale/quantize/error
+    computation stays inside the array domain (transform/aggregate
+    higher-order built-ins, JVM codegen, zero shuffles, zero Python).
+    Rounding is floor(x + 0.5) on BOTH sides (Spark round() and DuckDB
+    round() agree on halves only away from zero; the explicit floor form
+    is engine-neutral), and all arithmetic is IEEE double after one cast
+    from the stored float32, so the oracle hashes bit-identically."""
+    em = load_table(spark, sf_dir, "embeddings")
+    xs = F.transform("embedding", lambda v: v.cast("double"))
+    df = em.select("vec_id", xs.alias("xs"))
+    df = df.select(
+        "vec_id",
+        "xs",
+        (F.array_max(F.transform("xs", F.abs)) / F.lit(127.0)).alias("scale"),
+    )
+    err = F.transform(
+        "xs",
+        lambda v: v - F.floor(v / F.col("scale") + F.lit(0.5)) * F.col("scale"),
+    )
+    df = df.select(
+        "vec_id", "scale", err.alias("err"), F.size("xs").alias("dim")
+    )
+    sq = F.aggregate(
+        "err", F.lit(0.0), lambda acc, v: acc + v * v
+    )
+    return df.select(
+        "vec_id",
+        F.round("scale", 8).alias("scale"),
+        F.round(F.array_max(F.transform("err", F.abs)), 6).alias("max_abs_err"),
+        F.round(sq / F.col("dim"), 6).alias("mse"),
+    )

@@ -1073,3 +1073,45 @@ def r66_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.et").alias("xml_event_type"),
         F.col("p.v").alias("xml_value"),
     )
+
+
+@_register(
+    "r67_range_frame_window",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER w, 2) AS trail_sum,
+           CAST(count(*) OVER w AS BIGINT) AS trail_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY epoch(date_trunc('second', ts))
+                 RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    """,
+)
+def r67_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True RANGE window frame on event time: every event's trailing-hour
+    per-user sum/count — the 'activity in the last hour as of each event'
+    shape (velocity features for fraud scoring). Distinct from r51's
+    hopping buckets: the frame here is value-based (RANGE BETWEEN 3599
+    PRECEDING on epoch seconds), so each row gets its own exact trailing
+    interval rather than a bucketized approximation, and peers at the
+    same second share the frame.
+
+    Scale: ONE shuffle on user_id, then a per-partition ordered scan with
+    a sliding two-pointer frame (Spark's WindowExec RangeFrame) — the
+    same cost envelope as any per-key sort; both aggregates share one
+    window spec so the sort is paid once. Second-truncation is applied
+    identically on both sides (unix_timestamp floors; the oracle
+    date_truncs) so frame membership is engine-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch_s = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_s)
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("trail_sum"),
+        F.count(F.lit(1)).over(w).alias("trail_n"),
+    )

@@ -1186,3 +1186,58 @@ def s18_chained_stream_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # fixed per-batch commit cost vs the replay default of 8
         state_partitions=4,
     )
+
+
+@_register(
+    "s19_stream_pivot_bands",
+    """
+    SELECT CAST(to_timestamp(floor(epoch(date_trunc('second', ts)) / 600) * 600)
+                AS TIMESTAMP) AS window_start,
+           CAST(count(*) FILTER (value < 100.0) AS BIGINT) AS n_low,
+           CAST(count(*) FILTER (value >= 100.0 AND value < 300.0) AS BIGINT)
+             AS n_mid,
+           CAST(count(*) FILTER (value >= 300.0) AS BIGINT) AS n_high,
+           round(sum(value) FILTER (value >= 300.0), 2) AS high_amount
+    FROM events
+    GROUP BY 1
+    """,
+)
+def s19_stream_pivot_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming pivot: per-window transaction counts spread across
+    amount-band COLUMNS (low / mid / high, plus the high-band amount) —
+    the wide dashboard-row shape Grafana's stat panels want. `.pivot()`
+    is unsupported on streaming DataFrames, so the pivot is lowered to
+    conditional aggregation (count/sum over CASE), the same one-shuffle
+    lowering r63 applies in batch — which is also the 100 TB-preferred
+    form since the pivoted key set is declared, not discovered.
+
+    State: one row per 10-minute window in the streaming agg store
+    (complete mode over the replay, like s02); each micro-batch folds its
+    partial band counts into that state, so the final snapshot equals the
+    batch GROUP BY the oracle runs."""
+    from ..operators.detect import parse_wire
+
+    def xform(stream: DataFrame) -> DataFrame:
+        parsed = parse_wire(stream)
+        amt = F.col("amount")
+        return (
+            parsed.withColumn(
+                "event_time", F.col("event_time").cast("timestamp_ntz")
+            )
+            .groupBy(F.window("event_time", "10 minutes").alias("w"))
+            .agg(
+                F.count(F.when(amt < 100.0, 1)).alias("n_low"),
+                F.count(F.when((amt >= 100.0) & (amt < 300.0), 1)).alias("n_mid"),
+                F.count(F.when(amt >= 300.0, 1)).alias("n_high"),
+                F.round(F.sum(F.when(amt >= 300.0, amt)), 2).alias("high_amount"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "n_low",
+                "n_mid",
+                "n_high",
+                "high_amount",
+            )
+        )
+
+    return replay_wire_stream(spark, _wire_dir(spark, sf_dir), xform, name="s19_mem")

@@ -459,3 +459,25 @@ def test_sequence_packing_budget_respected(spark, sf_dir):
     for lang in {r.lang for r in out}:
         ids = sorted(b for (lg, b) in bins if lg == lang)
         assert ids == list(range(len(ids))), (lang, ids)
+
+
+def test_int8_quantize_error_bound(spark, sf_dir):
+    """The symmetric-int8 guarantee: after clamp-free round-to-nearest,
+    every coordinate's reconstruction error is at most scale/2 — if this
+    bound breaks, the quantizer is mis-rounding (l40's whole point)."""
+    rows = llmops.QUERIES["l40_int8_quantize"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.scale > 0
+        assert r.max_abs_err <= r.scale / 2 + 1e-6
+        assert 0 <= r.mse <= (r.scale / 2) ** 2 + 1e-6
+
+
+def test_bigram_logprob_is_negative_and_covers_docs(spark, sf_dir):
+    """Every multi-token doc gets a score; probabilities are < 1 so the
+    mean log-prob is strictly negative; n_bigrams is positive."""
+    rows = llmops.QUERIES["l39_bigram_logprob"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_bigrams >= 1
+        assert r.avg_logprob < 0

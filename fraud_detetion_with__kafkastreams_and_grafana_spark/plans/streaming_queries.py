@@ -665,8 +665,11 @@ def s10_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s11_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The custom Python DataSource as a STREAM (sources/pydatasource.
-    SyntheticTxStreamReader): 20k generated transactions arrive in 4
-    micro-batches of 5000, the strict fraud filter and per-user totals
+    SyntheticTxStreamReader): 20k generated transactions arrive in 2
+    micro-batches of 10000 (per-batch planning + Python-source overhead
+    is the fixed cost; batch size is the throughput knob, and 2 batches
+    still prove cross-batch aggregation state), the strict fraud filter
+    and per-user totals
     run as a stateful complete-mode aggregation, and the snapshot must
     equal r56's batch read of the same source — which the oracle
     regenerates arithmetically. Deterministic offsets (plain row ranges)
@@ -678,12 +681,12 @@ def s11_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "s11_mem"
     spark.catalog.dropTempView(name)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         stream = (
             spark.readStream.format("synthetic_tx")
             .option("rows", 20000)
-            .option("stream_batch", 5000)
+            .option("stream_batch", 10000)
             .load()
         )
         agg = (
@@ -858,11 +861,11 @@ def s14_stream_rollup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         stream = (
             spark.readStream.schema("value STRING")
-            .option("maxFilesPerTrigger", 2)
+            .option("maxFilesPerTrigger", 4)
             .text(d)
         )
         parsed = parse_wire(stream).withWatermark("event_time", "10 minutes")

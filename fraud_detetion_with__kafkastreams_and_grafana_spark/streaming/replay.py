@@ -102,9 +102,9 @@ def replay_wire_stream(
     transform: Callable[[DataFrame], DataFrame],
     output_mode: str = "complete",
     n_files: int = 8,
-    files_per_trigger: int = 2,
+    files_per_trigger: int = 4,
     name: str | None = None,
-    state_partitions: int = 8,
+    state_partitions: int = 4,
     available_now: bool = False,
 ) -> DataFrame:
     """Serialize `wire` (single STRING column, or an already-materialized
@@ -128,9 +128,17 @@ def replay_wire_stream(
     lifetime (restored after): a streaming query's state-store instance
     count is fixed at start from this conf, and EVERY micro-batch commits
     every instance — so per-batch latency scales with it regardless of data
-    volume. 8 fits the replay harness's group counts; at cluster scale set
-    it once to ~2-4x executor count before starting the production stream
-    (it cannot be changed across restarts of the same checkpoint)."""
+    volume. 4 fits the replay harness's group counts (~1k users); at
+    cluster scale set it once to ~2-4x executor count before starting the
+    production stream (it cannot be changed across restarts of the same
+    checkpoint).
+
+    Defaults (2 micro-batches x 4 state instances) are the measured knee
+    of the fixed-cost curve: every query still proves cross-batch state
+    (>= 2 file-bearing batches; ordered dirs keep n_sentinel_files=5 >
+    maxFilesPerTrigger so the watermark flush batch stays after the last
+    data batch), while per-query wall time is dominated by the work, not
+    by (batches x instances) commit overhead."""
     d = wire if isinstance(wire, str) else materialize_wire_dir(wire, n_files)
 
     stream = (

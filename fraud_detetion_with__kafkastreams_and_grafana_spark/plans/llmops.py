@@ -1875,3 +1875,39 @@ def l40_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_max(F.transform("err", F.abs)), 6).alias("max_abs_err"),
         F.round(sq / F.col("dim"), 6).alias("mse"),
     )
+
+
+@_register(
+    "l41_source_dedup_report",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+           round(1.0 - count(DISTINCT text) / count(*), 6) AS dup_frac,
+           round(avg(n_chars), 2) AS avg_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def l41_source_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus observability: document counts, exact-duplicate
+    rate, and mean length by source — the report every ingestion pipeline
+    emits before dedup budgets are set (which crawl is duplicate-heavy,
+    which source pads short docs).
+
+    Scale: the engine distinct-counts xxhash64(text) — 8 bytes per doc
+    cross the shuffle, never the text (l01's dedup argument; identical
+    result absent 64-bit collisions) — while the oracle distinct-counts
+    the text itself. count + count_distinct + avg in ONE hash aggregate
+    pass, partials combined map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct(F.xxhash64("text")).alias("n_distinct"),
+        F.round(
+            F.lit(1.0)
+            - F.count_distinct(F.xxhash64("text")) / F.count("*"),
+            6,
+        ).alias("dup_frac"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )

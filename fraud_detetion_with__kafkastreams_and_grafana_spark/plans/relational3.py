@@ -1115,3 +1115,89 @@ def r67_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value").over(w), 2).alias("trail_sum"),
         F.count(F.lit(1)).over(w).alias("trail_n"),
     )
+
+
+@_register(
+    "r68_grouped_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+           round(quantile_cont(l_quantity, 0.50), 4) AS p50,
+           round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+           round(quantile_cont(l_quantity, 0.90), 4) AS p90,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def r68_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group continuous percentiles (quartiles + p90 of shipped
+    quantity per return flag) — the grouped complement of r35's global
+    percentile surface. Spark's `percentile()` and DuckDB's
+    `quantile_cont()` share the ANSI (n-1)*p linear-interpolation
+    definition, so the oracle is value-exact, not envelope-checked.
+
+    Scale: exact percentiles require the group's values — Spark's
+    percentile UDAF buffers per group after a partial-merge shuffle.
+    Groups here are 3 flags x millions of rows; when group cardinality is
+    the scale hazard (not group count), swap approx_percentile (r36's
+    mergeable-sketch posture) — the API shape is identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = F.expr(
+        "percentile(l_quantity, array(0.25D, 0.50D, 0.75D, 0.90D))"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("p"), F.count("*").alias("n_rows"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("p")[0], 4).alias("p25"),
+            F.round(F.col("p")[1], 4).alias("p50"),
+            F.round(F.col("p")[2], 4).alias("p75"),
+            F.round(F.col("p")[3], 4).alias("p90"),
+            "n_rows",
+        )
+    )
+
+
+@_register(
+    "r69_not_in_null_semantics",
+    """
+    SELECT
+      (SELECT count(*) FROM customer
+       WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 7) FROM orders))
+        AS n_not_in,
+      (SELECT count(*) FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE nullif(o_custkey, 7) = c.c_custkey))
+        AS n_not_exists
+    """,
+)
+def r69_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI three-valued logic where real pipelines get burned: `NOT IN`
+    against a subquery containing a NULL yields UNKNOWN for every probe
+    row (n_not_in = 0), while the `NOT EXISTS` formulation of "customers
+    with no orders" keeps working — both counts computed in one statement
+    over the same nullable key (nullif plants the NULL). Both engines
+    must agree on both counts, pinning the engine's subquery planner to
+    ANSI semantics.
+
+    Scale: Spark plans the NOT IN as a null-aware anti join (broadcast;
+    degenerate single-null short-circuit) and the NOT EXISTS as a plain
+    anti join — the reason style guides ban NOT IN on nullable keys at
+    warehouse scale is visible right in the two plans' shapes."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT
+          (SELECT count(*) FROM customer
+           WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 7) FROM orders))
+            AS n_not_in,
+          (SELECT count(*) FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM orders o
+                             WHERE nullif(o_custkey, 7) = c.c_custkey))
+            AS n_not_exists
+        """
+    )

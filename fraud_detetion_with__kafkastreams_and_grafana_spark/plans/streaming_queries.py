@@ -1244,3 +1244,42 @@ def s19_stream_pivot_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return replay_wire_stream(spark, _wire_dir(spark, sf_dir), xform, name="s19_mem")
+
+
+@_register(
+    "s20_stream_topk",
+    f"""
+    SELECT userId, round(total, 2) AS total_amount, n_tx
+    FROM (
+      SELECT userId, sum(amount) AS total, count(*) AS n_tx
+      FROM ({_FRAUD_SQL}) GROUP BY userId
+      ORDER BY total DESC, userId ASC LIMIT 10
+    )
+    """,
+)
+def s20_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1's top-10 leaderboard computed ON the stream: complete-mode
+    aggregation state ordered and limited INSIDE the streaming query —
+    sort+limit after aggregation is exactly what complete output mode
+    licenses (every trigger re-emits the full, re-ranked leaderboard,
+    which is how a live dashboard's top-k panel actually refreshes).
+    Batch twin: q1 (identical oracle).
+
+    Scale: the sort input is the aggregated per-user state (|users| rows,
+    orders of magnitude smaller than the stream), and the limit makes it
+    a TakeOrdered, not a global sort. State is one row per user, same as
+    s01."""
+
+    def xform(stream: DataFrame) -> DataFrame:
+        fraud = fraud_topology(stream, threshold=EVENTS_FRAUD_THRESHOLD)
+        return (
+            fraud.groupBy("userId")
+            .agg(F.sum("amount").alias("total"), F.count("*").alias("n_tx"))
+            .orderBy(F.desc("total"), F.asc("userId"))
+            .limit(10)
+            .select(
+                "userId", F.round("total", 2).alias("total_amount"), "n_tx"
+            )
+        )
+
+    return replay_wire_stream(spark, _wire_dir(spark, sf_dir), xform, name="s20_mem")

@@ -1201,3 +1201,52 @@ def r69_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             AS n_not_exists
         """
     )
+
+
+@_register(
+    "r70_hll_sketch_rollup",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+           TRUE AS est_within_5pct
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def r70_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches up a hierarchy: per-MONTH Apache
+    DataSketches HLL sketches of active customers (hll_sketch_agg), then
+    UNIONED to per-year estimates (hll_union_agg) — the r60
+    continuous-aggregate pattern applied to the one aggregate that does
+    NOT add up (distinct counts). This is the 100 TB dashboard answer to
+    'unique users per year': monthly rollups are built once, each year is
+    a k-register union, raw data is never rescanned.
+
+    Oracled like r36's sketch family: the exact per-year distinct count
+    is value-checked, and the sketch's estimate is asserted into a
+    BOOLEAN (within 5% of exact; DataSketches HLL at default lgK=12 has
+    ~1.6% RSE, so 5% is a stable margin, not a tuned one). The estimate
+    itself cannot cross the DuckDB boundary — DuckDB has no DataSketches
+    twin — which is exactly why the envelope is part of the row hash."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        "o_custkey",
+    )
+    monthly = o.groupBy("order_year", "order_month").agg(
+        F.expr("hll_sketch_agg(o_custkey)").alias("sk")
+    )
+    yearly = monthly.groupBy("order_year").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    )
+    exact = o.groupBy("order_year").agg(
+        F.count_distinct("o_custkey").alias("n_exact")
+    )
+    return exact.join(yearly, "order_year").select(
+        "order_year",
+        "n_exact",
+        (
+            F.abs(F.col("est") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("est_within_5pct"),
+    )

@@ -1824,9 +1824,11 @@ def l39_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM x
     ), e AS (
       SELECT vec_id, scale,
-             list_transform(
-               xs, v -> v - floor(v / scale + 0.5) * scale
-             ) AS err,
+             CASE WHEN scale = 0
+                  THEN list_transform(xs, v -> 0.0)
+                  ELSE list_transform(
+                    xs, v -> v - floor(v / scale + 0.5) * scale)
+             END AS err,
              len(xs) AS dim
       FROM sc
     )
@@ -1859,9 +1861,17 @@ def l40_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "xs",
         (F.array_max(F.transform("xs", F.abs)) / F.lit(127.0)).alias("scale"),
     )
-    err = F.transform(
-        "xs",
-        lambda v: v - F.floor(v / F.col("scale") + F.lit(0.5)) * F.col("scale"),
+    # ANSI mode makes x/0 an error, so the zero-vector edge (scale == 0,
+    # which quantizes exactly) is branched around — CASE evaluates its
+    # arms lazily per row, so the division never runs when scale is 0
+    err = F.when(
+        F.col("scale") == 0.0, F.transform("xs", lambda v: F.lit(0.0))
+    ).otherwise(
+        F.transform(
+            "xs",
+            lambda v: v
+            - F.floor(v / F.col("scale") + F.lit(0.5)) * F.col("scale"),
+        )
     )
     df = df.select(
         "vec_id", "scale", err.alias("err"), F.size("xs").alias("dim")

@@ -174,3 +174,119 @@ def test_doc_chunks_cover_exactly(spark, ts):
         # every non-final chunk spans past the next chunk's start (>48
         # tokens), so consecutive chunks genuinely overlap
         assert all(c.n_toks > 48 for c in chunks[:-1])
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: array-side pair building (l38) and int8 quantization
+# (l40) checked differentially against naive Python implementations.
+# ---------------------------------------------------------------------------
+
+docs_strategy = st.lists(
+    st.text(
+        alphabet="ab c",  # tiny alphabet -> many repeated tokens/pairs
+        min_size=0,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=docs_strategy)
+@example(texts=["a a a", "", "b", "a b a b"])
+@settings(**_SETTINGS)
+def test_bpe_pair_counts_match_naive(spark, texts):
+    """The zip_with/slice pairing must equal the naive adjacent-pair scan
+    for every input, including empty docs and single-token docs."""
+    import re
+    from collections import Counter
+
+    naive = Counter()
+    for t in texts:
+        toks = [w for w in re.split(r"[^a-z0-9]+", t.lower().strip()) if w]
+        for x, y in zip(toks, toks[1:]):
+            naive[f"{x} {y}"] += 1
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    toks = F.filter(F.split(F.lower(F.trim("text")), r"[^a-z0-9]+"), lambda t: t != "")
+    got = (
+        df.select(toks.alias("w"))
+        .where(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice("w", 1, F.size("w") - 1),
+                    F.slice("w", 2, F.size("w") - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .count()
+        .collect()
+    )
+    assert {r.pair: r["count"] for r in got} == dict(naive)
+
+
+vectors = st.lists(
+    st.lists(
+        st.floats(
+            min_value=-10.0,
+            max_value=10.0,
+            allow_nan=False,
+            allow_infinity=False,
+            width=32,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(vecs=vectors)
+@example(vecs=[[0.0, 0.0], [1.0], [-1.0, 127.0, -127.0]])
+@settings(**_SETTINGS)
+def test_int8_quantize_matches_naive(spark, vecs):
+    """Engine-side scale/quantize/error arithmetic must match the naive
+    float64 reference: same scale, every |error| <= scale/2, and the MSE
+    within fp tolerance. Zero vectors get scale 0 and zero error."""
+    import math
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    xs = F.transform("embedding", lambda v: v.cast("double"))
+    d = df.select("vec_id", xs.alias("xs"))
+    d = d.select(
+        "vec_id", "xs", (F.array_max(F.transform("xs", F.abs)) / F.lit(127.0)).alias("scale")
+    )
+    err = F.when(
+        F.col("scale") == 0.0, F.transform("xs", lambda v: F.lit(0.0))
+    ).otherwise(
+        F.transform(
+            "xs", lambda v: v - F.floor(v / F.col("scale") + F.lit(0.5)) * F.col("scale")
+        )
+    )
+    rows = d.select(
+        "vec_id",
+        "scale",
+        F.aggregate(err.alias("e"), F.lit(0.0), lambda a, v: a + v * v).alias("sq"),
+        F.array_max(F.transform(err, F.abs)).alias("maxerr"),
+    ).collect()
+    for r in rows:
+        v = [float(np32) for np32 in
+             __import__("numpy").asarray(vecs[r.vec_id], dtype="float32")]
+        amax = max(abs(x) for x in v)
+        scale = amax / 127.0
+        assert math.isclose(r.scale, scale, rel_tol=0, abs_tol=1e-12)
+        if scale == 0.0:
+            # all-zero vector quantizes exactly (guarded branch: ANSI
+            # mode would otherwise raise DIVIDE_BY_ZERO)
+            assert r.maxerr == 0.0 and r.sq == 0.0
+            continue
+        errs = [x - math.floor(x / scale + 0.5) * scale for x in v]
+        assert math.isclose(r.sq, sum(e * e for e in errs), rel_tol=1e-9, abs_tol=1e-12)
+        assert r.maxerr <= scale / 2 + 1e-12

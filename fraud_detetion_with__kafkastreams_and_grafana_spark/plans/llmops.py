@@ -1852,7 +1852,10 @@ def l40_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rounding is floor(x + 0.5) on BOTH sides (Spark round() and DuckDB
     round() agree on halves only away from zero; the explicit floor form
     is engine-neutral), and all arithmetic is IEEE double after one cast
-    from the stored float32, so the oracle hashes bit-identically."""
+    from the stored float32, so the oracle hashes bit-identically. The
+    zero-vector edge (scale = 0) is branched around on BOTH sides — it
+    quantizes exactly, and under ANSI mode the unguarded division would
+    raise DIVIDE_BY_ZERO (caught by the hypothesis property test)."""
     em = load_table(spark, sf_dir, "embeddings")
     xs = F.transform("embedding", lambda v: v.cast("double"))
     df = em.select("vec_id", xs.alias("xs"))

@@ -328,3 +328,39 @@ def m03_stream_mllib_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         # inference throughput knob, exactly as on a real stream)
         files_per_trigger=4,
     ).drop("amount")
+
+
+@_register(
+    "u10_arrow_python_udf",
+    f"""
+    SELECT printf('user_%03d', user_id) AS userId, event_id,
+           round(least(greatest(value / {EVENTS_FRAUD_THRESHOLD} - 0.5, 0.0), 1.0), 6)
+             AS risk_score
+    FROM events
+    """,
+)
+def u10_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining rung of the Python-interop ladder: a PLAIN Python
+    UDF with `useArrow=True` (Spark 3.5+/4 arrow-optimized Python UDF) —
+    per-VALUE Python semantics (closures over scalars, arbitrary Python
+    types) but Arrow-batched transport instead of pickle rows. Same
+    closed-form oracle as u01, so the three transports (row-pickle
+    semantics + Arrow transport here, vectorized pandas_udf u01,
+    iterator pandas_udf u07) are proven result-identical.
+
+    Scale: still executes Python PER VALUE — keep it off the 100 TB hot
+    path (that's u01/u09's job); its niche is porting legacy row UDFs
+    where the 2-3x Arrow serialization win is free and the rewrite to
+    vectorized form is not."""
+    from pyspark.sql.functions import udf
+
+    thr = float(EVENTS_FRAUD_THRESHOLD)
+
+    @udf("double", useArrow=True)
+    def risk(amount):
+        return min(max(amount / thr - 0.5, 0.0), 1.0)
+
+    tx = _tx(spark, sf_dir)
+    return tx.select(
+        "userId", "event_id", F.round(risk("amount"), 6).alias("risk_score")
+    )

@@ -1924,3 +1924,75 @@ def l41_source_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_frac"),
         F.round(F.avg("n_chars"), 2).alias("avg_chars"),
     )
+
+
+@_register(
+    "l42_novelty_attribution",
+    r"""
+    WITH s AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ), g AS (
+      SELECT doc_id, source, array_to_string(w[i:i+7], ' ') AS gram
+      FROM s, unnest(range(1, len(w) - 6)) AS t(i)
+      WHERE len(w) >= 8
+    ), firsts AS (
+      SELECT gram, min_by(source, doc_id) AS src FROM g GROUP BY gram
+    ), per_source AS (
+      SELECT src AS source, CAST(count(*) AS BIGINT) AS n_first
+      FROM firsts GROUP BY 1
+    ), tot AS (
+      SELECT source, CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct
+      FROM g GROUP BY 1
+    )
+    SELECT source, n_distinct,
+           coalesce(n_first, 0) AS n_first,
+           round(coalesce(n_first, 0) / n_distinct, 6) AS novelty_rate
+    FROM tot LEFT JOIN per_source USING (source)
+    """,
+)
+def l42_novelty_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen novelty attribution: every distinct word 8-gram is
+    credited to the source of its lowest-doc_id occurrence (ingestion
+    order), and each source is scored by how many of its grams it was
+    FIRST to contribute — the marginal-value metric dataset curators use
+    to decide whether crawl N+1 adds anything l26's decontamination and
+    l01's dedup haven't already seen.
+
+    Scale: grams travel as xxhash64 — 8 bytes per gram through both
+    aggregates, never text (l26's argument; identical result absent
+    collisions, which the oracle joining real gram strings would expose).
+    min_by(source, doc_id) is deterministic — doc_id collisions within a
+    gram group share one doc, hence one source. One explode feeding two
+    map-side-combined aggs + a broadcast-sized per-source join."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    g = (
+        docs.select("doc_id", "source", toks.alias("w"))
+        .where(F.size("w") >= 8)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - 8),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(" ", F.slice("w", i + 1, 8))
+                    ),
+                )
+            ).alias("gh"),
+        )
+    )
+    firsts = g.groupBy("gh").agg(F.min_by("source", "doc_id").alias("src"))
+    per_source = firsts.groupBy(F.col("src").alias("source")).agg(
+        F.count("*").alias("n_first")
+    )
+    tot = g.groupBy("source").agg(F.count_distinct("gh").alias("n_distinct"))
+    return tot.join(per_source, "source", "left").select(
+        "source",
+        "n_distinct",
+        F.coalesce("n_first", F.lit(0)).alias("n_first"),
+        F.round(
+            F.coalesce("n_first", F.lit(0)) / F.col("n_distinct"), 6
+        ).alias("novelty_rate"),
+    )

@@ -1250,3 +1250,62 @@ def r70_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("n_exact")
         ).alias("est_within_5pct"),
     )
+
+
+@_register(
+    "r71_scd2_versions",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, date_trunc('second', ts) AS t, event_type
+      FROM events
+    ), m AS (
+      SELECT user_id, event_id, t, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id)
+               AS prev_type
+      FROM e
+    ), chg AS (
+      SELECT user_id, event_id, t, event_type FROM m
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id,
+           CAST(row_number() OVER w2 AS BIGINT) AS version,
+           event_type,
+           CAST(t AS TIMESTAMP) AS valid_from,
+           CAST(lead(t) OVER w2 AS TIMESTAMP) AS valid_to,
+           (lead(t) OVER w2 IS NULL) AS is_current
+    FROM chg
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY t, event_id)
+    """,
+)
+def r71_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 built from an event stream: each
+    change of a user's event_type opens a new version row with
+    [valid_from, valid_to) validity and an is_current flag — the
+    warehouse pattern for 'what was this entity's state as of time T'
+    (the r26 as-of join is exactly the probe side of this table).
+
+    Scale: change detection and versioning are TWO window passes over the
+    SAME (user_id, t, event_id) sort — Catalyst reuses one shuffle+sort,
+    and the second window runs on the filtered change rows only. Ties are
+    impossible cross-engine: ordering is (second-truncated t, event_id)
+    with event_id unique."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.date_trunc("second", "ts").alias("t"),
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    chg = ev.withColumn("prev_type", F.lag("event_type").over(w)).where(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("t", "event_id")
+    return chg.select(
+        "user_id",
+        F.row_number().over(w2).cast("long").alias("version"),
+        "event_type",
+        F.col("t").alias("valid_from"),
+        F.lead("t").over(w2).alias("valid_to"),
+        F.lead("t").over(w2).isNull().alias("is_current"),
+    )

@@ -586,7 +586,7 @@ def pagerank(
         .select("node", (F.lit(1.0) / F.col("n")).alias("rank"))
         .localCheckpoint()
     )
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = (
             g.join(ranks, g.a == ranks.node)
             .join(deg, "a")
@@ -603,8 +603,13 @@ def pagerank(
                     + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint()
         )
+        # Truncate lineage every OTHER round (and on the last): each
+        # eager localCheckpoint is a full materialization job, and a
+        # 2-round join plan is still small — halves the per-iteration
+        # fixed cost without letting the plan grow unboundedly.
+        if i % 2 == 1 or i == iterations - 1:
+            ranks = ranks.localCheckpoint()
     g.unpersist()
     deg.unpersist()
     nodes.unpersist()

@@ -1198,7 +1198,17 @@ def l30_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations. The oracle unrolls the identical five updates as plain
     CTEs, so every engine-side arithmetic step is value-checked."""
     pairs = _dup_pairs(spark, sf_dir)
-    ranks = DD.pagerank(pairs, "id_a", "id_b", iterations=5)
+    # Iteration frames are |nodes| rows (hundreds); pin a small shuffle
+    # width for the driver-side loop (s11's pattern) so each of the 5
+    # rounds schedules a handful of tasks, not 32 near-empty ones. At
+    # cluster scale this knob is the rank table's partitioning, sized to
+    # the graph, set once before the loop.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        ranks = DD.pagerank(pairs, "id_a", "id_b", iterations=5).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return ranks.select(
         F.col("node").alias("doc_id"), F.round("rank", 6).alias("pagerank")
     )

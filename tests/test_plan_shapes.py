@@ -1,0 +1,69 @@
+"""Physical-plan shape pins for the round-4 queries: the scale posture
+documented in SCALE.md, asserted against what Catalyst actually picks —
+the same evidence style as test_bucketing_recovery (bucketed join has no
+Exchange) and test_relational3's one-shuffle pivot pin.
+
+These are cheap (plan-only, nothing executes) and fail loudly if a
+refactor silently introduces an extra shuffle, splits a shared window
+sort, or starts shuffling text instead of hashes.
+"""
+
+from __future__ import annotations
+
+from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import (
+    llmops,
+    relational3,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_r67_both_window_fns_share_one_shuffle(spark, sf_dir):
+    p = _plan(relational3.QUERIES["r67_range_frame_window"](spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert p.count("Window") == 1, p  # sum+count in ONE window operator
+
+
+def test_r71_two_window_passes_one_shuffle(spark, sf_dir):
+    """Change detection + versioning share the (user_id, t, event_id)
+    sort: two Window operators, ONE exchange."""
+    p = _plan(relational3.QUERIES["r71_scd2_versions"](spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert p.count("Window") == 2, p
+
+
+def test_r69_plans_two_anti_joins_no_shuffle(spark, sf_dir):
+    """NOT IN -> null-aware broadcast anti join; NOT EXISTS -> plain
+    broadcast anti join. Both broadcast: zero exchanges."""
+    p = _plan(relational3.QUERIES["r69_not_in_null_semantics"](spark, sf_dir))
+    assert p.count("LeftAnti") == 2, p
+    assert "Exchange hashpartitioning" not in p, p
+
+
+def test_l40_is_pure_narrow_projection(spark, sf_dir):
+    p = _plan(llmops.QUERIES["l40_int8_quantize"](spark, sf_dir))
+    assert "Exchange" not in p, p  # zero shuffles: scan -> project
+
+
+def test_l38_single_agg_shuffle_then_takeordered(spark, sf_dir):
+    """Array-side pairing must NOT plan a per-token window or self-join;
+    the wide ops are the two-phase distinct-df aggregate (partial on
+    (pair, doc_id), final on pair — the standard count_distinct rewrite)
+    and the top-100 TakeOrdered."""
+    p = _plan(llmops.QUERIES["l38_bpe_pair_counts"](spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 2, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "Window" not in p, p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
+
+
+def test_l41_shuffles_hashes_not_text(spark, sf_dir):
+    """The distinct-count must travel as xxhash64(text), never the text
+    column itself, through the aggregate exchanges."""
+    p = _plan(llmops.QUERIES["l41_source_dedup_report"](spark, sf_dir))
+    assert "xxhash64" in p, p
+    for line in p.splitlines():
+        if line.strip().startswith("Exchange"):
+            assert "text" not in line, line

@@ -1283,3 +1283,75 @@ def s20_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return replay_wire_stream(spark, _wire_dir(spark, sf_dir), xform, name="s20_mem")
+
+
+@_register(
+    "s21_checkpoint_recovery",
+    """
+    SELECT printf('user_%03d', user_id) AS userId,
+           round(sum(value), 2) AS total_amount, count(*) AS n_tx
+    FROM events WHERE value > 100.0
+    GROUP BY 1
+    """,
+)
+def s21_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once across a RESTART: phase A streams half the wire files
+    into a complete-mode per-user totals aggregation and STOPS; phase B
+    starts a NEW query from the SAME checkpoint after the remaining files
+    appear. The file source's offset log makes phase B process only the
+    unseen files, and the state store restores phase A's running totals —
+    the final snapshot must equal the batch GROUP BY over ALL events
+    (s01's oracle), proving no event is lost or double-counted across the
+    stop/start boundary. This is the reference consumer's crash-recovery
+    contract (R12: committed offsets + resume) in Structured Streaming
+    form.
+
+    Scale: checkpointing is the production lifecycle — every real stream
+    restarts (deploys, rebalances, failures); state restore cost is
+    proportional to live state (|users| here), not to history."""
+    import atexit
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    src = _wire_dir(spark, sf_dir)
+    files = sorted(glob.glob(os.path.join(src, "part-*")))
+    d = tempfile.mkdtemp(prefix="spark_graft_s21_files_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_s21_ckpt_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+
+    name = "s21_mem"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        half = len(files) // 2
+        for phase_files in (files[:half], files[half:]):
+            for f in phase_files:
+                shutil.copy(f, d)
+            spark.catalog.dropTempView(name)
+            stream = (
+                spark.readStream.schema("value STRING")
+                .option("maxFilesPerTrigger", 4)
+                .text(d)
+            )
+            fraud = fraud_topology(stream, threshold=EVENTS_FRAUD_THRESHOLD)
+            agg = fraud.groupBy("userId").agg(
+                F.round(F.sum("amount"), 2).alias("total_amount"),
+                F.count("*").alias("n_tx"),
+            )
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)

@@ -88,3 +88,30 @@ def events_as_transactions(events: DataFrame) -> DataFrame:
         F.col("event_type"),
         F.col("props"),
     )
+
+
+def observed_fraud_pipeline(
+    df: DataFrame, threshold: float = FRAUD_THRESHOLD
+):
+    """R9's `peek` stage as Spark's first-class observation API: attach an
+    `Observation` to the parsed stream and a second one to the fraud
+    branch, so one pass yields the pipeline AND its monitoring counters
+    (rows parsed, fraud rows, fraud amount) — the reference logged these
+    per record (TransactionProcessor.java:46-48, the peek before `to`);
+    `observe` aggregates them on the executors with ZERO extra scans or
+    shuffles, which is the 100 TB way to count a branch.
+
+    Returns (fraud_df, parsed_obs, fraud_obs); metric values materialize
+    after the first action on fraud_df.
+    """
+    from pyspark.sql import Observation
+
+    parsed_obs = Observation("parsed_metrics")
+    fraud_obs = Observation("fraud_metrics")
+    parsed = df.observe(parsed_obs, F.count(F.lit(1)).alias("n_parsed"))
+    fraud = parsed.filter(fraud_predicate(F.col("amount"), threshold)).observe(
+        fraud_obs,
+        F.count(F.lit(1)).alias("n_fraud"),
+        F.sum("amount").alias("fraud_amount"),
+    )
+    return fraud, parsed_obs, fraud_obs

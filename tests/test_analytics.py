@@ -77,3 +77,30 @@ def test_branches_partition_input(spark, sf_dir):
     n, nf, nr = tx.count(), fraud.count(), rest.count()
     assert n == nf + nr
     assert fraud.filter(F.col("amount") <= EVENTS_FRAUD_THRESHOLD).count() == 0
+
+
+def test_observed_pipeline_metrics_match_direct_counts(spark, sf_dir):
+    """R9 peek -> df.observe: the observation metrics collected during ONE
+    pass over the fraud branch must equal independently-computed counts
+    (no extra scan, no drift between the pipeline and its monitoring)."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators.detect import (
+        EVENTS_FRAUD_THRESHOLD,
+        events_as_transactions,
+        observed_fraud_pipeline,
+    )
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources import load_table
+
+    tx = events_as_transactions(load_table(spark, sf_dir, "events"))
+    fraud, parsed_obs, fraud_obs = observed_fraud_pipeline(
+        tx, threshold=EVENTS_FRAUD_THRESHOLD
+    )
+    n_fraud_rows = fraud.count()  # the single action that fills both
+
+    direct_total = tx.count()
+    direct_fraud = tx.filter(tx.amount > EVENTS_FRAUD_THRESHOLD)
+    direct_n = direct_fraud.count()
+    direct_sum = direct_fraud.agg(F.sum("amount")).first()[0]
+
+    assert parsed_obs.get["n_parsed"] == direct_total
+    assert fraud_obs.get["n_fraud"] == direct_n == n_fraud_rows
+    assert abs(fraud_obs.get["fraud_amount"] - direct_sum) < 1e-6

@@ -19,6 +19,17 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions.text import tokens
 
 
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Spread the compute-heavy per-document stage across the session's
+    shuffle width. A local parquet table often arrives as ONE file = ONE
+    partition, which would run the shingle/hash/signature computation
+    single-threaded (observed: 3x slowdowns); one cheap (id, text) shuffle
+    buys full-width parallelism. At cluster scale the source is already
+    partitioned and this hash-repartition is a no-op cost-wise relative
+    to the hash work it feeds."""
+    return df.repartition(F.col(id_col))
+
+
 def _persist_reused(df: DataFrame) -> DataFrame:
     """Persist an expensive intermediate that the downstream plan consumes
     more than once (LSH banding + per-side verification): without this the
@@ -70,12 +81,26 @@ def shingles(text_col, n: int = 1) -> F.Column:
     )
 
 
+def _seeded_xxhash(seed: int):
+    """Arity-1 lambda factory: pyspark's `transform` passes (element,
+    index) to a TWO-argument lambda, so a closure like
+    `lambda s, seed=i: ...` silently receives the array INDEX as `seed`
+    — every "seeded" hash collapses to the same function (caught when
+    the l43 oracle twin exposed degenerate signatures). A factory pins
+    the arity to 1 and bakes the Python int into the expression."""
+
+    def h(s):
+        return F.xxhash64(s, F.lit(seed))
+
+    return h
+
+
 def minhash_signature(shingle_col: F.Column, num_hashes: int = 32) -> F.Column:
     """MinHash signature: for each of k seeded hash functions, the min
     xxhash64 over the shingle set. array<long> of length k."""
     return F.array(
         *[
-            F.array_min(F.transform(shingle_col, lambda s, seed=i: F.xxhash64(s, F.lit(seed))))
+            F.array_min(F.transform(shingle_col, _seeded_xxhash(i)))
             for i in range(num_hashes)
         ]
     )
@@ -116,9 +141,11 @@ def minhash_near_dups(
     """
     rows_per_band = num_hashes // bands
     base = _persist_reused(
-        df.select(
+        _spread(df, id_col)
+        .select(
             F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
-        ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+        )
+        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
     )
 
     banded = base.select(
@@ -183,7 +210,7 @@ def simhash_signatures(
     hash-agg instead of per-row nested higher-order loops. 62 bits so the
     packed value stays clear of long overflow under ANSI mode.
     """
-    toks = df.select(
+    toks = _spread(df, id_col).select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
     ).select("id", F.xxhash64("tok").alias("h"))
     votes = toks.groupBy("id").agg(
@@ -273,7 +300,7 @@ def hashed_token_sets(
     compare 8-byte ints in the pair stage, not string arrays. Hash
     collisions would need two distinct tokens colliding within one doc
     pair — negligible."""
-    return df.select(
+    return _spread(df, id_col).select(
         F.col(id_col).alias("id"),
         F.array_distinct(
             F.transform(shingles(F.col(text_col), 1), lambda s: F.xxhash64(s))
@@ -528,7 +555,7 @@ def decontaminate(
     otherwise it's a plain shuffled hash join keyed on the gram hash.
     """
     def grams(df: DataFrame) -> DataFrame:
-        return df.select(
+        return _spread(df, id_col).select(
             F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("_gram")
         ).select(id_col, F.xxhash64("_gram").alias("_gh"))
 
@@ -614,3 +641,124 @@ def pagerank(
     deg.unpersist()
     nodes.unpersist()
     return ranks
+
+
+# Fixed pseudorandom affine-permutation constants for the SQL-replicable
+# MinHash family (seeded once; both the engine and the DuckDB oracle embed
+# these exact literals). a in [1, p), b in [0, p), p = 1e9+7.
+MINHASH_A = [785529273, 365246976, 830029370, 646853778, 561380868, 789741457, 36386284, 388159642, 904901290, 544200133, 858092631, 927393746, 688290101, 616131059, 63046564, 859174503, 627577040, 464732997, 747581128, 555199689, 126690169, 111989979, 165742055, 277054081, 42220329, 215283304, 143864128, 731819782, 963209802, 17125302, 246170042, 188557470]
+MINHASH_B = [685140263, 743419650, 699444121, 539188400, 231003431, 494024569, 413883450, 653754702, 552840404, 657447050, 54514407, 746255234, 874338783, 545532383, 395673619, 291810918, 633627807, 144301858, 73463469, 380607367, 461519277, 837107855, 929308255, 96880807, 402038398, 59680730, 49407458, 133413027, 122709672, 600626165, 929896607, 103017954]
+
+
+def minhash_pairs_polyhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs over a SQL-REPLICABLE hash family — the
+    value-checkable twin of `minhash_near_dups` (which keeps xxhash64,
+    the production-grade mixer). Base hash: the l05 polynomial rolling
+    hash h0(shingle) = fold(31h+cp) mod p over the 3-gram shingle string
+    (p = 1e9+7); permutations: affine h_i = (a_i*h0 + b_i) mod p with
+    FIXED pseudorandom a_i, b_i < p (MINHASH_A/MINHASH_B below, seeded
+    once and embedded as literals in both engines). a_i*h0 < p^2 < 2^63,
+    so every step is exact int64 arithmetic a DuckDB oracle replays
+    verbatim — this probabilistic operator gets a full value-hash check,
+    not a rows-only one. Small multipliers would NOT work: an affine map
+    with a*h + b < p for common h is order-preserving, every permutation
+    picks the globally-smallest shingle hash, and LSH degenerates to one
+    hash function (observed, then fixed, while building this oracle).
+
+    Word 3-gram shingles, not unigrams: the driver corpus is heavily
+    templated (41% of doc pairs exceed 0.7 UNIGRAM Jaccard — shared
+    vocabulary, different content), while 3-gram Jaccard isolates the
+    genuinely near-duplicate pairs. Same reason GPT-3-style dedup uses
+    long n-grams.
+
+    Candidate generation joins on the raw r-row band TUPLE (array
+    equality) instead of hashing the band — one fewer hash family to
+    replicate, identical LSH behavior. Verification is exact Jaccard on
+    the distinct shingle sets, so band collisions cannot leak into the
+    output (only recall, never precision, depends on the hash family).
+    Same shuffle shape as minhash_near_dups: banded equi-join + id-keyed
+    verify join, 8-byte-dominated rows.
+    """
+    from ..functions.text import polyhash
+
+    p = 1_000_000_007
+    rows_per_band = num_hashes // bands
+
+    def _perm(i: int):
+        a, b = MINHASH_A[i], MINHASH_B[i]
+
+        def h(h0):
+            return (h0 * F.lit(a) + F.lit(b)) % F.lit(p)
+
+        return h
+
+    base = _persist_reused(
+        _spread(df.filter(F.trim(F.col(text_col)) != ""), id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            shingles(F.col(text_col), 3).alias("sh"),
+        )
+        .withColumn("hs", F.transform("sh", polyhash))
+        .withColumn(
+            "sig",
+            F.array(
+                *[
+                    F.array_min(F.transform("hs", _perm(i)))
+                    for i in range(num_hashes)
+                ]
+            ),
+        )
+    )
+
+    banded = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.array(
+                            *[
+                                F.col("sig")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("tup"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.tup")
+
+    left = banded.hint("merge").alias("l")
+    right = banded.hint("merge").alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.tup") == F.col("r.tup"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+    sh = base.select("id", "sh").hint("merge")
+    return (
+        candidates.join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
+        .join(sh.alias("sb"), F.col("id_b") == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            jaccard(F.col("sa.sh"), F.col("sb.sh")).alias("jacc"),
+        )
+        .filter(F.col("jacc") >= F.lit(threshold))
+        .select("id_a", "id_b", F.round("jacc", 6).alias("jaccard"))
+    )

@@ -148,8 +148,14 @@ def l02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register("l03_minhash_lsh_pairs")  # probabilistic -> rows-only + pytest
 def l03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs, exact-Jaccard verified
-    (operators/dedup.minhash_near_dups)."""
-    return DD.minhash_near_dups(load_table(spark, sf_dir, "documents"), threshold=0.7)
+    (operators/dedup.minhash_near_dups). Word 3-gram shingles: unigram
+    Jaccard on this templated corpus calls 41% of all pairs "near-dup"
+    (shared vocabulary), while 3-gram Jaccard isolates the genuinely
+    duplicated documents — see l43, the oracle-checked twin that
+    surfaced this (and the seeded-hash arity bug it also fixed)."""
+    return DD.minhash_near_dups(
+        load_table(spark, sf_dir, "documents"), shingle_n=3, threshold=0.7
+    )
 
 
 @_register("l04_simhash_pairs")  # probabilistic -> rows-only + pytest
@@ -2006,3 +2012,79 @@ def l42_novelty_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_first", F.lit(0)) / F.col("n_distinct"), 6
         ).alias("novelty_rate"),
     )
+
+
+# The l43 oracle embeds the SAME fixed permutation constants the engine
+# uses (operators/dedup.MINHASH_A/B) — built here as a VALUES table so both
+# sides share bit-identical int64 arithmetic.
+_L43_PERMS = ",\n      ".join(
+    f"({i}, {a}, {b})"
+    for i, (a, b) in enumerate(zip(DD.MINHASH_A, DD.MINHASH_B))
+)
+
+_L43_SQL = r"""
+    WITH s AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents WHERE trim(text) <> ''
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ')
+                            for i in range(1, greatest(len(w)-2, 1)+1)]) AS sh
+      FROM s
+    ), hbase AS (
+      SELECT doc_id, sh,
+             list_transform(sh, tok -> list_reduce(
+               list_prepend(0::BIGINT,
+                 list_transform(string_split(tok, ''), c -> ord(c)::BIGINT)),
+               (a, b) -> (a * 31 + b) % 1000000007)) AS hs
+      FROM sh
+    ), sig AS (
+      SELECT doc_id, perms.i,
+             list_min(list_transform(hs,
+               h -> (perms.a * h + perms.b) % 1000000007)) AS m
+      FROM hbase, (VALUES
+      PERMS_TABLE) perms(i, a, b)
+    ), bandsig AS (
+      SELECT doc_id, i // 4 AS band, list(m ORDER BY i) AS tup
+      FROM sig GROUP BY doc_id, i // 4
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandsig a JOIN bandsig b
+        ON a.band = b.band AND a.tup = b.tup AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, round(jacc, 6) AS jaccard FROM (
+      SELECT id_a, id_b,
+             len(list_intersect(sa.sh, sb.sh))::DOUBLE
+               / (len(sa.sh) + len(sb.sh)
+                  - len(list_intersect(sa.sh, sb.sh))) AS jacc
+      FROM cand
+      JOIN hbase sa ON sa.doc_id = id_a
+      JOIN hbase sb ON sb.doc_id = id_b
+    ) WHERE jacc >= 0.7
+""".replace("PERMS_TABLE", _L43_PERMS)
+
+
+@_register("l43_minhash_oracle_pairs", _L43_SQL)
+def l43_minhash_oracle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH with a FULL value-hash oracle (operators/dedup.
+    minhash_pairs_polyhash): the probabilistic dedup family's
+    value-checkable instance. l03 stays the production path (xxhash64
+    mixer, rows-only + recall pytest); this twin swaps in the l05
+    polynomial base hash over word 3-gram shingles plus affine
+    permutations with fixed pseudorandom constants mod 1e9+7, which
+    DuckDB replays step for step — banding, candidate generation, and
+    exact-Jaccard verification all land in the driver's row hash.
+    Building this oracle immediately paid for itself: it exposed that
+    the original "32 seeded hashes" collapsed to ONE function (pyspark
+    passes the array index to 2-argument transform lambdas), and that
+    unigram shingles on a templated corpus make 41% of all pairs look
+    like near-dups — both now fixed in the production path too
+    (operators/dedup.minhash_signature / _seeded_xxhash; shingle_n=3).
+
+    Scale: identical plan shape to l03 — banded equi-join (merge-hinted:
+    the build side is the whole corpus, broadcast would OOM) + id-keyed
+    verify join; rows are ids + r longs. The weaker mixer costs some
+    LSH recall smoothness, never precision (exact verification gates
+    the output)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.minhash_pairs_polyhash(docs, threshold=0.7)

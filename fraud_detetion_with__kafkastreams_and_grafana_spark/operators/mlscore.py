@@ -67,7 +67,25 @@ def train_fraud_scorer(
             LogisticRegression(maxIter=25, regParam=0.01, standardization=True),
         ]
     )
-    return pipe.fit(labeled)
+    model = pipe.fit(labeled)
+    # Strip the training summary before the model is cached/closed over:
+    # LogisticRegressionModel.trainingSummary holds a reference to the
+    # TRAINING DataFrame, and a downstream plan that serializes the
+    # scoring UDF closure (observed under whole-stage codegen in a
+    # long-lived session) then tries to java-serialize that DataFrame and
+    # fails. A save/load round-trip is the supported way to get a
+    # summary-free model — it is also exactly what the production
+    # model-registry pattern does (train job writes, scorers load).
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="spark_graft_lrmodel_")
+    try:
+        model.write().overwrite().save(d)
+        model = PipelineModel.load(d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return model
 
 
 # Index-build/query split (same shape as operators/similarity.py's

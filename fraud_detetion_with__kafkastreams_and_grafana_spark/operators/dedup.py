@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.text import tokens
+from ..functions.text import polyhash, tokens
 
 
 def _spread(df: DataFrame, id_col: str) -> DataFrame:
@@ -761,4 +761,102 @@ def minhash_pairs_polyhash(
         )
         .filter(F.col("jacc") >= F.lit(threshold))
         .select("id_a", "id_b", F.round("jacc", 6).alias("jaccard"))
+    )
+
+
+# Fixed pseudorandom constants for the SQL-replicable SimHash family
+# (l44): bit i of a document token's signature is the parity of
+# (SIMHASH_A[i]*h0 + SIMHASH_B[i]) mod p over the polynomial base hash
+# h0 -- 62 independent-ish bits from a 30-bit base hash, every step
+# exact int64 in both engines.
+SIMHASH_A = [822420240, 457989475, 412732460, 399288284, 270903046, 484505912, 24728458, 254032160, 435243484, 81790442, 601091108, 957863205, 732793409, 361560264, 541175960, 503897931, 432925892, 115947546, 379997936, 847108119, 775090547, 276787080, 130345575, 984910678, 572503597, 293485129, 176826199, 365594056, 189302966, 235060590, 564486412, 699760058, 184884688, 358422375, 200548569, 524094310, 489057092, 352335229, 137068773, 412896276, 962238133, 858045712, 267217953, 69256276, 874682676, 182680404, 255103142, 138556865, 792748176, 992723590, 955980576, 379940337, 328201764, 79790857, 318004846, 10264443, 846782041, 166073958, 423870222, 721664333, 139110325, 488761768]
+SIMHASH_B = [331163915, 863385658, 832186185, 854120799, 134287976, 410410661, 77643552, 716180929, 483358759, 545036633, 14379254, 778109262, 807118689, 281906448, 304559418, 336083552, 757320696, 756475857, 176415391, 15733072, 735742202, 452817391, 820128301, 55575715, 758906907, 372411067, 818516732, 631294118, 358670593, 130536467, 199359339, 415490146, 921074656, 651467465, 26082962, 204763297, 427332621, 678085242, 509232138, 45270099, 112899005, 811271031, 505298773, 124374664, 38235542, 976577516, 849890236, 723848055, 780849923, 979258912, 512250725, 187889643, 818998502, 842006805, 151967699, 309704005, 514981008, 384887654, 182794887, 175472049, 215126438, 456563842]
+
+
+def simhash_pairs_polyhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs over a SQL-replicable hash family — l04's
+    value-checkable twin, the same role l43 plays for MinHash. Bit i's
+    token vote is the PARITY of an affine remix of the polynomial base
+    hash (constants above); votes sum per document in one 62-column
+    grouped aggregate (map-side combined, the l04 shape), the sign bits
+    pack into a BIGINT, and the pigeonhole chunk join + exact
+    bit_count(xor) verification are shared logic. DuckDB replays every
+    step, so banding/probing/verification land in the driver value hash.
+
+    Scale: identical to simhash_near_dups — explode + one grouped agg +
+    chunk equi-join; _spread parallelizes the single-file local scan.
+    """
+    num_bits = 62
+    p = 1_000_000_007
+    bits_per_chunk = 64 // chunks
+
+    toks = _spread(df, id_col).select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
+    ).select("id", polyhash(F.col("tok")).alias("h"))
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("h") * F.lit(SIMHASH_A[i]) + F.lit(SIMHASH_B[i]))
+                    % F.lit(p)
+                    % 2
+                    == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(num_bits)
+        ]
+    )
+    packed = None
+    for i in range(num_bits):
+        term = (
+            F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (1 << i))
+            .otherwise(0)
+            .cast("long")
+        )
+        packed = term if packed is None else packed + term
+    sigs = _persist_reused(votes.select("id", packed.alias("sim")))
+
+    chunked = sigs.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned("sim", c * bits_per_chunk)
+                        .bitwiseAND(F.lit((1 << bits_per_chunk) - 1))
+                        .alias("ck"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "sim", "cc.chunk", "cc.ck")
+
+    left = chunked.hint("merge").alias("l")
+    right = chunked.hint("merge").alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.ck") == F.col("r.ck"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.bit_count(
+                F.col("l.sim").bitwiseXOR(F.col("r.sim"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= F.lit(max_hamming))
     )

@@ -2088,3 +2088,64 @@ def l43_minhash_oracle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the output)."""
     docs = load_table(spark, sf_dir, "documents")
     return DD.minhash_pairs_polyhash(docs, threshold=0.7)
+
+
+# l44 oracle: generated from the same SIMHASH_A/B constants the engine
+# embeds. 62 parity-vote aggregate columns + sign-bit packing + pigeonhole
+# chunk join + exact hamming verify, replayed verbatim by DuckDB.
+_L44_VOTES = ",\n             ".join(
+    f"sum(CASE WHEN ({a} * h + {b}) % 1000000007 % 2 = 1 THEN 1 ELSE -1 END)"
+    f" AS b{i}"
+    for i, (a, b) in enumerate(zip(DD.SIMHASH_A, DD.SIMHASH_B))
+)
+_L44_PACK = "\n               + ".join(
+    f"(CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END)" for i in range(62)
+)
+_L44_SQL = r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(0::BIGINT,
+                 list_transform(string_split(t, ''), c -> ord(c)::BIGINT)),
+               (a, b) -> (a * 31 + b) % 1000000007) AS h
+      FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        FROM documents WHERE trim(text) <> ''
+      )
+    ), votes AS (
+      SELECT doc_id,
+             VOTE_COLS
+      FROM tok GROUP BY doc_id
+    ), sigs AS (
+      SELECT doc_id,
+             PACK_EXPR AS sim
+      FROM votes
+    ), chunked AS (
+      SELECT doc_id, sim, c.c AS chunk,
+             (sim >> (c.c * 16)) & 65535 AS ck
+      FROM sigs, (SELECT unnest(range(4)) AS c) c
+    )
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+           bit_count(xor(l.sim, r.sim)) AS hamming
+    FROM chunked l JOIN chunked r
+      ON l.chunk = r.chunk AND l.ck = r.ck AND l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.sim, r.sim)) <= 3
+""".replace("VOTE_COLS", _L44_VOTES).replace("PACK_EXPR", _L44_PACK)
+
+
+@_register("l44_simhash_oracle_pairs", _L44_SQL)
+def l44_simhash_oracle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with a FULL value-hash oracle (operators/dedup.
+    simhash_pairs_polyhash) — the second probabilistic dedup family to
+    graduate from rows-only to hash-checked, following l43's recipe: swap
+    the xxhash64 mixer for the polynomial base hash + 62 fixed affine
+    parity bits mod 1e9+7, all exact int64 in both engines. l04 stays
+    the production path (one 64-bit mixer supplies all bits in a single
+    hash call; this twin pays 62 remixes per token for replayability).
+
+    Scale: same plan as l04 — explode + ONE 62-column grouped aggregate
+    (map-side combined sign votes), sign-bit packing, pigeonhole chunk
+    equi-join, exact bit_count(xor) verification; _spread parallelizes
+    the single-file local scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.simhash_pairs_polyhash(docs, max_hamming=3)

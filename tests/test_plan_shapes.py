@@ -67,3 +67,14 @@ def test_l41_shuffles_hashes_not_text(spark, sf_dir):
     for line in p.splitlines():
         if line.strip().startswith("Exchange"):
             assert "text" not in line, line
+
+
+def test_l43_l44_band_joins_are_shuffle_not_broadcast(spark, sf_dir):
+    """The banded self-joins must honor the merge hint: the build side is
+    the whole corpus, so a broadcast (Catalyst's default at toy scale)
+    would OOM a production run. CartesianProduct would mean the band key
+    equi-condition was lost entirely."""
+    for name in ("l43_minhash_oracle_pairs", "l44_simhash_oracle_pairs"):
+        p = _plan(llmops.QUERIES[name](spark, sf_dir))
+        assert "SortMergeJoin" in p, (name, p)
+        assert "CartesianProduct" not in p, (name, p)

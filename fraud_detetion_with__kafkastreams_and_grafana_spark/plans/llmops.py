@@ -2149,3 +2149,59 @@ def l44_simhash_oracle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single-file local scan."""
     docs = load_table(spark, sf_dir, "documents")
     return DD.simhash_pairs_polyhash(docs, max_hamming=3)
+
+
+@_register(
+    "l45_length_histogram",
+    r"""
+    WITH n AS (
+      SELECT lang,
+             len(string_split_regex(trim(text), '\s+')) AS n_tok
+      FROM documents WHERE trim(text) <> ''
+    )
+    SELECT lang,
+           CASE WHEN n_tok < 16 THEN '0-15'
+                WHEN n_tok < 32 THEN '16-31'
+                WHEN n_tok < 64 THEN '32-63'
+                WHEN n_tok < 128 THEN '64-127'
+                WHEN n_tok < 256 THEN '128-255'
+                WHEN n_tok < 512 THEN '256-511'
+                ELSE '512+' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           round(avg(n_tok), 2) AS mean_tokens
+    FROM n
+    GROUP BY 1, 2
+    """,
+)
+def l45_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length histogram per language (power-of-two buckets):
+    the sizing report that decides l37's packing budget and the
+    chunking window — how much of the corpus is short-doc padding
+    waste vs long-doc truncation risk at a given context length.
+
+    Scale: one narrow token-count projection feeding one hash aggregate
+    on (lang, bucket) — map-side combined, ~|langs x 7| result rows.
+    Buckets via an integer CASE ladder, not floor(log2(n)): the ladder
+    is branch-exact in both engines while log2's FP rounding at exact
+    powers of two is an engine-dependent hash hazard."""
+    docs = load_table(spark, sf_dir, "documents").where(F.trim("text") != "")
+    n_tok = F.size(F.split(F.trim("text"), r"\s+"))
+    bucket = (
+        F.when(n_tok < 16, "0-15")
+        .when(n_tok < 32, "16-31")
+        .when(n_tok < 64, "32-63")
+        .when(n_tok < 128, "64-127")
+        .when(n_tok < 256, "128-255")
+        .when(n_tok < 512, "256-511")
+        .otherwise("512+")
+    )
+    return (
+        docs.select("lang", n_tok.alias("n_tok"), bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 2).alias("mean_tokens"),
+        )
+    )

@@ -562,3 +562,72 @@ def test_kafka_wiring_constructs_without_broker(spark):
         assert "kafka" in str(e).lower(), e
     else:
         assert df.schema.simpleString() == "struct<value:string>"
+
+
+def test_streaming_observe_metrics_match_batch(spark, tmp_path):
+    """R9 peek on the STREAM side: df.observe on a streaming frame
+    surfaces per-batch observed metrics in StreamingQueryProgress;
+    summed across batches they must equal the batch-mode counts over
+    the same wire — executor-side monitoring with zero extra scans,
+    the Structured Streaming form of the reference's per-record log."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators.detect import (
+        EVENTS_FRAUD_THRESHOLD,
+        fraud_predicate,
+        parse_wire,
+    )
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.streaming_queries import (
+        _wire_dir,
+    )
+
+    d = _wire_dir(spark, sf)
+    stream = (
+        spark.readStream.schema("value STRING")
+        .option("maxFilesPerTrigger", 4)
+        .text(d)
+    )
+    parsed = parse_wire(stream).observe(
+        "wire_metrics",
+        F.count(F.lit(1)).alias("n_parsed"),
+        F.sum(
+            F.when(
+                fraud_predicate(F.col("amount"), EVENTS_FRAUD_THRESHOLD), 1
+            ).otherwise(0)
+        ).alias("n_fraud"),
+    )
+    agg = parsed.groupBy("userId").agg(F.count("*").alias("n"))
+    seen: list[dict] = []
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("observe_mem")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for prog_json in q.recentProgress:
+            prog = (
+                prog_json
+                if isinstance(prog_json, dict)
+                else _json.loads(prog_json.json)
+            )
+            om = prog.get("observedMetrics", {}).get("wire_metrics")
+            if om:
+                seen.append(om)
+    finally:
+        q.stop()
+
+    batch_wire = spark.read.text(d)
+    batch_parsed = parse_wire(batch_wire.withColumnRenamed("value", "value"))
+    n_parsed = batch_parsed.count()
+    n_fraud = batch_parsed.filter(
+        fraud_predicate(F.col("amount"), EVENTS_FRAUD_THRESHOLD)
+    ).count()
+
+    assert seen, "no observed metrics surfaced in query progress"
+    assert sum(m["n_parsed"] for m in seen) == n_parsed
+    assert sum(m["n_fraud"] for m in seen) == n_fraud

@@ -330,6 +330,132 @@ def m03_stream_mllib_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("amount")
 
 
+# m04's exported model: fixed weights over four closed-form features. The
+# squashing link is the RATIONAL sigmoid 0.5*(1 + z/(1+|z|)) — only
+# +,*,/,abs, all exactly-rounded IEEE ops, so Spark and DuckDB produce
+# bit-identical doubles (exp() is merely faithfully rounded and may differ
+# in the last ulp between libm and java.lang.Math, which would poison the
+# value hash at round()'s boundaries).
+_M04_W = {"b": -2.0, "amt": 1.5, "hour": 0.25, "purchase": 0.75, "error": -0.5}
+_M04_Z = (
+    f"{_M04_W['b']!r} + {_M04_W['amt']!r} * (value / 100.0) "
+    f"+ {_M04_W['hour']!r} * (HOUR_EXPR / 23.0) "
+    f"+ {_M04_W['purchase']!r} * (CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END) "
+    f"+ {_M04_W['error']!r} * (CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END)"
+)
+
+
+@_register(
+    "m04_sql_logistic_score",
+    f"""
+    WITH z AS (
+      SELECT event_id, printf('user_%03d', user_id) AS userId,
+             {_M04_Z.replace("HOUR_EXPR", "extract(hour FROM ts)")} AS z
+      FROM events
+    )
+    SELECT event_id, userId,
+           round(0.5 * (1.0 + z / (1.0 + abs(z))), 6) AS score,
+           0.5 * (1.0 + z / (1.0 + abs(z))) > 0.6 AS flagged
+    FROM z
+    """,
+)
+def m04_sql_logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-export scoring: a trained linear model's weights compiled to a
+    closed-form columnar expression — the production pattern for scoring
+    100 TB (ship the weights INTO the query as built-in expressions; no
+    model server, no Python boundary, no MLlib dependency at inference).
+    m01/m03 carry the learn-the-weights half; this carries the
+    deploy-the-weights half, and being closed-form it is the m-family's
+    first FULL value-hash oracle row.
+
+    Scale: stateless narrow projection — one whole-stage-codegen span over
+    the scan, embarrassingly parallel, nothing shuffles. The rational
+    squashing link (docstring at _M04_W) keeps both engines bit-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    z = (
+        F.lit(_M04_W["b"])
+        + F.lit(_M04_W["amt"]) * (F.col("value") / F.lit(100.0))
+        + F.lit(_M04_W["hour"]) * (F.hour("ts") / F.lit(23.0))
+        + F.lit(_M04_W["purchase"])
+        * F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0)
+        + F.lit(_M04_W["error"])
+        * F.when(F.col("event_type") == "error", 1.0).otherwise(0.0)
+    )
+    p = F.lit(0.5) * (F.lit(1.0) + z / (F.lit(1.0) + F.abs(z)))
+    return ev.select(
+        "event_id",
+        F.format_string("user_%03d", F.col("user_id").cast("int")).alias("userId"),
+        F.round(p, 6).alias("score"),
+        (p > F.lit(0.6)).alias("flagged"),
+    )
+
+
+# m05's exported ensemble: three fixed depth-2 decision stumps (the shape a
+# gradient-boosted model exports to SQL). Thresholds are exact decimals and
+# leaf values sum with plain +, so the score is bit-identical cross-engine.
+_M05_TREES_SQL = """
+      (CASE WHEN value > 100.0
+            THEN CASE WHEN event_type = 'purchase' THEN 1.2 ELSE 0.6 END
+            ELSE CASE WHEN value > 50.0 THEN 0.1 ELSE -0.4 END END)
+    + (CASE WHEN extract(hour FROM ts) >= 22 OR extract(hour FROM ts) < 5
+            THEN CASE WHEN value > 75.0 THEN 0.8 ELSE 0.2 END
+            ELSE -0.1 END)
+    + (CASE WHEN event_type = 'error' THEN -0.7
+            WHEN event_type = 'signup' THEN -0.3
+            ELSE 0.05 END)
+"""
+
+
+@_register(
+    "m05_tree_ensemble_score",
+    f"""
+    WITH m AS (
+      SELECT event_id, printf('user_%03d', user_id) AS userId,
+             -1.0 + ({_M05_TREES_SQL}) AS margin
+      FROM events
+    )
+    SELECT event_id, userId, round(margin, 6) AS margin,
+           round(0.5 * (1.0 + margin / (1.0 + abs(margin))), 6) AS score
+    FROM m
+    """,
+)
+def m05_tree_ensemble_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tree-ensemble model export: three depth-2 boosted stumps compiled to
+    nested CASE expressions plus an additive margin — how a trained GBDT
+    actually ships to a SQL engine for 100 TB inference (each tree is a
+    branch ladder Catalyst folds into the same codegen span; no Python, no
+    model object). Complements m04's linear export; same rational link,
+    same bit-exact cross-engine guarantee (comparisons and + only).
+
+    Scale: stateless narrow projection, zero shuffles; ensemble size grows
+    the expression tree, not the pass count."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.hour("ts")
+    t1 = (
+        F.when(
+            F.col("value") > 100.0,
+            F.when(F.col("event_type") == "purchase", 1.2).otherwise(0.6),
+        ).otherwise(F.when(F.col("value") > 50.0, 0.1).otherwise(-0.4))
+    )
+    t2 = F.when(
+        (hour >= 22) | (hour < 5),
+        F.when(F.col("value") > 75.0, 0.8).otherwise(0.2),
+    ).otherwise(-0.1)
+    t3 = (
+        F.when(F.col("event_type") == "error", -0.7)
+        .when(F.col("event_type") == "signup", -0.3)
+        .otherwise(0.05)
+    )
+    margin = F.lit(-1.0) + (t1 + t2 + t3)
+    score = F.lit(0.5) * (F.lit(1.0) + margin / (F.lit(1.0) + F.abs(margin)))
+    return ev.select(
+        "event_id",
+        F.format_string("user_%03d", F.col("user_id").cast("int")).alias("userId"),
+        F.round(margin, 6).alias("margin"),
+        F.round(score, 6).alias("score"),
+    )
+
+
 @_register(
     "u10_arrow_python_udf",
     f"""

@@ -2205,3 +2205,124 @@ def l45_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_tok"), 2).alias("mean_tokens"),
         )
     )
+
+
+# l46's quality expression — l11's oracle body, shared verbatim so the
+# curriculum fences sit on the exact same 6-dp score l11 reports.
+_L46_QUALITY = (
+    "round((least(length(text) / 500.0, 1.0)"
+    f" + least({_STOP_RATIO} * 4, 1.0)"
+    f" + greatest(1.0 - ({_DIGIT_RATIO} + {_PUNCT_RATIO}) * 2, 0.0)) / 3, 6)"
+)
+
+
+@_register(
+    "l46_curriculum_stages",
+    f"""
+    WITH q AS (
+      SELECT doc_id, {_L46_QUALITY} AS quality FROM documents
+    ), b AS (
+      SELECT quantile_cont(quality, 0.25) AS b1,
+             quantile_cont(quality, 0.50) AS b2,
+             quantile_cont(quality, 0.75) AS b3
+      FROM q
+    )
+    SELECT doc_id, quality,
+           CAST(CASE WHEN quality >= b3 THEN 1
+                     WHEN quality >= b2 THEN 2
+                     WHEN quality >= b1 THEN 3
+                     ELSE 4 END AS BIGINT) AS stage
+    FROM q, b
+    """,
+)
+def l46_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging: every document assigned to a quality quartile
+    (stage 1 = best) so training can feed high-quality data first /
+    up-sample it — the ordering signal behind curriculum + annealed data
+    schedules. Deliberately NOT a global ntile(): a whole-corpus window
+    would sort 100 TB on one reducer. Instead the three quartile fences
+    come from ONE exact-percentile aggregate (a single 3-double row,
+    broadcast back), and stage assignment is a narrow projection —
+    one pass, one tiny agg, zero wide shuffles.
+
+    Hash-safety of the fences: quantiles interpolate over 6-dp-rounded
+    scores with the same type-7 (h = (n-1)p) rule in both engines; when
+    the interpolation is degenerate (frac = 0 or equal neighbors) the
+    fence is bit-exact, and otherwise it lies strictly between two
+    adjacent score values, so an ulp of engine disagreement cannot flip
+    any >= comparison."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select("doc_id", TX.quality_score("text").alias("quality"))
+    fences = q.agg(
+        F.expr(
+            "percentile(quality, array(0.25D, 0.5D, 0.75D))"
+        ).alias("bs")
+    ).select(
+        F.col("bs")[0].alias("b1"),
+        F.col("bs")[1].alias("b2"),
+        F.col("bs")[2].alias("b3"),
+    )
+    stage = (
+        F.when(F.col("quality") >= F.col("b3"), 1)
+        .when(F.col("quality") >= F.col("b2"), 2)
+        .when(F.col("quality") >= F.col("b1"), 3)
+        .otherwise(4)
+    )
+    return q.crossJoin(F.broadcast(fences)).select(
+        "doc_id", "quality", stage.cast("long").alias("stage")
+    )
+
+
+@_register(
+    "l47_token_share_pareto",
+    f"""
+    WITH s AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({_TOKS})) AS BIGINT) AS toks
+      FROM documents WHERE trim(text) <> ''
+      GROUP BY 1
+    )
+    SELECT source, n_docs, toks,
+           round(toks / sum(toks) OVER (), 6) AS share,
+           round(sum(toks) OVER (ORDER BY toks DESC, source
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / sum(toks) OVER (), 6) AS cum_share,
+           CAST(row_number() OVER (ORDER BY toks DESC, source) AS BIGINT) AS rnk
+    FROM s
+    """,
+)
+def l47_token_share_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-share Pareto report: which sources dominate the
+    training-token budget (share + cumulative share in descending order) —
+    the first table anyone looks at before setting mixture weights (l36)
+    or per-source dedup policy (l41).
+
+    Scale: the corpus-sized work is ONE (source)-keyed aggregate with
+    map-side combine; every window (cumsum, rank, AND the grand total)
+    then runs over |sources| rows — small by construction — so the
+    'global sort' is a few hundred rows, not the corpus, and the corpus
+    is scanned exactly once (a separate total-aggregate branch would
+    make Catalyst scan+aggregate it twice). Ordering is
+    (toks DESC, source): unique, hence deterministic cross-engine."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").where(F.trim("text") != "")
+    s = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("toks"),
+    )
+    w_all = Window.partitionBy()
+    w = Window.orderBy(F.col("toks").desc(), "source").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wr = Window.orderBy(F.col("toks").desc(), "source")
+    tot = F.sum("toks").over(w_all)
+    return s.select(
+        "source",
+        "n_docs",
+        "toks",
+        F.round(F.col("toks") / tot, 6).alias("share"),
+        F.round(F.sum("toks").over(w) / tot, 6).alias("cum_share"),
+        F.row_number().over(wr).cast("long").alias("rnk"),
+    )

@@ -1309,3 +1309,98 @@ def r71_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("t").over(w2).alias("valid_to"),
         F.lead("t").over(w2).isNull().alias("is_current"),
     )
+
+
+@_register(
+    "r72_bitwise_bool_aggs",
+    """
+    SELECT l_returnflag, l_linestatus,
+           bit_and(l_orderkey) AS key_and,
+           bit_or(l_orderkey)  AS key_or,
+           bit_xor(l_orderkey) AS key_xor,
+           bool_and(l_quantity > 1.0)  AS all_multi,
+           bool_or(l_discount > 0.09)  AS any_deep_discount,
+           CAST(count(*) FILTER (WHERE l_tax > 0.05) AS BIGINT) AS n_high_tax
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def r72_bitwise_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise (bit_and/or/xor) and boolean (bool_and/or) aggregates plus a
+    FILTER-ed conditional count — the permission-mask / feature-flag rollup
+    family (e.g. OR-ing per-row capability bits into a per-group mask).
+
+    Scale: all six are algebraic aggregates with exact map-side partials
+    (AND/OR/XOR and conjunction/disjunction are associative+commutative),
+    so the shuffle carries one 8-byte mask per (flag, status, partition) —
+    the same 100 TB posture as sum/count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.bit_and("l_orderkey").alias("key_and"),
+        F.bit_or("l_orderkey").alias("key_or"),
+        F.bit_xor("l_orderkey").alias("key_xor"),
+        F.bool_and(F.col("l_quantity") > 1.0).alias("all_multi"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.count_if(F.col("l_tax") > 0.05).alias("n_high_tax"),
+    )
+
+
+@_register(
+    "r73_median_mad",
+    """
+    WITH med AS (
+      SELECT l_returnflag, median(l_extendedprice) AS med_price
+      FROM lineitem GROUP BY 1
+    ), dev AS (
+      SELECT l.l_returnflag, m.med_price,
+             abs(l.l_extendedprice - m.med_price) AS adev
+      FROM lineitem l JOIN med m USING (l_returnflag)
+    ), mad AS (
+      SELECT l_returnflag, median(adev) AS mad_price FROM dev GROUP BY 1
+    )
+    SELECT d.l_returnflag,
+           round(any_value(d.med_price), 4) AS med_price,
+           round(any_value(m.mad_price), 4) AS mad_price,
+           CAST(count(*) FILTER (WHERE d.adev > 3.0 * 1.4826 * m.mad_price)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (l_returnflag)
+    GROUP BY 1
+    """,
+)
+def r73_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust statistics: exact grouped median, median absolute deviation,
+    and the classic |x - med| > 3 * 1.4826 * MAD robust-outlier count —
+    the data-quality screen that mean/stddev (r28) can't do on heavy-tailed
+    price data. Spark has no mad() aggregate, so the engine composes it:
+    median per group, broadcast back, median of absolute deviations, then a
+    conditional count against the scaled MAD fence.
+
+    Scale: three grouped aggregates over ONE shuffle key (l_returnflag, 3
+    groups) joined via broadcast — the group-count is tiny by construction,
+    so every join is a broadcast and the lineitem scan runs twice (median
+    needs the raw distribution; a one-pass approx variant is r35/r36's
+    approx_percentile territory). Exact medians at 100 TB group sizes are
+    sort-based per group; prefer r36's sketches when 4-digit precision
+    isn't contractual."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.median("l_extendedprice").alias("med_price")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
+        "adev", F.abs(F.col("l_extendedprice") - F.col("med_price"))
+    )
+    mad = dev.groupBy("l_returnflag").agg(F.median("adev").alias("mad_price"))
+    fenced = dev.join(F.broadcast(mad), "l_returnflag")
+    return (
+        fenced.groupBy("l_returnflag")
+        .agg(
+            F.round(F.any_value("med_price"), 4).alias("med_price"),
+            F.round(F.any_value("mad_price"), 4).alias("mad_price_r"),
+            F.count_if(
+                F.col("adev") > F.lit(3.0) * F.lit(1.4826) * F.col("mad_price")
+            ).alias("n_outliers"),
+        )
+        .withColumnRenamed("mad_price_r", "mad_price")
+    )

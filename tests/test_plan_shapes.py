@@ -78,3 +78,34 @@ def test_l43_l44_band_joins_are_shuffle_not_broadcast(spark, sf_dir):
         p = _plan(llmops.QUERIES[name](spark, sf_dir))
         assert "SortMergeJoin" in p, (name, p)
         assert "CartesianProduct" not in p, (name, p)
+
+
+def test_m04_m05_model_export_is_shuffle_free_codegen(spark, sf_dir):
+    """The exported-model scorers must stay a single narrow projection:
+    scan -> project, whole-stage codegen, zero exchanges — the whole
+    point of compiling weights/trees into built-in expressions."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import advanced
+
+    for name in ("m04_sql_logistic_score", "m05_tree_ensemble_score"):
+        p = _plan(advanced.QUERIES[name](spark, sf_dir))
+        assert "Exchange" not in p, (name, p)
+        # executedPlan().toString() renders a codegen stage as "*(n) Op"
+        assert p.lstrip().startswith("*("), (name, p)
+
+
+def test_l46_has_no_global_window_sort(spark, sf_dir):
+    """Curriculum staging must use the broadcast quantile-fence plan, not
+    a whole-corpus ntile: no Window operator, no global Sort over the
+    corpus, fences joined via broadcast."""
+    p = _plan(llmops.QUERIES["l46_curriculum_stages"](spark, sf_dir))
+    assert "Window" not in p, p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+
+
+def test_l47_window_runs_on_aggregate_not_corpus(spark, sf_dir):
+    """The Pareto window may only see the per-source aggregate: exactly
+    one hash-aggregate exchange keyed on source before the window's
+    single-partition exchange."""
+    p = _plan(llmops.QUERIES["l47_token_share_pareto"](spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Window" in p, p

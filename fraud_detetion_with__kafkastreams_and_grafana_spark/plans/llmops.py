@@ -2326,3 +2326,66 @@ def l47_token_share_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("toks").over(w) / tot, 6).alias("cum_share"),
         F.row_number().over(wr).cast("long").alias("rnk"),
     )
+
+
+# l48's rule fences. Each rule compares an exactly-computed ratio (integer
+# counts / integer lengths -> identical IEEE doubles in both engines)
+# against a decimal literal, so the bitmask is hash-safe cross-engine.
+_L48_AVG_WLEN = (
+    f"list_reduce(list_transform({_TOKS}, t -> length(t)::DOUBLE), (x, y) -> x + y)"
+    f" / greatest(len({_TOKS}), 1)"
+)
+
+
+@_register(
+    "l48_rule_filter_cascade",
+    f"""
+    SELECT doc_id,
+           CAST(  CASE WHEN length(text) < 200 THEN 1 ELSE 0 END
+                + CASE WHEN {_STOP_RATIO} < 0.05 THEN 2 ELSE 0 END
+                + CASE WHEN {_DIGIT_RATIO} > 0.15 THEN 4 ELSE 0 END
+                + CASE WHEN {_PUNCT_RATIO} > 0.10 THEN 8 ELSE 0 END
+                + CASE WHEN {_L48_AVG_WLEN} < 3.0 OR {_L48_AVG_WLEN} > 10.0
+                       THEN 16 ELSE 0 END AS BIGINT) AS fail_mask,
+           (  CASE WHEN length(text) < 200 THEN 1 ELSE 0 END
+            + CASE WHEN {_STOP_RATIO} < 0.05 THEN 2 ELSE 0 END
+            + CASE WHEN {_DIGIT_RATIO} > 0.15 THEN 4 ELSE 0 END
+            + CASE WHEN {_PUNCT_RATIO} > 0.10 THEN 8 ELSE 0 END
+            + CASE WHEN {_L48_AVG_WLEN} < 3.0 OR {_L48_AVG_WLEN} > 10.0
+                   THEN 16 ELSE 0 END) = 0 AS keep
+    FROM documents
+    """,
+)
+def l48_rule_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style rule-cascade quality filter: five heuristic rules
+    (too short, stopword-poor, digit-heavy, punct-heavy, weird mean word
+    length) evaluated per document into a FAILURE BITMASK (bit i = rule i
+    fired) plus the keep decision — the auditable form production filters
+    use: one pass yields both the kept corpus AND the per-rule rejection
+    breakdown (`sum(fail_mask & (1<<i))` downstream), instead of
+    re-filtering once per rule.
+
+    Scale: a single narrow whole-stage-codegen projection over the scan —
+    every rule is a built-in expression on the same row, zero shuffles,
+    zero Python. Rule fences compare exact integer-ratio doubles against
+    decimal literals, so the mask is bit-identical cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    rules = [
+        (F.length("text") < 200, 1),
+        (TX.stopword_ratio("text") < 0.05, 2),
+        (TX.digit_ratio("text") > 0.15, 4),
+        (TX.punct_ratio("text") > 0.10, 8),
+        (
+            (TX.avg_word_len("text") < 3.0) | (TX.avg_word_len("text") > 10.0),
+            16,
+        ),
+    ]
+    mask = None
+    for pred, bit in rules:
+        term = F.when(pred, bit).otherwise(0)
+        mask = term if mask is None else mask + term
+    return docs.select(
+        "doc_id",
+        mask.cast("long").alias("fail_mask"),
+        (mask == 0).alias("keep"),
+    )

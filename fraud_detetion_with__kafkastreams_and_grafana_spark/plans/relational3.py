@@ -1404,3 +1404,86 @@ def r73_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("mad_price_r", "mad_price")
     )
+
+
+@_register(
+    "r74_multiset_ops",
+    """
+    WITH a AS (SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'A'),
+         b AS (SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'R')
+    SELECT 'intersect_all' AS op,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_keys
+    FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+    UNION ALL
+    SELECT 'except_all',
+           CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT k) AS BIGINT)
+    FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+    """,
+)
+def r74_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG-semantics set operations — INTERSECT ALL keeps min(m_a, m_b)
+    copies per key and EXCEPT ALL keeps m_a - m_b — which r16's
+    distinct-set ops can't express (multiplicity is the whole point:
+    'how many line items survive subtracting the returned bag').
+
+    Scale: Catalyst rewrites both to a count-aggregate + generate
+    (replicate rows) pattern — one shuffle on the value key, never a
+    join; the summary agg then collapses to two rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_returnflag") == "A").select(F.col("l_partkey").alias("k"))
+    b = li.where(F.col("l_returnflag") == "R").select(F.col("l_partkey").alias("k"))
+
+    def _summary(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct("k").alias("n_keys"),
+        ).select(F.lit(op).alias("op"), "n_rows", "n_keys")
+
+    return _summary(a.intersectAll(b), "intersect_all").unionAll(
+        _summary(a.exceptAll(b), "except_all")
+    )
+
+
+@_register(
+    "r75_null_safe_join",
+    """
+    WITH o AS (
+      SELECT nullif(o_orderpriority, '1-URGENT') AS p,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT coalesce(l.p, '<null>') AS lp, coalesce(r.p, '<null>') AS rp,
+           (l.p IS NULL) AS joined_on_null,
+           l.n * r.n AS pairs
+    FROM o l JOIN o r ON l.p IS NOT DISTINCT FROM r.p
+    """,
+)
+def r75_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other — a plain `=` join silently drops every null-keyed
+    row, the classic silent-data-loss bug when joining on nullable
+    dimension keys. The joined_on_null row proves the null bucket
+    actually joined.
+
+    Scale: eqNullSafe is a hash-join-able equi-condition (Spark hashes
+    null to a bucket like any value), so this plans as a broadcast/SMJ
+    equi-join, NOT a nested-loop — and both sides here are post-aggregate
+    (|priorities| rows)."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.nullif("o_orderpriority", F.lit("1-URGENT")).alias("p"))
+        .groupBy("p")
+        .agg(F.count("*").alias("n"))
+    )
+    left = o.alias("l")
+    right = o.alias("r")
+    return left.join(
+        right, F.col("l.p").eqNullSafe(F.col("r.p"))
+    ).select(
+        F.coalesce("l.p", F.lit("<null>")).alias("lp"),
+        F.coalesce("r.p", F.lit("<null>")).alias("rp"),
+        F.col("l.p").isNull().alias("joined_on_null"),
+        (F.col("l.n") * F.col("r.n")).alias("pairs"),
+    )

@@ -345,6 +345,24 @@ _M04_Z = (
 )
 
 
+def _m04_z():
+    """m04's linear margin as a Column (shared by m04 and m06)."""
+    return (
+        F.lit(_M04_W["b"])
+        + F.lit(_M04_W["amt"]) * (F.col("value") / F.lit(100.0))
+        + F.lit(_M04_W["hour"]) * (F.hour("ts") / F.lit(23.0))
+        + F.lit(_M04_W["purchase"])
+        * F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0)
+        + F.lit(_M04_W["error"])
+        * F.when(F.col("event_type") == "error", 1.0).otherwise(0.0)
+    )
+
+
+def _m04_p():
+    z = _m04_z()
+    return F.lit(0.5) * (F.lit(1.0) + z / (F.lit(1.0) + F.abs(z)))
+
+
 @_register(
     "m04_sql_logistic_score",
     f"""
@@ -372,16 +390,7 @@ def m04_sql_logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan, embarrassingly parallel, nothing shuffles. The rational
     squashing link (docstring at _M04_W) keeps both engines bit-identical."""
     ev = load_table(spark, sf_dir, "events")
-    z = (
-        F.lit(_M04_W["b"])
-        + F.lit(_M04_W["amt"]) * (F.col("value") / F.lit(100.0))
-        + F.lit(_M04_W["hour"]) * (F.hour("ts") / F.lit(23.0))
-        + F.lit(_M04_W["purchase"])
-        * F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0)
-        + F.lit(_M04_W["error"])
-        * F.when(F.col("event_type") == "error", 1.0).otherwise(0.0)
-    )
-    p = F.lit(0.5) * (F.lit(1.0) + z / (F.lit(1.0) + F.abs(z)))
+    p = _m04_p()
     return ev.select(
         "event_id",
         F.format_string("user_%03d", F.col("user_id").cast("int")).alias("userId"),
@@ -489,4 +498,56 @@ def u10_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tx = _tx(spark, sf_dir)
     return tx.select(
         "userId", "event_id", F.round(risk("amount"), 6).alias("risk_score")
+    )
+
+
+@_register(
+    "m06_score_calibration",
+    f"""
+    WITH s AS (
+      SELECT round(0.5 * (1.0 + z / (1.0 + abs(z))), 6) AS score,
+             (value > {EVENTS_FRAUD_THRESHOLD}) AS is_fraud
+      FROM (
+        SELECT value,
+               {_M04_Z.replace("HOUR_EXPR", "extract(hour FROM ts)")} AS z
+        FROM events
+      )
+    )
+    SELECT CAST(floor(score * 10) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(score), 6) AS mean_score,
+           round(avg(CASE WHEN is_fraud THEN 1.0 ELSE 0.0 END), 6)
+             AS fraud_rate
+    FROM s
+    GROUP BY 1
+    """,
+)
+def m06_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the exported m04 scorer: decile-bucketed
+    predicted score vs observed fraud rate (the reference's strict
+    `> threshold` rule as ground truth) — the monitoring query every
+    deployed scorer needs, expressed as plain aggregation so it runs on
+    the same 100 TB scan that scoring does. A calibrated model shows
+    fraud_rate rising with mean_score; drift shows up as divergence.
+
+    Scale: one narrow projection + one hash aggregate on ≤11 bucket keys,
+    map-side combined. Bucketing floors score*10 on the 6-dp-rounded
+    score, which is bit-identical cross-engine (m04's rational link)."""
+    ev = load_table(spark, sf_dir, "events")
+    score = F.round(_m04_p(), 6)
+    return (
+        ev.select(
+            score.alias("score"),
+            (F.col("value") > F.lit(float(EVENTS_FRAUD_THRESHOLD))).alias(
+                "is_fraud"
+            ),
+        )
+        .groupBy(F.floor(F.col("score") * 10).cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("score"), 6).alias("mean_score"),
+            F.round(
+                F.avg(F.when(F.col("is_fraud"), 1.0).otherwise(0.0)), 6
+            ).alias("fraud_rate"),
+        )
     )

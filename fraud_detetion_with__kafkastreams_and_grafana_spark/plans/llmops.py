@@ -2389,3 +2389,89 @@ def l48_rule_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         mask.cast("long").alias("fail_mask"),
         (mask == 0).alias("keep"),
     )
+
+
+@_register(
+    "l49_contamination_matrix",
+    r"""
+    WITH s AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ), g AS (
+      SELECT DISTINCT source, array_to_string(w[i:i+7], ' ') AS gram
+      FROM s, unnest(range(1, len(w) - 6)) AS t(i)
+      WHERE len(w) >= 8
+    ), tot AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY 1
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(count(*) AS BIGINT) AS shared_grams,
+           round(count(*) / least(any_value(ta.n_grams), any_value(tb.n_grams)), 6)
+             AS overlap_coef
+    FROM g a
+    JOIN g b ON a.gram = b.gram AND a.source < b.source
+    JOIN tot ta ON ta.source = a.source
+    JOIN tot tb ON tb.source = b.source
+    GROUP BY 1, 2
+    """,
+)
+def l49_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how many
+    distinct word 8-grams they share, plus the overlap coefficient
+    (shared / min(|A|, |B|)) — the pairwise generalization of l26's
+    train/test decontamination and the evidence table for 'crawl X is
+    just a re-scrape of crawl Y'.
+
+    Scale: grams travel as xxhash64 (8 bytes/gram, l26's argument; the
+    oracle joins gram strings — identical absent 64-bit collisions).
+    The self-join key is the gram hash after a per-source DISTINCT, so a
+    gram contributes at most |sources|^2 pairs regardless of how many
+    documents repeat it — corpus-frequency skew is capped by construction.
+    Totals join via broadcast (|sources| rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim("text"), r"\s+")
+    grams = (
+        docs.where(F.size(w) >= 8)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(w) - 8),
+                    lambda i: F.xxhash64(
+                        F.array_join(F.slice(w, i + 1, 8), " ")
+                    ),
+                )
+            ).alias("gh"),
+        )
+        .distinct()
+    )
+    tot = grams.groupBy("source").agg(F.count("*").alias("n_grams"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.gh") == F.col("b.gh"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("shared_grams"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(tot.withColumnRenamed("source", "src_a")), "src_a"
+        )
+        .withColumnRenamed("n_grams", "na")
+        .join(F.broadcast(tot.withColumnRenamed("source", "src_b")), "src_b")
+        .withColumnRenamed("n_grams", "nb")
+        .select(
+            "src_a",
+            "src_b",
+            "shared_grams",
+            F.round(
+                F.col("shared_grams") / F.least("na", "nb"), 6
+            ).alias("overlap_coef"),
+        )
+    )

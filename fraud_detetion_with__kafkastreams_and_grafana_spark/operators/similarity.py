@@ -475,3 +475,109 @@ def pq_adc_topk(
     return cosine_topk(
         corpus.join(short, id_col, "left_semi"), query, k, id_col, vec_col
     )
+
+
+def _hashplane_sign(p: int, i, dim: int):
+    """±1.0 sign for plane p, element i, from a fixed public LCG-style
+    integer hash — every step exact int64, so a SQL oracle replays it
+    bit-identically (the l43/l44 recipe applied to hyperplanes)."""
+    h = (F.lit(p * dim) + i) * F.lit(2654435761) + F.lit(1013904223)
+    return F.when(
+        (h % F.lit(4294967296)) < F.lit(2147483648), F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+
+
+def hashplane_bands(
+    df: DataFrame,
+    dim: int = 64,
+    num_planes: int = 16,
+    bands: int = 4,
+    vec_col: str = "embedding",
+):
+    """Per-row band hashes for the ±1 hash-plane family, as pure built-in
+    expressions (no Python boundary at all): each plane's dot product is a
+    left-to-right F.aggregate over zip_with(vec, index) — the accumulation
+    order DuckDB's list_reduce uses, so signatures hash-match cross-engine.
+
+    This is the ORACLE-REPLAYABLE twin of make_lsh_bucket_udf's
+    broadcast-matmul: ±1 planes instead of Gaussian, expression-tree dot
+    products instead of BLAS. Returns a list of `bands` Columns."""
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+
+    def _signed_elem(p: int):
+        # binds p via closure: zip_with lambdas must take EXACTLY the
+        # (value, index) pair — a defaulted third parameter makes pyspark
+        # emit a 3-arg lambda and analysis fails
+        return lambda v, i: v.cast("double") * _hashplane_sign(p, i, dim)
+
+    dots = [
+        F.aggregate(
+            F.zip_with(F.col(vec_col), idx, _signed_elem(p)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for p in range(num_planes)
+    ]
+    bits = [(d > F.lit(0.0)).cast("int") for p, d in enumerate(dots)]
+    bpb = num_planes // bands
+    return [
+        sum(bits[b * bpb + j] * F.lit(1 << j) for j in range(bpb)).alias(
+            f"bh{b}"
+        )
+        for b in range(bands)
+    ]
+
+
+def ann_lsh_topk_hashplanes(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """ann_lsh_topk with the deterministic ±1 hash-plane family: banded
+    sign-bit candidate generation (match on ANY of `bands` band hashes)
+    + exact cosine rerank, fully value-hash-oracle-able.
+
+    Scale shape is identical to the production path: corpus band rows
+    equi-join the broadcast query bands, DISTINCT collapses multi-band
+    hits, exact rerank touches candidates only."""
+    bhs = hashplane_bands(corpus, dim, num_planes, bands, vec_col)
+
+    def banded(df: DataFrame, name: str) -> DataFrame:
+        withb = df.select(
+            F.col(id_col).alias(f"{name}_id"),
+            F.col(vec_col).alias(f"{name}_vec"),
+            *bhs,
+        )
+        bandcols = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"), F.col(f"bh{b}").alias("bh")
+                )
+                for b in range(bands)
+            ]
+        )
+        return withb.select(
+            f"{name}_id", f"{name}_vec", F.explode(bandcols).alias("bb")
+        ).select(f"{name}_id", f"{name}_vec", "bb.band", "bb.bh")
+
+    c = banded(corpus, "c")
+    q = banded(query, "q").drop("q_id")
+    cands = (
+        c.join(F.broadcast(q), ["band", "bh"])
+        .select("c_id", "c_vec", "q_vec")
+        .distinct()
+    )
+    return (
+        cands.select(
+            F.col("c_id").alias(id_col),
+            cosine_similarity(F.col("c_vec"), F.col("q_vec")).alias("_cos"),
+        )
+        .orderBy(F.desc("_cos"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round("_cos", 4).alias("cosine_sim"))
+    )

@@ -2475,3 +2475,75 @@ def l49_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_coef"),
         )
     )
+
+
+# l50's oracle: replay the ±1 hash-plane signature family in SQL. The sign
+# for (plane p, element i) is an exact int64 LCG-style hash; dot products
+# accumulate left-to-right exactly like Spark's F.aggregate.
+def _l50_dot(p: int) -> str:
+    return (
+        "list_reduce(list_transform(range(1, 65), i -> "
+        "CAST(embedding[i] AS DOUBLE) * "
+        f"(CASE WHEN (({p} * 64 + (i - 1)) * 2654435761 + 1013904223) "
+        "% 4294967296 < 2147483648 THEN 1.0 ELSE -1.0 END)), "
+        "(x, y) -> x + y)"
+    )
+
+
+_L50_COS = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.qe[i] AS DOUBLE)), (x, y) -> x + y)"
+    " / (sqrt(list_reduce(list_transform(c.embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
+    " * sqrt(list_reduce(list_transform(c.qe, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)))"
+)
+
+_L50_SQL = f"""
+    WITH sig AS (
+      SELECT vec_id, embedding,
+             {", ".join(f"{_l50_dot(p)} AS d{p}" for p in range(16))}
+      FROM embeddings
+    ), bh AS (
+      SELECT vec_id, embedding,
+             {", ".join(
+                 " + ".join(
+                     f"(CASE WHEN d{b * 4 + j} > 0.0 THEN {1 << j} ELSE 0 END)"
+                     for j in range(4)
+                 ) + f" AS b{b}"
+                 for b in range(4)
+             )}
+      FROM sig
+    ), q AS (SELECT * FROM bh WHERE vec_id = 0),
+    cand AS (
+      SELECT DISTINCT c.vec_id, c.embedding, q.embedding AS qe
+      FROM bh c, q
+      WHERE c.b0 = q.b0 OR c.b1 = q.b1 OR c.b2 = q.b2 OR c.b3 = q.b3
+    )
+    SELECT vec_id, round({_L50_COS}, 4) AS cosine_sim
+    FROM cand c
+    ORDER BY {_L50_COS} DESC, vec_id ASC
+    LIMIT 10
+"""
+
+
+@_register("l50_ann_lsh_oracle_topk", _L50_SQL)
+def l50_ann_lsh_oracle_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-LSH with a FULL value-hash oracle — the third probabilistic
+    family to graduate from rows-only via the l43/l44 recipe: swap the
+    Gaussian broadcast-matmul planes (l07, the production path) for a
+    ±1 hash-plane family whose signs are an exact int64 LCG hash, so the
+    SQL oracle replays signature -> banded candidates -> exact cosine
+    rerank end to end. l07 keeps the recall pytest; this twin proves the
+    ENTIRE ANN pipeline's semantics (banding, multi-probe OR, DISTINCT
+    collapse, rerank ordering) value-exactly.
+
+    Scale: identical plan shape to l07 — banded equi-join against the
+    broadcast query bands, candidates-only rerank; the signature is pure
+    whole-stage-codegen expressions (zero Python), trading l07's BLAS
+    matmul for expression-tree dots, the right trade at 16x64 and wrong
+    at 64x768 (which is why l07's matmul stays the production path)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    return SIM.ann_lsh_topk_hashplanes(
+        em, em.filter(F.col("vec_id") == 0), k=10
+    )

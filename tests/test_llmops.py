@@ -134,6 +134,21 @@ def test_ann_lsh_recall(spark, sf_dir):
     assert len(exact & approx) >= 4  # includes the query itself + neighbors
 
 
+def test_hashplane_lsh_recall(spark, sf_dir):
+    """The oracle-replayable ±1 hash-plane family (l50) must stay a real
+    ANN: decent recall of the exact top-10, like the Gaussian family."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators import (
+        similarity as SIM,
+    )
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources import load_table
+
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") == 0)
+    exact = {r.vec_id for r in SIM.cosine_topk(em, q, k=10).collect()}
+    approx = {r.vec_id for r in SIM.ann_lsh_topk_hashplanes(em, q, k=10).collect()}
+    assert len(exact & approx) >= 4
+
+
 def test_multimodal_features_deterministic(spark, planted):
     media = MM.attach_fake_payload(planted)
     feats = {r.doc_id: r for r in MM.extract_image_features(media).collect()}

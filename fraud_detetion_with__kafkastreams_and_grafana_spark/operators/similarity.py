@@ -581,3 +581,113 @@ def ann_lsh_topk_hashplanes(
         .limit(k)
         .select(id_col, F.round("_cos", 4).alias("cosine_sim"))
     )
+
+
+def _norm_expr(vec):
+    """L2 norm as a left-to-right expression sum (DuckDB list_reduce
+    order), with the zero-norm -> 1.0 guard ivf_seed_centroids applies."""
+    s = F.aggregate(
+        F.transform(vec, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n = F.sqrt(s)
+    return F.when(n == 0.0, F.lit(1.0)).otherwise(n)
+
+
+def _dot_expr(a, b):
+    """Sequential dot product of a float vector and a double vector."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_topk_exprs(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ivf_topk with EVERY stage in built-in expressions (zero Python, no
+    numpy) so a SQL oracle replays it bit-exactly: seed centroids are the
+    vec_id < nlist rows L2-normalized (dense-id twin of
+    ivf_seed_centroids), cell assignment is an order-independent argmax
+    FOLD over the broadcast centroid list (strict better-than with
+    cid tie-break — no corpus x nlist shuffle, unlike a window argmax),
+    probes are the query's nprobe nearest cells, rerank is exact cosine.
+
+    Scale: cell assignment is a narrow projection over the scan (the
+    centroid list rides a broadcast), exactly the production index-build
+    shape; probing is the same array_contains broadcast join ivf_topk
+    uses. The expression fold replaces the BLAS matmul — right at
+    nlist=16, wrong at nlist=4096 (l13's matmul stays the scale path)."""
+    cvec = F.transform(
+        F.col(vec_col), lambda x: x.cast("double") / _norm_expr(F.col(vec_col))
+    )
+    cents = (
+        corpus.where(F.col(id_col) < nlist)
+        .select(F.col(id_col).alias("cid"), cvec.alias("cvec"))
+        .agg(F.collect_list(F.struct("cid", "cvec")).alias("cents"))
+    )
+
+    def _argmax_cell(vec):
+        init = F.struct(
+            F.lit(-1).cast("long").alias("cid"),
+            F.lit(float("-inf")).alias("dot"),
+        )
+
+        def merge(acc, c):
+            d = _dot_expr(vec, c["cvec"])
+            better = (d > acc["dot"]) | (
+                (d == acc["dot"]) & (c["cid"] < acc["cid"])
+            )
+            return F.when(
+                better, F.struct(c["cid"].alias("cid"), d.alias("dot"))
+            ).otherwise(acc)
+
+        return F.aggregate(
+            F.col("cents"), init, merge, lambda acc: acc["cid"]
+        )
+
+    cells = corpus.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        _argmax_cell(F.col(vec_col)).alias("_cell"),
+    )
+
+    q1 = query.select(F.col(vec_col).alias("_qvec"))
+    from pyspark.sql.window import Window
+
+    qd = (
+        cents.select(F.explode("cents").alias("c"))
+        .crossJoin(F.broadcast(q1))
+        .select(
+            F.col("c.cid").alias("cid"),
+            _dot_expr(F.col("_qvec"), F.col("c.cvec")).alias("d"),
+        )
+    )
+    rn = F.row_number().over(Window.orderBy(F.desc("d"), F.asc("cid")))
+    probes = (
+        qd.withColumn("rn", rn)
+        .where(F.col("rn") <= nprobe)
+        .agg(F.collect_list("cid").alias("_probes"))
+        .crossJoin(F.broadcast(q1))
+    )
+    return (
+        cells.join(
+            F.broadcast(probes),
+            F.array_contains(F.col("_probes"), F.col("_cell")),
+        )
+        .select(
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("_cos"),
+        )
+        .orderBy(F.desc("_cos"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round("_cos", 4).alias("cosine_sim"))
+    )

@@ -2547,3 +2547,82 @@ def l50_ann_lsh_oracle_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ann_lsh_topk_hashplanes(
         em, em.filter(F.col("vec_id") == 0), k=10
     )
+
+
+# l51's oracle: replay the expression-IVF end to end. Centroids are the
+# vec_id < 16 rows L2-normalized; cell = argmax dot (ties -> lower cid);
+# probes = query's top-4 cells; rerank exact cosine. All accumulation is
+# left-to-right, matching Spark's F.aggregate.
+_L51_NORMED = (
+    "list_transform(embedding, x -> CAST(x AS DOUBLE) / "
+    "(CASE WHEN sqrt(list_reduce(list_transform(embedding, "
+    "y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), (a, b) -> a + b)) = 0.0 "
+    "THEN 1.0 ELSE sqrt(list_reduce(list_transform(embedding, "
+    "y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), (a, b) -> a + b)) END))"
+)
+
+_L51_SQL = f"""
+    WITH c AS (
+      SELECT vec_id AS cid, {_L51_NORMED} AS cvec
+      FROM embeddings WHERE vec_id < 16
+    ), dots AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             list_reduce(list_transform(range(1, 65),
+               i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i]),
+               (a, b) -> a + b) AS d
+      FROM embeddings e CROSS JOIN c
+    ), cells AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS rn
+        FROM dots
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT cid FROM (
+        SELECT cid, row_number() OVER (ORDER BY d DESC, cid ASC) AS rn
+        FROM dots WHERE vec_id = 0
+      ) WHERE rn <= 4
+    ), qv AS (
+      SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+    ), cand AS (
+      SELECT cells.vec_id, cells.embedding, qv.qe
+      FROM cells JOIN probes ON cells.cell = probes.cid CROSS JOIN qv
+    )
+    SELECT vec_id,
+           round(list_reduce(list_transform(range(1, 65),
+             i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.qe[i] AS DOUBLE)),
+             (a, b) -> a + b)
+           / (sqrt(list_reduce(list_transform(c.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+            * sqrt(list_reduce(list_transform(c.qe,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))),
+           4) AS cosine_sim
+    FROM cand c
+    ORDER BY list_reduce(list_transform(range(1, 65),
+             i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.qe[i] AS DOUBLE)),
+             (a, b) -> a + b)
+           / (sqrt(list_reduce(list_transform(c.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+            * sqrt(list_reduce(list_transform(c.qe,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)))
+           DESC, vec_id ASC
+    LIMIT 10
+"""
+
+
+@_register("l51_ivf_oracle_topk", _L51_SQL)
+def l51_ivf_oracle_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a FULL value-hash oracle — completes the ANN ladder's
+    graduation (l06 exact, l50 LSH, l24/l25 PQ, now IVF): seed centroids,
+    argmax-dot cell assignment, nprobe probing and exact rerank all in
+    built-in expressions (operators/similarity.ivf_topk_exprs), so the
+    SQL twin replays every stage. l13 (numpy-matmul cells, KMeans-capable
+    build) keeps the production role and its exactness-anchor pytest.
+
+    Scale: cell assignment is an order-independent argmax fold over the
+    BROADCAST centroid list — a narrow projection, no corpus x nlist
+    shuffle (the oracle's window formulation is semantically identical
+    but intentionally not the engine shape); probing is the same
+    array_contains broadcast join l13 uses."""
+    em = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk_exprs(em, em.filter(F.col("vec_id") == 0), k=10)

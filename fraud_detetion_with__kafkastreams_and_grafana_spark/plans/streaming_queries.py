@@ -1355,3 +1355,63 @@ def s21_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+@_register(
+    "m07_stream_sql_score",
+    """
+    WITH s AS (
+      SELECT printf('user_%03d', user_id) AS userId,
+             0.5 * (1.0 + z / (1.0 + abs(z))) AS p
+      FROM (
+        SELECT user_id,
+               -2.0 + 1.5 * (value / 100.0)
+                    + 0.25 * (extract(hour FROM ts) / 23.0) AS z
+        FROM events
+      )
+    )
+    SELECT userId,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (WHERE p > 0.6) AS BIGINT) AS n_flagged,
+           round(sum(round(p, 6)), 2) AS risk_mass
+    FROM s
+    GROUP BY 1
+    """,
+)
+def m07_stream_sql_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming inference with the EXPORTED scorer — m03's shape (score
+    every wire record micro-batch by micro-batch) but with m04's
+    weights-compiled-to-expressions model, which makes it the streaming
+    ML row with a FULL value-hash oracle: the closed-form score needs no
+    model object, so the batch SQL twin replays it exactly. Features are
+    the wire pair (amount, hour of event time); the rational link keeps
+    scores bit-identical cross-engine, and the per-user aggregate
+    (complete mode) matches the batch GROUP BY.
+
+    Scale: scoring is a stateless narrow projection inside each
+    micro-batch — the streaming cost is the per-user agg state, identical
+    to s01's. This is the production shape for low-latency model serving
+    on a stream when the model exports to expressions (otherwise m03)."""
+    from ..operators.detect import parse_wire
+
+    def xform(stream: DataFrame) -> DataFrame:
+        parsed = parse_wire(stream)
+        z = (
+            F.lit(-2.0)
+            + F.lit(1.5) * (F.col("amount") / F.lit(100.0))
+            + F.lit(0.25) * (F.hour("event_time") / F.lit(23.0))
+        )
+        p = F.lit(0.5) * (F.lit(1.0) + z / (F.lit(1.0) + F.abs(z)))
+        return (
+            parsed.select("userId", p.alias("p"))
+            .groupBy("userId")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.count_if(F.col("p") > 0.6).alias("n_flagged"),
+                F.round(F.sum(F.round("p", 6)), 2).alias("risk_mass"),
+            )
+        )
+
+    return replay_wire_stream(
+        spark, _wire_dir(spark, sf_dir), xform, name="m07_mem"
+    )

@@ -180,6 +180,24 @@ def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
     assert full == exact
 
 
+def test_ivf_exprs_full_probe_equals_brute_force(spark, sf_dir):
+    """The expression-only IVF twin (l51) inherits the same anchor:
+    nprobe == nlist must equal brute force exactly."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators import (
+        similarity as SIM,
+    )
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources import load_table
+
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") == 0)
+    exact = [(r.vec_id, r.cosine_sim) for r in SIM.cosine_topk(em, q, k=10).collect()]
+    full = [
+        (r.vec_id, r.cosine_sim)
+        for r in SIM.ivf_topk_exprs(em, q, k=10, nlist=8, nprobe=8).collect()
+    ]
+    assert full == exact
+
+
 def test_ivf_partial_probe_contains_query(spark, sf_dir):
     """The query's own cell is always probed (it is its own nearest
     neighbor), so vec_id=0 must appear in its result."""

@@ -98,6 +98,7 @@ def _warmup(spark, sf_dir: str) -> None:
         load_table(spark, sf_dir, "embeddings"), nlist=10, cache_key=sf_dir
     )
     LL._dup_components(spark, sf_dir)  # builds + caches the pair graph too
+    LL._gram_index(spark, sf_dir)  # l49's distinct (source, gram-hash) index
 
 
 def main() -> int:

@@ -2427,27 +2427,16 @@ def l49_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     The self-join key is the gram hash after a per-source DISTINCT, so a
     gram contributes at most |sources|^2 pairs regardless of how many
     documents repeat it — corpus-frequency skew is capped by construction.
-    Totals join via broadcast (|sources| rows)."""
-    docs = load_table(spark, sf_dir, "documents")
-    w = F.split(F.trim("text"), r"\s+")
-    grams = (
-        docs.where(F.size(w) >= 8)
-        .select(
-            "source",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(w) - 8),
-                    lambda i: F.xxhash64(
-                        F.array_join(F.slice(w, i + 1, 8), " ")
-                    ),
-                )
-            ).alias("gh"),
-        )
-        .distinct()
-    )
+    The distinct (source, gram-hash) index feeds THREE consumers (totals
+    + both join sides), so it materializes once per session
+    (localCheckpoint, the _dup_pairs pattern) instead of re-exploding the
+    corpus three times; the self-join is pinned to sort-merge (both sides
+    are corpus-sized — broadcasting one is a toy-scale plan); the totals
+    join stays broadcast (|sources| rows)."""
+    grams = _gram_index(spark, sf_dir)
     tot = grams.groupBy("source").agg(F.count("*").alias("n_grams"))
     a = grams.alias("a")
-    b = grams.alias("b")
+    b = grams.hint("merge").alias("b")
     pairs = (
         a.join(
             b,
@@ -2475,6 +2464,40 @@ def l49_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_coef"),
         )
     )
+
+
+# l49's distinct (source, gram-hash) index: one session-scoped
+# materialization feeding the totals aggregate and both self-join sides
+# (same rationale + pattern as _dup_pairs above).
+_GRAM_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _GRAM_INDEX_CACHE.get(key)
+    if got is None:
+        docs = load_table(spark, sf_dir, "documents")
+        w = F.split(F.trim("text"), r"\s+")
+        got = (
+            docs.where(F.size(w) >= 8)
+            .select(
+                "source",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(w) - 8),
+                        lambda i: F.xxhash64(
+                            F.array_join(F.slice(w, i + 1, 8), " ")
+                        ),
+                    )
+                ).alias("gh"),
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        for k in [k for k in _GRAM_INDEX_CACHE if k[0] != key[0]]:
+            del _GRAM_INDEX_CACHE[k]
+        _GRAM_INDEX_CACHE[key] = got
+    return got
 
 
 # l50's oracle: replay the ±1 hash-plane signature family in SQL. The sign

@@ -109,3 +109,23 @@ def test_l47_window_runs_on_aggregate_not_corpus(spark, sf_dir):
     p = _plan(llmops.QUERIES["l47_token_share_pareto"](spark, sf_dir))
     assert p.count("Exchange hashpartitioning") == 1, p
     assert "Window" in p, p
+
+
+def test_l49_self_join_is_sort_merge_over_checkpoint(spark, sf_dir):
+    """Both sides of the contamination self-join are corpus-sized: the
+    merge hint must hold (no broadcast of a corpus-sized build side),
+    and the gram index must come from the materialized checkpoint (no
+    re-explode of the corpus per consumer)."""
+    p = _plan(llmops.QUERIES["l49_contamination_matrix"](spark, sf_dir))
+    assert "SortMergeJoin" in p, p
+    assert "Scan ExistingRDD" in p, p  # localCheckpoint-backed gram index
+    assert "CartesianProduct" not in p, p
+
+
+def test_l51_cell_assignment_has_no_corpus_shuffle(spark, sf_dir):
+    """The argmax fold must keep cell assignment a narrow projection:
+    no hashpartitioning exchange anywhere (centroids + probes ride
+    broadcasts; the only window runs over the 16-row centroid frame)."""
+    p = _plan(llmops.QUERIES["l51_ivf_oracle_topk"](spark, sf_dir))
+    assert "Exchange hashpartitioning" not in p, p
+    assert "TakeOrderedAndProject" in p, p

@@ -2,12 +2,15 @@
 with typed metadata, processed by Arrow-batched pandas iterators
 (mapInPandas).
 
-The decode step is STUBBED (no image/audio libraries in this container):
-`decode_image_stub` produces deterministic fake features derived from the
-bytes, clearly marked. The Spark-side plumbing is real — schema handling,
-mapInPandas batch iteration, partition-preserving flow — and is what the
-tests exercise. Swapping the stub for a real decoder (PIL / torchaudio /
-pyav) changes only `_fake_decode`, nothing in the plan shape.
+The JPEG/PNG/audio decode step is STUBBED (no image/audio libraries in
+this container): `_fake_decode` produces deterministic fake features
+derived from the bytes, clearly marked. BMP decode is REAL
+(`decode_bmp`: pure-stdlib struct parsing — magic, header geometry, row
+padding, channel sums; exercised end-to-end with a value-hash oracle by
+l52). The Spark-side plumbing is real everywhere — schema handling,
+mapInPandas batch iteration, partition-preserving flow. Swapping the
+stub for a richer decoder (PIL / torchaudio / pyav) changes only
+`_fake_decode`, nothing in the plan shape.
 
 Scale notes: mapInPandas streams Arrow batches — the full binary column
 never materializes on the driver; per-batch memory is bounded by
@@ -164,4 +167,98 @@ def decode_image_real(payload: bytes):  # pragma: no cover - documented stub
     raise NotImplementedError(
         "image decoding requires PIL/opencv, not available in this environment; "
         "replace _fake_decode with a real decoder to enable"
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL decode path: BMP (pure stdlib — no image library needed). The fake
+# payloads above stand in for formats whose decoders aren't in this
+# container; BMP needs only struct, so this half of the multimodal surface
+# runs a genuine encode -> binary -> parse round trip.
+# ---------------------------------------------------------------------------
+import struct
+
+
+def encode_bmp(doc_id: int, n_chars: int) -> bytes:
+    """A real 24bpp bottom-up BMP whose dimensions and pixels are closed
+    forms of (doc_id, n_chars) — so a SQL oracle can predict what the
+    decoder must read back out of the binary:
+      width  = 4 + n_chars % 13, height = 3 + n_chars % 7
+      pixel j (row-major, top-down) has B=G=R = (doc_id*31 + j*7) % 256.
+    """
+    w = 4 + n_chars % 13
+    h = 3 + n_chars % 7
+    row_size = (w * 3 + 3) // 4 * 4
+    pad = b"\x00" * (row_size - w * 3)
+    rows = []
+    for y in range(h - 1, -1, -1):  # BMP stores rows bottom-up
+        row = bytearray()
+        for x in range(w):
+            j = y * w + x
+            v = (doc_id * 31 + j * 7) % 256
+            row += bytes((v, v, v))
+        rows.append(bytes(row) + pad)
+    pixels = b"".join(rows)
+    file_size = 54 + len(pixels)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    return header + info + pixels
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse a 24bpp BMP: validate magic, read header geometry, strip row
+    padding, reassemble top-down pixel order, sum the blue channel.
+    Returns (width, height, n_bytes, pix_sum). This is an actual binary
+    decoder (struct.unpack over the payload), not a stub."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (file_size,) = struct.unpack_from("<I", payload, 2)
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    w, h = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    if bpp != 24:
+        raise ValueError(f"expected 24bpp, got {bpp}")
+    row_size = (w * 3 + 3) // 4 * 4
+    pix_sum = 0
+    for y in range(h):
+        off = data_off + (h - 1 - y) * row_size  # undo bottom-up
+        row = payload[off : off + w * 3]
+        pix_sum += sum(row[0::3])  # blue channel
+    return w, h, file_size, pix_sum
+
+
+BMP_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("pix_sum", T.LongType()),
+    ]
+)
+
+
+def bmp_roundtrip_features(docs: DataFrame) -> DataFrame:
+    """Encode a real BMP per document and decode it back, all inside ONE
+    mapInPandas pass (payloads never leave the executor or cross a
+    shuffle). The decoded geometry/byte-size/pixel-sum are closed forms
+    of (doc_id, n_chars), so the whole binary round trip value-hash
+    checks against SQL."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "width": [], "height": [], "n_bytes": [], "pix_sum": []}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w, h, nb, ps = decode_bmp(encode_bmp(int(doc_id), int(n_chars)))
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_bytes"].append(nb)
+                out["pix_sum"].append(ps)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        batches, schema=BMP_FEATURE_SCHEMA
     )

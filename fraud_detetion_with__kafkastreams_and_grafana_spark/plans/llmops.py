@@ -2649,3 +2649,41 @@ def l51_ivf_oracle_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_contains broadcast join l13 uses."""
     em = load_table(spark, sf_dir, "embeddings")
     return SIM.ivf_topk_exprs(em, em.filter(F.col("vec_id") == 0), k=10)
+
+
+@_register(
+    "l52_bmp_decode_roundtrip",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             4 + n_chars % 13 AS width,
+             3 + n_chars % 7 AS height
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(54 + ((width * 3 + 3) // 4 * 4) * height AS BIGINT) AS n_bytes,
+           CAST(list_reduce(list_transform(range(0, width * height),
+                  j -> (doc_id * 31 + j * 7) % 256), (a, b) -> a + b)
+                AS BIGINT) AS pix_sum
+    FROM g
+    """,
+)
+def l52_bmp_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, not the stub: every document becomes a genuine
+    24bpp BMP (pure-stdlib encoder — struct-packed headers, bottom-up
+    padded rows) and is decoded back by an actual binary parser
+    (operators/multimodal.decode_bmp: magic check, header geometry,
+    padding strip, channel sum) inside one mapInPandas pass. The payload
+    pixels are closed forms of (doc_id, n_chars), so the oracle predicts
+    exactly what the decoder must read OUT of the bytes — any header
+    miswrite, padding slip, or row-order bug flips the hash. JPEG/PNG
+    decode stays env-gated (multimodal.decode_image_real); this proves
+    the decode PLUMBING with a format the stdlib can parse.
+
+    Scale: encode+decode are per-row work inside Arrow batches — payloads
+    never cross a shuffle or reach the driver; the plan is scan ->
+    mapInPandas, embarrassingly parallel."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.bmp_roundtrip_features(docs)

@@ -149,6 +149,28 @@ def test_hashplane_lsh_recall(spark, sf_dir):
     assert len(exact & approx) >= 4
 
 
+def test_bmp_decoder_rejects_malformed(spark):
+    """decode_bmp is a real parser: wrong magic and wrong bpp must raise,
+    and a well-formed payload must round-trip the encoder's geometry."""
+    import pytest as _pytest
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    with _pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"XX" + b"\x00" * 60)
+    good = bytearray(encode_bmp(5, 100))
+    good[28] = 8  # claim 8bpp in the info header
+    with _pytest.raises(ValueError, match="24bpp"):
+        decode_bmp(bytes(good))
+    w, h, nb, ps = decode_bmp(encode_bmp(5, 100))
+    assert (w, h) == (4 + 100 % 13, 3 + 100 % 7)
+    assert nb == 54 + ((w * 3 + 3) // 4 * 4) * h
+    assert ps == sum((5 * 31 + j * 7) % 256 for j in range(w * h))
+
+
 def test_multimodal_features_deterministic(spark, planted):
     media = MM.attach_fake_payload(planted)
     feats = {r.doc_id: r for r in MM.extract_image_features(media).collect()}

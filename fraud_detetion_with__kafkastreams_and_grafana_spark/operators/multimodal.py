@@ -4,10 +4,12 @@ with typed metadata, processed by Arrow-batched pandas iterators
 
 The JPEG/PNG/audio decode step is STUBBED (no image/audio libraries in
 this container): `_fake_decode` produces deterministic fake features
-derived from the bytes, clearly marked. BMP decode is REAL
-(`decode_bmp`: pure-stdlib struct parsing — magic, header geometry, row
-padding, channel sums; exercised end-to-end with a value-hash oracle by
-l52). The Spark-side plumbing is real everywhere — schema handling,
+derived from the bytes, clearly marked. BMP image decode and PCM WAV
+audio decode are REAL (`decode_bmp`: pure-stdlib struct parsing —
+magic, header geometry, row padding, channel sums; `decode_wav`: the
+stdlib wave reader — chunk headers, frame counts, int16 sample sums;
+both exercised end-to-end with value-hash oracles by l52/l53). The
+Spark-side plumbing is real everywhere — schema handling,
 mapInPandas batch iteration, partition-preserving flow. Swapping the
 stub for a richer decoder (PIL / torchaudio / pyav) changes only
 `_fake_decode`, nothing in the plan shape.
@@ -261,4 +263,84 @@ def bmp_roundtrip_features(docs: DataFrame) -> DataFrame:
 
     return docs.select("doc_id", "n_chars").mapInPandas(
         batches, schema=BMP_FEATURE_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL audio decode path: PCM WAV via the stdlib `wave` module — the audio
+# analog of the BMP round trip above.
+# ---------------------------------------------------------------------------
+import io
+import wave
+
+
+def encode_wav(doc_id: int, n_chars: int, framerate: int = 8000) -> bytes:
+    """A real mono 16-bit PCM WAV whose length and samples are closed
+    forms of (doc_id, n_chars):
+      n_samples = 100 + n_chars % 50
+      sample j  = ((doc_id*17 + j*11) % 65536) - 32768   (int16)
+    Written by the stdlib wave module (RIFF/fmt/data chunks)."""
+    n_samples = 100 + n_chars % 50
+    frames = b"".join(
+        struct.pack("<h", ((doc_id * 17 + j * 11) % 65536) - 32768)
+        for j in range(n_samples)
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse a WAV with the stdlib wave reader: channel/width/rate checks,
+    frame count from the header, then unpack the int16 samples and sum
+    them. Returns (n_samples, framerate, n_bytes, sample_sum)."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getnchannels() != 1 or w.getsampwidth() != 2:
+            raise ValueError("expected mono 16-bit PCM")
+        n = w.getnframes()
+        rate = w.getframerate()
+        samples = struct.unpack(f"<{n}h", w.readframes(n))
+    return n, rate, len(payload), sum(samples)
+
+
+WAV_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("framerate", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sample_sum", T.LongType()),
+    ]
+)
+
+
+def wav_roundtrip_features(docs: DataFrame) -> DataFrame:
+    """Encode a real WAV per document and decode it back inside one
+    mapInPandas pass (see bmp_roundtrip_features — same contract: the
+    payload never crosses a shuffle, and every decoded value is a closed
+    form the SQL oracle predicts)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "doc_id": [], "n_samples": [], "framerate": [],
+                "n_bytes": [], "sample_sum": [],
+            }
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                n, rate, nb, ssum = decode_wav(
+                    encode_wav(int(doc_id), int(n_chars))
+                )
+                out["doc_id"].append(int(doc_id))
+                out["n_samples"].append(n)
+                out["framerate"].append(rate)
+                out["n_bytes"].append(nb)
+                out["sample_sum"].append(ssum)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        batches, schema=WAV_FEATURE_SCHEMA
     )

@@ -2687,3 +2687,34 @@ def l52_bmp_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas, embarrassingly parallel."""
     docs = load_table(spark, sf_dir, "documents")
     return MM.bmp_roundtrip_features(docs)
+
+
+@_register(
+    "l53_wav_decode_roundtrip",
+    """
+    WITH g AS (
+      SELECT doc_id, 100 + n_chars % 50 AS n_samples FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_samples AS BIGINT) AS n_samples,
+           CAST(8000 AS BIGINT) AS framerate,
+           CAST(44 + 2 * n_samples AS BIGINT) AS n_bytes,
+           CAST(list_reduce(list_transform(range(0, n_samples),
+                  j -> (doc_id * 17 + j * 11) % 65536 - 32768), (a, b) -> a + b)
+                AS BIGINT) AS sample_sum
+    FROM g
+    """,
+)
+def l53_wav_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (l52's recipe for sound): every document becomes
+    a genuine mono 16-bit PCM WAV written by the stdlib wave module and
+    is decoded back by the wave READER (chunk parsing, frame count,
+    int16 sample unpack + sum) inside one mapInPandas pass. Sample
+    values are closed forms of (doc_id, n_chars), so the oracle predicts
+    the decoded header fields AND the waveform sum — a byte-order or
+    chunk-offset bug flips the hash.
+
+    Scale: same posture as l52 — per-row encode+decode inside Arrow
+    batches, payloads never shuffle, scan -> mapInPandas."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.wav_roundtrip_features(docs)

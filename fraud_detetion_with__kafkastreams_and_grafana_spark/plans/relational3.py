@@ -1377,11 +1377,14 @@ def r73_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: three grouped aggregates over ONE shuffle key (l_returnflag, 3
     groups) joined via broadcast — the group-count is tiny by construction,
-    so every join is a broadcast and the lineitem scan runs twice (median
-    needs the raw distribution; a one-pass approx variant is r35/r36's
-    approx_percentile territory). Exact medians at 100 TB group sizes are
-    sort-based per group; prefer r36's sketches when 4-digit precision
-    isn't contractual."""
+    so every join is a broadcast and lineitem scans THREE times (med, then
+    deviations for the MAD, then deviations again for the fence count —
+    the med -> mad -> fence chain is inherently sequential; a one-pass
+    approx variant is r35/r36's approx_percentile territory, and
+    materializing the deviation column would trade a cheap columnar
+    rescan for corpus-sized write amplification). Exact medians at
+    100 TB group sizes are sort-based per group; prefer r36's sketches
+    when 4-digit precision isn't contractual."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )

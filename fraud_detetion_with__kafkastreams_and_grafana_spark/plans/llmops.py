@@ -2718,3 +2718,58 @@ def l53_wav_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches, payloads never shuffle, scan -> mapInPandas."""
     docs = load_table(spark, sf_dir, "documents")
     return MM.wav_roundtrip_features(docs)
+
+
+@_register(
+    "l54_feature_hashing",
+    r"""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ), h AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(0::BIGINT,
+                 list_transform(string_split(tok, ''), c -> ord(c)::BIGINT)),
+               (a, b) -> (a * 31 + b) % 1000000007) AS th
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(th % 32 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(sum(CASE WHEN (th // 32) % 2 = 0 THEN 1 ELSE -1 END)
+                AS BIGINT) AS signed_count
+    FROM h
+    GROUP BY 1, 2
+    """,
+)
+def l54_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick document features (Weinberger et al. 2009): each
+    token hashes into one of 32 buckets, with a second hash bit giving
+    the ±1 sign that makes bucket collisions cancel in expectation — the
+    classic fixed-dimension text embedding that needs NO vocabulary
+    build, which is why training pipelines use it for cheap first-pass
+    features at corpus scale. Output is the sparse form (doc_id, bucket,
+    count, signed_count); array assembly is a trivial downstream pivot.
+
+    The hash is l05's polynomial (exact int64 in both engines — bucket =
+    low 5 bits, sign = bit 5), so the whole embedding is value-hash
+    oracle-checked, not rows-only.
+
+    Scale: one explode + ONE map-side-combined hash aggregate on
+    (doc_id, bucket); 16 bytes per token cross the shuffle. No
+    vocabulary table, no broadcast, no Python."""
+    docs = load_table(spark, sf_dir, "documents").where(F.trim("text") != "")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    th = TX.polyhash(F.col("tok"))
+    sign = F.when(F.shiftright(th, 5) % 2 == 0, 1).otherwise(-1)
+    return (
+        tok.select("doc_id", (th % 32).alias("bucket"), sign.alias("sign"))
+        .groupBy("doc_id", "bucket")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum("sign").alias("signed_count"),
+        )
+    )

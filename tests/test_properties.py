@@ -290,3 +290,43 @@ def test_int8_quantize_matches_naive(spark, vecs):
         errs = [x - math.floor(x / scale + 0.5) * scale for x in v]
         assert math.isclose(r.sq, sum(e * e for e in errs), rel_tol=1e-9, abs_tol=1e-12)
         assert r.maxerr <= scale / 2 + 1e-12
+
+
+@given(
+    doc_id=st.integers(min_value=0, max_value=10**12),
+    n_chars=st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=200, deadline=None)
+def test_bmp_roundtrip_property(doc_id, n_chars):
+    """Any (doc_id, n_chars) must survive the full BMP encode->parse
+    round trip: decoded geometry, file size, and pixel sum equal the
+    closed forms the l52 oracle predicts."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    w, h, nb, ps = decode_bmp(encode_bmp(doc_id, n_chars))
+    ew, eh = 4 + n_chars % 13, 3 + n_chars % 7
+    assert (w, h) == (ew, eh)
+    assert nb == 54 + ((ew * 3 + 3) // 4 * 4) * eh
+    assert ps == sum((doc_id * 31 + j * 7) % 256 for j in range(ew * eh))
+
+
+@given(
+    doc_id=st.integers(min_value=0, max_value=10**12),
+    n_chars=st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=200, deadline=None)
+def test_wav_roundtrip_property(doc_id, n_chars):
+    """Any (doc_id, n_chars) must survive the WAV encode->parse round
+    trip, matching the l53 oracle's closed forms."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    n, rate, nb, ssum = decode_wav(encode_wav(doc_id, n_chars))
+    en = 100 + n_chars % 50
+    assert (n, rate, nb) == (en, 8000, 44 + 2 * en)
+    assert ssum == sum(((doc_id * 17 + j * 11) % 65536) - 32768 for j in range(en))

@@ -23,6 +23,9 @@ ids, not on rows carrying the payload.
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -178,9 +181,6 @@ def decode_image_real(payload: bytes):  # pragma: no cover - documented stub
 # container; BMP needs only struct, so this half of the multimodal surface
 # runs a genuine encode -> binary -> parse round trip.
 # ---------------------------------------------------------------------------
-import struct
-
-
 def encode_bmp(doc_id: int, n_chars: int) -> bytes:
     """A real 24bpp bottom-up BMP whose dimensions and pixels are closed
     forms of (doc_id, n_chars) — so a SQL oracle can predict what the

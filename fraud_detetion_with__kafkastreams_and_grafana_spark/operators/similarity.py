@@ -488,7 +488,6 @@ def _hashplane_sign(p: int, i, dim: int):
 
 
 def hashplane_bands(
-    df: DataFrame,
     dim: int = 64,
     num_planes: int = 16,
     bands: int = 4,
@@ -501,7 +500,9 @@ def hashplane_bands(
 
     This is the ORACLE-REPLAYABLE twin of make_lsh_bucket_udf's
     broadcast-matmul: ±1 planes instead of Gaussian, expression-tree dot
-    products instead of BLAS. Returns a list of `bands` Columns."""
+    products instead of BLAS. Returns a list of `bands` UNBOUND Columns
+    that resolve `vec_col` against whatever DataFrame they're selected
+    from (the caller applies the same list to corpus and query)."""
     idx = F.sequence(F.lit(0), F.lit(dim - 1))
 
     def _signed_elem(p: int):
@@ -518,7 +519,7 @@ def hashplane_bands(
         )
         for p in range(num_planes)
     ]
-    bits = [(d > F.lit(0.0)).cast("int") for p, d in enumerate(dots)]
+    bits = [(d > F.lit(0.0)).cast("int") for d in dots]
     bpb = num_planes // bands
     return [
         sum(bits[b * bpb + j] * F.lit(1 << j) for j in range(bpb)).alias(
@@ -545,7 +546,7 @@ def ann_lsh_topk_hashplanes(
     Scale shape is identical to the production path: corpus band rows
     equi-join the broadcast query bands, DISTINCT collapses multi-band
     hits, exact rerank touches candidates only."""
-    bhs = hashplane_bands(corpus, dim, num_planes, bands, vec_col)
+    bhs = hashplane_bands(dim, num_planes, bands, vec_col)
 
     def banded(df: DataFrame, name: str) -> DataFrame:
         withb = df.select(

@@ -53,7 +53,7 @@ _FAMILY_RANK = {"q": 0, "s": 1, "u": 2, "m": 3, "l": 4, "r": 5}
 # ROUND-5 TODO: after CORRECTNESS_r04 lands, fold in the round-4 additions
 # (s18-s21, m03-m07, u10, l32-l54, r62-r75) per whatever the r04 window
 # actually covered; never-checked count must stay <= the 50-query window
-# (currently 48 of 174 — at the cap, add nothing more this round).
+# (currently 47 of 174 — 3 slots below the cap).
 _DRIVER_CHECKED = (
     {f"q{i}" for i in range(1, 8)}
     | {f"s{i:02d}" for i in range(1, 18)}

@@ -1373,7 +1373,8 @@ def s21_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT userId,
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(count(*) FILTER (WHERE p > 0.6) AS BIGINT) AS n_flagged,
-           round(sum(round(p, 6)), 2) AS risk_mass
+           CAST(sum(CAST(round(p * 1000000, 0) AS BIGINT)) AS BIGINT)
+             AS risk_micros
     FROM s
     GROUP BY 1
     """,
@@ -1385,7 +1386,10 @@ def m07_stream_sql_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ML row with a FULL value-hash oracle: the closed-form score needs no
     model object, so the batch SQL twin replays it exactly. Features are
     the wire pair (amount, hour of event time); the rational link keeps
-    scores bit-identical cross-engine, and the per-user aggregate
+    scores bit-identical cross-engine, and the risk mass sums EXACT
+    integer micro-scores (round(p*1e6) cast to long per event, BEFORE
+    the sum) so neither micro-batch accumulation order nor a decimal
+    rounding boundary can flip the hash; the per-user aggregate
     (complete mode) matches the batch GROUP BY.
 
     Scale: scoring is a stateless narrow projection inside each
@@ -1408,7 +1412,9 @@ def m07_stream_sql_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(
                 F.count("*").alias("n_events"),
                 F.count_if(F.col("p") > 0.6).alias("n_flagged"),
-                F.round(F.sum(F.round("p", 6)), 2).alias("risk_mass"),
+                F.sum(
+                    F.round(F.col("p") * 1000000, 0).cast("long")
+                ).alias("risk_micros"),
             )
         )
 

@@ -515,9 +515,10 @@ def u10_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(floor(score * 10) AS BIGINT) AS bucket,
            CAST(count(*) AS BIGINT) AS n,
-           round(avg(score), 6) AS mean_score,
-           round(avg(CASE WHEN is_fraud THEN 1.0 ELSE 0.0 END), 6)
-             AS fraud_rate
+           round(sum(CAST(round(score * 1000000, 0) AS BIGINT)) / count(*)
+                 / 1000000.0, 6) AS mean_score,
+           round(CAST(count(*) FILTER (WHERE is_fraud) AS BIGINT)
+                 / CAST(count(*) AS DOUBLE), 6) AS fraud_rate
     FROM s
     GROUP BY 1
     """,
@@ -545,9 +546,16 @@ def m06_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.floor(F.col("score") * 10).cast("long").alias("bucket"))
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("score"), 6).alias("mean_score"),
+            # exact integer micro-score sum (m07's trick): partition order
+            # cannot perturb the mean, so the 6-dp round is tie-proof
             F.round(
-                F.avg(F.when(F.col("is_fraud"), 1.0).otherwise(0.0)), 6
+                F.sum(F.round(F.col("score") * 1000000, 0).cast("long"))
+                / F.count("*")
+                / F.lit(1000000.0),
+                6,
+            ).alias("mean_score"),
+            F.round(
+                F.count_if(F.col("is_fraud")) / F.count("*").cast("double"), 6
             ).alias("fraud_rate"),
         )
     )

@@ -2773,3 +2773,66 @@ def l54_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sign").alias("signed_count"),
         )
     )
+
+
+@_register(
+    "l55_triangle_count",
+    f"""
+    WITH pairs AS ({_JACCARD_PAIRS_SQL}),
+    e AS (SELECT id_a AS a, id_b AS b FROM pairs),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    GROUP BY 1
+    """,
+)
+def l55_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation over the near-dup pair graph —
+    completing the graph-analytics family (l20 connected components,
+    l30 PageRank): triangle density separates tight clone clusters
+    (every pair similar — safe to keep one survivor) from chain-shaped
+    false merges (A~B~C but A!~C), the standard diagnostic before
+    trusting transitive dedup groups.
+
+    Engine shape: the oriented edge list (id_a < id_b, from the
+    session-materialized pair table) self-joins twice — wedge build
+    (e1.b = e2.a) then closure check (e3 = (e1.a, e2.b)) — all
+    equi-joins, no driver graph. Each triangle appears exactly once
+    (x < y < z by construction). At 100 TB the orientation should be by
+    DEGREE (low->high, the classic skew bound on wedge fanout); the id
+    orientation is kept here because the oracle replays it verbatim,
+    and the dup graph's components are tiny by construction."""
+    e = _dup_pairs(spark, sf_dir).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    nodes = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count("*").alias("n_triangles"))

@@ -796,7 +796,11 @@ def simhash_pairs_polyhash(
     p = 1_000_000_007
     bits_per_chunk = 64 // chunks
 
-    toks = _spread(df, id_col).select(
+    # Empty/whitespace-only docs are excluded EXACTLY like the oracle's
+    # WHERE trim(text) <> '' (and like l05/l43): the engines disagree on
+    # hashing a zero-length token, and without the guard every empty doc
+    # would share one degenerate signature the oracle never emits.
+    toks = _spread(df.where(F.trim(text_col) != ""), id_col).select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
     ).select("id", polyhash(F.col("tok")).alias("h"))
     votes = toks.groupBy("id").agg(

@@ -105,18 +105,13 @@ def get_or_train_fraud_scorer(
     threshold), then return the cached PipelineModel. In production this
     is the model-registry read in front of a scheduled training job — the
     query path must not pay a refit per invocation."""
+    from ..sessioncache import session_cached
+
     spark = features.sparkSession
     key = (spark.sparkContext.applicationId, cache_key, threshold)
-    model = _MODEL_CACHE.get(key)
-    if model is None:
-        model = train_fraud_scorer(features, threshold)
-        # Evict entries from dead applications so long-lived drivers that
-        # cycle sessions don't accumulate unreachable JVM model handles.
-        live = spark.sparkContext.applicationId
-        for k in [k for k in _MODEL_CACHE if k[0] != live]:
-            del _MODEL_CACHE[k]
-        _MODEL_CACHE[key] = model
-    return model
+    return session_cached(
+        _MODEL_CACHE, key, lambda: train_fraud_scorer(features, threshold)
+    )
 
 
 def score(model: PipelineModel, features: DataFrame) -> DataFrame:

@@ -202,16 +202,16 @@ def get_or_build_kmeans_centroids(
     """Train-once accessor for the KMeans index build: fit on first use
     per (application, cache_key, nlist, seed), then reuse — the
     model-registry read in front of a scheduled index-build job."""
+    from ..sessioncache import session_cached
+
     spark = corpus.sparkSession
     app = spark.sparkContext.applicationId
     key = (app, cache_key, nlist, vec_col, seed, sample_fraction)
-    got = _CENTROID_CACHE.get(key)
-    if got is None:
-        got = ivf_kmeans_centroids(corpus, nlist, vec_col, seed, sample_fraction)
-        for k in [k for k in _CENTROID_CACHE if k[0] != app]:
-            del _CENTROID_CACHE[k]
-        _CENTROID_CACHE[key] = got
-    return got
+    return session_cached(
+        _CENTROID_CACHE,
+        key,
+        lambda: ivf_kmeans_centroids(corpus, nlist, vec_col, seed, sample_fraction),
+    )
 
 
 def make_cell_udf(df: DataFrame, cents: np.ndarray):

@@ -21,6 +21,7 @@ from ..functions import text as TX
 from ..operators import dedup as DD
 from ..operators import multimodal as MM
 from ..operators import similarity as SIM
+from ..sessioncache import session_cached
 from ..sources.tables import load_table
 
 Query = Callable[[SparkSession, str], DataFrame]
@@ -99,19 +100,16 @@ _PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    got = _PAIR_CACHE.get(key)
-    if got is None:
+    def build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents").withColumn(
             "len_bucket", (F.col("n_chars") / 100).cast("long")
         )
-        got = DD.ngram_jaccard_pairs(
+        return DD.ngram_jaccard_pairs(
             docs, block_cols=["lang", "len_bucket"], threshold=0.8
         ).localCheckpoint()
-        for k in [k for k in _PAIR_CACHE if k[0] != key[0]]:
-            del _PAIR_CACHE[k]
-        _PAIR_CACHE[key] = got
-    return got
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return session_cached(_PAIR_CACHE, key, build)
 
 
 # Connected components over the pair graph likewise feed two consumers
@@ -124,15 +122,13 @@ _COMP_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 def _dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
-    got = _COMP_CACHE.get(key)
-    if got is None:
-        got = DD.connected_components(
+    return session_cached(
+        _COMP_CACHE,
+        key,
+        lambda: DD.connected_components(
             _dup_pairs(spark, sf_dir), "id_a", "id_b"
-        ).localCheckpoint()
-        for k in [k for k in _COMP_CACHE if k[0] != key[0]]:
-            del _COMP_CACHE[k]
-        _COMP_CACHE[key] = got
-    return got
+        ).localCheckpoint(),
+    )
 
 
 @_register("l02_ngram_jaccard_pairs", _JACCARD_PAIRS_SQL)
@@ -1212,7 +1208,9 @@ def l30_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        ranks = DD.pagerank(pairs, "id_a", "id_b", iterations=5).localCheckpoint()
+        # pagerank() already localCheckpoints its final iteration — the
+        # returned frame is materialized and lineage-truncated
+        ranks = DD.pagerank(pairs, "id_a", "id_b", iterations=5)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return ranks.select(
@@ -2473,12 +2471,10 @@ _GRAM_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    got = _GRAM_INDEX_CACHE.get(key)
-    if got is None:
+    def build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         w = F.split(F.trim("text"), r"\s+")
-        got = (
+        return (
             docs.where(F.size(w) >= 8)
             .select(
                 "source",
@@ -2494,10 +2490,9 @@ def _gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .localCheckpoint()
         )
-        for k in [k for k in _GRAM_INDEX_CACHE if k[0] != key[0]]:
-            del _GRAM_INDEX_CACHE[k]
-        _GRAM_INDEX_CACHE[key] = got
-    return got
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return session_cached(_GRAM_INDEX_CACHE, key, build)
 
 
 # l50's oracle: replay the ±1 hash-plane signature family in SQL. The sign

@@ -149,6 +149,30 @@ def test_hashplane_lsh_recall(spark, sf_dir):
     assert len(exact & approx) >= 4
 
 
+def test_simhash_polyhash_excludes_empty_docs(spark):
+    """l44's engine side must exclude empty/whitespace-only docs exactly
+    like its oracle's WHERE trim(text) <> '' — without the guard every
+    empty doc shares one degenerate signature and the engine emits
+    hamming-0 pairs the oracle never produces."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators import (
+        dedup as DD,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "   "),
+            (2, ""),
+            (3, "alpha beta gamma delta"),
+            (4, "alpha beta gamma delta"),
+            (5, " \t "),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r[0], r[1]) for r in DD.simhash_pairs_polyhash(docs).collect()}
+    assert (3, 4) in pairs
+    assert not any(a in (1, 2, 5) or b in (1, 2, 5) for a, b in pairs), pairs
+
+
 def test_bmp_decoder_rejects_malformed(spark):
     """decode_bmp is a real parser: wrong magic and wrong bpp must raise,
     and a well-formed payload must round-trip the encoder's geometry."""

@@ -228,6 +228,78 @@ FROM events WHERE value > 100.0
 """
 
 
+def q8_alert_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grafana-style ALERT RULE evaluation ("condition true FOR >= N
+    evaluation windows"): per user, bucket fraud activity into 12 h
+    windows and fire one alert row per maximal run of >= 2 consecutive
+    breaching windows, with the firing interval, run length, and peak
+    window total — the alerting half of the reference's dashboard layer
+    (the screenshots' Grafana stack evaluates exactly this shape), and
+    the classic gaps-and-islands pattern (island id = window index minus
+    per-user row_number, so consecutive windows share an island).
+
+    Scale: one (userId, window) hash aggregate over the pushed-down
+    fraud scan, then a per-user window function over <= |windows-per-
+    user| rows (tiny, partitioned by user — no global sort), then one
+    more small aggregate. The 100 TB cost is the first aggregate; the
+    alerting logic runs on the rollup."""
+    from pyspark.sql.window import Window
+
+    alerts = fraud_alerts(spark, sf_dir)
+    widx = F.floor(
+        F.unix_timestamp(F.col("event_time").cast("timestamp")) / F.lit(43200)
+    ).cast("long")
+    per_win = (
+        alerts.groupBy("userId", widx.alias("widx"))
+        .agg(F.round(F.sum("amount"), 2).alias("total"), F.count("*").alias("n_tx"))
+    )
+    grp = F.col("widx") - F.row_number().over(
+        Window.partitionBy("userId").orderBy("widx")
+    )
+    runs = (
+        per_win.withColumn("grp", grp)
+        .groupBy("userId", "grp")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.timestamp_seconds(F.min("widx") * 43200)
+            .cast("timestamp_ntz")
+            .alias("alert_start"),
+            F.timestamp_seconds((F.max("widx") + 1) * 43200)
+            .cast("timestamp_ntz")
+            .alias("alert_end"),
+            F.max("total").alias("peak_total"),
+            F.sum("n_tx").alias("n_tx"),
+        )
+        .where(F.col("n_windows") >= 2)
+    )
+    return runs.select(
+        "userId", "alert_start", "alert_end", "n_windows", "peak_total", "n_tx"
+    )
+
+
+Q8_SQL = f"""
+WITH w AS (
+  SELECT userId,
+         CAST(floor(epoch(event_time) / 43200) AS BIGINT) AS widx,
+         round(sum(amount), 2) AS total, count(*) AS n_tx
+  FROM ({_FRAUD_SQL})
+  GROUP BY 1, 2
+), isl AS (
+  SELECT *, widx - row_number() OVER (PARTITION BY userId ORDER BY widx) AS grp
+  FROM w
+)
+SELECT userId,
+       CAST(to_timestamp(min(widx) * 43200) AS TIMESTAMP) AS alert_start,
+       CAST(to_timestamp((max(widx) + 1) * 43200) AS TIMESTAMP) AS alert_end,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       max(total) AS peak_total,
+       CAST(sum(n_tx) AS BIGINT) AS n_tx
+FROM isl
+GROUP BY userId, grp
+HAVING count(*) >= 2
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q1_top10_scammers": q1_top10_scammers,
     "q2_global_stats": q2_global_stats,
@@ -236,6 +308,7 @@ QUERIES: dict[str, Query] = {
     "q5_range_mean": q5_range_mean,
     "q6_wire_roundtrip": q6_wire_roundtrip,
     "q7_fraud_points": q7_fraud_points,
+    "q8_alert_periods": q8_alert_periods,
 }
 
 ORACLES: dict[str, str] = {
@@ -246,4 +319,5 @@ ORACLES: dict[str, str] = {
     "q5_range_mean": Q5_SQL,
     "q6_wire_roundtrip": Q6_SQL,
     "q7_fraud_points": Q7_SQL,
+    "q8_alert_periods": Q8_SQL,
 }

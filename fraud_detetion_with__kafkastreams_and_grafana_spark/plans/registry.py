@@ -51,9 +51,9 @@ _FAMILY_RANK = {"q": 0, "s": 1, "u": 2, "m": 3, "l": 4, "r": 5}
 # here sorts first so the driver's capped window always reaches it — r62
 # missed round 3's window precisely because this set was stale.
 # ROUND-5 TODO: after CORRECTNESS_r04 lands, fold in the round-4 additions
-# (q8, s18-s21, m03-m07, u10, l32-l55, r62-r75) per whatever the r04 window
+# (q8, s18-s22, m03-m07, u10, l32-l55, r62-r75) per whatever the r04 window
 # actually covered; never-checked count must stay <= the 50-query window
-# (currently 49 of 176 — 1 slot below the cap).
+# (currently 50 of 177 — AT the 50-query window cap; add nothing more).
 _DRIVER_CHECKED = (
     {f"q{i}" for i in range(1, 8)}
     | {f"s{i:02d}" for i in range(1, 18)}

@@ -1421,3 +1421,93 @@ def m07_stream_sql_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replay_wire_stream(
         spark, _wire_dir(spark, sf_dir), xform, name="m07_mem"
     )
+
+
+@_register(
+    "s22_stream_alert_periods",
+    """
+    WITH w AS (
+      SELECT printf('user_%03d', user_id) AS userId,
+             CAST(floor(epoch(date_trunc('second', ts)) / 43200) AS BIGINT)
+               AS widx,
+             round(sum(value), 2) AS total, count(*) AS n_tx
+      FROM events WHERE value > 100.0
+      GROUP BY 1, 2
+    ), isl AS (
+      SELECT *, widx - row_number() OVER (PARTITION BY userId ORDER BY widx)
+                AS grp
+      FROM w
+    )
+    SELECT userId,
+           CAST(to_timestamp(min(widx) * 43200) AS TIMESTAMP) AS alert_start,
+           CAST(to_timestamp((max(widx) + 1) * 43200) AS TIMESTAMP) AS alert_end,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           max(total) AS peak_total,
+           CAST(sum(n_tx) AS BIGINT) AS n_tx
+    FROM isl
+    GROUP BY userId, grp
+    HAVING count(*) >= 2
+    """,
+)
+def s22_stream_alert_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q8's alert rule evaluated LIVE: the stream continuously maintains
+    the per-(user, 12h-window) breach rollup (complete-mode stateful agg
+    across micro-batches, s01's state shape), and the gaps-and-islands
+    run detection evaluates on each snapshot — exactly how a production
+    alerter works (the rule engine reads the continuously-updated
+    rollup; it does not re-scan raw history per evaluation). The final
+    snapshot's alerts must equal the batch q8 — the oracle proves the
+    streaming rollup loses nothing.
+
+    Scale: streaming state is |users x active-windows| rows; the islands
+    window partitions by user over <= |windows-per-user| rows. At true
+    scale the rollup would be watermark-bounded append (s14's pattern)
+    with the alerter reading the materialized table."""
+
+    def xform(stream: DataFrame) -> DataFrame:
+        from ..operators.detect import parse_wire
+
+        fraud = parse_wire(stream).where(
+            F.col("amount") > F.lit(float(EVENTS_FRAUD_THRESHOLD))
+        )
+        widx = F.floor(
+            F.unix_timestamp(F.col("event_time").cast("timestamp"))
+            / F.lit(43200)
+        ).cast("long")
+        return fraud.groupBy("userId", widx.alias("widx")).agg(
+            F.round(F.sum("amount"), 2).alias("total"),
+            F.count("*").alias("n_tx"),
+        )
+
+    snap = replay_wire_stream(
+        spark, _wire_dir(spark, sf_dir), xform, name="s22_mem"
+    )
+    from pyspark.sql.window import Window
+
+    grp = F.col("widx") - F.row_number().over(
+        Window.partitionBy("userId").orderBy("widx")
+    )
+    return (
+        snap.withColumn("grp", grp)
+        .groupBy("userId", "grp")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.timestamp_seconds(F.min("widx") * 43200)
+            .cast("timestamp_ntz")
+            .alias("alert_start"),
+            F.timestamp_seconds((F.max("widx") + 1) * 43200)
+            .cast("timestamp_ntz")
+            .alias("alert_end"),
+            F.max("total").alias("peak_total"),
+            F.sum("n_tx").alias("n_tx"),
+        )
+        .where(F.col("n_windows") >= 2)
+        .select(
+            "userId",
+            "alert_start",
+            "alert_end",
+            "n_windows",
+            "peak_total",
+            "n_tx",
+        )
+    )

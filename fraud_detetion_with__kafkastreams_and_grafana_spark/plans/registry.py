@@ -46,28 +46,50 @@ def _modules():
 # window (r01-r43 were driver-green in rounds 1-2).
 _FAMILY_RANK = {"q": 0, "s": 1, "u": 2, "m": 3, "l": 4, "r": 5}
 
-# Driver-checked in CORRECTNESS_r01/r02/r03 (rows recorded, incl. the
-# documented rows-only family). Keep this in sync each round: anything NOT
-# here sorts first so the driver's capped window always reaches it — r62
-# missed round 3's window precisely because this set was stale.
-# ROUND-5 TODO: after CORRECTNESS_r04 lands, fold in the round-4 additions
-# (q8, s18-s22, m03-m07, u10, l32-l55, r62-r75) per whatever the r04 window
-# actually covered; never-checked count must stay <= the 50-query window
-# (currently 50 of 177 — AT the 50-query window cap; add nothing more).
-_DRIVER_CHECKED = (
+# Which driver round last produced a CORRECTNESS row for each query
+# (union of CORRECTNESS_r01..r04 — every registered query has one; synced
+# round 5 per the round-4 verdict). Ordering below rotates the STALEST
+# driver rows back through the ~50-query window each round: never-checked
+# queries sort first (so new work is always validated), then queries by
+# ascending last-checked round (so round-1-vintage rows get re-validated on
+# current code before fresher ones). r62 missed round 3's window because
+# the predecessor of this map went stale — update it every round from the
+# latest CORRECTNESS_r{N}.json.
+_CHECKED_R1 = {f"r{i:02d}" for i in range(17, 44)}
+_CHECKED_R2 = (
     {f"q{i}" for i in range(1, 8)}
-    | {f"s{i:02d}" for i in range(1, 18)}
-    | {f"u{i:02d}" for i in range(1, 10)}
-    | {"m01", "m02"}
-    | {f"l{i:02d}" for i in range(1, 32)}
-    | {f"r{i:02d}" for i in range(1, 62)}
+    | {f"s{i:02d}" for i in range(1, 6)}
+    | {f"u{i:02d}" for i in range(1, 6)}
+    | {"m01"}
+    | {f"l{i:02d}" for i in range(1, 17)}
+    | {f"r{i:02d}" for i in range(1, 17)}
 )
+_CHECKED_R3 = (
+    {f"s{i:02d}" for i in range(6, 18)}
+    | {f"u{i:02d}" for i in range(6, 10)}
+    | {"m02"}
+    | {f"l{i:02d}" for i in range(17, 32)}
+    | {f"r{i:02d}" for i in range(44, 62)}
+)
+_CHECKED_R4 = (
+    {"q8"}
+    | {f"s{i:02d}" for i in range(18, 23)}
+    | {"u10"}
+    | {f"m{i:02d}" for i in range(3, 8)}
+    | {f"l{i:02d}" for i in range(32, 56)}
+    | {f"r{i:02d}" for i in range(62, 76)}
+)
+_LAST_CHECKED: dict[str, int] = {}
+for _rnd, _qs in ((1, _CHECKED_R1), (2, _CHECKED_R2), (3, _CHECKED_R3), (4, _CHECKED_R4)):
+    for _q in _qs:
+        _LAST_CHECKED[_q] = _rnd
 
 
 def _registry_order(name: str) -> tuple[int, int, str]:
     family = _FAMILY_RANK.get(name[0], 9)
-    seen = 1 if name.split("_", 1)[0] in _DRIVER_CHECKED else 0
-    return seen, family, name
+    # Never-checked → 0 (front of the window); else ascending staleness.
+    rank = _LAST_CHECKED.get(name.split("_", 1)[0], 0)
+    return rank, family, name
 
 
 def all_queries() -> dict[str, Query]:

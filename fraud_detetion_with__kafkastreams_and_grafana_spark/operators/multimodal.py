@@ -222,7 +222,15 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, int]:
     (bpp,) = struct.unpack_from("<H", payload, 28)
     if bpp != 24:
         raise ValueError(f"expected 24bpp, got {bpp}")
+    if w <= 0 or h <= 0:  # negative h = top-down BMP, unsupported here
+        raise ValueError(f"unsupported BMP geometry {w}x{h}")
     row_size = (w * 3 + 3) // 4 * 4
+    # Don't trust the header: a truncated/lying payload would otherwise
+    # silently short-slice rows and produce a wrong pix_sum.
+    if len(payload) < data_off + row_size * h:
+        raise ValueError("truncated BMP: pixel array exceeds payload")
+    if file_size != len(payload):
+        raise ValueError("BMP header file_size disagrees with payload length")
     pix_sum = 0
     for y in range(h):
         off = data_off + (h - 1 - y) * row_size  # undo bottom-up
@@ -270,10 +278,6 @@ def bmp_roundtrip_features(docs: DataFrame) -> DataFrame:
 # REAL audio decode path: PCM WAV via the stdlib `wave` module — the audio
 # analog of the BMP round trip above.
 # ---------------------------------------------------------------------------
-import io
-import wave
-
-
 def encode_wav(doc_id: int, n_chars: int, framerate: int = 8000) -> bytes:
     """A real mono 16-bit PCM WAV whose length and samples are closed
     forms of (doc_id, n_chars):

@@ -520,6 +520,10 @@ def hashplane_bands(
         for p in range(num_planes)
     ]
     bits = [(d > F.lit(0.0)).cast("int") for d in dots]
+    if num_planes % bands:
+        # trailing planes would be silently dropped (while still paying
+        # their dot-product codegen); the l50 oracle assumes exact bands
+        raise ValueError(f"num_planes={num_planes} not divisible by bands={bands}")
     bpb = num_planes // bands
     return [
         sum(bits[b * bpb + j] * F.lit(1 << j) for j in range(bpb)).alias(

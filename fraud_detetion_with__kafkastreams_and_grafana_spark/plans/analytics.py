@@ -249,9 +249,18 @@ def q8_alert_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     widx = F.floor(
         F.unix_timestamp(F.col("event_time").cast("timestamp")) / F.lit(43200)
     ).cast("long")
+    # Sum exact integer cents (round(amount*100) per event, cast long)
+    # rather than rounding a double sum: a double's last ulp depends on
+    # accumulation order, so the rounded total could flake across
+    # partitionings; the integer sum is order-independent (m07's
+    # risk_micros pattern).
     per_win = (
         alerts.groupBy("userId", widx.alias("widx"))
-        .agg(F.round(F.sum("amount"), 2).alias("total"), F.count("*").alias("n_tx"))
+        .agg(
+            F.sum(F.round(F.col("amount") * 100, 0).cast("long")).alias("cents"),
+            F.count("*").alias("n_tx"),
+        )
+        .withColumn("total", F.col("cents") / F.lit(100.0))
     )
     grp = F.col("widx") - F.row_number().over(
         Window.partitionBy("userId").orderBy("widx")
@@ -281,7 +290,8 @@ Q8_SQL = f"""
 WITH w AS (
   SELECT userId,
          CAST(floor(epoch(event_time) / 43200) AS BIGINT) AS widx,
-         round(sum(amount), 2) AS total, count(*) AS n_tx
+         sum(CAST(round(amount * 100, 0) AS BIGINT)) / 100.0 AS total,
+         count(*) AS n_tx
   FROM ({_FRAUD_SQL})
   GROUP BY 1, 2
 ), isl AS (

@@ -1430,7 +1430,8 @@ def m07_stream_sql_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT printf('user_%03d', user_id) AS userId,
              CAST(floor(epoch(date_trunc('second', ts)) / 43200) AS BIGINT)
                AS widx,
-             round(sum(value), 2) AS total, count(*) AS n_tx
+             sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS total,
+             count(*) AS n_tx
       FROM events WHERE value > 100.0
       GROUP BY 1, 2
     ), isl AS (
@@ -1474,9 +1475,17 @@ def s22_stream_alert_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp(F.col("event_time").cast("timestamp"))
             / F.lit(43200)
         ).cast("long")
-        return fraud.groupBy("userId", widx.alias("widx")).agg(
-            F.round(F.sum("amount"), 2).alias("total"),
-            F.count("*").alias("n_tx"),
+        # exact integer cents before the sum (m07's risk_micros pattern):
+        # micro-batch accumulation order can't flip the rounded total
+        return (
+            fraud.groupBy("userId", widx.alias("widx"))
+            .agg(
+                F.sum(
+                    F.round(F.col("amount") * 100, 0).cast("long")
+                ).alias("cents"),
+                F.count("*").alias("n_tx"),
+            )
+            .withColumn("total", F.col("cents") / F.lit(100.0))
         )
 
     snap = replay_wire_stream(

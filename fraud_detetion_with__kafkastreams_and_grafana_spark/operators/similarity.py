@@ -609,6 +609,61 @@ def _dot_expr(a, b):
     )
 
 
+def _seeded_centroid_list(
+    corpus: DataFrame, nlist: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """1-row frame holding the seeded centroid list: the `id < nlist` rows
+    L2-normalized (dense-id twin of ivf_seed_centroids), collected into a
+    single array column so it can ride a broadcast."""
+    cvec = F.transform(
+        F.col(vec_col), lambda x: x.cast("double") / _norm_expr(F.col(vec_col))
+    )
+    return (
+        corpus.where(F.col(id_col) < nlist)
+        .select(F.col(id_col).alias("cid"), cvec.alias("cvec"))
+        .agg(F.collect_list(F.struct("cid", "cvec")).alias("cents"))
+    )
+
+
+def seeded_cell_assignment(
+    corpus: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, _cell) with cell = argmax-dot over the seeded centroids:
+    an order-independent FOLD over the broadcast centroid list (strict
+    better-than with lower-cid tie-break), so a SQL oracle replays the
+    assignment bit-exactly and the corpus never shuffles — the narrow-
+    projection index-build shape shared by l51 (IVF) and l56 (SemDeDup)."""
+    cents = _seeded_centroid_list(corpus, nlist, id_col, vec_col)
+
+    def _argmax_cell(vec):
+        init = F.struct(
+            F.lit(-1).cast("long").alias("cid"),
+            F.lit(float("-inf")).alias("dot"),
+        )
+
+        def merge(acc, c):
+            d = _dot_expr(vec, c["cvec"])
+            better = (d > acc["dot"]) | (
+                (d == acc["dot"]) & (c["cid"] < acc["cid"])
+            )
+            return F.when(
+                better, F.struct(c["cid"].alias("cid"), d.alias("dot"))
+            ).otherwise(acc)
+
+        return F.aggregate(
+            F.col("cents"), init, merge, lambda acc: acc["cid"]
+        )
+
+    return corpus.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        _argmax_cell(F.col(vec_col)).alias("_cell"),
+    )
+
+
 def ivf_topk_exprs(
     corpus: DataFrame,
     query: DataFrame,
@@ -631,39 +686,8 @@ def ivf_topk_exprs(
     shape; probing is the same array_contains broadcast join ivf_topk
     uses. The expression fold replaces the BLAS matmul — right at
     nlist=16, wrong at nlist=4096 (l13's matmul stays the scale path)."""
-    cvec = F.transform(
-        F.col(vec_col), lambda x: x.cast("double") / _norm_expr(F.col(vec_col))
-    )
-    cents = (
-        corpus.where(F.col(id_col) < nlist)
-        .select(F.col(id_col).alias("cid"), cvec.alias("cvec"))
-        .agg(F.collect_list(F.struct("cid", "cvec")).alias("cents"))
-    )
-
-    def _argmax_cell(vec):
-        init = F.struct(
-            F.lit(-1).cast("long").alias("cid"),
-            F.lit(float("-inf")).alias("dot"),
-        )
-
-        def merge(acc, c):
-            d = _dot_expr(vec, c["cvec"])
-            better = (d > acc["dot"]) | (
-                (d == acc["dot"]) & (c["cid"] < acc["cid"])
-            )
-            return F.when(
-                better, F.struct(c["cid"].alias("cid"), d.alias("dot"))
-            ).otherwise(acc)
-
-        return F.aggregate(
-            F.col("cents"), init, merge, lambda acc: acc["cid"]
-        )
-
-    cells = corpus.crossJoin(F.broadcast(cents)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        _argmax_cell(F.col(vec_col)).alias("_cell"),
-    )
+    cents = _seeded_centroid_list(corpus, nlist, id_col, vec_col)
+    cells = seeded_cell_assignment(corpus, nlist, id_col, vec_col)
 
     q1 = query.select(F.col(vec_col).alias("_qvec"))
     from pyspark.sql.window import Window

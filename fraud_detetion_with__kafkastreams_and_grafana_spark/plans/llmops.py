@@ -2839,3 +2839,87 @@ def l55_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("z").alias("node")))
     )
     return nodes.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+# l56's oracle: SemDeDup with SEEDED centroids instead of learned KMeans,
+# so every stage is SQL-replayable — the l50/l51 graduation recipe applied
+# to the l-family's last probabilistic op. Centroids are the vec_id < 8
+# rows L2-normalized; cell = argmax dot (ties -> lower cid); pairs are
+# exact cosine within a cell; prune the higher id of every pair >= 0.4.
+_L56_SQL = f"""
+    WITH c AS (
+      SELECT vec_id AS cid, {_L51_NORMED} AS cvec
+      FROM embeddings WHERE vec_id < 8
+    ), dots AS (
+      SELECT e.vec_id, c.cid,
+             list_reduce(list_transform(range(1, 65),
+               i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i]),
+               (x, y) -> x + y) AS d
+      FROM embeddings e CROSS JOIN c
+    ), cells AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS rn
+        FROM dots
+      ) WHERE rn = 1
+    ), nv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) /
+               sqrt(list_reduce(list_transform(embedding,
+                 y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+                 (x, y) -> x + y))) AS nvec
+      FROM embeddings
+    ), pairs AS (
+      SELECT pa.vec_id AS ia, pb.vec_id AS ib,
+             round(list_reduce(list_transform(range(1, 65),
+               i -> na.nvec[i] * nb.nvec[i]), (x, y) -> x + y), 4) AS cs
+      FROM cells pa
+      JOIN cells pb ON pa.cell = pb.cell AND pa.vec_id < pb.vec_id
+      JOIN nv na ON na.vec_id = pa.vec_id
+      JOIN nv nb ON nb.vec_id = pb.vec_id
+    ), pruned AS (
+      SELECT DISTINCT ib AS vec_id FROM pairs WHERE cs >= 0.4
+    )
+    SELECT cells.vec_id,
+           CAST(cells.cell AS BIGINT) AS cluster,
+           (pruned.vec_id IS NOT NULL) AS is_pruned
+    FROM cells LEFT JOIN pruned USING (vec_id)
+"""
+
+
+@_register("l56_semdedup_oracle", _L56_SQL)
+def l56_semdedup_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with a FULL value-hash oracle — the l-family's last
+    probabilistic operator graduates from rows-only via the l50/l51
+    recipe: swap l28's learned KMeans clusters for SEEDED expression
+    centroids (operators/similarity.seeded_cell_assignment — the l51
+    argmax-dot fold over the broadcast vec_id<8 centroid list), keep the
+    SemDeDup semantics identical (exact cosine pairs ONLY within a
+    cluster, prune the higher id of every pair >= 0.4). l28 keeps the
+    production learned-clustering role and its determinism/planted-dup
+    pytests; this twin proves the cluster-bounded pair stage, the prune
+    rule, and the keep/prune partition value-exactly against DuckDB.
+
+    Scale: identical shape to l28 — cell assignment is a narrow
+    projection over the scan (centroids ride a broadcast, no corpus
+    shuffle: plan-pinned for the shared helper by l51's test), the pair
+    join shuffles on the cluster key (merge-hinted, never a corpus
+    broadcast) and is quadratic only within a cluster."""
+    em = load_table(spark, sf_dir, "embeddings")
+    clustered = SIM.seeded_cell_assignment(em, nlist=8).select(
+        "vec_id", F.col("_cell").alias("cluster"), "embedding"
+    )
+    pairs = SIM.embedding_near_dup_pairs(
+        clustered, block_col="cluster", threshold=0.4
+    )
+    pruned = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return (
+        clustered.join(
+            pruned.withColumn("_pruned", F.lit(True)), "vec_id", "left"
+        )
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(F.col("_pruned"), F.lit(False)).alias("is_pruned"),
+        )
+    )

@@ -2,17 +2,19 @@
 with typed metadata, processed by Arrow-batched pandas iterators
 (mapInPandas).
 
-The JPEG/PNG/audio decode step is STUBBED (no image/audio libraries in
-this container): `_fake_decode` produces deterministic fake features
-derived from the bytes, clearly marked. BMP image decode and PCM WAV
-audio decode are REAL (`decode_bmp`: pure-stdlib struct parsing —
-magic, header geometry, row padding, channel sums; `decode_wav`: the
-stdlib wave reader — chunk headers, frame counts, int16 sample sums;
-both exercised end-to-end with value-hash oracles by l52/l53). The
-Spark-side plumbing is real everywhere — schema handling,
-mapInPandas batch iteration, partition-preserving flow. Swapping the
-stub for a richer decoder (PIL / torchaudio / pyav) changes only
-`_fake_decode`, nothing in the plan shape.
+The JPEG/compressed-audio decode step is STUBBED (no image/audio
+libraries in this container): `_fake_decode` produces deterministic
+fake features derived from the bytes, clearly marked. Three formats
+decode for REAL in pure stdlib — BMP (`decode_bmp`: struct parsing —
+magic, header geometry, row padding, channel sums), PCM WAV
+(`decode_wav`: the stdlib wave reader — chunk headers, frame counts,
+int16 sample sums), and PNG (`decode_png`: zlib inflate, chunk-CRC
+validation, all five scanline filter reversals) — each exercised
+end-to-end with value-hash oracles by l52/l53/l57. The Spark-side
+plumbing is real everywhere — schema handling, mapInPandas batch
+iteration, partition-preserving flow. Swapping the stub for a richer
+decoder (PIL / torchaudio / pyav) changes only `_fake_decode`,
+nothing in the plan shape.
 
 Scale notes: mapInPandas streams Arrow batches — the full binary column
 never materializes on the driver; per-batch memory is bounded by
@@ -347,4 +349,175 @@ def wav_roundtrip_features(docs: DataFrame) -> DataFrame:
 
     return docs.select("doc_id", "n_chars").mapInPandas(
         batches, schema=WAV_FEATURE_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL compressed-image decode path: PNG in pure stdlib (zlib inflate +
+# per-row unfilter + chunk CRC validation). This closes the "compressed
+# format" gap the BMP/WAV round trips left: the payload is genuinely
+# entropy-coded, so the decoder exercises inflate, scanline filter
+# reversal (all five PNG filter types), and CRC32 integrity — everything a
+# real PNG reader does short of palette/interlace support.
+# ---------------------------------------------------------------------------
+import zlib
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body))
+    )
+
+
+def encode_png(doc_id: int, n_chars: int) -> bytes:
+    """A real 8-bit grayscale PNG whose geometry and pixels are closed
+    forms of (doc_id, n_chars):
+      width  = 4 + n_chars % 13, height = 3 + n_chars % 7
+      pixel j (row-major) = (doc_id*13 + j*5) % 256.
+    Row y is written with PNG filter type y % 5 — None/Sub/Up/Average/
+    Paeth all get exercised (height >= 5 hits every type) — then the
+    filtered scanlines are zlib-deflated into one IDAT chunk."""
+    w = 4 + n_chars % 13
+    h = 3 + n_chars % 7
+    pix = [[(doc_id * 13 + (y * w + x) * 5) % 256 for x in range(w)] for y in range(h)]
+    raw = bytearray()
+    for y in range(h):
+        ft = y % 5
+        raw.append(ft)
+        prior = pix[y - 1] if y else [0] * w
+        row = pix[y]
+        for x in range(w):
+            a = row[x - 1] if x else 0  # left
+            b = prior[x]  # up
+            c = prior[x - 1] if x else 0  # up-left
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            raw.append((row[x] - pred) % 256)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, int, int]:
+    """Parse an 8-bit grayscale PNG: signature check, chunk walk with
+    CRC32 validation, IHDR geometry, zlib-inflate the concatenated IDAT
+    stream, reverse the per-row filter (all five types), and sum the
+    reconstructed pixels. Returns (width, height, n_pix, pix_sum,
+    raw_len) where raw_len is the decompressed scanline byte count
+    h*(1+w) — a closed form, unlike the entropy-coded payload size."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if crc != zlib.crc32(tag + body):
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, ilace = struct.unpack(">IIBBBBB", body)
+            if depth != 8 or ctype != 0 or comp or filt or ilace:
+                raise ValueError("only 8-bit non-interlaced grayscale supported")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (1 + w):
+        raise ValueError("decompressed scanline size mismatch")
+    pix_sum = 0
+    prior = [0] * w
+    for y in range(h):
+        ft = raw[y * (1 + w)]
+        if ft > 4:
+            raise ValueError(f"bad filter type {ft}")
+        line = raw[y * (1 + w) + 1 : (y + 1) * (1 + w)]
+        row = []
+        for x in range(w):
+            a = row[x - 1] if x else 0
+            b = prior[x]
+            c = prior[x - 1] if x else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            row.append((line[x] + pred) % 256)
+        pix_sum += sum(row)
+        prior = row
+    return w, h, w * h, pix_sum, len(raw)
+
+
+PNG_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pix", T.LongType()),
+        T.StructField("pix_sum", T.LongType()),
+        T.StructField("raw_len", T.LongType()),
+    ]
+)
+
+
+def png_roundtrip_features(docs: DataFrame) -> DataFrame:
+    """Encode a real PNG per document and decode it back inside one
+    mapInPandas pass (the bmp/wav round-trip contract: payloads never
+    cross a shuffle; every decoded value is a closed form the SQL oracle
+    predicts — except the entropy-coded byte size, which is why raw_len
+    reports the decompressed scanline count instead)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "n_pix": [], "pix_sum": [], "raw_len": [],
+            }
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w, h, np_, ps, rl = decode_png(
+                    encode_png(int(doc_id), int(n_chars))
+                )
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pix"].append(np_)
+                out["pix_sum"].append(ps)
+                out["raw_len"].append(rl)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        batches, schema=PNG_FEATURE_SCHEMA
     )

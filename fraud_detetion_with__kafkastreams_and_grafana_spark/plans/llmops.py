@@ -2923,3 +2923,47 @@ def l56_semdedup_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("_pruned"), F.lit(False)).alias("is_pruned"),
         )
     )
+
+
+@_register(
+    "l57_png_decode_roundtrip",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             4 + n_chars % 13 AS width,
+             3 + n_chars % 7 AS height
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(width * height AS BIGINT) AS n_pix,
+           CAST(list_reduce(list_transform(range(0, width * height),
+                  j -> (doc_id * 13 + j * 5) % 256), (a, b) -> a + b)
+                AS BIGINT) AS pix_sum,
+           CAST(height * (1 + width) AS BIGINT) AS raw_len
+    FROM g
+    """,
+)
+def l57_png_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode — the multimodal surface's first
+    entropy-coded format, closing the largest remaining decode stub:
+    every document becomes a genuine 8-bit grayscale PNG (zlib-deflated
+    scanlines, per-row filters cycling through all five PNG types, CRC32
+    per chunk) and is decoded back by a pure-stdlib reader
+    (operators/multimodal.decode_png: signature check, chunk walk with
+    CRC validation, inflate, filter reversal) inside ONE mapInPandas
+    pass. Geometry, pixel count, pixel sum, and the decompressed
+    scanline length are closed forms of (doc_id, n_chars), so the whole
+    compress -> binary -> inflate -> unfilter round trip value-hash
+    checks against SQL; the entropy-coded payload size is the one
+    non-closed-form quantity, which is why raw_len reports the
+    decompressed byte count. BMP (l52) stays the uncompressed twin;
+    JPEG/compressed audio remain honest stubs (no codec libs here).
+
+    Scale: same contract as l52/l53 — payloads are built and consumed
+    inside the Arrow batch, never crossing a shuffle or the driver; the
+    decode is C-speed per byte (zlib) plus a pure-Python unfilter loop
+    bounded by the tiny closed-form geometry."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.png_roundtrip_features(docs)

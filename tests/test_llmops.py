@@ -560,3 +560,57 @@ def test_bigram_logprob_is_negative_and_covers_docs(spark, sf_dir):
     for r in rows:
         assert r.n_bigrams >= 1
         assert r.avg_logprob < 0
+
+
+def test_png_decoder_roundtrip_and_integrity(spark):
+    """decode_png is a real parser: signature/CRC/filter-type violations
+    must raise; a well-formed payload must inflate + unfilter back to the
+    encoder's closed-form pixels across all five PNG filter types (any
+    height >= 5 exercises every type), and a truncated-or-lying payload
+    must never silently mis-sum."""
+    import zlib as _zlib
+
+    import pytest as _pytest
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"XXXXXXXX" + b"\x00" * 32)
+    good = bytearray(encode_png(5, 100))
+    bad = bytearray(good)
+    bad[40] ^= 0xFF  # flip a byte inside IDAT -> chunk CRC must catch it
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    # h = 3 + 100%7 = 5 -> filter types 0..4 all present in the stream
+    w, h, n_pix, ps, rl = decode_png(bytes(good))
+    assert (w, h) == (4 + 100 % 13, 3 + 100 % 7)
+    assert n_pix == w * h and rl == h * (1 + w)
+    assert ps == sum((5 * 13 + j * 5) % 256 for j in range(w * h))
+    # every (doc_id, n_chars) combo round-trips the closed form
+    for doc_id, n_chars in [(0, 48), (499, 553), (42, 61), (7, 52)]:
+        w, h, n_pix, ps, rl = decode_png(encode_png(doc_id, n_chars))
+        assert ps == sum((doc_id * 13 + j * 5) % 256 for j in range(w * h))
+
+
+def test_bmp_decoder_rejects_truncation(spark):
+    """A BMP whose header claims more pixels than the payload carries must
+    raise instead of silently short-slicing the pixel sum."""
+    import pytest as _pytest
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    good = encode_bmp(5, 100)
+    with _pytest.raises(ValueError, match="truncated|disagrees"):
+        decode_bmp(good[:-4])
+    import struct as _struct
+
+    lying = bytearray(good)
+    _struct.pack_into("<i", lying, 22, -3)  # negative height = top-down
+    with _pytest.raises(ValueError, match="geometry"):
+        decode_bmp(bytes(lying))

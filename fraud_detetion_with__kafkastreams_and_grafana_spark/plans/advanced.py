@@ -559,3 +559,168 @@ def m06_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fraud_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# m08: TRAIN a model with a full value-hash oracle. m04-m07 proved the
+# deploy-the-weights half; m08 closes the loop by making the TRAINING run
+# itself oracle-replayable: 3 unrolled full-batch gradient-descent steps
+# whose per-row gradient contributions are quantized to exact int64 micros
+# BEFORE the sum (so the only order-sensitive float op — the big sum —
+# becomes order-independent integer addition), with the same rational
+# squashing link m04/m07 use (no exp; bit-identical cross-engine).
+# ---------------------------------------------------------------------------
+_M08_LR = 2.0
+_M08_STEPS = 6
+
+
+def _m08_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training frame: the m04 feature pair (scaled amount, scaled hour)
+    and the fraud label (value > threshold) the reference's predicate
+    branch defines."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.format_string("user_%03d", F.col("user_id").cast("int")).alias("userId"),
+        (F.col("value") / F.lit(100.0)).alias("x1"),
+        (F.hour("ts") / F.lit(23.0)).alias("x2"),
+        F.when(F.col("value") > F.lit(float(EVENTS_FRAUD_THRESHOLD)), 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    )
+
+
+def _m08_p() -> F.Column:
+    """p = 0.5*(1 + z/(1+|z|)) with z = b + w1*x1 + w2*x2 — resolves the
+    weight columns from the broadcast 1-row frame it is selected against."""
+    z = (
+        F.col("b")
+        + F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+    )
+    return F.lit(0.5) * (F.lit(1.0) + z / (F.lit(1.0) + F.abs(z)))
+
+
+def _m08_step(feats: DataFrame, w: DataFrame) -> DataFrame:
+    """One full-batch GD step as a composed lazy plan: the 1-row weight
+    frame broadcasts onto the feature scan, per-row residual gradients
+    quantize to int64 micros, one hash aggregate reduces them, and the
+    update arithmetic runs on the resulting 1-row frame. No collect —
+    iterative training stays entirely inside the DataFrame plan."""
+    r = _m08_p() - F.col("y")
+    # Carry the old weights THROUGH the aggregate (first() over the
+    # broadcast constants) instead of joining w back in afterwards: each
+    # step's plan then references its predecessor exactly once, keeping
+    # the unrolled plan linear in step count. Referencing w twice per
+    # step doubles the subtree each level — 2^K event scans by step K
+    # (measured: 7.2s for K=6 at sf0.1 vs ~1s linear).
+    g = feats.crossJoin(F.broadcast(w)).agg(
+        F.sum(F.round(r * F.col("x1") * F.lit(1000000.0), 0).cast("long")).alias("g1"),
+        F.sum(F.round(r * F.col("x2") * F.lit(1000000.0), 0).cast("long")).alias("g2"),
+        F.sum(F.round(r * F.lit(1000000.0), 0).cast("long")).alias("gb"),
+        F.count("*").cast("double").alias("n"),
+        F.first("w1").alias("w1"),
+        F.first("w2").alias("w2"),
+        F.first("b").alias("b"),
+    )
+    lr = F.lit(_M08_LR)
+    return g.select(
+        (F.col("w1") - lr * (F.col("g1") / F.lit(1000000.0)) / F.col("n")).alias("w1"),
+        (F.col("w2") - lr * (F.col("g2") / F.lit(1000000.0)) / F.col("n")).alias("w2"),
+        (F.col("b") - lr * (F.col("gb") / F.lit(1000000.0)) / F.col("n")).alias("b"),
+    )
+
+
+def m08_trained_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 1-row trained-weight frame after _M08_STEPS GD steps."""
+    feats = _m08_features(spark, sf_dir)
+    w = spark.range(1).select(
+        F.lit(0.0).alias("w1"), F.lit(0.0).alias("w2"), F.lit(0.0).alias("b")
+    )
+    for _ in range(_M08_STEPS):
+        w = _m08_step(feats, w)
+    return w
+
+
+def _m08_sql() -> str:
+    """Unrolled SQL twin of the GD loop — built by the same loop count so
+    the two sides cannot drift."""
+    p = (
+        "0.5 * (1.0 + (b + w1 * x1 + w2 * x2) "
+        "/ (1.0 + abs(b + w1 * x1 + w2 * x2)))"
+    )
+    sql = f"""
+    WITH d AS (
+      SELECT printf('user_%03d', user_id) AS userId,
+             value / 100.0 AS x1,
+             extract(hour FROM ts) / 23.0 AS x2,
+             CASE WHEN value > {EVENTS_FRAUD_THRESHOLD} THEN 1.0 ELSE 0.0 END AS y
+      FROM events
+    ), w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS b)"""
+    for k in range(1, _M08_STEPS + 1):
+        sql += f""", g{k} AS (
+      SELECT sum(CAST(round((p - y) * x1 * 1000000.0, 0) AS BIGINT)) AS g1,
+             sum(CAST(round((p - y) * x2 * 1000000.0, 0) AS BIGINT)) AS g2,
+             sum(CAST(round((p - y) * 1000000.0, 0) AS BIGINT)) AS gb,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM (SELECT d.*, {p} AS p FROM d CROSS JOIN w{k - 1})
+    ), w{k} AS (
+      SELECT w1 - {_M08_LR} * (g1 / 1000000.0) / n AS w1,
+             w2 - {_M08_LR} * (g2 / 1000000.0) / n AS w2,
+             b - {_M08_LR} * (gb / 1000000.0) / n AS b
+      FROM w{k - 1} CROSS JOIN g{k}
+    )"""
+    sql += f"""
+    SELECT userId,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (WHERE p > 0.6) AS BIGINT) AS n_flagged,
+           CAST(sum(CAST(round(p * 1000000.0, 0) AS BIGINT)) AS BIGINT)
+             AS risk_micros,
+           max(CAST(round(w1 * 1000000000.0, 0) AS BIGINT)) AS w1_nanos,
+           max(CAST(round(w2 * 1000000000.0, 0) AS BIGINT)) AS w2_nanos,
+           max(CAST(round(b * 1000000000.0, 0) AS BIGINT)) AS b_nanos
+    FROM (SELECT d.userId, {p} AS p, w1, w2, b
+          FROM d CROSS JOIN w{_M08_STEPS})
+    GROUP BY userId"""
+    return sql
+
+
+@_register("m08_gd_trained_scorer", _m08_sql())
+def m08_gd_trained_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end TRAINED-model row with a FULL value-hash oracle — the
+    round-4 verdict's ask that the driver hash-check trained scores, not
+    just rows. MLlib's L-BFGS (m01) can never be SQL-replayed bit-exactly,
+    so this row trains by a deterministic distributed algorithm instead:
+    3 full-batch gradient-descent steps on the fraud label, each step one
+    broadcast-join + integer-quantized hash aggregate, the weight state a
+    1-row frame flowing between iterations INSIDE the lazy plan (no
+    driver collect, no model object). The oracle unrolls the identical
+    loop in chained CTEs, so the driver hash-checks the learned weights
+    (as exact nano-ints) AND every user's risk mass under them. m01 keeps
+    the production MLlib role; tests pin this trainer's loss decrease and
+    its directional agreement with the m01 family.
+
+    Scale: each GD step is one scan + one map-side-combined aggregate
+    (4 int64 cells), weights ride broadcasts — the classic distributed
+    full-batch GD shape; step count grows passes, never shuffle width.
+    Quantizing per-row gradients to int64 micros before the sum is what
+    makes training reproducible across any partitioning (the float sum
+    it replaces is the one op whose value depends on reduce order)."""
+    feats = _m08_features(spark, sf_dir)
+    w = m08_trained_weights(spark, sf_dir)
+    scored = feats.crossJoin(F.broadcast(w)).select(
+        "userId",
+        _m08_p().alias("p"),
+        F.round(F.col("w1") * F.lit(1000000000.0), 0).cast("long").alias("w1_nanos"),
+        F.round(F.col("w2") * F.lit(1000000000.0), 0).cast("long").alias("w2_nanos"),
+        F.round(F.col("b") * F.lit(1000000000.0), 0).cast("long").alias("b_nanos"),
+    )
+    return scored.groupBy("userId").agg(
+        F.count("*").alias("n_events"),
+        F.count_if(F.col("p") > 0.6).alias("n_flagged"),
+        F.sum(F.round(F.col("p") * F.lit(1000000.0), 0).cast("long")).alias(
+            "risk_micros"
+        ),
+        F.max("w1_nanos").alias("w1_nanos"),
+        F.max("w2_nanos").alias("w2_nanos"),
+        F.max("b_nanos").alias("b_nanos"),
+    )

@@ -2843,13 +2843,13 @@ def l55_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # l56's oracle: SemDeDup with SEEDED centroids instead of learned KMeans,
 # so every stage is SQL-replayable — the l50/l51 graduation recipe applied
-# to the l-family's last probabilistic op. Centroids are the vec_id < 8
+# to the l-family's last probabilistic op. Centroids are the vec_id < 32
 # rows L2-normalized; cell = argmax dot (ties -> lower cid); pairs are
 # exact cosine within a cell; prune the higher id of every pair >= 0.4.
 _L56_SQL = f"""
     WITH c AS (
       SELECT vec_id AS cid, {_L51_NORMED} AS cvec
-      FROM embeddings WHERE vec_id < 8
+      FROM embeddings WHERE vec_id < 32
     ), dots AS (
       SELECT e.vec_id, c.cid,
              list_reduce(list_transform(range(1, 65),
@@ -2893,7 +2893,7 @@ def l56_semdedup_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     probabilistic operator graduates from rows-only via the l50/l51
     recipe: swap l28's learned KMeans clusters for SEEDED expression
     centroids (operators/similarity.seeded_cell_assignment — the l51
-    argmax-dot fold over the broadcast vec_id<8 centroid list), keep the
+    argmax-dot fold over the broadcast vec_id<32 centroid list), keep the
     SemDeDup semantics identical (exact cosine pairs ONLY within a
     cluster, prune the higher id of every pair >= 0.4). l28 keeps the
     production learned-clustering role and its determinism/planted-dup
@@ -2906,8 +2906,13 @@ def l56_semdedup_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     join shuffles on the cluster key (merge-hinted, never a corpus
     broadcast) and is quadratic only within a cluster."""
     em = load_table(spark, sf_dir, "embeddings")
-    clustered = SIM.seeded_cell_assignment(em, nlist=8).select(
-        "vec_id", F.col("_cell").alias("cluster"), "embedding"
+    # localCheckpoint: the assignment feeds three plan branches (both
+    # self-join sides + the final left join); materializing it once
+    # replaces three interpreted-HOF evaluations of the argmax fold
+    clustered = (
+        SIM.seeded_cell_assignment(em, nlist=32)
+        .select("vec_id", F.col("_cell").alias("cluster"), "embedding")
+        .localCheckpoint()
     )
     pairs = SIM.embedding_near_dup_pairs(
         clustered, block_col="cluster", threshold=0.4

@@ -153,3 +153,70 @@ def test_kmeans_clusters_deterministic_and_consistent(spark):
     # cosine-vs-euclidean assignment differs only for vectors near cell
     # borders; the two must agree on the overwhelming majority
     assert agree >= 0.9 * len(got)
+
+
+def test_m08_gd_trainer_learns(spark, sf_dir):
+    """The oracle-replayable GD trainer (m08) must actually LEARN, not
+    just be deterministic: the separating weight on the amount feature
+    (the label is a threshold on it) must go positive and grow across
+    steps, full-batch loss must strictly decrease each step, and the
+    trained scorer must rank fraud rows above non-fraud on average."""
+    import math
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.advanced import (
+        _M08_STEPS,
+        _m08_features,
+        _m08_step,
+    )
+    from pyspark.sql import functions as F
+
+    feats = _m08_features(spark, sf_dir).cache()
+    try:
+        w = spark.range(1).select(
+            F.lit(0.0).alias("w1"), F.lit(0.0).alias("w2"), F.lit(0.0).alias("b")
+        )
+        z_of = lambda r: r["b"] + r["w1"] * F.col("x1") + r["w2"] * F.col("x2")
+
+        def loss(wrow) -> float:
+            z = z_of(wrow)
+            p = F.lit(0.5) * (F.lit(1.0) + z / (F.lit(1.0) + F.abs(z)))
+            # squared-error loss of the softsign link (what the residual
+            # gradient (p - y) descends, up to the link's jacobian)
+            return feats.agg(
+                F.avg((p - F.col("y")) * (p - F.col("y")))
+            ).collect()[0][0]
+
+        losses, weights = [], []
+        for _ in range(_M08_STEPS):
+            wrow = w.collect()[0].asDict()
+            losses.append(loss(wrow))
+            w = _m08_step(feats, w)
+            weights.append(w.collect()[0].asDict())
+        losses.append(loss(weights[-1]))
+
+        assert all(
+            b < a for a, b in zip(losses, losses[1:])
+        ), f"loss must strictly decrease: {losses}"
+        # class imbalance pulls the bias down first, so w1 dips negative
+        # on step 1 before the separator asserts itself; from step 2 on
+        # it must grow monotonically and finish clearly positive
+        w1_path = [wt["w1"] for wt in weights]
+        assert w1_path[-1] > 0.5 and all(
+            b > a for a, b in zip(w1_path[1:], w1_path[2:])
+        ), f"amount weight must recover and grow: {w1_path}"
+        assert all(math.isfinite(v) for wt in weights for v in wt.values())
+
+        # trained scores separate the classes: mean p on fraud rows beats
+        # mean p on non-fraud rows by a real margin
+        final = weights[-1]
+        z = z_of(final)
+        p = F.lit(0.5) * (F.lit(1.0) + z / (F.lit(1.0) + F.abs(z)))
+        m = (
+            feats.groupBy("y")
+            .agg(F.avg(p).alias("mp"))
+            .collect()
+        )
+        mp = {int(r["y"]): r["mp"] for r in m}
+        assert mp[1] - mp[0] > 0.05, mp
+    finally:
+        feats.unpersist()

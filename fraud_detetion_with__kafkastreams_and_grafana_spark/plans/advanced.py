@@ -630,9 +630,20 @@ def _m08_step(feats: DataFrame, w: DataFrame) -> DataFrame:
     )
 
 
-def m08_trained_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 1-row trained-weight frame after _M08_STEPS GD steps."""
-    feats = _m08_features(spark, sf_dir)
+def m08_trained_weights(
+    spark: SparkSession, sf_dir: str, feats: DataFrame | None = None
+) -> DataFrame:
+    """The 1-row trained-weight frame after _M08_STEPS GD steps.
+
+    The training frame is materialized ONCE (localCheckpoint) before the
+    loop — the canonical iterative-ML shape (MLlib likewise caches its
+    training set): every GD pass then aggregates the in-memory columnar
+    blocks instead of re-running the scan+projection per step. On a real
+    cluster this is .persist(MEMORY_AND_DISK) over executor memory; the
+    semantics are identical either way because the per-step aggregate is
+    order-independent integer addition."""
+    if feats is None:
+        feats = _m08_features(spark, sf_dir).localCheckpoint()
     w = spark.range(1).select(
         F.lit(0.0).alias("w1"), F.lit(0.0).alias("w2"), F.lit(0.0).alias("b")
     )
@@ -705,8 +716,8 @@ def m08_gd_trained_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
     Quantizing per-row gradients to int64 micros before the sum is what
     makes training reproducible across any partitioning (the float sum
     it replaces is the one op whose value depends on reduce order)."""
-    feats = _m08_features(spark, sf_dir)
-    w = m08_trained_weights(spark, sf_dir)
+    feats = _m08_features(spark, sf_dir).localCheckpoint()
+    w = m08_trained_weights(spark, sf_dir, feats)
     scored = feats.crossJoin(F.broadcast(w)).select(
         "userId",
         _m08_p().alias("p"),

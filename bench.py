@@ -40,6 +40,40 @@ def _warmup(spark, sf_dir: str) -> None:
         _identity("v")
     ).write.format("noop").mode("overwrite").save()
 
+    # Touch every table once (footer read, schema resolution, timestamp
+    # layout sniffing) so the first query that happens to reference a
+    # table doesn't absorb its one-time open cost — a registry reorder
+    # moved that cost onto r18 and faked a 6x regression (0.18s -> 1.16s;
+    # warm runs are 0.3s).
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import (
+        load_table as _lt,
+    )
+
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings",
+    ):
+        _lt(spark, sf_dir, t).limit(1).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    # Warm the code-generation path itself (janino + the JVM's JIT of the
+    # compiler): the first codegen-heavy query of a session pays a
+    # multi-second compile that later identical-size spans don't (<0.1s
+    # once hot). A synthetic wide expression — NOT any registered query —
+    # takes that hit so head-of-run queries aren't penalized by registry
+    # order.
+    wide = df.limit(100)
+    exprs = [
+        F.concat(
+            F.upper(F.col("event_type")),
+            F.lpad(F.trim(F.lower(F.col("props"))), 8 + i % 5, "x"),
+            F.substring(F.reverse(F.col("event_type")), 1, 1 + i % 3),
+        ).alias(f"c{i}")
+        for i in range(40)
+    ]
+    wide.select(*exprs).write.format("noop").mode("overwrite").save()
+
     # Materialize the streaming replay input dirs (session-cached) so each
     # s-query's timing measures streaming EXECUTION, not the one-time
     # serialization of its input — the batch queries likewise read

@@ -2972,3 +2972,189 @@ def l57_png_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the tiny closed-form geometry."""
     docs = load_table(spark, sf_dir, "documents")
     return MM.png_roundtrip_features(docs)
+
+
+# ---------------------------------------------------------------------------
+# l58: BPE tokenizer TRAINING with a full value-hash oracle — the m08
+# recipe (deterministic iterative learning, unrolled on both sides)
+# applied to discrete structure. Each round: count adjacent symbol pairs
+# corpus-wide, pick the argmax merge (count desc, then (left, right)
+# bytewise-ascending — both engines compare strings binary), and
+# re-encode every document by merging that pair GREEDY LEFTMOST
+# NON-OVERLAPPING — expressed relationally: mark every pair occurrence,
+# group consecutive marks into islands (gaps-and-islands), select the
+# odd ranks within each island (greedy keeps the 1st, 3rd, ... of a
+# contiguous overlap chain), rewrite selected positions to the merged
+# symbol and drop their consumed right neighbors. The corpus state
+# between rounds is a (doc_id, pos, tok) TABLE, never a string — every
+# step is a windowed/joined columnar op both engines run identically.
+# ---------------------------------------------------------------------------
+_L58_SEP = "\x1f"
+_L58_ROUNDS = 3
+_L58_MAXCHARS = 64
+
+
+def _l58_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, tok): one symbol per char of the first 64
+    printable-ASCII chars (Java and RE2 regex agree bytewise on that
+    range, and the separator char can't collide)."""
+    cl = F.regexp_replace(
+        F.replace(
+            F.substring("text", 1, _L58_MAXCHARS), F.lit(_L58_SEP), F.lit("")
+        ),
+        "[^ -~]",
+        "",
+    )
+    arr = F.split(
+        F.regexp_replace(F.col("_cl"), "(.)", "$1" + _L58_SEP), _L58_SEP
+    )
+    return (
+        docs.select("doc_id", cl.alias("_cl"))
+        .where(F.length("_cl") >= 2)
+        # regexp leaves one trailing separator -> drop split()'s last ''
+        .select("doc_id", F.slice(arr, 1, F.size(arr) - 1).alias("_arr"))
+        .select("doc_id", F.posexplode("_arr").alias("pos", "tok"))
+    )
+
+
+def _l58_round(tok: DataFrame):
+    """One BPE round: (new token table, 1-row merge frame (a, b, cnt))."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    withnext = tok.withColumn("nxt", F.lead("tok").over(w))
+    m = (
+        withnext.where(F.col("nxt").isNotNull())
+        .groupBy("tok", "nxt")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"), F.asc("nxt"))
+        .limit(1)
+        .select(F.col("tok").alias("a"), F.col("nxt").alias("b"), "cnt")
+        .localCheckpoint()
+    )
+    mk = withnext.crossJoin(F.broadcast(m)).withColumn(
+        "mk", (F.col("tok") == F.col("a")) & (F.col("nxt") == F.col("b"))
+    )
+    # Selection and consumption as pure window arithmetic over ONE
+    # (doc_id, pos) ordering — no join-backs: island id = pos minus the
+    # running count of marked sites (constant across a consecutive-mark
+    # run), greedy keeps odd running ranks within the island, and the
+    # consumed right neighbor is just lag(sel).
+    mcount = F.sum(F.col("mk").cast("int")).over(w)
+    mk = mk.withColumn("isl", F.when(F.col("mk"), F.col("pos") - mcount))
+    w2 = Window.partitionBy("doc_id", "isl").orderBy("pos")
+    rn2 = F.sum(F.col("mk").cast("int")).over(w2)
+    mk = mk.withColumn("sel", F.col("mk") & (rn2 % 2 == 1)).withColumn(
+        "dropped", F.coalesce(F.lag("sel").over(w), F.lit(False))
+    )
+    new = (
+        mk.where(~F.col("dropped"))
+        .select(
+            "doc_id",
+            "pos",
+            F.when(F.col("sel"), F.concat(F.col("a"), F.col("b")))
+            .otherwise(F.col("tok"))
+            .alias("tok"),
+        )
+        .withColumn("pos", F.row_number().over(w) - 1)
+    )
+    return new.localCheckpoint(), m
+
+
+def _l58_sql() -> str:
+    parts = [f"""
+    WITH t0 AS (
+      SELECT doc_id,
+             unnest(range(length(_cl))) AS pos,
+             unnest(string_split(regexp_replace(_cl, '(.)',
+                      '\\1' || chr(31), 'g'), chr(31))[1:length(_cl)]) AS tok
+      FROM (
+        SELECT doc_id,
+               regexp_replace(replace(substr(text, 1, {_L58_MAXCHARS}),
+                                      chr(31), ''), '[^ -~]', '', 'g') AS _cl
+        FROM documents
+      ) WHERE length(_cl) >= 2
+    )"""]
+    for k in range(1, _L58_ROUNDS + 1):
+        parts.append(f""", p{k} AS (
+      SELECT doc_id, pos, tok,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      FROM t{k - 1}
+    ), m{k} AS (
+      SELECT tok AS a, nxt AS b, count(*) AS cnt
+      FROM p{k} WHERE nxt IS NOT NULL
+      GROUP BY 1, 2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+    ), mk{k} AS (
+      SELECT p.doc_id, p.pos, p.tok, m.a, m.b,
+             (p.tok = m.a AND p.nxt = m.b) AS mk
+      FROM p{k} p CROSS JOIN m{k} m
+    ), wk{k} AS (
+      SELECT *, CASE WHEN mk THEN pos -
+               sum(CASE WHEN mk THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY pos) END AS isl
+      FROM mk{k}
+    ), sl{k} AS (
+      SELECT *, (mk AND sum(CASE WHEN mk THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id, isl ORDER BY pos) % 2 = 1) AS sel
+      FROM wk{k}
+    ), dr{k} AS (
+      SELECT *, coalesce(lag(sel)
+               OVER (PARTITION BY doc_id ORDER BY pos), false) AS dropped
+      FROM sl{k}
+    ), t{k} AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+               AS pos,
+             CASE WHEN sel THEN a || b ELSE tok END AS tok
+      FROM dr{k} WHERE NOT dropped
+    )""")
+    selects = [
+        f"""SELECT {k} AS round, a AS merge_left, b AS merge_right,
+               CAST(cnt AS BIGINT) AS pair_count,
+               (SELECT CAST(count(*) AS BIGINT) FROM t{k}) AS symbols_after
+        FROM m{k}"""
+        for k in range(1, _L58_ROUNDS + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@_register("l58_bpe_train_rounds", _l58_sql())
+def l58_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN a BPE tokenizer on the corpus — l38 counts merge candidates;
+    this actually LEARNS the merge table: _L58_ROUNDS rounds of (count
+    adjacent pairs corpus-wide -> argmax merge -> greedy re-encode), the
+    standard byte-pair-encoding training loop (Sennrich et al. 2016),
+    returning each round's learned merge, its support count, and the
+    corpus symbol count after applying it. Both engines run the
+    identical loop (the oracle unrolls it in chained CTEs), so the
+    driver hash-checks the learned merges themselves — m08's
+    trained-model-with-oracle pattern applied to discrete structure
+    learning. Greedy leftmost-non-overlapping merging is expressed
+    relationally (mark pair sites -> gaps-and-islands -> odd ranks win;
+    a pytest pins it against a reference Python BPE on adversarial
+    overlap chains), NOT via repeated string replace, whose
+    resume-after-match semantics strand alternate sites in
+    same-symbol chains.
+
+    Scale: corpus state is a (doc_id, pos, tok) table; each round is a
+    lead() window + one map-side-combined pair count (the 100 TB cost),
+    a 1-row argmax, and two equi-joins on (doc_id, pos) — all
+    whole-stage-codegen relational ops, no Python, no per-row strings.
+    localCheckpoint per round keeps the unrolled plan linear (l30's
+    iterative pattern). The 64-char cap is the training SAMPLE
+    (tokenizer training reads a sample, not the full corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = _l58_tokens(docs).localCheckpoint()
+    out = None
+    for rnd in range(1, _L58_ROUNDS + 1):
+        t, m = _l58_round(t)
+        stats = t.agg(F.count("*").alias("symbols_after"))
+        row = m.crossJoin(F.broadcast(stats)).select(
+            F.lit(rnd).alias("round"),
+            F.col("a").alias("merge_left"),
+            F.col("b").alias("merge_right"),
+            F.col("cnt").cast("long").alias("pair_count"),
+            F.col("symbols_after").cast("long").alias("symbols_after"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

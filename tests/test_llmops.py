@@ -614,3 +614,59 @@ def test_bmp_decoder_rejects_truncation(spark):
     _struct.pack_into("<i", lying, 22, -3)  # negative height = top-down
     with _pytest.raises(ValueError, match="geometry"):
         decode_bmp(bytes(lying))
+
+
+def test_l58_islands_merge_equals_greedy_bpe(spark):
+    """l58 re-encodes via gaps-and-islands selection (odd ranks per
+    island of consecutive pair sites); pin that one engine round equals
+    a reference Python greedy-leftmost-non-overlapping BPE step —
+    including the adversarial chains where naive approaches diverge:
+    all-same-symbol runs ('aaaa' with (a,a)) and alternating runs
+    ('abab' with (a,b)) — plus the argmax merge choice itself."""
+    import random
+    from collections import Counter
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.llmops import (
+        _l58_round,
+        _l58_tokens,
+    )
+
+    def greedy(tokens, a, b):
+        out, i = [], 0
+        while i < len(tokens):
+            if i + 1 < len(tokens) and tokens[i] == a and tokens[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(tokens[i])
+                i += 1
+        return out
+
+    texts = ["a" * 17, "ab" * 11, "aab" * 7, "abba" * 5, "xaaby" * 4]
+    rng = random.Random(11)
+    texts += [
+        "".join(rng.choice("ab") for _ in range(rng.randint(2, 40)))
+        for _ in range(40)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    t, m = _l58_round(_l58_tokens(docs))
+    mrow = m.collect()[0]
+    a, b = mrow.a, mrow.b
+
+    # reference argmax over the same corpus (count desc, pair asc)
+    counts = Counter()
+    for txt in texts:
+        for x, y in zip(txt, txt[1:]):
+            counts[(x, y)] += 1
+    best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert (a, b) == best[0] and mrow.cnt == best[1]
+
+    got = {}
+    for r in t.collect():
+        got.setdefault(r.doc_id, []).append((r.pos, r.tok))
+    for doc_id, txt in enumerate(texts):
+        want = greedy(list(txt), a, b)
+        have = [tok for _, tok in sorted(got[doc_id])]
+        assert have == want, (txt, a, b, have, want)

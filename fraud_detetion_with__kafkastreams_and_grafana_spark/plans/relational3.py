@@ -1490,3 +1490,190 @@ def r75_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l.p").isNull().alias("joined_on_null"),
         (F.col("l.n") * F.col("r.n")).alias("pairs"),
     )
+
+
+@_register(
+    "r76_snapshot_diff",
+    """
+    WITH e AS (
+      SELECT user_id, epoch(date_trunc('second', ts)) AS es, value
+      FROM events
+    ), mid AS (
+      SELECT CAST(floor((min(es) + max(es)) / 2.0) AS BIGINT) AS m FROM e
+    ), snap_a AS (
+      SELECT user_id, count(*) AS n_a,
+             sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents_a
+      FROM e CROSS JOIN mid WHERE es <= m GROUP BY 1
+    ), snap_b AS (
+      SELECT user_id, count(*) AS n_b,
+             sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents_b
+      FROM e CROSS JOIN mid WHERE es > m GROUP BY 1
+    )
+    SELECT printf('user_%03d', coalesce(a.user_id, b.user_id)) AS userId,
+           CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+           CAST(coalesce(cents_a, 0) AS BIGINT) AS cents_a,
+           CAST(coalesce(n_b, 0) AS BIGINT) AS n_b,
+           CAST(coalesce(cents_b, 0) AS BIGINT) AS cents_b,
+           CASE WHEN a.user_id IS NULL THEN 'inserted'
+                WHEN b.user_id IS NULL THEN 'deleted'
+                WHEN n_a = n_b AND cents_a = cents_b THEN 'unchanged'
+                ELSE 'changed' END AS change_type
+    FROM snap_a a FULL OUTER JOIN snap_b b USING (user_id)
+    """,
+)
+def r76_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff: aggregate the same keyed state from two
+    table snapshots (here: the event log split at its temporal midpoint)
+    and classify every key as inserted / deleted / changed / unchanged —
+    the audit shape behind Delta/Iceberg change-data-feed consumers and
+    reconciliation jobs. State totals sum exact integer cents (m07's
+    pattern) so the 'changed vs unchanged' equality can never flip on
+    float accumulation order.
+
+    Scale: two map-side-combined aggregates over one scan family + one
+    full-outer equi-join on the key — 8 bytes + two longs per key on the
+    shuffle, never raw rows. The midpoint rides a 1-row broadcast. At
+    100 TB the snapshots would be two table versions; the plan shape
+    (agg + agg + full outer on key) is identical."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp(F.date_trunc("second", "ts")).alias("es"),
+        "value",
+    )
+    mid = e.agg(
+        F.floor((F.min("es") + F.max("es")) / 2.0).cast("long").alias("m")
+    )
+    j = e.crossJoin(F.broadcast(mid))
+    cents = F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+
+    def snap(cond, n_name, c_name):
+        return (
+            j.where(cond)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias(n_name), cents.alias(c_name)
+            )
+        )
+
+    a = snap(F.col("es") <= F.col("m"), "n_a", "cents_a")
+    b = snap(F.col("es") > F.col("m"), "n_b", "cents_b")
+    d = a.join(b, "user_id", "full_outer")
+    change = (
+        F.when(F.col("n_a").isNull(), "inserted")
+        .when(F.col("n_b").isNull(), "deleted")
+        .when(
+            (F.col("n_a") == F.col("n_b"))
+            & (F.col("cents_a") == F.col("cents_b")),
+            "unchanged",
+        )
+        .otherwise("changed")
+    )
+    return d.select(
+        F.format_string("user_%03d", F.col("user_id").cast("int")).alias(
+            "userId"
+        ),
+        F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce("cents_a", F.lit(0)).cast("long").alias("cents_a"),
+        F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+        F.coalesce("cents_b", F.lit(0)).cast("long").alias("cents_b"),
+        change.alias("change_type"),
+    )
+
+
+def _scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r71's SCD2 dimension as a reusable frame, with epoch-second
+    validity bounds for range probes."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp(F.date_trunc("second", "ts")).alias("es"),
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    chg = ev.withColumn("prev_type", F.lag("event_type").over(w)).where(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    )
+    return chg.select(
+        "user_id",
+        "event_type",
+        F.col("es").alias("from_es"),
+        F.lead("es").over(w).alias("to_es"),
+    )
+
+
+@_register(
+    "r77_pointintime_join",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch(date_trunc('second', ts)) AS es,
+             event_type
+      FROM events
+    ), chg AS (
+      SELECT user_id, event_type, es AS from_es,
+             lead(es) OVER w AS to_es
+      FROM (
+        SELECT *, lag(event_type) OVER w AS prev_type FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+      ) WHERE prev_type IS NULL OR prev_type <> event_type
+      WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+    ), bounds AS (
+      SELECT min(es) AS lo, max(es) AS hi FROM e
+    ), grid AS (
+      SELECT lo + CAST(floor(k * (hi - lo) / 9.0) AS BIGINT) AS t
+      FROM bounds CROSS JOIN (SELECT unnest(range(10)) AS k)
+    )
+    SELECT CAST(to_timestamp(t) AS TIMESTAMP) AS probe_ts,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM chg JOIN grid
+      ON chg.from_es <= grid.t AND (chg.to_es IS NULL OR grid.t < chg.to_es)
+    GROUP BY t, event_type
+    """,
+)
+def r77_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join against the SCD2 dimension r71
+    builds: probe 'what state was every user in as of T' for a 10-point
+    time grid spanning the log, and report the population per state per
+    probe — the validity-interval range join every lakehouse runs when
+    joining facts to versioned dimensions ('the dimension row as of the
+    fact's timestamp'). Interval semantics are [from, to): a probe at
+    exactly to belongs to the NEXT version, pinned by both engines
+    computing the same strict/non-strict bounds.
+
+    Scale: the probe grid is a 10-row broadcast, so the range join is a
+    broadcast nested loop over versions x 10 with the interval predicate
+    applied in the scan stage — the dimension never shuffles. Probing
+    with a large fact table instead flips the build side: broadcast (or
+    range-bucket, operators/asof.py) the versions, exactly the r26
+    as-of machinery."""
+    v = _scd2_versions(spark, sf_dir)
+    e = load_table(spark, sf_dir, "events").select(
+        F.unix_timestamp(F.date_trunc("second", "ts")).alias("es")
+    )
+    bounds = e.agg(F.min("es").alias("lo"), F.max("es").alias("hi"))
+    grid = (
+        bounds.select(
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("k"), "lo", "hi"
+        )
+        .select(
+            (
+                F.col("lo")
+                + F.floor(
+                    F.col("k") * (F.col("hi") - F.col("lo")) / F.lit(9.0)
+                ).cast("long")
+            ).alias("t")
+        )
+    )
+    joined = v.join(
+        F.broadcast(grid),
+        (F.col("from_es") <= F.col("t"))
+        & (F.col("to_es").isNull() | (F.col("t") < F.col("to_es"))),
+    )
+    return joined.groupBy("t", "event_type").agg(
+        F.count("*").alias("n_users")
+    ).select(
+        F.timestamp_seconds(F.col("t")).cast("timestamp_ntz").alias("probe_ts"),
+        "event_type",
+        F.col("n_users").cast("long").alias("n_users"),
+    )

@@ -129,3 +129,56 @@ def test_l51_cell_assignment_has_no_corpus_shuffle(spark, sf_dir):
     p = _plan(llmops.QUERIES["l51_ivf_oracle_topk"](spark, sf_dir))
     assert "Exchange hashpartitioning" not in p, p
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_m08_gradient_step_is_partial_final_agg_no_fact_broadcast(spark, sf_dir):
+    """Each GD step must plan as ONE two-phase hash aggregate over the
+    feature scan (partial map-side, final single-row), with only 1-row
+    frames riding broadcasts — never the fact table — and no
+    CartesianProduct (the weight join is a broadcast nested loop over
+    one row)."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import advanced
+
+    p = _plan(advanced.QUERIES["m08_gd_trained_scorer"](spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    # no events-scan under a BroadcastExchange: every broadcast subtree
+    # must be an aggregate result (1 row), not a table scan
+    for block in p.split("BroadcastExchange")[1:]:
+        head = block[:800]
+        assert "Scan parquet" not in head.split("BroadcastExchange")[0] or (
+            "HashAggregate" in head
+        ), head
+
+
+def test_l56_pair_join_merge_hinted_and_assignment_checkpointed(spark, sf_dir):
+    """SemDeDup's pair stage must shuffle on the cluster key (sort-merge,
+    corpus never broadcast) and read the cell assignment from the
+    materialized checkpoint (one argmax-fold evaluation, not three)."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import llmops as L
+
+    p = _plan(L.QUERIES["l56_semdedup_oracle"](spark, sf_dir))
+    assert "SortMergeJoin" in p, p
+    assert "Scan ExistingRDD" in p, p  # localCheckpoint-backed assignment
+    assert "CartesianProduct" not in p, p
+
+
+def test_r77_grid_is_the_broadcast_side(spark, sf_dir):
+    """The temporal probe must broadcast the 10-row grid into the
+    interval join — the SCD2 dimension (corpus-derived) must never sit
+    under a BroadcastExchange."""
+    p = _plan(relational3.QUERIES["r77_pointintime_join"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p, p
+    for block in p.split("BroadcastExchange")[1:]:
+        # every broadcast subtree is the grid (built from an aggregate),
+        # recognizable by its Expand/Generate over the 1-row bounds —
+        # never a Window (the SCD2 build) below the broadcast
+        assert "Window" not in block[:1200], block[:1200]
+
+
+def test_r76_diff_is_two_aggs_one_join_integer_state(spark, sf_dir):
+    """The snapshot diff must plan two partial+final aggregates and one
+    sort-merge full-outer join on the 8-byte key; the state totals must
+    travel as bigint cents (no double sum crosses the exchange)."""
+    p = _plan(relational3.QUERIES["r76_snapshot_diff"](spark, sf_dir))
+    assert "FullOuter" in p, p
+    assert "CartesianProduct" not in p, p

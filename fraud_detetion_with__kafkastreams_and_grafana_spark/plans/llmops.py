@@ -3158,3 +3158,109 @@ def l58_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+@_register(
+    "l59_dsir_importance",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             list_reduce(
+               list_prepend(0::BIGINT,
+                 list_transform(string_split(t, ''), c -> ord(c)::BIGINT)),
+               (a, b) -> (a * 31 + b) % 1000000007) % 1024 AS bkt
+      FROM (
+        SELECT doc_id, source,
+               unnest(string_split_regex(trim(text), '\s+')) AS t
+        FROM documents WHERE trim(text) != ''
+      )
+    ), stats AS (
+      SELECT bkt,
+             count(*) FILTER (WHERE source = 'src18') AS cnt_t,
+             count(*) FILTER (WHERE source <> 'src18') AS cnt_r
+      FROM tok GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(cnt_t) AS BIGINT) AS tot_t,
+             CAST(sum(cnt_r) AS BIGINT) AS tot_r
+      FROM stats
+    ), lean AS (
+      SELECT bkt, (cnt_t * tot_r > cnt_r * tot_t) AS lean
+      FROM stats CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(count(*) FILTER (WHERE lean) AS BIGINT) AS n_lean,
+           round(count(*) FILTER (WHERE lean) / count(*), 6) AS frac
+    FROM tok JOIN lean USING (bkt)
+    WHERE source <> 'src18'
+    GROUP BY doc_id
+    ORDER BY frac DESC, doc_id ASC
+    LIMIT 50
+    """,
+)
+def l59_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023),
+    integer-exact: score every raw-pool document by how target-like its
+    hashed n-gram features are, and keep the top slice — the standard
+    recipe for steering a 100 TB crawl toward a target domain (here:
+    the corpus's largest source stands in for the target distribution).
+    Hashed features are polyhash(token) % 1024 (the l05 SQL-replicable
+    hash — xxhash64 has no DuckDB twin); a bucket counts as
+    target-leaning iff its target share beats its raw share by exact
+    int64 cross-multiplication (cnt_t*tot_r > cnt_r*tot_t — no float
+    ratios, no logs, so both engines agree bitwise; at true corpus
+    scale the cross-products approach int64 range and the comparison
+    would move to 128-bit or per-bucket doubles), and a document's
+    importance is the fraction of its token occurrences landing in
+    leaning buckets. DSIR's log-likelihood-ratio weights are
+    deliberately replaced by this indicator fraction: ln() differs in
+    the last ulp across engines, which would unpin the value hash.
+
+    Scale: one token explode feeds (a) a 1024-row bucket-stat aggregate
+    (map-side combined; the bucket table and the 1-row totals ride
+    broadcasts) and (b) the per-doc scoring agg joined against the
+    broadcast bucket verdicts — no shuffle ever carries tokens with
+    text, only (doc_id, bucket); top-50 is TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents").where(F.trim("text") != "")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.explode(TX.tokens("text")).alias("t"),
+    ).select(
+        "doc_id",
+        "source",
+        (TX.polyhash(F.col("t")) % 1024).alias("bkt"),
+    )
+    stats = tok.groupBy("bkt").agg(
+        F.count_if(F.col("source") == "src18").alias("cnt_t"),
+        F.count_if(F.col("source") != "src18").alias("cnt_r"),
+    )
+    tot = stats.agg(
+        F.sum("cnt_t").cast("long").alias("tot_t"),
+        F.sum("cnt_r").cast("long").alias("tot_r"),
+    )
+    lean = stats.crossJoin(F.broadcast(tot)).select(
+        "bkt",
+        (F.col("cnt_t") * F.col("tot_r") > F.col("cnt_r") * F.col("tot_t")).alias(
+            "lean"
+        ),
+    )
+    scored = (
+        tok.where(F.col("source") != "src18")
+        .join(F.broadcast(lean), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.count_if(F.col("lean")).alias("n_lean"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            F.col("n_tok").cast("long").alias("n_tok"),
+            F.col("n_lean").cast("long").alias("n_lean"),
+            F.round(F.col("n_lean") / F.col("n_tok"), 6).alias("frac"),
+        )
+        .orderBy(F.desc("frac"), F.asc("doc_id"))
+        .limit(50)
+    )

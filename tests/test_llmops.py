@@ -670,3 +670,54 @@ def test_l58_islands_merge_equals_greedy_bpe(spark):
         want = greedy(list(txt), a, b)
         have = [tok for _, tok in sorted(got[doc_id])]
         assert have == want, (txt, a, b, have, want)
+
+
+def test_l59_importance_ranks_target_like_docs_first(spark):
+    """DSIR semantics pin: a raw-pool doc sharing the target domain's
+    vocabulary must outscore a raw doc with off-domain vocabulary, and
+    the fraction must be exact (integer indicator counts)."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.functions import text as TX
+    from pyspark.sql import functions as F
+
+    target_vocab = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (1, target_vocab, "src18"),
+            (2, "alpha beta gamma zeta", "src18"),
+            (3, "alpha beta gamma delta", "srcX"),   # target-like raw doc
+            (4, "omega sigma tau phi", "srcX"),      # off-domain raw doc
+        ],
+        "doc_id long, text string, source string",
+    )
+    tok = docs.select(
+        "doc_id", "source", F.explode(TX.tokens("text")).alias("t")
+    ).select("doc_id", "source", (TX.polyhash(F.col("t")) % 1024).alias("bkt"))
+    stats = tok.groupBy("bkt").agg(
+        F.count_if(F.col("source") == "src18").alias("cnt_t"),
+        F.count_if(F.col("source") != "src18").alias("cnt_r"),
+    )
+    tot = stats.agg(
+        F.sum("cnt_t").cast("long").alias("tot_t"),
+        F.sum("cnt_r").cast("long").alias("tot_r"),
+    )
+    lean = stats.crossJoin(F.broadcast(tot)).select(
+        "bkt",
+        (F.col("cnt_t") * F.col("tot_r") > F.col("cnt_r") * F.col("tot_t"))
+        .alias("lean"),
+    )
+    scored = {
+        r.doc_id: (r.n_lean, r.n_tok)
+        for r in tok.where(F.col("source") != "src18")
+        .join(F.broadcast(lean), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"), F.count_if(F.col("lean")).alias("n_lean")
+        )
+        .collect()
+    }
+    frac = {k: nl / nt for k, (nl, nt) in scored.items()}
+    assert frac[3] > frac[4], frac
+    # alpha/beta/gamma lean target (2 target hits vs 1 raw each, and
+    # 2*8 > 1*9); delta does NOT (target share 1/9 < raw share 1/8 by
+    # exact cross-multiplication) -> exactly 3 of 4 tokens lean
+    assert frac[3] == 0.75 and frac[4] == 0.0, frac

@@ -330,3 +330,78 @@ def test_wav_roundtrip_property(doc_id, n_chars):
     en = 100 + n_chars % 50
     assert (n, rate, nb) == (en, 8000, 44 + 2 * en)
     assert ssum == sum(((doc_id * 17 + j * 11) % 65536) - 32768 for j in range(en))
+
+
+@given(
+    doc_id=st.integers(min_value=0, max_value=10**12),
+    n_chars=st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=200, deadline=None)
+def test_png_roundtrip_property(doc_id, n_chars):
+    """Any (doc_id, n_chars) must survive the PNG deflate->inflate->
+    unfilter round trip, matching the l57 oracle's closed forms."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    w, h, n_pix, ps, rl = decode_png(encode_png(doc_id, n_chars))
+    ew, eh = 4 + n_chars % 13, 3 + n_chars % 7
+    assert (w, h, n_pix, rl) == (ew, eh, ew * eh, eh * (1 + ew))
+    assert ps == sum((doc_id * 13 + j * 5) % 256 for j in range(ew * eh))
+
+
+@given(
+    pix=st.lists(
+        st.lists(st.integers(min_value=0, max_value=255), min_size=1, max_size=17),
+        min_size=1,
+        max_size=11,
+    ).filter(lambda rows: len({len(r) for r in rows}) == 1)
+)
+@settings(max_examples=100, deadline=None)
+def test_png_filters_roundtrip_arbitrary_pixels(pix):
+    """The five scanline filters must be mutually inverse for ARBITRARY
+    pixel matrices, not just the corpus's closed-form gradients: encode
+    a raw matrix through the same filter cycle encode_png uses, decode,
+    and require the exact pixels back."""
+    import struct
+    import zlib
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators import (
+        multimodal as MM,
+    )
+
+    h, w = len(pix), len(pix[0])
+    raw = bytearray()
+    for y in range(h):
+        ft = y % 5
+        raw.append(ft)
+        prior = pix[y - 1] if y else [0] * w
+        row = pix[y]
+        for x in range(w):
+            a = row[x - 1] if x else 0
+            b = prior[x]
+            c = prior[x - 1] if x else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            raw.append((row[x] - pred) % 256)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    payload = (
+        MM._PNG_SIG
+        + MM._png_chunk(b"IHDR", ihdr)
+        + MM._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + MM._png_chunk(b"IEND", b"")
+    )
+    dw, dh, n_pix, ps, rl = MM.decode_png(payload)
+    assert (dw, dh, n_pix, rl) == (w, h, w * h, h * (1 + w))
+    assert ps == sum(v for row in pix for v in row)

@@ -429,11 +429,16 @@ def decode_png(payload: bytes) -> tuple[int, int, int, int, int]:
     pos, w = 8, None
     idat = bytearray()
     while pos < len(payload):
+        # 12 = 4-byte length + 4-byte tag + 4-byte CRC: anything shorter
+        # would make the unpacks below raise struct.error instead of the
+        # ValueError this parser contracts to raise on malformed input
+        if pos + 12 > len(payload):
+            raise ValueError("truncated PNG chunk header")
         (length,) = struct.unpack_from(">I", payload, pos)
         tag = payload[pos + 4 : pos + 8]
-        body = payload[pos + 8 : pos + 8 + length]
-        if len(body) != length:
+        if pos + 12 + length > len(payload):
             raise ValueError("truncated PNG chunk")
+        body = payload[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
         if crc != zlib.crc32(tag + body):
             raise ValueError(f"bad CRC in {tag!r} chunk")

@@ -313,24 +313,23 @@ def embedding_near_dup_pairs(
     # Pre-normalize each vector ONCE (divide by its l2 norm) so the
     # per-pair work in the self-join is a single dot product instead of
     # dot + two norm recomputations — 3x less array math on the
-    # quadratic(-per-block) stage. The norm is hoisted into its own
-    # column first: embedding it inside the transform lambda would
-    # re-evaluate the full norm aggregate PER ELEMENT (higher-order
-    # functions are interpreted — dim^2 work per row instead of dim).
-    base = (
-        corpus.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("_vec"),
-            l2_norm(F.col(vec_col)).alias("_n"),
-            *( [F.col(block_col).alias("blk")] if block_col else [] ),
-        )
-        .select(
-            "id",
-            F.transform(
-                "_vec", lambda x: x.cast("double") / F.col("_n")
-            ).alias("nvec"),
-            *( ["blk"] if block_col else [] ),
-        )
+    # quadratic(-per-block) stage. The norm must NOT appear inside a
+    # transform lambda (it would re-evaluate the full O(dim) aggregate
+    # PER ELEMENT, and interpreted HOFs make that dim^2 real work), and
+    # a chained projection does not help — CollapseProject re-inlines a
+    # once-referenced alias straight back into the lambda (verified on
+    # the optimized plan). zip_with against array_repeat(norm, dim)
+    # evaluates the norm exactly once per row, outside any lambda.
+    norm = l2_norm(F.col(vec_col))
+    nvec = F.zip_with(
+        F.col(vec_col),
+        F.array_repeat(norm, F.size(F.col(vec_col))),
+        lambda x, n: x.cast("double") / n,
+    )
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        nvec.alias("nvec"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
     )
     cond = F.col("a.id") < F.col("b.id")
     if block_col:

@@ -564,7 +564,7 @@ def m06_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # m08: TRAIN a model with a full value-hash oracle. m04-m07 proved the
 # deploy-the-weights half; m08 closes the loop by making the TRAINING run
-# itself oracle-replayable: 3 unrolled full-batch gradient-descent steps
+# itself oracle-replayable: _M08_STEPS unrolled full-batch gradient-descent steps
 # whose per-row gradient contributions are quantized to exact int64 micros
 # BEFORE the sum (so the only order-sensitive float op — the big sum —
 # becomes order-independent integer addition), with the same rational
@@ -701,7 +701,7 @@ def m08_gd_trained_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-4 verdict's ask that the driver hash-check trained scores, not
     just rows. MLlib's L-BFGS (m01) can never be SQL-replayed bit-exactly,
     so this row trains by a deterministic distributed algorithm instead:
-    3 full-batch gradient-descent steps on the fraud label, each step one
+    _M08_STEPS full-batch gradient-descent steps on the fraud label, each step one
     broadcast-join + integer-quantized hash aggregate, the weight state a
     1-row frame flowing between iterations INSIDE the lazy plan (no
     driver collect, no model object). The oracle unrolls the identical

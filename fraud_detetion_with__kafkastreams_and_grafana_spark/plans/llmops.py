@@ -3222,14 +3222,22 @@ def l59_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast bucket verdicts — no shuffle ever carries tokens with
     text, only (doc_id, bucket); top-50 is TakeOrderedAndProject."""
     docs = load_table(spark, sf_dir, "documents").where(F.trim("text") != "")
-    tok = docs.select(
-        "doc_id",
-        "source",
-        F.explode(TX.tokens("text")).alias("t"),
-    ).select(
-        "doc_id",
-        "source",
-        (TX.polyhash(F.col("t")) % 1024).alias("bkt"),
+    # localCheckpoint: the hashed token table feeds both the bucket-stat
+    # build and the per-doc scoring agg — materialize the explode +
+    # per-token polyhash once (the feature table any DSIR deployment
+    # materializes anyway) instead of re-running it per consumer
+    tok = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(TX.tokens("text")).alias("t"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            (TX.polyhash(F.col("t")) % 1024).alias("bkt"),
+        )
+        .localCheckpoint()
     )
     stats = tok.groupBy("bkt").agg(
         F.count_if(F.col("source") == "src18").alias("cnt_t"),

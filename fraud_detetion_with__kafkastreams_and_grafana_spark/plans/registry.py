@@ -47,8 +47,11 @@ def _modules():
 _FAMILY_RANK = {"q": 0, "s": 1, "u": 2, "m": 3, "l": 4, "r": 5}
 
 # Which driver round last produced a CORRECTNESS row for each query
-# (union of CORRECTNESS_r01..r04 — every registered query has one; synced
-# round 5 per the round-4 verdict). Ordering below rotates the STALEST
+# (union of CORRECTNESS_r01..r04, synced round 5 per the round-4 verdict).
+# Queries added SINCE the last sync are deliberately ABSENT — the
+# .get(..., 0) default ranks them never-checked so they sort first; do
+# NOT add a query here until a CORRECTNESS_r{N}.json actually contains
+# its row. Ordering below rotates the STALEST
 # driver rows back through the ~50-query window each round: never-checked
 # queries sort first (so new work is always validated), then queries by
 # ascending last-checked round (so round-1-vintage rows get re-validated on

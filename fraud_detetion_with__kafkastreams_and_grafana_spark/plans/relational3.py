@@ -1289,18 +1289,8 @@ def r71_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the second window runs on the filtered change rows only. Ties are
     impossible cross-engine: ordering is (second-truncated t, event_id)
     with event_id unique."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "event_id",
-        F.date_trunc("second", "ts").alias("t"),
-        "event_type",
-    )
-    w = Window.partitionBy("user_id").orderBy("t", "event_id")
-    chg = ev.withColumn("prev_type", F.lag("event_type").over(w)).where(
-        F.col("prev_type").isNull()
-        | (F.col("prev_type") != F.col("event_type"))
-    )
-    w2 = Window.partitionBy("user_id").orderBy("t", "event_id")
+    chg = _scd2_changes(spark, sf_dir)
+    w2 = Window.partitionBy("user_id").orderBy("es", "event_id")
     return chg.select(
         "user_id",
         F.row_number().over(w2).cast("long").alias("version"),
@@ -1580,20 +1570,35 @@ def r76_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """r71's SCD2 dimension as a reusable frame, with epoch-second
-    validity bounds for range probes."""
+def _scd2_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 change detection shared by r71 (version table) and r77
+    (point-in-time probe): one copy of the lag-over-(time, event_id)
+    comparison, carrying both the second-truncated timestamp and its
+    epoch form. Ordering by (es, event_id) is value-identical to the
+    original (t, event_id): es = epoch(t) is order-isomorphic and the
+    unique event_id breaks ties identically."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
-        F.unix_timestamp(F.date_trunc("second", "ts")).alias("es"),
+        F.date_trunc("second", "ts").alias("t"),
         "event_type",
-    )
+    ).withColumn("es", F.unix_timestamp("t"))
     w = Window.partitionBy("user_id").orderBy("es", "event_id")
-    chg = ev.withColumn("prev_type", F.lag("event_type").over(w)).where(
-        F.col("prev_type").isNull()
-        | (F.col("prev_type") != F.col("event_type"))
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select("user_id", "event_id", "t", "es", "event_type")
     )
+
+
+def _scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 dimension with epoch-second validity bounds (r77's probe
+    side), derived from the shared change detection."""
+    chg = _scd2_changes(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
     return chg.select(
         "user_id",
         "event_type",

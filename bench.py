@@ -123,6 +123,9 @@ def _warmup(spark, sf_dir: str) -> None:
         "noop"
     ).mode("overwrite").save()
     R3._bucketed_tables(spark, sf_dir)
+    R3._alt_source_dir(spark, sf_dir)
+    R3._png_file_dir(spark, sf_dir)
+    R3._xml_source_dir(spark, sf_dir)
 
     tx = ADV._tx(spark, sf_dir)
     ML.get_or_train_fraud_scorer(

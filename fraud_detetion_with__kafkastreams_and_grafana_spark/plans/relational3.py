@@ -1682,3 +1682,175 @@ def r77_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("n_users").cast("long").alias("n_users"),
     )
+
+
+_BINFILE_DIRS: dict[tuple[int, str], str] = {}
+
+
+def _png_file_dir(spark: SparkSession, sf_dir: str) -> str:
+    """One real .png file per document (executor-side foreachPartition
+    write — the shape of an image-dataset materialization job; on a
+    cluster the target is an object store, here the shared local FS)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (id(spark), sf_dir)
+    if key not in _BINFILE_DIRS:
+        d = tempfile.mkdtemp(prefix="spark_graft_binsrc_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+
+        def write_part(rows):
+            from ..operators.multimodal import encode_png
+
+            for r in rows:
+                with open(f"{d}/doc_{r.doc_id:06d}.png", "wb") as f:
+                    f.write(encode_png(int(r.doc_id), int(r.n_chars)))
+
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "n_chars"
+        ).foreachPartition(write_part)
+        _BINFILE_DIRS[key] = d
+    return _BINFILE_DIRS[key]
+
+
+@_register(
+    "r78_binaryfile_source",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             4 + n_chars % 13 AS width,
+             3 + n_chars % 7 AS height
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(width * height AS BIGINT) AS n_pix,
+           CAST(list_reduce(list_transform(range(0, width * height),
+                  j -> (doc_id * 13 + j * 5) % 256), (a, b) -> a + b)
+                AS BIGINT) AS pix_sum,
+           CAST(height * (1 + width) AS BIGINT) AS raw_len
+    FROM g
+    """,
+)
+def r78_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The binaryFile data source — the scan format every multimodal
+    pipeline starts from (a directory of image files, not a columnar
+    table): one genuine .png file per document is materialized once
+    (executor-side writes), read back as (path, content) rows, the
+    doc id recovered from the file name, and the payload decoded by the
+    l57 PNG parser inside mapInPandas. The decoded geometry/pixels are
+    the same closed forms as l57, so the WHOLE chain — file write, DFS
+    listing, binary scan, Arrow batch, inflate, unfilter — lands in the
+    driver's value hash.
+
+    Scale: binaryFile scans parallelize over files with pushed filters
+    on (path, length, modificationTime); content bytes stream through
+    Arrow batches and never cross a shuffle (decode is a narrow
+    mapInPandas). Small-file pressure is the real 100 TB concern — at
+    scale the materialization step would pack payloads into parquet
+    binary columns (l52/l57's layout) or stream archives, keeping this
+    source for the raw-ingest hop only."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..operators.multimodal import decode_png
+
+    d = _png_file_dir(spark, sf_dir)
+    files = spark.read.format("binaryFile").load(d).select(
+        F.regexp_extract("path", r"doc_(\d+)\.png", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "content",
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("n_pix", T.LongType()),
+            T.StructField("pix_sum", T.LongType()),
+            T.StructField("raw_len", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in schema.fields}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                w, h, np_, ps, rl = decode_png(bytes(content))
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pix"].append(np_)
+                out["pix_sum"].append(ps)
+                out["raw_len"].append(rl)
+            yield pd.DataFrame(out)
+
+    return files.mapInPandas(batches, schema=schema)
+
+
+_XML_DIRS: dict[tuple[int, str], str] = {}
+
+
+def _xml_source_dir(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (id(spark), sf_dir)
+    if key not in _XML_DIRS:
+        d = tempfile.mkdtemp(prefix="spark_graft_xmlsrc_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        ).write.mode("overwrite").format("xml").option("rowTag", "event").save(
+            f"{d}/events"
+        )
+        _XML_DIRS[key] = d
+    return _XML_DIRS[key]
+
+
+@_register(
+    "r79_xml_source",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM events
+    GROUP BY 1
+    """,
+)
+def r79_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native XML data source (Spark 4 absorbed spark-xml): events
+    round-trip through actual .xml FILES — written with rowTag markup,
+    read back with an EXPLICIT schema (inference is an extra full pass,
+    same rule as r50's csv/json) — and the per-type aggregate over the
+    XML-sourced rows must equal the parquet-sourced oracle. Doubles
+    survive the text round trip exactly (the writer emits the shortest
+    repr that parses back to the same bits), but the totals still sum
+    integer cents so the equality never rides on that detail. r66
+    covers the to_xml/from_xml COLUMN functions; this is the file
+    FORMAT half.
+
+    Scale: same posture as r50 — format is an I/O concern, not a
+    semantics concern; XML scans parallelize per file/rowTag span and
+    prune columns to the referenced fields. XML is the interchange
+    hop; analytics storage stays columnar."""
+    d = _xml_source_dir(spark, sf_dir)
+    ev = (
+        spark.read.schema(
+            "event_id long, user_id long, event_type string, value double"
+        )
+        .format("xml")
+        .option("rowTag", "event")
+        .load(f"{d}/events")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+    )

@@ -66,3 +66,26 @@ def test_asof_join_exclusive(spark):
         payload_cols=["payload"], inclusive=False,
     )
     assert out.collect()[0].asof_payload is None
+
+
+def test_registry_window_rotation_order():
+    """The driver checks ~the first 50 registered queries. Pin the
+    contract the round-4 verdict demanded: queries without a driver
+    CORRECTNESS row sort FIRST (new work always validated), then
+    ascending staleness (oldest-checked rows rotate back through the
+    window), and the current window must contain every never-checked
+    query plus the stalest (round-1-vintage) slice."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.registry import (
+        _LAST_CHECKED,
+        all_queries,
+    )
+
+    names = list(all_queries())
+    ranks = [_LAST_CHECKED.get(n.split("_", 1)[0], 0) for n in names]
+    assert ranks == sorted(ranks), "registry must order by ascending staleness"
+    window = set(names[:50])
+    never = {n for n, r in zip(names, ranks) if r == 0}
+    assert never <= window, f"never-checked queries outside the window: {never - window}"
+    stalest = {n for n in names if n.split("_", 1)[0] in
+               {f"r{i:02d}" for i in range(17, 44)}}
+    assert stalest <= window, "round-1-vintage rows must be in the window"

@@ -735,3 +735,64 @@ def m08_gd_trained_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("w2_nanos").alias("w2_nanos"),
         F.max("b_nanos").alias("b_nanos"),
     )
+
+
+@_register(
+    "u11_apply_in_arrow",
+    """
+    SELECT printf('user_%03d', user_id) AS userId,
+           CAST(count(*) AS BIGINT) AS n_tx,
+           round(median(value), 6) AS median_amount,
+           round(min(value) + (max(value) - min(value)) / 2.0, 6)
+             AS midrange
+    FROM events
+    GROUP BY 1
+    """,
+)
+def u11_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInArrow — the grouped-map rung of the ZERO-COPY end of the
+    interop ladder (u02 is grouped-map via pandas; u09 is ungrouped
+    mapInArrow; this is grouped-map straight on pyarrow Tables): one
+    shuffle on the group key, then per-group compute entirely in
+    pyarrow.compute kernels (exact linear-interpolation quantile, the
+    same convention DuckDB's median() uses, plus min/max midrange) with
+    no pandas materialization and no Python-object boxing. Note: this
+    pyspark build's two-argument (key, table) signature trips an
+    UnboundLocalError in worker dispatch, so the single-table form is
+    used and the key read from the group's own column.
+
+    Scale: same posture as u02 — grouped-map ships whole groups (no
+    partial aggregation), so it's for group-local algorithms that NEED
+    the whole group (exact quantiles here); for algebraic stats use the
+    JVM aggregate path. The Arrow kernels keep the per-group work
+    C-speed and allocation-free."""
+    import pyarrow as pa
+
+    from ..operators.detect import events_as_transactions
+
+    tx = events_as_transactions(load_table(spark, sf_dir, "events"))
+
+    def stats(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        amounts = tbl["amount"]
+        med = pc.quantile(amounts, q=0.5, interpolation="linear")[0].as_py()
+        lo = pc.min(amounts).as_py()
+        hi = pc.max(amounts).as_py()
+        return pa.table(
+            {
+                "userId": [tbl["userId"][0].as_py()],
+                "n_tx": [tbl.num_rows],
+                "median_amount": [round(med, 6)],
+                "midrange": [round(lo + (hi - lo) / 2.0, 6)],
+            }
+        )
+
+    return (
+        tx.select("userId", "amount")
+        .groupBy("userId")
+        .applyInArrow(
+            stats,
+            "userId string, n_tx long, median_amount double, midrange double",
+        )
+    )

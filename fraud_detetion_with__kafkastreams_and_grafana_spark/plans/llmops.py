@@ -3061,7 +3061,9 @@ def _l58_round(tok: DataFrame):
     return new.localCheckpoint(), m
 
 
-def _l58_sql() -> str:
+def _l58_sql_ctes() -> str:
+    """The shared WITH-chain (t0 .. t{_L58_ROUNDS}) both l58 (merge
+    table) and l60 (corpus encoding) select from."""
     parts = [f"""
     WITH t0 AS (
       SELECT doc_id,
@@ -3108,6 +3110,10 @@ def _l58_sql() -> str:
              CASE WHEN sel THEN a || b ELSE tok END AS tok
       FROM dr{k} WHERE NOT dropped
     )""")
+    return "".join(parts)
+
+
+def _l58_sql() -> str:
     selects = [
         f"""SELECT {k} AS round, a AS merge_left, b AS merge_right,
                CAST(cnt AS BIGINT) AS pair_count,
@@ -3115,7 +3121,7 @@ def _l58_sql() -> str:
         FROM m{k}"""
         for k in range(1, _L58_ROUNDS + 1)
     ]
-    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+    return _l58_sql_ctes() + "\n" + "\nUNION ALL\n".join(selects)
 
 
 @_register("l58_bpe_train_rounds", _l58_sql())
@@ -3271,4 +3277,55 @@ def l59_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("frac"), F.asc("doc_id"))
         .limit(50)
+    )
+
+
+def _l60_sql() -> str:
+    return (
+        _l58_sql_ctes()
+        + f"""
+    SELECT b.doc_id,
+           b.n0 AS n_sym_before,
+           a.n3 AS n_sym_after,
+           round(a.n3 / b.n0, 6) AS compression
+    FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n0 FROM t0 GROUP BY 1) b
+    JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n3
+          FROM t{_L58_ROUNDS} GROUP BY 1) a USING (doc_id)"""
+    )
+
+
+@_register("l60_bpe_encode_corpus", _l60_sql())
+def l60_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the trained tokenizer — l58 learns the merge table; this is
+    the production tokenize step: encode every document under the
+    learned merges and report per-document symbol counts before/after
+    plus the compression ratio (the quantity tokenizer training is
+    optimized for). Runs the identical train+encode loop on both
+    engines (the oracle shares l58's CTE chain verbatim via
+    _l58_sql_ctes), so the driver hash-checks every document's encoded
+    LENGTH — a stricter corpus-wide check than l58's 3 merge rows.
+
+    Scale: identical per-round shape to l58 (one windowed pass + one
+    pair-count agg per round, token table checkpointed); the final
+    per-doc counts are two map-side-combined aggregates joined on
+    doc_id. At true scale the merge table would be trained once on a
+    sample (l58) and applied here as a broadcast loop over a far larger
+    corpus — the apply loop's cost per round is one narrow windowed
+    pass, no pair counting needed when merges are pre-learned."""
+    t0 = _l58_tokens(load_table(spark, sf_dir, "documents")).localCheckpoint()
+    before = t0.groupBy("doc_id").agg(F.count("*").alias("n_sym_before"))
+    t = t0
+    for _ in range(_L58_ROUNDS):
+        t, _m = _l58_round(t)
+    after = t.groupBy("doc_id").agg(F.count("*").alias("n_sym_after"))
+    return (
+        before.join(after, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_sym_before").cast("long").alias("n_sym_before"),
+            F.col("n_sym_after").cast("long").alias("n_sym_after"),
+            F.round(F.col("n_sym_after") / F.col("n_sym_before"), 6).alias(
+                "compression"
+            ),
+        )
     )

@@ -136,6 +136,7 @@ def _warmup(spark, sf_dir: str) -> None:
     )
     LL._dup_components(spark, sf_dir)  # builds + caches the pair graph too
     LL._gram_index(spark, sf_dir)  # l49's distinct (source, gram-hash) index
+    LL._l58_trained_rounds(spark, sf_dir)  # BPE merge table + encoded corpus
 
 
 def main() -> int:

@@ -526,3 +526,52 @@ def png_roundtrip_features(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "n_chars").mapInPandas(
         batches, schema=PNG_FEATURE_SCHEMA
     )
+
+
+# Shared by l57 (parquet-columns path) and r78 (binaryFile path): the
+# closed forms a decoded encode_png(doc_id, n_chars) payload must yield.
+# ONE copy — if the encoder's formulas change, every consumer's oracle
+# moves with them.
+PNG_ORACLE_SQL = """
+    WITH g AS (
+      SELECT doc_id,
+             4 + n_chars % 13 AS width,
+             3 + n_chars % 7 AS height
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(width * height AS BIGINT) AS n_pix,
+           CAST(list_reduce(list_transform(range(0, width * height),
+                  j -> (doc_id * 13 + j * 5) % 256), (a, b) -> a + b)
+                AS BIGINT) AS pix_sum,
+           CAST(height * (1 + width) AS BIGINT) AS raw_len
+    FROM g
+    """
+
+
+def png_payload_features(
+    df: DataFrame, payload_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode a PNG payload column with decode_png inside one mapInPandas
+    pass — the consume half of the round trip, shared by whatever source
+    produced the bytes (encode-on-the-fly in l57, binaryFile scan in
+    r78). Payloads stay in Arrow batches; nothing crosses a shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {f.name: [] for f in PNG_FEATURE_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, np_, ps, rl = decode_png(bytes(payload))
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pix"].append(np_)
+                out["pix_sum"].append(ps)
+                out["raw_len"].append(rl)
+            yield pd.DataFrame(out)
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    ).mapInPandas(batches, schema=PNG_FEATURE_SCHEMA)

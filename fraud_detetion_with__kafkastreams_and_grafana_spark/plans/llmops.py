@@ -2930,26 +2930,7 @@ def l56_semdedup_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "l57_png_decode_roundtrip",
-    """
-    WITH g AS (
-      SELECT doc_id,
-             4 + n_chars % 13 AS width,
-             3 + n_chars % 7 AS height
-      FROM documents
-    )
-    SELECT doc_id,
-           CAST(width AS BIGINT) AS width,
-           CAST(height AS BIGINT) AS height,
-           CAST(width * height AS BIGINT) AS n_pix,
-           CAST(list_reduce(list_transform(range(0, width * height),
-                  j -> (doc_id * 13 + j * 5) % 256), (a, b) -> a + b)
-                AS BIGINT) AS pix_sum,
-           CAST(height * (1 + width) AS BIGINT) AS raw_len
-    FROM g
-    """,
-)
+@_register("l57_png_decode_roundtrip", MM.PNG_ORACLE_SQL)
 def l57_png_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-image decode — the multimodal surface's first
     entropy-coded format, closing the largest remaining decode stub:
@@ -3061,6 +3042,30 @@ def _l58_round(tok: DataFrame):
     return new.localCheckpoint(), m
 
 
+_L58_ROUNDS_CACHE: dict[tuple, tuple] = {}
+
+
+def _l58_trained_rounds(spark: SparkSession, sf_dir: str) -> tuple:
+    """Session-cached result of the BPE training loop: (t0, [(t_k, m_k)
+    per round]) — l58 reads the merge frames, l60 reads the encoded
+    token tables; the multi-second train runs once per session (the
+    build/query split every other session-scoped artifact follows).
+    Frames are localCheckpoint-ed, so cached handles stay valid for the
+    life of the SparkContext."""
+
+    def build():
+        t0 = _l58_tokens(load_table(spark, sf_dir, "documents")).localCheckpoint()
+        rounds = []
+        t = t0
+        for _ in range(_L58_ROUNDS):
+            t, m = _l58_round(t)
+            rounds.append((t, m))
+        return t0, rounds
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return session_cached(_L58_ROUNDS_CACHE, key, build)
+
+
 def _l58_sql_ctes() -> str:
     """The shared WITH-chain (t0 .. t{_L58_ROUNDS}) both l58 (merge
     table) and l60 (corpus encoding) select from."""
@@ -3149,11 +3154,9 @@ def l58_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint per round keeps the unrolled plan linear (l30's
     iterative pattern). The 64-char cap is the training SAMPLE
     (tokenizer training reads a sample, not the full corpus)."""
-    docs = load_table(spark, sf_dir, "documents")
-    t = _l58_tokens(docs).localCheckpoint()
+    _t0, rounds = _l58_trained_rounds(spark, sf_dir)
     out = None
-    for rnd in range(1, _L58_ROUNDS + 1):
-        t, m = _l58_round(t)
+    for rnd, (t, m) in enumerate(rounds, start=1):
         stats = t.agg(F.count("*").alias("symbols_after"))
         row = m.crossJoin(F.broadcast(stats)).select(
             F.lit(rnd).alias("round"),
@@ -3312,12 +3315,11 @@ def l60_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample (l58) and applied here as a broadcast loop over a far larger
     corpus — the apply loop's cost per round is one narrow windowed
     pass, no pair counting needed when merges are pre-learned."""
-    t0 = _l58_tokens(load_table(spark, sf_dir, "documents")).localCheckpoint()
+    t0, rounds = _l58_trained_rounds(spark, sf_dir)
     before = t0.groupBy("doc_id").agg(F.count("*").alias("n_sym_before"))
-    t = t0
-    for _ in range(_L58_ROUNDS):
-        t, _m = _l58_round(t)
-    after = t.groupBy("doc_id").agg(F.count("*").alias("n_sym_after"))
+    after = rounds[-1][0].groupBy("doc_id").agg(
+        F.count("*").alias("n_sym_after")
+    )
     return (
         before.join(after, "doc_id")
         .select(

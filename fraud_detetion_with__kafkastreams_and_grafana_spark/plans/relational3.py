@@ -15,6 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.multimodal import PNG_ORACLE_SQL as _PNG_ORACLE_SQL
 from ..sources.tables import load_table
 
 Query = Callable[[SparkSession, str], DataFrame]
@@ -346,22 +347,17 @@ _ALT_SOURCE_DIRS: dict[tuple[int, str], str] = {}
 
 
 def _alt_source_dir(spark: SparkSession, sf_dir: str) -> str:
-    import atexit
-    import shutil
-    import tempfile
-
-    key = (id(spark), sf_dir)
-    if key not in _ALT_SOURCE_DIRS:
-        d = tempfile.mkdtemp(prefix="spark_graft_altsrc_")
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    def build(d: str) -> None:
         load_table(spark, sf_dir, "nation").write.mode("overwrite").option(
             "header", True
         ).csv(f"{d}/nation")
         load_table(spark, sf_dir, "region").write.mode("overwrite").json(
             f"{d}/region"
         )
-        _ALT_SOURCE_DIRS[key] = d
-    return _ALT_SOURCE_DIRS[key]
+
+    return _session_tmp_dir(
+        _ALT_SOURCE_DIRS, spark, sf_dir, "spark_graft_altsrc_", build
+    )
 
 
 @_register(
@@ -1684,6 +1680,25 @@ def r77_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _session_tmp_dir(
+    cache: dict, spark: SparkSession, sf_dir: str, prefix: str, build
+) -> str:
+    """Shared session-cache + mkdtemp + atexit-cleanup boilerplate for
+    the one-off source materializations (_alt_source_dir, _png_file_dir,
+    _xml_source_dir): `build(d)` writes the fixture into the fresh dir."""
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (id(spark), sf_dir)
+    if key not in cache:
+        d = tempfile.mkdtemp(prefix=prefix)
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        build(d)
+        cache[key] = d
+    return cache[key]
+
+
 _BINFILE_DIRS: dict[tuple[int, str], str] = {}
 
 
@@ -1691,15 +1706,8 @@ def _png_file_dir(spark: SparkSession, sf_dir: str) -> str:
     """One real .png file per document (executor-side foreachPartition
     write — the shape of an image-dataset materialization job; on a
     cluster the target is an object store, here the shared local FS)."""
-    import atexit
-    import shutil
-    import tempfile
 
-    key = (id(spark), sf_dir)
-    if key not in _BINFILE_DIRS:
-        d = tempfile.mkdtemp(prefix="spark_graft_binsrc_")
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
-
+    def build(d: str) -> None:
         def write_part(rows):
             from ..operators.multimodal import encode_png
 
@@ -1710,30 +1718,13 @@ def _png_file_dir(spark: SparkSession, sf_dir: str) -> str:
         load_table(spark, sf_dir, "documents").select(
             "doc_id", "n_chars"
         ).foreachPartition(write_part)
-        _BINFILE_DIRS[key] = d
-    return _BINFILE_DIRS[key]
 
-
-@_register(
-    "r78_binaryfile_source",
-    """
-    WITH g AS (
-      SELECT doc_id,
-             4 + n_chars % 13 AS width,
-             3 + n_chars % 7 AS height
-      FROM documents
+    return _session_tmp_dir(
+        _BINFILE_DIRS, spark, sf_dir, "spark_graft_binsrc_", build
     )
-    SELECT doc_id,
-           CAST(width AS BIGINT) AS width,
-           CAST(height AS BIGINT) AS height,
-           CAST(width * height AS BIGINT) AS n_pix,
-           CAST(list_reduce(list_transform(range(0, width * height),
-                  j -> (doc_id * 13 + j * 5) % 256), (a, b) -> a + b)
-                AS BIGINT) AS pix_sum,
-           CAST(height * (1 + width) AS BIGINT) AS raw_len
-    FROM g
-    """,
-)
+
+
+@_register("r78_binaryfile_source", _PNG_ORACLE_SQL)
 def r78_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The binaryFile data source — the scan format every multimodal
     pipeline starts from (a directory of image files, not a columnar
@@ -1752,12 +1743,7 @@ def r78_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale the materialization step would pack payloads into parquet
     binary columns (l52/l57's layout) or stream archives, keeping this
     source for the raw-ingest hop only."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    from ..operators.multimodal import decode_png
+    from ..operators.multimodal import png_payload_features
 
     d = _png_file_dir(spark, sf_dir)
     files = spark.read.format("binaryFile").load(d).select(
@@ -1766,52 +1752,23 @@ def r78_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("doc_id"),
         "content",
     )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("width", T.LongType()),
-            T.StructField("height", T.LongType()),
-            T.StructField("n_pix", T.LongType()),
-            T.StructField("pix_sum", T.LongType()),
-            T.StructField("raw_len", T.LongType()),
-        ]
-    )
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            out = {k.name: [] for k in schema.fields}
-            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
-                w, h, np_, ps, rl = decode_png(bytes(content))
-                out["doc_id"].append(int(doc_id))
-                out["width"].append(w)
-                out["height"].append(h)
-                out["n_pix"].append(np_)
-                out["pix_sum"].append(ps)
-                out["raw_len"].append(rl)
-            yield pd.DataFrame(out)
-
-    return files.mapInPandas(batches, schema=schema)
+    return png_payload_features(files, payload_col="content")
 
 
 _XML_DIRS: dict[tuple[int, str], str] = {}
 
 
 def _xml_source_dir(spark: SparkSession, sf_dir: str) -> str:
-    import atexit
-    import shutil
-    import tempfile
-
-    key = (id(spark), sf_dir)
-    if key not in _XML_DIRS:
-        d = tempfile.mkdtemp(prefix="spark_graft_xmlsrc_")
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    def build(d: str) -> None:
         load_table(spark, sf_dir, "events").select(
             "event_id", "user_id", "event_type", "value"
         ).write.mode("overwrite").format("xml").option("rowTag", "event").save(
             f"{d}/events"
         )
-        _XML_DIRS[key] = d
-    return _XML_DIRS[key]
+
+    return _session_tmp_dir(
+        _XML_DIRS, spark, sf_dir, "spark_graft_xmlsrc_", build
+    )
 
 
 @_register(

@@ -89,3 +89,21 @@ def test_registry_window_rotation_order():
     stalest = {n for n in names if n.split("_", 1)[0] in
                {f"r{i:02d}" for i in range(17, 44)}}
     assert stalest <= window, "round-1-vintage rows must be in the window"
+
+
+def test_registry_oracle_consistency():
+    """Every oracle key maps to a registered query, and the rows-only set
+    (queries without an oracle) stays exactly the 8 documented
+    learned-model/probabilistic ops — a new query silently missing its
+    oracle (or a typo'd key) fails here before the driver ever runs."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.registry import (
+        all_oracles,
+        all_queries,
+    )
+
+    q, o = set(all_queries()), set(all_oracles())
+    assert o <= q, f"oracle keys without a query: {o - q}"
+    rows_only = {n.split("_", 1)[0] for n in q - o}
+    assert rows_only == {
+        "l03", "l04", "l07", "l13", "l28", "m01", "m02", "m03"
+    }, f"undocumented rows-only queries: {sorted(q - o)}"

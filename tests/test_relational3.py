@@ -69,3 +69,42 @@ def test_r43_single_shuffle(spark, sf_dir):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_scd2_pointintime_boundary_belongs_to_next_version(spark):
+    """[from, to) interval semantics: a probe at EXACTLY a version's end
+    must land in the successor version, never both, never neither."""
+    from pyspark.sql import functions as F
+
+    # user 1 flips state at t=100 and t=200 (epoch seconds)
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 00:00:10", "a"),
+            (2, 1, "2024-01-01 00:01:40", "b"),   # change at es(t1)
+            (3, 1, "2024-01-01 00:03:20", "a"),   # change at es(t2)
+        ],
+        "event_id long, user_id long, ts string, event_type string",
+    ).select(
+        "user_id", "event_id",
+        F.to_timestamp("ts").alias("t"), "event_type",
+    ).withColumn("es", F.unix_timestamp("t"))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    chg = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    )
+    v = chg.select(
+        "user_id", "event_type",
+        F.col("es").alias("from_es"),
+        F.lead("es").over(w).alias("to_es"),
+    )
+    boundary = ev.where(F.col("event_id") == 2).select(F.col("es").alias("t"))
+    hit = v.join(
+        F.broadcast(boundary),
+        (F.col("from_es") <= F.col("t"))
+        & (F.col("to_es").isNull() | (F.col("t") < F.col("to_es"))),
+    ).collect()
+    assert len(hit) == 1 and hit[0].event_type == "b", hit

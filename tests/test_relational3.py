@@ -108,3 +108,73 @@ def test_scd2_pointintime_boundary_belongs_to_next_version(spark):
         & (F.col("to_es").isNull() | (F.col("t") < F.col("to_es"))),
     ).collect()
     assert len(hit) == 1 and hit[0].event_type == "b", hit
+
+
+def test_xml_source_preserves_doubles_bitexact(spark, tmp_path):
+    """r79 relies on doubles surviving the XML text round trip: the
+    writer emits the shortest repr that parses back to the same bits.
+    Pin it on adversarial values (subnormal, many-digit, negative-zero
+    magnitude, huge) rather than trusting the corpus to exercise them."""
+    import math
+    import struct
+
+    from pyspark.sql import functions as F
+
+    vals = [
+        0.1, 1 / 3, math.pi, 2.0**-1074, 1.7976931348623157e308,
+        123456789.123456789, 5e-324, 1e-17,
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v double"
+    )
+    d = str(tmp_path / "xml")
+    df.write.format("xml").option("rowTag", "r").save(d)
+    back = (
+        spark.read.schema("id long, v double")
+        .format("xml")
+        .option("rowTag", "r")
+        .load(d)
+    )
+    got = {r.id: r.v for r in back.collect()}
+    for i, v in enumerate(vals):
+        assert struct.pack("<d", got[i]) == struct.pack("<d", v), (i, v, got[i])
+
+
+def test_snapshot_diff_classification(spark):
+    """r76's four change classes on planted snapshots: a key only in A is
+    'deleted', only in B 'inserted', equal state 'unchanged', differing
+    state 'changed' — and the totals are exact integer cents."""
+    from pyspark.sql import functions as F
+
+    # window split midpoint: es <= m in A, > m in B; craft es around m=100
+    rows = [
+        # user 1: only in A -> deleted
+        (1, 50, 10.0),
+        # user 2: only in B -> inserted
+        (2, 150, 20.0),
+        # user 3: same count+cents both sides -> unchanged
+        (3, 60, 30.0), (3, 160, 30.0),
+        # user 4: differing cents -> changed
+        (4, 70, 40.0), (4, 170, 41.0),
+    ]
+    e = spark.createDataFrame(rows, "user_id long, es long, value double")
+    # force the midpoint the query derives: min=50, max=170 -> m=110
+    mid = e.agg(
+        F.floor((F.min("es") + F.max("es")) / 2.0).cast("long").alias("m")
+    )
+    j = e.crossJoin(F.broadcast(mid))
+    cents = F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+    a = j.where(F.col("es") <= F.col("m")).groupBy("user_id").agg(
+        F.count("*").alias("n_a"), cents.alias("cents_a"))
+    b = j.where(F.col("es") > F.col("m")).groupBy("user_id").agg(
+        F.count("*").alias("n_b"), cents.alias("cents_b"))
+    d = a.join(b, "user_id", "full_outer")
+    change = (
+        F.when(F.col("n_a").isNull(), "inserted")
+        .when(F.col("n_b").isNull(), "deleted")
+        .when((F.col("n_a") == F.col("n_b"))
+              & (F.col("cents_a") == F.col("cents_b")), "unchanged")
+        .otherwise("changed")
+    )
+    got = {r.user_id: r.c for r in d.select("user_id", change.alias("c")).collect()}
+    assert got == {1: "deleted", 2: "inserted", 3: "unchanged", 4: "changed"}, got

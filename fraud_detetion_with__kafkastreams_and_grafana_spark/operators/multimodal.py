@@ -218,7 +218,6 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, int]:
     decoder (struct.unpack over the payload), not a stub."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
-    (file_size,) = struct.unpack_from("<I", payload, 2)
     (data_off,) = struct.unpack_from("<I", payload, 10)
     w, h = struct.unpack_from("<ii", payload, 18)
     (bpp,) = struct.unpack_from("<H", payload, 28)
@@ -231,14 +230,17 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, int]:
     # silently short-slice rows and produce a wrong pix_sum.
     if len(payload) < data_off + row_size * h:
         raise ValueError("truncated BMP: pixel array exceeds payload")
-    if file_size != len(payload):
-        raise ValueError("BMP header file_size disagrees with payload length")
+    # Real-world writers often put 0 or a padded value in the header
+    # file_size field, so it is ignored — the pixel-array bounds check
+    # above is the one protecting pix_sum; n_bytes reports the actual
+    # payload length (identical for our fixtures, which write the field
+    # correctly).
     pix_sum = 0
     for y in range(h):
         off = data_off + (h - 1 - y) * row_size  # undo bottom-up
         row = payload[off : off + w * 3]
         pix_sum += sum(row[0::3])  # blue channel
-    return w, h, file_size, pix_sum
+    return w, h, len(payload), pix_sum
 
 
 BMP_FEATURE_SCHEMA = T.StructType(

@@ -641,13 +641,18 @@ def seeded_cell_assignment(
     nlist: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """(id, vec, _cell) with cell = argmax-dot over the seeded centroids:
     an order-independent FOLD over the broadcast centroid list (strict
     better-than with lower-cid tie-break), so a SQL oracle replays the
     assignment bit-exactly and the corpus never shuffles — the narrow-
-    projection index-build shape shared by l51 (IVF) and l56 (SemDeDup)."""
-    cents = _seeded_centroid_list(corpus, nlist, id_col, vec_col)
+    projection index-build shape shared by l51 (IVF) and l56 (SemDeDup).
+    Pass a precomputed `cents` frame (from _seeded_centroid_list) when the
+    caller also probes the centroids, so the aggregate/broadcast subtree
+    is built once instead of twice."""
+    if cents is None:
+        cents = _seeded_centroid_list(corpus, nlist, id_col, vec_col)
 
     def _argmax_cell(vec):
         # Materialize each centroid's dot ONCE via transform, then fold
@@ -705,7 +710,7 @@ def ivf_topk_exprs(
     uses. The expression fold replaces the BLAS matmul — right at
     nlist=16, wrong at nlist=4096 (l13's matmul stays the scale path)."""
     cents = _seeded_centroid_list(corpus, nlist, id_col, vec_col)
-    cells = seeded_cell_assignment(corpus, nlist, id_col, vec_col)
+    cells = seeded_cell_assignment(corpus, nlist, id_col, vec_col, cents=cents)
 
     q1 = query.select(F.col(vec_col).alias("_qvec"))
     from pyspark.sql.window import Window

@@ -47,7 +47,7 @@ def _modules():
 _FAMILY_RANK = {"q": 0, "s": 1, "u": 2, "m": 3, "l": 4, "r": 5}
 
 # Which driver round last produced a CORRECTNESS row for each query
-# (union of CORRECTNESS_r01..r04, synced round 5 per the round-4 verdict).
+# (union of CORRECTNESS_r01..r05, synced round 6 per the round-5 verdict).
 # Queries added SINCE the last sync are deliberately ABSENT — the
 # .get(..., 0) default ranks them never-checked so they sort first; do
 # NOT add a query here until a CORRECTNESS_r{N}.json actually contains
@@ -82,8 +82,29 @@ _CHECKED_R4 = (
     | {f"l{i:02d}" for i in range(32, 56)}
     | {f"r{i:02d}" for i in range(62, 76)}
 )
+# The actual r05 window (CORRECTNESS_r05.json): the 11 round-5 additions
+# plus the re-rotated stalest slice (r17-r43 round-1 vintage, q1-q7,
+# s01-s05). With this sync the r06 window becomes: any round-6 additions
+# first, then the round-2-vintage slice (u01-u05, m01, l01-l16, r01-r16 =
+# 38 queries) — so up to 12 new queries keep the whole round-2 slice in
+# the 50-row window. r07 should then rotate the round-3 vintage
+# (s06-s17, u06-u09, m02, l17-l31, r44-r61).
+_CHECKED_R5 = (
+    {"m08", "u11"}
+    | {f"l{i:02d}" for i in range(56, 61)}
+    | {f"r{i:02d}" for i in range(76, 80)}
+    | {f"r{i:02d}" for i in range(17, 44)}
+    | {f"q{i}" for i in range(1, 8)}
+    | {f"s{i:02d}" for i in range(1, 6)}
+)
 _LAST_CHECKED: dict[str, int] = {}
-for _rnd, _qs in ((1, _CHECKED_R1), (2, _CHECKED_R2), (3, _CHECKED_R3), (4, _CHECKED_R4)):
+for _rnd, _qs in (
+    (1, _CHECKED_R1),
+    (2, _CHECKED_R2),
+    (3, _CHECKED_R3),
+    (4, _CHECKED_R4),
+    (5, _CHECKED_R5),
+):
     for _q in _qs:
         _LAST_CHECKED[_q] = _rnd
 

@@ -442,7 +442,7 @@ def _orc_source_dir(spark: SparkSession, sf_dir: str) -> str:
     import shutil
     import tempfile
 
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _ORC_SOURCE_DIRS:
         d = tempfile.mkdtemp(prefix="spark_graft_orcsrc_")
         atexit.register(shutil.rmtree, d, ignore_errors=True)
@@ -494,7 +494,7 @@ def _partitioned_events_dir(spark: SparkSession, sf_dir: str) -> str:
     import shutil
     import tempfile
 
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PART_SOURCE_DIRS:
         d = tempfile.mkdtemp(prefix="spark_graft_partsrc_")
         atexit.register(shutil.rmtree, d, ignore_errors=True)
@@ -587,7 +587,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> None:
     import shutil
     import tempfile
 
-    key = id(spark)
+    key = spark.sparkContext.applicationId
     if key in _BUCKETED_READY:
         return
     # External tables at a fresh per-session temp path: a managed table
@@ -1690,7 +1690,7 @@ def _session_tmp_dir(
     import shutil
     import tempfile
 
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in cache:
         d = tempfile.mkdtemp(prefix=prefix)
         atexit.register(shutil.rmtree, d, ignore_errors=True)

@@ -78,7 +78,7 @@ _WIRE_DIRS: dict[tuple[str, int, str], str] = {}
 def _wire_dir(spark: SparkSession, sf_dir: str) -> str:
     from ..streaming.replay import materialize_wire_dir
 
-    key = ("plain", id(spark), sf_dir)
+    key = ("plain", spark.sparkContext.applicationId, sf_dir)
     if key not in _WIRE_DIRS:
         _WIRE_DIRS[key] = materialize_wire_dir(_events_wire(spark, sf_dir))
     return _WIRE_DIRS[key]
@@ -90,7 +90,7 @@ def _doubled_wire_dir(spark: SparkSession, sf_dir: str) -> str:
     streaming dedup must use cross-batch state, not per-batch distinct."""
     from ..streaming.replay import materialize_wire_dir
 
-    key = ("doubled", id(spark), sf_dir)
+    key = ("doubled", spark.sparkContext.applicationId, sf_dir)
     if key not in _WIRE_DIRS:
         w = _events_wire(spark, sf_dir)
         _WIRE_DIRS[key] = materialize_wire_dir(w.union(w))
@@ -285,7 +285,7 @@ def _ordered_wire_dir(spark: SparkSession, sf_dir: str) -> str:
     arrival pattern the watermarked queries (s06-s08) assume."""
     from ..streaming.replay import materialize_ordered_wire_dir
 
-    key = ("ordered", id(spark), sf_dir)
+    key = ("ordered", spark.sparkContext.applicationId, sf_dir)
     if key not in _WIRE_DIRS:
         tx = events_as_transactions(load_table(spark, sf_dir, "events"))
         wire_ts = tx.select(
@@ -1042,7 +1042,7 @@ def _doubled_ordered_wire_dir(spark: SparkSession, sf_dir: str) -> str:
     dropDuplicatesWithinWatermark guarantees correctness for."""
     from ..streaming.replay import materialize_ordered_wire_dir
 
-    key = ("doubled_ordered", id(spark), sf_dir)
+    key = ("doubled_ordered", spark.sparkContext.applicationId, sf_dir)
     if key not in _WIRE_DIRS:
         tx = events_as_transactions(load_table(spark, sf_dir, "events"))
         wire_ts = tx.select(

@@ -50,7 +50,7 @@ _ROLLUP_DIRS: dict[tuple[int, str], str] = {}
 
 
 def _hourly_rollup_path(spark: SparkSession, sf_dir: str) -> str:
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _ROLLUP_DIRS:
         d = tempfile.mkdtemp(prefix="spark_graft_rollup_")
         atexit.register(shutil.rmtree, d, ignore_errors=True)

@@ -20,6 +20,34 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _node_indent(line: str) -> int:
+    """Column where the operator name starts in a tree-rendered plan line
+    (after the ' : +-' drawing characters); deeper children start further
+    right, so ancestor/descendant is decidable from indents alone."""
+    i = 0
+    while i < len(line) and line[i] in " :+-":
+        i += 1
+    return i
+
+
+def _subtrees(plan: str, op: str) -> list[list[str]]:
+    """Every subtree rooted at a line containing `op`: the contiguous run
+    of following lines whose operator indent is strictly deeper."""
+    lines = plan.splitlines()
+    out = []
+    for i, line in enumerate(lines):
+        if op not in line:
+            continue
+        d = _node_indent(line)
+        sub = []
+        for nxt in lines[i + 1 :]:
+            if _node_indent(nxt) <= d:
+                break
+            sub.append(nxt)
+        out.append(sub)
+    return out
+
+
 def test_r67_both_window_fns_share_one_shuffle(spark, sf_dir):
     p = _plan(relational3.QUERIES["r67_range_frame_window"](spark, sf_dir))
     assert p.count("Exchange hashpartitioning") == 1, p
@@ -141,13 +169,21 @@ def test_m08_gradient_step_is_partial_final_agg_no_fact_broadcast(spark, sf_dir)
 
     p = _plan(advanced.QUERIES["m08_gd_trained_scorer"](spark, sf_dir))
     assert "CartesianProduct" not in p, p
-    # no events-scan under a BroadcastExchange: every broadcast subtree
-    # must be an aggregate result (1 row), not a table scan
-    for block in p.split("BroadcastExchange")[1:]:
-        head = block[:800]
-        assert "Scan parquet" not in head.split("BroadcastExchange")[0] or (
-            "HashAggregate" in head
-        ), head
+    # No fact table rides a broadcast: every file scan found inside a
+    # BroadcastExchange subtree must sit BELOW an aggregate (so the
+    # broadcast payload is the 1-row aggregate result, never the scan
+    # itself) — checked structurally via the tree indents, not substring
+    # windows.
+    subtrees = _subtrees(p, "BroadcastExchange")
+    assert subtrees, p  # the weight join must broadcast the 1-row frame
+    for sub in subtrees:
+        for k, line in enumerate(sub):
+            if "Scan parquet" in line or "FileScan" in line:
+                d = _node_indent(line)
+                assert any(
+                    "HashAggregate" in anc and _node_indent(anc) < d
+                    for anc in sub[:k]
+                ), f"raw scan broadcast without an aggregate above it: {line}"
 
 
 def test_l56_pair_join_merge_hinted_and_assignment_checkpointed(spark, sf_dir):
@@ -182,3 +218,12 @@ def test_r76_diff_is_two_aggs_one_join_integer_state(spark, sf_dir):
     p = _plan(relational3.QUERIES["r76_snapshot_diff"](spark, sf_dir))
     assert "FullOuter" in p, p
     assert "CartesianProduct" not in p, p
+    # Exactly two partial+final aggregate pairs keyed on user_id (one per
+    # snapshot side), each summing integer cents (bigint) map-side...
+    assert p.count("Exchange hashpartitioning") == 2, p
+    assert p.count("partial_sum(cast(round") == 2, p
+    assert p.count("functions=[count(1), sum(cast(round") == 2, p
+    # ...and no double ever crosses an exchange as state: the only sums
+    # in the plan are the bigint-cast cent sums.
+    assert "sum(value" not in p, p
+    assert "as bigint" in p, p

@@ -86,9 +86,19 @@ def test_registry_window_rotation_order():
     window = set(names[:50])
     never = {n for n, r in zip(names, ranks) if r == 0}
     assert never <= window, f"never-checked queries outside the window: {never - window}"
-    stalest = {n for n in names if n.split("_", 1)[0] in
-               {f"r{i:02d}" for i in range(17, 44)}}
-    assert stalest <= window, "round-1-vintage rows must be in the window"
+    # After the r05 sync the stalest slice is the round-2 vintage
+    # (u01-u05, m01, l01-l16, r01-r16 = 38 queries); it must rotate
+    # through the r06 window alongside the never-checked additions.
+    r2_vintage = (
+        {f"u{i:02d}" for i in range(1, 6)}
+        | {"m01"}
+        | {f"l{i:02d}" for i in range(1, 17)}
+        | {f"r{i:02d}" for i in range(1, 17)}
+    )
+    stalest = {n for n in names if n.split("_", 1)[0] in r2_vintage}
+    assert stalest <= window, (
+        f"round-2-vintage rows must be in the window: {stalest - window}"
+    )
 
 
 def test_registry_oracle_consistency():

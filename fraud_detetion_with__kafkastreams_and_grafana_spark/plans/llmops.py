@@ -3331,3 +3331,107 @@ def l60_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@_register(
+    "l61_passage_dedup",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(trim(text), '\s+'),
+               t -> list_reduce(list_prepend(0::BIGINT,
+                 list_transform(string_split(t, ''), c -> ord(c)::BIGINT)),
+                 (a, b) -> (a * 31 + b) % 1000000007)) AS ths
+      FROM documents WHERE trim(text) != ''
+    ),
+    wins AS (
+      SELECT doc_id, unnest(range(0, len(ths) - 5 + 1)) AS p, ths
+      FROM tok WHERE len(ths) >= 5
+    ),
+    wh AS (
+      SELECT doc_id, p,
+             list_reduce(list_prepend(0::BIGINT, list_slice(ths, p + 1, p + 5)),
+                         (a, b) -> (a * 31 + b) % 1000000007) AS h
+      FROM wins
+    ),
+    shared AS (
+      SELECT h, count(DISTINCT doc_id) AS nd FROM wh GROUP BY h
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    marked AS (SELECT w.doc_id, w.p, s.nd FROM wh w JOIN shared s USING (h)),
+    isl AS (
+      SELECT doc_id, p, nd,
+             p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+      FROM marked
+    )
+    SELECT doc_id, CAST(min(p) AS BIGINT) AS start_pos,
+           CAST(max(p) - min(p) + 5 AS BIGINT) AS pass_len,
+           CAST(min(nd) AS BIGINT) AS n_sharers
+    FROM isl GROUP BY doc_id, grp
+    """,
+)
+def l61_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring / passage-level dedup (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" family):
+    find maximal token runs of length >= k (k=5) that appear verbatim in
+    >= 2 distinct documents — the cross-document boilerplate that
+    doc-level (l01) and near-dup (l02-l08) dedup both miss. Passage
+    identity is the k-token rolling polyhash (l05's SQL-replicable
+    fold, here folded a second time over the per-token hashes), so the
+    oracle replays every value bit-exactly; on this corpus the survivors
+    are genuine duplicated passages (avg ~35 tokens), not hash noise.
+
+    Shape: one posexplode -> k-gram hash (a chained codegen expression
+    over element_at, NOT an interpreted higher-order fold) -> two-phase
+    distinct-doc count per hash -> equi-join back -> one per-doc window
+    for the gaps-and-islands merge (consecutive shared window starts
+    collapse into maximal passages; start = min p, len = max p - min p
+    + k, n_sharers = the min distinct-doc count over the run's windows,
+    i.e. the number of docs sharing the WHOLE passage's rarest window).
+
+    Scale: text never crosses a shuffle — the wide stages see
+    (doc_id, pos, hash8) rows only; the distinct-count and the join key
+    on the 8-byte hash; the island window partitions by doc_id. At
+    100 TB the suffix-array construction of the paper is replaced by
+    this hash-bucket formulation (same recall for k-grams, O(n) per
+    doc, embarrassingly parallel), the standard industrial variant."""
+    K = 5
+    M = 1_000_000_007
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").where(F.trim("text") != "")
+    harr = docs.select(
+        "doc_id",
+        F.transform(TX.tokens("text"), TX.polyhash).alias("ths"),
+    ).where(F.size("ths") >= K)
+    wins = harr.select(
+        "doc_id",
+        "ths",
+        F.explode(F.sequence(F.lit(0), F.size("ths") - K)).alias("p"),
+    )
+    wh = F.lit(0).cast("long")
+    for j in range(K):
+        wh = (wh * 31 + F.element_at(F.col("ths"), F.col("p") + F.lit(j + 1))) % M
+    wins = wins.select("doc_id", "p", wh.alias("h"))
+    shared = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+    )
+    # shared is corpus-derived (every hash with >= 2 sharers) — at scale
+    # it can approach the window count, so forbid the toy-scale broadcast
+    # the same way l43/l44 pin their band joins.
+    marked = wins.join(shared.hint("merge"), "h").select("doc_id", "p", "nd")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    isl = marked.select(
+        "doc_id", "p", "nd", (F.col("p") - F.row_number().over(w)).alias("grp")
+    )
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("p").cast("long").alias("start_pos"),
+            (F.max("p") - F.min("p") + K).cast("long").alias("pass_len"),
+            F.min("nd").cast("long").alias("n_sharers"),
+        )
+        .drop("grp")
+    )

@@ -227,3 +227,18 @@ def test_r76_diff_is_two_aggs_one_join_integer_state(spark, sf_dir):
     # in the plan are the bigint-cast cent sums.
     assert "sum(value" not in p, p
     assert "as bigint" in p, p
+
+
+def test_l61_shuffles_hashes_merge_joined_one_window(spark, sf_dir):
+    """Passage dedup must shuffle (doc_id, pos, hash) ints only — the
+    text column never crosses an exchange — honor the merge hint on the
+    join back to the corpus-derived shared-hash frame (a broadcast would
+    OOM at scale), and run exactly one per-doc window for the
+    gaps-and-islands merge."""
+    p = _plan(llmops.QUERIES["l61_passage_dedup"](spark, sf_dir))
+    assert "SortMergeJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    assert p.count("Window") == 1, p
+    for line in p.splitlines():
+        if line.strip().startswith("Exchange"):
+            assert "text" not in line, line

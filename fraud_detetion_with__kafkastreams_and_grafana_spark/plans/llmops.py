@@ -3435,3 +3435,88 @@ def l61_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("grp")
     )
+
+
+@_register(
+    "l62_quality_sweep",
+    f"""
+    WITH scored AS (
+      SELECT lang,
+             round((least(length(text) / 500.0, 1.0)
+                  + least({_STOP_RATIO} * 4, 1.0)
+                  + greatest(1.0 - ({_DIGIT_RATIO} + {_PUNCT_RATIO}) * 2, 0.0)) / 3, 6) AS q,
+             len({_TOKS}) AS n_tok
+      FROM documents WHERE trim(text) != ''
+    ),
+    bucketed AS (
+      SELECT lang, CAST(floor(q * 20) AS BIGINT) AS b,
+             count(*) AS nd, sum(n_tok) AS nt
+      FROM scored GROUP BY lang, b
+    ),
+    totals AS (SELECT lang, count(*) AS tot FROM scored GROUP BY lang),
+    grid AS (SELECT lang, tot, unnest(range(0, 21)) AS thr FROM totals)
+    SELECT g.lang, round(g.thr / 20.0, 2) AS threshold,
+           CAST(coalesce(sum(b.nd), 0) AS BIGINT) AS surviving_docs,
+           CAST(coalesce(sum(b.nt), 0) AS BIGINT) AS surviving_tokens,
+           round(coalesce(sum(b.nd), 0) * 1.0 / g.tot, 6) AS doc_frac
+    FROM grid g LEFT JOIN bucketed b ON b.lang = g.lang AND b.b >= g.thr
+    GROUP BY g.lang, g.thr, g.tot
+    """,
+)
+def l62_quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-threshold ablation sweep: for every (lang, threshold) on a
+    21-point grid, how many documents and tokens survive filtering at
+    quality >= threshold — the curation ablation report used to pick a
+    filter operating point (the survival curve whose knee balances
+    data volume against quality, per language so low-resource languages
+    aren't silently wiped out by a global threshold).
+
+    Shape: score once (l11's closed-form quality, codegen), aggregate
+    into 21 quality buckets per lang (two-phase, map-side combined),
+    then materialize the cumulative survival curve by range-joining the
+    TINY per-(lang,bucket) aggregate (<= 21 rows/lang) against the
+    threshold grid — the corpus is touched exactly once; the quadratic
+    stage runs on aggregates, never documents. floor(q*20) uses the
+    identical rounded double on both engines, so bucket boundaries
+    cannot disagree.
+
+    Scale: one scan + one (lang,bucket) shuffle of counted rows; the
+    grid join is O(langs * 21^2) regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents").where(F.trim("text") != "")
+    scored = docs.select(
+        "lang",
+        TX.quality_score("text").alias("q"),
+        TX.whitespace_token_count("text").alias("n_tok"),
+    )
+    bucketed = scored.groupBy(
+        "lang", F.floor(F.col("q") * 20).cast("long").alias("b")
+    ).agg(F.count("*").alias("nd"), F.sum("n_tok").alias("nt"))
+    totals = scored.groupBy("lang").agg(F.count("*").alias("tot"))
+    grid = totals.select(
+        "lang", "tot", F.explode(F.sequence(F.lit(0), F.lit(20))).alias("thr")
+    )
+    b = bucketed.select(
+        F.col("lang").alias("blang"), "b", "nd", "nt"
+    )
+    return (
+        grid.join(
+            F.broadcast(b),
+            (F.col("lang") == F.col("blang")) & (F.col("b") >= F.col("thr")),
+            "left",
+        )
+        .groupBy("lang", "thr", "tot")
+        .agg(
+            F.coalesce(F.sum("nd"), F.lit(0)).cast("long").alias("surviving_docs"),
+            F.coalesce(F.sum("nt"), F.lit(0)).cast("long").alias("surviving_tokens"),
+            F.round(
+                F.coalesce(F.sum("nd"), F.lit(0)) * 1.0 / F.col("tot"), 6
+            ).alias("doc_frac"),
+        )
+        .select(
+            "lang",
+            F.round(F.col("thr") / 20.0, 2).alias("threshold"),
+            "surviving_docs",
+            "surviving_tokens",
+            "doc_frac",
+        )
+    )

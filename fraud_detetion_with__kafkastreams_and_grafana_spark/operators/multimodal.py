@@ -577,3 +577,279 @@ def png_payload_features(
     return df.select(
         F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
     ).mapInPandas(batches, schema=PNG_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# GIF87a: the multimodal surface's second REAL entropy coding — LZW with
+# variable code widths (PNG/l57 covers zlib/DEFLATE; this covers the
+# dictionary-coder family). Pure stdlib on both ends.
+# ---------------------------------------------------------------------------
+_GIF_PALETTE_BITS = 4  # 16-color palette -> min LZW code size 4, so the
+# 5->6->7->8-bit code-width transitions are exercised even on tiny images
+
+
+def _gif_palette() -> list[tuple[int, int, int]]:
+    return [(i * 3 % 256, i * 7 % 256, i * 11 % 256) for i in range(16)]
+
+
+class _BitWriter:
+    """LSB-first bit packer (GIF's LZW bit order)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def _lzw_encode(indices: list[int], mcs: int) -> bytes:
+    """GIF-variant LZW: clear/EOI codes, code width grows when the next
+    dictionary slot would not fit, table reset at 4096."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    bw = _BitWriter()
+    width = mcs + 1
+    bw.write(clear, width)
+    table: dict[bytes, int] = {bytes([i]): i for i in range(1 << mcs)}
+    next_code = eoi + 1
+    buf = b""
+    for idx in indices:
+        nxt = buf + bytes([idx])
+        if nxt in table:
+            buf = nxt
+            continue
+        bw.write(table[buf], width)
+        table[nxt] = next_code
+        next_code += 1
+        # The decoder learns this entry only after reading the NEXT code,
+        # and bumps its read width when its next_code hits 1<<width — so
+        # the encoder bumps one step later than the table size suggests.
+        if next_code == (1 << width) + 1:
+            if width < 12:
+                width += 1
+            else:  # table full: reset, like real writers do
+                bw.write(clear, 12)
+                table = {bytes([i]): i for i in range(1 << mcs)}
+                next_code = eoi + 1
+                width = mcs + 1
+        buf = bytes([idx])
+    if buf:
+        bw.write(table[buf], width)
+    bw.write(eoi, width)
+    return bw.flush()
+
+
+def _lzw_encode_uncompressed(indices: list[int], mcs: int) -> bytes:
+    """The classic 'LZW-free GIF writer' trick: emit every pixel as a
+    literal code and a clear code often enough that the width never
+    grows. Trivially auditable — exists so decode_gif is validated
+    against an INDEPENDENT second encoder, not just its own mirror."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    bw = _BitWriter()
+    bw.write(clear, width)
+    # after a clear the decoder's next_code is eoi+1; it adds one entry
+    # per literal after the first, so (1<<width) - eoi - 2 literals are
+    # safe before the width would change
+    budget = (1 << width) - eoi - 2
+    n = 0
+    for idx in indices:
+        if n >= budget:
+            bw.write(clear, width)
+            n = 0
+        bw.write(idx, width)
+        n += 1
+    bw.write(eoi, width)
+    return bw.flush()
+
+
+def _gif_container(w: int, h: int, lzw_data: bytes) -> bytes:
+    pal = b"".join(bytes(c) for c in _gif_palette())
+    # logical screen descriptor: global color table, 4 bits/entry
+    lsd = struct.pack("<HHBBB", w, h, 0x80 | ((_GIF_PALETTE_BITS - 1) << 4)
+                      | (_GIF_PALETTE_BITS - 1), 0, 0)
+    img = struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    blocks = bytearray([_GIF_PALETTE_BITS])  # min LZW code size
+    for i in range(0, len(lzw_data), 255):
+        chunk = lzw_data[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"  # block terminator
+    return b"GIF87a" + lsd + pal + img + bytes(blocks) + b"\x3b"
+
+
+def _gif_indices(doc_id: int, n_pix: int) -> list[int]:
+    return [(doc_id * 17 + j * 3) % 16 for j in range(n_pix)]
+
+
+def encode_gif(doc_id: int, n_chars: int, compressed: bool = True) -> bytes:
+    """A real GIF87a whose geometry and palette indices are closed forms
+    of (doc_id, n_chars): width = 5 + n_chars % 11, height = 4 +
+    n_chars % 6, palette index j = (doc_id*17 + j*3) % 16, palette
+    entry i = (3i, 7i, 11i) mod 256. compressed=False writes the same
+    image through the independent clear-code literal encoder."""
+    w, h = 5 + n_chars % 11, 4 + n_chars % 6
+    idx = _gif_indices(doc_id, w * h)
+    enc = _lzw_encode if compressed else _lzw_encode_uncompressed
+    return _gif_container(w, h, enc(idx, _GIF_PALETTE_BITS))
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, int, int, int]:
+    """Parse a GIF87a/89a: header, logical screen descriptor, global
+    color table, image descriptor, sub-block walk, then a full GIF-LZW
+    decode (variable code width, clear/EOI handling, the deferred
+    next-code entry). Returns (width, height, n_pix, idx_sum, rgb_sum)
+    where idx_sum sums palette indices and rgb_sum sums the r+g+b of
+    each pixel through the palette."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    if not flags & 0x80:
+        raise ValueError("missing global color table")
+    gct_n = 2 << (flags & 0x07)
+    pal = [tuple(payload[pos + 3 * i : pos + 3 * i + 3]) for i in range(gct_n)]
+    pos += 3 * gct_n
+    while pos < len(payload) and payload[pos] == 0x21:  # extension blocks
+        pos += 2
+        while payload[pos]:
+            pos += 1 + payload[pos]
+        pos += 1
+    if pos >= len(payload) or payload[pos] != 0x2C:
+        raise ValueError("missing image descriptor")
+    _, _, _, w, h, iflags = struct.unpack_from("<BHHHHB", payload, pos)
+    pos += 10
+    if iflags & 0xC0:
+        raise ValueError("local color tables / interlace unsupported")
+    mcs = payload[pos]
+    pos += 1
+    data = bytearray()
+    while True:
+        blen = payload[pos]
+        pos += 1
+        if blen == 0:
+            break
+        data += payload[pos : pos + blen]
+        pos += blen
+    if pos >= len(payload) or payload[pos] != 0x3B:
+        raise ValueError("missing GIF trailer")
+
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    acc = nbits = bitpos = 0
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if bitpos >= len(data):
+                raise ValueError("LZW stream ended without EOI")
+            acc |= data[bitpos] << nbits
+            bitpos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    if len(out) != w * h:
+        raise ValueError("decoded pixel count disagrees with geometry")
+    if any(i >= len(pal) for i in out):
+        raise ValueError("palette index out of range")
+    idx_sum = sum(out)
+    rgb_sum = sum(sum(pal[i]) for i in out)
+    return w, h, w * h, idx_sum, rgb_sum
+
+
+GIF_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pix", T.LongType()),
+        T.StructField("idx_sum", T.LongType()),
+        T.StructField("rgb_sum", T.LongType()),
+    ]
+)
+
+
+def gif_roundtrip_features(docs: DataFrame) -> DataFrame:
+    """Encode a real GIF per document and decode it back inside one
+    mapInPandas pass (the l52/l53/l57 contract: payloads never cross a
+    shuffle or the driver; every decoded value is a closed form of
+    (doc_id, n_chars) the SQL oracle predicts). Odd doc_ids go through
+    the independent uncompressed writer, so BOTH encoder paths are
+    exercised corpus-wide on every run."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {f.name: [] for f in GIF_FEATURE_SCHEMA.fields}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                payload = encode_gif(
+                    int(doc_id), int(n_chars), compressed=doc_id % 2 == 0
+                )
+                w, h, np_, isum, rsum = decode_gif(payload)
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pix"].append(np_)
+                out["idx_sum"].append(isum)
+                out["rgb_sum"].append(rsum)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        batches, schema=GIF_FEATURE_SCHEMA
+    )
+
+
+# The closed forms a decoded encode_gif(doc_id, n_chars) payload must
+# yield — palette entry i = (3i, 7i, 11i) mod 256, index j =
+# (doc_id*17 + j*3) % 16.
+GIF_ORACLE_SQL = """
+    WITH g AS (
+      SELECT doc_id,
+             5 + n_chars % 11 AS width,
+             4 + n_chars % 6 AS height
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(width * height AS BIGINT) AS n_pix,
+           CAST(list_reduce(list_transform(range(0, width * height),
+                  j -> (doc_id * 17 + j * 3) % 16), (a, b) -> a + b)
+                AS BIGINT) AS idx_sum,
+           CAST(list_reduce(list_transform(range(0, width * height),
+                  j -> (((doc_id * 17 + j * 3) % 16) * 3) % 256
+                     + (((doc_id * 17 + j * 3) % 16) * 7) % 256
+                     + (((doc_id * 17 + j * 3) % 16) * 11) % 256),
+                  (a, b) -> a + b) AS BIGINT) AS rgb_sum
+    FROM g
+    """

@@ -3520,3 +3520,27 @@ def l62_quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_frac",
         )
     )
+
+
+@_register("l63_gif_decode_roundtrip", MM.GIF_ORACLE_SQL)
+def l63_gif_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF87a decode — the multimodal surface's second entropy
+    coding: where PNG (l57) exercises zlib/DEFLATE, this exercises the
+    dictionary-coder family, a full GIF-variant LZW with variable code
+    widths, clear/EOI codes, the deferred next-code entry, and the
+    4096-entry table reset (operators/multimodal.decode_gif — pure
+    stdlib, no codec libs). Every document becomes a genuine 16-color
+    GIF and is decoded back inside ONE mapInPandas pass; even doc_ids
+    go through the real LZW compressor, odd ones through an independent
+    clear-code literal writer, so the decoder is validated against two
+    encoder implementations corpus-wide on every run. Geometry, palette
+    indices, and the palette itself are closed forms of
+    (doc_id, n_chars), so the container walk + LZW decode + palette
+    mapping all value-hash check against SQL. The 16-color palette
+    makes the 5->6->7->8-bit code-width transitions fire even on these
+    tiny images.
+
+    Scale: the l52/l53/l57 contract — payloads are built and consumed
+    inside the Arrow batch, never crossing a shuffle or the driver."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.gif_roundtrip_features(docs)

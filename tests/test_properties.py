@@ -405,3 +405,46 @@ def test_png_filters_roundtrip_arbitrary_pixels(pix):
     dw, dh, n_pix, ps, rl = MM.decode_png(payload)
     assert (dw, dh, n_pix, rl) == (w, h, w * h, h * (1 + w))
     assert ps == sum(v for row in pix for v in row)
+
+
+@given(doc_id=st.integers(min_value=0, max_value=10**9),
+       n_chars=st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=100, deadline=None)
+def test_gif_roundtrip_property(doc_id, n_chars):
+    """Any (doc_id, n_chars) must survive the GIF LZW compress->decode
+    round trip through BOTH encoders (real LZW and the independent
+    clear-code literal writer), matching the l63 oracle's closed
+    forms."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators.multimodal import (
+        _gif_indices,
+        decode_gif,
+        encode_gif,
+    )
+
+    ew, eh = 5 + n_chars % 11, 4 + n_chars % 6
+    idx = _gif_indices(doc_id, ew * eh)
+    exp = (
+        ew, eh, ew * eh, sum(idx),
+        sum((i * 3) % 256 + (i * 7) % 256 + (i * 11) % 256 for i in idx),
+    )
+    for comp in (True, False):
+        assert decode_gif(encode_gif(doc_id, n_chars, compressed=comp)) == exp
+
+
+@given(idx=st.lists(st.integers(min_value=0, max_value=15),
+                    min_size=1, max_size=4000))
+@settings(max_examples=60, deadline=None)
+def test_gif_lzw_roundtrip_arbitrary_indices(idx):
+    """GIF-LZW must be lossless for ARBITRARY index sequences, not just
+    the corpus's closed-form pattern — including sequences long enough
+    to force code-width growth. Cross-checks the real compressor against
+    the independent literal writer through the one decoder."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators import (
+        multimodal as MM,
+    )
+
+    w, h = len(idx), 1
+    for enc in (MM._lzw_encode, MM._lzw_encode_uncompressed):
+        payload = MM._gif_container(w, h, enc(idx, MM._GIF_PALETTE_BITS))
+        gw, gh, n, isum, rsum = MM.decode_gif(payload)
+        assert (gw, gh, n, isum) == (w, h, len(idx), sum(idx))

@@ -796,3 +796,194 @@ def u11_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "userId string, n_tx long, median_amount double, midrange double",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# m09: oracle-replayable distributed KMeans TRAINING. m08 proved gradient
+# descent on a continuous model can be value-hash-replayed; m09 does the
+# same for Lloyd's algorithm, the other canonical iterative-ML shape
+# (and the learned half of the l28/l56 SemDeDup pipeline). The trick is
+# exact-integer cluster state: embeddings quantize to int64 once, a
+# centroid is carried as (component-sum vector s, member count n) — never
+# a float mean — and the nearest-centroid comparison uses
+#   d_c = (n_c^2*||x||^2 - 2*n_c*(x . s_c) + ||s_c||^2) / n_c^2
+# whose numerator is EXACT int64 (components bounded, no overflow at any
+# test SF), so the only float op is one deterministic correctly-rounded
+# division — identical IEEE doubles on both engines, ties broken by cid.
+# The integer sums that update the state are order-independent, so any
+# partitioning reproduces the model bit-exactly. Clusters that lose all
+# members die (standard Lloyd variant) — deterministic on both sides.
+# ---------------------------------------------------------------------------
+_M09_K = 8
+_M09_ROUNDS = 3
+_M09_Q = 1000
+_M09_DIM = 64
+
+
+def _m09_feat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    zero = F.lit(0).cast("long")
+    return em.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * _M09_Q, 0).cast("long"),
+        ).alias("f"),
+    ).withColumn(
+        "xx", F.aggregate("f", zero, lambda a, x: a + x * x)
+    )
+
+
+def _m09_init(feat: DataFrame) -> DataFrame:
+    zero = F.lit(0).cast("long")
+    return feat.where(F.col("vec_id") < _M09_K).select(
+        F.col("vec_id").alias("cid"),
+        F.col("f").alias("s"),
+        F.lit(1).cast("long").alias("n"),
+        F.aggregate("f", zero, lambda a, x: a + x * x).alias("ss"),
+    )
+
+
+def _m09_round(feat: DataFrame, cents: DataFrame) -> DataFrame:
+    """One Lloyd round as a composed lazy plan: the K-row centroid state
+    collapses to a 1-row broadcast list, assignment is an argmin fold
+    over it (narrow projection over the feature scan — no corpus
+    shuffle), and the new state comes from ONE aggregation chain
+    (cid, component) -> cid, so each round references its predecessor
+    exactly once and the unrolled plan stays linear (the m08 lesson)."""
+    zero = F.lit(0).cast("long")
+    clist = cents.agg(F.collect_list(F.struct("cid", "s", "n", "ss")).alias("cs"))
+
+    def dist(c):
+        dot = F.aggregate(
+            F.zip_with(F.col("f"), c["s"], lambda x, y: x * y),
+            zero,
+            lambda a, b: a + b,
+        )
+        num = (c["n"] * c["n"] * F.col("xx") - F.lit(2) * c["n"] * dot + c["ss"])
+        d = num.cast("double") / (c["n"] * c["n"]).cast("double")
+        return F.struct(c["cid"].alias("cid"), d.alias("d"))
+
+    dots = F.transform("cs", dist)
+    init = F.struct(
+        F.lit(-1).cast("long").alias("cid"),
+        F.lit(float("inf")).alias("d"),
+    )
+
+    def merge(acc, s):
+        better = (s["d"] < acc["d"]) | (
+            (s["d"] == acc["d"]) & (s["cid"] < acc["cid"])
+        )
+        return F.when(better, s).otherwise(acc)
+
+    best = F.aggregate(dots, init, merge, lambda acc: acc["cid"])
+    asg = feat.crossJoin(F.broadcast(clist)).select("f", best.alias("cid"))
+    # one chain: (cid, i) partial sums carry the member count for free
+    # (every component group of a cluster has exactly n rows)
+    comp = asg.select("cid", F.posexplode("f").alias("i", "v")).groupBy(
+        "cid", "i"
+    ).agg(F.sum("v").alias("sv"), F.count("*").alias("cnt"))
+    return (
+        comp.groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "sv"))),
+                lambda t: t["sv"],
+            ).alias("s"),
+            F.max("cnt").alias("n"),
+        )
+        .withColumn("ss", F.aggregate("s", zero, lambda a, x: a + x * x))
+    )
+
+
+def _m09_round_sql(i: int) -> str:
+    d = _M09_DIM
+    return f"""
+    a{i} AS (
+      SELECT vec_id, f, cid FROM (
+        SELECT f2.vec_id, f2.f, c.cid,
+               row_number() OVER (PARTITION BY f2.vec_id ORDER BY
+                 CAST(c.n * c.n * f2.xx
+                      - 2 * c.n * list_reduce(list_transform(range(1, {d + 1}),
+                          j -> f2.f[j] * c.s[j]), (a, b) -> a + b)
+                      + c.ss AS DOUBLE)
+                 / CAST(c.n * c.n AS DOUBLE), c.cid) AS rn
+        FROM feat2 f2 CROSS JOIN c{i - 1} c
+      ) WHERE rn = 1
+    ),
+    comp{i} AS (
+      SELECT cid, i, sum(f[i]) AS sv, count(*) AS cnt
+      FROM (SELECT cid, unnest(range(1, {d + 1})) AS i, f FROM a{i})
+      GROUP BY cid, i
+    ),
+    c{i} AS (
+      SELECT cid, s, n,
+             list_reduce(list_transform(s, x -> x * x), (a, b) -> a + b) AS ss
+      FROM (
+        SELECT cid, list(sv ORDER BY i) AS s, max(cnt) AS n
+        FROM comp{i} GROUP BY cid
+      )
+    )"""
+
+
+_M09_SQL = (
+    f"""
+    WITH feat AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {_M09_Q}, 0) AS BIGINT)) AS f
+      FROM embeddings
+    ),
+    feat2 AS (
+      SELECT vec_id, f,
+             list_reduce(list_transform(f, x -> x * x), (a, b) -> a + b) AS xx
+      FROM feat
+    ),
+    c0 AS (
+      SELECT vec_id AS cid, f AS s, 1::BIGINT AS n,
+             list_reduce(list_transform(f, x -> x * x), (a, b) -> a + b) AS ss
+      FROM feat WHERE vec_id < {_M09_K}
+    ),"""
+    + ",".join(_m09_round_sql(i) for i in range(1, _M09_ROUNDS + 1))
+    + f"""
+    SELECT cid AS cluster_id,
+           CAST(n AS BIGINT) AS n_members,
+           CAST(list_reduce(s, (a, b) -> a + b) AS BIGINT) AS comp_sum,
+           CAST(ss AS BIGINT) AS norm_sq
+    FROM c{_M09_ROUNDS}
+    """
+)
+
+
+@_register("m09_kmeans_trainer", _M09_SQL)
+def m09_kmeans_trainer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed KMeans training whose full trajectory is value-hash
+    replayed by the oracle: 3 unrolled Lloyd rounds over the embeddings,
+    K=8 seeded from vec_id < 8, exact-int64 centroid state (see the
+    header comment). The returned per-cluster member counts, component
+    sums, and squared norms pin every intermediate assignment — any
+    divergence in any round changes the sums.
+
+    Scale: per round, assignment is a narrow projection (the K-row state
+    rides a broadcast; no corpus shuffle — the l51/l56 index-build
+    shape) and the update is one two-phase aggregate shuffling
+    (cid, component, int64) triples. The interpreted higher-order dot
+    is the toy-scale stand-in for l13's Arrow matmul, same as l51; at
+    production dim/K the assignment stage swaps to the vectorized
+    kernel without changing the state contract."""
+    # Materialize the quantized training frame ONCE before the loop (the
+    # m08 / MLlib cache shape): every round's assignment pass then reads
+    # the in-memory columnar table instead of re-deriving the transform
+    # from parquet inside the nested unrolled plan.
+    feat = _m09_feat(spark, sf_dir).localCheckpoint()
+    cents = _m09_init(feat)
+    for _ in range(_M09_ROUNDS):
+        cents = _m09_round(feat, cents)
+    return cents.select(
+        F.col("cid").alias("cluster_id"),
+        F.col("n").cast("long").alias("n_members"),
+        F.aggregate("s", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "comp_sum"
+        ),
+        F.col("ss").alias("norm_sq"),
+    )

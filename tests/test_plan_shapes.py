@@ -242,3 +242,20 @@ def test_l61_shuffles_hashes_merge_joined_one_window(spark, sf_dir):
     for line in p.splitlines():
         if line.strip().startswith("Exchange"):
             assert "text" not in line, line
+
+
+def test_m09_rounds_read_checkpoint_no_corpus_shuffle_pre_agg(spark, sf_dir):
+    """Every Lloyd round must read the ONE materialized training frame
+    (no parquet scan survives into the unrolled plan), assign via the
+    broadcast 1-row centroid list (no CartesianProduct — the cross join
+    is a broadcast nested loop over one row), and shuffle only the
+    (cid, component, int64-sum) aggregate rows."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import advanced
+
+    p = _plan(advanced.QUERIES["m09_kmeans_trainer"](spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert "Scan ExistingRDD" in p, p  # localCheckpoint-backed features
+    assert "Scan parquet" not in p and "FileScan" not in p, p
+    for line in p.splitlines():
+        if line.strip().startswith("Exchange hashpartitioning"):
+            assert "cid" in line, line  # only cluster-state aggregates shuffle

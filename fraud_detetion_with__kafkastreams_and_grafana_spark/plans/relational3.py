@@ -1811,3 +1811,172 @@ def r79_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
     )
+
+
+# Corrupt-JSONL fixture: every event becomes a wire line, with two planted
+# corruption classes — event_id % 7 == 0 drops the closing brace (invalid
+# JSON), else event_id % 11 == 0 writes cents as a string (type
+# mismatch). Deterministic, so the oracle replays the classification
+# from the clean events table without ever seeing the broken bytes.
+_CORRUPT_SOURCE_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _corrupt_source_dir(spark: SparkSession, sf_dir: str) -> str:
+    def build(d: str) -> None:
+        ev = load_table(spark, sf_dir, "events")
+        cents = F.round(F.col("value") * 100, 0).cast("long")
+        good = F.format_string(
+            '{"id":%d,"user":%d,"cents":%d}', "event_id", "user_id", cents
+        )
+        trunc = F.format_string(
+            '{"id":%d,"user":%d,"cents":%d', "event_id", "user_id", cents
+        )
+        badtype = F.format_string(
+            '{"id":%d,"user":%d,"cents":"oops"}', "event_id", "user_id"
+        )
+        line = (
+            F.when(F.col("event_id") % 7 == 0, trunc)
+            .when(F.col("event_id") % 11 == 0, badtype)
+            .otherwise(good)
+        )
+        ev.select(line.alias("value")).write.mode("overwrite").text(
+            f"{d}/events_jsonl"
+        )
+
+    return _session_tmp_dir(
+        _CORRUPT_SOURCE_DIRS, spark, sf_dir, "spark_graft_corrupt_", build
+    )
+
+
+@_register(
+    "r80_corrupt_records",
+    """
+    WITH c AS (
+      SELECT CASE WHEN event_id % 7 = 0 THEN 'malformed'
+                  WHEN event_id % 11 = 0 THEN 'type_error'
+                  ELSE 'ok' END AS parse_status,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT parse_status,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN parse_status != 'malformed' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ids,
+           CAST(coalesce(sum(CASE WHEN parse_status = 'ok' THEN cents END), 0)
+                AS BIGINT) AS cents_sum
+    FROM c GROUP BY parse_status
+    """,
+)
+def r80_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode corrupt-record recovery — the source-level
+    bad-data contract every production ingest needs (q6 covers the
+    COLUMN-level from_json null-on-error half): a JSONL directory with
+    two planted corruption classes is read with an explicit schema and
+    columnNameOfCorruptRecord, and the triage report must reproduce
+    Spark's documented semantics exactly — an invalid-JSON line parses
+    to all-null fields + the raw line in the corrupt column, while a
+    type-mismatched field nulls ONLY that field (id/user still parse)
+    and also captures the raw line. The oracle replays the
+    classification from the clean events table via the planted rules,
+    so the whole read-path behavior is value-hash checked.
+
+    Scale: PERMISSIVE triage is scan-stage and embarrassingly parallel;
+    quarantining rides the same scan (filter on the corrupt column),
+    never a reprocess. DROPMALFORMED/FAILFAST are the same reader one
+    option away."""
+    d = _corrupt_source_dir(spark, sf_dir)
+    df = (
+        spark.read.schema("id long, user long, cents long, _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(f"{d}/events_jsonl")
+    )
+    status = (
+        F.when(F.col("_corrupt").isNull(), F.lit("ok"))
+        .when(F.col("id").isNull(), F.lit("malformed"))
+        .otherwise(F.lit("type_error"))
+    )
+    return (
+        df.groupBy(status.alias("parse_status"))
+        .agg(
+            F.count("*").alias("n"),
+            F.count("id").alias("n_ids"),
+            F.coalesce(
+                F.sum(F.when(F.col("_corrupt").isNull(), F.col("cents"))),
+                F.lit(0),
+            ).alias("cents_sum"),
+        )
+    )
+
+
+# Schema-evolution fixture: the same logical table written as two parquet
+# generations — generation A (user_id % 2 = 0) has (event_id, user_id),
+# generation B (user_id % 2 = 1) replaced user_id with a new cents
+# column. Split rule is deterministic, so the oracle replays the merged
+# read from the clean events table.
+_EVO_SOURCE_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _evo_source_dir(spark: SparkSession, sf_dir: str) -> str:
+    def build(d: str) -> None:
+        ev = load_table(spark, sf_dir, "events")
+        ev.where(F.col("user_id") % 2 == 0).select(
+            "event_id", "user_id"
+        ).write.mode("overwrite").parquet(f"{d}/gen_a")
+        ev.where(F.col("user_id") % 2 == 1).select(
+            "event_id",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        ).write.mode("overwrite").parquet(f"{d}/gen_b")
+
+    return _session_tmp_dir(
+        _EVO_SOURCE_DIRS, spark, sf_dir, "spark_graft_evo_", build
+    )
+
+
+@_register(
+    "r81_schema_evolution",
+    """
+    WITH m AS (
+      SELECT event_id,
+             CASE WHEN user_id % 2 = 0 THEN user_id END AS user_id,
+             CASE WHEN user_id % 2 = 1
+                  THEN CAST(round(value * 100, 0) AS BIGINT) END AS cents
+      FROM events
+    )
+    SELECT CAST(event_id % 3 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(user_id) AS BIGINT) AS n_user,
+           CAST(count(cents) AS BIGINT) AS n_cents,
+           CAST(coalesce(sum(user_id), 0) AS BIGINT) AS user_sum,
+           CAST(coalesce(sum(cents), 0) AS BIGINT) AS cents_sum
+    FROM m GROUP BY 1
+    """,
+)
+def r81_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution via mergeSchema — the schema-drift
+    contract of any long-lived lake table: two generations of the same
+    table (one column dropped, one added between them) are read as ONE
+    DataFrame whose schema is the union, with absent columns null-filled
+    per file. The per-bucket counts/sums over the merged frame are
+    value-hash checked against the oracle's replay of the generation
+    split from the clean events table.
+
+    Scale: mergeSchema's footer-union pass is the only extra cost (per
+    file, driver-side) — reads stay parallel and column-pruned; the
+    production posture pins the union schema in the catalog instead of
+    re-deriving it per read, which this query simulates by the explicit
+    two-path read."""
+    d = _evo_source_dir(spark, sf_dir)
+    df = spark.read.option("mergeSchema", "true").parquet(
+        f"{d}/gen_a", f"{d}/gen_b"
+    )
+    return (
+        df.groupBy((F.col("event_id") % 3).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.count("user_id").alias("n_user"),
+            F.count("cents").alias("n_cents"),
+            F.coalesce(F.sum("user_id"), F.lit(0)).alias("user_sum"),
+            F.coalesce(F.sum("cents"), F.lit(0)).alias("cents_sum"),
+        )
+    )

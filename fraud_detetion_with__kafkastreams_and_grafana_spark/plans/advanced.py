@@ -987,3 +987,139 @@ def m09_kmeans_trainer(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("ss").alias("norm_sq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m10/m11: model EVALUATION — the third leg of the m-family after deploy
+# (m04-m07) and train (m08/m09). Both run on the m04 exported scorer and
+# the reference's ground truth (value > threshold, the R6 predicate
+# branch), and both use the l62 shape: score once, aggregate into score
+# buckets, and materialize the sweep/report from the TINY bucket
+# aggregate — the corpus is touched exactly once, and the bucket
+# expression is the identical rounded double on both engines so no
+# boundary can disagree.
+# ---------------------------------------------------------------------------
+def _m10_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket 0..10, n_pos, n_neg) over floor(round(p,6)*10)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = F.round(_m04_p(), 6)
+    y = (F.col("value") > F.lit(float(EVENTS_FRAUD_THRESHOLD))).cast("long")
+    return (
+        ev.select(
+            F.floor(p * 10).cast("long").alias("b"), y.alias("y"),
+            F.round(_m04_p() * 1000000.0, 0).cast("long").alias("p_micro"),
+        )
+        .groupBy("b")
+        .agg(
+            F.sum("y").alias("n_pos"),
+            F.sum(F.lit(1) - F.col("y")).alias("n_neg"),
+            F.sum("p_micro").alias("p_micro_sum"),
+        )
+    )
+
+
+_M10_BUCKET_SQL = f"""
+      SELECT CAST(floor(round(0.5 * (1.0 + z / (1.0 + abs(z))), 6) * 10)
+                  AS BIGINT) AS b,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(1 - y) AS BIGINT) AS n_neg,
+             CAST(sum(CAST(round(0.5 * (1.0 + z / (1.0 + abs(z))) * 1000000.0,
+                   0) AS BIGINT)) AS BIGINT) AS p_micro_sum
+      FROM (
+        SELECT {_M04_Z.replace("HOUR_EXPR", "extract(hour FROM ts)")} AS z,
+               CASE WHEN value > {EVENTS_FRAUD_THRESHOLD!r} THEN 1 ELSE 0 END AS y
+        FROM events
+      ) GROUP BY 1
+"""
+
+
+@_register(
+    "m10_model_eval",
+    f"""
+    WITH bk AS ({_M10_BUCKET_SQL}),
+    tot AS (SELECT sum(n_pos) AS pos_tot, sum(n_neg) AS neg_tot FROM bk),
+    grid AS (SELECT unnest(range(1, 10)) AS i)
+    SELECT round(g.i / 10.0, 1) AS threshold,
+           CAST(coalesce(sum(b.n_pos), 0) AS BIGINT) AS tp,
+           CAST(coalesce(sum(b.n_neg), 0) AS BIGINT) AS fp,
+           CAST(t.pos_tot - coalesce(sum(b.n_pos), 0) AS BIGINT) AS fn,
+           CAST(t.neg_tot - coalesce(sum(b.n_neg), 0) AS BIGINT) AS tn,
+           CASE WHEN coalesce(sum(b.n_pos + b.n_neg), 0) > 0
+                THEN round(coalesce(sum(b.n_pos), 0) * 1.0
+                           / (sum(b.n_pos) + sum(b.n_neg)), 6) END AS precision,
+           round(coalesce(sum(b.n_pos), 0) * 1.0 / t.pos_tot, 6) AS recall
+    FROM grid g CROSS JOIN tot t LEFT JOIN bk b ON b.b >= g.i
+    GROUP BY g.i, t.pos_tot, t.neg_tot
+    """,
+)
+def m10_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sweep confusion report for the exported m04 scorer
+    against the reference's fraud ground truth: tp/fp/fn/tn plus
+    precision/recall at every decision threshold 0.1..0.9 — the
+    operating-point table a deployment picks its alert threshold from.
+    'Flagged at threshold i' is bucket >= i over floor(round(p,6)*10),
+    the identical rounded-double expression on both engines.
+
+    Scale: one corpus scan into an 11-row bucket aggregate; the sweep
+    is a grid join over aggregates (the l62 shape) — O(9 * 11)
+    regardless of corpus size."""
+    bk = _m10_bucketed(spark, sf_dir)
+    tot = bk.agg(
+        F.sum("n_pos").alias("pos_tot"), F.sum("n_neg").alias("neg_tot")
+    )
+    grid = tot.select(
+        "pos_tot", "neg_tot",
+        F.explode(F.sequence(F.lit(1), F.lit(9))).alias("i"),
+    )
+    flags = grid.join(F.broadcast(bk), F.col("b") >= F.col("i"), "left").groupBy(
+        "i", "pos_tot", "neg_tot"
+    ).agg(
+        F.coalesce(F.sum("n_pos"), F.lit(0)).cast("long").alias("tp"),
+        F.coalesce(F.sum("n_neg"), F.lit(0)).cast("long").alias("fp"),
+        F.coalesce(F.sum(F.col("n_pos") + F.col("n_neg")), F.lit(0)).alias("n_flag"),
+    )
+    return flags.select(
+        F.round(F.col("i") / 10.0, 1).alias("threshold"),
+        "tp",
+        "fp",
+        (F.col("pos_tot") - F.col("tp")).cast("long").alias("fn"),
+        (F.col("neg_tot") - F.col("fp")).cast("long").alias("tn"),
+        F.when(
+            F.col("n_flag") > 0,
+            F.round(F.col("tp") * 1.0 / (F.col("tp") + F.col("fp")), 6),
+        ).alias("precision"),
+        F.round(F.col("tp") * 1.0 / F.col("pos_tot"), 6).alias("recall"),
+    )
+
+
+@_register(
+    "m11_calibration_bins",
+    f"""
+    WITH bk AS ({_M10_BUCKET_SQL})
+    SELECT b AS bin,
+           CAST(n_pos + n_neg AS BIGINT) AS n,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           round(n_pos * 1.0 / (n_pos + n_neg), 6) AS pos_rate,
+           CAST(p_micro_sum AS BIGINT) AS p_micro_sum
+    FROM bk
+    """,
+)
+def m11_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration report for the m04 scorer: per predicted-probability
+    bin, the observed fraud rate vs the summed predicted mass (exact
+    int64 micros, so the 'mean predicted probability' is derivable
+    without an order-dependent float sum). A well-calibrated scorer has
+    pos_rate tracking p_micro_sum/n/1e6 per bin; this one is knowably
+    mis-calibrated at the extremes (rational squashing, not a fitted
+    sigmoid) — which is exactly what a calibration table is for.
+
+    Scale: one scan, one 11-row aggregate; nothing else."""
+    return _m10_bucketed(spark, sf_dir).select(
+        F.col("b").alias("bin"),
+        (F.col("n_pos") + F.col("n_neg")).cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.round(F.col("n_pos") * 1.0 / (F.col("n_pos") + F.col("n_neg")), 6).alias(
+            "pos_rate"
+        ),
+        F.col("p_micro_sum").alias("p_micro_sum"),
+    )

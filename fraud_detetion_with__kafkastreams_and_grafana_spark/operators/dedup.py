@@ -864,3 +864,73 @@ def simhash_pairs_polyhash(
         .distinct()
         .filter(F.col("hamming") <= F.lit(max_hamming))
     )
+
+
+def incremental_dedup_report(
+    docs: DataFrame, split_id: int = 400, k: int = 5
+) -> DataFrame:
+    """Classify every incoming document (doc_id >= split_id) against the
+    indexed corpus (doc_id < split_id) as 'exact' (identical trimmed
+    text, compared as md5 so text never shuffles), 'near' (shares a
+    >= k-token verbatim passage — the l61 window polyhash reused as an
+    index probe), or 'novel'; match_id is the lowest matching index doc.
+    Batch-vs-index joins are merge-hinted (the index side is
+    corpus-sized and must never broadcast). See plans/llmops.py l64 for
+    the registered query + oracle; the exact branch (absent from the
+    synthetic corpus, which plants near-dups only) is pinned by a
+    planted-fixture pytest."""
+    M = 1_000_000_007
+    docs = docs.where(F.trim("text") != "")
+    base = docs.select(
+        "doc_id",
+        F.md5(F.trim("text").cast("binary")).alias("t_md5"),
+        F.transform(tokens("text"), polyhash).alias("ths"),
+    )
+    wins = base.where(F.size("ths") >= k).select(
+        "doc_id",
+        "ths",
+        F.explode(F.sequence(F.lit(0), F.size("ths") - k)).alias("p"),
+    )
+    wh = F.lit(0).cast("long")
+    for j in range(k):
+        wh = (wh * 31 + F.element_at(F.col("ths"), F.col("p") + F.lit(j + 1))) % M
+    grams = wins.select("doc_id", wh.alias("h")).distinct()
+
+    batch_ids = F.col("doc_id") >= split_id
+    exact_m = (
+        base.where(batch_ids)
+        .select("doc_id", "t_md5")
+        .join(
+            base.where(~batch_ids)
+            .select(F.col("doc_id").alias("i_id"), "t_md5")
+            .hint("merge"),
+            "t_md5",
+        )
+        .groupBy("doc_id")
+        .agg(F.min("i_id").alias("exact_id"))
+    )
+    near_m = (
+        grams.where(batch_ids)
+        .join(
+            grams.where(~batch_ids)
+            .select(F.col("doc_id").alias("i_id"), "h")
+            .hint("merge"),
+            "h",
+        )
+        .groupBy("doc_id")
+        .agg(F.min("i_id").alias("near_id"))
+    )
+    return (
+        docs.where(batch_ids)
+        .select("doc_id")
+        .join(exact_m, "doc_id", "left")
+        .join(near_m, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_id").isNotNull(), F.lit("exact"))
+            .when(F.col("near_id").isNotNull(), F.lit("near"))
+            .otherwise(F.lit("novel"))
+            .alias("status"),
+            F.coalesce("exact_id", "near_id").alias("match_id"),
+        )
+    )

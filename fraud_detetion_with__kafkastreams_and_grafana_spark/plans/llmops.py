@@ -3544,3 +3544,69 @@ def l63_gif_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside the Arrow batch, never crossing a shuffle or the driver."""
     docs = load_table(spark, sf_dir, "documents")
     return MM.gif_roundtrip_features(docs)
+
+
+@_register(
+    "l64_incremental_dedup",
+    r"""
+    WITH base AS (
+      SELECT doc_id, trim(text) AS t,
+             list_transform(string_split_regex(trim(text), '\s+'),
+               tok -> list_reduce(list_prepend(0::BIGINT,
+                 list_transform(string_split(tok, ''), c -> ord(c)::BIGINT)),
+                 (a, b) -> (a * 31 + b) % 1000000007)) AS ths
+      FROM documents WHERE trim(text) != ''
+    ),
+    wh AS (
+      SELECT doc_id, p,
+             list_reduce(list_prepend(0::BIGINT, list_slice(ths, p + 1, p + 5)),
+                         (a, b) -> (a * 31 + b) % 1000000007) AS h
+      FROM (SELECT doc_id, unnest(range(0, len(ths) - 5 + 1)) AS p, ths
+            FROM base WHERE len(ths) >= 5)
+    ),
+    exact_m AS (
+      SELECT b.doc_id, min(i.doc_id) AS m
+      FROM base b JOIN base i ON md5(b.t) = md5(i.t)
+      WHERE b.doc_id >= 400 AND i.doc_id < 400
+      GROUP BY b.doc_id
+    ),
+    near_m AS (
+      SELECT b.doc_id, min(i.doc_id) AS m
+      FROM (SELECT DISTINCT doc_id, h FROM wh WHERE doc_id >= 400) b
+      JOIN (SELECT DISTINCT doc_id, h FROM wh WHERE doc_id < 400) i
+        USING (h)
+      GROUP BY b.doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN e.m IS NOT NULL THEN 'exact'
+                WHEN n.m IS NOT NULL THEN 'near'
+                ELSE 'novel' END AS status,
+           coalesce(e.m, n.m) AS match_id
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= 400 AND trim(text) != '')
+         d
+    LEFT JOIN exact_m e USING (doc_id)
+    LEFT JOIN near_m n USING (doc_id)
+    """,
+)
+def l64_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup gate: classify every INCOMING document
+    (doc_id >= 400, standing in for today's crawl batch) against the
+    already-indexed corpus (doc_id < 400) as exact duplicate (identical
+    trimmed text), near duplicate (shares a >= 5-token verbatim passage
+    — the l61 window hash reused as an index probe), or novel, with the
+    lowest matching index doc as provenance. This is the production
+    shape corpus growth actually runs — a batch probes a persisted
+    index; corpus-x-corpus pair enumeration (l02-l08) never reruns.
+
+    Scale: exact-match travels as md5 (32 hex chars, identical built-in
+    on both engines), passages as the 8-byte polyhash — text never
+    crosses a shuffle; both probes are equi-joins against index tables
+    that production would keep bucketed on the hash, and both sides
+    pre-shrink to DISTINCT (doc, hash) before joining. Batch-vs-index
+    joins are merge-hinted: the index side is corpus-sized and must
+    never broadcast. The 'exact' branch never fires on this corpus
+    (its planted duplicates are near-dups, never byte-identical), so a
+    planted-fixture pytest pins that branch (tests/test_llmops.py)."""
+    return DD.incremental_dedup_report(
+        load_table(spark, sf_dir, "documents"), split_id=400, k=5
+    )

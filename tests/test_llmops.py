@@ -721,3 +721,35 @@ def test_l59_importance_ranks_target_like_docs_first(spark):
     # 2*8 > 1*9); delta does NOT (target share 1/9 < raw share 1/8 by
     # exact cross-multiplication) -> exactly 3 of 4 tokens lean
     assert frac[3] == 0.75 and frac[4] == 0.0, frac
+
+
+def test_incremental_dedup_planted_branches(spark):
+    """All three classification branches on a planted frame: doc 400 is a
+    byte-identical copy of index doc 1 ('exact' must win even though it
+    also shares passages), doc 401 embeds a 5-token passage from doc 2
+    inside otherwise-new text ('near'), doc 402 shares nothing
+    ('novel'). match_id is the lowest matching index doc."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators.dedup import (
+        incremental_dedup_report,
+    )
+
+    passage = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{passage} zeta eta"),
+            (2, f"theta iota {passage} kappa"),
+            (400, f"{passage} zeta eta"),  # exact copy of 1
+            (401, f"mu nu {passage} xi omicron pi"),  # shares the passage
+            (402, "rho sigma tau upsilon phi chi psi"),  # novel
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r.doc_id: (r.status, r.match_id)
+        for r in incremental_dedup_report(docs, split_id=400, k=5).collect()
+    }
+    assert got == {
+        400: ("exact", 1),
+        401: ("near", 1),  # the passage also exists in doc 1 (lower id)
+        402: ("novel", None),
+    }

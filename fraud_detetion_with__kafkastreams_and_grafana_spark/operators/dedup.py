@@ -881,12 +881,17 @@ def incremental_dedup_report(
     planted-fixture pytest."""
     M = 1_000_000_007
     docs = docs.where(F.trim("text") != "")
-    base = docs.select(
-        "doc_id",
-        F.md5(F.trim("text").cast("binary")).alias("t_md5"),
-        F.transform(tokens("text"), polyhash).alias("ths"),
+    # Both index tables feed TWO join sides each; materialize them once
+    # (the l49/l61 pattern) so neither the md5 pass nor the
+    # tokenize+hash pass over the corpus runs twice — and because in
+    # production these ARE the persisted index the next batch probes.
+    md5f = docs.select(
+        "doc_id", F.md5(F.trim("text").cast("binary")).alias("t_md5")
+    ).localCheckpoint()
+    harr = docs.select(
+        "doc_id", F.transform(tokens("text"), polyhash).alias("ths")
     )
-    wins = base.where(F.size("ths") >= k).select(
+    wins = harr.where(F.size("ths") >= k).select(
         "doc_id",
         "ths",
         F.explode(F.sequence(F.lit(0), F.size("ths") - k)).alias("p"),
@@ -894,14 +899,13 @@ def incremental_dedup_report(
     wh = F.lit(0).cast("long")
     for j in range(k):
         wh = (wh * 31 + F.element_at(F.col("ths"), F.col("p") + F.lit(j + 1))) % M
-    grams = wins.select("doc_id", wh.alias("h")).distinct()
+    grams = wins.select("doc_id", wh.alias("h")).distinct().localCheckpoint()
 
     batch_ids = F.col("doc_id") >= split_id
     exact_m = (
-        base.where(batch_ids)
-        .select("doc_id", "t_md5")
+        md5f.where(batch_ids)
         .join(
-            base.where(~batch_ids)
+            md5f.where(~batch_ids)
             .select(F.col("doc_id").alias("i_id"), "t_md5")
             .hint("merge"),
             "t_md5",

@@ -3412,7 +3412,10 @@ def l61_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = F.lit(0).cast("long")
     for j in range(K):
         wh = (wh * 31 + F.element_at(F.col("ths"), F.col("p") + F.lit(j + 1))) % M
-    wins = wins.select("doc_id", "p", wh.alias("h"))
+    # Two consumers read the window-hash table (the distinct-doc count and
+    # the join-back); materialize it once so the tokenize+hash pass over
+    # the corpus doesn't run twice (the l49 gram-index pattern).
+    wins = wins.select("doc_id", "p", wh.alias("h")).localCheckpoint()
     shared = (
         wins.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))

@@ -239,6 +239,7 @@ def test_l61_shuffles_hashes_merge_joined_one_window(spark, sf_dir):
     assert "SortMergeJoin" in p, p
     assert "CartesianProduct" not in p, p
     assert p.count("Window") == 1, p
+    assert "Scan ExistingRDD" in p, p  # checkpointed window-hash table
     for line in p.splitlines():
         if line.strip().startswith("Exchange"):
             assert "text" not in line, line

@@ -3613,3 +3613,134 @@ def l64_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.incremental_dedup_report(
         load_table(spark, sf_dir, "documents"), split_id=400, k=5
     )
+
+
+@_register(
+    "l65_token_budget_waterfill",
+    r"""
+    WITH caps AS (
+      SELECT source,
+             CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+               AS cap
+      FROM documents WHERE trim(text) != '' GROUP BY source
+    ),
+    ord AS (
+      SELECT source, cap,
+             row_number() OVER (ORDER BY cap, source) AS i,
+             coalesce(sum(cap) OVER (ORDER BY cap, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p,
+             count(*) OVER () AS n,
+             CAST(floor(sum(cap) OVER () * 9 / 10.0) AS BIGINT) AS t
+      FROM caps
+    ),
+    seg AS (
+      SELECT i AS i_seg, p AS p_seg, n, t FROM ord
+      WHERE p + (n - i + 1) * cap > t
+      ORDER BY i LIMIT 1
+    ),
+    params AS (
+      SELECT i_seg, p_seg,
+             CAST(floor((t - p_seg) * 1.0 / (n - i_seg + 1)) AS BIGINT)
+               AS theta,
+             t - p_seg
+               - CAST(floor((t - p_seg) * 1.0 / (n - i_seg + 1)) AS BIGINT)
+                 * (n - i_seg + 1) AS rem
+      FROM seg
+    )
+    SELECT o.source, o.cap,
+           CAST(CASE
+             WHEN pr.i_seg IS NULL OR o.i < pr.i_seg THEN o.cap
+             ELSE pr.theta + CASE WHEN row_number() OVER (
+                    ORDER BY (o.i >= pr.i_seg) DESC, o.source) <= pr.rem
+                  THEN 1 ELSE 0 END
+           END AS BIGINT) AS alloc,
+           (pr.i_seg IS NOT NULL AND o.i >= pr.i_seg) AS trimmed
+    FROM ord o LEFT JOIN params pr ON TRUE
+    """,
+)
+def l65_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget water-filling across sources — the data-mixing
+    allocator a budgeted pretraining run needs: given a global token
+    budget (90% of the corpus here), every source keeps its full token
+    count (cap) until the water level theta is reached; larger sources
+    are trimmed to theta so the budget is met exactly, with the integer
+    remainder distributed one token each to the lexicographically
+    smallest trimmed sources. All arithmetic is integer (the one
+    division is floor over exactly-representable doubles), so the
+    allocation — including which sources are trimmed and who gets the
+    remainder tokens — value-hash replays. l36's inverse-frequency
+    mixture weights are the unconstrained relative version; this is the
+    budget-constrained absolute one (the knapsack-free closed form:
+    theta found analytically from the cap-sorted prefix sums, no
+    iteration).
+
+    Scale: one corpus scan into a per-source aggregate; everything
+    after runs on the ~|sources|-row frame (global windows included —
+    they sort sources, never documents)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").where(F.trim("text") != "")
+    caps = docs.groupBy("source").agg(
+        F.sum(TX.whitespace_token_count("text")).alias("cap")
+    )
+    w = Window.orderBy("cap", "source")
+    wall = Window.partitionBy()
+    ordd = caps.select(
+        "source",
+        "cap",
+        F.row_number().over(w).alias("i"),
+        F.coalesce(
+            F.sum("cap").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("p"),
+        F.count("*").over(wall).alias("n"),
+        F.floor(F.sum("cap").over(wall) * 9 / 10.0).cast("long").alias("t"),
+    )
+    seg = (
+        ordd.where(F.col("p") + (F.col("n") - F.col("i") + 1) * F.col("cap") > F.col("t"))
+        .orderBy("i")
+        .limit(1)
+        .select(
+            F.col("i").alias("i_seg"),
+            F.col("p").alias("p_seg"),
+            "n",
+            "t",
+        )
+    )
+    theta = F.floor(
+        (F.col("t") - F.col("p_seg")) * 1.0 / (F.col("n") - F.col("i_seg") + 1)
+    ).cast("long")
+    params = seg.select(
+        "i_seg",
+        "p_seg",
+        theta.alias("theta"),
+        (
+            F.col("t")
+            - F.col("p_seg")
+            - theta * (F.col("n") - F.col("i_seg") + 1)
+        ).alias("rem"),
+    )
+    joined = ordd.join(F.broadcast(params), F.lit(True), "left")
+    bonus_rank = F.row_number().over(
+        Window.orderBy(
+            (F.col("i") >= F.col("i_seg")).desc_nulls_last(), F.col("source")
+        )
+    )
+    alloc = (
+        F.when(
+            F.col("i_seg").isNull() | (F.col("i") < F.col("i_seg")), F.col("cap")
+        )
+        .otherwise(
+            F.col("theta")
+            + F.when(bonus_rank <= F.col("rem"), 1).otherwise(0)
+        )
+        .cast("long")
+    )
+    return joined.select(
+        "source",
+        F.col("cap").cast("long").alias("cap"),
+        alloc.alias("alloc"),
+        (F.col("i_seg").isNotNull() & (F.col("i") >= F.col("i_seg"))).alias(
+            "trimmed"
+        ),
+    )

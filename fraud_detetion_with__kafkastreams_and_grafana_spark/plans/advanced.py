@@ -1123,3 +1123,146 @@ def m11_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("p_micro_sum").alias("p_micro_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m12: decision-STUMP trainer — the m-family's tree-model rung. m08/m09
+# train by gradient/centroid iteration; a stump trains by an exhaustive
+# split sweep, and that sweep is exactly representable as one unpivoted
+# scan + per-feature prefix sums, so the ENTIRE training computation (every
+# candidate split's contingency table, not just the winner) value-hash
+# replays. Split criterion is misclassification count — pure int64, so the
+# argmin needs no float/rational comparison at all (a Gini argmin would
+# need cross-multiplied fraction compares; errors-count is the standard
+# impurity that stays integer).
+# ---------------------------------------------------------------------------
+_M12_Y_SQL = f"CASE WHEN value > {EVENTS_FRAUD_THRESHOLD!r} THEN 1 ELSE 0 END"
+
+_M12_SQL = f"""
+    WITH f AS (
+      SELECT 'hr' AS feature, CAST(extract(hour FROM ts) AS BIGINT) AS v,
+             {_M12_Y_SQL} AS y
+      FROM events
+      UNION ALL
+      SELECT 'um', user_id % 10, {_M12_Y_SQL} FROM events
+      UNION ALL
+      SELECT 'vkb', CAST(floor(value / 50.0) AS BIGINT), {_M12_Y_SQL} FROM events
+    ),
+    cnt AS (
+      SELECT feature, v, count(*) AS tot, sum(y) AS pos
+      FROM f GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT feature,
+             lead(v) OVER (PARTITION BY feature ORDER BY v) AS thr,
+             sum(tot) OVER (PARTITION BY feature ORDER BY v) AS n_left,
+             sum(pos) OVER (PARTITION BY feature ORDER BY v) AS pos_left,
+             sum(tot) OVER (PARTITION BY feature) AS n_all,
+             sum(pos) OVER (PARTITION BY feature) AS pos_all
+      FROM cnt
+    ),
+    cand AS (
+      SELECT feature, thr, n_left, pos_left,
+             n_all - n_left AS n_right,
+             pos_all - pos_left AS pos_right,
+             least(pos_left, n_left - pos_left)
+               + least(pos_all - pos_left,
+                       (n_all - n_left) - (pos_all - pos_left)) AS errors
+      FROM cum WHERE thr IS NOT NULL
+    )
+    SELECT feature, CAST(thr AS BIGINT) AS thr,
+           CAST(n_left AS BIGINT) AS n_left,
+           CAST(pos_left AS BIGINT) AS pos_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           CAST(pos_right AS BIGINT) AS pos_right,
+           CAST(errors AS BIGINT) AS errors,
+           CAST(row_number() OVER (ORDER BY errors, feature, thr) AS BIGINT)
+             AS train_rank
+    FROM cand
+"""
+
+
+@_register("m12_stump_trainer", _M12_SQL)
+def m12_stump_trainer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump trainer over the reference's fraud label (value >
+    threshold, the R6 predicate branch — TransactionProcessor.java:15,39):
+    exhaustively sweep every candidate split `feature < thr` across three
+    features (event hour, user-id bucket, value-kilobucket), score each by
+    exact misclassification count (each side predicts its majority class),
+    and rank candidates; train_rank=1 IS the learned stump. The full sweep
+    table is returned so the oracle hash-checks every candidate's
+    contingency counts, not just the argmin — and the learned model
+    recovers the value-bucket boundary of the fraud predicate from data.
+
+    Scale: the classic sorted-prefix-sum stump sweep. One corpus scan,
+    unpivoted 3x into (feature, value-bucket) — the hash aggregate
+    combines map-side, so the shuffle carries at most |features| x
+    |domain| (~44) partial rows per map task regardless of corpus size.
+    All prefix sums and the final rank run on that tiny aggregate (the
+    single-partition rank window sees ~41 rows). Errors-count is int64
+    end to end: any partitioning reproduces the model bit-exactly."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    y = (F.col("value") > F.lit(float(EVENTS_FRAUD_THRESHOLD))).cast("long")
+    feats = ev.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("hr").alias("feature"),
+                    F.hour("ts").cast("long").alias("v"),
+                ),
+                F.struct(
+                    F.lit("um").alias("feature"),
+                    (F.col("user_id") % 10).cast("long").alias("v"),
+                ),
+                F.struct(
+                    F.lit("vkb").alias("feature"),
+                    F.floor(F.col("value") / 50.0).cast("long").alias("v"),
+                ),
+            )
+        ).alias("fv"),
+        y.alias("y"),
+    ).select("fv.feature", "fv.v", "y")
+    cnt = feats.groupBy("feature", "v").agg(
+        F.count("*").alias("tot"), F.sum("y").alias("pos")
+    )
+    wo = Window.partitionBy("feature").orderBy("v")
+    wa = Window.partitionBy("feature")
+    cum = cnt.select(
+        "feature",
+        F.lead("v").over(wo).alias("thr"),
+        F.sum("tot").over(wo).alias("n_left"),
+        F.sum("pos").over(wo).alias("pos_left"),
+        F.sum("tot").over(wa).alias("n_all"),
+        F.sum("pos").over(wa).alias("pos_all"),
+    ).where(F.col("thr").isNotNull())
+    cand = cum.select(
+        "feature",
+        "thr",
+        "n_left",
+        "pos_left",
+        (F.col("n_all") - F.col("n_left")).alias("n_right"),
+        (F.col("pos_all") - F.col("pos_left")).alias("pos_right"),
+        (
+            F.least(F.col("pos_left"), F.col("n_left") - F.col("pos_left"))
+            + F.least(
+                F.col("pos_all") - F.col("pos_left"),
+                (F.col("n_all") - F.col("n_left"))
+                - (F.col("pos_all") - F.col("pos_left")),
+            )
+        ).alias("errors"),
+    )
+    return cand.select(
+        "feature",
+        "thr",
+        "n_left",
+        "pos_left",
+        "n_right",
+        "pos_right",
+        "errors",
+        F.row_number()
+        .over(Window.orderBy("errors", "feature", "thr"))
+        .cast("long")
+        .alias("train_rank"),
+    )

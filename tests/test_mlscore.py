@@ -220,3 +220,31 @@ def test_m08_gd_trainer_learns(spark, sf_dir):
         assert mp[1] - mp[0] > 0.05, mp
     finally:
         feats.unpersist()
+
+
+def test_m12_stump_recovers_fraud_boundary(spark, sf_dir):
+    """The stump sweep (m12) must LEARN the reference's fraud predicate
+    from data: the rank-1 split is on the value-kilobucket feature at the
+    bucket boundary containing the threshold (value/50 < 2 <=> value <
+    100), and its error count is tiny (only value == 100.0 rows can
+    land left of the boundary with y=0 ambiguity). Also pins internal
+    consistency: every candidate's sides sum to the corpus and errors
+    equals the majority-class complement on both sides."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.advanced import m12_stump_trainer
+
+    rows = m12_stump_trainer(spark, sf_dir).collect()
+    assert len(rows) >= 10
+    n = rows[0]["n_left"] + rows[0]["n_right"]
+    best = [r for r in rows if r["train_rank"] == 1]
+    assert len(best) == 1
+    b = best[0]
+    assert (b["feature"], b["thr"]) == ("vkb", 2)
+    assert b["errors"] <= n // 100  # near-perfect recovery of R6
+    ranks = sorted(r["train_rank"] for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r["n_left"] + r["n_right"] == n
+        assert r["errors"] == min(
+            r["pos_left"], r["n_left"] - r["pos_left"]
+        ) + min(r["pos_right"], r["n_right"] - r["pos_right"])
+        assert 0 < r["n_left"] < n

@@ -3744,3 +3744,90 @@ def l65_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trimmed"
         ),
     )
+
+
+_L66_NAIVE_SPLIT_SQL = """CASE WHEN ({c} * 2654435761) % 100 < 80 THEN 'train'
+                WHEN ({c} * 2654435761) % 100 < 90 THEN 'val'
+                ELSE 'test' END"""
+
+
+@_register(
+    "l66_cluster_holdout_split",
+    f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+    ),
+    comp AS (SELECT a AS doc_id, least(a, min(b)) AS gid FROM reach GROUP BY a),
+    g AS (
+      SELECT d.doc_id, coalesce(c.gid, d.doc_id) AS group_id,
+             {_L66_NAIVE_SPLIT_SQL.format(c="d.doc_id")} AS naive_split
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    grp AS (
+      SELECT group_id, count(*) AS group_size,
+             count(DISTINCT naive_split) AS n_naive
+      FROM g GROUP BY 1
+    )
+    SELECT g.doc_id, CAST(g.group_id AS BIGINT) AS group_id,
+           CAST(grp.group_size AS BIGINT) AS group_size,
+           {_L66_NAIVE_SPLIT_SQL.format(c="g.group_id")} AS split,
+           (grp.n_naive > 1) AS naive_leaky
+    FROM g JOIN grp USING (group_id)
+    """,
+)
+def l66_cluster_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: group holdout by near-dup
+    CLUSTER. l17 hashes each doc_id independently, so two near-duplicate
+    documents can land in train and test — the classic eval-contamination
+    bug in LLM data pipelines. Here every doc hashes by its connected-
+    component id over the l02 blocked-Jaccard pair graph (singletons by
+    their own id), so a whole duplicate cluster moves as one unit and no
+    split boundary can cut a near-dup edge — by construction, not by
+    audit. The naive_leaky column IS the audit: true iff l17's per-doc
+    hash would have fractured that doc's cluster across splits.
+
+    Scale: reuses the session-materialized pair graph + components
+    fixpoint (one dedup stage feeding l02/l20/l30/l33/l66, the
+    production shape). On top of that: one 8-byte-key left join to label
+    docs, one groupBy(group_id) over ids only (map-side combined), one
+    join back. Text never moves; split assignment itself is the same
+    one-expression narrow projection as l17, just keyed on group_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    comp = _dup_components(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("gid")
+    )
+
+    def hash_split(c):
+        b = F.pmod(c * F.lit(2654435761), F.lit(100))
+        return (
+            F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        )
+
+    g = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("gid"), F.col("doc_id")).alias("group_id"),
+            hash_split(F.col("doc_id")).alias("naive_split"),
+        )
+    )
+    grp = g.groupBy("group_id").agg(
+        F.count("*").alias("group_size"),
+        (F.size(F.collect_set("naive_split")) > 1).alias("naive_leaky"),
+    )
+    return g.join(grp, "group_id").select(
+        "doc_id",
+        "group_id",
+        "group_size",
+        hash_split(F.col("group_id")).alias("split"),
+        "naive_leaky",
+    )

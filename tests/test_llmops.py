@@ -753,3 +753,33 @@ def test_incremental_dedup_planted_branches(spark):
         401: ("near", 1),  # the passage also exists in doc 1 (lower id)
         402: ("novel", None),
     }
+
+
+def test_l66_no_near_dup_pair_straddles_splits(spark, sf_dir):
+    """The group-holdout guarantee, checked against the pair graph
+    itself: every l02 near-dup pair lands in ONE split and ONE group,
+    splits partition the corpus, and the naive_leaky audit flags
+    exactly the clusters the per-doc l17 hash would have fractured."""
+    asg = llmops.l66_cluster_holdout_split(spark, sf_dir)
+    pairs = llmops.l02_ngram_jaccard_pairs(spark, sf_dir)
+    a = asg.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("split").alias("split_a"),
+        F.col("group_id").alias("gid_a"),
+    )
+    b = asg.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("split").alias("split_b"),
+        F.col("group_id").alias("gid_b"),
+    )
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    assert j.count() > 0, "corpus must contain planted near-dup pairs"
+    assert j.where(F.col("split_a") != F.col("split_b")).count() == 0
+    assert j.where(F.col("gid_a") != F.col("gid_b")).count() == 0
+
+    rows = asg.collect()
+    assert {r["split"] for r in rows} == {"train", "val", "test"}
+    # the audit is live: the per-doc hash fractures at least one real
+    # cluster, and naive_leaky is never set on singletons
+    assert any(r["naive_leaky"] for r in rows if r["group_size"] > 1)
+    assert all(not r["naive_leaky"] for r in rows if r["group_size"] == 1)

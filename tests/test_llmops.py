@@ -783,3 +783,50 @@ def test_l66_no_near_dup_pair_straddles_splits(spark, sf_dir):
     # cluster, and naive_leaky is never set on singletons
     assert any(r["naive_leaky"] for r in rows if r["group_size"] > 1)
     assert all(not r["naive_leaky"] for r in rows if r["group_size"] == 1)
+
+
+def test_l62_survival_curves_monotone(spark, sf_dir):
+    """Ablation-sweep semantics: per language, survivors are
+    NON-INCREASING in threshold, doc_frac is survivors/total at the
+    lowest threshold, and token counts move with doc counts."""
+    rows = llmops.l62_quality_sweep(spark, sf_dir).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert len(by_lang) >= 2
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["threshold"])
+        docs = [r["surviving_docs"] for r in rs]
+        toks = [r["surviving_tokens"] for r in rs]
+        assert docs == sorted(docs, reverse=True), (lang, docs)
+        assert toks == sorted(toks, reverse=True), (lang, toks)
+        assert all(
+            (d == 0) == (t == 0) for d, t in zip(docs, toks)
+        ), (lang, docs, toks)
+        assert abs(rs[0]["doc_frac"] - 1.0) < 1e-9  # lowest threshold keeps all
+
+
+def test_l65_waterfill_budget_exact(spark, sf_dir):
+    """Water-fill invariants: the allocation meets the 90% budget
+    EXACTLY, untrimmed sources keep their cap, trimmed sources sit at
+    theta or theta+1 with every trimmed alloc <= every untrimmed cap's
+    own alloc bound, and remainder bonuses go to the lexicographically
+    smallest trimmed sources."""
+    rows = llmops.l65_token_budget_waterfill(spark, sf_dir).collect()
+    total_cap = sum(r["cap"] for r in rows)
+    budget = (total_cap * 90) // 100
+    assert sum(r["alloc"] for r in rows) == budget
+    untrimmed = [r for r in rows if not r["trimmed"]]
+    trimmed = sorted((r for r in rows if r["trimmed"]), key=lambda r: r["source"])
+    assert trimmed, "budget < corpus must trim someone"
+    for r in untrimmed:
+        assert r["alloc"] == r["cap"]
+    allocs = {r["alloc"] for r in trimmed}
+    assert len(allocs) <= 2 and max(allocs) - min(allocs) <= 1
+    if len(allocs) == 2:
+        hi = max(allocs)
+        bonus = [r["alloc"] == hi for r in trimmed]
+        assert bonus == sorted(bonus, reverse=True), "bonus must be a prefix"
+    theta = min(allocs)
+    for r in untrimmed:
+        assert r["cap"] <= theta, (r, theta)

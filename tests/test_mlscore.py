@@ -248,3 +248,27 @@ def test_m12_stump_recovers_fraud_boundary(spark, sf_dir):
             r["pos_left"], r["n_left"] - r["pos_left"]
         ) + min(r["pos_right"], r["n_right"] - r["pos_right"])
         assert 0 < r["n_left"] < n
+
+
+def test_m10_confusion_sweep_consistent(spark, sf_dir):
+    """Threshold-sweep semantics: every row's confusion quadrant sums to
+    the corpus, tp/fp are non-increasing and fn/tn non-decreasing in
+    threshold (monotone sweep), and recall matches tp against the
+    constant positive total."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.advanced import m10_model_eval
+
+    rows = sorted(
+        m10_model_eval(spark, sf_dir).collect(), key=lambda r: r["threshold"]
+    )
+    assert len(rows) == 9
+    n = rows[0]["tp"] + rows[0]["fp"] + rows[0]["fn"] + rows[0]["tn"]
+    pos_tot = rows[0]["tp"] + rows[0]["fn"]
+    for r in rows:
+        assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == n
+        assert r["tp"] + r["fn"] == pos_tot
+        if pos_tot:
+            assert abs(r["recall"] - round(r["tp"] / pos_tot, 6)) < 1e-9
+    tps = [r["tp"] for r in rows]
+    fps = [r["fp"] for r in rows]
+    assert tps == sorted(tps, reverse=True)
+    assert fps == sorted(fps, reverse=True)

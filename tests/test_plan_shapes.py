@@ -260,3 +260,33 @@ def test_m09_rounds_read_checkpoint_no_corpus_shuffle_pre_agg(spark, sf_dir):
     for line in p.splitlines():
         if line.strip().startswith("Exchange hashpartitioning"):
             assert "cid" in line, line  # only cluster-state aggregates shuffle
+
+
+def test_m12_sweep_aggregates_shuffle_feature_keys_only(spark, sf_dir):
+    """The stump sweep must collapse the corpus in ONE parquet scan into
+    the (feature, bucket) count aggregate — every hash exchange keys on
+    `feature` (partial-agg rows, never events), and the only
+    single-partition stage is the final ~41-row rank window."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import advanced
+
+    p = _plan(advanced.QUERIES["m12_stump_trainer"](spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert p.count("Scan parquet") == 1, p  # one corpus scan, unpivoted in-stage
+    for line in p.splitlines():
+        if line.strip().startswith("Exchange hashpartitioning"):
+            assert "feature" in line, line
+
+
+def test_l66_split_moves_ids_only_over_checkpointed_components(spark, sf_dir):
+    """Cluster-holdout split must ride the session-materialized CC
+    fixpoint (checkpoint-backed scan, no recomputed pair join) and move
+    8-byte ids only: no exchange carries the text column, every hash
+    exchange keys on doc_id or group_id, and nothing is cartesian."""
+    p = _plan(llmops.QUERIES["l66_cluster_holdout_split"](spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert "Scan ExistingRDD" in p, p  # checkpointed components fixpoint
+    for line in p.splitlines():
+        if line.strip().startswith("Exchange"):
+            assert "text" not in line, line
+            if "hashpartitioning" in line:
+                assert "doc_id" in line or "group_id" in line, line

@@ -1187,7 +1187,7 @@ def m12_stump_trainer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decision-stump trainer over the reference's fraud label (value >
     threshold, the R6 predicate branch — TransactionProcessor.java:15,39):
     exhaustively sweep every candidate split `feature < thr` across three
-    features (event hour, user-id bucket, value-kilobucket), score each by
+    features (event hour, user-id bucket, width-50 value bucket), score each by
     exact misclassification count (each side predicts its majority class),
     and rank candidates; train_rank=1 IS the learned stump. The full sweep
     table is returned so the oracle hash-checks every candidate's

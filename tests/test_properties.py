@@ -448,3 +448,160 @@ def test_gif_lzw_roundtrip_arbitrary_indices(idx):
         payload = MM._gif_container(w, h, enc(idx, MM._GIF_PALETTE_BITS))
         gw, gh, n, isum, rsum = MM.decode_gif(payload)
         assert (gw, gh, n, isum) == (w, h, len(idx), sum(idx))
+
+
+# ---------------------------------------------------------------------------
+# Ground-truth closures for the round-6 analytic formulations. The driver's
+# parity gate proves Spark == DuckDB-oracle; these prove DuckDB-oracle ==
+# independent brute force on arbitrary generated inputs, closing the loop
+# to first principles. DuckDB-only (no Spark job), so examples are cheap.
+# ---------------------------------------------------------------------------
+
+
+def _duck():
+    import duckdb
+
+    return duckdb.connect()
+
+
+@given(
+    caps=st.dictionaries(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=3),
+        st.integers(min_value=1, max_value=60),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_l65_waterfill_oracle_equals_bruteforce(caps):
+    """The analytic theta (cap-sorted prefix sums, no iteration) must
+    allocate identically to exhaustive search: largest integer water
+    level th with sum(min(cap, th)) <= budget, remainder +1 to the
+    lexicographically smallest sources above the level."""
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.llmops import ORACLES
+
+    con = _duck()
+    docs = pd.DataFrame(
+        {"source": list(caps), "text": [("a " * c).strip() for c in caps.values()]}
+    )
+    con.register("documents", docs)
+    got = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(ORACLES["l65_token_budget_waterfill"]).fetchall()
+    }
+
+    total = sum(caps.values())
+    budget = total * 9 // 10
+
+    def filled(th: int) -> int:
+        return sum(min(c, th) for c in caps.values())
+
+    best = max(
+        (t for t in range(0, max(caps.values()) + 1) if filled(t) <= budget),
+        default=0,
+    )
+    rem = budget - filled(best)
+    over = sorted(s for s, c in caps.items() if c > best)
+    bonus = set(over[:rem])
+    want = {
+        s: min(c, best) + (1 if s in bonus else 0) for s, c in caps.items()
+    }
+
+    assert set(got) == set(caps)
+    for s, c in caps.items():
+        alloc_cap, alloc, trimmed = got[s]
+        assert alloc_cap == c
+        assert alloc == want[s], (s, got, want, budget)
+        assert (not trimmed) or alloc <= c  # trimming never exceeds cap
+    assert sum(a for _, a, _ in got.values()) == budget
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=23),  # hour
+            st.integers(min_value=0, max_value=30),  # user_id
+            st.floats(
+                min_value=0.01,
+                max_value=300.0,
+                allow_nan=False,
+                allow_infinity=False,
+            ),  # value
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_m12_stump_oracle_equals_bruteforce(rows):
+    """The prefix-sum split sweep must equal brute force: for every
+    feature and every boundary between present distinct values, the
+    contingency counts, the misclassification score, and the full
+    deterministic ranking."""
+    import math
+    from datetime import datetime
+
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.advanced import _M12_SQL
+
+    con = _duck()
+    ev = pd.DataFrame(
+        {
+            "ts": [datetime(2024, 1, 1, h, 30, 0) for h, _, _ in rows],
+            "user_id": [u for _, u, _ in rows],
+            "value": [v for _, _, v in rows],
+        }
+    )
+    con.register("events", ev)
+    got = [
+        dict(
+            zip(
+                (
+                    "feature",
+                    "thr",
+                    "n_left",
+                    "pos_left",
+                    "n_right",
+                    "pos_right",
+                    "errors",
+                    "train_rank",
+                ),
+                r,
+            )
+        )
+        for r in con.execute(_M12_SQL).fetchall()
+    ]
+
+    trip = [
+        (h, u % 10, math.floor(v / 50.0), 1 if v > 100.0 else 0)
+        for h, u, v in rows
+    ]
+    want = []
+    for feat, idx in (("hr", 0), ("um", 1), ("vkb", 2)):
+        vals = sorted({t[idx] for t in trip})
+        for thr in vals[1:]:
+            left = [t for t in trip if t[idx] < thr]
+            right = [t for t in trip if t[idx] >= thr]
+            pl = sum(t[3] for t in left)
+            pr_ = sum(t[3] for t in right)
+            want.append(
+                dict(
+                    feature=feat,
+                    thr=thr,
+                    n_left=len(left),
+                    pos_left=pl,
+                    n_right=len(right),
+                    pos_right=pr_,
+                    errors=min(pl, len(left) - pl)
+                    + min(pr_, len(right) - pr_),
+                )
+            )
+    want.sort(key=lambda d: (d["errors"], d["feature"], d["thr"]))
+    for i, d in enumerate(want):
+        d["train_rank"] = i + 1
+
+    got.sort(key=lambda d: d["train_rank"])
+    assert got == want

@@ -872,33 +872,32 @@ def incremental_dedup_report(
     """Classify every incoming document (doc_id >= split_id) against the
     indexed corpus (doc_id < split_id) as 'exact' (identical trimmed
     text, compared as md5 so text never shuffles), 'near' (shares a
-    >= k-token verbatim passage — the l61 window polyhash reused as an
-    index probe), or 'novel'; match_id is the lowest matching index doc.
+    >= k-token verbatim passage — the l61 exact window identity, md5
+    over the window's token content, reused as an index probe), or
+    'novel'; match_id is the lowest matching index doc.
     Batch-vs-index joins are merge-hinted (the index side is
     corpus-sized and must never broadcast). See plans/llmops.py l64 for
     the registered query + oracle; the exact branch (absent from the
     synthetic corpus, which plants near-dups only) is pinned by a
-    planted-fixture pytest."""
-    M = 1_000_000_007
+    planted-fixture pytest. The probe key is content-exact md5, not the
+    earlier base-31 polyhash fold, whose structured +1/-31 carry
+    collisions could classify a novel batch doc as 'near' (see the l61
+    docstring and the ground-truth property test that caught it)."""
     docs = docs.where(F.trim("text") != "")
     # Both index tables feed TWO join sides each; materialize them once
     # (the l49/l61 pattern) so neither the md5 pass nor the
-    # tokenize+hash pass over the corpus runs twice — and because in
+    # tokenize+window pass over the corpus runs twice — and because in
     # production these ARE the persisted index the next batch probes.
     md5f = docs.select(
         "doc_id", F.md5(F.trim("text").cast("binary")).alias("t_md5")
     ).localCheckpoint()
-    harr = docs.select(
-        "doc_id", F.transform(tokens("text"), polyhash).alias("ths")
-    )
-    wins = harr.where(F.size("ths") >= k).select(
+    harr = docs.select("doc_id", tokens("text").alias("toks"))
+    wins = harr.where(F.size("toks") >= k).select(
         "doc_id",
-        "ths",
-        F.explode(F.sequence(F.lit(0), F.size("ths") - k)).alias("p"),
+        "toks",
+        F.explode(F.sequence(F.lit(0), F.size("toks") - k)).alias("p"),
     )
-    wh = F.lit(0).cast("long")
-    for j in range(k):
-        wh = (wh * 31 + F.element_at(F.col("ths"), F.col("p") + F.lit(j + 1))) % M
+    wh = F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("p") + 1, k)))
     grams = wins.select("doc_id", wh.alias("h")).distinct().localCheckpoint()
 
     batch_ids = F.col("doc_id") >= split_id

@@ -3337,21 +3337,16 @@ def l60_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l61_passage_dedup",
     r"""
     WITH tok AS (
-      SELECT doc_id,
-             list_transform(string_split_regex(trim(text), '\s+'),
-               t -> list_reduce(list_prepend(0::BIGINT,
-                 list_transform(string_split(t, ''), c -> ord(c)::BIGINT)),
-                 (a, b) -> (a * 31 + b) % 1000000007)) AS ths
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
       FROM documents WHERE trim(text) != ''
     ),
     wins AS (
-      SELECT doc_id, unnest(range(0, len(ths) - 5 + 1)) AS p, ths
-      FROM tok WHERE len(ths) >= 5
+      SELECT doc_id, unnest(range(0, len(toks) - 5 + 1)) AS p, toks
+      FROM tok WHERE len(toks) >= 5
     ),
     wh AS (
       SELECT doc_id, p,
-             list_reduce(list_prepend(0::BIGINT, list_slice(ths, p + 1, p + 5)),
-                         (a, b) -> (a * 31 + b) % 1000000007) AS h
+             md5(array_to_string(list_slice(toks, p + 1, p + 5), ' ')) AS h
       FROM wins
     ),
     shared AS (
@@ -3376,43 +3371,48 @@ def l61_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     find maximal token runs of length >= k (k=5) that appear verbatim in
     >= 2 distinct documents — the cross-document boilerplate that
     doc-level (l01) and near-dup (l02-l08) dedup both miss. Passage
-    identity is the k-token rolling polyhash (l05's SQL-replicable
-    fold, here folded a second time over the per-token hashes), so the
-    oracle replays every value bit-exactly; on this corpus the survivors
-    are genuine duplicated passages (avg ~35 tokens), not hash noise.
+    identity is the md5 of the window's actual token content (the K
+    tokens space-joined), so a reported passage is shared EXACTLY — no
+    hash-family false positives. The first formulation used a base-31
+    polyhash fold over per-token polyhashes; the ground-truth property
+    test (tests/test_properties.py) found its structured collision:
+    with fold base 31 far below the ~1e9 token-hash range, windows
+    ('aa','bb',...) and ('ab','ab',...) trade a +1/-31 carry and hash
+    identically — a pattern real corpora hit with id-like tokens, and
+    one engine/oracle parity can never catch because both sides collide
+    together. md5 over content removes the algebraic structure outright.
 
-    Shape: one posexplode -> k-gram hash (a chained codegen expression
-    over element_at, NOT an interpreted higher-order fold) -> two-phase
-    distinct-doc count per hash -> equi-join back -> one per-doc window
-    for the gaps-and-islands merge (consecutive shared window starts
-    collapse into maximal passages; start = min p, len = max p - min p
-    + k, n_sharers = the min distinct-doc count over the run's windows,
+    Shape: one posexplode -> window md5 (codegen slice+concat, token
+    strings stay inside the scan stage) -> two-phase distinct-doc count
+    per key -> equi-join back -> one per-doc window for the
+    gaps-and-islands merge (consecutive shared window starts collapse
+    into maximal passages; start = min p, len = max p - min p + k,
+    n_sharers = the min distinct-doc count over the run's windows,
     i.e. the number of docs sharing the WHOLE passage's rarest window).
 
     Scale: text never crosses a shuffle — the wide stages see
-    (doc_id, pos, hash8) rows only; the distinct-count and the join key
-    on the 8-byte hash; the island window partitions by doc_id. At
-    100 TB the suffix-array construction of the paper is replaced by
-    this hash-bucket formulation (same recall for k-grams, O(n) per
-    doc, embarrassingly parallel), the standard industrial variant."""
+    (doc_id, pos, 32-char md5) rows only (16 raw bytes of entropy; the
+    same exact-identity key l64's ingestion gate ships, vs 8 bytes for
+    the collision-prone fold — the extra key bytes buy exactness); the
+    distinct-count and the join key on the md5; the island window
+    partitions by doc_id. At 100 TB the suffix-array construction of
+    the paper is replaced by this hash-bucket formulation (same recall
+    for k-grams, O(n) per doc, embarrassingly parallel), the standard
+    industrial variant."""
     K = 5
-    M = 1_000_000_007
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents").where(F.trim("text") != "")
-    harr = docs.select(
-        "doc_id",
-        F.transform(TX.tokens("text"), TX.polyhash).alias("ths"),
-    ).where(F.size("ths") >= K)
+    harr = docs.select("doc_id", TX.tokens("text").alias("toks")).where(
+        F.size("toks") >= K
+    )
     wins = harr.select(
         "doc_id",
-        "ths",
-        F.explode(F.sequence(F.lit(0), F.size("ths") - K)).alias("p"),
+        "toks",
+        F.explode(F.sequence(F.lit(0), F.size("toks") - K)).alias("p"),
     )
-    wh = F.lit(0).cast("long")
-    for j in range(K):
-        wh = (wh * 31 + F.element_at(F.col("ths"), F.col("p") + F.lit(j + 1))) % M
-    # Two consumers read the window-hash table (the distinct-doc count and
+    wh = F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("p") + 1, K)))
+    # Two consumers read the window-key table (the distinct-doc count and
     # the join-back); materialize it once so the tokenize+hash pass over
     # the corpus doesn't run twice (the l49 gram-index pattern).
     wins = wins.select("doc_id", "p", wh.alias("h")).localCheckpoint()
@@ -3554,18 +3554,14 @@ def l63_gif_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH base AS (
       SELECT doc_id, trim(text) AS t,
-             list_transform(string_split_regex(trim(text), '\s+'),
-               tok -> list_reduce(list_prepend(0::BIGINT,
-                 list_transform(string_split(tok, ''), c -> ord(c)::BIGINT)),
-                 (a, b) -> (a * 31 + b) % 1000000007)) AS ths
+             string_split_regex(trim(text), '\s+') AS toks
       FROM documents WHERE trim(text) != ''
     ),
     wh AS (
       SELECT doc_id, p,
-             list_reduce(list_prepend(0::BIGINT, list_slice(ths, p + 1, p + 5)),
-                         (a, b) -> (a * 31 + b) % 1000000007) AS h
-      FROM (SELECT doc_id, unnest(range(0, len(ths) - 5 + 1)) AS p, ths
-            FROM base WHERE len(ths) >= 5)
+             md5(array_to_string(list_slice(toks, p + 1, p + 5), ' ')) AS h
+      FROM (SELECT doc_id, unnest(range(0, len(toks) - 5 + 1)) AS p, toks
+            FROM base WHERE len(toks) >= 5)
     ),
     exact_m AS (
       SELECT b.doc_id, min(i.doc_id) AS m
@@ -3596,13 +3592,15 @@ def l64_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id >= 400, standing in for today's crawl batch) against the
     already-indexed corpus (doc_id < 400) as exact duplicate (identical
     trimmed text), near duplicate (shares a >= 5-token verbatim passage
-    — the l61 window hash reused as an index probe), or novel, with the
-    lowest matching index doc as provenance. This is the production
-    shape corpus growth actually runs — a batch probes a persisted
-    index; corpus-x-corpus pair enumeration (l02-l08) never reruns.
+    — the l61 exact window identity reused as an index probe), or
+    novel, with the lowest matching index doc as provenance. This is
+    the production shape corpus growth actually runs — a batch probes a
+    persisted index; corpus-x-corpus pair enumeration (l02-l08) never
+    reruns.
 
-    Scale: exact-match travels as md5 (32 hex chars, identical built-in
-    on both engines), passages as the 8-byte polyhash — text never
+    Scale: exact-match AND passage keys travel as md5 (32 hex chars,
+    identical built-in on both engines; content-exact, so a 'near'
+    verdict can never be hash noise — see l61) — text never
     crosses a shuffle; both probes are equi-joins against index tables
     that production would keep bucketed on the hash, and both sides
     pre-shrink to DISTINCT (doc, hash) before joining. Batch-vs-index

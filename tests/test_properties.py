@@ -605,3 +605,73 @@ def test_m12_stump_oracle_equals_bruteforce(rows):
 
     got.sort(key=lambda d: d["train_rank"])
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "ab", "ba"]),
+            min_size=0,
+            max_size=16,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_l61_passage_oracle_equals_tuple_bruteforce(docs):
+    """Passage dedup ground truth: the rolling-polyhash formulation must
+    find exactly the maximal runs whose 5-token TUPLES (actual content,
+    no hashing) appear in >= 2 distinct documents — same starts, same
+    lengths, same rarest-window sharer counts."""
+    import re
+
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.llmops import ORACLES
+
+    K = 5
+    con = _duck()
+    frame = pd.DataFrame(
+        {
+            "doc_id": list(range(len(docs))),
+            "text": [" ".join(toks) for toks in docs],
+        }
+    )
+    con.register("documents", frame)
+    got = sorted(
+        tuple(r) for r in con.execute(ORACLES["l61_passage_dedup"]).fetchall()
+    )
+
+    toks = {
+        i: re.split(r"\s+", " ".join(t).strip()) if " ".join(t).strip() else []
+        for i, t in enumerate(docs)
+    }
+    owners: dict[tuple, set] = {}
+    for d, ts in toks.items():
+        for p in range(len(ts) - K + 1):
+            owners.setdefault(tuple(ts[p : p + K]), set()).add(d)
+    want = []
+    for d, ts in toks.items():
+        marked = [
+            (p, len(owners[tuple(ts[p : p + K])]))
+            for p in range(len(ts) - K + 1)
+            if len(owners[tuple(ts[p : p + K])]) >= 2
+        ]
+        run: list = []
+        for p, nd in marked:
+            if run and p == run[-1][0] + 1:
+                run.append((p, nd))
+            else:
+                if run:
+                    want.append(
+                        (d, run[0][0], run[-1][0] - run[0][0] + K,
+                         min(n for _, n in run))
+                    )
+                run = [(p, nd)]
+        if run:
+            want.append(
+                (d, run[0][0], run[-1][0] - run[0][0] + K,
+                 min(n for _, n in run))
+            )
+    assert got == sorted(want)

@@ -675,3 +675,48 @@ def test_l61_passage_oracle_equals_tuple_bruteforce(docs):
                  min(n for _, n in run))
             )
     assert got == sorted(want)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=24),
+            st.integers(min_value=0, max_value=24),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_connected_components_equals_union_find(spark, edges):
+    """Star-contraction CC ground truth on arbitrary graph topologies
+    (cycles, parallel edges, either orientation, long chains): every
+    node's label must equal the min node id of its union-find
+    component. Self-loops are outside the operator's input domain
+    (dedup pairs always have id_a < id_b; a node absent from the output
+    is an implicit singleton — exactly how l66 consumes it), so the
+    reference ignores them too."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators import dedup as DD
+
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["comp"]
+        for r in DD.connected_components(df).collect()
+    }
+    assert got == want

@@ -84,11 +84,7 @@ _CHECKED_R4 = (
 )
 # The actual r05 window (CORRECTNESS_r05.json): the 11 round-5 additions
 # plus the re-rotated stalest slice (r17-r43 round-1 vintage, q1-q7,
-# s01-s05). With this sync the r06 window becomes: any round-6 additions
-# first, then the round-2-vintage slice (u01-u05, m01, l01-l16, r01-r16 =
-# 38 queries) — so up to 12 new queries keep the whole round-2 slice in
-# the 50-row window. r07 should then rotate the round-3 vintage
-# (s06-s17, u06-u09, m02, l17-l31, r44-r61).
+# s01-s05).
 _CHECKED_R5 = (
     {"m08", "u11"}
     | {f"l{i:02d}" for i in range(56, 61)}
@@ -97,6 +93,25 @@ _CHECKED_R5 = (
     | {f"q{i}" for i in range(1, 8)}
     | {f"s{i:02d}" for i in range(1, 6)}
 )
+# The actual r06 window (CORRECTNESS_r06.json, exactly 50 rows): the 12
+# round-6 additions (l61-l66, m09-m12, r80, r81) plus the re-rotated
+# round-2-vintage slice (u01-u05, m01, l01-l16, r01-r16 = 38). With this
+# sync the r07 window becomes: any round-7 additions first, then the
+# round-3-vintage slice (s06-s17, u06-u09, m02, l17-l31, r44-r61 = 50 —
+# exactly one window; each round-7 addition evicts that slice's
+# registry-order tail, i.e. the highest-named r* rows, which then rotate
+# through r08). Rotation endgame: after r07 the stalest vintages are
+# round-4 (44 rows) then round-5/6; the cycle period is ~4 rounds at the
+# current registry size.
+_CHECKED_R6 = (
+    {f"l{i:02d}" for i in range(61, 67)}
+    | {f"m{i:02d}" for i in range(9, 13)}
+    | {"r80", "r81"}
+    | {f"u{i:02d}" for i in range(1, 6)}
+    | {"m01"}
+    | {f"l{i:02d}" for i in range(1, 17)}
+    | {f"r{i:02d}" for i in range(1, 17)}
+)
 _LAST_CHECKED: dict[str, int] = {}
 for _rnd, _qs in (
     (1, _CHECKED_R1),
@@ -104,6 +119,7 @@ for _rnd, _qs in (
     (3, _CHECKED_R3),
     (4, _CHECKED_R4),
     (5, _CHECKED_R5),
+    (6, _CHECKED_R6),
 ):
     for _q in _qs:
         _LAST_CHECKED[_q] = _rnd

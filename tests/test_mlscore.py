@@ -272,3 +272,67 @@ def test_m10_confusion_sweep_consistent(spark, sf_dir):
     fps = [r["fp"] for r in rows]
     assert tps == sorted(tps, reverse=True)
     assert fps == sorted(fps, reverse=True)
+
+
+def test_m13_boosting_trajectory_and_deployed_agreement(spark, sf_dir):
+    """m13 closes train->deploy for trees: round 1 (uniform weights) must
+    equal m12's rank-1 stump; the weight trajectory must be exact
+    fixed-rate AdaBoost (total weight grows by (B-1)*prev_err when a
+    round re-picks a stump misclassifying the same rows); and the
+    learned ensemble compiled to an m05-style CASE scorer must reproduce
+    the training-time majority-vote error count exactly."""
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.advanced import (
+        _M13_B,
+        _M13_ROUNDS,
+        _m13_base,
+        m12_stump_trainer,
+        m13_boosted_stumps,
+    )
+
+    rows = {r["round"]: r for r in m13_boosted_stumps(spark, sf_dir).collect()}
+    assert set(rows) == set(range(1, _M13_ROUNDS + 2))
+    stumps = [rows[t] for t in range(1, _M13_ROUNDS + 1)]
+    ens = rows[_M13_ROUNDS + 1]
+    assert ens["feature"] == "__vote__" and ens["thr"] is None
+
+    m12_best = next(
+        r for r in m12_stump_trainer(spark, sf_dir).collect()
+        if r["train_rank"] == 1
+    )
+    assert (stumps[0]["feature"], stumps[0]["thr"]) == (
+        m12_best["feature"], m12_best["thr"],
+    )
+    assert stumps[0]["w_err"] == m12_best["errors"]
+
+    base = _m13_base(spark, sf_dir)
+    n = base.count()
+    assert stumps[0]["w_tot"] == n == ens["w_tot"]
+    # every round's weighted error can't exceed half the total weight
+    # (majority leaf labels), and total weight only grows
+    for s in stumps:
+        assert 0 <= s["w_err"] * 2 <= s["w_tot"]
+    assert all(
+        b["w_tot"] >= a["w_tot"] for a, b in zip(stumps, stumps[1:])
+    )
+
+    # deploy the learned ensemble as an m05-style CASE expression chain
+    # and verify corpus-level agreement with the training-time vote
+    def stump_pred(s):
+        v = (
+            F.col("hr") if s["feature"] == "hr"
+            else F.col("um") if s["feature"] == "um"
+            else F.col("vkb")
+        )
+        return F.when(
+            v < F.lit(s["thr"]), F.lit(s["left_label"])
+        ).otherwise(F.lit(s["right_label"]))
+
+    vote = sum((stump_pred(s) for s in stumps), F.lit(0))
+    pred = (vote >= F.lit((_M13_ROUNDS // 2) + 1)).cast("long")
+    deployed_err = base.agg(
+        F.sum((pred != F.col("y")).cast("long")).alias("e")
+    ).collect()[0]["e"]
+    assert deployed_err == ens["w_err"]
+    assert _M13_B ** (_M13_ROUNDS - 1) <= 2**20  # int64 headroom is vast

@@ -86,18 +86,27 @@ def test_registry_window_rotation_order():
     window = set(names[:50])
     never = {n for n, r in zip(names, ranks) if r == 0}
     assert never <= window, f"never-checked queries outside the window: {never - window}"
-    # After the r05 sync the stalest slice is the round-2 vintage
-    # (u01-u05, m01, l01-l16, r01-r16 = 38 queries); it must rotate
-    # through the r06 window alongside the never-checked additions.
-    r2_vintage = (
-        {f"u{i:02d}" for i in range(1, 6)}
-        | {"m01"}
-        | {f"l{i:02d}" for i in range(1, 17)}
-        | {f"r{i:02d}" for i in range(1, 17)}
+    # After the r06 sync the stalest slice is the round-3 vintage
+    # (s06-s17, u06-u09, m02, l17-l31, r44-r61 = exactly 50 queries);
+    # the r07 window is the never-checked additions followed by that
+    # slice's registry-order head — every checked slot in the window
+    # must come from the round-3 vintage, and the vintage rows evicted
+    # by additions must be exactly its registry-order tail.
+    r3_vintage = (
+        {f"s{i:02d}" for i in range(6, 18)}
+        | {f"u{i:02d}" for i in range(6, 10)}
+        | {"m02"}
+        | {f"l{i:02d}" for i in range(17, 32)}
+        | {f"r{i:02d}" for i in range(44, 62)}
     )
-    stalest = {n for n in names if n.split("_", 1)[0] in r2_vintage}
-    assert stalest <= window, (
-        f"round-2-vintage rows must be in the window: {stalest - window}"
+    checked_in_window = [n for n in names[:50] if n not in never]
+    assert all(n.split("_", 1)[0] in r3_vintage for n in checked_in_window), (
+        "checked window slots must be round-3-vintage rows: "
+        f"{[n for n in checked_in_window if n.split('_', 1)[0] not in r3_vintage]}"
+    )
+    vintage_names = [n for n in names if n.split("_", 1)[0] in r3_vintage]
+    assert checked_in_window == vintage_names[: len(checked_in_window)], (
+        "additions must evict the vintage's registry-order tail only"
     )
 
 

@@ -884,10 +884,22 @@ def incremental_dedup_report(
     collisions could classify a novel batch doc as 'near' (see the l61
     docstring and the ground-truth property test that caught it)."""
     docs = docs.where(F.trim("text") != "")
-    # Both index tables feed TWO join sides each; materialize them once
-    # (the l49/l61 pattern) so neither the md5 pass nor the
-    # tokenize+window pass over the corpus runs twice — and because in
-    # production these ARE the persisted index the next batch probes.
+    md5f, grams = _incremental_index_frames(docs, k)
+    return _incremental_classify(
+        docs, md5f, grams, F.col("doc_id") >= split_id
+    )
+
+
+def _incremental_index_frames(
+    docs: DataFrame, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """The two persisted index tables the incremental-ingestion family
+    probes and maintains: (doc_id, md5-of-trimmed-text) and distinct
+    (doc_id, md5-of-k-token-window). Both feed TWO consumers each;
+    materialize them once (the l49/l61 pattern) so neither the md5 pass
+    nor the tokenize+window pass over the corpus runs twice — and
+    because in production these ARE the persisted index (bucketed
+    parquet tables; localCheckpoint is the single-JVM test stand-in)."""
     md5f = docs.select(
         "doc_id", F.md5(F.trim("text").cast("binary")).alias("t_md5")
     ).localCheckpoint()
@@ -899,12 +911,27 @@ def incremental_dedup_report(
     )
     wh = F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("p") + 1, k)))
     grams = wins.select("doc_id", wh.alias("h")).distinct().localCheckpoint()
+    return md5f, grams
 
-    batch_ids = F.col("doc_id") >= split_id
+
+def _incremental_classify(
+    docs: DataFrame,
+    md5f: DataFrame,
+    grams: DataFrame,
+    batch_ids,
+    index_ids=None,
+) -> DataFrame:
+    """The l64 probe: classify batch docs (the `batch_ids` predicate)
+    against the index docs (`index_ids`, default the batch's complement;
+    the two may overlap — re-probing an already-compacted batch, l68's
+    acceptance check, indexes the batch docs themselves) as
+    exact/near/novel."""
+    if index_ids is None:
+        index_ids = ~batch_ids
     exact_m = (
         md5f.where(batch_ids)
         .join(
-            md5f.where(~batch_ids)
+            md5f.where(index_ids)
             .select(F.col("doc_id").alias("i_id"), "t_md5")
             .hint("merge"),
             "t_md5",
@@ -915,7 +942,7 @@ def incremental_dedup_report(
     near_m = (
         grams.where(batch_ids)
         .join(
-            grams.where(~batch_ids)
+            grams.where(index_ids)
             .select(F.col("doc_id").alias("i_id"), "h")
             .hint("merge"),
             "h",
@@ -935,5 +962,132 @@ def incremental_dedup_report(
             .otherwise(F.lit("novel"))
             .alias("status"),
             F.coalesce("exact_id", "near_id").alias("match_id"),
+        )
+    )
+
+def _key_digest(doc_id_col: str, key_col: str) -> F.Column:
+    """Order-independent 60-bit content digest of an index (doc, key)
+    row: first 15 hex chars of md5 over 'doc_id:key', as int64. Folded
+    with bit_xor per group, it pins the exact key multiset without any
+    overflow at any corpus size (XOR never grows), and both engines
+    compute it from the same md5/ substring / hex-parse built-ins."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(doc_id_col).cast("string"),
+                    F.lit(":"),
+                    F.col(key_col),
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def index_compaction_report(
+    docs: DataFrame, split_id: int = 400, k: int = 5
+) -> DataFrame:
+    """The index-MAINTENANCE half of incremental ingestion (l68): l64
+    classifies a batch against the persisted index; this operator builds
+    the NEXT round's index. Exact-duplicate batch docs are dropped
+    (their keys already exist); every other batch doc (near or novel)
+    is admitted, and the new index tables are the old index rows plus
+    the admitted docs' md5 + passage-window keys. Returns the per-source
+    compaction summary over the NEW index: row/distinct-key counts plus
+    bit_xor'd 60-bit digests of the (doc_id, key) multisets — an
+    order-independent exact fingerprint the oracle replays, so a single
+    divergent admitted doc or key flips the hash — alongside the batch
+    admission stats. Re-probing the same batch against the produced
+    index classifies it 100% exact (every admitted doc now matches its
+    own md5; every dropped doc matches its original) — pinned by
+    pytest, which is what makes l64+l68 an actual ingestion pipeline
+    rather than a one-shot probe.
+
+    Scale: admission is one batch-vs-index equi-join on t_md5 plus an
+    anti-join (never corpus x corpus); the new index tables are
+    semi-joins of the materialized-once index frames against the
+    admitted-id set; all joins are merge-hinted (both sides are
+    corpus-sized; nothing may broadcast). The summary shuffles only
+    (source, int64) partials — bit_xor and the counts combine map-side."""
+    docs = docs.where(F.trim("text") != "")
+    md5f, grams = _incremental_index_frames(docs, k)
+    is_index = F.col("doc_id") < split_id
+    is_batch = ~is_index
+
+    exact_m = (
+        md5f.where(is_batch)
+        .join(
+            md5f.where(is_index).select("t_md5").hint("merge"),
+            "t_md5",
+            "semi",
+        )
+        .select("doc_id")
+    )
+    admitted = md5f.where(is_batch).select("doc_id").join(
+        exact_m.hint("merge"), "doc_id", "anti"
+    )
+    # The admitted-id set feeds two semi-joins; it is batch-sized (still
+    # unbounded at 100 TB), so materialize once and merge-hint it.
+    new_ids = (
+        md5f.where(is_index)
+        .select("doc_id")
+        .unionByName(admitted)
+        .localCheckpoint()
+    )
+
+    src = docs.select("doc_id", "source")
+    m_new = md5f.join(new_ids.hint("merge"), "doc_id", "semi")
+    g_new = grams.join(new_ids.hint("merge"), "doc_id", "semi")
+
+    ms = (
+        m_new.join(src.hint("merge"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("t_md5").cast("long").alias("n_md5_distinct"),
+            F.bit_xor(_key_digest("doc_id", "t_md5")).alias("md5_xor"),
+        )
+    )
+    gs = (
+        g_new.join(src.hint("merge"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_pass_rows"),
+            F.countDistinct("h").cast("long").alias("n_pass_distinct"),
+            F.bit_xor(_key_digest("doc_id", "h")).alias("pass_xor"),
+        )
+    )
+    bs = (
+        docs.where(is_batch)
+        .select("doc_id", "source")
+        .join(exact_m.withColumn("is_exact", F.lit(1)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count_if(F.col("is_exact").isNull())
+            .cast("long")
+            .alias("n_admitted"),
+            F.count_if(F.col("is_exact").isNotNull())
+            .cast("long")
+            .alias("n_dropped_exact"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        ms.join(gs, "source", "left")
+        .join(bs, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_md5_distinct",
+            "md5_xor",
+            F.coalesce("n_pass_rows", zero).alias("n_pass_rows"),
+            F.coalesce("n_pass_distinct", zero).alias("n_pass_distinct"),
+            F.coalesce("pass_xor", zero).alias("pass_xor"),
+            F.coalesce("n_admitted", zero).alias("n_admitted"),
+            F.coalesce("n_dropped_exact", zero).alias("n_dropped_exact"),
         )
     )

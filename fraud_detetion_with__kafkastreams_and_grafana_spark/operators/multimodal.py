@@ -722,8 +722,10 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, int, int]:
     pos += 3 * gct_n
     while pos < len(payload) and payload[pos] == 0x21:  # extension blocks
         pos += 2
-        while payload[pos]:
+        while pos < len(payload) and payload[pos]:
             pos += 1 + payload[pos]
+        if pos >= len(payload):
+            raise ValueError("truncated GIF extension block")
         pos += 1
     if pos >= len(payload) or payload[pos] != 0x2C:
         raise ValueError("missing image descriptor")
@@ -735,10 +737,14 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, int, int]:
     pos += 1
     data = bytearray()
     while True:
+        if pos >= len(payload):
+            raise ValueError("truncated GIF sub-block stream")
         blen = payload[pos]
         pos += 1
         if blen == 0:
             break
+        if pos + blen > len(payload):
+            raise ValueError("truncated GIF sub-block payload")
         data += payload[pos : pos + blen]
         pos += blen
     if pos >= len(payload) or payload[pos] != 0x3B:

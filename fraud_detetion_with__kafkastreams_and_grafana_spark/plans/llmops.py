@@ -3415,6 +3415,12 @@ def l61_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Two consumers read the window-key table (the distinct-doc count and
     # the join-back); materialize it once so the tokenize+hash pass over
     # the corpus doesn't run twice (the l49 gram-index pattern).
+    # Production posture (same as l64's persisted index tables): this
+    # table is ~corpus-sized, so at 100 TB it is a persisted index table
+    # (write.parquet / persist(DISK_ONLY) with a real checkpoint), NOT a
+    # localCheckpoint — executor-local blocks are lost on executor death
+    # and would silently recompute. localCheckpoint is the single-JVM
+    # test-harness stand-in; the plan shape downstream is identical.
     wins = wins.select("doc_id", "p", wh.alias("h")).localCheckpoint()
     shared = (
         wins.groupBy("h")
@@ -3828,4 +3834,91 @@ def l66_cluster_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "group_size",
         hash_split(F.col("group_id")).alias("split"),
         "naive_leaky",
+    )
+
+
+@_register(
+    "l68_index_compaction",
+    r"""
+    WITH base AS (
+      SELECT doc_id, source, trim(text) AS t,
+             string_split_regex(trim(text), '\s+') AS toks
+      FROM documents WHERE trim(text) != ''
+    ),
+    md5f AS (SELECT doc_id, source, md5(t) AS t_md5 FROM base),
+    wh AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(list_slice(toks, p + 1, p + 5), ' ')) AS h
+      FROM (SELECT doc_id, unnest(range(0, len(toks) - 5 + 1)) AS p, toks
+            FROM base WHERE len(toks) >= 5)
+    ),
+    exact_b AS (
+      SELECT DISTINCT b.doc_id
+      FROM md5f b JOIN md5f i ON b.t_md5 = i.t_md5
+      WHERE b.doc_id >= 400 AND i.doc_id < 400
+    ),
+    new_ids AS (
+      SELECT doc_id FROM base WHERE doc_id < 400
+      UNION ALL
+      SELECT doc_id FROM base
+      WHERE doc_id >= 400
+        AND doc_id NOT IN (SELECT doc_id FROM exact_b)
+    ),
+    ms AS (
+      SELECT m.source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT m.t_md5) AS BIGINT) AS n_md5_distinct,
+             bit_xor(CAST('0x' || substr(md5(CAST(m.doc_id AS VARCHAR)
+               || ':' || m.t_md5), 1, 15) AS BIGINT)) AS md5_xor
+      FROM md5f m JOIN new_ids USING (doc_id)
+      GROUP BY 1
+    ),
+    gs AS (
+      SELECT b.source,
+             CAST(count(*) AS BIGINT) AS n_pass_rows,
+             CAST(count(DISTINCT g.h) AS BIGINT) AS n_pass_distinct,
+             bit_xor(CAST('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)
+               || ':' || g.h), 1, 15) AS BIGINT)) AS pass_xor
+      FROM wh g JOIN new_ids USING (doc_id) JOIN base b USING (doc_id)
+      GROUP BY 1
+    ),
+    bs AS (
+      SELECT b.source,
+             CAST(count(*) FILTER (WHERE e.doc_id IS NULL) AS BIGINT)
+               AS n_admitted,
+             CAST(count(*) FILTER (WHERE e.doc_id IS NOT NULL) AS BIGINT)
+               AS n_dropped_exact
+      FROM base b LEFT JOIN exact_b e USING (doc_id)
+      WHERE b.doc_id >= 400
+      GROUP BY 1
+    )
+    SELECT ms.source, ms.n_docs, ms.n_md5_distinct, ms.md5_xor,
+           coalesce(gs.n_pass_rows, 0) AS n_pass_rows,
+           coalesce(gs.n_pass_distinct, 0) AS n_pass_distinct,
+           coalesce(gs.pass_xor, 0) AS pass_xor,
+           coalesce(bs.n_admitted, 0) AS n_admitted,
+           coalesce(bs.n_dropped_exact, 0) AS n_dropped_exact
+    FROM ms LEFT JOIN gs ON ms.source = gs.source
+            LEFT JOIN bs ON ms.source = bs.source
+    """,
+)
+def l68_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-maintenance half of incremental ingestion (round-6 verdict
+    item 5): l64 classifies today's batch (doc_id >= 400) against the
+    persisted index (doc_id < 400); l68 COMPACTS — exact-duplicate batch
+    docs are dropped, near/novel docs admitted, and the output is the
+    next round's index (md5 + passage-window key tables) summarized per
+    source: counts, distinct keys, and bit_xor'd 60-bit (doc_id, key)
+    digests, so the driver value-hash pins the exact new-index key
+    multiset. Re-probing the same batch against the produced index
+    classifies it 100% exact (pytest) — the invariant that makes
+    l64 -> l68 -> l64 a running pipeline over corpus growth.
+
+    Scale: see operators/dedup.index_compaction_report — batch-vs-index
+    equi/anti-joins on md5 keys only (text never shuffles, nothing
+    broadcasts, pair enumeration never reruns), semi-joins against the
+    once-materialized index frames, and a (source, int64) aggregate
+    whose bit_xor digests combine map-side and cannot overflow."""
+    return DD.index_compaction_report(
+        load_table(spark, sf_dir, "documents"), split_id=400, k=5
     )

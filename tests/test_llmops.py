@@ -830,3 +830,87 @@ def test_l65_waterfill_budget_exact(spark, sf_dir):
     theta = min(allocs)
     for r in untrimmed:
         assert r["cap"] <= theta, (r, theta)
+
+
+def test_l68_compaction_reprobe_is_all_exact(spark):
+    """The l64 -> l68 pipeline invariant on the planted frame: compaction
+    drops the exact-dup batch doc, admits near + novel, and RE-PROBING
+    the same batch against the produced index classifies every batch doc
+    'exact' (admitted docs match their own keys; the dropped doc matches
+    the index doc that made it redundant). Also pins the per-source
+    admission stats and that the new-index doc set is exactly
+    old-index + non-exact batch."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators.dedup import (
+        _incremental_classify,
+        _incremental_index_frames,
+        index_compaction_report,
+    )
+
+    passage = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (1, "web", f"{passage} zeta eta"),
+            (2, "web", f"theta iota {passage} kappa"),
+            (3, "books", "one two three four five six"),
+            (400, "web", f"{passage} zeta eta"),  # exact copy of 1
+            (401, "web", f"mu nu {passage} xi omicron pi"),  # near
+            (402, "books", "rho sigma tau upsilon phi chi psi"),  # novel
+        ],
+        "doc_id LONG, source STRING, text STRING",
+    )
+    rep = {
+        r.source: r
+        for r in index_compaction_report(docs, split_id=400, k=5).collect()
+    }
+    assert set(rep) == {"web", "books"}
+    # new index docs: web {1, 2, 401}, books {3, 402}
+    assert rep["web"].n_docs == 3 and rep["books"].n_docs == 2
+    assert rep["web"].n_admitted == 1 and rep["web"].n_dropped_exact == 1
+    assert rep["books"].n_admitted == 1 and rep["books"].n_dropped_exact == 0
+    assert rep["web"].n_md5_distinct == 3 and rep["books"].n_md5_distinct == 2
+    assert rep["web"].md5_xor != 0 and rep["web"].pass_xor != 0
+
+    md5f, grams = _incremental_index_frames(
+        docs.where(F.trim("text") != ""), 5
+    )
+    new_index = F.col("doc_id").isin([1, 2, 3, 401, 402])
+    got = {
+        r.doc_id: r.status
+        for r in _incremental_classify(
+            docs, md5f, grams, F.col("doc_id") >= 400, new_index
+        ).collect()
+    }
+    assert got == {400: "exact", 401: "exact", 402: "exact"}
+
+
+def test_l68_corpus_stats_consistent_with_l64(spark, sf_dir):
+    """At corpus scale the compaction's admission stats must replay the
+    l64 classification exactly: per-source dropped == l64 'exact' count,
+    admitted == near + novel, and the new-index doc count == index docs
+    + admitted."""
+    comp = {r.source: r for r in llmops.l68_index_compaction(spark, sf_dir).collect()}
+    l64 = llmops.l64_incremental_dedup(spark, sf_dir)
+    docs = llmops.load_table(spark, sf_dir, "documents").where(
+        F.trim("text") != ""
+    )
+    src = docs.select("doc_id", "source")
+    stat = {
+        (r.source, r.status): r.n
+        for r in l64.join(src, "doc_id")
+        .groupBy("source", "status")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    idx_n = {
+        r.source: r.n
+        for r in docs.where(F.col("doc_id") < 400)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for s, r in comp.items():
+        assert r.n_dropped_exact == stat.get((s, "exact"), 0)
+        assert r.n_admitted == stat.get((s, "near"), 0) + stat.get(
+            (s, "novel"), 0
+        )
+        assert r.n_docs == idx_n.get(s, 0) + r.n_admitted

@@ -450,6 +450,62 @@ def test_gif_lzw_roundtrip_arbitrary_indices(idx):
         assert (gw, gh, n, isum) == (w, h, len(idx), sum(idx))
 
 
+def test_gif_lzw_table_reset_roundtrip():
+    """Deterministic long-sequence case the hypothesis test above cannot
+    reach (its max_size=4000 never fills the 4096-entry LZW table): 60k
+    pseudo-random symbols force multiple dictionary resets, exercising
+    the encoder's clear-code emission at table-full and the decoder's
+    width-12 / reset interplay. Losslessness is checked through both
+    encoders; the compressing encoder must actually have hit the reset
+    branch (table growth is bounded, so >1 clear code appears)."""
+    import random
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators import (
+        multimodal as MM,
+    )
+
+    rng = random.Random(63)
+    idx = [rng.randrange(16) for _ in range(60_000)]
+    # encoder-level reset proof: decode the raw code stream by hand and
+    # count clear codes beyond the leading one
+    codes = MM._lzw_encode(idx, MM._GIF_PALETTE_BITS)
+    w, h = 250, 240
+    for enc in (MM._lzw_encode, MM._lzw_encode_uncompressed):
+        payload = MM._gif_container(w, h, enc(idx, MM._GIF_PALETTE_BITS))
+        gw, gh, n, isum, rsum = MM.decode_gif(payload)
+        assert (gw, gh, n, isum) == (w, h, len(idx), sum(idx))
+    # count clear codes in the compressed stream: walk it with the same
+    # width schedule the decoder uses
+    data = bytes(codes)
+    mcs = MM._GIF_PALETTE_BITS
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width, size = mcs + 1, (1 << mcs) + 2
+    acc = nbits = bitpos = 0
+    clears = 0
+    fresh = True  # first data code after a clear adds no table entry
+    while True:
+        while nbits < width:
+            acc |= data[bitpos] << nbits
+            bitpos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            clears += 1
+            width, size, fresh = mcs + 1, (1 << mcs) + 2, True
+            continue
+        if code == eoi:
+            break
+        if fresh:
+            fresh = False
+        else:
+            size += 1
+        if size == (1 << width) and width < 12:
+            width += 1
+    assert clears >= 2, f"expected table resets, saw {clears} clear code(s)"
+
+
 # ---------------------------------------------------------------------------
 # Ground-truth closures for the round-6 analytic formulations. The driver's
 # parity gate proves Spark == DuckDB-oracle; these prove DuckDB-oracle ==

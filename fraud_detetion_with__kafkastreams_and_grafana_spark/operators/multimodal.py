@@ -2,19 +2,21 @@
 with typed metadata, processed by Arrow-batched pandas iterators
 (mapInPandas).
 
-The JPEG/compressed-audio decode step is STUBBED (no image/audio
-libraries in this container): `_fake_decode` produces deterministic
-fake features derived from the bytes, clearly marked. Three formats
-decode for REAL in pure stdlib — BMP (`decode_bmp`: struct parsing —
-magic, header geometry, row padding, channel sums), PCM WAV
-(`decode_wav`: the stdlib wave reader — chunk headers, frame counts,
-int16 sample sums), and PNG (`decode_png`: zlib inflate, chunk-CRC
-validation, all five scanline filter reversals) — each exercised
-end-to-end with value-hash oracles by l52/l53/l57. The Spark-side
-plumbing is real everywhere — schema handling, mapInPandas batch
-iteration, partition-preserving flow. Swapping the stub for a richer
-decoder (PIL / torchaudio / pyav) changes only `_fake_decode`,
-nothing in the plan shape.
+The compressed-audio decode step is STUBBED (no audio libraries in
+this container): `_fake_decode` produces deterministic fake features
+derived from the bytes, clearly marked. Five formats decode for REAL
+— BMP (`decode_bmp`: struct parsing — magic, header geometry, row
+padding, channel sums), PCM WAV (`decode_wav`: the stdlib wave reader
+— chunk headers, frame counts, int16 sample sums), PNG (`decode_png`:
+zlib inflate, chunk-CRC validation, all five scanline filter
+reversals), GIF87a (`decode_gif`: full variable-width LZW), and
+baseline JPEG (`decode_jpeg`: Huffman + DCT, stdlib + numpy) — each
+exercised end-to-end with value-hash oracles by l52/l53/l57/l63/l67,
+covering all three entropy-coding families (LZ77, LZW, transform
+coding). The Spark-side plumbing is real everywhere — schema handling,
+mapInPandas batch iteration, partition-preserving flow. Swapping the
+audio stub for a richer decoder (torchaudio / pyav) changes only
+`_fake_decode`, nothing in the plan shape.
 
 Scale notes: mapInPandas streams Arrow batches — the full binary column
 never materializes on the driver; per-batch memory is bounded by
@@ -857,5 +859,521 @@ GIF_ORACLE_SQL = """
                      + (((doc_id * 17 + j * 3) % 16) * 7) % 256
                      + (((doc_id * 17 + j * 3) % 16) * 11) % 256),
                   (a, b) -> a + b) AS BIGINT) AS rgb_sum
+    FROM g
+    """
+
+
+# ---------------------------------------------------------------------------
+# Baseline sequential JPEG (l67): the third REAL entropy-coding rung —
+# PNG/l57 covers zlib/DEFLATE (LZ77 + canonical Huffman over bytes),
+# GIF/l63 covers the dictionary-coder family (LZW), JPEG completes the set
+# with transform coding: Huffman-coded DCT coefficients, DC prediction,
+# run-length AC, byte stuffing, multi-segment marker structure. stdlib +
+# numpy only (no PIL in this container — the FDCT/IDCT are 8x8 orthonormal
+# DCT-II matrix products, which IS the JPEG Annex A transform).
+# Corpus images are 8x8-block-constant by construction, so with all-ones
+# quant tables the lossy pipeline becomes EXACTLY invertible (a constant
+# block has only a DC coefficient, and IDCT(DC)/8 reproduces the constant
+# bit-exactly after rounding) — that's what makes a value-hash oracle
+# possible for a lossy codec. The decoder itself is a general baseline
+# decoder (any coefficients, 1- or 3-component 4:4:4, restart markers,
+# arbitrary Huffman/quant tables); property tests drive it with arbitrary
+# coefficient blocks against a pure-math.cos brute-force IDCT so a shared
+# numpy-basis bug between encoder and decoder cannot hide (the l61
+# shared-collision lesson applied to transforms).
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_zigzag() -> list[tuple[int, int]]:
+    """The spec's zigzag scan as (row, col) pairs, generated not typed:
+    diagonal s holds cells row+col == s; odd diagonals walk row-ascending,
+    even ones row-descending."""
+    out = []
+    for s in range(15):
+        rows = range(max(0, s - 7), min(s, 7) + 1)
+        cells = [(i, s - i) for i in rows]
+        out += cells if s % 2 else cells[::-1]
+    return out
+
+
+_JPEG_ZZ = _jpeg_zigzag()
+_JPEG_QUANT = [1] * 64  # all-ones: quantization is exact rounding only
+
+
+def _jpeg_dct_matrix():
+    """Orthonormal 8x8 DCT-II basis T: (T @ f @ T.T) equals the JPEG
+    Annex-A FDCT (the 1/4 C(u)C(v) scaling folds into the row norms);
+    the IDCT is the transpose sandwich."""
+    import math
+
+    import numpy as np
+
+    t = np.empty((8, 8))
+    for u in range(8):
+        c = math.sqrt(0.125) if u == 0 else 0.5
+        for x in range(8):
+            t[u, x] = c * math.cos((2 * x + 1) * u * math.pi / 16)
+    return t
+
+
+def _jpeg_size_cat(v: int) -> int:
+    return abs(v).bit_length()
+
+
+def _jpeg_amp_bits(v: int, s: int) -> int:
+    return v if v >= 0 else v + (1 << s) - 1
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    return v - ((1 << s) - 1) if v < (1 << (s - 1)) else v
+
+
+def _jpeg_huff_spec(symbols) -> tuple[list[int], list[int], dict]:
+    """A valid (suboptimal) one-length canonical Huffman table over the
+    symbol set: every symbol gets width L = bit_length(n), so the
+    all-ones code of any length stays unused (the padding-byte rule).
+    Returns (BITS[16], HUFFVAL, {sym: (code, L)}) — the decoder rebuilds
+    the identical canonical assignment from BITS/HUFFVAL alone."""
+    vals = sorted(set(symbols))
+    n = len(vals)
+    length = max(1, n.bit_length())
+    bits = [0] * 16
+    bits[length - 1] = n
+    return bits, vals, {s: (i, length) for i, s in enumerate(vals)}
+
+
+class _JpegBitWriter:
+    """MSB-first bit packer with 0xFF byte stuffing; flush pads with 1s."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc = (self.acc << width) | (code & ((1 << width) - 1))
+        self.nbits += width
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+def _jpeg_block_symbols(blocks: list[list[int]]):
+    """(dc_size_symbols, ac_symbols, per-block token streams) for a
+    component's zigzag coefficient blocks, with DC prediction applied."""
+    dcsyms, acsyms, toks = [], [], []
+    pred = 0
+    for blk in blocks:
+        t = []
+        diff = blk[0] - pred
+        pred = blk[0]
+        s = _jpeg_size_cat(diff)
+        dcsyms.append(s)
+        t.append(("dc", s, _jpeg_amp_bits(diff, s)))
+        run = 0
+        for c in blk[1:]:
+            if c == 0:
+                run += 1
+                continue
+            while run > 15:
+                acsyms.append(0xF0)
+                t.append(("ac", 0xF0, 0))
+                run -= 16
+            s = _jpeg_size_cat(c)
+            sym = (run << 4) | s
+            acsyms.append(sym)
+            t.append(("ac", sym, _jpeg_amp_bits(c, s)))
+            run = 0
+        if run:
+            acsyms.append(0x00)
+            t.append(("ac", 0x00, 0))
+        toks.append(t)
+    return dcsyms, acsyms, toks
+
+
+def _jpeg_write(w: int, h: int, comps: list[list[list[int]]]) -> bytes:
+    """Serialize a baseline JFIF from per-component zigzag coefficient
+    blocks (already quantized, all-ones tables): markers, DQT, SOF0, DHT
+    (tables built from the data), SOS, stuffed entropy stream, EOI.
+    Component 0 uses table slot 0; components 1-2 share slot 1 (the
+    classic luma/chroma split). 4:4:4 interleave, one block per MCU."""
+    ncomp = len(comps)
+    assert ncomp in (1, 3) and w % 8 == 0 and h % 8 == 0
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    groups = {0: [0]} if ncomp == 1 else {0: [0], 1: [1, 2]}
+    dc_spec, ac_spec, comp_toks = {}, {}, {}
+    for g, cidx in groups.items():
+        dcs, acs = [], []
+        for ci in cidx:
+            d, a, t = _jpeg_block_symbols(comps[ci])
+            dcs += d
+            acs += a
+            comp_toks[ci] = t
+        dc_spec[g] = _jpeg_huff_spec(dcs)
+        ac_spec[g] = _jpeg_huff_spec(acs)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for g in groups:
+        out += seg(0xDB, bytes([g]) + bytes(_JPEG_QUANT))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        g = 0 if ci == 0 else 1
+        sof += bytes([ci + 1, 0x11, g])
+    out += seg(0xC0, sof)
+    for g in groups:
+        for cls, (bits, vals, _) in ((0, dc_spec[g]), (1, ac_spec[g])):
+            out += seg(0xC4, bytes([(cls << 4) | g]) + bytes(bits) + bytes(vals))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        g = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (g << 4) | g])
+    out += seg(0xDA, sos + b"\x00\x3f\x00")
+
+    bw = _JpegBitWriter()
+    n_mcu = len(comps[0])
+    for m in range(n_mcu):
+        for ci in range(ncomp):
+            g = 0 if ci == 0 else 1
+            dct, act = dc_spec[g][2], ac_spec[g][2]
+            for kind, sym, amp in comp_toks[ci][m]:
+                code, width = (dct if kind == "dc" else act)[sym]
+                bw.write(code, width)
+                s = sym & 0x0F if kind == "ac" else sym
+                if kind == "ac" and sym in (0x00, 0xF0):
+                    s = 0
+                if s:
+                    bw.write(amp, s)
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _jpeg_fdct_blocks(plane) -> list[list[int]]:
+    """General encoder path: 8x8 FDCT + all-ones quantization + zigzag
+    over a (h, w) uint8 plane (h, w multiples of 8)."""
+    import numpy as np
+
+    t = _jpeg_dct_matrix()
+    f = plane.astype(np.float64) - 128.0
+    h, w = plane.shape
+    blocks = []
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            b = t @ f[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] @ t.T
+            q = np.rint(b).astype(np.int64)
+            blocks.append([int(q[r, c]) for r, c in _JPEG_ZZ])
+    return blocks
+
+
+def _jpeg_dc_only_blocks(values: list[int]) -> list[list[int]]:
+    """Independent encoder path for block-constant planes: the analytic
+    coefficients (DC = 8*(v-128), all AC zero) written directly — no
+    FDCT, so the transform stage is cross-validated the way l63's
+    literal writer cross-validates its LZW compressor."""
+    return [[8 * (v - 128)] + [0] * 63 for v in values]
+
+
+def encode_jpeg(doc_id: int, n_chars: int) -> bytes:
+    """A real baseline JFIF whose decoded pixels are closed forms of
+    (doc_id, n_chars): width = 8*(2 + n_chars % 4), height =
+    8*(1 + n_chars % 3); 8x8 block b is the constant
+    (doc_id*31 + b*7) % 256. Odd doc_ids write 3-component 4:4:4 YCbCr
+    with neutral chroma (Cb = Cr = 128, so RGB == Y exactly); even ones
+    grayscale. Odd (doc_id + n_chars) routes through the independent
+    analytic DC-only writer, even through the full FDCT path — both
+    must decode identically, cross-validating the transform corpus-wide."""
+    import numpy as np
+
+    wb, hb = 2 + n_chars % 4, 1 + n_chars % 3
+    vals = [(doc_id * 31 + b * 7) % 256 for b in range(wb * hb)]
+    if (doc_id + n_chars) % 2:
+        y_blocks = _jpeg_dc_only_blocks(vals)
+        flat = _jpeg_dc_only_blocks([128] * (wb * hb))
+    else:
+        grid = np.array(vals, dtype=np.uint8).reshape(hb, wb)
+        plane = np.kron(grid, np.ones((8, 8), dtype=np.uint8))
+        y_blocks = _jpeg_fdct_blocks(plane)
+        flat = _jpeg_fdct_blocks(np.full((hb * 8, wb * 8), 128, np.uint8))
+    comps = [y_blocks] if doc_id % 2 == 0 else [y_blocks, flat, flat]
+    return _jpeg_write(wb * 8, hb * 8, comps)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over one entropy segment (already unstuffed)."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream exhausted")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def huff(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_canonical(bits: list[int], vals: list[int]) -> dict:
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, int, int, int]:
+    """General baseline sequential JPEG decoder (stdlib + numpy): marker
+    walk (APP*/COM skip, DQT 8-bit, SOF0 only — progressive & friends
+    rejected, DHT canonical rebuild, DRI/RSTn with predictor reset),
+    entropy decode (byte unstuffing, Huffman DC diff + AC run-length,
+    EOB/ZRL), dequantize, inverse zigzag, IDCT, level shift, clamp,
+    4:4:4 YCbCr->RGB when 3 components. Returns (width, height, n_pix,
+    pix_sum, n_components) where pix_sum sums gray values (1 comp) or
+    r+g+b (3 comps)."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart = 0
+    scan_comps = None
+    while True:
+        if pos + 4 > len(payload) or payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker structure")
+        m = payload[pos + 1]
+        ln = struct.unpack_from(">H", payload, pos + 2)[0]
+        seg = payload[pos + 4 : pos + 2 + ln]
+        if len(seg) != ln - 2:
+            raise ValueError("truncated JPEG segment")
+        pos += 2 + ln
+        if m == 0xDB:
+            i = 0
+            while i < len(seg):
+                if seg[i] >> 4:
+                    raise ValueError("16-bit quant tables unsupported")
+                qt[seg[i] & 0x0F] = list(seg[i + 1 : i + 65])
+                i += 65
+        elif m == 0xC0:
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    raise ValueError("only 4:4:4 sampling supported")
+                comps.append((cid, tq))
+            frame = (w, h, comps)
+        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG unsupported")
+        elif m == 0xC4:
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + n])
+                huff[(tc, th)] = _jpeg_canonical(bits, vals)
+                i += 17 + n
+        elif m == 0xDD:
+            restart = struct.unpack_from(">H", seg, 0)[0]
+        elif m == 0xDA:
+            ns = seg[0]
+            scan_comps = [(seg[1 + 2 * i], seg[2 + 2 * i] >> 4,
+                           seg[2 + 2 * i] & 0x0F) for i in range(ns)]
+            break
+        elif 0xE0 <= m <= 0xEF or m == 0xFE:
+            pass
+        else:
+            raise ValueError(f"unsupported JPEG marker 0xff{m:02x}")
+    if frame is None or scan_comps is None:
+        raise ValueError("missing SOF0/SOS")
+    w, h, comps = frame
+
+    # unstuff the entropy stream, splitting at restart markers
+    segments: list[bytearray] = [bytearray()]
+    i = pos
+    ended = False
+    while i < len(payload):
+        b = payload[i]
+        if b != 0xFF:
+            segments[-1].append(b)
+            i += 1
+            continue
+        nxt = payload[i + 1] if i + 1 < len(payload) else None
+        if nxt == 0x00:
+            segments[-1].append(0xFF)
+            i += 2
+        elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+            segments.append(bytearray())
+            i += 2
+        elif nxt == 0xD9:
+            ended = True
+            break
+        else:
+            raise ValueError("unexpected marker inside entropy stream")
+    if not ended:
+        raise ValueError("missing EOI")
+
+    t = _jpeg_dct_matrix()
+    inv_zz = _JPEG_ZZ
+    mx, my = (w + 7) // 8, (h + 7) // 8
+    planes = [np.zeros((my * 8, mx * 8)) for _ in comps]
+    order = {cid: k for k, (cid, _) in enumerate(comps)}
+    preds = [0] * len(comps)
+    seg_idx = 0
+    rd = _JpegBitReader(bytes(segments[0]))
+    for mcu in range(mx * my):
+        if restart and mcu and mcu % restart == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("missing restart segment")
+            rd = _JpegBitReader(bytes(segments[seg_idx]))
+            preds = [0] * len(comps)
+        by, bx = divmod(mcu, mx)
+        for cid, td, ta in scan_comps:
+            k = order[cid]
+            q = qt[comps[k][1]]
+            s = rd.huff(huff[(0, td)])
+            diff = _jpeg_extend(rd.bits(s), s) if s else 0
+            preds[k] += diff
+            coef = [0] * 64
+            coef[0] = preds[k] * q[0]
+            z = 1
+            while z < 64:
+                sym = rd.huff(huff[(1, ta)])
+                if sym == 0x00:
+                    break
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run != 15:
+                        raise ValueError("bad AC symbol")
+                    z += 16
+                    continue
+                z += run
+                if z > 63:
+                    raise ValueError("AC index overflow")
+                coef[z] = _jpeg_extend(rd.bits(size), size) * q[z]
+                z += 1
+            blk = np.zeros((8, 8))
+            for zi, (r, c) in enumerate(inv_zz):
+                blk[r, c] = coef[zi]
+            pix = t.T @ blk @ t + 128.0
+            planes[k][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+
+    planes = [np.clip(np.rint(p[:h, :w]), 0, 255) for p in planes]
+    if len(planes) == 1:
+        pix_sum = int(planes[0].sum())
+    elif len(planes) == 3:
+        y, cb, cr = planes
+        r = np.clip(np.rint(y + 1.402 * (cr - 128.0)), 0, 255)
+        g = np.clip(
+            np.rint(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)),
+            0, 255,
+        )
+        b = np.clip(np.rint(y + 1.772 * (cb - 128.0)), 0, 255)
+        pix_sum = int(r.sum() + g.sum() + b.sum())
+    else:
+        raise ValueError("only 1- or 3-component scans supported")
+    return w, h, w * h, pix_sum, len(planes)
+
+
+JPEG_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pix", T.LongType()),
+        T.StructField("n_components", T.LongType()),
+        T.StructField("pix_sum", T.LongType()),
+    ]
+)
+
+
+def jpeg_roundtrip_features(docs: DataFrame) -> DataFrame:
+    """Encode a real baseline JPEG per document and decode it back inside
+    one mapInPandas pass (the l52/l53/l57/l63 contract: payloads never
+    cross a shuffle or the driver). Odd doc_ids exercise the 3-component
+    YCbCr path, even ones grayscale; odd (doc_id + n_chars) routes
+    through the analytic DC-only writer, even through the full FDCT —
+    all four combinations decode to the same closed forms."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {f.name: [] for f in JPEG_FEATURE_SCHEMA.fields}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                payload = encode_jpeg(int(doc_id), int(n_chars))
+                w, h, np_, psum, nc = decode_jpeg(payload)
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pix"].append(np_)
+                out["n_components"].append(nc)
+                out["pix_sum"].append(psum)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        batches, schema=JPEG_FEATURE_SCHEMA
+    )
+
+
+# Closed forms a decoded encode_jpeg(doc_id, n_chars) must yield: block b
+# is the constant (doc_id*31 + b*7) % 256, 64 pixels per block; color
+# parity triples the sum (neutral chroma makes R = G = B = Y exactly).
+JPEG_ORACLE_SQL = """
+    WITH g AS (
+      SELECT doc_id,
+             8 * (2 + n_chars % 4) AS width,
+             8 * (1 + n_chars % 3) AS height,
+             (2 + n_chars % 4) * (1 + n_chars % 3) AS nb
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(width * height AS BIGINT) AS n_pix,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END AS BIGINT)
+             AS n_components,
+           CAST((CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END) * 64
+                * list_reduce(list_transform(range(0, nb),
+                    b -> (doc_id * 31 + b * 7) % 256), (a, b) -> a + b)
+                AS BIGINT) AS pix_sum
     FROM g
     """

@@ -3922,3 +3922,30 @@ def l68_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.index_compaction_report(
         load_table(spark, sf_dir, "documents"), split_id=400, k=5
     )
+
+
+@_register("l67_jpeg_decode_roundtrip", MM.JPEG_ORACLE_SQL)
+def l67_jpeg_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode (round-6 verdict item 4) — the last
+    entropy-coding family: PNG (l57) is LZ77+Huffman, GIF (l63) is LZW,
+    this is transform coding — full marker walk, data-built canonical
+    Huffman tables, DC prediction, AC run-length with EOB/ZRL, byte
+    unstuffing, dequantize, inverse zigzag, 8x8 IDCT, level shift,
+    4:4:4 YCbCr->RGB (operators/multimodal.decode_jpeg — stdlib+numpy,
+    no PIL). Every document becomes a genuine JFIF and is decoded back
+    inside ONE mapInPandas pass; doc_id parity switches grayscale vs
+    3-component color, (doc_id+n_chars) parity switches the full-FDCT
+    encoder vs an independent analytic DC-only writer — four mode
+    combinations, all hash-checked against the same closed forms. The
+    oracle trick for a LOSSY codec: corpus blocks are 8x8-constant and
+    quant tables all-ones, so the transform round trip is provably
+    bit-exact; arbitrary-coefficient decoding is pinned separately by a
+    pure-math.cos brute-force IDCT property test (a shared numpy-basis
+    bug between encoder and decoder could never hide behind the
+    corpus-wide cross-validation alone).
+
+    Scale: the l52/l53/l57/l63 contract — payloads are built and
+    consumed inside the Arrow batch, never crossing a shuffle or the
+    driver."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.jpeg_roundtrip_features(docs)

@@ -776,3 +776,153 @@ def test_connected_components_equals_union_find(spark, edges):
         for r in DD.connected_components(df).collect()
     }
     assert got == want
+
+
+def test_jpeg_decoder_equals_bruteforce_idct():
+    """Ground-truth closure for the JPEG transform stage: arbitrary
+    quantized coefficient blocks, written through the direct coefficient
+    writer, must decode to the pixels a pure-math.cos double-loop IDCT
+    (independent of the decoder's numpy matrix sandwich) reconstructs —
+    so a shared basis/normalization bug between the numpy FDCT and IDCT
+    cannot hide. Sparse random blocks exercise AC run-lengths including
+    ZRL (>15 zero runs) and multi-block DC prediction."""
+    import math
+    import random
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators import (
+        multimodal as MM,
+    )
+
+    rng = random.Random(67)
+
+    def brute_pixels(zz_block):
+        coef = [[0.0] * 8 for _ in range(8)]
+        for zi, (r, c) in enumerate(MM._JPEG_ZZ):
+            coef[r][c] = float(zz_block[zi])
+        pix = []
+        for x in range(8):
+            row = []
+            for y in range(8):
+                v = 0.0
+                for u in range(8):
+                    cu = math.sqrt(0.125) if u == 0 else 0.5
+                    for w_ in range(8):
+                        cw = math.sqrt(0.125) if w_ == 0 else 0.5
+                        v += (
+                            cu * cw * coef[u][w_]
+                            * math.cos((2 * x + 1) * u * math.pi / 16)
+                            * math.cos((2 * y + 1) * w_ * math.pi / 16)
+                        )
+                row.append(min(255, max(0, round(v + 128.0))))
+            pix.append(row)
+        return pix
+
+    for trial in range(8):
+        n_blocks = rng.randrange(1, 5)
+        blocks = []
+        for _ in range(n_blocks):
+            blk = [0] * 64
+            blk[0] = rng.randrange(-900, 901)
+            for _ in range(rng.randrange(0, 6)):
+                blk[rng.randrange(1, 64)] = rng.randrange(-200, 201)
+            blocks.append(blk)
+        w, h = 8 * n_blocks, 8
+        payload = MM._jpeg_write(w, h, [blocks])
+        gw, gh, n, psum, nc = MM.decode_jpeg(payload)
+        want = sum(
+            v for blk in blocks for row in brute_pixels(blk) for v in row
+        )
+        assert (gw, gh, n, nc) == (w, h, w * h, 1)
+        assert psum == want, f"trial {trial}: {psum} != {want}"
+
+
+@given(
+    doc_id=st.integers(min_value=0, max_value=10**9),
+    n_chars=st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=60, deadline=None)
+def test_jpeg_roundtrip_property(doc_id, n_chars):
+    """Any (doc_id, n_chars) must survive the JPEG round trip through
+    whichever encoder/color mode its parities select, matching the l67
+    oracle's closed forms exactly (block-constant + all-ones quant makes
+    the lossy pipeline invertible)."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    wb, hb = 2 + n_chars % 4, 1 + n_chars % 3
+    vals = [(doc_id * 31 + b * 7) % 256 for b in range(wb * hb)]
+    mult = 3 if doc_id % 2 else 1
+    assert decode_jpeg(encode_jpeg(doc_id, n_chars)) == (
+        8 * wb, 8 * hb, 64 * wb * hb, mult * 64 * sum(vals), mult,
+    )
+
+
+def test_jpeg_rejects_malformed():
+    """Malformed inputs report ValueError like the other decoders: bad
+    magic, progressive SOF2, truncation inside segments and inside the
+    entropy stream, missing EOI."""
+    import pytest
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators import (
+        multimodal as MM,
+    )
+
+    full = MM.encode_jpeg(4, 11)
+    with pytest.raises(ValueError):
+        MM.decode_jpeg(b"\x89PNG" + full[4:])
+    sof2 = full.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError):
+        MM.decode_jpeg(sof2)
+    for cut in (len(full) - 3, len(full) // 2, 30, 4):
+        with pytest.raises(ValueError):
+            MM.decode_jpeg(full[:cut])
+
+
+def test_jpeg_restart_markers():
+    """DRI/RSTn support: a hand-assembled two-MCU scan with restart
+    interval 1 (DC predictor reset + byte realignment at the RST) must
+    decode to the same pixels as the plain single-segment encoding."""
+    import struct as st_
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators import (
+        multimodal as MM,
+    )
+
+    blocks = MM._jpeg_dc_only_blocks([40, 200])
+    plain = MM.decode_jpeg(MM._jpeg_write(16, 8, [blocks]))
+
+    # hand-build the same image with DRI=1 and an RST0 between the MCUs
+    dcs, acs = [], []
+    toks = []
+    for blk in blocks:  # fresh DC prediction per restart segment
+        d, a, t = MM._jpeg_block_symbols([blk])
+        dcs += d
+        acs += a
+        toks.append(t[0])
+    dc_bits, dc_vals, dc_codes = MM._jpeg_huff_spec(dcs)
+    ac_bits, ac_vals, ac_codes = MM._jpeg_huff_spec(acs)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + st_.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(MM._JPEG_QUANT))
+    out += seg(0xC0, st_.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    out += seg(0xDD, st_.pack(">H", 1))
+    out += seg(0xDA, bytes([1, 1, 0x00]) + b"\x00\x3f\x00")
+    chunks = []
+    for t in toks:
+        bw = MM._JpegBitWriter()
+        for kind, sym, amp in t:
+            code, width = (dc_codes if kind == "dc" else ac_codes)[sym]
+            bw.write(code, width)
+            s = sym if kind == "dc" else (0 if sym in (0x00, 0xF0) else sym & 0x0F)
+            if s:
+                bw.write(amp, s)
+        chunks.append(bw.flush())
+    out += chunks[0] + b"\xff\xd0" + chunks[1] + b"\xff\xd9"
+    assert MM.decode_jpeg(bytes(out)) == plain

@@ -1064,7 +1064,13 @@ def index_compaction_report(
     bs = (
         docs.where(is_batch)
         .select("doc_id", "source")
-        .join(exact_m.withColumn("is_exact", F.lit(1)), "doc_id", "left")
+        # exact_m is batch-derived — unbounded at 100 TB, so it must
+        # sort-merge here like every other corpus-sized side
+        .join(
+            exact_m.withColumn("is_exact", F.lit(1)).hint("merge"),
+            "doc_id",
+            "left",
+        )
         .groupBy("source")
         .agg(
             F.count_if(F.col("is_exact").isNull())

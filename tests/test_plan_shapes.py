@@ -290,3 +290,69 @@ def test_l66_split_moves_ids_only_over_checkpointed_components(spark, sf_dir):
             assert "text" not in line, line
             if "hashpartitioning" in line:
                 assert "doc_id" in line or "group_id" in line, line
+
+
+def test_m13_sweep_shuffles_feature_keys_and_final_plan_is_checkpoint_union(
+    spark, sf_dir
+):
+    """The boosted-stump trainer's per-round sweep must keep the m12
+    posture — the corpus collapses in one scan into the (feature, bucket)
+    weighted aggregate, every hash exchange keyed on `feature` — and the
+    final returned plan must be the union of the 1-row checkpointed
+    winner frames plus one ensemble aggregate over the checkpointed base
+    (no parquet rescan, no CartesianProduct; the winner joins are
+    broadcast nested loops over single rows)."""
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import advanced
+
+    sweep = advanced._m13_sweep(
+        advanced._m13_base(spark, sf_dir).withColumn(
+            "w", F.lit(1).cast("long")
+        )
+    )
+    ps = _plan(sweep)
+    assert "CartesianProduct" not in ps, ps
+    assert ps.count("Scan parquet") == 1, ps
+    for line in ps.splitlines():
+        if line.strip().startswith("Exchange hashpartitioning"):
+            assert "feature" in line, line
+
+    p = _plan(advanced.QUERIES["m13_boosted_stumps"](spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert "Scan parquet" not in p and "FileScan" not in p, p
+    assert "Scan ExistingRDD" in p, p  # checkpointed base + winners
+    assert "BroadcastNestedLoopJoin" in p, p  # 1-row winner frames
+
+
+def test_l68_corpus_joins_merge_only_broadcasts_are_aggregates(spark, sf_dir):
+    """Index compaction must sort-merge every corpus-sized join (index
+    frames, admitted ids, source map — none may broadcast) and move
+    md5/int columns only: no exchange carries text, and any
+    BroadcastExchange subtree must sit above an aggregate (the final
+    tiny per-source join), never a raw scan."""
+    p = _plan(llmops.QUERIES["l68_index_compaction"](spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" in p, p
+    assert "Scan ExistingRDD" in p, p  # checkpointed index frames
+    for line in p.splitlines():
+        if line.strip().startswith("Exchange"):
+            assert "text" not in line, line
+    for sub in _subtrees(p, "BroadcastExchange"):
+        for k, line in enumerate(sub):
+            if "Scan parquet" in line or "Scan ExistingRDD" in line:
+                d = _node_indent(line)
+                assert any(
+                    "HashAggregate" in anc and _node_indent(anc) < d
+                    for anc in sub[:k]
+                ), f"corpus-sized frame under a broadcast: {line}"
+
+
+def test_l67_jpeg_roundtrip_is_one_scan_no_shuffle(spark, sf_dir):
+    """The JPEG roundtrip must be the l52/l53/l57/l63 shape: one parquet
+    scan feeding one Arrow-batched python runner, zero exchanges —
+    payloads never cross a shuffle or the driver."""
+    p = _plan(llmops.QUERIES["l67_jpeg_decode_roundtrip"](spark, sf_dir))
+    assert "Exchange" not in p, p
+    assert p.count("Scan parquet") == 1, p
+    assert "MapInPandas" in p, p

@@ -1377,3 +1377,208 @@ JPEG_ORACLE_SQL = """
                 AS BIGINT) AS pix_sum
     FROM g
     """
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law WAV (l69): the audio rung of the real-codec ladder — where
+# PCM WAV (l53) is container-only, this decodes an actual companded codec.
+# Unlike the adaptive/transform codecs, mu-law is a stateless per-sample
+# map, so decode(encode(x)) has an exact integer closed form a SQL oracle
+# can replay on ARBITRARY samples — no planted-exactness trick needed (the
+# JPEG/l67 situation inverted). The implementation is the CCITT 14-bit
+# G.711 reference (Sun g711.c lineage): bit-exact, over the ENTIRE 16-bit
+# input domain, with CPython's independent audioop implementation — pinned
+# by pytest where audioop exists (stdlib <= 3.12).
+# ---------------------------------------------------------------------------
+def mulaw_encode_sample(x: int) -> int:
+    """16-bit PCM -> 8-bit mu-law (CCITT G.711, 14-bit internal): floor
+    shift to 14 bits, sign-split mask, clip at 8159, +33 bias, segment
+    search, 4-bit mantissa, complement."""
+    v = x >> 2
+    if v < 0:
+        v, mask = -v, 0x7F
+    else:
+        mask = 0xFF
+    v = min(v, 8159) + 33
+    if v > 0x1FFF:  # clipped ceiling: the spec's out-of-range escape
+        return mask - 0x7F
+    seg = 0
+    for th in (0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF):
+        if v > th:
+            seg += 1
+    man = (v >> (seg + 1)) & 0x0F
+    return mask - ((seg << 4) | man)
+
+
+def mulaw_decode_sample(c: int) -> int:
+    """8-bit mu-law -> 16-bit PCM: complement, segment exponent, mantissa
+    midpoint, bias removal, sign."""
+    v = 0xFF - c
+    seg = (v >> 4) & 0x07
+    man = v & 0x0F
+    t = (((man << 3) + 0x84) << seg) - 0x84
+    return -t if v & 0x80 else t
+
+
+def encode_wav_mulaw(doc_id: int, n_chars: int, framerate: int = 8000) -> bytes:
+    """A real mono mu-law WAV (RIFF format tag 7, 8 bits/sample, with the
+    'fact' chunk non-PCM formats require) whose samples are closed forms
+    of (doc_id, n_chars):
+      n_samples = 80 + n_chars % 64
+      sample j  = ((doc_id*37 + j*101) % 65536) - 32768   (int16)"""
+    n = 80 + n_chars % 64
+    data = bytes(
+        mulaw_encode_sample(((doc_id * 37 + j * 101) % 65536) - 32768)
+        for j in range(n)
+    )
+    fmt = struct.pack("<HHIIHH", 7, 1, framerate, framerate, 1, 8)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", 4) + struct.pack("<I", n)
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_mulaw(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """Parse a mu-law RIFF/WAVE (manual chunk walk — the stdlib wave
+    module only reads PCM): fmt must declare tag 7 / mono / 8-bit, the
+    fact chunk (when present) must agree with the data length, then
+    expand every byte through the G.711 table. Returns (n_samples,
+    framerate, code_sum, decoded samples)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    if struct.unpack_from("<I", payload, 4)[0] != len(payload) - 8:
+        raise ValueError("RIFF size disagrees with payload")
+    pos = 12
+    fmt = fact_n = data = None
+    while pos + 8 <= len(payload):
+        cid, sz = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + sz]
+        if len(body) != sz:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"fact":
+            fact_n = struct.unpack("<I", body[:4])[0]
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz % 2)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, channels, framerate, _byterate, _align, bits = fmt
+    if tag != 7:
+        raise ValueError(f"not mu-law (format tag {tag})")
+    if channels != 1 or bits != 8:
+        raise ValueError("only mono 8-bit mu-law supported")
+    if fact_n is not None and fact_n != len(data):
+        raise ValueError("fact chunk disagrees with data length")
+    decoded = [mulaw_decode_sample(c) for c in data]
+    return len(data), framerate, sum(data), decoded
+
+
+MULAW_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("code_sum", T.LongType()),
+        T.StructField("decoded_sum", T.LongType()),
+        T.StructField("abs_err_sum", T.LongType()),
+    ]
+)
+
+
+def mulaw_roundtrip_features(docs: DataFrame) -> DataFrame:
+    """Encode a real mu-law WAV per document and decode it back inside
+    one mapInPandas pass (the l52/l53/l57/l63/l67 contract). abs_err_sum
+    is the total companding quantization error against the known input
+    samples — the lossiness itself is part of the hash-checked contract,
+    since decode(encode(x)) is an exact closed form per sample."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {f.name: [] for f in MULAW_FEATURE_SCHEMA.fields}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                payload = encode_wav_mulaw(doc_id, n_chars)
+                n, _fr, code_sum, decoded = decode_wav_mulaw(payload)
+                xs = [
+                    ((doc_id * 37 + j * 101) % 65536) - 32768
+                    for j in range(n)
+                ]
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(n)
+                out["code_sum"].append(code_sum)
+                out["decoded_sum"].append(sum(decoded))
+                out["abs_err_sum"].append(
+                    sum(abs(y - x) for y, x in zip(decoded, xs))
+                )
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        batches, schema=MULAW_FEATURE_SCHEMA
+    )
+
+
+# The G.711 closed forms, replayed stepwise per (doc, sample) row: encode
+# (floor-shift, sign mask, clip+bias, segment CASE ladder, mantissa,
+# complement) then decode (complement, segment exponent, midpoint, bias).
+MULAW_ORACLE_SQL = """
+    WITH g AS (
+      SELECT doc_id, 80 + n_chars % 64 AS n FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n, unnest(range(0, n)) AS j FROM g
+    ),
+    x AS (
+      SELECT doc_id, n, ((doc_id * 37 + j * 101) % 65536) - 32768 AS x
+      FROM s
+    ),
+    e1 AS (
+      SELECT doc_id, n, x,
+             CAST(floor(x / 4.0) AS BIGINT) AS v0
+      FROM x
+    ),
+    e2 AS (
+      SELECT doc_id, n, x,
+             CASE WHEN v0 < 0 THEN 127 ELSE 255 END AS mask,
+             least(abs(v0), 8159) + 33 AS v
+      FROM e1
+    ),
+    e3 AS (
+      SELECT doc_id, n, x, mask, v,
+             CASE WHEN v <= 63 THEN 0 WHEN v <= 127 THEN 1
+                  WHEN v <= 255 THEN 2 WHEN v <= 511 THEN 3
+                  WHEN v <= 1023 THEN 4 WHEN v <= 2047 THEN 5
+                  WHEN v <= 4095 THEN 6 ELSE 7 END AS seg
+      FROM e2
+    ),
+    enc AS (
+      SELECT doc_id, n, x,
+             CASE WHEN v > 8191 THEN mask - 127
+                  ELSE mask - (seg * 16
+                       + (CAST(floor(v / CAST(1 << (seg + 1) AS DOUBLE))
+                               AS BIGINT) % 16)) END AS code
+      FROM e3
+    ),
+    d1 AS (
+      SELECT doc_id, n, x, code, 255 - code AS u FROM enc
+    ),
+    dec AS (
+      SELECT doc_id, n, x, code,
+             CASE WHEN u >= 128 THEN -(((u % 16) * 8 + 132)
+                    * (1 << ((u // 16) % 8)) - 132)
+                  ELSE ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132
+             END AS y
+      FROM d1
+    )
+    SELECT doc_id,
+           CAST(max(n) AS BIGINT) AS n_samples,
+           CAST(sum(code) AS BIGINT) AS code_sum,
+           CAST(sum(y) AS BIGINT) AS decoded_sum,
+           CAST(sum(abs(y - x)) AS BIGINT) AS abs_err_sum
+    FROM dec
+    GROUP BY doc_id
+    """

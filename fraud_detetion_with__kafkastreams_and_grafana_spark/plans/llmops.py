@@ -3949,3 +3949,24 @@ def l67_jpeg_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver."""
     docs = load_table(spark, sf_dir, "documents")
     return MM.jpeg_roundtrip_features(docs)
+
+
+@_register("l69_mulaw_decode_roundtrip", MM.MULAW_ORACLE_SQL)
+def l69_mulaw_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 mu-law audio decode — the codec ladder's audio rung:
+    l53 reads the PCM WAV container, this decodes an actual companded
+    codec (RIFF format tag 7 with the fact chunk non-PCM requires,
+    manual chunk walk — the stdlib wave module is PCM-only). mu-law is
+    stateless per sample, so decode(encode(x)) is an exact integer
+    closed form the oracle replays stepwise on ARBITRARY samples — the
+    l67 planted-exactness trick inverted: here the LOSSINESS itself
+    (per-doc companding quantization error) is part of the hash-checked
+    contract. The encoder/decoder pair is the CCITT 14-bit G.711
+    reference, pinned bit-exact against CPython's independent audioop
+    implementation over the ENTIRE 16-bit domain where audioop exists
+    (operators/multimodal.mulaw_encode_sample).
+
+    Scale: one scan, one MapInPandas, zero exchanges — payloads are
+    built and consumed inside the Arrow batch."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.mulaw_roundtrip_features(docs)

@@ -356,3 +356,12 @@ def test_l67_jpeg_roundtrip_is_one_scan_no_shuffle(spark, sf_dir):
     assert "Exchange" not in p, p
     assert p.count("Scan parquet") == 1, p
     assert "MapInPandas" in p, p
+
+
+def test_l69_mulaw_roundtrip_is_one_scan_no_shuffle(spark, sf_dir):
+    """Same contract as l67: one parquet scan, one Arrow-batched python
+    runner, zero exchanges."""
+    p = _plan(llmops.QUERIES["l69_mulaw_decode_roundtrip"](spark, sf_dir))
+    assert "Exchange" not in p, p
+    assert p.count("Scan parquet") == 1, p
+    assert "MapInPandas" in p, p

@@ -926,3 +926,59 @@ def test_jpeg_restart_markers():
         chunks.append(bw.flush())
     out += chunks[0] + b"\xff\xd0" + chunks[1] + b"\xff\xd9"
     assert MM.decode_jpeg(bytes(out)) == plain
+
+
+def test_mulaw_matches_audioop_over_full_domain():
+    """The G.711 mu-law pair must agree bit-exactly with CPython's
+    independent audioop implementation for EVERY 16-bit input sample
+    (encoder) and every code byte (decoder) — a genuinely independent
+    reference, not a mirror. Skips if the deprecated stdlib module is
+    gone (removed in 3.13)."""
+    import struct
+    import warnings
+
+    import pytest
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators import (
+        multimodal as MM,
+    )
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        try:
+            import audioop
+        except ImportError:
+            pytest.skip("stdlib audioop not available")
+
+    pcm = struct.pack("<65536h", *range(-32768, 32768))
+    ref = audioop.lin2ulaw(pcm, 2)
+    got = bytes(MM.mulaw_encode_sample(x) for x in range(-32768, 32768))
+    assert got == ref
+    ref_dec = struct.unpack("<256h", audioop.ulaw2lin(bytes(range(256)), 2))
+    assert [MM.mulaw_decode_sample(c) for c in range(256)] == list(ref_dec)
+
+
+def test_mulaw_wav_rejects_malformed():
+    """Container strictness: PCM-tagged WAVs, lying fact chunks, bad RIFF
+    sizes, and truncation all raise ValueError."""
+    import struct
+
+    import pytest
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators import (
+        multimodal as MM,
+    )
+
+    full = MM.encode_wav_mulaw(3, 21)
+    assert MM.decode_wav_mulaw(full)[0] == 80 + 21 % 64
+    with pytest.raises(ValueError):
+        MM.decode_wav_mulaw(b"RIFX" + full[4:])
+    with pytest.raises(ValueError):  # PCM tag -> not this decoder's format
+        MM.decode_wav_mulaw(MM.encode_wav(3, 21))
+    lying = bytearray(full)
+    fact_at = full.index(b"fact") + 8
+    lying[fact_at:fact_at + 4] = struct.pack("<I", 9999)
+    with pytest.raises(ValueError):
+        MM.decode_wav_mulaw(bytes(lying))
+    with pytest.raises(ValueError):
+        MM.decode_wav_mulaw(full[: len(full) - 5])

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import json
 
-from hypothesis import HealthCheck, example, given, settings
+from hypothesis import HealthCheck, assume, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -982,3 +982,189 @@ def test_mulaw_wav_rejects_malformed():
         MM.decode_wav_mulaw(bytes(lying))
     with pytest.raises(ValueError):
         MM.decode_wav_mulaw(full[: len(full) - 5])
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=23),   # hour
+            st.integers(min_value=0, max_value=30),   # user_id
+            st.floats(min_value=0.01, max_value=300.0,
+                      allow_nan=False, allow_infinity=False),  # value
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_m13_oracle_equals_bruteforce_boosting(rows):
+    """The unrolled boosting SQL must equal brute force on arbitrary
+    inputs: per round, the reweighted sweep's argmin stump (errors,
+    feature, thr tie order), the weighted-majority leaf labels, the
+    weighted error/total trajectory, and the final majority-vote
+    ensemble error."""
+    import math
+    from datetime import datetime
+
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.advanced import (
+        _M13_B,
+        _M13_ROUNDS,
+        _m13_sql,
+    )
+
+    con = _duck()
+    ev = pd.DataFrame(
+        {
+            "ts": [datetime(2024, 1, 1, h, 30, 0) for h, _, _ in rows],
+            "user_id": [u for _, u, _ in rows],
+            "value": [v for _, _, v in rows],
+        }
+    )
+    con.register("events", ev)
+    got = [
+        dict(zip(("round", "feature", "thr", "left_label", "right_label",
+                  "w_err", "w_tot"), r))
+        for r in con.execute(_m13_sql()).fetchall()
+    ]
+
+    trip = [
+        {"hr": h, "um": u % 10, "vkb": math.floor(v / 50.0),
+         "y": 1 if v > 100.0 else 0}
+        for h, u, v in rows
+    ]
+    # degenerate corner: if every feature is single-valued there is no
+    # candidate split at all (impossible on the real corpus; the sweep
+    # returns zero stumps there and the query's contract doesn't cover it)
+    assume(any(
+        len({t[f] for t in trip}) > 1 for f in ("hr", "um", "vkb")
+    ))
+    mistakes = [0] * len(trip)
+    want = []
+    stumps = []
+    for rnd in range(1, _M13_ROUNDS + 1):
+        w = [_M13_B ** m for m in mistakes]
+        best = None
+        for feat in ("hr", "um", "vkb"):
+            vals = sorted({t[feat] for t in trip})
+            for thr in vals[1:]:
+                wl = sum(wi for t, wi in zip(trip, w) if t[feat] < thr)
+                pl = sum(wi * t["y"] for t, wi in zip(trip, w) if t[feat] < thr)
+                wr = sum(w) - wl
+                pr_ = sum(wi * t["y"] for t, wi in zip(trip, w)) - pl
+                err = min(pl, wl - pl) + min(pr_, wr - pr_)
+                key = (err, feat, thr)
+                if best is None or key < best[0]:
+                    ll = 1 if 2 * pl > wl else 0
+                    rl = 1 if 2 * pr_ > wr else 0
+                    best = (key, ll, rl, err, sum(w))
+        (err_, feat_, thr_), ll, rl, err, wtot = best
+        stump = {"feature": feat_, "thr": thr_, "ll": ll, "rl": rl}
+        stumps.append(stump)
+        want.append(dict(round=rnd, feature=feat_, thr=thr_, left_label=ll,
+                         right_label=rl, w_err=err, w_tot=wtot))
+        for i, t in enumerate(trip):
+            pred = ll if t[feat_] < thr_ else rl
+            if pred != t["y"]:
+                mistakes[i] += 1
+
+    need = (_M13_ROUNDS // 2) + 1
+    ens_err = sum(
+        1 for t in trip
+        if (sum(
+            (s["ll"] if t[s["feature"]] < s["thr"] else s["rl"])
+            for s in stumps
+        ) >= need) != bool(t["y"])
+    )
+    want.append(dict(round=_M13_ROUNDS + 1, feature="__vote__", thr=None,
+                     left_label=None, right_label=None, w_err=ens_err,
+                     w_tot=len(trip)))
+    assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["web", "books", "code"]),
+            st.lists(st.sampled_from("abcdef"), min_size=0, max_size=9),
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_l68_oracle_equals_bruteforce_compaction(docs):
+    """The compaction SQL must equal brute force on arbitrary corpora:
+    exact-dup batch docs dropped, the rest admitted, and the per-source
+    new-index counts / distinct keys / bit_xor'd (doc,key) digests all
+    reproduced from first principles (hashlib.md5). Doc ids alternate
+    sides of the 400 split so batches can exactly-dup index docs, other
+    batch docs, or nothing."""
+    import hashlib
+
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.llmops import (
+        ORACLES,
+    )
+
+    rows = []
+    for i, (src, toks) in enumerate(docs):
+        doc_id = i if i % 2 == 0 else 399 + i  # half index, half batch
+        rows.append((doc_id, src, " ".join(toks)))
+    con = _duck()
+    con.register(
+        "documents",
+        pd.DataFrame(rows, columns=["doc_id", "source", "text"]).assign(
+            n_chars=[len(t) for *_, t in rows]
+        ),
+    )
+    got = {
+        r[0]: r[1:]
+        for r in con.execute(ORACLES["l68_index_compaction"]).fetchall()
+    }
+
+    k = 5
+
+    def dig(doc_id, key):
+        h = hashlib.md5(f"{doc_id}:{key}".encode()).hexdigest()
+        return int(h[:15], 16)
+
+    base = [(d, s, t.strip()) for d, s, t in rows if t.strip()]
+    md5s = {d: hashlib.md5(t.encode()).hexdigest() for d, _, t in base}
+    grams = {
+        d: {
+            hashlib.md5(" ".join(t.split()[p:p + k]).encode()).hexdigest()
+            for p in range(len(t.split()) - k + 1)
+        }
+        for d, _, t in base
+    }
+    idx_ids = {d for d, _, _ in base if d < 400}
+    batch_ids = {d for d, _, _ in base if d >= 400}
+    exact_b = {
+        b for b in batch_ids
+        if any(md5s[b] == md5s[i] for i in idx_ids)
+    }
+    new_ids = idx_ids | (batch_ids - exact_b)
+    src_of = {d: s for d, s, _ in base}
+    want = {}
+    for s in {src_of[d] for d in new_ids}:
+        ids = [d for d in new_ids if src_of[d] == s]
+        mx = px = 0
+        for d in ids:
+            mx ^= dig(d, md5s[d])
+            for g in grams[d]:
+                px ^= dig(d, g)
+        n_pass_rows = sum(len(grams[d]) for d in ids)
+        want[s] = (
+            len(ids),
+            len({md5s[d] for d in ids}),
+            mx,
+            n_pass_rows,
+            len({g for d in ids for g in grams[d]}),
+            px if n_pass_rows else 0,
+            sum(1 for b in batch_ids - exact_b if src_of[b] == s),
+            sum(1 for b in exact_b if src_of[b] == s),
+        )
+    assert got == want

@@ -1520,3 +1520,115 @@ def s22_stream_alert_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tx",
         )
     )
+
+
+def _l64_oracle_sql() -> str:
+    from .llmops import ORACLES as _LLM
+
+    return _LLM["l64_incremental_dedup"]
+
+
+@_register("s23_stream_dedup_gate", _l64_oracle_sql())
+def s23_stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The l64 incremental-ingestion dedup gate run as a STREAM — the
+    shape corpus growth actually deploys: incoming documents arrive as
+    JSON micro-batches and each batch is classified exact/near/novel
+    against the STATIC persisted index (docs < 400) inside foreachBatch,
+    landing idempotently in a _batch_id-partitioned sink (the s09
+    exactly-once recipe). The index frames are materialized once and
+    pre-aggregated to (key -> min index doc) so the per-batch probe is
+    two equi-joins plus one batch-local min — no streaming state at all
+    (each doc classifies within its own micro-batch; min-of-mins equals
+    l64's global min). The final sink contents must equal the batch l64
+    output exactly, so the two share one oracle.
+
+    Scale: the static side is the production persisted index (bucketed
+    tables); per micro-batch the arriving side is small, so Catalyst's
+    broadcast choice inverts l64's merge-hinted posture CORRECTLY — the
+    batch, not the index, should broadcast when one micro-batch is being
+    probed; state stores hold nothing."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import _incremental_index_frames
+
+    docs = load_table(spark, sf_dir, "documents").where(F.trim("text") != "")
+    md5f, grams = _incremental_index_frames(docs.where(F.col("doc_id") < 400), 5)
+    md5_min = md5f.groupBy("t_md5").agg(F.min("doc_id").alias("exact_id"))
+    gram_min = grams.groupBy("h").agg(F.min("doc_id").alias("h_near_id"))
+
+    wire = docs.where(F.col("doc_id") >= 400).select(
+        F.to_json(F.struct("doc_id", "text")).alias("value")
+    )
+    from ..streaming.replay import materialize_wire_dir
+
+    d = materialize_wire_dir(wire)
+    out = tempfile.mkdtemp(prefix="spark_graft_s23_sink_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_s23_ckpt_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+
+    k = 5
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        from ..functions.text import tokens
+
+        b = batch_df.select(
+            F.get_json_object("value", "$.doc_id").cast("long").alias("doc_id"),
+            F.get_json_object("value", "$.text").alias("text"),
+        ).where(F.col("text").isNotNull() & (F.trim("text") != ""))
+        bm = b.select(
+            "doc_id", F.md5(F.trim("text").cast("binary")).alias("t_md5")
+        )
+        bw = b.select("doc_id", tokens("text").alias("toks")).where(
+            F.size("toks") >= k
+        ).select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.size("toks") - k)).alias("p"),
+            "toks",
+        ).select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("toks"), F.col("p") + 1, k))
+            ).alias("h"),
+        ).distinct()
+        near = (
+            bw.join(gram_min, "h")
+            .groupBy("doc_id")
+            .agg(F.min("h_near_id").alias("near_id"))
+        )
+        (
+            bm.join(md5_min, "t_md5", "left")
+            .join(near, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("exact_id").isNotNull(), F.lit("exact"))
+                .when(F.col("near_id").isNotNull(), F.lit("near"))
+                .otherwise(F.lit("novel"))
+                .alias("status"),
+                F.coalesce("exact_id", "near_id").alias("match_id"),
+                F.lit(batch_id).alias("_batch_id"),
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
+
+    stream = (
+        spark.readStream.schema("value STRING")
+        .option("maxFilesPerTrigger", 2)
+        .text(d)
+    )
+    q = (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out).select("doc_id", "status", "match_id")

@@ -1168,3 +1168,44 @@ def test_l68_oracle_equals_bruteforce_compaction(docs):
             sum(1 for b in exact_b if src_of[b] == s),
         )
     assert got == want
+
+
+def test_m13_reweighting_switches_feature():
+    """Boosting must DO something: on a corpus where the value-bucket
+    stump is best under uniform weights but its mistakes (value == 100.0
+    rows, which share hour 23) triple in weight, round 2's argmin must
+    switch to the hour stump that fixes exactly those rows. Deterministic
+    construction, DuckDB-only (the same unrolled SQL the driver replays)."""
+    from datetime import datetime
+
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.advanced import (
+        _m13_sql,
+    )
+
+    rows = (
+        [(5, u, 120.0) for u in range(10)]   # y=1, vkb=2, hr=5
+        + [(23, u, 100.0) for u in range(4)] # y=0, vkb=2, hr=23 (vkb can't fix)
+        + [(5, u, 40.0) for u in range(6)]   # y=0, vkb=0, hr=5
+    )
+    con = _duck()
+    con.register(
+        "events",
+        pd.DataFrame(
+            {
+                "ts": [datetime(2024, 1, 1, h, 0, 0) for h, _, _ in rows],
+                "user_id": [u for _, u, _ in rows],
+                "value": [v for _, _, v in rows],
+            }
+        ),
+    )
+    got = {r[0]: r[1:] for r in con.execute(_m13_sql()).fetchall()}
+    # round 1 (uniform): vkb < 2 wins with 4 errors (the value==100 rows)
+    assert got[1][0] == "vkb" and got[1][4] == 4 and got[1][5] == 20
+    # round 2: those 4 rows now weigh 3 -> the hour stump (err 6 < vkb's
+    # reweighted 10) takes over
+    assert got[2][0] == "hr" and got[2][4] == 6 and got[2][5] == 28
+    # the majority vote needs 2 of 3; with stump 3 joining the vote the
+    # ensemble still classifies the corpus (vote error recorded exactly)
+    assert got[4][5] == 20

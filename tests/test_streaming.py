@@ -631,3 +631,25 @@ def test_streaming_observe_metrics_match_batch(spark, tmp_path):
     assert seen, "no observed metrics surfaced in query progress"
     assert sum(m["n_parsed"] for m in seen) == n_parsed
     assert sum(m["n_fraud"] for m in seen) == n_fraud
+
+
+def test_s23_stream_gate_equals_batch_l64(spark, sf_dir):
+    """The streaming dedup gate must classify identically to the batch
+    l64 probe — same statuses, same provenance ids — even though the
+    stream sees the incoming docs split across micro-batches (the gate
+    is stateless across batches by design: min-of-mins equals the
+    global min)."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import (
+        llmops,
+        streaming_queries as SQ,
+    )
+
+    got = sorted(
+        (r.doc_id, r.status, r.match_id)
+        for r in SQ.QUERIES["s23_stream_dedup_gate"](spark, sf_dir).collect()
+    )
+    want = sorted(
+        (r.doc_id, r.status, r.match_id)
+        for r in llmops.QUERIES["l64_incremental_dedup"](spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0

@@ -3970,3 +3970,133 @@ def l69_mulaw_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     built and consumed inside the Arrow batch."""
     docs = load_table(spark, sf_dir, "documents")
     return MM.mulaw_roundtrip_features(docs)
+
+
+_L70_K = 3
+_L70_ROUNDS = 3
+
+
+def _l70_sql() -> str:
+    """Unrolled SQL twin of the greedy coverage loop — same round count."""
+    k = _L70_K
+    sql = rf"""
+    WITH base AS (
+      SELECT source, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents WHERE trim(text) != ''
+    ),
+    gs AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(list_slice(toks, p + 1, p + {k}), ' ')) AS h
+      FROM (SELECT source, unnest(range(0, len(toks) - {k} + 1)) AS p, toks
+            FROM base WHERE len(toks) >= {k})
+    )"""
+    for t in range(1, _L70_ROUNDS + 1):
+        prev_src = " UNION ALL ".join(
+            f"SELECT src FROM w{i}" for i in range(1, t)
+        )
+        not_sel = f"AND source NOT IN ({prev_src})" if t > 1 else ""
+        not_cov = f"AND h NOT IN (SELECT h FROM c{t - 1})" if t > 1 else ""
+        sql += f""",
+    w{t} AS (
+      SELECT source AS src, count(*) AS gain FROM gs
+      WHERE TRUE {not_sel} {not_cov}
+      GROUP BY 1 ORDER BY gain DESC, src LIMIT 1
+    ),
+    c{t} AS (
+      SELECT DISTINCT h FROM gs
+      WHERE source IN ({(prev_src + " UNION ALL " if t > 1 else "")}SELECT src FROM w{t})
+    )"""
+    picks = "\n      UNION ALL\n".join(
+        f"""      SELECT CAST({t} AS BIGINT) AS pick_rank, src AS source,
+             CAST(gain AS BIGINT) AS gain,
+             CAST((SELECT count(*) FROM c{t}) AS BIGINT) AS covered_total
+      FROM w{t}"""
+        for t in range(1, _L70_ROUNDS + 1)
+    )
+    return sql + f"\n    SELECT * FROM (\n{picks}\n    ) ORDER BY pick_rank"
+
+
+@_register("l70_greedy_source_coverage", _l70_sql())
+def l70_greedy_source_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage source ordering — the submodular
+    data-selection step a mixture designer runs before weighting (pick
+    the source adding the most NEW {k}-gram types, repeat): 3 unrolled
+    greedy rounds, each an anti-join of the (source, gram-md5) index
+    against the already-covered gram set, argmax by (gain desc, source)
+    — integer counts end to end, so the picks, their marginal gains,
+    and the cumulative coverage all value-hash replay. Fully-covered
+    sources drop out of candidacy by construction (no zero-gain picks).
+
+    Scale: the (source, gram) index materializes once (distinct
+    projection of one corpus scan — the wide stages see 8-byte-ish md5
+    keys, never text) and every greedy round is one anti-join + one
+    |sources|-row aggregate; selection state is 1-row checkpointed
+    frames riding broadcasts (the m13 winner shape). Greedy coverage
+    is 1-1/e-optimal for this objective, the standard justification."""
+    docs = load_table(spark, sf_dir, "documents").where(F.trim("text") != "")
+    k = _L70_K
+    harr = docs.select("source", TX.tokens("text").alias("toks")).where(
+        F.size("toks") >= k
+    )
+    wins = harr.select(
+        "source",
+        F.explode(F.sequence(F.lit(0), F.size("toks") - k)).alias("p"),
+        "toks",
+    )
+    wh = F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("p") + 1, k)))
+    gs = wins.select("source", wh.alias("h")).distinct().localCheckpoint()
+
+    picked: list[DataFrame] = []
+    rows: list[DataFrame] = []
+    total_prev: DataFrame | None = None
+    for t in range(1, _L70_ROUNDS + 1):
+        cand = gs
+        for w in picked:
+            cand = cand.join(
+                F.broadcast(w.select(F.col("src").alias("source"))),
+                "source",
+                "anti",
+            )
+        if picked:
+            covered = gs.join(
+                F.broadcast(
+                    picked[0]
+                    .select("src")
+                    .unionByName(*(w.select("src") for w in picked[1:]))
+                    if len(picked) > 1
+                    else picked[0].select("src")
+                ).withColumnRenamed("src", "source"),
+                "source",
+                "semi",
+            ).select("h")
+            cand = cand.join(covered.hint("merge"), "h", "anti")
+        win = (
+            cand.groupBy("source")
+            .agg(F.count("*").alias("gain"))
+            .orderBy(F.col("gain").desc(), "source")
+            .limit(1)
+            .select(F.col("source").alias("src"), "gain")
+            .localCheckpoint()
+        )
+        picked.append(win)
+        if total_prev is None:
+            row = win.select(
+                F.lit(t).cast("long").alias("pick_rank"),
+                F.col("src").alias("source"),
+                F.col("gain").cast("long").alias("gain"),
+                F.col("gain").cast("long").alias("covered_total"),
+            )
+        else:
+            row = win.crossJoin(F.broadcast(total_prev)).select(
+                F.lit(t).cast("long").alias("pick_rank"),
+                F.col("src").alias("source"),
+                F.col("gain").cast("long").alias("gain"),
+                (F.col("gain") + F.col("_ct")).cast("long").alias("covered_total"),
+            )
+        row = row.localCheckpoint()
+        rows.append(row)
+        total_prev = row.select(F.col("covered_total").alias("_ct"))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("pick_rank")

@@ -1209,3 +1209,73 @@ def test_m13_reweighting_switches_feature():
     # the majority vote needs 2 of 3; with stump 3 joining the vote the
     # ensemble still classifies the corpus (vote error recorded exactly)
     assert got[4][5] == 20
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["web", "books", "code", "wiki"]),
+            st.lists(st.sampled_from("abcd"), min_size=0, max_size=10),
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_l70_oracle_equals_bruteforce_greedy(docs):
+    """The unrolled greedy-coverage SQL must equal brute force on
+    arbitrary corpora: per round the (gain desc, source asc) argmax over
+    NOT-yet-covered gram types, cumulative coverage, and the drop-out of
+    fully-covered sources (rounds emit nothing once no source adds a new
+    gram)."""
+    import hashlib
+
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.llmops import (
+        _L70_K,
+        _L70_ROUNDS,
+        ORACLES,
+    )
+
+    rows = [
+        (i, src, " ".join(toks), len(toks)) for i, (src, toks) in enumerate(docs)
+    ]
+    con = _duck()
+    con.register(
+        "documents",
+        pd.DataFrame(rows, columns=["doc_id", "source", "text", "n_chars"]),
+    )
+    got = [tuple(r) for r in
+           con.execute(ORACLES["l70_greedy_source_coverage"]).fetchall()]
+
+    k = _L70_K
+    grams: dict[str, set] = {}
+    for _d, src, text, _n in rows:
+        toks = text.strip().split()
+        if text.strip() and len(toks) >= k:
+            grams.setdefault(src, set()).update(
+                hashlib.md5(" ".join(toks[p:p + k]).encode()).hexdigest()
+                for p in range(len(toks) - k + 1)
+            )
+    covered: set = set()
+    selected: set = set()
+    want = []
+    for t in range(1, _L70_ROUNDS + 1):
+        best = None
+        for src, g in grams.items():
+            if src in selected:
+                continue
+            gain = len(g - covered)
+            if gain == 0:
+                continue
+            key = (-gain, src)
+            if best is None or key < best[0]:
+                best = (key, src, gain)
+        if best is None:
+            break
+        _, src, gain = best
+        selected.add(src)
+        covered |= grams[src]
+        want.append((t, src, gain, len(covered)))
+    assert got == want

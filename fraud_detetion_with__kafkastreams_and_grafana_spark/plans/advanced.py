@@ -1539,3 +1539,138 @@ def m13_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.unionByName(ens).orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# m14: Bradley-Terry PAIRWISE preference trainer — the reward-model shape
+# (RLHF data curation trains exactly this: sigma(s_a - s_b) on preference
+# pairs). m08 proved pointwise logistic GD hash-replays; m14 adds the pair
+# CONSTRUCTION step (adjacent event_id pairing — a sort-merge self-join at
+# scale, no window over the whole corpus) and the pairwise objective: score
+# s = w . x, P(a beats b) via the m08 rational link on the margin
+# difference, no bias term (Bradley-Terry is translation-invariant).
+# Gradients quantize to int64 micros before the sum, so training is
+# order-independent under any partitioning; the oracle unrolls the same
+# loop. The learned model must rank pairs by the fraud-amount ground truth
+# (preference label = which transaction is larger), and the returned row
+# hash-pins the weights AND the exact ranking-accuracy counts under them.
+# ---------------------------------------------------------------------------
+_M14_LR = 2.0
+_M14_STEPS = 5
+
+
+def _m14_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("value") / F.lit(100.0)).alias("x1"),
+        (F.hour("ts") / F.lit(23.0)).alias("x2"),
+        "value",
+    )
+    a = ev.where(F.col("event_id") % 2 == 0).alias("a")
+    b = ev.alias("b")
+    return (
+        a.join(b, F.col("b.event_id") == F.col("a.event_id") + 1)
+        .select(
+            (F.col("a.x1") - F.col("b.x1")).alias("dx1"),
+            (F.col("a.x2") - F.col("b.x2")).alias("dx2"),
+            F.when(F.col("a.value") > F.col("b.value"), 1.0)
+            .otherwise(0.0)
+            .alias("y"),
+        )
+    )
+
+
+def _m14_p() -> F.Column:
+    m = F.col("w1") * F.col("dx1") + F.col("w2") * F.col("dx2")
+    return F.lit(0.5) * (F.lit(1.0) + m / (F.lit(1.0) + F.abs(m)))
+
+
+def _m14_sql() -> str:
+    p = (
+        "0.5 * (1.0 + (w1 * dx1 + w2 * dx2) "
+        "/ (1.0 + abs(w1 * dx1 + w2 * dx2)))"
+    )
+    sql = f"""
+    WITH e AS (
+      SELECT event_id, value / 100.0 AS x1,
+             extract(hour FROM ts) / 23.0 AS x2, value
+      FROM events
+    ),
+    d AS (
+      SELECT a.x1 - b.x1 AS dx1, a.x2 - b.x2 AS dx2,
+             CASE WHEN a.value > b.value THEN 1.0 ELSE 0.0 END AS y
+      FROM e a JOIN e b ON b.event_id = a.event_id + 1
+      WHERE a.event_id % 2 = 0
+    ), w0 AS (SELECT 0.0 AS w1, 0.0 AS w2)"""
+    for k in range(1, _M14_STEPS + 1):
+        sql += f""", g{k} AS (
+      SELECT sum(CAST(round((p - y) * dx1 * 1000000.0, 0) AS BIGINT)) AS g1,
+             sum(CAST(round((p - y) * dx2 * 1000000.0, 0) AS BIGINT)) AS g2,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM (SELECT d.*, {p} AS p FROM d CROSS JOIN w{k - 1})
+    ), w{k} AS (
+      SELECT w1 - {_M14_LR} * (g1 / 1000000.0) / n AS w1,
+             w2 - {_M14_LR} * (g2 / 1000000.0) / n AS w2
+      FROM w{k - 1} CROSS JOIN g{k}
+    )"""
+    return sql + f"""
+    SELECT max(CAST(round(w1 * 1000000000.0, 0) AS BIGINT)) AS w1_nanos,
+           max(CAST(round(w2 * 1000000000.0, 0) AS BIGINT)) AS w2_nanos,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(*) FILTER (WHERE (p > 0.5) = (y = 1.0)) AS BIGINT)
+             AS n_correct
+    FROM (SELECT d.*, {p} AS p, w1, w2 FROM d CROSS JOIN w{_M14_STEPS})"""
+
+
+@_register("m14_pairwise_preference_trainer", _m14_sql())
+def m14_pairwise_preference_trainer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry pairwise preference trainer (the reward-model rung):
+    adjacent transactions pair up (sort-merge self-join on event_id — no
+    corpus-wide window), the preference label is which of the pair is
+    larger, and _M14_STEPS unrolled GD steps fit P(a beats b) =
+    link(w . (x_a - x_b)) with the m08 recipe — rational link,
+    per-pair gradients quantized to int64 micros before the sum, the
+    2-weight state flowing between steps as broadcast 1-row frames. The
+    returned row pins the learned weights as exact nanos plus the exact
+    pairwise ranking-accuracy counts under them; a pytest asserts the
+    model actually ranks (accuracy >> 0.5, w1 strongly positive since
+    dx1 is the label's own signal scaled).
+
+    Scale: pair construction shuffles on the 8-byte event_id only; each
+    GD step is one map-side-combined 3-cell aggregate over the
+    materialized-once pair frame; weights ride broadcasts (the m08/m13
+    posture — each step references its predecessor exactly once)."""
+    pairs = _m14_pairs(spark, sf_dir).localCheckpoint()
+    w = spark.range(1).select(F.lit(0.0).alias("w1"), F.lit(0.0).alias("w2"))
+    for _ in range(_M14_STEPS):
+        r = _m14_p() - F.col("y")
+        g = pairs.crossJoin(F.broadcast(w)).agg(
+            F.sum(
+                F.round(r * F.col("dx1") * F.lit(1000000.0), 0).cast("long")
+            ).alias("g1"),
+            F.sum(
+                F.round(r * F.col("dx2") * F.lit(1000000.0), 0).cast("long")
+            ).alias("g2"),
+            F.count("*").cast("double").alias("n"),
+            F.first("w1").alias("w1"),
+            F.first("w2").alias("w2"),
+        )
+        lr = F.lit(_M14_LR)
+        w = g.select(
+            (F.col("w1") - lr * (F.col("g1") / F.lit(1000000.0)) / F.col("n")).alias("w1"),
+            (F.col("w2") - lr * (F.col("g2") / F.lit(1000000.0)) / F.col("n")).alias("w2"),
+        )
+    scored = pairs.crossJoin(F.broadcast(w)).select(
+        "y",
+        _m14_p().alias("p"),
+        F.round(F.col("w1") * F.lit(1000000000.0), 0).cast("long").alias("w1n"),
+        F.round(F.col("w2") * F.lit(1000000000.0), 0).cast("long").alias("w2n"),
+    )
+    return scored.agg(
+        F.max("w1n").alias("w1_nanos"),
+        F.max("w2n").alias("w2_nanos"),
+        F.count("*").cast("long").alias("n_pairs"),
+        F.count_if((F.col("p") > 0.5) == (F.col("y") == 1.0))
+        .cast("long")
+        .alias("n_correct"),
+    )

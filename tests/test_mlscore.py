@@ -336,3 +336,19 @@ def test_m13_boosting_trajectory_and_deployed_agreement(spark, sf_dir):
     ).collect()[0]["e"]
     assert deployed_err == ens["w_err"]
     assert _M13_B ** (_M13_ROUNDS - 1) <= 2**20  # int64 headroom is vast
+
+
+def test_m14_preference_model_ranks(spark, sf_dir):
+    """The Bradley-Terry trainer must LEARN to rank: the amount-diff
+    weight comes out strongly positive (dx1 is the preference label's
+    own signal, scaled), pairwise accuracy lands far above chance, and
+    the counts are internally consistent."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.advanced import (
+        m14_pairwise_preference_trainer,
+    )
+
+    row = m14_pairwise_preference_trainer(spark, sf_dir).collect()[0]
+    assert row.n_pairs > 0
+    assert 0 < row.n_correct <= row.n_pairs
+    assert row.n_correct / row.n_pairs > 0.9, row
+    assert row.w1_nanos > 10**8  # w1 > 0.1: the ranking signal dominates

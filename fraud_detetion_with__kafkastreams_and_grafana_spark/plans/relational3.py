@@ -1980,3 +1980,83 @@ def r81_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("cents"), F.lit(0)).alias("cents_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r82: complex-event-pattern (CEP) sequence detection — MATCH_RECOGNIZE-class
+# semantics Spark has no native operator for, lowered to lead() windows
+# (SIGMOD'19 "Real-Time Multi-Pattern Detection over Event Streams" is the
+# family; the pattern here is the classic card-testing fraud signature the
+# reference's domain implies: two small probe transactions immediately
+# followed by a large one, all within 24h). Contiguity is strict (the spec's
+# PATTERN (A A B) over per-user event order); ordering is (second-truncated
+# event time, event_id) so the streaming twin (s24), which only sees the
+# wire's epoch-second timestamps, shares this oracle verbatim.
+# ---------------------------------------------------------------------------
+_R82_PROBE, _R82_FRAUD, _R82_SPAN = 20.0, 100.0, 86400
+
+
+@_register(
+    "r82_cep_card_testing",
+    f"""
+    WITH o AS (
+      SELECT user_id, event_id,
+             epoch(date_trunc('second', ts)) AS t, value,
+             lead(value, 1) OVER w AS v2,
+             lead(value, 2) OVER w AS v3,
+             lead(event_id, 1) OVER w AS e2,
+             lead(event_id, 2) OVER w AS e3,
+             lead(epoch(date_trunc('second', ts)), 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY date_trunc('second', ts), event_id)
+    )
+    SELECT printf('user_%03d', user_id) AS userId,
+           CAST(event_id AS BIGINT) AS probe1_id,
+           CAST(e2 AS BIGINT) AS probe2_id,
+           CAST(e3 AS BIGINT) AS fraud_id,
+           CAST(t3 - t AS BIGINT) AS span_s
+    FROM o
+    WHERE value < {_R82_PROBE!r} AND v2 < {_R82_PROBE!r}
+      AND v3 > {_R82_FRAUD!r} AND t3 - t <= {_R82_SPAN}
+    """,
+)
+def r82_cep_card_testing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Card-testing CEP: PATTERN (probe probe fraud) with strict
+    contiguity per user and a 24h span bound, lowered to a single lead()
+    window — each match row carries the three event ids and the span.
+
+    Scale: ONE shuffle (the per-user window partition); lead() never
+    buffers more than the pattern length; per-user partitions are small.
+    This is the standard native-Spark lowering of MATCH_RECOGNIZE for
+    fixed-length contiguous patterns — variable-length/Kleene patterns
+    would move to the s24 stateful form, which is the same walk with
+    state. The streaming twin s24 shares this oracle row-for-row."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.date_trunc("second", F.col("ts")), "event_id"
+    )
+    o = ev.select(
+        "user_id",
+        "event_id",
+        t.alias("t"),
+        "value",
+        F.lead("value", 1).over(w).alias("v2"),
+        F.lead("value", 2).over(w).alias("v3"),
+        F.lead("event_id", 1).over(w).alias("e2"),
+        F.lead("event_id", 2).over(w).alias("e3"),
+        F.lead(t, 2).over(w).alias("t3"),
+    )
+    return o.where(
+        (F.col("value") < _R82_PROBE)
+        & (F.col("v2") < _R82_PROBE)
+        & (F.col("v3") > _R82_FRAUD)
+        & ((F.col("t3") - F.col("t")) <= _R82_SPAN)
+    ).select(
+        F.format_string("user_%03d", F.col("user_id").cast("int")).alias("userId"),
+        F.col("event_id").cast("long").alias("probe1_id"),
+        F.col("e2").cast("long").alias("probe2_id"),
+        F.col("e3").cast("long").alias("fraud_id"),
+        (F.col("t3") - F.col("t")).cast("long").alias("span_s"),
+    )

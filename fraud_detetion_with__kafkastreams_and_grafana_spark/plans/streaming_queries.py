@@ -1632,3 +1632,81 @@ def s23_stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(out).select("doc_id", "status", "match_id")
+
+
+def _r82_oracle_sql() -> str:
+    from .relational3 import ORACLES as _R3
+
+    return _R3["r82_cep_card_testing"]
+
+
+def _cep_wire_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Event-time-ordered wire carrying event_id (the CEP twin needs the
+    deterministic (ts, event_id) tie-break the batch window uses). The
+    range key is strictly increasing (epoch-seconds << 20 | event_id —
+    event_id < 2^20 at every test SF), so file k's records ALL precede
+    file k+1's under the exact batch ordering, and cross-batch
+    contiguity is byte-deterministic."""
+    from ..streaming.replay import materialize_ordered_wire_dir
+
+    key = ("cep", spark.sparkContext.applicationId, sf_dir)
+    if key not in _WIRE_DIRS:
+        ev = load_table(spark, sf_dir, "events")
+        t = F.unix_timestamp(
+            F.date_trunc("second", F.col("ts")).cast("timestamp")
+        )
+        wire_ts = ev.select(
+            F.to_json(
+                F.struct(
+                    F.format_string(
+                        "user_%03d", F.col("user_id").cast("int")
+                    ).alias("userId"),
+                    F.col("value").alias("amount"),
+                    t.alias("timestamp"),
+                    F.col("event_id").alias("event_id"),
+                )
+            ).alias("value"),
+            (t * F.lit(1 << 20) + F.col("event_id")).alias("_key"),
+        )
+        _WIRE_DIRS[key] = materialize_ordered_wire_dir(wire_ts, "_key")
+    return _WIRE_DIRS[key]
+
+
+@_register("s24_stream_cep", _r82_oracle_sql())
+def s24_stream_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r82's card-testing CEP run as a STREAM — the MATCH_RECOGNIZE
+    semantics Spark's native streaming can't express, implemented as a
+    custom stateful operator (applyInPandasWithState): per-user state is
+    exactly the last two events (pattern length - 1, the NFA buffer
+    bound), every micro-batch walks its rows in (event-time, event_id)
+    order, and a match emits exactly once — in the batch where its third
+    event arrives, including matches whose probes arrived in EARLIER
+    micro-batches (cross-batch state is the point). The replay delivers
+    batches in strict event order (Kafka's per-key guarantee); the
+    snapshot must equal the batch lead()-window formulation row-for-row,
+    so s24 shares r82's oracle verbatim.
+
+    Scale: one state-store shuffle on userId; O(pattern) state per key
+    regardless of stream length; emission is append-like (each match
+    once) so no state ever flushes late."""
+    from ..streaming.stateful import cep_card_testing_matches
+
+    def xform(stream: DataFrame) -> DataFrame:
+        parsed = stream.select(
+            F.from_json(
+                "value",
+                "userId STRING, amount DOUBLE, timestamp LONG, event_id LONG",
+            ).alias("r")
+        ).select("r.userId", "r.amount", "r.timestamp", "r.event_id")
+        parsed = parsed.where(
+            F.col("userId").isNotNull() & F.col("event_id").isNotNull()
+        )
+        return cep_card_testing_matches(parsed, 20.0, 100.0, 86400)
+
+    return replay_wire_stream(
+        spark,
+        _cep_wire_dir(spark, sf_dir),
+        xform,
+        output_mode="update",
+        name="s24_mem",
+    ).select("userId", "probe1_id", "probe2_id", "fraud_id", "span_s")

@@ -94,3 +94,77 @@ def running_user_totals_tws(fraud: DataFrame) -> DataFrame:
         outputMode="update",
         timeMode="none",
     )
+
+
+CEP_OUTPUT_SCHEMA = (
+    "userId STRING, probe1_id LONG, probe2_id LONG, fraud_id LONG, span_s LONG"
+)
+# last two events per user: (t, value, event_id) x 2; event_id -1 = empty slot
+CEP_STATE_SCHEMA = "t1 LONG, v1 DOUBLE, e1 LONG, t2 LONG, v2 DOUBLE, e2 LONG"
+
+
+def make_cep_card_testing(probe: float, fraud: float, span_s: int):
+    """Stateful CEP operator factory: strict-contiguity PATTERN
+    (probe probe fraud) per user, emitted the moment the third event
+    arrives — state is exactly the last TWO events per key (the pattern
+    length minus one), so state size is O(pattern) per user regardless
+    of stream length, the canonical NFA-buffer bound for fixed-length
+    contiguous patterns. Batch rows are walked in (event-time, event_id)
+    order; cross-batch contiguity holds because the replay (like Kafka
+    per-key order) delivers batches in event-time order and the previous
+    two events ride the state store."""
+
+    def cep(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            t1, v1, e1, t2, v2, e2 = state.get
+        else:
+            t1, v1, e1, t2, v2, e2 = -1, 0.0, -1, -1, 0.0, -1
+        prev2, prev1 = (t1, v1, e1), (t2, v2, e2)
+        matches: list[tuple] = []
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["timestamp", "event_id"])
+        for t, v, e in zip(
+            pdf["timestamp"].astype("int64"),
+            pdf["amount"].astype("float64"),
+            pdf["event_id"].astype("int64"),
+        ):
+            ta, va, ea = prev2
+            tb, vb, eb = prev1
+            if (
+                ea >= 0
+                and eb >= 0
+                and va < probe
+                and vb < probe
+                and v > fraud
+                and t - ta <= span_s
+            ):
+                matches.append((key[0], ea, eb, int(e), int(t - ta)))
+            prev2, prev1 = prev1, (int(t), float(v), int(e))
+        state.update(
+            (prev2[0], prev2[1], prev2[2], prev1[0], prev1[1], prev1[2])
+        )
+        if matches:
+            yield pd.DataFrame(
+                matches,
+                columns=["userId", "probe1_id", "probe2_id", "fraud_id", "span_s"],
+            )
+
+    return cep
+
+
+def cep_card_testing_matches(
+    parsed: DataFrame, probe: float, fraud: float, span_s: int
+) -> DataFrame:
+    """Streaming CEP over a parsed wire stream (userId, amount,
+    timestamp, event_id): one state-store shuffle on userId, O(pattern)
+    state per key, matches emitted exactly once (a triple completes in
+    exactly one micro-batch)."""
+    return parsed.groupBy("userId").applyInPandasWithState(
+        make_cep_card_testing(probe, fraud, span_s),
+        outputStructType=CEP_OUTPUT_SCHEMA,
+        stateStructType=CEP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -653,3 +653,72 @@ def test_s23_stream_gate_equals_batch_l64(spark, sf_dir):
         for r in llmops.QUERIES["l64_incremental_dedup"](spark, sf_dir).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_s24_stream_cep_equals_batch_r82(spark, sf_dir):
+    """The streaming CEP must find exactly the batch lead()-window's
+    matches — same triples, same spans — with matches present (the tiny
+    SF still contains card-testing sequences)."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import (
+        relational3 as R3,
+        streaming_queries as SQ,
+    )
+
+    got = sorted(
+        tuple(r) for r in SQ.QUERIES["s24_stream_cep"](spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in R3.QUERIES["r82_cep_card_testing"](spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_cep_state_carries_pattern_across_batches():
+    """The stateful walk itself, unit-level: probes arriving in one
+    micro-batch and the fraud event in the NEXT must still match (state
+    carries the last two events); a fourth event must not re-emit the
+    finished triple; out-of-order rows WITHIN a batch are sorted by
+    (timestamp, event_id) before the walk."""
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.streaming.stateful import (
+        make_cep_card_testing,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+            self.exists = True
+
+    cep = make_cep_card_testing(20.0, 100.0, 86400)
+    state = FakeState()
+
+    def run(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["userId", "amount", "timestamp", "event_id"]
+        )
+        return list(cep(("user_007",), iter([pdf]), state))
+
+    # batch 1: the two probes, delivered out of order within the batch
+    out1 = run([("user_007", 5.0, 2000, 11), ("user_007", 3.0, 1000, 10)])
+    assert out1 == []
+    # batch 2: the fraud event completes the pattern exactly once
+    out2 = run([("user_007", 250.0, 3000, 12)])
+    assert len(out2) == 1
+    m = out2[0].iloc[0]
+    assert (
+        m["probe1_id"], m["probe2_id"], m["fraud_id"], m["span_s"]
+    ) == (10, 11, 12, 2000)
+    # batch 3: another large event does NOT re-match the spent probes
+    # (prev two events are now probe2 + fraud, and fraud >= probe bound)
+    out3 = run([("user_007", 300.0, 4000, 13)])
+    assert out3 == []

@@ -365,3 +365,13 @@ def test_l69_mulaw_roundtrip_is_one_scan_no_shuffle(spark, sf_dir):
     assert "Exchange" not in p, p
     assert p.count("Scan parquet") == 1, p
     assert "MapInPandas" in p, p
+
+
+def test_r82_cep_is_one_window_one_shuffle(spark, sf_dir):
+    """The CEP lowering must cost exactly one per-user shuffle feeding
+    one Window operator (all three lead()s share the sort), with the
+    pattern predicate applied after — no self-joins, nothing cartesian."""
+    p = _plan(relational3.QUERIES["r82_cep_card_testing"](spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert p.count("Window") == 1, p
+    assert "Join" not in p and "CartesianProduct" not in p, p

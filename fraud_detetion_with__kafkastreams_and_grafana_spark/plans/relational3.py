@@ -2060,3 +2060,101 @@ def r82_cep_card_testing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e3").cast("long").alias("fraud_id"),
         (F.col("t3") - F.col("t")).cast("long").alias("span_s"),
     )
+
+
+@_register(
+    "r83_cep_kleene_probe_run",
+    f"""
+    WITH o AS (
+      SELECT user_id, event_id, epoch(date_trunc('second', ts)) AS t, value,
+             row_number() OVER w AS rn,
+             (value < {_R82_PROBE!r}) AS is_probe,
+             lead(value) OVER w AS nv,
+             lead(event_id) OVER w AS nid,
+             lead(epoch(date_trunc('second', ts))) OVER w AS nt
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY date_trunc('second', ts), event_id)
+    ),
+    pr AS (
+      SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn)
+               AS grp
+      FROM o WHERE is_probe
+    ),
+    isl AS (
+      SELECT user_id, grp,
+             count(*) AS n_probes,
+             arg_min(event_id, rn) AS first_probe_id,
+             arg_min(t, rn) AS t_first,
+             arg_max(event_id, rn) AS last_probe_id,
+             arg_max(nv, rn) AS next_v,
+             arg_max(nid, rn) AS next_id,
+             arg_max(nt, rn) AS next_t
+      FROM pr GROUP BY 1, 2
+    )
+    SELECT printf('user_%03d', user_id) AS userId,
+           CAST(first_probe_id AS BIGINT) AS first_probe_id,
+           CAST(last_probe_id AS BIGINT) AS last_probe_id,
+           CAST(n_probes AS BIGINT) AS n_probes,
+           CAST(next_id AS BIGINT) AS fraud_id,
+           CAST(next_t - t_first AS BIGINT) AS span_s
+    FROM isl
+    WHERE next_v > {_R82_FRAUD!r} AND next_t - t_first <= {_R82_SPAN}
+    """,
+)
+def r83_cep_kleene_probe_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length CEP — PATTERN (probe+ fraud) with the greedy
+    (maximal-munch) quantifier MATCH_RECOGNIZE specifies: a MAXIMAL run
+    of consecutive sub-threshold probes per user, immediately followed
+    by a fraud event, whole sequence within the 24h span. r82 is the
+    fixed-length (A A B) special case; the Kleene form is the one that
+    needs gaps-and-islands instead of a fixed lead() fan — islands of
+    probe rows grouped by the rn-difference trick, the follower event
+    recovered from the island's LAST row's lead (so contiguity with the
+    fraud event is exact, not approximate).
+
+    Scale: both window passes partition on user_id (one shuffle; the
+    second window sees only probe rows), the island aggregate is
+    map-side-combinable min_by/max_by over int64s, and run length never
+    enters state — maximal munch falls out of the grouping, the reason
+    this lowering beats a row-walk even at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.date_trunc("second", F.col("ts")), "event_id"
+    )
+    o = ev.select(
+        "user_id",
+        "event_id",
+        t.alias("t"),
+        "value",
+        F.row_number().over(w).alias("rn"),
+        (F.col("value") < _R82_PROBE).alias("is_probe"),
+        F.lead("value").over(w).alias("nv"),
+        F.lead("event_id").over(w).alias("nid"),
+        F.lead(t).over(w).alias("nt"),
+    )
+    wp = Window.partitionBy("user_id").orderBy("rn")
+    pr = o.where("is_probe").withColumn(
+        "grp", F.col("rn") - F.row_number().over(wp)
+    )
+    isl = pr.groupBy("user_id", "grp").agg(
+        F.count("*").alias("n_probes"),
+        F.min_by("event_id", "rn").alias("first_probe_id"),
+        F.min_by("t", "rn").alias("t_first"),
+        F.max_by("event_id", "rn").alias("last_probe_id"),
+        F.max_by("nv", "rn").alias("next_v"),
+        F.max_by("nid", "rn").alias("next_id"),
+        F.max_by("nt", "rn").alias("next_t"),
+    )
+    return isl.where(
+        (F.col("next_v") > _R82_FRAUD)
+        & ((F.col("next_t") - F.col("t_first")) <= _R82_SPAN)
+    ).select(
+        F.format_string("user_%03d", F.col("user_id").cast("int")).alias("userId"),
+        F.col("first_probe_id").cast("long").alias("first_probe_id"),
+        F.col("last_probe_id").cast("long").alias("last_probe_id"),
+        F.col("n_probes").cast("long").alias("n_probes"),
+        F.col("next_id").cast("long").alias("fraud_id"),
+        (F.col("next_t") - F.col("t_first")).cast("long").alias("span_s"),
+    )

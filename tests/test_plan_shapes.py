@@ -375,3 +375,13 @@ def test_r82_cep_is_one_window_one_shuffle(spark, sf_dir):
     assert p.count("Exchange hashpartitioning") == 1, p
     assert p.count("Window") == 1, p
     assert "Join" not in p and "CartesianProduct" not in p, p
+
+
+def test_r83_kleene_cep_reuses_one_shuffle(spark, sf_dir):
+    """The Kleene lowering must reuse ONE user_id shuffle across both
+    window passes (the probe-island window re-sorts in place) and
+    aggregate islands map-side — no joins, nothing cartesian."""
+    p = _plan(relational3.QUERIES["r83_cep_kleene_probe_run"](spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert p.count("Window") == 2, p
+    assert "Join" not in p and "CartesianProduct" not in p, p

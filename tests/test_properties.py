@@ -1279,3 +1279,81 @@ def test_l70_oracle_equals_bruteforce_greedy(docs):
         covered |= grams[src]
         want.append((t, src, gain, len(covered)))
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),        # user
+            st.integers(min_value=0, max_value=200000),   # t offset seconds
+            st.floats(min_value=0.01, max_value=300.0,
+                      allow_nan=False, allow_infinity=False),  # value
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: (r[0], r[1]),  # unique (user, ts)
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_r83_oracle_equals_bruteforce_kleene_walk(rows):
+    """The gaps-and-islands Kleene-CEP SQL must equal a literal
+    event-walk on arbitrary event sets: maximal probe runs, exact
+    contiguity with the follower, the 24h span from the FIRST probe,
+    and runs at end-of-stream (no follower) never matching."""
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.relational3 import (
+        _R82_FRAUD,
+        _R82_PROBE,
+        _R82_SPAN,
+        ORACLES,
+    )
+
+    base = datetime(2024, 1, 1)
+    con = _duck()
+    con.register(
+        "events",
+        pd.DataFrame(
+            {
+                "event_id": range(len(rows)),
+                "user_id": [u for u, _, _ in rows],
+                "ts": [base + timedelta(seconds=dt) for _, dt, _ in rows],
+                "value": [v for _, _, v in rows],
+            }
+        ),
+    )
+    got = sorted(
+        tuple(r)
+        for r in con.execute(ORACLES["r83_cep_kleene_probe_run"]).fetchall()
+    )
+
+    by_user: dict[int, list] = {}
+    for eid, (u, dt, v) in enumerate(rows):
+        by_user.setdefault(u, []).append((dt, eid, v))
+    want = []
+    for u, evs in by_user.items():
+        evs.sort()
+        i = 0
+        while i < len(evs):
+            if evs[i][2] < _R82_PROBE:
+                j = i
+                while j + 1 < len(evs) and evs[j + 1][2] < _R82_PROBE:
+                    j += 1
+                if j + 1 < len(evs):
+                    ft, fid, fv = evs[j + 1]
+                    if fv > _R82_FRAUD and ft - evs[i][0] <= _R82_SPAN:
+                        want.append(
+                            (
+                                f"user_{u:03d}",
+                                evs[i][1],
+                                evs[j][1],
+                                j - i + 1,
+                                fid,
+                                ft - evs[i][0],
+                            )
+                        )
+                i = j + 1
+            i += 1
+    assert got == sorted(want)

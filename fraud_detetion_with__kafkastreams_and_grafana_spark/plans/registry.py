@@ -112,6 +112,23 @@ _CHECKED_R6 = (
     | {f"l{i:02d}" for i in range(1, 17)}
     | {f"r{i:02d}" for i in range(1, 17)}
 )
+# The actual r07 window (CORRECTNESS_r07.json, exactly 50 rows): the 10
+# round-7 additions (m13, m14, l67-l70, s23, s24, r82, r83) plus the
+# round-3-vintage head in family order (s06-s17, u06-u09, m02, l17-l31,
+# r44-r51 = 40); the round-3 registry-order tail r52-r61 was evicted and
+# rotates through r08. With this sync the r08 window becomes: any round-8
+# additions first, then r52-r61 (round-3 leftovers), then the round-4
+# vintage head (q8, s18-s22, u10, m03-m07, l32-l55, then r62...) with each
+# round-8 addition evicting from the r62-r75 registry-order tail.
+_CHECKED_R7 = (
+    {"m13", "m14", "s23", "s24", "r82", "r83"}
+    | {f"l{i:02d}" for i in range(67, 71)}
+    | {f"s{i:02d}" for i in range(6, 18)}
+    | {f"u{i:02d}" for i in range(6, 10)}
+    | {"m02"}
+    | {f"l{i:02d}" for i in range(17, 32)}
+    | {f"r{i:02d}" for i in range(44, 52)}
+)
 _LAST_CHECKED: dict[str, int] = {}
 for _rnd, _qs in (
     (1, _CHECKED_R1),
@@ -120,6 +137,7 @@ for _rnd, _qs in (
     (4, _CHECKED_R4),
     (5, _CHECKED_R5),
     (6, _CHECKED_R6),
+    (7, _CHECKED_R7),
 ):
     for _q in _qs:
         _LAST_CHECKED[_q] = _rnd

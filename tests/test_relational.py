@@ -86,25 +86,28 @@ def test_registry_window_rotation_order():
     window = set(names[:50])
     never = {n for n, r in zip(names, ranks) if r == 0}
     assert never <= window, f"never-checked queries outside the window: {never - window}"
-    # After the r06 sync the stalest slice is the round-3 vintage
-    # (s06-s17, u06-u09, m02, l17-l31, r44-r61 = exactly 50 queries);
-    # the r07 window is the never-checked additions followed by that
-    # slice's registry-order head — every checked slot in the window
-    # must come from the round-3 vintage, and the vintage rows evicted
-    # by additions must be exactly its registry-order tail.
-    r3_vintage = (
-        {f"s{i:02d}" for i in range(6, 18)}
-        | {f"u{i:02d}" for i in range(6, 10)}
-        | {"m02"}
-        | {f"l{i:02d}" for i in range(17, 32)}
-        | {f"r{i:02d}" for i in range(44, 62)}
+    # After the r07 sync the stalest slice is the 10 round-3 leftovers
+    # (r52-r61, evicted from the r07 window by the round-7 additions)
+    # followed by the round-4 vintage (q8, s18-s22, u10, m03-m07,
+    # l32-l55, r62-r75 = 44; 10 + 44 = 54 > 50). The r08 window is the
+    # never-checked additions, then r52-r61, then the round-4 vintage's
+    # registry-order head — every checked slot in the window must come
+    # from that stale slice, and the rows evicted by additions must be
+    # exactly the round-4 vintage's registry-order tail (r62-r75).
+    stale_slice = (
+        {f"r{i:02d}" for i in range(52, 62)}
+        | {"q8", "u10"}
+        | {f"s{i:02d}" for i in range(18, 23)}
+        | {f"m{i:02d}" for i in range(3, 8)}
+        | {f"l{i:02d}" for i in range(32, 56)}
+        | {f"r{i:02d}" for i in range(62, 76)}
     )
     checked_in_window = [n for n in names[:50] if n not in never]
-    assert all(n.split("_", 1)[0] in r3_vintage for n in checked_in_window), (
-        "checked window slots must be round-3-vintage rows: "
-        f"{[n for n in checked_in_window if n.split('_', 1)[0] not in r3_vintage]}"
+    assert all(n.split("_", 1)[0] in stale_slice for n in checked_in_window), (
+        "checked window slots must be stale-slice rows: "
+        f"{[n for n in checked_in_window if n.split('_', 1)[0] not in stale_slice]}"
     )
-    vintage_names = [n for n in names if n.split("_", 1)[0] in r3_vintage]
+    vintage_names = [n for n in names if n.split("_", 1)[0] in stale_slice]
     assert checked_in_window == vintage_names[: len(checked_in_window)], (
         "additions must evict the vintage's registry-order tail only"
     )

@@ -1082,14 +1082,20 @@ def index_compaction_report(
         )
     )
     zero = F.lit(0).cast("long")
+    # bs joins FULL OUTER: a source whose batch docs are all exact dups of
+    # other sources' index docs (and which has no index docs of its own)
+    # appears in bs but not ms — a left join would silently drop its
+    # admission stats from the report (round-7 ADVICE). gs stays a left
+    # join: its sources are by construction a subset of ms's (every
+    # passage-window doc is also an md5 doc in the new index).
     return (
         ms.join(gs, "source", "left")
-        .join(bs, "source", "left")
+        .join(bs, "source", "full")
         .select(
             "source",
-            "n_docs",
-            "n_md5_distinct",
-            "md5_xor",
+            F.coalesce("n_docs", zero).alias("n_docs"),
+            F.coalesce("n_md5_distinct", zero).alias("n_md5_distinct"),
+            F.coalesce("md5_xor", zero).alias("md5_xor"),
             F.coalesce("n_pass_rows", zero).alias("n_pass_rows"),
             F.coalesce("n_pass_distinct", zero).alias("n_pass_distinct"),
             F.coalesce("pass_xor", zero).alias("pass_xor"),

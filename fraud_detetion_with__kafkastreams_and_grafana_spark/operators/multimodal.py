@@ -1257,6 +1257,17 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, int, int]:
     mx, my = (w + 7) // 8, (h + 7) // 8
     planes = [np.zeros((my * 8, mx * 8)) for _ in comps]
     order = {cid: k for k, (cid, _) in enumerate(comps)}
+    # Malformed streams must raise ValueError on every path (the decode_gif
+    # contract): validate the scan's component ids and every referenced
+    # quant/Huffman table slot before entropy decode, otherwise order[cid]
+    # / qt[...] / huff[...] would surface KeyError instead.
+    for cid, td, ta in scan_comps:
+        if cid not in order:
+            raise ValueError("SOS component id not declared in SOF0")
+        if comps[order[cid]][1] not in qt:
+            raise ValueError("quant table slot referenced but not defined")
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError("Huffman table slot referenced but not defined")
     preds = [0] * len(comps)
     seg_idx = 0
     rd = _JpegBitReader(bytes(segments[0]))

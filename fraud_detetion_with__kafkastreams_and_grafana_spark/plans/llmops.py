@@ -3892,14 +3892,17 @@ def l66_cluster_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE b.doc_id >= 400
       GROUP BY 1
     )
-    SELECT ms.source, ms.n_docs, ms.n_md5_distinct, ms.md5_xor,
+    SELECT coalesce(ms.source, bs.source) AS source,
+           coalesce(ms.n_docs, 0) AS n_docs,
+           coalesce(ms.n_md5_distinct, 0) AS n_md5_distinct,
+           coalesce(ms.md5_xor, 0) AS md5_xor,
            coalesce(gs.n_pass_rows, 0) AS n_pass_rows,
            coalesce(gs.n_pass_distinct, 0) AS n_pass_distinct,
            coalesce(gs.pass_xor, 0) AS pass_xor,
            coalesce(bs.n_admitted, 0) AS n_admitted,
            coalesce(bs.n_dropped_exact, 0) AS n_dropped_exact
-    FROM ms LEFT JOIN gs ON ms.source = gs.source
-            LEFT JOIN bs ON ms.source = bs.source
+    FROM ms FULL OUTER JOIN bs ON ms.source = bs.source
+            LEFT JOIN gs ON ms.source = gs.source
     """,
 )
 def l68_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -883,6 +883,35 @@ def test_l68_compaction_reprobe_is_all_exact(spark):
     assert got == {400: "exact", 401: "exact", 402: "exact"}
 
 
+def test_l68_all_dup_source_keeps_admission_stats(spark):
+    """Round-7 ADVICE: a source whose batch docs are ALL exact dups of
+    OTHER sources' index docs (and which has no index docs of its own)
+    contributes nothing to the new index, but its admission stats must
+    still appear in the report — the bs side joins full-outer, not
+    left. Its index-summary columns are zero."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators.dedup import (
+        index_compaction_report,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "web", "alpha beta gamma delta epsilon zeta"),
+            (400, "mirror", "alpha beta gamma delta epsilon zeta"),
+        ],
+        "doc_id LONG, source STRING, text STRING",
+    )
+    rep = {
+        r.source: r
+        for r in index_compaction_report(docs, split_id=400, k=5).collect()
+    }
+    assert set(rep) == {"web", "mirror"}
+    m = rep["mirror"]
+    assert m.n_dropped_exact == 1 and m.n_admitted == 0
+    assert m.n_docs == 0 and m.n_md5_distinct == 0 and m.md5_xor == 0
+    assert m.n_pass_rows == 0 and m.pass_xor == 0
+    assert rep["web"].n_docs == 1 and rep["web"].n_dropped_exact == 0
+
+
 def test_l68_corpus_stats_consistent_with_l64(spark, sf_dir):
     """At corpus scale the compaction's admission stats must replay the
     l64 classification exactly: per-source dropped == l64 'exact' count,

@@ -878,6 +878,23 @@ def test_jpeg_rejects_malformed():
     for cut in (len(full) - 3, len(full) // 2, 30, 4):
         with pytest.raises(ValueError):
             MM.decode_jpeg(full[:cut])
+    # Dangling table/component references must also be ValueError, not
+    # KeyError: a scan component id absent from SOF0, and quant/Huffman
+    # table slots that are referenced but never defined. encode_jpeg's
+    # single-component stream uses component id 1 and table slot 0 for
+    # DQT/DHT-DC/DHT-AC, so flipping each reference in place leaves the
+    # marker walk intact while breaking exactly one lookup.
+    sos_at = full.index(b"\xff\xda")
+    bad_cid = bytearray(full)
+    bad_cid[sos_at + 5] = 9  # SOS component id 1 -> 9 (not in SOF0)
+    sof_at = full.index(b"\xff\xc0")
+    bad_tq = bytearray(full)
+    bad_tq[sof_at + 12] = 3  # SOF0 component quant slot 0 -> 3 (undefined)
+    bad_huf = bytearray(full)
+    bad_huf[sos_at + 6] = 0x23  # SOS Td/Ta 0/0 -> 2/3 (undefined slots)
+    for broken in (bad_cid, bad_tq, bad_huf):
+        with pytest.raises(ValueError):
+            MM.decode_jpeg(bytes(broken))
 
 
 def test_jpeg_restart_markers():

@@ -1640,6 +1640,12 @@ def _r82_oracle_sql() -> str:
     return _R3["r82_cep_card_testing"]
 
 
+def _r83_oracle_sql() -> str:
+    from .relational3 import ORACLES as _R3
+
+    return _R3["r83_cep_kleene_probe_run"]
+
+
 def _cep_wire_dir(spark: SparkSession, sf_dir: str) -> str:
     """Event-time-ordered wire carrying event_id (the CEP twin needs the
     deterministic (ts, event_id) tie-break the batch window uses). The
@@ -1710,3 +1716,49 @@ def s24_stream_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="update",
         name="s24_mem",
     ).select("userId", "probe1_id", "probe2_id", "fraud_id", "span_s")
+
+
+@_register("s25_stream_cep_kleene", _r83_oracle_sql())
+def s25_stream_cep_kleene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r83's variable-length Kleene CEP — PATTERN (probe+ fraud),
+    maximal munch — run as a STREAM (round-7 verdict item 3): the batch
+    form needs gaps-and-islands because run length is unbounded, and the
+    streaming form needs only a CONSTANT-size run summary per user
+    (first_probe_id, t_first, last_probe_id, n_probes) in the state
+    store — O(1) state where s24's fixed pattern holds O(pattern).
+    Probes extend the summary in place; a qualifying fraud event emits
+    the match exactly once and clears it; any other event just clears
+    it, which is precisely what makes emitted runs maximal. Runs that
+    span micro-batches (probes in batch k, fraud in batch k+j) come out
+    identical to the batch islands because the summary rides the state
+    store and the replay delivers per-key batches in event order —
+    so s25 shares r83's oracle verbatim.
+
+    Scale: one state-store shuffle on userId; per-key state is four
+    int64s regardless of run length or stream length; emission is
+    append-like (each match once) so no state ever flushes late. Same
+    wire as s24 (one materialization feeds both CEP twins)."""
+    from ..streaming.stateful import cep_kleene_matches
+
+    def xform(stream: DataFrame) -> DataFrame:
+        parsed = stream.select(
+            F.from_json(
+                "value",
+                "userId STRING, amount DOUBLE, timestamp LONG, event_id LONG",
+            ).alias("r")
+        ).select("r.userId", "r.amount", "r.timestamp", "r.event_id")
+        parsed = parsed.where(
+            F.col("userId").isNotNull() & F.col("event_id").isNotNull()
+        )
+        return cep_kleene_matches(parsed, 20.0, 100.0, 86400)
+
+    return replay_wire_stream(
+        spark,
+        _cep_wire_dir(spark, sf_dir),
+        xform,
+        output_mode="update",
+        name="s25_mem",
+    ).select(
+        "userId", "first_probe_id", "last_probe_id", "n_probes",
+        "fraud_id", "span_s",
+    )

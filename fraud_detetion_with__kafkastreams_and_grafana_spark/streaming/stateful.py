@@ -154,6 +154,88 @@ def make_cep_card_testing(probe: float, fraud: float, span_s: int):
     return cep
 
 
+KLEENE_OUTPUT_SCHEMA = (
+    "userId STRING, first_probe_id LONG, last_probe_id LONG, "
+    "n_probes LONG, fraud_id LONG, span_s LONG"
+)
+# running probe-run summary per user; first_id -1 = no active run
+KLEENE_STATE_SCHEMA = "t_first LONG, first_id LONG, last_id LONG, n LONG"
+
+
+def make_cep_kleene_probe_run(probe: float, fraud: float, span_s: int):
+    """Stateful Kleene-CEP operator factory: PATTERN (probe+ fraud) with
+    the greedy (maximal-munch) quantifier, per user. Unlike the
+    fixed-length pattern (make_cep_card_testing, O(pattern) state = the
+    last two events), the variable-length run needs only a CONSTANT-size
+    run summary per key — (t_first, first_probe_id, last_probe_id,
+    n_probes) — updated in place as probes arrive, emitted the moment a
+    qualifying fraud event follows, and cleared by ANY non-probe event
+    (which is what makes the munch maximal: a run can only end when a
+    non-probe arrives, so every emitted run is the longest contiguous
+    probe prefix). O(1) state per key regardless of run length — the
+    run itself never buffers, which is the property that lets this scale
+    past the NFA-buffer formulations. Matches emit exactly once, in the
+    micro-batch where the fraud event arrives, including runs whose
+    probes span many earlier micro-batches (the summary rides the state
+    store; the replay delivers per-key batches in event order, Kafka's
+    per-key guarantee). Snapshot equals the batch gaps-and-islands
+    lowering (r83) row-for-row."""
+
+    def cep(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            t_first, first_id, last_id, n = state.get
+        else:
+            t_first, first_id, last_id, n = -1, -1, -1, 0
+        matches: list[tuple] = []
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["timestamp", "event_id"])
+        for t, v, e in zip(
+            pdf["timestamp"].astype("int64"),
+            pdf["amount"].astype("float64"),
+            pdf["event_id"].astype("int64"),
+        ):
+            if v < probe:
+                if first_id < 0:
+                    t_first, first_id = int(t), int(e)
+                    last_id, n = int(e), 1
+                else:
+                    last_id, n = int(e), n + 1
+            else:
+                if first_id >= 0:
+                    if v > fraud and t - t_first <= span_s:
+                        matches.append(
+                            (key[0], first_id, last_id, n, int(e),
+                             int(t - t_first))
+                        )
+                    t_first, first_id, last_id, n = -1, -1, -1, 0
+        state.update((t_first, first_id, last_id, n))
+        if matches:
+            yield pd.DataFrame(
+                matches,
+                columns=["userId", "first_probe_id", "last_probe_id",
+                         "n_probes", "fraud_id", "span_s"],
+            )
+
+    return cep
+
+
+def cep_kleene_matches(
+    parsed: DataFrame, probe: float, fraud: float, span_s: int
+) -> DataFrame:
+    """Streaming Kleene CEP over a parsed wire stream (userId, amount,
+    timestamp, event_id): one state-store shuffle on userId, O(1) state
+    per key, matches emitted exactly once on the follower event."""
+    return parsed.groupBy("userId").applyInPandasWithState(
+        make_cep_kleene_probe_run(probe, fraud, span_s),
+        outputStructType=KLEENE_OUTPUT_SCHEMA,
+        stateStructType=KLEENE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def cep_card_testing_matches(
     parsed: DataFrame, probe: float, fraud: float, span_s: int
 ) -> DataFrame:

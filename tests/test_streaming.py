@@ -722,3 +722,86 @@ def test_cep_state_carries_pattern_across_batches():
     # (prev two events are now probe2 + fraud, and fraud >= probe bound)
     out3 = run([("user_007", 300.0, 4000, 13)])
     assert out3 == []
+
+
+def test_s25_stream_kleene_equals_batch_r83(spark, sf_dir):
+    """The streaming Kleene CEP must find exactly the batch
+    gaps-and-islands matches — same runs, same lengths, same spans —
+    with matches present at the tiny SF."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import (
+        relational3 as R3,
+        streaming_queries as SQ,
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in SQ.QUERIES["s25_stream_cep_kleene"](spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in R3.QUERIES["r83_cep_kleene_probe_run"](spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_kleene_state_continues_run_across_batches():
+    """The O(1) run summary, unit-level: a probe run split across THREE
+    micro-batches still emits one maximal match when the fraud event
+    arrives (n_probes counts every batch's probes); a mid-range event
+    (neither probe nor fraud) clears the run without emitting; a fraud
+    event with no active run emits nothing; span bound enforced from
+    the FIRST probe of the run."""
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.streaming.stateful import (
+        make_cep_kleene_probe_run,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+            self.exists = True
+
+    cep = make_cep_kleene_probe_run(20.0, 100.0, 86400)
+    state = FakeState()
+
+    def run(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["userId", "amount", "timestamp", "event_id"]
+        )
+        return list(cep(("user_007",), iter([pdf]), state))
+
+    # batches 1-3: a 4-probe run crossing batch boundaries (batch 2
+    # delivered out of order within the batch)
+    assert run([("user_007", 5.0, 1000, 10)]) == []
+    assert run(
+        [("user_007", 2.0, 3000, 12), ("user_007", 3.0, 2000, 11)]
+    ) == []
+    assert run([("user_007", 4.0, 4000, 13)]) == []
+    # batch 4: fraud completes the maximal run exactly once
+    out = run([("user_007", 250.0, 5000, 14)])
+    assert len(out) == 1
+    m = out[0].iloc[0]
+    assert tuple(
+        m[c]
+        for c in ["first_probe_id", "last_probe_id", "n_probes",
+                  "fraud_id", "span_s"]
+    ) == (10, 13, 4, 14, 4000)
+    # batch 5: fraud with no active run -> nothing
+    assert run([("user_007", 300.0, 6000, 15)]) == []
+    # batch 6-7: new run, then a mid-range event clears WITHOUT emitting
+    assert run([("user_007", 1.0, 7000, 16)]) == []
+    assert run([("user_007", 50.0, 8000, 17)]) == []
+    assert run([("user_007", 500.0, 9000, 18)]) == []
+    # batch 8-9: span bound measured from the run's FIRST probe
+    assert run([("user_007", 1.0, 10000, 19)]) == []
+    assert run([("user_007", 2.0, 10000 + 86400, 20)]) == []
+    assert run([("user_007", 999.0, 10000 + 86401, 21)]) == []

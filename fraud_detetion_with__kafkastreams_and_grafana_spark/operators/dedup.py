@@ -1103,3 +1103,83 @@ def index_compaction_report(
             F.coalesce("n_dropped_exact", zero).alias("n_dropped_exact"),
         )
     )
+
+
+def two_generation_ingestion_report(
+    docs: DataFrame, gen1_split: int = 400, gen2_split: int = 450, k: int = 5
+) -> DataFrame:
+    """The l64 -> l68 -> l64 pipeline run CLOSED-LOOP over two corpus
+    generations (l71): generation 1's index is doc_id < gen1_split;
+    batch A (gen1_split <= doc_id < gen2_split) is compacted into it by
+    the l68 admission rule (exact dups dropped, near/novel admitted);
+    batch B (doc_id >= gen2_split) then probes the COMPACTED gen-2
+    index. Output is batch B's doc-level classification (doc_id,
+    source, status, match_id) — strictly stronger than per-source
+    counts, and it differs from a gen-1-only probe precisely where an
+    ADMITTED batch-A doc is the only index match (the new index's keys
+    are live), which is what turns the pytest-only re-probe invariant
+    into a driver-hash-checked two-generation pipeline.
+
+    Scale: same posture as l64/l68 — admission is one A-vs-index
+    equi-join + anti-join on md5 keys; gen-2 membership is an 8-byte-id
+    frame materialized once and applied to the persisted index tables
+    as semi-joins; batch-B probes are merge-hinted equi-joins against
+    those index frames (corpus-sized sides never broadcast); text never
+    crosses a shuffle."""
+    docs = docs.where(F.trim("text") != "")
+    md5f, grams = _incremental_index_frames(docs, k)
+    is_g1 = F.col("doc_id") < gen1_split
+    is_a = (F.col("doc_id") >= gen1_split) & (F.col("doc_id") < gen2_split)
+    is_b = F.col("doc_id") >= gen2_split
+
+    exact_a = (
+        md5f.where(is_a)
+        .join(md5f.where(is_g1).select("t_md5").hint("merge"), "t_md5", "semi")
+        .select("doc_id")
+    )
+    gen2_ids = (
+        md5f.where(is_g1)
+        .select("doc_id")
+        .unionByName(
+            md5f.where(is_a)
+            .select("doc_id")
+            .join(exact_a.hint("merge"), "doc_id", "anti")
+        )
+        .localCheckpoint()
+    )
+
+    m_idx = md5f.join(gen2_ids.hint("merge"), "doc_id", "semi")
+    g_idx = grams.join(gen2_ids.hint("merge"), "doc_id", "semi")
+    exact_m = (
+        md5f.where(is_b)
+        .join(
+            m_idx.select(F.col("doc_id").alias("i_id"), "t_md5").hint("merge"),
+            "t_md5",
+        )
+        .groupBy("doc_id")
+        .agg(F.min("i_id").alias("exact_id"))
+    )
+    near_m = (
+        grams.where(is_b)
+        .join(
+            g_idx.select(F.col("doc_id").alias("i_id"), "h").hint("merge"),
+            "h",
+        )
+        .groupBy("doc_id")
+        .agg(F.min("i_id").alias("near_id"))
+    )
+    return (
+        docs.where(is_b)
+        .select("doc_id", "source")
+        .join(exact_m, "doc_id", "left")
+        .join(near_m, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.when(F.col("exact_id").isNotNull(), F.lit("exact"))
+            .when(F.col("near_id").isNotNull(), F.lit("near"))
+            .otherwise(F.lit("novel"))
+            .alias("status"),
+            F.coalesce("exact_id", "near_id").alias("match_id"),
+        )
+    )

@@ -3927,6 +3927,81 @@ def l68_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "l71_two_generation_ingestion",
+    r"""
+    WITH base AS (
+      SELECT doc_id, source, trim(text) AS t,
+             string_split_regex(trim(text), '\s+') AS toks
+      FROM documents WHERE trim(text) != ''
+    ),
+    md5x AS (SELECT doc_id, source, md5(t) AS m FROM base),
+    wh AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(list_slice(toks, p + 1, p + 5), ' ')) AS h
+      FROM (SELECT doc_id, unnest(range(0, len(toks) - 5 + 1)) AS p, toks
+            FROM base WHERE len(toks) >= 5)
+    ),
+    exact_a AS (
+      SELECT DISTINCT b.doc_id
+      FROM md5x b JOIN md5x i ON b.m = i.m
+      WHERE b.doc_id >= 400 AND b.doc_id < 450 AND i.doc_id < 400
+    ),
+    gen2 AS (
+      SELECT doc_id FROM base WHERE doc_id < 400
+      UNION ALL
+      SELECT doc_id FROM base
+      WHERE doc_id >= 400 AND doc_id < 450
+        AND doc_id NOT IN (SELECT doc_id FROM exact_a)
+    ),
+    exact_m AS (
+      SELECT b.doc_id, min(i.doc_id) AS mid
+      FROM md5x b JOIN md5x i ON b.m = i.m
+           JOIN gen2 g ON i.doc_id = g.doc_id
+      WHERE b.doc_id >= 450
+      GROUP BY b.doc_id
+    ),
+    near_m AS (
+      SELECT b.doc_id, min(i.doc_id) AS mid
+      FROM wh b JOIN wh i USING (h) JOIN gen2 g ON i.doc_id = g.doc_id
+      WHERE b.doc_id >= 450
+      GROUP BY b.doc_id
+    )
+    SELECT d.doc_id, d.source,
+           CASE WHEN e.mid IS NOT NULL THEN 'exact'
+                WHEN n.mid IS NOT NULL THEN 'near'
+                ELSE 'novel' END AS status,
+           coalesce(e.mid, n.mid) AS match_id
+    FROM (SELECT doc_id, source FROM base WHERE doc_id >= 450) d
+    LEFT JOIN exact_m e USING (doc_id)
+    LEFT JOIN near_m n USING (doc_id)
+    """,
+)
+def l71_two_generation_ingestion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The closed ingestion loop over TWO corpus generations (round-7
+    verdict item 4): l68's compaction (batch A, doc_id 400-449, admitted
+    against the gen-1 index doc_id < 400) feeds l64's probe (batch B,
+    doc_id >= 450, classified against the COMPACTED gen-2 index). Until
+    now the l64 -> l68 -> l64 pipeline was a pytest-only invariant; this
+    registers it as a driver-hash-checked query whose output provably
+    depends on the index having grown — at the parity SF a batch-B doc
+    classifies 'near' via an ADMITTED batch-A doc that the gen-1 index
+    could not have matched (pinned by pytest against l64's gen-1-only
+    classification).
+
+    Scale: see operators/dedup.two_generation_ingestion_report —
+    admission and probe are md5-key equi/anti-joins (text never
+    shuffles); gen-2 membership is one materialized 8-byte-id frame
+    applied as semi-joins to the once-built index tables; every
+    corpus-sized join side is merge-hinted."""
+    return DD.two_generation_ingestion_report(
+        load_table(spark, sf_dir, "documents"),
+        gen1_split=400,
+        gen2_split=450,
+        k=5,
+    )
+
+
 @_register("l67_jpeg_decode_roundtrip", MM.JPEG_ORACLE_SQL)
 def l67_jpeg_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline JPEG decode (round-6 verdict item 4) — the last

@@ -912,6 +912,76 @@ def test_l68_all_dup_source_keeps_admission_stats(spark):
     assert rep["web"].n_docs == 1 and rep["web"].n_dropped_exact == 0
 
 
+def test_l71_gen2_index_is_live(spark):
+    """Two-generation pipeline on a planted frame: an admitted batch-A
+    doc must be a live index entry for batch B (novel under gen-1,
+    near under gen-2), a dropped exact-dup batch-A doc must NOT add
+    keys (B docs matching its text resolve to the ORIGINAL index doc),
+    and B docs with no gen-2 match stay novel."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators.dedup import (
+        two_generation_ingestion_report,
+    )
+
+    passage = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (1, "web", "one two three four five six seven"),
+            (400, "crawl", f"{passage} zeta eta"),  # novel -> admitted
+            (401, "crawl", "one two three four five six seven"),  # exact dup of 1 -> dropped
+            (450, "crawl", f"theta iota {passage} kappa"),  # near via ADMITTED 400
+            (451, "crawl", "one two three four five six seven"),  # exact, via original 1
+            (452, "crawl", "lambda mu nu xi omicron pi rho"),  # novel
+        ],
+        "doc_id LONG, source STRING, text STRING",
+    )
+    got = {
+        r.doc_id: (r.status, r.match_id)
+        for r in two_generation_ingestion_report(
+            docs, gen1_split=400, gen2_split=450, k=5
+        ).collect()
+    }
+    assert got == {
+        450: ("near", 400),
+        451: ("exact", 1),
+        452: ("novel", None),
+    }
+
+
+def test_l71_corpus_differs_from_gen1_probe(spark):
+    """At the parity SF the compacted index must change at least one
+    batch-B verdict vs probing the gen-1 index alone (the index actually
+    grew), and every changed row must be explained by an admitted
+    batch-A match (match_id in [400, 450))."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators.dedup import (
+        _incremental_classify,
+        _incremental_index_frames,
+        two_generation_ingestion_report,
+    )
+    from tests.conftest import SF_DIR_MEDIUM
+
+    docs = llmops.load_table(spark, SF_DIR_MEDIUM, "documents").where(
+        F.trim("text") != ""
+    )
+    gen2 = {
+        r.doc_id: (r.status, r.match_id)
+        for r in two_generation_ingestion_report(docs).collect()
+    }
+    md5f, grams = _incremental_index_frames(docs, 5)
+    gen1 = {
+        r.doc_id: (r.status, r.match_id)
+        for r in _incremental_classify(
+            docs, md5f, grams, F.col("doc_id") >= 450, F.col("doc_id") < 400
+        ).collect()
+    }
+    assert set(gen2) == set(gen1)
+    changed = {d for d in gen2 if gen2[d] != gen1[d]}
+    assert changed, "compaction must change at least one batch-B verdict"
+    for d in changed:
+        assert gen2[d][1] is not None and 400 <= gen2[d][1] < 450, (
+            d, gen1[d], gen2[d],
+        )
+
+
 def test_l68_corpus_stats_consistent_with_l64(spark, sf_dir):
     """At corpus scale the compaction's admission stats must replay the
     l64 classification exactly: per-source dropped == l64 'exact' count,

@@ -4002,6 +4002,38 @@ def l71_two_generation_ingestion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _l72_sql() -> str:
+    from ..operators import unigram as UG
+
+    return UG.oracle_sql()
+
+
+@_register("l72_unigram_lm_trainer", _l72_sql())
+def l72_unigram_lm_trainer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-class) tokenizer trainer (round-7
+    verdict item 5) — the tokenizer family's second production class
+    next to greedy-merge BPE (l58/l60): seed vocabulary from top-N
+    corpus substrings, then three hard-EM rounds of (E) per-word
+    Viterbi segmentation under an integer lexicographic score (fewest
+    tokens, then highest cumulative piece frequency — the probability
+    product replaced by exact int64 arithmetic so the trajectory
+    value-hash-replays) and (M) usage re-estimation + pruning to a
+    fixed schedule. Output is the training trajectory: one row per
+    round with vocab size, corpus token count, corpus score, and the
+    order-independent bit_xor usage digest. Brute-force closure (pure
+    Python vs the DuckDB oracle, no Spark) in tests/test_properties.py.
+
+    Scale: see operators/unigram — the words frame is
+    alphabet-bounded (distinct words <= W chars); the Viterbi DP is a
+    fully unrolled whole-stage-codegen projection ladder (no Python
+    UDF, no per-row loop); the vocab is top-N by construction and
+    broadcasts; per round the only shuffles are two (piece, int64)
+    map-side-combinable aggregates."""
+    from ..operators.unigram import train_unigram_lm
+
+    return train_unigram_lm(load_table(spark, sf_dir, "documents"))
+
+
 @_register("l67_jpeg_decode_roundtrip", MM.JPEG_ORACLE_SQL)
 def l67_jpeg_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline JPEG decode (round-6 verdict item 4) — the last

@@ -1374,3 +1374,131 @@ def test_r83_oracle_equals_bruteforce_kleene_walk(rows):
                 i = j + 1
             i += 1
     assert got == sorted(want)
+
+
+def _py_unigram_trainer(texts):
+    """Pure-Python reference of the l72 unigram-LM hard-EM trainer — no
+    Spark, no SQL; the ground truth both engines must reproduce
+    (same lexicographic Viterbi score, same longest-piece tie-break,
+    same prune schedule and usage digest)."""
+    import hashlib
+    from collections import Counter
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators.unigram import (
+        BIG,
+        CAP,
+        L_MAX,
+        PRUNE,
+        SEED_N,
+        W_MAX,
+    )
+
+    words = Counter()
+    for t in texts:
+        for w in t.strip().split():
+            if 1 <= len(w) <= W_MAX:
+                words[w] += 1
+    pc = Counter()
+    for w, c in words.items():
+        for i in range(len(w)):
+            for k in range(1, L_MAX + 1):
+                if i + k <= len(w):
+                    pc[w[i : i + k]] += c
+    singles = sorted(p for p in pc if len(p) == 1)
+    multis = sorted(
+        ((p, f) for p, f in pc.items() if len(p) >= 2),
+        key=lambda x: (-x[1], x[0]),
+    )[:SEED_N]
+    vocab = {p: pc[p] for p in singles}
+    vocab.update(dict(multis))
+
+    def viterbi(w, vocab):
+        n = len(w)
+        d = [0] + [None] * n
+        ptr = [None] * (n + 1)
+        for j in range(1, n + 1):
+            best, bk = None, None
+            for k in range(min(L_MAX, j), 0, -1):  # largest k wins ties
+                piece = w[j - k : j]
+                if piece in vocab and d[j - k] is not None:
+                    cand = d[j - k] + BIG - min(vocab[piece], CAP)
+                    if best is None or cand < best:
+                        best, bk = cand, k
+            d[j], ptr[j] = best, bk
+        pieces = []
+        p = n
+        while p > 0:
+            k = ptr[p]
+            pieces.append(w[p - k : p])
+            p -= k
+        return d[n], list(reversed(pieces))
+
+    out = []
+    for r in range(1, len(PRUNE) + 2):
+        usage = Counter()
+        total_tokens = total_score = 0
+        for w, c in words.items():
+            score, pieces = viterbi(w, vocab)
+            total_tokens += c * len(pieces)
+            total_score += c * score
+            for p in pieces:
+                usage[p] += c
+        ux = 0
+        for p, u in usage.items():
+            ux ^= int(
+                hashlib.md5(f"{p}:{u}".encode()).hexdigest()[:15], 16
+            )
+        out.append((r, len(vocab), total_tokens, total_score, ux))
+        if r > len(PRUNE):
+            break
+        keep = PRUNE[r - 1]
+        new_vocab = {p: usage.get(p, 0) for p in singles}
+        new_vocab.update(
+            dict(
+                sorted(
+                    ((p, u) for p, u in usage.items() if len(p) >= 2),
+                    key=lambda x: (-x[1], x[0]),
+                )[:keep]
+            )
+        )
+        vocab = new_vocab
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="abcx", min_size=1, max_size=8),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_l72_oracle_equals_bruteforce_unigram(docs):
+    """Ground-truth closure for the unigram-LM trainer: the DuckDB
+    oracle (the same generated DP/backtrace ladder Spark executes via
+    selectExpr) must equal an independent pure-Python Viterbi/hard-EM
+    on arbitrary small corpora — seed top-N, lexicographic score,
+    longest-piece tie-break, prune schedule, usage digest, fixpoints
+    and all. This is the only gate that catches a shared engine/oracle
+    bug (both sides run the same generated expressions)."""
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators.unigram import (
+        oracle_sql,
+    )
+
+    texts = [" ".join(toks) for toks in docs]
+    con = _duck()
+    con.register("documents", pd.DataFrame({"text": texts}))
+    got = [tuple(r) for r in con.execute(oracle_sql()).fetchall()]
+    want = _py_unigram_trainer(texts)
+    if not any(t.strip() for t in texts):
+        # empty corpus: the oracle's stats rows still exist with NULL/0
+        # aggregates; the trainer contract is only defined over
+        # non-empty corpora
+        return
+    assert got == want

@@ -194,23 +194,9 @@ def encode_bmp(doc_id: int, n_chars: int) -> bytes:
     """
     w = 4 + n_chars % 13
     h = 3 + n_chars % 7
-    row_size = (w * 3 + 3) // 4 * 4
-    pad = b"\x00" * (row_size - w * 3)
-    rows = []
-    for y in range(h - 1, -1, -1):  # BMP stores rows bottom-up
-        row = bytearray()
-        for x in range(w):
-            j = y * w + x
-            v = (doc_id * 31 + j * 7) % 256
-            row += bytes((v, v, v))
-        rows.append(bytes(row) + pad)
-    pixels = b"".join(rows)
-    file_size = 54 + len(pixels)
-    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, 54)
-    info = struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    return _bmp_write(
+        w, h, [(doc_id * 31 + j * 7) % 256 for j in range(w * h)]
     )
-    return header + info + pixels
 
 
 def decode_bmp(payload: bytes) -> tuple[int, int, int, int]:
@@ -277,6 +263,116 @@ def bmp_roundtrip_features(docs: DataFrame) -> DataFrame:
 
     return docs.select("doc_id", "n_chars").mapInPandas(
         batches, schema=BMP_FEATURE_SCHEMA
+    )
+
+
+def decode_bmp_pixels(payload: bytes) -> tuple[int, int, list[int]]:
+    """Like decode_bmp but returns the full gray plane (blue channel,
+    top-down row-major) for transforms that need pixels, not just
+    aggregates."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    w, h = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    if bpp != 24:
+        raise ValueError(f"expected 24bpp, got {bpp}")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"unsupported BMP geometry {w}x{h}")
+    row_size = (w * 3 + 3) // 4 * 4
+    if len(payload) < data_off + row_size * h:
+        raise ValueError("truncated BMP: pixel array exceeds payload")
+    vals: list[int] = []
+    for y in range(h):
+        off = data_off + (h - 1 - y) * row_size
+        vals.extend(payload[off : off + w * 3 : 3])
+    return w, h, vals
+
+
+def _bmp_write(w: int, h: int, vals: list[int]) -> bytes:
+    """Serialize a gray plane (top-down row-major) as a real 24bpp
+    bottom-up BMP — the encoder half shared by encode_bmp's synthetic
+    fixtures and the downscale transform's re-encode."""
+    row_size = (w * 3 + 3) // 4 * 4
+    pad = b"\x00" * (row_size - w * 3)
+    rows = []
+    for y in range(h - 1, -1, -1):
+        row = bytearray()
+        for x in range(w):
+            v = vals[y * w + x]
+            row += bytes((v, v, v))
+        rows.append(bytes(row) + pad)
+    pixels = b"".join(rows)
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    return header + info + pixels
+
+
+def downscale_bmp(payload: bytes) -> bytes:
+    """REAL image resize, not the l15 stub: 2x2 box-filter downscale of a
+    24bpp BMP with edge clamp (odd trailing row/column averages over the
+    pixels that exist) and floor division — all-integer, so the result
+    is bit-deterministic and a SQL oracle can replay the whole
+    decode -> filter -> re-encode chain. Output dims are ceil(w/2) x
+    ceil(h/2), re-serialized as a genuine BMP."""
+    w, h, vals = decode_bmp_pixels(payload)
+    ow, oh = (w + 1) // 2, (h + 1) // 2
+    out: list[int] = []
+    for y2 in range(oh):
+        for x2 in range(ow):
+            s = cnt = 0
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    x, y = 2 * x2 + dx, 2 * y2 + dy
+                    if x < w and y < h:
+                        s += vals[y * w + x]
+                        cnt += 1
+            out.append(s // cnt)
+    return _bmp_write(ow, oh, out)
+
+
+BMP_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("src_width", T.LongType()),
+        T.StructField("src_height", T.LongType()),
+        T.StructField("out_width", T.LongType()),
+        T.StructField("out_height", T.LongType()),
+        T.StructField("out_n_bytes", T.LongType()),
+        T.StructField("out_pix_sum", T.LongType()),
+    ]
+)
+
+
+def bmp_downscale_features(docs: DataFrame) -> DataFrame:
+    """Encode a real BMP per document, box-filter-downscale it (real
+    pixel arithmetic on decoded bytes), re-encode, and decode the RESULT
+    back — four genuine codec passes in ONE mapInPandas stage (payloads
+    never cross a shuffle or reach the driver). Every output value is a
+    closed form of (doc_id, n_chars), so a header miswrite, row-order
+    bug, edge-clamp slip, or rounding drift in any of the four passes
+    flips the driver's value hash."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in BMP_RESIZE_SCHEMA.fields}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                src = encode_bmp(int(doc_id), int(n_chars))
+                sw, sh, _, _ = decode_bmp(src)
+                ow, oh, nb, ps = decode_bmp(downscale_bmp(src))
+                out["doc_id"].append(int(doc_id))
+                out["src_width"].append(sw)
+                out["src_height"].append(sh)
+                out["out_width"].append(ow)
+                out["out_height"].append(oh)
+                out["out_n_bytes"].append(nb)
+                out["out_pix_sum"].append(ps)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        batches, schema=BMP_RESIZE_SCHEMA
     )
 
 

@@ -2685,6 +2685,56 @@ def l52_bmp_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "l73_bmp_downscale_roundtrip",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             4 + n_chars % 13 AS w,
+             3 + n_chars % 7 AS h,
+             (4 + n_chars % 13 + 1) // 2 AS ow,
+             (3 + n_chars % 7 + 1) // 2 AS oh
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS src_width,
+           CAST(h AS BIGINT) AS src_height,
+           CAST(ow AS BIGINT) AS out_width,
+           CAST(oh AS BIGINT) AS out_height,
+           CAST(54 + ((ow * 3 + 3) // 4 * 4) * oh AS BIGINT) AS out_n_bytes,
+           CAST(list_reduce(list_transform(range(0, ow * oh), j ->
+                  ((doc_id * 31 + ((j // ow) * 2 * w + (j % ow) * 2) * 7) % 256
+                   + CASE WHEN (j % ow) * 2 + 1 < w THEN
+                       (doc_id * 31 + ((j // ow) * 2 * w + (j % ow) * 2 + 1) * 7) % 256
+                     ELSE 0 END
+                   + CASE WHEN (j // ow) * 2 + 1 < h THEN
+                       (doc_id * 31 + (((j // ow) * 2 + 1) * w + (j % ow) * 2) * 7) % 256
+                     ELSE 0 END
+                   + CASE WHEN (j % ow) * 2 + 1 < w AND (j // ow) * 2 + 1 < h THEN
+                       (doc_id * 31 + (((j // ow) * 2 + 1) * w + (j % ow) * 2 + 1) * 7) % 256
+                     ELSE 0 END)
+                  // ((1 + CASE WHEN (j % ow) * 2 + 1 < w THEN 1 ELSE 0 END)
+                      * (1 + CASE WHEN (j // ow) * 2 + 1 < h THEN 1 ELSE 0 END))
+                ), (a, b) -> a + b)
+                AS BIGINT) AS out_pix_sum
+    FROM g
+    """,
+)
+def l73_bmp_downscale_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize — upgrades the l15 stub plumbing to actual pixel
+    arithmetic: each document's genuine 24bpp BMP is decoded, 2x2
+    box-filter-downscaled (edge clamp, floor average — all-integer),
+    re-encoded as a real BMP, and decoded AGAIN, four codec passes whose
+    final geometry/bytes/pixel-sum the oracle replays as closed forms
+    (operators/multimodal.downscale_bmp). Any header miswrite, row-order
+    bug, edge-clamp slip, or rounding drift in any pass flips the hash.
+
+    Scale: identical posture to l52 — one scan, one mapInPandas, zero
+    exchanges; payloads live and die inside Arrow batches."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.bmp_downscale_features(docs)
+
+
+@_register(
     "l53_wav_decode_roundtrip",
     """
     WITH g AS (

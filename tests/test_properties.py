@@ -1502,3 +1502,36 @@ def test_l72_oracle_equals_bruteforce_unigram(docs):
         # non-empty corpora
         return
     assert got == want
+
+
+@given(
+    doc_id=st.integers(min_value=0, max_value=10_000),
+    n_chars=st.integers(min_value=0, max_value=500),
+)
+@settings(max_examples=60, deadline=None)
+def test_bmp_downscale_matches_naive(doc_id, n_chars):
+    """The real 2x2 box-filter downscale must equal a naive Python
+    average over the decoded pixel grid for arbitrary (odd and even)
+    geometries: edge rows/columns average only the pixels that exist,
+    division floors, and the re-encoded BMP decodes to exactly those
+    values."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators import (
+        multimodal as MM,
+    )
+
+    src = MM.encode_bmp(doc_id, n_chars)
+    w, h, vals = MM.decode_bmp_pixels(src)
+    ow2, oh2, got = MM.decode_bmp_pixels(MM.downscale_bmp(src))
+    assert (ow2, oh2) == ((w + 1) // 2, (h + 1) // 2)
+    want = []
+    for y2 in range(oh2):
+        for x2 in range(ow2):
+            block = [
+                vals[y * w + x]
+                for dy in (0, 1)
+                for dx in (0, 1)
+                for x, y in [(2 * x2 + dx, 2 * y2 + dy)]
+                if x < w and y < h
+            ]
+            want.append(sum(block) // len(block))
+    assert got == want

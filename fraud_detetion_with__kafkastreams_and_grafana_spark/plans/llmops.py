@@ -2735,6 +2735,50 @@ def l73_bmp_downscale_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "l74_avi_frame_sample",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             4 + n_chars % 9 AS w,
+             2 + n_chars % 5 AS h,
+             3 + n_chars % 10 AS nf
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST((nf + 2) // 3 AS BIGINT) AS n_sampled,
+           CAST(list_reduce(list_transform(range(0, (nf + 2) // 3), s ->
+                  list_reduce(list_transform(range(0, w * h), j ->
+                    (doc_id * 31 + s * 3 * 17 + j * 7) % 256),
+                    (a, b) -> a + b)),
+                (a, b) -> a + b)
+                AS BIGINT) AS sampled_pix_sum
+    FROM g
+    """,
+)
+def l74_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling — upgrades the l14 byte-chunk stand-in
+    to a genuine container: each document becomes a real RIFF-AVI (LIST
+    hdrl/avih/strl, LIST movi of uncompressed 24bpp '00db' DIB frames,
+    idx1 index), a real chunk-walk parser reads it back (magic, chunk
+    bounds, header/geometry cross-checks — every malformed path raises
+    ValueError), and every 3rd frame decodes to pixels
+    (operators/multimodal.encode_avi/decode_avi). The oracle replays the
+    sampled-frame pixel sums as closed forms of (doc_id, n_chars), so a
+    chunk-walk bug, frame-order slip, or row-padding error flips the
+    driver's value hash.
+
+    Scale: one scan, one mapInPandas, zero exchanges — container
+    payloads live and die inside Arrow batches where the bytes already
+    sit, which is what makes sample-then-decode cheaper than
+    decode-everything at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.avi_frame_sample_features(docs)
+
+
+@_register(
     "l53_wav_decode_roundtrip",
     """
     WITH g AS (

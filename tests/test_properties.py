@@ -1535,3 +1535,59 @@ def test_bmp_downscale_matches_naive(doc_id, n_chars):
             ]
             want.append(sum(block) // len(block))
     assert got == want
+
+
+@given(
+    doc_id=st.integers(min_value=0, max_value=10_000),
+    n_chars=st.integers(min_value=0, max_value=500),
+)
+@settings(max_examples=40, deadline=None)
+def test_avi_roundtrip_matches_formula(doc_id, n_chars):
+    """The RIFF-AVI chunk walk must read back exactly the frames the
+    encoder wrote: geometry from avih, every frame's pixel plane equal
+    to the closed form, frame order preserved."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators import (
+        multimodal as MM,
+    )
+
+    w, h, nf, frames = MM.decode_avi(MM.encode_avi(doc_id, n_chars))
+    assert (w, h, nf) == (
+        4 + n_chars % 9, 2 + n_chars % 5, 3 + n_chars % 10
+    )
+    assert len(frames) == nf
+    for f, vals in enumerate(frames):
+        assert vals == MM._avi_frame_pixels(doc_id, f, w, h)
+
+
+def test_avi_rejects_malformed():
+    """Malformed AVI payloads raise ValueError on every path (the
+    decoder contract shared by the whole codec family): bad magic,
+    truncated container, truncated chunk, frame-count mismatch, and a
+    frame whose size disagrees with the header geometry."""
+    import struct
+
+    import pytest
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators import (
+        multimodal as MM,
+    )
+
+    full = MM.encode_avi(5, 33)
+    with pytest.raises(ValueError):
+        MM.decode_avi(b"JUNK" + full[4:])
+    with pytest.raises(ValueError):
+        MM.decode_avi(full[:8] + b"WAVE" + full[12:])
+    for cut in (len(full) - 3, len(full) // 2, 20, 10):
+        with pytest.raises(ValueError):
+            MM.decode_avi(full[:cut])
+    # lie in avih's dwTotalFrames: chunk walk finds a different count
+    avih_at = full.index(b"avih") + 8
+    lied = bytearray(full)
+    lied[avih_at + 16 : avih_at + 20] = struct.pack("<I", 99)
+    with pytest.raises(ValueError):
+        MM.decode_avi(bytes(lied))
+    # lie in avih's width: every frame size now disagrees
+    lied2 = bytearray(full)
+    lied2[avih_at + 32 : avih_at + 36] = struct.pack("<I", 3)
+    with pytest.raises(ValueError):
+        MM.decode_avi(bytes(lied2))

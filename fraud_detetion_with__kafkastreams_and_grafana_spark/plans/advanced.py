@@ -1674,3 +1674,133 @@ def m14_pairwise_preference_trainer(spark: SparkSession, sf_dir: str) -> DataFra
         .cast("long")
         .alias("n_correct"),
     )
+
+
+@_register(
+    "m15_isotonic_calibration",
+    f"""
+    WITH s AS (
+      SELECT round(0.5 * (1.0 + z / (1.0 + abs(z))), 6) AS score,
+             (value > {EVENTS_FRAUD_THRESHOLD}) AS is_fraud
+      FROM (
+        SELECT value,
+               {_M04_Z.replace("HOUR_EXPR", "extract(hour FROM ts)")} AS z
+        FROM events
+      )
+    ),
+    b AS (
+      SELECT CAST(floor(score * 50) AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE is_fraud) AS BIGINT) AS k
+      FROM s GROUP BY 1
+    ),
+    pre AS (
+      SELECT bucket, n, k,
+             row_number() OVER (ORDER BY bucket) AS i,
+             sum(n) OVER (ORDER BY bucket) AS cn,
+             sum(k) OVER (ORDER BY bucket) AS ck
+      FROM b
+    ),
+    pairs AS (
+      SELECT lo.i AS i, hi.i AS j,
+             CAST(hi.ck - lo.ck + lo.k AS DOUBLE)
+               / CAST(hi.cn - lo.cn + lo.n AS DOUBLE) AS r
+      FROM pre lo JOIN pre hi ON lo.i <= hi.i
+    ),
+    inner_min AS (
+      SELECT p.i, bk.i AS b, min(p.r) AS mn
+      FROM pairs p JOIN pre bk ON p.i <= bk.i AND bk.i <= p.j
+      GROUP BY 1, 2
+    ),
+    iso AS (SELECT b, max(mn) AS iso_v FROM inner_min GROUP BY 1)
+    SELECT pre.bucket, pre.n, pre.k,
+           round(CAST(pre.k AS DOUBLE) / pre.n, 6) AS raw_rate,
+           round(iso.iso_v, 6) AS iso_rate
+    FROM pre JOIN iso ON pre.i = iso.b
+    """,
+)
+def m15_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic-regression (PAV) calibrator TRAINING for the deployed
+    m04 scorer — the step after m06's reliability diagram: fit the
+    monotone-nondecreasing fraud-probability curve over score buckets
+    that sklearn's IsotonicRegression would produce, via the exact
+    minimax characterization iso(b) = max_(i<=b) min_(j>=b)
+    mean(k/n over buckets i..j) (Robertson/Wright/Dykstra 1988 —
+    provably equal to pool-adjacent-violators; the pure-Python PAV
+    closure in tests/test_properties.py pins exactly that). Numerators
+    and denominators are exact integer prefix sums, so every ratio is
+    one deterministic IEEE division — no summation-order float hazard —
+    and the 6-dp round is the m06 recipe the driver already
+    value-hashes.
+
+    Scale: the corpus-sized work is ONE narrow scan + one <=51-key
+    map-side-combined aggregate (the same shape as m06); the minimax
+    runs on the 51-row bucket frame, so its theta-joins are
+    constant-size regardless of corpus — O(B^2) pairs with B fixed at
+    51, the textbook reduction of a sequential PAV sweep to a bounded
+    relational closed form."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    score = F.round(_m04_p(), 6)
+    b = (
+        ev.select(
+            score.alias("score"),
+            (F.col("value") > F.lit(float(EVENTS_FRAUD_THRESHOLD))).alias(
+                "is_fraud"
+            ),
+        )
+        .groupBy(F.floor(F.col("score") * 50).cast("long").alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.count_if("is_fraud").cast("long").alias("k"),
+        )
+    )
+    # <=51 rows from here on: the single-partition window is bounded by
+    # construction (bucket count is fixed, not corpus-sized)
+    w = Window.orderBy("bucket")
+    pre = b.select(
+        "bucket",
+        "n",
+        "k",
+        F.row_number().over(w).alias("i"),
+        F.sum("n").over(w).alias("cn"),
+        F.sum("k").over(w).alias("ck"),
+    ).localCheckpoint()
+    lo = pre.select(
+        F.col("i").alias("li"), F.col("n").alias("ln"), F.col("k").alias("lk"),
+        F.col("cn").alias("lcn"), F.col("ck").alias("lck"),
+    )
+    hi = pre.select(
+        F.col("i").alias("hi_"), F.col("cn").alias("hcn"),
+        F.col("ck").alias("hck"),
+    )
+    pairs = lo.join(hi, F.col("li") <= F.col("hi_")).select(
+        F.col("li").alias("i"),
+        F.col("hi_").alias("j"),
+        (
+            (F.col("hck") - F.col("lck") + F.col("lk")).cast("double")
+            / (F.col("hcn") - F.col("lcn") + F.col("ln")).cast("double")
+        ).alias("r"),
+    )
+    bk = pre.select(F.col("i").alias("b"))
+    inner_min = (
+        pairs.join(
+            bk, (F.col("i") <= F.col("b")) & (F.col("b") <= F.col("j"))
+        )
+        .groupBy("i", "b")
+        .agg(F.min("r").alias("mn"))
+    )
+    iso = inner_min.groupBy("b").agg(F.max("mn").alias("iso_v"))
+    return (
+        pre.join(iso, pre.i == iso.b)
+        .select(
+            "bucket",
+            "n",
+            "k",
+            F.round(F.col("k").cast("double") / F.col("n"), 6).alias(
+                "raw_rate"
+            ),
+            F.round("iso_v", 6).alias("iso_rate"),
+        )
+    )

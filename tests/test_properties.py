@@ -1591,3 +1591,80 @@ def test_avi_rejects_malformed():
     lied2[avih_at + 32 : avih_at + 36] = struct.pack("<I", 3)
     with pytest.raises(ValueError):
         MM.decode_avi(bytes(lied2))
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=20),
+            st.integers(min_value=0, max_value=20),
+        ).filter(lambda t: t[1] <= t[0]),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_m15_minimax_equals_pav(data):
+    """The minimax closed form the m15 oracle/engine run (max over
+    i<=b of min over j>=b of the weighted mean on [i..j]) must equal an
+    independent pure-Python PAV sweep on arbitrary weighted bucket
+    counts — including all-tied, strictly-decreasing, and single-bucket
+    corner cases."""
+    import pandas as pd
+
+    ns = [n for n, _ in data]
+    ks = [k for _, k in data]
+    con = _duck()
+    con.register(
+        "b",
+        pd.DataFrame(
+            {"bucket": range(len(ns)), "n": ns, "k": ks}
+        ),
+    )
+    got = [
+        r[0]
+        for r in con.execute(
+            """
+            WITH pre AS (
+              SELECT bucket, n, k,
+                     row_number() OVER (ORDER BY bucket) AS i,
+                     sum(n) OVER (ORDER BY bucket) AS cn,
+                     sum(k) OVER (ORDER BY bucket) AS ck
+              FROM b
+            ),
+            pairs AS (
+              SELECT lo.i AS i, hi.i AS j,
+                     CAST(hi.ck - lo.ck + lo.k AS DOUBLE)
+                       / CAST(hi.cn - lo.cn + lo.n AS DOUBLE) AS r
+              FROM pre lo JOIN pre hi ON lo.i <= hi.i
+            ),
+            inner_min AS (
+              SELECT p.i, bk.i AS b, min(p.r) AS mn
+              FROM pairs p JOIN pre bk ON p.i <= bk.i AND bk.i <= p.j
+              GROUP BY 1, 2
+            )
+            SELECT max(mn) AS iso FROM inner_min GROUP BY b ORDER BY b
+            """
+        ).fetchall()
+    ]
+
+    # independent PAV (stack of blocks, merge while non-increasing)
+    blocks = []
+    for n, k in zip(ns, ks):
+        blocks.append([n, k, 1])  # weight, positives, bucket span
+        while (
+            len(blocks) >= 2
+            and blocks[-2][1] * blocks[-1][0] >= blocks[-1][1] * blocks[-2][0]
+        ):
+            n2, k2, c2 = blocks.pop()
+            blocks[-1][0] += n2
+            blocks[-1][1] += k2
+            blocks[-1][2] += c2
+    want = []
+    for n, k, c in blocks:
+        want.extend([k / n] * c)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert abs(g - w) < 1e-12, (got, want)
+    # and the fit is monotone nondecreasing
+    assert all(a <= b + 1e-12 for a, b in zip(got, got[1:]))

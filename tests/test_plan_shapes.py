@@ -385,3 +385,68 @@ def test_r83_kleene_cep_reuses_one_shuffle(spark, sf_dir):
     assert p.count("Exchange hashpartitioning") == 1, p
     assert p.count("Window") == 2, p
     assert "Join" not in p and "CartesianProduct" not in p, p
+
+
+def test_l73_l74_codec_transforms_one_scan_no_shuffle(spark, sf_dir):
+    """The BMP downscale and AVI frame-sample must keep the l52/l67
+    codec shape: one parquet scan feeding one Arrow-batched python
+    runner, zero exchanges — payloads never cross a shuffle or the
+    driver."""
+    for name in ("l73_bmp_downscale_roundtrip", "l74_avi_frame_sample"):
+        p = _plan(llmops.QUERIES[name](spark, sf_dir))
+        assert "Exchange" not in p, (name, p)
+        assert p.count("Scan parquet") == 1, (name, p)
+        assert "MapInPandas" in p, (name, p)
+
+
+def test_l71_corpus_joins_merge_only(spark, sf_dir):
+    """The two-generation probe must sort-merge every corpus-sized join
+    (md5/gram index frames vs batch probes — none may broadcast a
+    corpus-derived side) and shuffle md5/int columns only; gen-2
+    membership rides checkpointed id frames."""
+    p = _plan(llmops.QUERIES["l71_two_generation_ingestion"](spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" in p, p
+    assert "Scan ExistingRDD" in p, p  # checkpointed index/id frames
+    for line in p.splitlines():
+        if line.strip().startswith("Exchange"):
+            assert "text" not in line, line
+
+
+def test_l72_segmentation_broadcasts_vocab_no_python(spark, sf_dir):
+    """The unigram E-step must stay entirely JVM-side (no Python runner
+    of any kind — the DP is unrolled projections) with the top-N vocab
+    joining BROADCAST against the word candidates; the only shuffles
+    carry (word|piece, int64) aggregate keys."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators import (
+        unigram as UG,
+    )
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import (
+        load_table,
+    )
+
+    words = UG.corpus_words(load_table(spark, sf_dir, "documents"))
+    seg = UG._segment(words, UG.seed_vocab(words))
+    p = _plan(seg)
+    assert "BroadcastHashJoin" in p, p  # vocab side broadcasts
+    # exactly one sort-merge: words joining back its own pivoted edge
+    # frame (both sides are the alphabet-bounded words frame — never
+    # corpus-sized); the vocab must NOT be the merge side
+    assert p.count("SortMergeJoin") == 1, p
+    assert "MapInPandas" not in p and "BatchEvalPython" not in p, p
+    assert "ArrowEvalPython" not in p, p
+
+
+def test_m15_isotonic_is_one_scan_then_bounded_joins(spark, sf_dir):
+    """The isotonic fit must scan the corpus exactly ONCE (the bucket
+    aggregate); every join runs on the checkpointed <=51-row bucket
+    frame (broadcast/nested-loop is fine THERE — it is constant-size by
+    construction), and no corpus-sized side is ever joined."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import (
+        advanced,
+    )
+
+    p = _plan(advanced.QUERIES["m15_isotonic_calibration"](spark, sf_dir))
+    assert p.count("Scan parquet") == 0, p  # bucket frame is checkpointed...
+    assert "Scan ExistingRDD" in p, p  # ...and everything joins against it
+    assert "SortMergeJoin" not in p, p

@@ -1742,8 +1742,16 @@ def m15_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events")
+    return isotonic_fit(m15_score_buckets(ev))
+
+
+def m15_score_buckets(ev: DataFrame) -> DataFrame:
+    """The corpus-sized half of m15: one narrow scan aggregated to <=51
+    (bucket, n, k) rows — associative, so partial bucket counts from
+    independent slices (micro-batches, partitions, days) merge by
+    summation into the identical frame (the property s26 deploys)."""
     score = F.round(_m04_p(), 6)
-    b = (
+    return (
         ev.select(
             score.alias("score"),
             (F.col("value") > F.lit(float(EVENTS_FRAUD_THRESHOLD))).alias(
@@ -1756,6 +1764,13 @@ def m15_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if("is_fraud").cast("long").alias("k"),
         )
     )
+
+
+def isotonic_fit(b: DataFrame) -> DataFrame:
+    """The bounded half of m15: minimax isotonic regression over a
+    (bucket, n, k) frame — see m15_isotonic_calibration's docstring."""
+    from pyspark.sql.window import Window
+
     # <=51 rows from here on: the single-partition window is bounded by
     # construction (bucket count is fixed, not corpus-sized)
     w = Window.orderBy("bucket")

@@ -1762,3 +1762,99 @@ def s25_stream_cep_kleene(spark: SparkSession, sf_dir: str) -> DataFrame:
         "userId", "first_probe_id", "last_probe_id", "n_probes",
         "fraud_id", "span_s",
     )
+
+
+def _m15_oracle_sql() -> str:
+    from .advanced import ORACLES as _AD
+
+    return _AD["m15_isotonic_calibration"]
+
+
+@_register("s26_stream_isotonic_calibration", _m15_oracle_sql())
+def s26_stream_isotonic_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """m15's isotonic calibrator run as a STREAM — the monitoring loop a
+    deployed scorer actually runs: scored events arrive as JSON
+    micro-batches, each batch aggregates to its partial (bucket, n, k)
+    counts inside foreachBatch and lands idempotently in a
+    _batch_id-partitioned sink (the s09 exactly-once recipe); the fit
+    then reads the sink, merges partials by summation (bucket counts
+    are associative — m15_score_buckets' contract), and runs the same
+    bounded minimax PAV. The final curve must equal the batch fit
+    row-for-row, so s26 shares m15's oracle verbatim.
+
+    Scale: per micro-batch one narrow aggregate to <=51 rows — no
+    streaming state at all; the sink holds (batches x 51) tiny rows and
+    the minimax stays constant-size. Recalibration cost is independent
+    of stream length, which is why production fits FROM the running
+    bucket counts instead of re-scanning history."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .advanced import isotonic_fit, m15_score_buckets
+
+    ev = load_table(spark, sf_dir, "events")
+    wire = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("value"),
+                F.hour("ts").alias("hr"),
+                F.col("event_type"),
+            )
+        ).alias("value")
+    )
+    from ..streaming.replay import materialize_wire_dir
+
+    d = materialize_wire_dir(wire)
+    out = tempfile.mkdtemp(prefix="spark_graft_s26_sink_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_s26_ckpt_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+
+    def fit_counts(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.select(
+            F.from_json(
+                "value", "value DOUBLE, hr INT, event_type STRING"
+            ).alias("r")
+        ).select("r.value", "r.hr", "r.event_type")
+        b = b.where(F.col("value").isNotNull())
+        # rebuild the ts-derived hour as a literal timestamp column so
+        # m15_score_buckets' F.hour("ts") sees the original value
+        b = b.withColumn(
+            "ts",
+            F.to_timestamp(
+                F.format_string("2024-01-01 %02d:00:00", F.col("hr"))
+            ),
+        )
+        (
+            m15_score_buckets(b)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
+
+    stream = (
+        spark.readStream.schema("value STRING")
+        .option("maxFilesPerTrigger", 2)
+        .text(d)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fit_counts)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    merged = (
+        spark.read.parquet(out)
+        .groupBy("bucket")
+        .agg(F.sum("n").cast("long").alias("n"), F.sum("k").cast("long").alias("k"))
+    )
+    return isotonic_fit(merged.localCheckpoint())

@@ -805,3 +805,25 @@ def test_kleene_state_continues_run_across_batches():
     assert run([("user_007", 1.0, 10000, 19)]) == []
     assert run([("user_007", 2.0, 10000 + 86400, 20)]) == []
     assert run([("user_007", 999.0, 10000 + 86401, 21)]) == []
+
+
+def test_s26_stream_isotonic_equals_batch_m15(spark, sf_dir):
+    """The streamed calibrator (per-batch bucket partials merged by
+    summation, then the bounded minimax) must equal the batch m15 fit
+    row-for-row."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import (
+        advanced as AD,
+        streaming_queries as SQ,
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in SQ.QUERIES["s26_stream_isotonic_calibration"](
+            spark, sf_dir
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in AD.QUERIES["m15_isotonic_calibration"](spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0

@@ -743,3 +743,123 @@ def ivf_topk_exprs(
         .limit(k)
         .select(id_col, F.round("_cos", 4).alias("cosine_sim"))
     )
+
+
+def topk_per_query(
+    scored: DataFrame, k: int, salt_col: str = "cid", n_salts: int = 32
+) -> DataFrame:
+    """Skew-free per-query top-k over (qid, cid, _cos): the classic
+    two-phase reduction — phase 1 ranks inside (qid, salt) partitions
+    (row_number over corpus rows split n_salts ways, so no single
+    partition is corpus-sized), phase 2 ranks the surviving
+    qid x n_salts x k rows per qid. Equivalent to a global per-qid
+    row_number under the same total order (cos desc, cid asc), because
+    every global top-k row survives its salt's local top-k."""
+    from pyspark.sql.window import Window
+
+    order = [F.desc("_cos"), F.asc("cid")]
+    w1 = Window.partitionBy("qid", "salt").orderBy(*order)
+    w2 = Window.partitionBy("qid").orderBy(*order)
+    local = (
+        scored.withColumn(
+            "salt", F.pmod(F.col(salt_col), F.lit(n_salts))
+        )
+        .withColumn("_rk1", F.row_number().over(w1))
+        .where(F.col("_rk1") <= k)
+    )
+    return (
+        local.withColumn("_rk2", F.row_number().over(w2))
+        .where(F.col("_rk2") <= k)
+        .select("qid", "cid", "_cos")
+    )
+
+
+def ann_recall_eval(
+    corpus: DataFrame,
+    n_queries: int = 10,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Retrieval EVALUATION for the ANN ladder: recall@k of the
+    hash-plane LSH pipeline (l50's oracle-able family) against the
+    exact cosine top-k, over the first `n_queries` vectors as the query
+    set. Returns one row per query: (query_id, n_ann, n_overlap) —
+    integer counts, so the whole evaluation value-hash-replays
+    (recall@k = n_overlap / k is derivable but kept integer).
+
+    Scale: the query set is bounded (broadcasts everywhere); the exact
+    baseline is ONE corpus scan scored against all queries at once,
+    reduced by the two-phase salted top-k (topk_per_query — no
+    per-query corpus-sized window partition, the skew trap of naive
+    PARTITION BY qid); the ANN side reranks banded candidates only,
+    same shape as l50. Evaluation cost is one scan + bounded joins
+    regardless of corpus size."""
+    queries = corpus.where(F.col(id_col) < n_queries)
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qe")
+    )
+    ex_scored = corpus.crossJoin(F.broadcast(q)).select(
+        "qid",
+        F.col(id_col).alias("cid"),
+        cosine_similarity(F.col(vec_col), F.col("qe")).alias("_cos"),
+    )
+    exact = topk_per_query(ex_scored, k).select("qid", "cid")
+
+    bhs = hashplane_bands(dim, num_planes, bands, vec_col)
+
+    def banded(df: DataFrame, name: str, keep_id: bool) -> DataFrame:
+        withb = df.select(
+            F.col(id_col).alias(f"{name}_id"),
+            F.col(vec_col).alias(f"{name}_vec"),
+            *bhs,
+        )
+        bandcols = F.array(
+            *[
+                F.struct(F.lit(b).alias("band"), F.col(f"bh{b}").alias("bh"))
+                for b in range(bands)
+            ]
+        )
+        return withb.select(
+            f"{name}_id", f"{name}_vec", F.explode(bandcols).alias("bb")
+        ).select(f"{name}_id", f"{name}_vec", "bb.band", "bb.bh")
+
+    c = banded(corpus, "c", True)
+    qb = banded(queries, "q", True)
+    ann_scored = (
+        c.join(F.broadcast(qb), ["band", "bh"])
+        .select(
+            F.col("q_id").alias("qid"),
+            F.col("c_id").alias("cid"),
+            "c_vec",
+            "q_vec",
+        )
+        .distinct()
+        .select(
+            "qid",
+            "cid",
+            cosine_similarity(F.col("c_vec"), F.col("q_vec")).alias("_cos"),
+        )
+    )
+    ann = topk_per_query(ann_scored, k).select("qid", "cid")
+
+    n_ann = ann.groupBy("qid").agg(F.count("*").cast("long").alias("n_ann"))
+    overlap = (
+        exact.join(
+            ann.withColumn("_hit", F.lit(1)), ["qid", "cid"], "left"
+        )
+        .groupBy("qid")
+        .agg(F.count_if(F.col("_hit").isNotNull()).cast("long").alias("n_overlap"))
+    )
+    return (
+        n_ann.join(overlap, "qid")
+        .select(
+            F.col("qid").cast("long").alias("query_id"),
+            "n_ann",
+            "n_overlap",
+        )
+        .orderBy("query_id")
+    )

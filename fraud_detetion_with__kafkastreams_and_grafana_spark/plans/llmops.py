@@ -2545,6 +2545,85 @@ _L50_SQL = f"""
 """
 
 
+_L75_EXCOS = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), (x, y) -> x + y)"
+    " / (sqrt(list_reduce(list_transform(a.embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
+    " * sqrt(list_reduce(list_transform(q.embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)))"
+)
+
+_L75_SQL = f"""
+    WITH sig AS (
+      SELECT vec_id, embedding,
+             {", ".join(f"{_l50_dot(p)} AS d{p}" for p in range(16))}
+      FROM embeddings
+    ), bh AS (
+      SELECT vec_id, embedding,
+             {", ".join(
+                 " + ".join(
+                     f"(CASE WHEN d{b * 4 + j} > 0.0 THEN {1 << j} ELSE 0 END)"
+                     for j in range(4)
+                 ) + f" AS b{b}"
+                 for b in range(4)
+             )}
+      FROM sig
+    ), q AS (SELECT * FROM bh WHERE vec_id < 10),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid,
+             c.embedding, q.embedding AS qe
+      FROM bh c, q
+      WHERE c.b0 = q.b0 OR c.b1 = q.b1 OR c.b2 = q.b2 OR c.b3 = q.b3
+    ),
+    ann AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY {_L50_COS} DESC, cid ASC) AS rk
+        FROM cand c
+      ) WHERE rk <= 10
+    ),
+    ex AS (
+      SELECT qid, cid FROM (
+        SELECT q.vec_id AS qid, a.vec_id AS cid,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_L75_EXCOS} DESC, a.vec_id ASC) AS rk
+        FROM embeddings a,
+             (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
+      ) WHERE rk <= 10
+    ),
+    na AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_ann FROM ann GROUP BY 1)
+    SELECT e.qid AS query_id, na.n_ann,
+           CAST(count(a2.cid) AS BIGINT) AS n_overlap
+    FROM ex e
+    LEFT JOIN ann a2 ON e.qid = a2.qid AND e.cid = a2.cid
+    JOIN na ON na.qid = e.qid
+    GROUP BY 1, 2
+"""
+
+
+@_register("l75_ann_recall_eval", _L75_SQL)
+def l75_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval EVALUATION closing the ANN ladder (index l07/l50/l13/
+    l51/l24/l25 -> now measure): recall@10 of the hash-plane LSH
+    pipeline against the exact cosine top-10, per query over the first
+    10 vectors — the eval every production vector store runs before
+    picking nlist/bands. Integer (n_ann, n_overlap) counts per query,
+    so the whole evaluation value-hash-replays; recall@10 =
+    n_overlap/10.
+
+    Scale: see operators/similarity.ann_recall_eval — the exact
+    baseline is ONE corpus scan scored against the broadcast bounded
+    query set and reduced by a two-phase SALTED top-k (no per-query
+    corpus-sized window partition — naive PARTITION BY qid would funnel
+    the whole corpus into n_queries partitions); the ANN side reranks
+    banded candidates only. Cost: one scan + bounded joins at any
+    corpus size."""
+    em = load_table(spark, sf_dir, "embeddings")
+    return SIM.ann_recall_eval(em, n_queries=10, k=10)
+
+
 @_register("l50_ann_lsh_oracle_topk", _L50_SQL)
 def l50_ann_lsh_oracle_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN-LSH with a FULL value-hash oracle — the third probabilistic

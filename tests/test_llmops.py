@@ -1013,3 +1013,16 @@ def test_l68_corpus_stats_consistent_with_l64(spark, sf_dir):
             (s, "novel"), 0
         )
         assert r.n_docs == idx_n.get(s, 0) + r.n_admitted
+
+
+def test_l75_recall_eval_invariants(spark, sf_dir):
+    """Evaluation sanity on the real corpus: one row per query, n_ann
+    and n_overlap bounded by k, overlap never exceeds the ANN set, and
+    every query's own vector (cosine 1 with itself, guaranteed an LSH
+    candidate via identical band hashes) is in both top-10s — so
+    n_overlap >= 1 and n_ann >= 1 always."""
+    rows = llmops.QUERIES["l75_ann_recall_eval"](spark, sf_dir).collect()
+    assert [r.query_id for r in rows] == list(range(10))
+    for r in rows:
+        assert 1 <= r.n_ann <= 10
+        assert 1 <= r.n_overlap <= r.n_ann

@@ -863,3 +863,98 @@ def ann_recall_eval(
         )
         .orderBy("query_id")
     )
+
+
+def _sqdist_expr(a, b):
+    """Squared L2 distance as a left-to-right expression sum (DuckDB
+    list_reduce order) — deterministic IEEE doubles, no reordering."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kcenter_coreset(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 2-approximation) —
+    the diversity-sampling step of embedding-based training-data
+    selection: seed with the lowest id, then k rounds of 'pick the
+    point farthest (max-min squared L2) from everything selected',
+    ties to the lower id. Returns (pick_rank, vec_id, dist_sq) with the
+    seed as rank 0 — the farthest-point trajectory IS the coreset and
+    its dist_sq column is the 2-approximation's coverage radius
+    schedule.
+
+    Scale: k bounded passes over the corpus, each one scan + chained
+    1-row broadcast crossJoins (the m13 winner shape — every selected
+    point is a localCheckpointed 1-row frame) + a TakeOrdered argmax;
+    the running min-distance is least() over <=k broadcast distances,
+    so no corpus-sized state, no checkpointed corpus copy, and the
+    anti-join against picked ids is <=k rows broadcast. Squared
+    distances accumulate left-to-right (DuckDB list_reduce order), so
+    the whole trajectory value-hash-replays."""
+    seed = (
+        corpus.orderBy(F.asc(id_col))
+        .limit(1)
+        .select(
+            F.col(id_col).alias("w_id"), F.col(vec_col).alias("w_vec")
+        )
+        .localCheckpoint()
+    )
+    winners = [seed]
+    out_rows = [
+        seed.select(
+            F.lit(0).cast("long").alias("pick_rank"),
+            F.col("w_id").cast("long").alias("vec_id"),
+            F.lit(0.0).alias("dist_sq"),
+        )
+    ]
+    for t in range(1, k + 1):
+        scored = corpus.select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+        )
+        picked = winners[0].select("w_id")
+        for wfr in winners[1:]:
+            picked = picked.unionByName(wfr.select("w_id"))
+        scored = scored.join(
+            F.broadcast(picked.withColumnRenamed("w_id", "cid")),
+            "cid",
+            "anti",
+        )
+        dists = []
+        for i, wfr in enumerate(winners):
+            w = wfr.select(F.col("w_vec").alias(f"_w{i}"))
+            scored = scored.crossJoin(F.broadcast(w))
+            dists.append(_sqdist_expr(F.col("cvec"), F.col(f"_w{i}")))
+        mind = dists[0] if len(dists) == 1 else F.least(*dists)
+        win = (
+            scored.select("cid", "cvec", mind.alias("_mind"))
+            .orderBy(F.desc("_mind"), F.asc("cid"))
+            .limit(1)
+            .select(
+                F.col("cid").alias("w_id"),
+                F.col("cvec").alias("w_vec"),
+                F.col("_mind").alias("w_dist"),
+            )
+            .localCheckpoint()
+        )
+        winners.append(win)
+        out_rows.append(
+            win.select(
+                F.lit(t).cast("long").alias("pick_rank"),
+                F.col("w_id").cast("long").alias("vec_id"),
+                F.round("w_dist", 6).alias("dist_sq"),
+            )
+        )
+    out = out_rows[0]
+    for r in out_rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("pick_rank")

@@ -2624,6 +2624,89 @@ def l75_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ann_recall_eval(em, n_queries=10, k=10)
 
 
+_L76_K = 5
+
+
+def _l76_sql() -> str:
+    """Unrolled greedy k-center SQL: w0 = seed, then per round a
+    min-distance scan (least over the picked set, squared L2 summed
+    left-to-right) and an ORDER BY mind DESC, vec_id LIMIT 1 argmax.
+    Winner CTEs are MATERIALIZED — each is referenced by every later
+    round, and DuckDB's default inlining would re-execute the whole
+    chain per reference."""
+
+    def d(w: str) -> str:
+        t = (
+            f"(CAST(e.embedding[i] AS DOUBLE) - "
+            f"CAST({w}.embedding[i] AS DOUBLE))"
+        )
+        return (
+            f"list_reduce(list_transform(range(1, 65), i -> {t} * {t}), "
+            "(x, y) -> x + y)"
+        )
+
+    parts = [
+        """
+    WITH w0 AS MATERIALIZED (
+      SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1
+    )"""
+    ]
+    for t in range(1, _L76_K + 1):
+        froms = ", ".join(f"w{i}" for i in range(t))
+        dists = [d(f"w{i}") for i in range(t)]
+        mind = dists[0] if t == 1 else "least(" + ", ".join(dists) + ")"
+        not_in = "\n          UNION ALL ".join(
+            f"SELECT vec_id FROM w{i}" for i in range(t)
+        )
+        parts.append(
+            f""",
+    r{t} AS (
+      SELECT e.vec_id, e.embedding, {mind} AS mind
+      FROM embeddings e, {froms}
+      WHERE e.vec_id NOT IN ({not_in})
+    ),
+    w{t} AS MATERIALIZED (
+      SELECT vec_id, embedding, mind FROM r{t}
+      ORDER BY mind DESC, vec_id LIMIT 1
+    )"""
+        )
+    sel = "\n      UNION ALL\n      ".join(
+        ["SELECT CAST(0 AS BIGINT) AS pick_rank, "
+         "CAST(w0.vec_id AS BIGINT) AS vec_id, 0.0 AS dist_sq FROM w0"]
+        + [
+            f"SELECT CAST({t} AS BIGINT), CAST(w{t}.vec_id AS BIGINT), "
+            f"round(w{t}.mind, 6) FROM w{t}"
+            for t in range(1, _L76_K + 1)
+        ]
+    )
+    parts.append(
+        f"""
+    SELECT * FROM (
+      {sel}
+    ) ORDER BY pick_rank
+    """
+    )
+    return "".join(parts)
+
+
+@_register("l76_kcenter_coreset", _l76_sql())
+def l76_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection over the embedding corpus
+    (Gonzalez 2-approximation) — the diversity-sampling half of
+    embedding-based data selection (SemDeDup l28/l56 prunes the
+    redundant; k-center keeps the spread): seed at the lowest id, then
+    {k} farthest-point rounds, max-min squared L2, ties to the lower
+    id. The (pick_rank, vec_id, dist_sq) trajectory value-hash-replays
+    — dist_sq doubles accumulate left-to-right on both engines.
+
+    Scale: see operators/similarity.kcenter_coreset — k bounded passes,
+    each one corpus scan against <=k broadcast 1-row winner frames
+    (the m13 shape) + a distributed TakeOrdered argmax; no corpus-sized
+    state and no checkpointed corpus copy."""
+    em = load_table(spark, sf_dir, "embeddings")
+    return SIM.kcenter_coreset(em, k=_L76_K)
+
+
 @_register("l50_ann_lsh_oracle_topk", _L50_SQL)
 def l50_ann_lsh_oracle_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN-LSH with a FULL value-hash oracle — the third probabilistic

@@ -1668,3 +1668,61 @@ def test_m15_minimax_equals_pav(data):
         assert abs(g - w) < 1e-12, (got, want)
     # and the fit is monotone nondecreasing
     assert all(a <= b + 1e-12 for a, b in zip(got, got[1:]))
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-8, max_value=8), min_size=64, max_size=64
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_l76_oracle_equals_bruteforce_kcenter(vecs):
+    """Ground-truth closure for greedy k-center: the unrolled SQL must
+    equal a pure-Python farthest-point sweep on arbitrary vector sets —
+    same seed, same max-min squared L2, same lower-id tie-break, and
+    early exhaustion (fewer points than rounds) drops rows on both
+    sides. Integer-valued coordinates make the doubles exact, so the
+    comparison is equality, not tolerance."""
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.llmops import (
+        _L76_K,
+        ORACLES,
+    )
+
+    con = _duck()
+    con.register(
+        "embeddings",
+        pd.DataFrame(
+            {
+                "vec_id": range(len(vecs)),
+                "embedding": [[float(x) for x in v] for v in vecs],
+            }
+        ),
+    )
+    got = [tuple(r) for r in con.execute(ORACLES["l76_kcenter_coreset"]).fetchall()]
+
+    pts = {i: v for i, v in enumerate(vecs)}
+    picked = [0]
+    want = [(0, 0, 0.0)]
+    for t in range(1, _L76_K + 1):
+        best = None
+        for i, v in pts.items():
+            if i in picked:
+                continue
+            mind = min(
+                sum((a - b) * (a - b) for a, b in zip(v, pts[w]))
+                for w in picked
+            )
+            key = (-mind, i)
+            if best is None or key < best[0]:
+                best = (key, i, mind)
+        if best is None:
+            break
+        picked.append(best[1])
+        want.append((t, best[1], round(float(best[2]), 6)))
+    assert got == want

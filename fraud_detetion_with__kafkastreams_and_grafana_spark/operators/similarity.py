@@ -783,6 +783,7 @@ def ann_recall_eval(
     dim: int = 64,
     num_planes: int = 16,
     bands: int = 4,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Retrieval EVALUATION for the ANN ladder: recall@k of the
     hash-plane LSH pipeline (l50's oracle-able family) against the
@@ -798,7 +799,8 @@ def ann_recall_eval(
     PARTITION BY qid); the ANN side reranks banded candidates only,
     same shape as l50. Evaluation cost is one scan + bounded joins
     regardless of corpus size."""
-    queries = corpus.where(F.col(id_col) < n_queries)
+    if queries is None:
+        queries = corpus.where(F.col(id_col) < n_queries)
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qe")
     )

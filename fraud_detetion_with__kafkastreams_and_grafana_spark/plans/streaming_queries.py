@@ -1858,3 +1858,82 @@ def s26_stream_isotonic_calibration(
         .agg(F.sum("n").cast("long").alias("n"), F.sum("k").cast("long").alias("k"))
     )
     return isotonic_fit(merged.localCheckpoint())
+
+
+def _l75_oracle_sql() -> str:
+    from .llmops import ORACLES as _LL
+
+    return _LL["l75_ann_recall_eval"]
+
+
+@_register("s27_stream_ann_probe", _l75_oracle_sql())
+def s27_stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l75's ANN evaluation run as a STREAM — the deployment shape of a
+    vector-search service: query ids arrive as JSON micro-batches, each
+    batch fetches its vectors from the STATIC embeddings table (floats
+    never ride the wire — query-by-id, exactly how a feature store
+    serves vectors), probes the static LSH index AND the exact baseline
+    via the same two-phase salted top-k, and the per-query
+    (n_ann, n_overlap) rows land idempotently in a
+    _batch_id-partitioned sink (the s09 recipe). The accumulated table
+    must equal the batch l75 evaluation row-for-row, so s27 shares its
+    oracle verbatim. No streaming state — every query completes within
+    its own micro-batch.
+
+    Scale: the static side is the production persisted index; per
+    micro-batch the arriving query set is small and broadcasts, the
+    corpus is scanned once per batch for the exact baseline (that is
+    the cost of EVALUATING recall online; the ANN probe alone touches
+    banded candidates only)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators import similarity as SIM
+
+    em = load_table(spark, sf_dir, "embeddings").localCheckpoint()
+    wire = em.where(F.col("vec_id") < 10).select(
+        F.to_json(F.struct("vec_id")).alias("value")
+    )
+    from ..streaming.replay import materialize_wire_dir
+
+    d = materialize_wire_dir(wire, n_files=4)
+    out = tempfile.mkdtemp(prefix="spark_graft_s27_sink_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_s27_ckpt_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+
+    def probe(batch_df: DataFrame, batch_id: int) -> None:
+        ids = batch_df.select(
+            F.get_json_object("value", "$.vec_id").cast("long").alias("vec_id")
+        ).where(F.col("vec_id").isNotNull()).distinct()
+        queries = em.join(F.broadcast(ids), "vec_id")
+        (
+            SIM.ann_recall_eval(em, k=10, queries=queries)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
+
+    stream = (
+        spark.readStream.schema("value STRING")
+        .option("maxFilesPerTrigger", 2)
+        .text(d)
+    )
+    q = (
+        stream.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.read.parquet(out)
+        .select("query_id", "n_ann", "n_overlap")
+        .orderBy("query_id")
+    )

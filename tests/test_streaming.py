@@ -827,3 +827,23 @@ def test_s26_stream_isotonic_equals_batch_m15(spark, sf_dir):
         for r in AD.QUERIES["m15_isotonic_calibration"](spark, sf_dir).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_s27_stream_ann_probe_equals_batch_l75(spark, sf_dir):
+    """The streamed ANN evaluation (query ids arriving in micro-batches
+    against the static index) must equal the batch l75 evaluation
+    row-for-row."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import (
+        llmops as LL,
+        streaming_queries as SQ,
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in SQ.QUERIES["s27_stream_ann_probe"](spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in LL.QUERIES["l75_ann_recall_eval"](spark, sf_dir).collect()
+    )
+    assert got == want and len(got) == 10

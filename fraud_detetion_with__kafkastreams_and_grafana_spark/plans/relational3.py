@@ -2158,3 +2158,61 @@ def r83_cep_kleene_probe_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("next_id").cast("long").alias("fraud_id"),
         (F.col("next_t") - F.col("t_first")).cast("long").alias("span_s"),
     )
+
+
+# Shared 16-bit Morton (Z-order) interleave of two 8-bit dims — the same
+# expression text runs on Spark SQL and DuckDB (both spell &, <<, >>
+# identically), so the two sides cannot drift.
+_R84_Z = " + ".join(
+    f"(((a >> {i}) & 1) << {2 * i + 1}) + (((b >> {i}) & 1) << {2 * i})"
+    for i in range(8)
+)
+
+
+@_register(
+    "r84_zorder_clustering",
+    f"""
+    WITH base AS (
+      SELECT CAST(user_id % 256 AS BIGINT) AS a,
+             (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600) % 256
+               AS b
+      FROM events
+    ),
+    z AS (SELECT a, b, {_R84_Z} AS zv FROM base)
+    SELECT CAST(zv >> 8 AS BIGINT) AS zbucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(a) AS BIGINT) AS min_a, CAST(max(a) AS BIGINT) AS max_a,
+           CAST(min(b) AS BIGINT) AS min_b, CAST(max(b) AS BIGINT) AS max_b
+    FROM z GROUP BY 1
+    """,
+)
+def r84_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton space-filling-curve) clustering keys — the
+    lakehouse data-layout primitive (Delta/Iceberg OPTIMIZE ZORDER BY):
+    interleave the bits of two dimensions (user bucket, hour bucket) so
+    that sorting by the Z-value co-locates rows close in BOTH
+    dimensions, and per-Z-bucket min/max column stats become tight 2-D
+    tiles. The output is exactly those stats: each zbucket (the file
+    analog — 256 Z-values per bucket) with its row count and per-dim
+    min/max, whose spans are bounded by the 16x16 tile the curve
+    guarantees — the property that lets a 2-D predicate prune files on
+    EITHER dimension at 100 TB.
+
+    Scale: one narrow scan, bit arithmetic in whole-stage codegen, one
+    <=256-key map-side-combined aggregate. In production the same
+    Z-value feeds repartitionByRange(z) before the parquet write; this
+    query IS the stats check you run to verify the layout landed."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    base = ev.select(
+        (F.col("user_id") % 256).cast("long").alias("a"),
+        F.pmod(F.floor(t / F.lit(3600)), F.lit(256)).cast("long").alias("b"),
+    )
+    z = base.selectExpr("a", "b", f"{_R84_Z} AS zv")
+    return z.groupBy(F.expr("CAST(zv >> 8 AS BIGINT)").alias("zbucket")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("a").cast("long").alias("min_a"),
+        F.max("a").cast("long").alias("max_a"),
+        F.min("b").cast("long").alias("min_b"),
+        F.max("b").cast("long").alias("max_b"),
+    )

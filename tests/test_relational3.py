@@ -178,3 +178,20 @@ def test_snapshot_diff_classification(spark):
     )
     got = {r.user_id: r.c for r in d.select("user_id", change.alias("c")).collect()}
     assert got == {1: "deleted", 2: "inserted", 3: "unchanged", 4: "changed"}, got
+
+
+def test_r84_zorder_buckets_are_tiles(spark, sf_dir):
+    """The data-skipping property the layout exists for: zbucket =
+    z >> 8 fixes the top 4 bits of BOTH dimensions, so every bucket's
+    (a, b) min/max must sit inside one 16x16 tile — tight per-file
+    stats on either dimension."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import (
+        relational3 as R3,
+    )
+
+    rows = R3.QUERIES["r84_zorder_clustering"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.min_a >> 4 == r.max_a >> 4, r
+        assert r.min_b >> 4 == r.max_b >> 4, r
+        assert r.n > 0

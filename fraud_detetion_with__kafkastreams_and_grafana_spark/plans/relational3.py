@@ -2216,3 +2216,168 @@ def r84_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("b").cast("long").alias("min_b"),
         F.max("b").cast("long").alias("max_b"),
     )
+
+
+# r85: Bloom-filter runtime join pruning. m = 4096 bits packed as 128
+# 32-bit words in BIGINTs (bit 31 shifts stay positive — no sign games in
+# either engine), k = 4 positions per key via the repo's shared md5-prefix
+# 60-bit digest recipe (Spark conv(hex,16,10) == DuckDB CAST('0x'||hex)),
+# so both engines materialize bit-identical filters.
+_R85_M_BITS = 4096
+_R85_WORDS = _R85_M_BITS // 32
+_R85_K = 4
+
+
+def _r85_pos_spark(key: str, i: int) -> str:
+    return (
+        f"CAST(conv(substr(md5(CAST({key} AS STRING) || ':{i}'), 1, 15),"
+        f" 16, 10) AS BIGINT) % {_R85_M_BITS}"
+    )
+
+
+def _r85_pos_duck(key: str, i: int) -> str:
+    return (
+        f"CAST('0x' || substr(md5(CAST({key} AS VARCHAR) || ':{i}'), 1, 15)"
+        f" AS BIGINT) % {_R85_M_BITS}"
+    )
+
+
+_R85_ORACLE = f"""
+    WITH keys AS (
+      SELECT DISTINCT CAST(c_custkey AS BIGINT) AS k
+      FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    kpos AS (
+      SELECT {_r85_pos_duck('k', 0)} AS p FROM keys
+      {' '.join(f"UNION ALL SELECT {_r85_pos_duck('k', i)} FROM keys"
+                for i in range(1, _R85_K))}
+    ),
+    bloom AS (
+      SELECT CAST(p >> 5 AS INT) AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(p & 31 AS INT)) AS bits
+      FROM kpos GROUP BY 1
+    ),
+    op AS (
+      SELECT o_orderkey, o_orderpriority, CAST(o_custkey AS BIGINT) AS ck,
+             {', '.join(f"{_r85_pos_duck('o_custkey', i)} AS p{i}"
+                        for i in range(_R85_K))}
+      FROM orders
+    ),
+    chk AS (
+      SELECT op.o_orderkey, op.o_orderpriority, op.ck,
+             {' AND '.join(
+                 f"((coalesce(b{i}.bits, 0)"
+                 f" & (CAST(1 AS BIGINT) << CAST(p{i} & 31 AS INT))) <> 0)"
+                 for i in range(_R85_K))} AS passed
+      FROM op
+      {' '.join(f"LEFT JOIN bloom b{i} ON b{i}.w = CAST(p{i} >> 5 AS INT)"
+                for i in range(_R85_K))}
+    ),
+    fin AS (
+      SELECT o_orderpriority,
+             count(*) AS n_probed,
+             count(*) FILTER (WHERE passed) AS n_passed,
+             count(*) FILTER (WHERE kk.k IS NOT NULL) AS n_true,
+             count(*) FILTER (WHERE passed AND kk.k IS NULL) AS n_fp,
+             count(*) FILTER (WHERE kk.k IS NOT NULL AND NOT passed)
+               AS n_missed
+      FROM chk LEFT JOIN keys kk ON kk.k = chk.ck
+      GROUP BY 1
+    )
+    SELECT o_orderpriority,
+           CAST(n_probed AS BIGINT) AS n_probed,
+           CAST(n_passed AS BIGINT) AS n_passed,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_fp AS BIGINT) AS n_fp,
+           CAST(n_missed AS BIGINT) AS n_missed,
+           CAST((1000000 * n_fp) // greatest(n_probed - n_true, 1) AS BIGINT)
+             AS fp_ppm
+    FROM fin
+"""
+
+
+@_register("r85_bloom_join_prune", _R85_ORACLE)
+def r85_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime join pruning — the semi-join-reduction
+    primitive behind Spark's own runtime row-group filtering and every
+    warehouse's "build a bitmap on the dim side, push it into the fact
+    scan" strategy. Build: the 302-key dim subset (BUILDING customers)
+    hashes k=4 positions into an m=4096-bit filter, aggregated to <=128
+    packed 32-bit words and DENSIFIED into one 128-element array row.
+    Probe: that single row broadcasts to the fact table (orders), where
+    four inline element_at + mask checks run in whole-stage codegen — the
+    fact table never shuffles and never joins row-for-row; only rows
+    passing the filter would reach the real join. Output per priority:
+    probed/passed/true/false-positive counts, the measured FP rate in
+    ppm, and n_missed — the hash-checked zero-false-negative witness a
+    Bloom filter must satisfy.
+
+    Scale: at 100 TB the filter stays 512 bytes regardless of fact size
+    (m scales with the BUILD side only); the probe is a broadcast of one
+    array row + O(1) bit math per fact row, strictly cheaper than the
+    shuffle it replaces. The exact-membership audit join (vs `keys`)
+    exists only to MEASURE the FP rate; production keeps just the bitmap
+    path. Reference parity: the reference engine filters per-record
+    streams by predicate (TransactionProcessor.java); this is the same
+    gate generalized to set membership at warehouse scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    keys = (
+        cust.where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").cast("long").alias("k"))
+        .distinct()
+    )
+    kpos = keys.selectExpr(
+        f"explode(array({', '.join(_r85_pos_spark('k', i) for i in range(_R85_K))})) AS p"
+    )
+    words = kpos.selectExpr(
+        "CAST(p >> 5 AS INT) AS w",
+        "shiftleft(CAST(1 AS BIGINT), CAST(p & 31 AS INT)) AS m",
+    ).groupBy("w").agg(F.expr("bit_or(m)").alias("bits"))
+    bloom = words.agg(
+        F.expr("map_from_entries(collect_list(struct(w, bits)))").alias("mp")
+    ).selectExpr(
+        f"transform(sequence(0, {_R85_WORDS - 1}),"
+        " j -> coalesce(element_at(mp, j), CAST(0 AS BIGINT))) AS bloom"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.col("o_custkey").cast("long").alias("ck")
+    )
+    probed = orders.join(F.broadcast(bloom)).selectExpr(
+        "o_orderpriority",
+        "ck",
+        *[f"{_r85_pos_spark('ck', i)} AS p{i}" for i in range(_R85_K)],
+        "bloom",
+    ).selectExpr(
+        "o_orderpriority",
+        "ck",
+        " AND ".join(
+            f"((element_at(bloom, CAST(p{i} >> 5 AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST(p{i} & 31 AS INT))) != 0)"
+            for i in range(_R85_K)
+        )
+        + " AS passed",
+    )
+    truth = probed.join(
+        F.broadcast(keys.withColumnRenamed("k", "ck")).withColumn(
+            "in_build", F.lit(True)
+        ),
+        "ck",
+        "left",
+    ).withColumn("in_build", F.coalesce("in_build", F.lit(False)))
+    agg = truth.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_probed"),
+        F.expr("count_if(passed)").alias("n_passed"),
+        F.expr("count_if(in_build)").alias("n_true"),
+        F.expr("count_if(passed AND NOT in_build)").alias("n_fp"),
+        F.expr("count_if(in_build AND NOT passed)").alias("n_missed"),
+    )
+    return agg.selectExpr(
+        "o_orderpriority",
+        "n_probed",
+        "n_passed",
+        "n_true",
+        "n_fp",
+        "n_missed",
+        "CAST((1000000 * n_fp) div greatest(n_probed - n_true, 1) AS BIGINT)"
+        " AS fp_ppm",
+    )

@@ -450,3 +450,23 @@ def test_m15_isotonic_is_one_scan_then_bounded_joins(spark, sf_dir):
     assert p.count("Scan parquet") == 0, p  # bucket frame is checkpointed...
     assert "Scan ExistingRDD" in p, p  # ...and everything joins against it
     assert "SortMergeJoin" not in p, p
+
+
+def test_r85_bloom_probe_fact_side_never_shuffles(spark, sf_dir):
+    """The whole point of the runtime filter: the fact table (orders)
+    reaches the bit-check via BROADCASTS only — the 1-row bloom array
+    (nested-loop) and the audit key set (hash). The only exchange in the
+    plan is the final 5-key priority aggregate; no sort-merge join, so
+    no fact-sized shuffle exists anywhere."""
+    p = _plan(relational3.QUERIES["r85_bloom_join_prune"](spark, sf_dir))
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastNestedLoopJoin" in p, p  # 1-row bloom array
+    assert "BroadcastHashJoin" in p, p  # audit-only exact membership
+    # The dim side (302 keys) may exchange freely; the FACT scan must sit
+    # under exactly one hash exchange — the final 5-key priority aggregate.
+    fact_exchanges = [
+        sub
+        for sub in _subtrees(p, "Exchange hashpartitioning")
+        if any("orders" in line for line in sub)
+    ]
+    assert len(fact_exchanges) == 1, p

@@ -1726,3 +1726,83 @@ def test_l76_oracle_equals_bruteforce_kcenter(vecs):
         picked.append(best[1])
         want.append((t, best[1], round(float(best[2]), 6)))
     assert got == want
+
+
+@given(
+    build=st.sets(st.integers(min_value=0, max_value=500), max_size=20),
+    probes=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),
+            st.sampled_from(["1-URGENT", "5-LOW"]),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+@settings(max_examples=40, deadline=None)
+def test_r85_oracle_equals_bruteforce_bloom(build, probes):
+    """The Bloom oracle must equal a from-first-principles Python filter
+    (hashlib.md5, set of bit positions) on arbitrary key sets: identical
+    pass/true/fp counts per priority and ALWAYS zero false negatives —
+    the property that makes the pruning safe. Catches any shared
+    hash-recipe bug the Spark/DuckDB parity gate cannot see."""
+    import hashlib
+
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.relational3 import (
+        _R85_K,
+        _R85_M_BITS,
+        ORACLES,
+    )
+
+    con = _duck()
+    con.register(
+        "customer",
+        pd.DataFrame(
+            [(k, "BUILDING") for k in sorted(build)]
+            or [(999999, "OTHER")],  # empty build set: keep the view typed
+            columns=["c_custkey", "c_mktsegment"],
+        ),
+    )
+    con.register(
+        "orders",
+        pd.DataFrame(
+            [(i, ck, pr) for i, (ck, pr) in enumerate(probes)],
+            columns=["o_orderkey", "o_custkey", "o_orderpriority"],
+        ),
+    )
+    got = sorted(
+        tuple(r)
+        for r in con.execute(ORACLES["r85_bloom_join_prune"]).fetchall()
+    )
+
+    def pos(key: int, i: int) -> int:
+        h = hashlib.md5(f"{key}:{i}".encode()).hexdigest()[:15]
+        return int(h, 16) % _R85_M_BITS
+
+    bloom = {pos(k, i) for k in build for i in range(_R85_K)}
+    agg: dict[str, list[int]] = {}
+    for ck, pr in probes:
+        passed = all(pos(ck, i) in bloom for i in range(_R85_K))
+        true = ck in build
+        row = agg.setdefault(pr, [0, 0, 0, 0, 0])
+        row[0] += 1
+        row[1] += passed
+        row[2] += true
+        row[3] += passed and not true
+        row[4] += true and not passed
+    want = sorted(
+        (
+            pr,
+            n,
+            p,
+            t,
+            fp,
+            miss,
+            (1000000 * fp) // max(n - t, 1),
+        )
+        for pr, (n, p, t, fp, miss) in agg.items()
+    )
+    assert got == want
+    assert all(r[5] == 0 for r in got)  # no false negatives, ever

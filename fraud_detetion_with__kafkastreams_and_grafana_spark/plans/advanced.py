@@ -1819,3 +1819,277 @@ def isotonic_fit(b: DataFrame) -> DataFrame:
             F.round("iso_v", 6).alias("iso_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# m16: depth-2 decision-TREE trainer — one level of recursion over the m12
+# sweep. The root is m12's argmin stump; each child partition then re-runs
+# the identical sweep restricted to its rows. Impurity stays exact int64
+# misclassification counts throughout, so root pick, both child picks, and
+# the error-improvement witness all value-hash replay (the same reason m12
+# chose errors-count over Gini). Tie-break everywhere: (errors, feature,
+# thr) ascending — total order, engine-independent.
+# ---------------------------------------------------------------------------
+_M16_FEATS_DUCK = (
+    "CAST(extract(hour FROM ts) AS BIGINT) AS hr, "
+    "user_id % 10 AS um, "
+    "CAST(floor(value / 50.0) AS BIGINT) AS vkb"
+)
+# One sweep body, parameterized by its source CTE and partition keys; the
+# WITH-chain nests it twice (root pass, then per-node pass).
+_M16_SWEEP = """
+    cnt{sfx} AS (
+      SELECT {keys} feature, v, count(*) AS tot, sum(y) AS pos
+      FROM f{sfx} GROUP BY ALL
+    ),
+    cum{sfx} AS (
+      SELECT {keys} feature,
+             lead(v) OVER (PARTITION BY {keys} feature ORDER BY v) AS thr,
+             sum(tot) OVER (PARTITION BY {keys} feature ORDER BY v)
+               AS n_left,
+             sum(pos) OVER (PARTITION BY {keys} feature ORDER BY v)
+               AS pos_left,
+             sum(tot) OVER (PARTITION BY {keys} feature) AS n_all,
+             sum(pos) OVER (PARTITION BY {keys} feature) AS pos_all
+      FROM cnt{sfx}
+    ),
+    cand{sfx} AS (
+      SELECT {keys} feature, thr, n_left, pos_left,
+             n_all - n_left AS n_right,
+             pos_all - pos_left AS pos_right,
+             least(pos_left, n_left - pos_left)
+               + least(pos_all - pos_left,
+                       (n_all - n_left) - (pos_all - pos_left)) AS errors
+      FROM cum{sfx} WHERE thr IS NOT NULL
+    )
+"""
+
+_M16_SQL = (
+    f"""
+    WITH base AS (
+      SELECT {_M16_FEATS_DUCK},
+             CASE WHEN value > {{thr}} THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    f AS (
+      SELECT 'hr' AS feature, hr AS v, y FROM base
+      UNION ALL SELECT 'um', um, y FROM base
+      UNION ALL SELECT 'vkb', vkb, y FROM base
+    ),
+    """
+    + _M16_SWEEP.format(sfx="", keys="")
+    + f""",
+    root AS (
+      SELECT feature, thr FROM cand
+      ORDER BY errors, feature, thr LIMIT 1
+    ),
+    sided AS (
+      SELECT CASE WHEN (CASE r.feature WHEN 'hr' THEN b.hr
+                        WHEN 'um' THEN b.um ELSE b.vkb END) < r.thr
+                  THEN 'L' ELSE 'R' END AS node,
+             b.hr, b.um, b.vkb, b.y
+      FROM base b CROSS JOIN root r
+    ),
+    f2 AS (
+      SELECT node, 'hr' AS feature, hr AS v, y FROM sided
+      UNION ALL SELECT node, 'um', um, y FROM sided
+      UNION ALL SELECT node, 'vkb', vkb, y FROM sided
+    ),
+    """
+    + _M16_SWEEP.format(sfx="2", keys="node,")
+    + """,
+    best2 AS (
+      SELECT node, feature, thr, n_left, pos_left, n_right, pos_right,
+             errors,
+             row_number() OVER (PARTITION BY node
+                                ORDER BY errors, feature, thr) AS rk
+      FROM cand2
+    ),
+    rootrow AS (
+      SELECT 'root' AS node, c.feature, c.thr, c.n_left, c.pos_left,
+             c.n_right, c.pos_right, c.errors
+      FROM cand c JOIN root r ON c.feature = r.feature AND c.thr = r.thr
+    )
+    SELECT node, feature, CAST(thr AS BIGINT) AS thr,
+           CAST(n_left AS BIGINT) AS n_left,
+           CAST(pos_left AS BIGINT) AS pos_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           CAST(pos_right AS BIGINT) AS pos_right,
+           CAST(errors AS BIGINT) AS errors
+    FROM (
+      SELECT * FROM rootrow
+      UNION ALL
+      SELECT node, feature, thr, n_left, pos_left, n_right, pos_right,
+             errors
+      FROM best2 WHERE rk = 1
+    ) u
+    ORDER BY node
+"""
+).format(thr=repr(EVENTS_FRAUD_THRESHOLD))
+
+
+def _m16_unpivot(df: DataFrame, *keys: str) -> DataFrame:
+    """(feature, v) unpivot of the hr/um/vkb columns, keeping `keys`."""
+    return df.select(
+        *keys,
+        F.explode(
+            F.array(
+                F.struct(F.lit("hr").alias("feature"), F.col("hr").alias("v")),
+                F.struct(F.lit("um").alias("feature"), F.col("um").alias("v")),
+                F.struct(
+                    F.lit("vkb").alias("feature"), F.col("vkb").alias("v")
+                ),
+            )
+        ).alias("fv"),
+        "y",
+    ).select(*keys, "fv.feature", "fv.v", "y")
+
+
+def _m16_sweep(feats: DataFrame, *keys: str) -> DataFrame:
+    """The m12 prefix-sum split sweep, partitioned by `keys` + feature."""
+    from pyspark.sql.window import Window
+
+    part = [*keys, "feature"]
+    cnt = feats.groupBy(*part, "v").agg(
+        F.count("*").alias("tot"), F.sum("y").alias("pos")
+    )
+    wo = Window.partitionBy(*part).orderBy("v")
+    wa = Window.partitionBy(*part)
+    return (
+        cnt.select(
+            *part,
+            F.lead("v").over(wo).alias("thr"),
+            F.sum("tot").over(wo).alias("n_left"),
+            F.sum("pos").over(wo).alias("pos_left"),
+            F.sum("tot").over(wa).alias("n_all"),
+            F.sum("pos").over(wa).alias("pos_all"),
+        )
+        .where(F.col("thr").isNotNull())
+        .select(
+            *part,
+            "thr",
+            "n_left",
+            "pos_left",
+            (F.col("n_all") - F.col("n_left")).alias("n_right"),
+            (F.col("pos_all") - F.col("pos_left")).alias("pos_right"),
+            (
+                F.least(F.col("pos_left"), F.col("n_left") - F.col("pos_left"))
+                + F.least(
+                    F.col("pos_all") - F.col("pos_left"),
+                    (F.col("n_all") - F.col("n_left"))
+                    - (F.col("pos_all") - F.col("pos_left")),
+                )
+            ).alias("errors"),
+        )
+    )
+
+
+@_register("m16_depth2_tree_trainer", _M16_SQL)
+def m16_depth2_tree_trainer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-2 decision-tree trainer: recursive partitioning, the step from
+    m12's single stump to an actual tree (the CART/C4.5 shape every
+    production GBDT library builds level-by-level). Pass 1 runs the m12
+    sweep and takes its argmin as the ROOT; the 1-row winner is
+    localCheckpointed and broadcast so each event row routes to child 'L'
+    or 'R' with zero shuffle; pass 2 re-runs the identical sweep with the
+    child node in the grouping key. Output: the root's full contingency
+    row plus each child's best split — the reader checks errors(L)+
+    errors(R) <= errors(root), the level-wise impurity-improvement
+    invariant (pinned in pytest and by the brute-force closure).
+
+    Scale: level-wise tree growth exactly as distributed GBDTs do it —
+    each level is ONE corpus scan whose hash aggregate combines map-side
+    to <= |nodes| x |features| x |buckets| (~88) rows per map task; the
+    sweep windows run on that tiny aggregate. Depth-k trees are k scans,
+    never k shuffles of the corpus; routing state is a broadcast 1-row
+    frame per level (the m13 posture).
+
+    Reference parity: learns the two-level refinement of the reference's
+    flat fraud gate (TransactionProcessor.java:15,39)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.hour("ts").cast("long").alias("hr"),
+        (F.col("user_id") % 10).cast("long").alias("um"),
+        F.floor(F.col("value") / 50.0).cast("long").alias("vkb"),
+        (F.col("value") > F.lit(float(EVENTS_FRAUD_THRESHOLD)))
+        .cast("long")
+        .alias("y"),
+    )
+    from pyspark.sql.window import Window
+
+    cand = _m16_sweep(_m16_unpivot(base), )
+    root = (
+        cand.withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy("errors", "feature", "thr")),
+        )
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("feature").alias("rfeat"),
+            F.col("thr").alias("rthr"),
+            "n_left",
+            "pos_left",
+            "n_right",
+            "pos_right",
+            "errors",
+        )
+        .localCheckpoint()
+    )
+    sided = base.join(F.broadcast(root.select("rfeat", "rthr"))).select(
+        F.when(
+            F.when(F.col("rfeat") == "hr", F.col("hr"))
+            .when(F.col("rfeat") == "um", F.col("um"))
+            .otherwise(F.col("vkb"))
+            < F.col("rthr"),
+            F.lit("L"),
+        )
+        .otherwise(F.lit("R"))
+        .alias("node"),
+        "hr",
+        "um",
+        "vkb",
+        "y",
+    )
+    best2 = (
+        _m16_sweep(_m16_unpivot(sided, "node"), "node")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("node").orderBy("errors", "feature", "thr")
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )
+    rootrow = root.select(
+        F.lit("root").alias("node"),
+        F.col("rfeat").alias("feature"),
+        F.col("rthr").alias("thr"),
+        "n_left",
+        "pos_left",
+        "n_right",
+        "pos_right",
+        "errors",
+    )
+    out = rootrow.unionByName(
+        best2.select(
+            "node",
+            "feature",
+            "thr",
+            "n_left",
+            "pos_left",
+            "n_right",
+            "pos_right",
+            "errors",
+        )
+    )
+    return out.select(
+        "node",
+        "feature",
+        F.col("thr").cast("long").alias("thr"),
+        F.col("n_left").cast("long").alias("n_left"),
+        F.col("pos_left").cast("long").alias("pos_left"),
+        F.col("n_right").cast("long").alias("n_right"),
+        F.col("pos_right").cast("long").alias("pos_right"),
+        F.col("errors").cast("long").alias("errors"),
+    ).orderBy("node")

@@ -470,3 +470,19 @@ def test_r85_bloom_probe_fact_side_never_shuffles(spark, sf_dir):
         if any("orders" in line for line in sub)
     ]
     assert len(fact_exchanges) == 1, p
+
+
+def test_m16_tree_levels_scan_not_shuffle_the_corpus(spark, sf_dir):
+    """Level-wise tree growth: the level-2 pass scans events ONCE, routes
+    rows via the broadcast localCheckpointed 1-row root (nested-loop on a
+    single row — never a corpus-sized join), and every join/window runs on
+    the <=~88-row sweep aggregate. No sort-merge join anywhere."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import (
+        advanced,
+    )
+
+    p = _plan(advanced.QUERIES["m16_depth2_tree_trainer"](spark, sf_dir))
+    assert "SortMergeJoin" not in p, p
+    assert p.count("Scan parquet") == 1, p  # level-2 corpus scan only
+    assert "Scan ExistingRDD" in p, p  # checkpointed root winner
+    assert "BroadcastNestedLoopJoin" in p, p  # 1-row route frame

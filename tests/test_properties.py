@@ -1806,3 +1806,88 @@ def test_r85_oracle_equals_bruteforce_bloom(build, probes):
     )
     assert got == want
     assert all(r[5] == 0 for r in got)  # no false negatives, ever
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # hour
+            st.integers(min_value=0, max_value=30),  # user_id
+            st.sampled_from([10.0, 60.0, 120.0, 180.0]),  # value
+        ),
+        min_size=2,
+        max_size=25,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_m16_oracle_equals_bruteforce_tree(rows):
+    """The depth-2 tree SQL must equal brute-force recursive
+    partitioning on arbitrary corpora: root argmin over every candidate
+    split with the (errors, feature, thr) tie-break, exact child routing,
+    per-child argmin, and the level-wise invariant
+    errors(L)+errors(R) <= errors(root) whenever both children split."""
+    import datetime
+
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.advanced import (
+        _M16_SQL,
+        ORACLES,
+    )
+
+    assert ORACLES["m16_depth2_tree_trainer"] is _M16_SQL
+    base = datetime.datetime(2024, 1, 1)
+    con = _duck()
+    con.register(
+        "events",
+        pd.DataFrame(
+            [
+                (i, base + datetime.timedelta(hours=h), u, "tx", v, "{}")
+                for i, (h, u, v) in enumerate(rows)
+            ],
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        ),
+    )
+    got = [tuple(r) for r in con.execute(_M16_SQL).fetchall()]
+
+    feats = [
+        {"hr": h, "um": u % 10, "vkb": int(v // 50), "y": int(v > 100.0)}
+        for h, u, v in rows
+    ]
+
+    def sweep(sub):
+        """All candidate splits (feature, thr) with contingency + errors."""
+        out = []
+        for f in ("hr", "um", "vkb"):
+            vals = sorted({r[f] for r in sub})
+            for thr in vals[1:]:  # thr = each value except the smallest
+                left = [r for r in sub if r[f] < thr]
+                right = [r for r in sub if r[f] >= thr]
+                pl = sum(r["y"] for r in left)
+                pr = sum(r["y"] for r in right)
+                err = min(pl, len(left) - pl) + min(pr, len(right) - pr)
+                out.append(
+                    (f, thr, len(left), pl, len(right), pr, err)
+                )
+        return out
+
+    cands = sweep(feats)
+    if not cands:
+        assert got == []
+        return
+    root = min(cands, key=lambda c: (c[6], c[0], c[1]))
+    want = [("root", root[0], root[1], *root[2:])]
+    for node, sub in (
+        ("L", [r for r in feats if r[root[0]] < root[1]]),
+        ("R", [r for r in feats if r[root[0]] >= root[1]]),
+    ):
+        c2 = sweep(sub)
+        if c2:
+            b = min(c2, key=lambda c: (c[6], c[0], c[1]))
+            want.append((node, b[0], b[1], *b[2:]))
+    want.sort(key=lambda r: r[0])
+    assert got == want
+    child_err = {r[0]: r[7] for r in got if r[0] in ("L", "R")}
+    if len(child_err) == 2:
+        assert sum(child_err.values()) <= got[-1][7]  # root sorts last

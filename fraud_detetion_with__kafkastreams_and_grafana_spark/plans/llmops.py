@@ -4466,3 +4466,129 @@ def l70_greedy_source_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("pick_rank")
+
+
+# ---------------------------------------------------------------------------
+# l77: BM25 retrieval — the lexical-search baseline every RAG/data-curation
+# stack runs next to the ANN ladder (l07/l13/l24/l75 are the dense path;
+# this is the sparse one). Okapi BM25 with the Lucene idf form, k1=1.2,
+# b=0.75. Per-term contributions are rounded to integer MICRO-units and
+# summed as int64, so the per-(query,doc) score is exact regardless of
+# aggregation order — the same order-proof discipline as the m08 trainers.
+# The arithmetic expression is ONE shared string evaluated by both engines
+# (identical parse, identical IEEE op order; ln() is the only libm call,
+# the l21 precedent).
+# ---------------------------------------------------------------------------
+_L77_QUERIES = [
+    (1, "dup"), (1, "scan"),
+    (2, "spark"), (2, "window"), (2, "query"),
+    (3, "hash"), (3, "join"), (3, "merge"),
+]
+_L77_CONTRIB = (
+    "CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
+    " * ((tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl)"
+    " / (CAST(sum_dl AS DOUBLE) / n_docs)))) * 1000000.0, 0) AS BIGINT)"
+)
+_L77_TOPK = 5
+
+_L77_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, t FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '[^a-z0-9]+')) AS t
+        FROM documents WHERE trim(text) <> ''
+      ) WHERE t <> ''
+    ),
+    tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+    q(query_id, t) AS (VALUES
+      {', '.join(f"({i}, '{t}')" for i, t in _L77_QUERIES)}),
+    dfq AS (
+      SELECT t, count(*) AS df FROM tf
+      WHERE t IN (SELECT DISTINCT t FROM q) GROUP BY 1
+    ),
+    contrib AS (
+      SELECT q.query_id, tf.doc_id, {_L77_CONTRIB} AS c
+      FROM tf
+      JOIN q USING (t) JOIN dfq USING (t) JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    ),
+    scores AS (
+      SELECT query_id, doc_id, sum(c) AS score_micro
+      FROM contrib GROUP BY 1, 2
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(rnk AS BIGINT) AS rnk,
+           doc_id,
+           CAST(score_micro AS BIGINT) AS score_micro
+    FROM (
+      SELECT query_id, doc_id, score_micro,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_micro DESC, doc_id) AS rnk
+      FROM scores
+    ) WHERE rnk <= {_L77_TOPK}
+"""
+
+
+@_register("l77_bm25_topk", _L77_SQL)
+def l77_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval over the document corpus — the sparse
+    twin of the dense ANN ladder, and the standard first-stage retriever
+    in RAG pipelines and quality-filter mining. idf uses the Lucene
+    ln(1+(N-df+0.5)/(df+0.5)) form (always positive); tf normalization is
+    the classic k1/b length correction against the corpus mean document
+    length. Scores travel as exact summed int64 micro-units (per-term
+    contributions rounded once), so the ranking hash-replays under any
+    partitioning.
+
+    Scale: the token explode happens ONCE into the tf frame; the query
+    set (8 terms) broadcasts into it, so only postings for query terms —
+    the classic inverted-index probe — survive past the first join. The
+    corpus-sized dl frame joins those postings MERGE-hinted (a broadcast
+    there would ship every document's length at 100 TB); corpus stats ride
+    a 1-row broadcast. Per-query ranking partitions by query_id — no
+    global sort. At production scale tf/dl are the materialized inverted
+    index + doc-length table every search engine persists; this query is
+    the probe path."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), "[^a-z0-9]+")).alias("t"),
+    ).filter(F.col("t") != "")
+    tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("tf")).persist()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    q = spark.createDataFrame(_L77_QUERIES, ["query_id", "t"])
+    dfq = (
+        tf.join(F.broadcast(q.select("t").distinct()), "t")
+        .groupBy("t")
+        .agg(F.count("*").alias("df"))
+    )
+    contrib = (
+        tf.join(F.broadcast(q), "t")
+        .join(F.broadcast(dfq), "t")
+        .join(dl.hint("merge"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .selectExpr("query_id", "doc_id", f"{_L77_CONTRIB} AS c")
+    )
+    scores = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("c").alias("score_micro")
+    )
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    return (
+        scores.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= _L77_TOPK)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("rnk").cast("long").alias("rnk"),
+            "doc_id",
+            F.col("score_micro").cast("long").alias("score_micro"),
+        )
+    )

@@ -486,3 +486,15 @@ def test_m16_tree_levels_scan_not_shuffle_the_corpus(spark, sf_dir):
     assert p.count("Scan parquet") == 1, p  # level-2 corpus scan only
     assert "Scan ExistingRDD" in p, p  # checkpointed root winner
     assert "BroadcastNestedLoopJoin" in p, p  # 1-row route frame
+
+
+def test_l77_postings_probe_broadcasts_query_merges_doclen(spark, sf_dir):
+    """The inverted-index probe posture: the 8-term query set broadcasts
+    into the tf postings; the corpus-sized doc-length frame honors its
+    merge hint (broadcasting it would ship every document's length at
+    100 TB); corpus stats ride a 1-row broadcast; ranking partitions by
+    query_id (no global single-partition sort of the corpus)."""
+    p = _plan(llmops.QUERIES["l77_bm25_topk"](spark, sf_dir))
+    assert "SortMergeJoin" in p, p  # dl join keeps the merge hint
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p  # query-term probe

@@ -1891,3 +1891,71 @@ def test_m16_oracle_equals_bruteforce_tree(rows):
     child_err = {r[0]: r[7] for r in got if r[0] in ("L", "R")}
     if len(child_err) == 2:
         assert sum(child_err.values()) <= got[-1][7]  # root sorts last
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["dup", "scan", "spark", "hash", "join", "x"]),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_l77_oracle_equals_bruteforce_bm25(docs):
+    """The BM25 SQL must equal a from-first-principles Python scorer
+    (math.log, HALF_UP micro rounding, per-term exact int sum) on
+    arbitrary corpora: identical per-query rankings and scores."""
+    import math
+
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.llmops import (
+        _L77_QUERIES,
+        _L77_SQL,
+        _L77_TOPK,
+        ORACLES,
+    )
+
+    assert ORACLES["l77_bm25_topk"] is _L77_SQL
+    con = _duck()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            [(i, " ".join(toks), "en", "s", 1) for i, toks in enumerate(docs)],
+            columns=["doc_id", "text", "lang", "source", "n_chars"],
+        ),
+    )
+    got = [tuple(r) for r in con.execute(_L77_SQL).fetchall()]
+
+    tf: dict[tuple[int, str], int] = {}
+    for i, toks in enumerate(docs):
+        for t in toks:
+            tf[(i, t)] = tf.get((i, t), 0) + 1
+    dl = {i: len(toks) for i, toks in enumerate(docs)}
+    n_docs = len(dl)
+    avgdl = sum(dl.values()) / n_docs
+    dfc: dict[str, int] = {}
+    for (_i, t) in tf:
+        dfc[t] = dfc.get(t, 0) + 1
+    scores: dict[tuple[int, int], int] = {}
+    for qid, t in _L77_QUERIES:
+        for i in range(n_docs):
+            f = tf.get((i, t))
+            if not f:
+                continue
+            idf = math.log(1.0 + (n_docs - dfc[t] + 0.5) / (dfc[t] + 0.5))
+            tfn = (f * 2.2) / (f + 1.2 * (0.25 + (0.75 * dl[i]) / avgdl))
+            c = int(math.floor(idf * tfn * 1000000.0 + 0.5))  # HALF_UP
+            scores[(qid, i)] = scores.get((qid, i), 0) + c
+    want = []
+    byq: dict[int, list] = {}
+    for (qid, i), s in scores.items():
+        byq.setdefault(qid, []).append((-s, i))
+    for qid in sorted(byq):
+        for rnk, (neg_s, i) in enumerate(sorted(byq[qid])[:_L77_TOPK], 1):
+            want.append((qid, rnk, i, -neg_s))
+    assert sorted(got) == sorted(want)

@@ -2093,3 +2093,161 @@ def m16_depth2_tree_trainer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos_right").cast("long").alias("pos_right"),
         F.col("errors").cast("long").alias("errors"),
     ).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# m17: population-stability-index drift monitor — the standard deployed-
+# model health metric (and the tabular sibling of the Grafana alert rule
+# q8 watches). The month of events splits at its temporal midpoint into a
+# reference window and a live window; each event_type's value distribution
+# is bucketed (8 fixed buckets) and the two histograms compared with
+# Laplace-smoothed PSI. Counts are exact int64; the one float step per
+# bucket (two divisions, one ln, one product) runs as a single shared
+# expression string on both engines and is rounded once to integer
+# micro-units, so the per-type PSI is an exact int64 sum (the l77/m08
+# order-proof discipline).
+# ---------------------------------------------------------------------------
+_M17_NBUCKETS = 8
+_M17_BUCKET = (
+    "greatest(least(CAST(floor(value / 25.0) AS BIGINT), "
+    f"{_M17_NBUCKETS - 1}), 0)"
+)
+# p = smoothed ref share, q = smoothed live share; contrib = (p-q)*ln(p/q)
+_M17_CONTRIB = (
+    "CAST(round(((ref_n + 1.0) / (ref_tot + 8.0)"
+    " - (live_n + 1.0) / (live_tot + 8.0))"
+    " * ln(((ref_n + 1.0) / (ref_tot + 8.0))"
+    " / ((live_n + 1.0) / (live_tot + 8.0))) * 1000000.0, 0) AS BIGINT)"
+)
+
+_M17_SQL = f"""
+    WITH t AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+             {_M17_BUCKET} AS bucket
+      FROM events
+    ),
+    st AS (SELECT min(t) AS mn, max(t) AS mx FROM t),
+    cnt AS (
+      SELECT event_type, bucket,
+             count(*) FILTER (WHERE t < st.mn + (st.mx - st.mn) // 2)
+               AS ref_n,
+             count(*) FILTER (WHERE t >= st.mn + (st.mx - st.mn) // 2)
+               AS live_n
+      FROM t CROSS JOIN st GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT et.event_type, g.bucket
+      FROM (SELECT DISTINCT event_type FROM t) et
+      CROSS JOIN range({_M17_NBUCKETS}) AS g(bucket)
+    ),
+    filled AS (
+      SELECT grid.event_type, grid.bucket,
+             coalesce(cnt.ref_n, 0) AS ref_n,
+             coalesce(cnt.live_n, 0) AS live_n
+      FROM grid LEFT JOIN cnt USING (event_type, bucket)
+    ),
+    tot AS (
+      SELECT event_type, bucket, ref_n, live_n,
+             sum(ref_n) OVER (PARTITION BY event_type) AS ref_tot,
+             sum(live_n) OVER (PARTITION BY event_type) AS live_tot
+      FROM filled
+    )
+    SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+           CAST(ref_n AS BIGINT) AS ref_n,
+           CAST(live_n AS BIGINT) AS live_n,
+           {_M17_CONTRIB} AS contrib_micro,
+           CAST(sum({_M17_CONTRIB}) OVER (PARTITION BY event_type)
+                AS BIGINT) AS psi_micro
+    FROM tot
+"""
+
+
+def m17_psi_from_counts(counts: DataFrame) -> DataFrame:
+    """Final PSI step over merged (event_type, bucket, ref_n, live_n)
+    counts: densify onto the fixed 8-bucket grid, window the per-type
+    totals, and emit exact micro-unit contributions + per-type PSI.
+    Shared by the batch query and the streaming deployment (s28), which
+    is what makes the streaming result provably equal to the batch one."""
+    from pyspark.sql.window import Window
+
+    spark = counts.sparkSession
+    grid = (
+        counts.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(_M17_NBUCKETS).withColumnRenamed("id", "bucket"))
+    )
+    filled = grid.join(counts, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
+        F.coalesce("live_n", F.lit(0)).alias("live_n"),
+    )
+    wt = Window.partitionBy("event_type")
+    tot = filled.select(
+        "event_type",
+        "bucket",
+        "ref_n",
+        "live_n",
+        F.sum("ref_n").over(wt).alias("ref_tot"),
+        F.sum("live_n").over(wt).alias("live_tot"),
+    )
+    return tot.selectExpr(
+        "event_type",
+        "CAST(bucket AS BIGINT) AS bucket",
+        "CAST(ref_n AS BIGINT) AS ref_n",
+        "CAST(live_n AS BIGINT) AS live_n",
+        f"{_M17_CONTRIB} AS contrib_micro",
+    ).select(
+        "*",
+        F.sum("contrib_micro")
+        .over(Window.partitionBy("event_type"))
+        .cast("long")
+        .alias("psi_micro"),
+    )
+
+
+def m17_split_seconds(spark: SparkSession, sf_dir: str) -> int:
+    """Temporal midpoint of the events table in epoch seconds — the
+    reference/live boundary. Exact int64 arithmetic on second-truncated
+    timestamps; one tiny driver collect of a 1-row aggregate (the same
+    class as the ANN index builds, documented there)."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    row = ev.agg(F.min(t).alias("mn"), F.max(t).alias("mx")).collect()[0]
+    return int(row.mn + (row.mx - row.mn) // 2)
+
+
+def m17_bucket_counts(ev: DataFrame, split_s: int) -> DataFrame:
+    """(event_type, bucket, ref_n, live_n) exact counts for one frame."""
+    t = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    return (
+        ev.select(
+            "event_type",
+            t.alias("t"),
+            F.expr(_M17_BUCKET).alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.expr(f"count_if(t < {split_s})").alias("ref_n"),
+            F.expr(f"count_if(t >= {split_s})").alias("live_n"),
+        )
+    )
+
+
+@_register("m17_psi_drift", _M17_SQL)
+def m17_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift report per event_type: the first-
+    vs-second-half value histograms (8 fixed buckets, Laplace-smoothed)
+    compared by PSI in exact integer micro-units. The industry reading:
+    psi < 0.1 stable, 0.1-0.25 drifting, > 0.25 action — this corpus is
+    stationary by construction, so the report hash-pins near-zero PSI,
+    and the streaming twin (s28) must reproduce it bit-for-bit.
+
+    Scale: two corpus scans (a 1-row min/max aggregate, then ONE pass
+    whose hash aggregate combines map-side to <= |types| x 8 partial rows
+    per map task); everything after runs on the ~40-row grid. No
+    corpus-sized join or window anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    split_s = m17_split_seconds(spark, sf_dir)
+    return m17_psi_from_counts(m17_bucket_counts(ev, split_s))

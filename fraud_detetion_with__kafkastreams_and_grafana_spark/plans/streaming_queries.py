@@ -1937,3 +1937,104 @@ def s27_stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "n_ann", "n_overlap")
         .orderBy("query_id")
     )
+
+
+def _m17_oracle_sql() -> str:
+    from .advanced import ORACLES as _AD
+
+    return _AD["m17_psi_drift"]
+
+
+@_register("s28_stream_drift_psi", _m17_oracle_sql())
+def s28_stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m17's PSI drift monitor run as a STREAM — the deployment shape of
+    model monitoring: the reference histogram is frozen batch-side from
+    the historical window; live traffic (the post-midpoint half) arrives
+    as JSON micro-batches, each aggregating to its partial (event_type,
+    bucket, n) counts inside foreachBatch and landing idempotently in a
+    _batch_id-partitioned sink (the s09 exactly-once recipe, bucket
+    counts associative exactly as s26's). The report then merges live
+    partials with the frozen reference and runs the identical final PSI
+    step (m17_psi_from_counts), so the streaming result equals the batch
+    report bit-for-bit and s28 shares m17's oracle verbatim.
+
+    Scale: zero streaming state — each micro-batch reduces to <= |types|
+    x 8 rows; the sink grows by that per batch regardless of traffic;
+    recomputing PSI costs the ~40-row grid, which is why production
+    dashboards re-evaluate it every refresh tick."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .advanced import (
+        _M17_BUCKET,
+        m17_bucket_counts,
+        m17_psi_from_counts,
+        m17_split_seconds,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    split_s = m17_split_seconds(spark, sf_dir)
+    t = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    ref = (
+        m17_bucket_counts(ev.where(t < F.lit(split_s)), split_s)
+        .select("event_type", "bucket", "ref_n")
+        .localCheckpoint()
+    )
+    wire = ev.where(t >= F.lit(split_s)).select(
+        F.to_json(F.struct(F.col("event_type"), F.col("value"))).alias("value")
+    )
+    from ..streaming.replay import materialize_wire_dir
+
+    d = materialize_wire_dir(wire)
+    out = tempfile.mkdtemp(prefix="spark_graft_s28_sink_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_s28_ckpt_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+
+    def live_partials(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.select(
+            F.from_json("value", "event_type STRING, value DOUBLE").alias("r")
+        ).select("r.event_type", "r.value")
+        b = b.where(F.col("value").isNotNull())
+        (
+            b.select("event_type", F.expr(_M17_BUCKET).alias("bucket"))
+            .groupBy("event_type", "bucket")
+            .agg(F.count("*").alias("n"))
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
+
+    stream = (
+        spark.readStream.schema("value STRING")
+        .option("maxFilesPerTrigger", 2)
+        .text(d)
+    )
+    q = (
+        stream.writeStream.foreachBatch(live_partials)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    live = (
+        spark.read.parquet(out)
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("n").cast("long").alias("live_n"))
+    )
+    counts = (
+        ref.join(live, ["event_type", "bucket"], "full_outer")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
+            F.coalesce("live_n", F.lit(0)).alias("live_n"),
+        )
+    )
+    return m17_psi_from_counts(counts)

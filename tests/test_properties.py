@@ -1959,3 +1959,75 @@ def test_l77_oracle_equals_bruteforce_bm25(docs):
         for rnk, (neg_s, i) in enumerate(sorted(byq[qid])[:_L77_TOPK], 1):
             want.append((qid, rnk, i, -neg_s))
     assert sorted(got) == sorted(want)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10000),  # seconds offset
+            st.sampled_from(["click", "error"]),
+            st.sampled_from([5.0, 30.0, 80.0, 130.0, 200.0]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_m17_oracle_equals_bruteforce_psi(rows):
+    """The PSI SQL must equal a from-first-principles Python monitor on
+    arbitrary event sets: exact midpoint split, exact bucket counts over
+    the densified 8-bucket grid, Laplace smoothing, HALF_UP micro
+    rounding, and per-type int sums."""
+    import datetime
+    import math
+
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.advanced import (
+        _M17_NBUCKETS,
+        _M17_SQL,
+        ORACLES,
+    )
+
+    assert ORACLES["m17_psi_drift"] is _M17_SQL
+    base = datetime.datetime(2024, 1, 1)
+    con = _duck()
+    con.register(
+        "events",
+        pd.DataFrame(
+            [
+                (i, base + datetime.timedelta(seconds=s), 7, et, v, "{}")
+                for i, (s, et, v) in enumerate(rows)
+            ],
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        ),
+    )
+    got = sorted(tuple(r) for r in con.execute(_M17_SQL).fetchall())
+
+    secs = [s for s, _et, _v in rows]
+    split = min(secs) + (max(secs) - min(secs)) // 2
+    cnt: dict[tuple[str, int], list[int]] = {}
+    types = set()
+    for s, et, v in rows:
+        types.add(et)
+        b = max(min(int(v // 25), _M17_NBUCKETS - 1), 0)
+        c = cnt.setdefault((et, b), [0, 0])
+        c[0 if s < split else 1] += 1
+    want = []
+    for et in sorted(types):
+        buckets = [
+            (b, *cnt.get((et, b), (0, 0))) for b in range(_M17_NBUCKETS)
+        ]
+        ref_tot = sum(r for _b, r, _l in buckets)
+        live_tot = sum(l for _b, _r, l in buckets)
+        contribs = {}
+        for b, r, l in buckets:
+            p = (r + 1.0) / (ref_tot + 8.0)
+            q = (l + 1.0) / (live_tot + 8.0)
+            x = (p - q) * math.log(p / q) * 1000000.0
+            contribs[b] = int(math.floor(x + 0.5))  # HALF_UP
+        psi = sum(contribs.values())
+        for b, r, l in buckets:
+            want.append((et, b, r, l, contribs[b], psi))
+    assert got == sorted(want)

@@ -2381,3 +2381,115 @@ def r85_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((1000000 * n_fp) div greatest(n_probed - n_true, 1) AS BIGINT)"
         " AS fp_ppm",
     )
+
+
+_R86_WEEK = 7 * 86400
+
+_R86_ORACLE = f"""
+    WITH t AS (
+      SELECT user_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t
+      FROM events
+    ),
+    o AS (SELECT min(t) AS origin FROM t),
+    wk AS (
+      SELECT user_id,
+             (t - o.origin) // {_R86_WEEK} AS week,
+             (min(t) OVER (PARTITION BY user_id) - o.origin) // {_R86_WEEK}
+               AS cohort_week
+      FROM t CROSS JOIN o
+    ),
+    act AS (
+      SELECT cohort_week, week - cohort_week AS week_offset,
+             count(DISTINCT user_id) AS n_active
+      FROM wk GROUP BY 1, 2
+    ),
+    sz AS (
+      SELECT cohort_week, n_active AS cohort_size
+      FROM act WHERE week_offset = 0
+    )
+    SELECT CAST(act.cohort_week AS BIGINT) AS cohort_week,
+           CAST(act.week_offset AS BIGINT) AS week_offset,
+           CAST(act.n_active AS BIGINT) AS n_active,
+           CAST(sz.cohort_size AS BIGINT) AS cohort_size,
+           CAST((1000000 * act.n_active) // sz.cohort_size AS BIGINT)
+             AS retention_ppm
+    FROM act JOIN sz USING (cohort_week)
+"""
+
+
+def _r86_activity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cohort_week, week_offset, n_active) cells: a min-only origin
+    stats scan plus ONE matrix pass (user_id window shuffle + two-phase
+    distinct aggregate). Split out so the plan pin can assert that shape
+    before the checkpoint hides it."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    base = ev.select("user_id", t.alias("t"))
+    origin = base.agg(F.min("t").alias("origin"))
+    wk = (
+        base.join(F.broadcast(origin))
+        .select(
+            "user_id",
+            F.expr(f"(t - origin) div {_R86_WEEK}").alias("week"),
+            F.min("t").over(Window.partitionBy("user_id")).alias("first_t"),
+            "origin",
+        )
+        .select(
+            "user_id",
+            "week",
+            F.expr(f"(first_t - origin) div {_R86_WEEK}").alias("cohort_week"),
+        )
+    )
+    return (
+        wk.select(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+@_register("r86_cohort_retention", _R86_ORACLE)
+def r86_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple behind every
+    'week-N retention' dashboard: each user anchors to the week of their
+    FIRST event (relative weeks from the corpus origin, exact int64
+    arithmetic — no calendar/timezone semantics to disagree on), and each
+    (cohort_week, week_offset) cell counts the distinct cohort users still
+    active that week, with retention in exact ppm (integer division).
+
+    Scale: the anchor is a per-user window min — ONE hash shuffle on
+    user_id, no self-join of the fact table (the naive formulation joins
+    events to a first-seen subquery, shuffling the corpus twice). The
+    distinct-user aggregate runs Spark's standard two-phase partial
+    rewrite over that same user-keyed frame; the cohort SIZE is read off
+    the matrix itself (offset-0 cell — every cohort user is active in
+    their anchor week), so no second corpus pass or distinct exists. The
+    1-row origin rides a broadcast. At 100 TB the matrix stays tiny no
+    matter how the corpus grows — the operator's whole cost is the one
+    user_id shuffle.
+
+    Reference parity: generalizes the per-user aggregation family the
+    reference's dashboard runs (Q1 top scammers / Q5 per-key stats) to
+    time-anchored cohorts."""
+    # tiny matrix frame, reused by the size lookup: checkpoint so the
+    # corpus scan under it runs exactly once
+    act = _r86_activity_matrix(spark, sf_dir).localCheckpoint()
+    # every cohort user is active in their anchor week, so the cohort size
+    # IS the offset-0 cell — no second corpus pass, no second distinct
+    sz = act.where(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size")
+    )
+    return act.join(F.broadcast(sz), "cohort_week").selectExpr(
+        "CAST(cohort_week AS BIGINT) AS cohort_week",
+        "CAST(week_offset AS BIGINT) AS week_offset",
+        "CAST(n_active AS BIGINT) AS n_active",
+        "CAST(cohort_size AS BIGINT) AS cohort_size",
+        "CAST((1000000 * n_active) div cohort_size AS BIGINT)"
+        " AS retention_ppm",
+    )

@@ -498,3 +498,21 @@ def test_l77_postings_probe_broadcasts_query_merges_doclen(spark, sf_dir):
     assert "SortMergeJoin" in p, p  # dl join keeps the merge hint
     assert "CartesianProduct" not in p, p
     assert "BroadcastHashJoin" in p, p  # query-term probe
+
+
+def test_r86_anchor_is_window_not_self_join(spark, sf_dir):
+    """The first-seen anchor must be the per-user window min (ONE user_id
+    shuffle of the corpus), never an events-to-first-seen self-join (two
+    corpus shuffles + a merge); exactly two scans exist — the min-only
+    origin stats pass and the matrix pass. The final act/size join runs
+    on the checkpointed matrix only and broadcasts — the corpus never
+    reappears there."""
+    m = _plan(relational3._r86_activity_matrix(spark, sf_dir))
+    assert "SortMergeJoin" not in m, m
+    assert "BroadcastNestedLoopJoin" in m, m  # 1-row origin
+    assert m.count("Scan parquet") == 2, m  # origin stats + matrix pass
+    assert m.count("Window") == 1, m
+    p = _plan(relational3.QUERIES["r86_cohort_retention"](spark, sf_dir))
+    assert "Scan parquet" not in p, p  # matrix-only final step
+    assert "Scan ExistingRDD" in p, p
+    assert "SortMergeJoin" not in p, p

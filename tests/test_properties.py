@@ -2031,3 +2031,69 @@ def test_m17_oracle_equals_bruteforce_psi(rows):
         for b, r, l in buckets:
             want.append((et, b, r, l, contribs[b], psi))
     assert got == sorted(want)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),  # user
+            st.integers(min_value=0, max_value=40),  # day offset
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_r86_oracle_equals_bruteforce_cohorts(rows):
+    """The cohort SQL must equal brute-force retention math on arbitrary
+    activity patterns: per-user first-week anchor, distinct-user cell
+    counts, exact ppm division — including gap weeks (a user active in
+    weeks 0 and 3 only must NOT appear in offsets 1-2)."""
+    import datetime
+
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.relational3 import (
+        _R86_ORACLE,
+        _R86_WEEK,
+        ORACLES,
+    )
+
+    assert ORACLES["r86_cohort_retention"] is _R86_ORACLE
+    base = datetime.datetime(2024, 1, 1)
+    con = _duck()
+    con.register(
+        "events",
+        pd.DataFrame(
+            [
+                (i, base + datetime.timedelta(days=d), u, "click", 1.0, "{}")
+                for i, (u, d) in enumerate(rows)
+            ],
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        ),
+    )
+    got = sorted(tuple(r) for r in con.execute(_R86_ORACLE).fetchall())
+
+    secs = {(u, d * 86400) for u, d in rows}
+    origin = min(s for _u, s in secs)
+    weeks = {(u, (s - origin) // _R86_WEEK) for u, s in secs}
+    first = {}
+    for u, w in weeks:
+        first[u] = min(first.get(u, w), w)
+    cells: dict[tuple[int, int], set] = {}
+    size: dict[int, set] = {}
+    for u, w in weeks:
+        cells.setdefault((first[u], w - first[u]), set()).add(u)
+        size.setdefault(first[u], set()).add(u)
+    want = sorted(
+        (
+            cw,
+            off,
+            len(us),
+            len(size[cw]),
+            (1000000 * len(us)) // len(size[cw]),
+        )
+        for (cw, off), us in cells.items()
+    )
+    assert got == want

@@ -2493,3 +2493,116 @@ def r86_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((1000000 * n_active) div cohort_size AS BIGINT)"
         " AS retention_ppm",
     )
+
+
+_R87_ORACLE = """
+    WITH b AS (
+      SELECT user_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+             event_type
+      FROM events
+    ),
+    w1 AS (
+      SELECT *, min(CASE WHEN event_type = 'view' THEN t END)
+                  OVER (PARTITION BY user_id) AS t1
+      FROM b
+    ),
+    w2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND t > t1 THEN t END)
+                  OVER (PARTITION BY user_id) AS t2
+      FROM w1
+    ),
+    w3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND t > t2 THEN t END)
+                  OVER (PARTITION BY user_id) AS t3
+      FROM w2
+    ),
+    u AS (SELECT DISTINCT user_id, t1, t2, t3 FROM w3),
+    c AS (
+      SELECT count(*) FILTER (WHERE t1 IS NOT NULL) AS n1,
+             count(*) FILTER (WHERE t2 IS NOT NULL) AS n2,
+             count(*) FILTER (WHERE t3 IS NOT NULL) AS n3
+      FROM u
+    )
+    SELECT CAST(step AS BIGINT) AS step, step_name,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST((1000000 * n_users) // greatest(n1, 1) AS BIGINT) AS conv_ppm
+    FROM (
+      SELECT 1 AS step, 'view' AS step_name, n1 AS n_users, n1 FROM c
+      UNION ALL SELECT 2, 'click', n2, n1 FROM c
+      UNION ALL SELECT 3, 'purchase', n3, n1 FROM c
+    )
+"""
+
+
+@_register("r87_funnel_conversion", _R87_ORACLE)
+def r87_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase): a user
+    converts at step k only if step k's event happens STRICTLY AFTER
+    their step-(k-1) conversion time — the product-analytics semantics
+    (order matters; a purchase before the first view does not count)
+    that a naive per-type count join gets wrong. Per-step user counts
+    and exact-ppm conversion vs the funnel head.
+
+    Scale: the whole funnel is ONE user_id shuffle — the three
+    conditional first-touch times are chained window mins over the SAME
+    partitioning (Catalyst plans three Window operators over one
+    exchange, the r71/r83 sort-reuse posture), then one distinct +
+    3-row aggregate. The naive formulation (k self-joins of the event
+    log) shuffles the corpus k times; this shuffles it once regardless
+    of funnel depth.
+
+    Reference parity: the ordered generalization of the reference
+    dashboard's per-user aggregates (Q1/Q5) and the aggregate view of
+    what CEP r82 matches row-by-row."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    w = Window.partitionBy("user_id")
+    b = ev.select("user_id", t.alias("t"), "event_type")
+    w1 = b.withColumn(
+        "t1",
+        F.min(F.when(F.col("event_type") == "view", F.col("t"))).over(w),
+    )
+    w2 = w1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("t") > F.col("t1")),
+                F.col("t"),
+            )
+        ).over(w),
+    )
+    w3 = w2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("t") > F.col("t2")),
+                F.col("t"),
+            )
+        ).over(w),
+    )
+    u = w3.select("user_id", "t1", "t2", "t3").distinct()
+    c = u.agg(
+        F.expr("count_if(t1 IS NOT NULL)").alias("n1"),
+        F.expr("count_if(t2 IS NOT NULL)").alias("n2"),
+        F.expr("count_if(t3 IS NOT NULL)").alias("n3"),
+    )
+    return c.selectExpr(
+        "explode(array("
+        "  struct(CAST(1 AS BIGINT) AS step, 'view' AS step_name,"
+        "         CAST(n1 AS BIGINT) AS n_users),"
+        "  struct(CAST(2 AS BIGINT) AS step, 'click' AS step_name,"
+        "         CAST(n2 AS BIGINT) AS n_users),"
+        "  struct(CAST(3 AS BIGINT) AS step, 'purchase' AS step_name,"
+        "         CAST(n3 AS BIGINT) AS n_users)"
+        ")) AS s",
+        "CAST(greatest(n1, 1) AS BIGINT) AS head",
+    ).selectExpr(
+        "s.step AS step",
+        "s.step_name AS step_name",
+        "s.n_users AS n_users",
+        "CAST((1000000 * s.n_users) div head AS BIGINT) AS conv_ppm",
+    )

@@ -516,3 +516,14 @@ def test_r86_anchor_is_window_not_self_join(spark, sf_dir):
     assert "Scan parquet" not in p, p  # matrix-only final step
     assert "Scan ExistingRDD" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_r87_funnel_is_one_shuffle_three_windows(spark, sf_dir):
+    """Funnel depth must not multiply corpus shuffles: the three chained
+    conditional first-touch mins share ONE user_id exchange (sort reuse,
+    the r71/r83 posture); no self-join of the event log exists. The only
+    other exchanges are the tiny distinct/aggregate tail."""
+    p = _plan(relational3.QUERIES["r87_funnel_conversion"](spark, sf_dir))
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
+    assert p.count("Window") == 3, p
+    assert p.count("Exchange hashpartitioning(user_id") == 1, p

@@ -2097,3 +2097,73 @@ def test_r86_oracle_equals_bruteforce_cohorts(rows):
         for (cw, off), us in cells.items()
     )
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # user
+            st.integers(min_value=0, max_value=20),  # second offset
+            st.sampled_from(["view", "click", "purchase", "error"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_r87_oracle_equals_bruteforce_funnel(rows):
+    """The funnel SQL must equal brute-force ordered-conversion logic on
+    arbitrary event interleavings: strictly-after step ordering (a click
+    at the same second as the first view does NOT convert), first-touch
+    per step, exact ppm vs the funnel head."""
+    import datetime
+
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.relational3 import (
+        _R87_ORACLE,
+        ORACLES,
+    )
+
+    assert ORACLES["r87_funnel_conversion"] is _R87_ORACLE
+    base = datetime.datetime(2024, 1, 1)
+    con = _duck()
+    con.register(
+        "events",
+        pd.DataFrame(
+            [
+                (i, base + datetime.timedelta(seconds=s), u, et, 1.0, "{}")
+                for i, (u, s, et) in enumerate(rows)
+            ],
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        ),
+    )
+    got = sorted(tuple(r) for r in con.execute(_R87_ORACLE).fetchall())
+
+    users = {u for u, _s, _et in rows}
+    n = [0, 0, 0]
+    for u in users:
+        ev = [(s, et) for uu, s, et in rows if uu == u]
+        t1 = min((s for s, et in ev if et == "view"), default=None)
+        t2 = (
+            min((s for s, et in ev if et == "click" and s > t1), default=None)
+            if t1 is not None
+            else None
+        )
+        t3 = (
+            min(
+                (s for s, et in ev if et == "purchase" and s > t2),
+                default=None,
+            )
+            if t2 is not None
+            else None
+        )
+        for k, t in enumerate((t1, t2, t3)):
+            n[k] += t is not None
+    head = max(n[0], 1)
+    want = sorted(
+        (k + 1, name, n[k], (1000000 * n[k]) // head)
+        for k, name in enumerate(("view", "click", "purchase"))
+    )
+    assert got == want

@@ -2167,3 +2167,70 @@ def test_r87_oracle_equals_bruteforce_funnel(rows):
         for k, name in enumerate(("view", "click", "purchase"))
     )
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["view", "click", "purchase", "error"]),
+            st.floats(min_value=0.0, max_value=20000.0,
+                      allow_nan=False, allow_infinity=False),
+            st.integers(min_value=0, max_value=23),  # hour
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_m18_oracle_equals_bruteforce_auc(rows):
+    """The histogram Mann-Whitney SQL must equal the brute-force
+    all-pairs AUC (1 per win, half-credit per tie) on arbitrary
+    score/label mixtures — including single-class segments (NULL
+    auc_ppm), all-ties degenerate scores, and mixed tie groups. The
+    score computation itself is the m04 contract; this closure pins
+    the ranking machinery the driver hash cannot distinguish from a
+    shared cumulative-window bug."""
+    import datetime
+
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.advanced import (
+        _M18_SC_SQL,
+        _M18_SQL,
+        ORACLES,
+    )
+
+    assert ORACLES["m18_exact_auc"] is _M18_SQL
+    base = datetime.datetime(2024, 3, 1)
+    con = _duck()
+    con.register(
+        "events",
+        pd.DataFrame(
+            [
+                (i, base + datetime.timedelta(hours=h), i % 7, et, v, "{}")
+                for i, (et, v, h) in enumerate(rows)
+            ],
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        ),
+    )
+    got = sorted(tuple(r) for r in con.execute(_M18_SQL).fetchall())
+
+    # brute force from the engine-computed (segment, s, y) pairs, so the
+    # closure isolates the rank machinery from the score arithmetic
+    sc = con.execute(_M18_SC_SQL).fetchall()
+    pairs = list(sc) + [("ALL", s, y) for _t, s, y in sc]
+    want = []
+    for seg in sorted({t for t, _s, _y in pairs}):
+        pos = [s for t, s, y in pairs if t == seg and y == 1]
+        neg = [s for t, s, y in pairs if t == seg and y == 0]
+        u2 = sum(
+            2 if p > n else (1 if p == n else 0) for p in pos for n in neg
+        )
+        ppm = (
+            (1000000 * u2) // (2 * len(pos) * len(neg))
+            if pos and neg
+            else None
+        )
+        want.append((seg, len(pos), len(neg), u2, ppm))
+    assert got == sorted(want)

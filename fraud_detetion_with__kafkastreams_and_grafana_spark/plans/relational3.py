@@ -2606,3 +2606,113 @@ def r87_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s.n_users AS n_users",
         "CAST((1000000 * s.n_users) div head AS BIGINT) AS conv_ppm",
     )
+
+
+_R88_HOLD = 300  # activity interval length: [t, t+300s)
+
+
+def _r88_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bt, delta, day): per-second net interval-boundary deltas — both
+    boundaries inline from ONE corpus scan (vs a union's two), collapsed
+    by a map-side-combined hash aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_timestamp(
+        F.date_trunc("second", F.col("ts")).cast("timestamp")
+    ).cast("long")
+    return (
+        ev.select(
+            F.explode(
+                F.array(
+                    F.struct(t.alias("bt"), F.lit(1).alias("dl")),
+                    F.struct(
+                        (t + _R88_HOLD).alias("bt"),
+                        F.lit(-1).alias("dl"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.bt", "e.dl")
+        .groupBy("bt")
+        .agg(F.sum("dl").cast("long").alias("delta"))
+        .withColumn("day", F.expr("bt div 86400"))
+    )
+
+_R88_ORACLE = f"""
+    WITH d AS (
+      SELECT bt, CAST(sum(dl) AS BIGINT) AS delta FROM (
+        SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS bt,
+               1 AS dl
+        FROM events
+        UNION ALL
+        SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) + {_R88_HOLD},
+               -1 AS dl
+        FROM events
+      ) GROUP BY bt
+    ),
+    r AS (
+      SELECT bt, CAST(sum(delta) OVER (ORDER BY bt) AS BIGINT) AS concurrency
+      FROM d
+    )
+    SELECT bt, concurrency FROM r
+    ORDER BY concurrency DESC, bt ASC LIMIT 10
+"""
+
+
+@_register("r88_interval_concurrency", _R88_ORACLE)
+def r88_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-concurrency sweep line: each event opens a [t, t+300s)
+    activity interval; the query reports the 10 highest points of the
+    concurrency step function (ties broken by earliest boundary) — the
+    capacity-planning / attack-burst question (how many sessions were
+    live at once?) that interval data cannot answer with a plain
+    groupBy. The step function changes only at interval boundaries, so
+    +1/-1 deltas at start/end boundaries + a running sum IS the exact
+    answer at every instant.
+
+    Scale: the naive formulation is one global running sum — a
+    single-partition window over the corpus. Here the corpus collapses
+    FIRST into per-second net deltas (one map-side-combined hash
+    aggregate; output bounded by the time span in seconds, independent
+    of corpus size), and the running sum over that bounded frame is a
+    TWO-LEVEL distributed prefix sum: intra-day running sums partition
+    by day (parallel), day-level offsets come from a per-day-total
+    window over a ~|days|-row frame that rides a broadcast join back.
+    No single-partition corpus-sized window anywhere; the one
+    all-rows-in-one-partition step sees |days| rows.
+
+    Reference parity: the exact-instant generalization of the
+    reference dashboard's 10s histogram (Q4) and FOR-duration alert
+    (q8) — both discretize time; the sweep line does not."""
+    # bounded by the time span in seconds, not the corpus; checkpointed
+    # so the one corpus scan runs once (it feeds intra-day sums AND the
+    # day offsets)
+    d = _r88_deltas(spark, sf_dir).localCheckpoint()
+    w_in = (
+        Window.partitionBy("day")
+        .orderBy("bt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    intra = d.withColumn("run_in", F.sum("delta").over(w_in))
+    w_day = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        d.groupBy("day")
+        .agg(F.sum("delta").alias("day_delta"))
+        .withColumn(
+            "offset", F.coalesce(F.sum("day_delta").over(w_day), F.lit(0))
+        )
+        .select("day", "offset")
+    )
+    return (
+        intra.join(F.broadcast(offsets), "day")
+        .select(
+            "bt",
+            (F.col("run_in") + F.col("offset")).cast("long").alias(
+                "concurrency"
+            ),
+        )
+        .orderBy(F.desc("concurrency"), F.asc("bt"))
+        .limit(10)
+    )

@@ -527,3 +527,21 @@ def test_r87_funnel_is_one_shuffle_three_windows(spark, sf_dir):
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
     assert p.count("Window") == 3, p
     assert p.count("Exchange hashpartitioning(user_id") == 1, p
+
+
+def test_r88_sweepline_is_one_scan_segmented_prefix(spark, sf_dir):
+    """The sweep line must read the corpus ONCE (both interval boundaries
+    inline via explode, not a two-scan union), collapse it in one bt hash
+    aggregate, and run the running sum as the two-level segmented prefix
+    (intra-day window + broadcast day-offset join) — never a corpus-sized
+    single-partition window or a self-join."""
+    d = _plan(relational3._r88_deltas(spark, sf_dir))
+    assert d.count("Scan parquet") == 1, d
+    assert "Union" not in d, d  # boundaries inline, not a two-scan union
+    assert d.count("Exchange hashpartitioning(bt") == 1, d
+    p = _plan(relational3.QUERIES["r88_interval_concurrency"](spark, sf_dir))
+    assert "Scan parquet" not in p, p  # checkpointed deltas only
+    assert "Scan ExistingRDD" in p, p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p  # day-offset join
+    assert p.count("Window") == 2, p  # intra-day run + |days|-row offsets

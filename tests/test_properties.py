@@ -2234,3 +2234,56 @@ def test_m18_oracle_equals_bruteforce_auc(rows):
         )
         want.append((seg, len(pos), len(neg), u2, ppm))
     assert got == sorted(want)
+
+
+@given(
+    offs=st.lists(
+        st.integers(min_value=0, max_value=400),  # seconds, scaled x500
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_r88_oracle_equals_bruteforce_sweepline(offs):
+    """The sweep-line SQL must equal brute-force interval counting at
+    every boundary instant on arbitrary overlap patterns — including
+    coincident starts, start-meets-end cancellation (delta 0 rows),
+    and the desc-concurrency/asc-time tiebreak at the limit edge.
+    Offsets are scaled x500 so intervals both nest and chain across
+    the 300s hold."""
+    import datetime
+
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.relational3 import (
+        _R88_HOLD,
+        _R88_ORACLE,
+        ORACLES,
+    )
+
+    assert ORACLES["r88_interval_concurrency"] is _R88_ORACLE
+    base = datetime.datetime(2024, 5, 1)
+    epoch0 = int(base.timestamp())
+    con = _duck()
+    con.register(
+        "events",
+        pd.DataFrame(
+            [
+                (i, base + datetime.timedelta(seconds=o * 500), i % 5,
+                 "click", 1.0, "{}")
+                for i, o in enumerate(offs)
+            ],
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        ),
+    )
+    got = [tuple(r) for r in con.execute(_R88_ORACLE).fetchall()]
+
+    starts = sorted(epoch0 + o * 500 for o in offs)
+    bounds = sorted({b for s in starts for b in (s, s + _R88_HOLD)})
+    step = [
+        (b, sum(1 for s in starts if s <= b < s + _R88_HOLD))
+        for b in bounds
+    ]
+    want = sorted(step, key=lambda r: (-r[1], r[0]))[:10]
+    assert got == want

@@ -2590,6 +2590,13 @@ def r87_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("count_if(t2 IS NOT NULL)").alias("n2"),
         F.expr("count_if(t3 IS NOT NULL)").alias("n3"),
     )
+    return funnel_report_from_counts(c)
+
+
+def funnel_report_from_counts(c: DataFrame) -> DataFrame:
+    """(n1, n2, n3) 1-row counts -> the 3-row funnel report (step,
+    step_name, n_users, conv_ppm). Shared by the batch funnel (r87) and
+    its streaming twin (s29), which must emit the identical shape."""
     return c.selectExpr(
         "explode(array("
         "  struct(CAST(1 AS BIGINT) AS step, 'view' AS step_name,"

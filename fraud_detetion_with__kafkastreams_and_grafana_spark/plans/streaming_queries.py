@@ -2038,3 +2038,86 @@ def s28_stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return m17_psi_from_counts(counts)
+
+
+def _r87_oracle_sql() -> str:
+    from .relational3 import ORACLES as _R3
+
+    return _R3["r87_funnel_conversion"]
+
+
+def _funnel_wire_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Event-time-ordered wire carrying event_type (the funnel twin keys
+    state on the raw user_id and needs the same strictly-increasing
+    (t << 20 | event_id) range key as the CEP wire, so per-key arrival
+    order equals the batch window order)."""
+    from ..streaming.replay import materialize_ordered_wire_dir
+
+    key = ("funnel", spark.sparkContext.applicationId, sf_dir)
+    if key not in _WIRE_DIRS:
+        ev = load_table(spark, sf_dir, "events")
+        t = F.unix_timestamp(
+            F.date_trunc("second", F.col("ts")).cast("timestamp")
+        )
+        wire_ts = ev.select(
+            F.to_json(
+                F.struct(
+                    F.col("user_id").alias("user_id"),
+                    F.col("event_type").alias("event_type"),
+                    t.alias("timestamp"),
+                    F.col("event_id").alias("event_id"),
+                )
+            ).alias("value"),
+            (t * F.lit(1 << 20) + F.col("event_id")).alias("_key"),
+        )
+        _WIRE_DIRS[key] = materialize_ordered_wire_dir(wire_ts, "_key")
+    return _WIRE_DIRS[key]
+
+
+@_register("s29_stream_funnel", _r87_oracle_sql())
+def s29_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r87's ordered conversion funnel run as a STREAM: per-user state is
+    one int64 per stage (the conditional first-touch times the batch form
+    computes as chained window mins), updated by a custom stateful
+    operator; each stage completion emits exactly one (user, step) row —
+    append-like, so the post-stream per-step counts equal the batch
+    funnel's n_users bit-for-bit and s29 shares r87's oracle verbatim.
+    Cross-batch ordering (a user's view in batch k, click in batch k+j)
+    is the interesting case the state store carries; the strict
+    after-previous-stage comparison runs on the same truncated-second t
+    as the batch windows, so same-second step events are excluded
+    identically.
+
+    Scale: one state-store shuffle on user_id; O(|steps|) int64 state
+    per key regardless of stream length; the report tail aggregates the
+    at-most-3-rows-per-user completion stream, and the final 3-row
+    shaping is shared code with r87 (funnel_report_from_counts)."""
+    from ..streaming.stateful import funnel_step_completions
+    from .relational3 import funnel_report_from_counts
+
+    def xform(stream: DataFrame) -> DataFrame:
+        parsed = stream.select(
+            F.from_json(
+                "value",
+                "user_id LONG, event_type STRING, timestamp LONG,"
+                " event_id LONG",
+            ).alias("r")
+        ).select("r.user_id", "r.event_type", "r.timestamp", "r.event_id")
+        parsed = parsed.where(
+            F.col("user_id").isNotNull() & F.col("event_id").isNotNull()
+        )
+        return funnel_step_completions(parsed)
+
+    res = replay_wire_stream(
+        spark,
+        _funnel_wire_dir(spark, sf_dir),
+        xform,
+        output_mode="update",
+        name="s29_mem",
+    )
+    c = res.agg(
+        F.expr("count_if(step = 1)").alias("n1"),
+        F.expr("count_if(step = 2)").alias("n2"),
+        F.expr("count_if(step = 3)").alias("n3"),
+    )
+    return funnel_report_from_counts(c)

@@ -250,3 +250,65 @@ def cep_card_testing_matches(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_OUTPUT_SCHEMA = "user_id LONG, step LONG"
+# conditional first-touch second per stage; -1 = stage not reached
+FUNNEL_STATE_SCHEMA = "t1 LONG, t2 LONG, t3 LONG"
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def make_funnel_steps(steps: tuple[str, ...] = FUNNEL_STEPS):
+    """Stateful ordered-funnel operator factory: per-user state is ONE
+    int64 per funnel stage — the conditional first-touch times the batch
+    formulation (r87) computes as chained window mins. A stage-k event
+    completes stage k iff stage k is still open, stage k-1 is touched,
+    and the event is STRICTLY after the stage-(k-1) touch (same-second
+    events share a truncated t, so the strict `>` excludes them exactly
+    like the batch windows). Each stage completes at most once per user,
+    so emission is append-like (one (user, step) row per completion) and
+    the post-stream count per step equals the batch funnel exactly.
+    O(|steps|) int64 state per key regardless of stream length; events
+    arrive per key in (t, event_id) order (the wire's range key), which
+    is what makes in-order first-touch equal the window min."""
+
+    def funnel(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        t = list(state.get) if state.exists else [-1] * len(steps)
+        out: list[tuple] = []
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["timestamp", "event_id"])
+        for ts, et in zip(
+            pdf["timestamp"].astype("int64"), pdf["event_type"]
+        ):
+            for k, name in enumerate(steps):
+                if et != name:
+                    continue
+                if t[k] < 0 and (
+                    k == 0 or (t[k - 1] >= 0 and ts > t[k - 1])
+                ):
+                    t[k] = int(ts)
+                    out.append((key[0], k + 1))
+                break
+        state.update(tuple(t))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "step"])
+
+    return funnel
+
+
+def funnel_step_completions(
+    parsed: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS
+) -> DataFrame:
+    """Streaming ordered-funnel over a parsed wire stream (user_id,
+    event_type, timestamp, event_id): one state-store shuffle on
+    user_id, O(|steps|) state per key, one row per stage completion."""
+    return parsed.groupBy("user_id").applyInPandasWithState(
+        make_funnel_steps(steps),
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -847,3 +847,79 @@ def test_s27_stream_ann_probe_equals_batch_l75(spark, sf_dir):
         for r in LL.QUERIES["l75_ann_recall_eval"](spark, sf_dir).collect()
     )
     assert got == want and len(got) == 10
+
+
+def test_funnel_state_carries_stages_across_batches():
+    """The per-user funnel state, unit-level: stages completing in three
+    separate micro-batches each emit exactly once; a click BEFORE any
+    view never completes stage 2 (even though a view arrives later); a
+    same-second click as the view is excluded by the strict
+    after-previous-stage comparison; repeat stage events emit nothing;
+    an out-of-funnel event type is a no-op."""
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.streaming.stateful import (
+        make_funnel_steps,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+            self.exists = True
+
+    fn = make_funnel_steps()
+
+    def run(state, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["user_id", "event_type", "timestamp", "event_id"]
+        )
+        out = list(fn((7,), iter([pdf]), state))
+        return [] if not out else [tuple(r) for r in
+                                   out[0].itertuples(index=False)]
+
+    s = FakeState()
+    # click before any view: ignored forever (batch: min click with t>t1)
+    assert run(s, [(7, "click", 500, 1)]) == []
+    assert run(s, [(7, "view", 1000, 2)]) == [(7, 1)]
+    # same-second click as the view: strict > excludes it
+    assert run(s, [(7, "click", 1000, 3)]) == []
+    # error event: no-op
+    assert run(s, [(7, "error", 1500, 4)]) == []
+    # qualifying click in a later batch; purchase same second as click
+    # excluded, later purchase completes; repeats emit nothing
+    assert run(s, [(7, "click", 2000, 5), (7, "purchase", 2000, 6)]) == [
+        (7, 2)
+    ]
+    assert run(s, [(7, "view", 2500, 7), (7, "click", 2600, 8)]) == []
+    assert run(s, [(7, "purchase", 3000, 9)]) == [(7, 3)]
+    assert run(s, [(7, "purchase", 4000, 10)]) == []
+    # fresh user: view+click+purchase strictly ordered within ONE batch
+    s2 = FakeState()
+    assert run(s2, [(7, "view", 10, 11), (7, "click", 20, 12),
+                    (7, "purchase", 30, 13)]) == [(7, 1), (7, 2), (7, 3)]
+
+
+def test_s29_stream_funnel_equals_batch_r87(spark, sf_dir):
+    """The streamed funnel must equal the batch r87 report row-for-row."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import (
+        relational3 as R3,
+        streaming_queries as SQ,
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in SQ.QUERIES["s29_stream_funnel"](spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in R3.QUERIES["r87_funnel_conversion"](spark, sf_dir).collect()
+    )
+    assert got == want

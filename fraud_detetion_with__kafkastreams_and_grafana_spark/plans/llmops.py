@@ -4592,3 +4592,81 @@ def l77_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("score_micro").cast("long").alias("score_micro"),
         )
     )
+
+
+_L78_COS = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), (x, y) -> x + y)"
+    " / (sqrt(list_reduce(list_transform(a.embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
+    " * sqrt(list_reduce(list_transform(q.qe, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)))"
+)
+
+_L78_SQL = f"""
+    WITH q AS (
+      SELECT vec_id AS qid, label AS qlabel, embedding AS qe
+      FROM embeddings WHERE vec_id < 20
+    )
+    SELECT qid AS query_id, CAST(qlabel AS BIGINT) AS query_label,
+           cid AS neg_id, round(cos, 4) AS cosine_sim
+    FROM (
+      SELECT q.qid, q.qlabel, a.vec_id AS cid, {_L78_COS} AS cos,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY {_L78_COS} DESC, a.vec_id ASC) AS rk
+      FROM embeddings a, q
+      WHERE a.label != q.qlabel
+    ) WHERE rk = 1
+"""
+
+
+@_register("l78_hard_negative_mining", _L78_SQL)
+def l78_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding-model training:
+    for each anchor (the first 20 vectors), the single most-similar
+    corpus vector with a DIFFERENT label — the negatives that actually
+    move a contrastive loss, vs the uninformative random negatives naive
+    pipelines sample. The exact-cosine argmax (ties broken by lower
+    vec_id) replays in SQL with the identical left-to-right double
+    accumulation, so the driver hash-checks the mined pair ids.
+
+    Scale: the anchor set is bounded and broadcasts; the corpus is
+    scanned ONCE, scored against all anchors in the same pass (the l75
+    exact-baseline shape), and the label-mismatch predicate filters
+    before any shuffle; the per-anchor argmax is the two-phase SALTED
+    top-k (topk_per_query) — no per-anchor corpus-sized window
+    partition. Cost is one scan + bounded joins regardless of corpus
+    size; at production scale the anchor set is the training batch and
+    the same plan serves per-batch negative refresh.
+
+    Reference parity: the training-data counterpart of the similarity
+    surface (l06 exact / l07+ ANN) — same machinery, inverted
+    objective (most-similar WRONG-class instead of same-class)."""
+    from ..functions.vectors import cosine_similarity
+
+    em = load_table(spark, sf_dir, "embeddings")
+    anchors = em.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+    )
+    scored = (
+        em.crossJoin(F.broadcast(anchors))
+        .where(F.col("label") != F.col("qlabel"))
+        .select(
+            "qid",
+            F.col("qlabel").cast("long").alias("qlabel"),
+            F.col("vec_id").alias("cid"),
+            cosine_similarity(F.col("embedding"), F.col("qe")).alias("_cos"),
+        )
+    )
+    top = SIM.topk_per_query(
+        scored.select("qid", "cid", "_cos"), k=1
+    )
+    ql = anchors.select("qid", F.col("qlabel").cast("long").alias("qlabel"))
+    return top.join(F.broadcast(ql), "qid").select(
+        F.col("qid").alias("query_id"),
+        F.col("qlabel").alias("query_label"),
+        F.col("cid").alias("neg_id"),
+        F.round("_cos", 4).alias("cosine_sim"),
+    )

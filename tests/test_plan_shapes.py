@@ -545,3 +545,22 @@ def test_r88_sweepline_is_one_scan_segmented_prefix(spark, sf_dir):
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
     assert "BroadcastHashJoin" in p, p  # day-offset join
     assert p.count("Window") == 2, p  # intra-day run + |days|-row offsets
+
+
+def test_l78_hard_negatives_broadcast_anchors_salted_topk(spark, sf_dir):
+    """Hard-negative mining must broadcast the bounded anchor set against
+    ONE full-corpus scan (anchor scans are vec_id<20 pruned reads), rank
+    via the two-phase salted top-k (two Window passes, neither
+    partitioned corpus-wide by qid alone), and never sort-merge or
+    cartesian-join the corpus."""
+    p = _plan(llmops.QUERIES["l78_hard_negative_mining"](spark, sf_dir))
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastNestedLoopJoin" in p, p  # anchor crossJoin
+    assert p.count("Window [") == 2, p  # salted local + global top-k
+    import re
+
+    # phase 1 partitions by (qid, salt) — the corpus never lands in a
+    # per-qid partition; phase 2's per-qid exchange sees only the
+    # qid x salts x k survivors (WindowGroupLimit prunes below it)
+    assert re.search(r"hashpartitioning\(qid#\d+L, salt#", p), p
+    assert "WindowGroupLimit" in p, p

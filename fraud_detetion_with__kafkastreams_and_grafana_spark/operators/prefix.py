@@ -1,0 +1,56 @@
+"""Distributed running (prefix) sums.
+
+A running sum over a corpus-ordered frame is the textbook thing Spark's
+window functions get WRONG at scale: `Window.orderBy(x)` with no
+partition key funnels every row through one partition. The scalable
+lowering is the classic two-level segmented scan: partition rows into
+segments, running-sum INSIDE each segment in parallel, then offset each
+segment by the running total of all earlier segments — a window over the
+|segments|-row totals frame that rides a broadcast join back. Used by
+the sweep-line concurrency query (r88, segments = days) and the
+systematic weighted sampler (l79, segments = doc_id blocks).
+
+No reference counterpart (the reference has no ordered aggregation at
+all); public-algorithm lowering of Blelloch's scan to DataFrame ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def segmented_running_sum(
+    df: DataFrame,
+    seg_col: str,
+    order_col: str,
+    val_col: str,
+    out_col: str = "run",
+) -> DataFrame:
+    """Inclusive running sum of `val_col` over the total order
+    (seg_col, order_col), computed as the two-level segmented scan.
+    (seg_col, order_col) pairs must be unique per row. Adds `out_col`;
+    the segment-offset join broadcasts (|segments| rows)."""
+    w_in = (
+        Window.partitionBy(seg_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    intra = df.withColumn(out_col, F.sum(val_col).over(w_in))
+    w_seg = Window.orderBy(seg_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        df.groupBy(seg_col)
+        .agg(F.sum(val_col).alias("_seg_total"))
+        .withColumn(
+            "_seg_offset",
+            F.coalesce(F.sum("_seg_total").over(w_seg), F.lit(0)),
+        )
+        .select(seg_col, "_seg_offset")
+    )
+    return (
+        intra.join(F.broadcast(offsets), seg_col)
+        .withColumn(out_col, (F.col(out_col) + F.col("_seg_offset")))
+        .drop("_seg_offset")
+    )

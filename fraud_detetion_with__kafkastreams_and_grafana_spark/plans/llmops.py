@@ -4670,3 +4670,80 @@ def l78_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").alias("neg_id"),
         F.round("_cos", 4).alias("cosine_sim"),
     )
+
+
+_L79_N = 50  # target sample size; step = floor(total_weight / N)
+
+_L79_SQL = f"""
+    WITH w AS (
+      SELECT doc_id, source, n_chars AS w FROM documents
+    ),
+    t AS (
+      SELECT CAST(greatest(sum(w) // {_L79_N}, 1) AS BIGINT) AS step FROM w
+    ),
+    r AS (
+      SELECT doc_id, source, w, sum(w) OVER (ORDER BY doc_id) AS run
+      FROM w
+    )
+    SELECT doc_id, source, CAST(w AS BIGINT) AS weight,
+           CAST((run - w) // step + 1 AS BIGINT) AS first_pick,
+           CAST(run // step - (run - w) // step AS BIGINT) AS n_hits
+    FROM r, t
+    WHERE run // step > (run - w) // step
+"""
+
+
+@_register("l79_systematic_weighted_sample", _L79_SQL)
+def l79_systematic_weighted_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sampling of the
+    corpus — the deterministic weighted sampler a training pipeline
+    uses to draw a ~N-document subset where selection probability is
+    proportional to document weight (chars here; tokens in production):
+    lay every document's weight end-to-end on a number line in doc_id
+    order, then pick the document under every multiple of
+    step = floor(total/N). A document is selected iff its weight span
+    crosses a boundary (so zero-weight docs never select, and a doc
+    longer than step can earn n_hits > 1 — the replacement-free PPS
+    semantics float-threshold samplers approximate). Every quantity is
+    an int64 boundary count, so the sample replays exactly — no RNG,
+    no float thresholds, reproducible across engines and reruns.
+
+    Scale: selection needs the corpus-wide running weight — the
+    operator is the two-level segmented scan (operators/prefix.py,
+    shared with r88): intra-segment running sums partition by
+    doc_id-block, segment offsets are a |segments|-row window riding a
+    broadcast join. Three narrow (doc_id, source, w) scans total — the
+    step aggregate and the segment-totals branch both collapse
+    map-side; no corpus-sized single-partition window, no shuffle of
+    the text itself.
+
+    Reference parity: none (the reference has no sampling surface) —
+    this is the l22/l65 sampling family's deterministic PPS member."""
+    from ..operators.prefix import segmented_running_sum
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "source", F.col("n_chars").cast("long").alias("w")
+        )
+        .withColumn("seg", F.expr("doc_id div 100"))
+    )
+    st = d.agg(
+        F.greatest(
+            F.expr(f"sum(w) div {_L79_N}"), F.lit(1)
+        ).cast("long").alias("step")
+    )
+    run = segmented_running_sum(d, "seg", "doc_id", "w", "run")
+    return (
+        run.crossJoin(F.broadcast(st))
+        .where(F.expr("run div step > (run - w) div step"))
+        .selectExpr(
+            "doc_id",
+            "source",
+            "CAST(w AS BIGINT) AS weight",
+            "CAST((run - w) div step + 1 AS BIGINT) AS first_pick",
+            "CAST(run div step - (run - w) div step AS BIGINT) AS n_hits",
+        )
+    )

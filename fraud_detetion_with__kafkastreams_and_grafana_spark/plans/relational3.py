@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.multimodal import PNG_ORACLE_SQL as _PNG_ORACLE_SQL
+from ..operators.prefix import segmented_running_sum
 from ..sources.tables import load_table
 
 Query = Callable[[SparkSession, str], DataFrame]
@@ -2694,32 +2695,9 @@ def r88_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the one corpus scan runs once (it feeds intra-day sums AND the
     # day offsets)
     d = _r88_deltas(spark, sf_dir).localCheckpoint()
-    w_in = (
-        Window.partitionBy("day")
-        .orderBy("bt")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    intra = d.withColumn("run_in", F.sum("delta").over(w_in))
-    w_day = (
-        Window.orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = (
-        d.groupBy("day")
-        .agg(F.sum("delta").alias("day_delta"))
-        .withColumn(
-            "offset", F.coalesce(F.sum("day_delta").over(w_day), F.lit(0))
-        )
-        .select("day", "offset")
-    )
+    run = segmented_running_sum(d, "day", "bt", "delta", "concurrency")
     return (
-        intra.join(F.broadcast(offsets), "day")
-        .select(
-            "bt",
-            (F.col("run_in") + F.col("offset")).cast("long").alias(
-                "concurrency"
-            ),
-        )
+        run.select("bt", F.col("concurrency").cast("long").alias("concurrency"))
         .orderBy(F.desc("concurrency"), F.asc("bt"))
         .limit(10)
     )

@@ -2287,3 +2287,50 @@ def test_r88_oracle_equals_bruteforce_sweepline(offs):
     ]
     want = sorted(step, key=lambda r: (-r[1], r[0]))[:10]
     assert got == want
+
+
+@given(
+    ws=st.lists(
+        st.integers(min_value=0, max_value=5000),  # doc weights, 0 legal
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_l79_oracle_equals_bruteforce_pps(ws):
+    """The systematic PPS SQL must equal brute-force number-line walking
+    on arbitrary weights — zero-weight docs never select, a doc wider
+    than the step earns multiple hits, and the boundary-at-exact-edge
+    case (run a multiple of step) credits the doc that ENDS there, not
+    the next one."""
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.llmops import (
+        _L79_N,
+        _L79_SQL,
+        ORACLES,
+    )
+
+    assert ORACLES["l79_systematic_weighted_sample"] is _L79_SQL
+    con = _duck()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            [
+                (i, "x" * w, "en", f"src{i % 3}", w)
+                for i, w in enumerate(ws)
+            ],
+            columns=["doc_id", "text", "lang", "source", "n_chars"],
+        ),
+    )
+    got = sorted(tuple(r) for r in con.execute(_L79_SQL).fetchall())
+
+    step = max(sum(ws) // _L79_N, 1)
+    want = []
+    run = 0
+    for i, w in enumerate(ws):
+        before, run = run, run + w
+        hits = run // step - before // step
+        if hits > 0:
+            want.append((i, f"src{i % 3}", w, before // step + 1, hits))
+    assert got == sorted(want)

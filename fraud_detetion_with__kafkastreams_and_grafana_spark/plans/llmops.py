@@ -4747,3 +4747,73 @@ def l79_systematic_weighted_sample(
             "CAST(run div step - (run - w) div step AS BIGINT) AS n_hits",
         )
     )
+
+
+_L80_K = 5  # k-anonymity threshold
+
+_L80_SQL = f"""
+    WITH leaf AS (
+      SELECT c_nationkey AS nation, c_mktsegment AS segment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS band,
+             CAST(count(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    parent AS (
+      SELECT nation, segment, CAST(sum(n) AS BIGINT) AS parent_n
+      FROM leaf GROUP BY 1, 2
+    )
+    SELECT l.nation, l.segment, l.band, l.n, p.parent_n,
+           CAST(CASE WHEN l.n < {_L80_K} THEN 1 ELSE 0 END AS BIGINT)
+             AS at_risk,
+           CAST(CASE WHEN l.n < {_L80_K} AND p.parent_n >= {_L80_K}
+                THEN 1 ELSE 0 END AS BIGINT) AS parent_fixes
+    FROM leaf l JOIN parent p USING (nation, segment)
+"""
+
+
+@_register("l80_k_anonymity", _L80_SQL)
+def l80_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (nation,
+    market segment, account-balance band) — the privacy gate a
+    training-data release runs before shipping records containing
+    person-level attributes: every equivalence class of size < k is a
+    re-identification risk. The report also answers the FIX question
+    via one generalization step: would suppressing the finest
+    quasi-identifier (the balance band) lift the class above k?
+    (`parent_fixes` — the first rung of the Samarati generalization
+    ladder; classes where even the parent is small need suppression.)
+
+    Scale: ONE corpus scan into a map-side-combined hash aggregate
+    whose output is bounded by the quasi-identifier domain product,
+    not the corpus; the parent level re-aggregates the LEAF table (no
+    second scan — generalization-ladder levels are progressively
+    smaller rollups of the same counts), and the leaf-parent join is
+    bounded x bounded. The same plan audits any k and any ladder depth
+    by re-rolling the leaf frame.
+
+    Reference parity: none (the reference has no privacy surface);
+    k-anonymity per Sweeney 2002, ladder per Samarati 2001."""
+    cu = load_table(spark, sf_dir, "customer")
+    leaf = (
+        cu.groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("band"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint()  # bounded by the QI domain; feeds both levels
+    )
+    parent = leaf.groupBy("nation", "segment").agg(
+        F.sum("n").cast("long").alias("parent_n")
+    )
+    return leaf.join(F.broadcast(parent), ["nation", "segment"]).select(
+        "nation",
+        "segment",
+        "band",
+        "n",
+        "parent_n",
+        (F.col("n") < _L80_K).cast("long").alias("at_risk"),
+        ((F.col("n") < _L80_K) & (F.col("parent_n") >= _L80_K))
+        .cast("long")
+        .alias("parent_fixes"),
+    )

@@ -2695,6 +2695,13 @@ def r88_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the one corpus scan runs once (it feeds intra-day sums AND the
     # day offsets)
     d = _r88_deltas(spark, sf_dir).localCheckpoint()
+    return r88_report_from_deltas(d)
+
+
+def r88_report_from_deltas(d: DataFrame) -> DataFrame:
+    """(bt, delta, day) deltas -> the top-10 concurrency report. Shared
+    by the batch sweep line (r88) and its streaming twin (s30), which
+    must emit the identical shape from merged per-batch partials."""
     run = segmented_running_sum(d, "day", "bt", "delta", "concurrency")
     return (
         run.select("bt", F.col("concurrency").cast("long").alias("concurrency"))

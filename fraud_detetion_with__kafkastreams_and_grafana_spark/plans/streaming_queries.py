@@ -2121,3 +2121,99 @@ def s29_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("count_if(step = 3)").alias("n3"),
     )
     return funnel_report_from_counts(c)
+
+
+def _r88_oracle_sql() -> str:
+    from .relational3 import ORACLES as _R3
+
+    return _R3["r88_interval_concurrency"]
+
+
+@_register("s30_stream_concurrency", _r88_oracle_sql())
+def s30_stream_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r88's sweep-line peak-concurrency monitor run as a STREAM — the
+    capacity-dashboard deployment shape: each JSON micro-batch reduces
+    to its partial per-second (+1 start / -1 end) boundary deltas
+    inside foreachBatch (deltas are ASSOCIATIVE — the s26/s28 partials
+    recipe) and lands idempotently in a _batch_id-partitioned sink (the
+    s09 exactly-once recipe). The report then merges partials by
+    boundary second and runs the identical segmented-scan tail
+    (r88_report_from_deltas), so the streamed top-10 equals the batch
+    sweep line bit-for-bit and s30 shares r88's oracle verbatim.
+
+    Scale: ZERO streaming state — each micro-batch reduces map-side to
+    its distinct boundary seconds; the sink grows by that per batch
+    regardless of traffic; re-deriving the dashboard costs the bounded
+    delta frame (time-span seconds), which is why a production monitor
+    can re-rank concurrency every refresh tick."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .relational3 import _R88_HOLD, r88_report_from_deltas
+
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    wire = ev.select(
+        F.to_json(F.struct(t.cast("long").alias("t"))).alias("value")
+    )
+    from ..streaming.replay import materialize_wire_dir
+
+    d = materialize_wire_dir(wire)
+    out = tempfile.mkdtemp(prefix="spark_graft_s30_sink_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_s30_ckpt_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+
+    def delta_partials(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.select(
+            F.from_json("value", "t LONG").alias("r")
+        ).select("r.t")
+        b = b.where(F.col("t").isNotNull())
+        (
+            b.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("t").alias("bt"), F.lit(1).alias("dl")
+                        ),
+                        F.struct(
+                            (F.col("t") + _R88_HOLD).alias("bt"),
+                            F.lit(-1).alias("dl"),
+                        ),
+                    )
+                ).alias("e")
+            )
+            .select("e.bt", "e.dl")
+            .groupBy("bt")
+            .agg(F.sum("dl").cast("long").alias("delta"))
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
+
+    stream = (
+        spark.readStream.schema("value STRING")
+        .option("maxFilesPerTrigger", 2)
+        .text(d)
+    )
+    q = (
+        stream.writeStream.foreachBatch(delta_partials)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    merged = (
+        spark.read.parquet(out)
+        .groupBy("bt")
+        .agg(F.sum("delta").cast("long").alias("delta"))
+        .withColumn("day", F.expr("bt div 86400"))
+        .localCheckpoint()
+    )
+    return r88_report_from_deltas(merged)

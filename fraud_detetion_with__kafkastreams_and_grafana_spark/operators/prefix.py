@@ -54,3 +54,36 @@ def segmented_running_sum(
         .withColumn(out_col, (F.col(out_col) + F.col("_seg_offset")))
         .drop("_seg_offset")
     )
+
+
+def segmented_rank(
+    df: DataFrame,
+    seg_col: str,
+    order_cols: list[str],
+    out_col: str = "rank",
+) -> DataFrame:
+    """Global 1-based row_number over the total order (seg_col,
+    *order_cols) — the count-offset variant of the segmented scan.
+    seg_col MUST be an order-preserving prefix of the primary sort key
+    (e.g. its high bits), so intra-segment ranks + earlier-segment
+    counts compose into the global rank without a single-partition
+    corpus sort. The |segments|-row offset frame rides a broadcast."""
+    w_in = Window.partitionBy(seg_col).orderBy(*order_cols)
+    intra = df.withColumn(out_col, F.row_number().over(w_in))
+    w_seg = Window.orderBy(seg_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        df.groupBy(seg_col)
+        .agg(F.count("*").alias("_seg_n"))
+        .withColumn(
+            "_seg_offset",
+            F.coalesce(F.sum("_seg_n").over(w_seg), F.lit(0)),
+        )
+        .select(seg_col, "_seg_offset")
+    )
+    return (
+        intra.join(F.broadcast(offsets), seg_col)
+        .withColumn(out_col, (F.col(out_col) + F.col("_seg_offset")))
+        .drop("_seg_offset")
+    )

@@ -4817,3 +4817,74 @@ def l80_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("parent_fixes"),
     )
+
+
+_L81_B = 32  # documents per training micro-batch
+
+_L81_SQL = f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             CAST('0x' || substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)),
+                                 1, 15) AS BIGINT) AS h
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source, h,
+             row_number() OVER (ORDER BY h, doc_id) AS rk
+      FROM h
+    )
+    SELECT CAST((rk - 1) // {_L81_B} AS BIGINT) AS batch_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(bit_xor(h) AS BIGINT) AS member_digest
+    FROM r GROUP BY 1
+"""
+
+
+@_register("l81_epoch_shuffle", _L81_SQL)
+def l81_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch shuffle + micro-batch assignment:
+    every document gets a seeded 60-bit shuffle key (md5 of
+    'epoch1:'||doc_id — change the epoch tag, get an independent
+    permutation), the corpus is ranked under (key, doc_id), and rank
+    div B is the training batch. The report is one row per batch with
+    its size, source diversity, and an order-free membership digest
+    (bit_xor of member keys — the l68 recipe), so the driver hash
+    pins the EXACT batch assignment, not just the counts. This is the
+    data-ordering op every trainer runs per epoch; hash-seeded means
+    resumable and reproducible with zero stored state.
+
+    Scale: a global rank is the trap (row_number with no partition =
+    one-partition corpus sort). Here the shuffle key's HIGH BITS are
+    the segment (order-preserving prefix), so ranking is the
+    count-offset segmented scan (operators/prefix.segmented_rank,
+    sharing r88/l79's two-level shape): intra-segment row_numbers in
+    parallel + a |segments|-row count-offset window riding a
+    broadcast. Hash keys are uniform, so segments are balanced by
+    construction — no skew salt needed. Two narrow corpus scans (rank
+    + offsets), one bounded aggregate.
+
+    Reference parity: none (the reference has no training surface);
+    the batch-diversity report generalizes its per-key dashboards."""
+    from ..operators.prefix import segmented_rank
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .selectExpr(
+            "doc_id",
+            "source",
+            "CAST(conv(substr(md5(concat('epoch1:', CAST(doc_id AS STRING))),"
+            " 1, 15), 16, 10) AS BIGINT) AS h",
+        )
+        .withColumn("seg", F.expr(f"h div {1 << 54}"))
+    )
+    ranked = segmented_rank(d, "seg", ["h", "doc_id"], "rk")
+    return (
+        ranked.withColumn("batch_id", F.expr(f"(rk - 1) div {_L81_B}"))
+        .groupBy("batch_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.expr("bit_xor(h)").cast("long").alias("member_digest"),
+        )
+    )

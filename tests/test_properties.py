@@ -2334,3 +2334,38 @@ def test_l79_oracle_equals_bruteforce_pps(ws):
         if hits > 0:
             want.append((i, f"src{i % 3}", w, before // step + 1, hits))
     assert got == sorted(want)
+
+
+@given(
+    ids=st.sets(st.integers(min_value=0, max_value=10**6),
+                min_size=1, max_size=50)
+)
+@settings(max_examples=30, deadline=None)
+def test_l81_segmented_rank_equals_global_rank(ids):
+    """segmented_rank under high-bit segments must equal the global
+    row_number under (h, doc_id) for arbitrary id sets — including ids
+    whose keys collide in the same segment and singleton segments."""
+    import hashlib
+
+    got_rank = {}
+    rows = []
+    for i in sorted(ids):
+        h = int(
+            hashlib.md5(f"epoch1:{i}".encode()).hexdigest()[:15], 16
+        )
+        rows.append((i, h))
+    # brute-force global rank
+    for rk, (i, h) in enumerate(
+        sorted(rows, key=lambda r: (r[1], r[0])), start=1
+    ):
+        got_rank[i] = rk
+    # segmented composition: intra-segment rank + earlier-segment count
+    segs = {}
+    for i, h in rows:
+        segs.setdefault(h >> 54, []).append((h, i))
+    offset, comp = 0, {}
+    for s in sorted(segs):
+        for j, (h, i) in enumerate(sorted(segs[s]), start=1):
+            comp[i] = offset + j
+        offset += len(segs[s])
+    assert comp == got_rank

@@ -2372,3 +2372,224 @@ def m18_exact_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("auc_ppm"),
     )
+
+
+_M19_BKT = (
+    "CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    " % 4"
+)
+
+_M19_SQL = f"""
+    WITH base AS (
+      SELECT {_M19_BKT} AS bkt,
+             CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+             user_id % 10 AS um,
+             CAST(floor(value / 50.0) AS BIGINT) AS vkb,
+             {_M12_Y_SQL} AS y
+      FROM events
+    ),
+    f AS (
+      SELECT bkt, 'hr' AS feature, hr AS v, y FROM base
+      UNION ALL SELECT bkt, 'um', um, y FROM base
+      UNION ALL SELECT bkt, 'vkb', vkb, y FROM base
+    ),
+    cnt AS (
+      SELECT bkt, feature, v, count(*) AS tot, sum(y) AS pos
+      FROM f GROUP BY 1, 2, 3
+    ),
+    ho AS (
+      SELECT feature, v, sum(tot) AS tot, sum(pos) AS pos
+      FROM cnt WHERE bkt = 3 GROUP BY 1, 2
+    ),
+    sizes AS (SELECT unnest(range(1, 4)) AS sz),
+    tcnt AS (
+      SELECT s.sz, c.feature, c.v, sum(c.tot) AS tot, sum(c.pos) AS pos
+      FROM sizes s JOIN cnt c ON c.bkt < s.sz GROUP BY 1, 2, 3
+    ),
+    cum AS (
+      SELECT sz, feature,
+             lead(v) OVER (PARTITION BY sz, feature ORDER BY v) AS thr,
+             sum(tot) OVER (PARTITION BY sz, feature ORDER BY v) AS n_left,
+             sum(pos) OVER (PARTITION BY sz, feature ORDER BY v) AS pos_left,
+             sum(tot) OVER (PARTITION BY sz, feature) AS n_all,
+             sum(pos) OVER (PARTITION BY sz, feature) AS pos_all
+      FROM tcnt
+    ),
+    cand AS (
+      SELECT sz, feature, thr, n_left, pos_left, n_all,
+             n_all - n_left AS n_right,
+             pos_all - pos_left AS pos_right,
+             least(pos_left, n_left - pos_left)
+               + least(pos_all - pos_left,
+                       (n_all - n_left) - (pos_all - pos_left)) AS errors
+      FROM cum WHERE thr IS NOT NULL
+    ),
+    win AS (
+      SELECT * FROM (
+        SELECT cand.*, row_number() OVER (PARTITION BY sz
+                 ORDER BY errors, feature, thr) AS rk
+        FROM cand
+      ) WHERE rk = 1
+    ),
+    evh AS (
+      SELECT w.sz,
+             sum(CASE WHEN h.v < w.thr
+                  THEN CASE WHEN 2 * w.pos_left > w.n_left
+                       THEN h.tot - h.pos ELSE h.pos END
+                  ELSE CASE WHEN 2 * w.pos_right > w.n_right
+                       THEN h.tot - h.pos ELSE h.pos END END) AS ho_errors,
+             sum(h.tot) AS ho_n
+      FROM win w JOIN ho h ON h.feature = w.feature
+      GROUP BY 1
+    )
+    SELECT CAST(w.sz AS BIGINT) AS size_id,
+           CAST(w.n_all AS BIGINT) AS n_train,
+           w.feature, CAST(w.thr AS BIGINT) AS thr,
+           CAST(w.errors AS BIGINT) AS train_errors,
+           CAST(e.ho_errors AS BIGINT) AS holdout_errors,
+           CAST(e.ho_n AS BIGINT) AS holdout_n
+    FROM win w JOIN evh e ON e.sz = w.sz
+"""
+
+
+@_register("m19_learning_curve", _M19_SQL)
+def m19_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning curve for the m12 stump family: train the
+    exhaustive-sweep stump on NESTED hash-defined subsets (1/4, 2/4,
+    3/4 of the corpus — buckets 0..s-1 of an event_id-hash mod 4) and
+    evaluate each winner on the held-out bucket 3 — the
+    does-more-data-help methodology every training pipeline runs
+    before paying for more data. Nested (not disjoint) subsets are the
+    textbook curve: each size adds data to the previous one, so the
+    curve isolates data volume from sample luck. Winner selection,
+    train errors, and holdout errors are all int64 counts (majority
+    vote: predict 1 iff 2*pos > n, ties to 0), so the full curve
+    value-hash replays.
+
+    Scale: ONE corpus scan into per-(bucket, feature, value-bucket)
+    counts (map-side combined, bounded by 4 x |features| x |domain|,
+    checkpointed); every size's sweep is a re-aggregation of that tiny
+    frame (sizes join is 3 rows x bounded counts), the three winners
+    are 1-row frames, and the holdout evaluation joins bounded counts
+    against broadcast winners — the corpus is never rescanned or
+    reshuffled per curve point, which is what makes a 10-point curve
+    at 100 TB cost one scan, not ten.
+
+    Reference parity: extends the m12 trainer (R6's learned
+    counterpart) with the evaluation protocol; no reference
+    equivalent."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    y = (F.col("value") > F.lit(float(EVENTS_FRAUD_THRESHOLD))).cast("long")
+    base = ev.select(
+        F.expr(
+            "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 15),"
+            " 16, 10) AS BIGINT) % 4"
+        ).alias("bkt"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("hr").alias("feature"),
+                    F.hour("ts").cast("long").alias("v"),
+                ),
+                F.struct(
+                    F.lit("um").alias("feature"),
+                    (F.col("user_id") % 10).cast("long").alias("v"),
+                ),
+                F.struct(
+                    F.lit("vkb").alias("feature"),
+                    F.floor(F.col("value") / 50.0).cast("long").alias("v"),
+                ),
+            )
+        ).alias("fv"),
+        y.alias("y"),
+    ).select("bkt", "fv.feature", "fv.v", "y")
+    cnt = (
+        base.groupBy("bkt", "feature", "v")
+        .agg(F.count("*").alias("tot"), F.sum("y").alias("pos"))
+        .localCheckpoint()  # bounded: 4 x |features| x |domain|
+    )
+    ho = (
+        cnt.where(F.col("bkt") == 3)
+        .groupBy("feature", "v")
+        .agg(F.sum("tot").alias("tot"), F.sum("pos").alias("pos"))
+    )
+    sizes = spark.range(1, 4).select(F.col("id").alias("sz"))
+    tcnt = (
+        F.broadcast(sizes)
+        .join(cnt, cnt["bkt"] < sizes["sz"])
+        .groupBy("sz", "feature", "v")
+        .agg(F.sum("tot").alias("tot"), F.sum("pos").alias("pos"))
+    )
+    wo = Window.partitionBy("sz", "feature").orderBy("v")
+    wa = Window.partitionBy("sz", "feature")
+    cum = tcnt.select(
+        "sz",
+        "feature",
+        F.lead("v").over(wo).alias("thr"),
+        F.sum("tot").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("n_left"),
+        F.sum("pos").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("pos_left"),
+        F.sum("tot").over(wa).alias("n_all"),
+        F.sum("pos").over(wa).alias("pos_all"),
+    )
+    cand = cum.where(F.col("thr").isNotNull()).select(
+        "sz",
+        "feature",
+        "thr",
+        "n_left",
+        "pos_left",
+        "n_all",
+        (F.col("n_all") - F.col("n_left")).alias("n_right"),
+        (F.col("pos_all") - F.col("pos_left")).alias("pos_right"),
+        (
+            F.least(F.col("pos_left"), F.col("n_left") - F.col("pos_left"))
+            + F.least(
+                F.col("pos_all") - F.col("pos_left"),
+                (F.col("n_all") - F.col("n_left"))
+                - (F.col("pos_all") - F.col("pos_left")),
+            )
+        ).alias("errors"),
+    )
+    wr = Window.partitionBy("sz").orderBy("errors", "feature", "thr")
+    win = (
+        cand.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") == 1)
+        .drop("rk")
+        .localCheckpoint()  # 3 rows; feeds eval join + final projection
+    )
+    evh = (
+        F.broadcast(win)
+        .join(ho, "feature")
+        .groupBy("sz")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("v") < F.col("thr"),
+                    F.when(
+                        2 * F.col("pos_left") > F.col("n_left"),
+                        F.col("tot") - F.col("pos"),
+                    ).otherwise(F.col("pos")),
+                ).otherwise(
+                    F.when(
+                        2 * F.col("pos_right") > F.col("n_right"),
+                        F.col("tot") - F.col("pos"),
+                    ).otherwise(F.col("pos"))
+                )
+            ).alias("ho_errors"),
+            F.sum("tot").alias("ho_n"),
+        )
+    )
+    return win.join(evh, "sz").select(
+        F.col("sz").cast("long").alias("size_id"),
+        F.col("n_all").cast("long").alias("n_train"),
+        "feature",
+        F.col("thr").cast("long").alias("thr"),
+        F.col("errors").cast("long").alias("train_errors"),
+        F.col("ho_errors").cast("long").alias("holdout_errors"),
+        F.col("ho_n").cast("long").alias("holdout_n"),
+    )

@@ -345,12 +345,15 @@ _M04_Z = (
 )
 
 
-def _m04_z():
-    """m04's linear margin as a Column (shared by m04 and m06)."""
+def _m04_z(hour_col=None):
+    """m04's linear margin as a Column (shared by m04 and m06). Pass
+    `hour_col` when the frame carries a precomputed hour instead of a
+    ts column (the s31 wire)."""
+    h = F.hour("ts") if hour_col is None else hour_col
     return (
         F.lit(_M04_W["b"])
         + F.lit(_M04_W["amt"]) * (F.col("value") / F.lit(100.0))
-        + F.lit(_M04_W["hour"]) * (F.hour("ts") / F.lit(23.0))
+        + F.lit(_M04_W["hour"]) * (h / F.lit(23.0))
         + F.lit(_M04_W["purchase"])
         * F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0)
         + F.lit(_M04_W["error"])
@@ -358,8 +361,8 @@ def _m04_z():
     )
 
 
-def _m04_p():
-    z = _m04_z()
+def _m04_p(hour_col=None):
+    z = _m04_z(hour_col)
     return F.lit(0.5) * (F.lit(1.0) + z / (F.lit(1.0) + F.abs(z)))
 
 
@@ -2323,20 +2326,29 @@ def m18_exact_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's strict >10000 rule (TransactionProcessor.java:43-51)
     hard-codes — how good is the score at separating fraud from clean
     across ALL thresholds."""
+    ev = load_table(spark, sf_dir, "events")
+    per = m18_score_counts(ev).localCheckpoint()
+    return m18_auc_from_counts(per)
+
+
+def m18_score_counts(df: DataFrame, hour_col=None) -> DataFrame:
+    """Per-(event_type, rounded score) positive/negative counts — the
+    bounded AUC histogram. Associative, so the streaming twin (s31)
+    sums per-batch partials of this exact shape."""
+    s = F.round(_m04_p(hour_col), 6)
+    y = (F.col("value") > F.lit(float(EVENTS_FRAUD_THRESHOLD))).cast("long")
+    sc = df.select(F.col("event_type"), s.alias("s"), y.alias("y"))
+    return sc.groupBy("event_type", "s").agg(
+        F.sum("y").cast("long").alias("n_pos_s"),
+        F.sum(F.lit(1) - F.col("y")).cast("long").alias("n_neg_s"),
+    )
+
+
+def m18_auc_from_counts(per: DataFrame) -> DataFrame:
+    """(event_type, s, n_pos_s, n_neg_s) histogram -> the per-segment +
+    ALL exact-AUC report. Shared by m18 and the streaming s31."""
     from pyspark.sql.window import Window
 
-    ev = load_table(spark, sf_dir, "events")
-    s = F.round(_m04_p(), 6)
-    y = (F.col("value") > F.lit(float(EVENTS_FRAUD_THRESHOLD))).cast("long")
-    sc = ev.select(F.col("event_type"), s.alias("s"), y.alias("y"))
-    per = (
-        sc.groupBy("event_type", "s")
-        .agg(
-            F.sum("y").cast("long").alias("n_pos_s"),
-            F.sum(F.lit(1) - F.col("y")).cast("long").alias("n_neg_s"),
-        )
-        .localCheckpoint()
-    )
     seg = per.select(
         F.col("event_type").alias("segment"), "s", "n_pos_s", "n_neg_s"
     ).unionAll(

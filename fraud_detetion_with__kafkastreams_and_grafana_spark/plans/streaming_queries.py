@@ -2217,3 +2217,97 @@ def s30_stream_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     return r88_report_from_deltas(merged)
+
+
+def _m18_oracle_sql() -> str:
+    from .advanced import ORACLES as _AD
+
+    return _AD["m18_exact_auc"]
+
+
+@_register("s31_stream_auc", _m18_oracle_sql())
+def s31_stream_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m18's exact-AUC evaluation run as a STREAM — the live
+    discrimination monitor completing the deployed-metric family
+    (drift s28, calibration s26, now ranking quality): each JSON
+    micro-batch scores its events with the m04 model and reduces to
+    its partial (event_type, rounded-score) positive/negative counts
+    inside foreachBatch (the histogram is ASSOCIATIVE — the s26/s28
+    partials recipe), landing idempotently in a _batch_id-partitioned
+    sink (s09). The report merges partials and runs the identical
+    Mann-Whitney tail (m18_auc_from_counts), so the streamed AUC
+    equals the batch evaluation bit-for-bit and s31 shares m18's
+    oracle verbatim. The wire serializes the producer-side hour (the
+    scoring feature), so the consumer never re-derives calendar
+    fields from a re-parsed timestamp.
+
+    Scale: ZERO streaming state — each micro-batch reduces map-side
+    to its distinct (type, score) rows, bounded by the score codomain;
+    the sink grows by that per batch; re-deriving AUC costs the
+    bounded histogram, which is why a live dashboard can re-rank the
+    model every refresh tick."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .advanced import m18_auc_from_counts, m18_score_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    wire = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("event_type"),
+                F.col("value"),
+                F.hour("ts").cast("long").alias("hr"),
+            )
+        ).alias("value")
+    )
+    from ..streaming.replay import materialize_wire_dir
+
+    d = materialize_wire_dir(wire)
+    out = tempfile.mkdtemp(prefix="spark_graft_s31_sink_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_s31_ckpt_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+
+    def auc_partials(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.select(
+            F.from_json(
+                "value", "event_type STRING, value DOUBLE, hr LONG"
+            ).alias("r")
+        ).select("r.event_type", "r.value", "r.hr")
+        b = b.where(F.col("value").isNotNull())
+        (
+            m18_score_counts(b, hour_col=F.col("hr"))
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
+
+    stream = (
+        spark.readStream.schema("value STRING")
+        .option("maxFilesPerTrigger", 2)
+        .text(d)
+    )
+    q = (
+        stream.writeStream.foreachBatch(auc_partials)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    merged = (
+        spark.read.parquet(out)
+        .groupBy("event_type", "s")
+        .agg(
+            F.sum("n_pos_s").cast("long").alias("n_pos_s"),
+            F.sum("n_neg_s").cast("long").alias("n_neg_s"),
+        )
+        .localCheckpoint()
+    )
+    return m18_auc_from_counts(merged)

@@ -923,3 +923,23 @@ def test_s29_stream_funnel_equals_batch_r87(spark, sf_dir):
         for r in R3.QUERIES["r87_funnel_conversion"](spark, sf_dir).collect()
     )
     assert got == want
+
+
+def test_s31_stream_auc_equals_batch_m18(spark, sf_dir):
+    """The streamed AUC monitor must equal the batch m18 evaluation
+    row-for-row — the merged foreachBatch partials feed the identical
+    Mann-Whitney tail, so the histogram merge must be lossless."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import (
+        advanced as AD,
+        streaming_queries as SQ,
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in SQ.QUERIES["s31_stream_auc"](spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in AD.QUERIES["m18_exact_auc"](spark, sf_dir).collect()
+    )
+    assert got == want

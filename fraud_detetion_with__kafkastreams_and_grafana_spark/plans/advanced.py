@@ -2605,3 +2605,242 @@ def m19_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ho_errors").cast("long").alias("holdout_errors"),
         F.col("ho_n").cast("long").alias("holdout_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m20: permutation feature importance for the deployed m04 scorer
+# ---------------------------------------------------------------------------
+
+_M20_P_SQL = (
+    "round(0.5 * (1.0 + ZX / (1.0 + abs(ZX))), 6)"
+)
+
+
+def _m20_z_sql(v: str, h: str, et: str) -> str:
+    """m04's margin with explicit value/hour/event_type expressions —
+    the permuted-feature variants substitute the donor column."""
+    return (
+        _M04_Z.replace("value", v)
+        .replace("HOUR_EXPR", h)
+        .replace("event_type", et)
+    )
+
+
+def _m20_p_sql(v: str, h: str, et: str) -> str:
+    return _M20_P_SQL.replace("ZX", f"({_m20_z_sql(v, h, et)})")
+
+
+_M20_BKT = (
+    "CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    " % 64"
+)
+
+_M20_SQL = f"""
+    WITH base AS (
+      SELECT event_id, event_type, value,
+             CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+             {_M12_Y_SQL} AS y,
+             {_M20_BKT} AS bkt,
+             md5(CAST(event_id AS VARCHAR) || '#perm') AS h2
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, value, hr, y, bkt,
+             row_number() OVER (PARTITION BY bkt ORDER BY event_id)
+               AS rn_r,
+             row_number() OVER (PARTITION BY bkt ORDER BY h2, event_id)
+               AS rn_d
+      FROM base
+    ),
+    j AS (
+      SELECT r.event_type, r.value, r.hr, r.y,
+             d.event_type AS d_et, d.value AS d_value, d.hr AS d_hr
+      FROM ranked r JOIN ranked d
+        ON d.bkt = r.bkt AND d.rn_d = r.rn_r
+    ),
+    sc AS (
+      SELECT '__base__' AS feature,
+             {_m20_p_sql("value", "hr", "event_type")} AS s, y FROM j
+      UNION ALL SELECT 'value',
+             {_m20_p_sql("d_value", "hr", "event_type")}, y FROM j
+      UNION ALL SELECT 'hour',
+             {_m20_p_sql("value", "d_hr", "event_type")}, y FROM j
+      UNION ALL SELECT 'event_type',
+             {_m20_p_sql("value", "hr", "d_et")}, y FROM j
+    ),
+    hist AS (
+      SELECT feature, s,
+             CAST(sum(y) AS BIGINT) AS n_pos_s,
+             CAST(sum(1 - y) AS BIGINT) AS n_neg_s
+      FROM sc GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT feature, n_pos_s, n_neg_s,
+             coalesce(sum(n_neg_s) OVER (
+               PARTITION BY feature ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS neg_below
+      FROM hist
+    ),
+    auc AS (
+      SELECT feature,
+             CAST(sum(n_pos_s) AS BIGINT) AS n_pos,
+             CAST(sum(n_neg_s) AS BIGINT) AS n_neg,
+             CASE WHEN sum(n_pos_s) > 0 AND sum(n_neg_s) > 0 THEN
+               CAST((1000000 * sum(n_pos_s * (2 * neg_below + n_neg_s)))
+                    // (2 * sum(n_pos_s) * sum(n_neg_s)) AS BIGINT)
+             END AS auc_ppm
+      FROM w GROUP BY 1
+    )
+    SELECT feature, n_pos, n_neg, auc_ppm,
+           max(CASE WHEN feature = '__base__' THEN auc_ppm END) OVER ()
+             AS base_auc_ppm,
+           max(CASE WHEN feature = '__base__' THEN auc_ppm END) OVER ()
+             - auc_ppm AS importance_ppm
+    FROM auc
+"""
+
+
+def _m04_z_of(v, h, et):
+    """m04's linear margin over EXPLICIT feature columns — m20 feeds
+    donor columns here to score permuted variants."""
+    return (
+        F.lit(_M04_W["b"])
+        + F.lit(_M04_W["amt"]) * (v / F.lit(100.0))
+        + F.lit(_M04_W["hour"]) * (h / F.lit(23.0))
+        + F.lit(_M04_W["purchase"])
+        * F.when(et == "purchase", 1.0).otherwise(0.0)
+        + F.lit(_M04_W["error"]) * F.when(et == "error", 1.0).otherwise(0.0)
+    )
+
+
+def _m04_p_of(v, h, et):
+    z = _m04_z_of(v, h, et)
+    return F.lit(0.5) * (F.lit(1.0) + z / (F.lit(1.0) + F.abs(z)))
+
+
+@_register("m20_permutation_importance", _M20_SQL)
+def m20_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation feature importance for the deployed m04 scorer: each
+    input column (value, hour-of-day, event_type) is corrupted by a
+    DETERMINISTIC within-bucket permutation (labels stay with their
+    rows), the exact Mann-Whitney AUC (m18's histogram recipe) is
+    recomputed per corrupted variant, and the report ranks features by
+    AUC drop in integer ppm. The permutation is reproducible on both
+    engines: rows are hash-bucketed (md5 60-bit prefix % 64), then
+    within each bucket the receiver order (by event_id) is zipped
+    against an independent-hash donor order (md5(event_id||'#perm')) —
+    segmented ranking, the l79/l81 machinery, so no global sort exists
+    anywhere. The reference hard-codes its one feature (value > T,
+    TransactionProcessor.java:43-51); this is the evaluation that tells
+    you WHICH wire fields earn their place in the deployed model.
+
+    Scale: one scan -> one exchange on bkt (both row_numbers share the
+    single partitionBy-bkt sort), a co-partitioned self-join on
+    (bkt, rn), then four score histograms taken in ONE pass via stack()
+    with map-side combine to the bounded (feature, score) grid; the AUC
+    tail runs on that grid. Buckets are a parameter — at 100 TB raise
+    them so each bucket's rank fits an executor; permutation quality is
+    unchanged (hash bucketing composed with in-bucket shuffle is a
+    uniform permutation family)."""
+    ev = load_table(spark, sf_dir, "events")
+    y = (F.col("value") > F.lit(float(EVENTS_FRAUD_THRESHOLD))).cast("long")
+    base = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.hour("ts").cast("long").alias("hr"),
+        y.alias("y"),
+        (
+            F.expr(
+                "conv(substr(md5(cast(event_id as string)), 1, 15), 16, 10)"
+            ).cast("long")
+            % 64
+        ).alias("bkt"),
+        F.md5(F.concat(F.col("event_id").cast("string"), F.lit("#perm"))).alias(
+            "h2"
+        ),
+    )
+    from pyspark.sql.window import Window
+
+    wb = Window.partitionBy("bkt")
+    ranked = base.select(
+        "event_type",
+        "value",
+        "hr",
+        "y",
+        "bkt",
+        F.row_number().over(wb.orderBy("event_id")).alias("rn_r"),
+        F.row_number().over(wb.orderBy("h2", "event_id")).alias("rn_d"),
+    ).localCheckpoint()
+    r, d = ranked.alias("r"), ranked.alias("d")
+    j = r.join(
+        d,
+        (F.col("d.bkt") == F.col("r.bkt"))
+        & (F.col("d.rn_d") == F.col("r.rn_r")),
+    ).select(
+        F.col("r.event_type").alias("event_type"),
+        F.col("r.value").alias("value"),
+        F.col("r.hr").alias("hr"),
+        F.col("r.y").alias("y"),
+        F.col("d.event_type").alias("d_et"),
+        F.col("d.value").alias("d_value"),
+        F.col("d.hr").alias("d_hr"),
+    )
+    scored = j.select(
+        F.round(
+            _m04_p_of(F.col("value"), F.col("hr"), F.col("event_type")), 6
+        ).alias("s_base"),
+        F.round(
+            _m04_p_of(F.col("d_value"), F.col("hr"), F.col("event_type")), 6
+        ).alias("s_value"),
+        F.round(
+            _m04_p_of(F.col("value"), F.col("d_hr"), F.col("event_type")), 6
+        ).alias("s_hour"),
+        F.round(
+            _m04_p_of(F.col("value"), F.col("hr"), F.col("d_et")), 6
+        ).alias("s_et"),
+        "y",
+    )
+    sc = scored.select(
+        F.expr(
+            "stack(4, '__base__', s_base, 'value', s_value,"
+            " 'hour', s_hour, 'event_type', s_et) as (feature, s)"
+        ),
+        "y",
+    )
+    hist = sc.groupBy("feature", "s").agg(
+        F.sum("y").cast("long").alias("n_pos_s"),
+        F.sum(F.lit(1) - F.col("y")).cast("long").alias("n_neg_s"),
+    )
+    wf = (
+        Window.partitionBy("feature")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wk = hist.withColumn(
+        "neg_below", F.coalesce(F.sum("n_neg_s").over(wf), F.lit(0))
+    )
+    auc = wk.groupBy("feature").agg(
+        F.sum("n_pos_s").cast("long").alias("n_pos"),
+        F.sum("n_neg_s").cast("long").alias("n_neg"),
+        F.when(
+            (F.sum("n_pos_s") > 0) & (F.sum("n_neg_s") > 0),
+            F.expr(
+                "CAST((1000000 * sum(n_pos_s * (2 * neg_below + n_neg_s)))"
+                " div (2 * sum(n_pos_s) * sum(n_neg_s)) AS BIGINT)"
+            ),
+        ).alias("auc_ppm"),
+    )
+    wall = Window.partitionBy()
+    bcol = F.max(
+        F.when(F.col("feature") == "__base__", F.col("auc_ppm"))
+    ).over(wall)
+    return auc.select(
+        "feature",
+        "n_pos",
+        "n_neg",
+        "auc_ppm",
+        bcol.alias("base_auc_ppm"),
+        (bcol - F.col("auc_ppm")).alias("importance_ppm"),
+    )

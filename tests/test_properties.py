@@ -2369,3 +2369,107 @@ def test_l81_segmented_rank_equals_global_rank(ids):
             comp[i] = offset + j
         offset += len(segs[s])
     assert comp == got_rank
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=23),  # hour
+            st.sampled_from(["purchase", "error", "click", "view"]),
+            st.integers(min_value=1, max_value=30000),  # value in cents
+        ),
+        min_size=2,
+        max_size=50,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_m20_oracle_equals_bruteforce_permutation(rows):
+    """The m20 oracle must equal a pure-Python recompute: the exact
+    within-bucket donor assignment (md5 bucketing + independent-hash
+    zip), the rational-sigmoid scores, and the Mann-Whitney AUC per
+    corrupted feature. Pure hashlib/decimal Python — no Spark, no
+    shared SQL — so an engine/oracle shared bug cannot hide."""
+    import hashlib
+    from datetime import datetime
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.advanced import _M04_W, _M20_SQL
+
+    con = _duck()
+    ev = pd.DataFrame(
+        {
+            "event_id": list(range(len(rows))),
+            "ts": [datetime(2024, 1, 1, h, 30, 0) for h, _, _ in rows],
+            "user_id": [i % 7 for i in range(len(rows))],
+            "event_type": [t for _, t, _ in rows],
+            "value": [c / 100.0 for _, _, c in rows],
+        }
+    )
+    con.register("events", ev)
+    got = {
+        r[0]: r[1:]
+        for r in con.execute(_M20_SQL).fetchall()
+    }
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    recs = [
+        (i, h, t, c / 100.0, 1 if c / 100.0 > 100.0 else 0)
+        for i, (h, t, c) in enumerate(rows)
+    ]
+    buckets: dict[int, list] = {}
+    for rec in recs:
+        buckets.setdefault(int(md5(str(rec[0]))[:15], 16) % 64, []).append(rec)
+    donor_of = {}
+    for bs in buckets.values():
+        by_id = sorted(bs, key=lambda r: r[0])
+        by_h2 = sorted(bs, key=lambda r: (md5(str(r[0]) + "#perm"), r[0]))
+        for rcv, dnr in zip(by_id, by_h2):
+            donor_of[rcv[0]] = dnr
+
+    def score(v, h, et):
+        z = (
+            _M04_W["b"]
+            + _M04_W["amt"] * (v / 100.0)
+            + _M04_W["hour"] * (h / 23.0)
+            + _M04_W["purchase"] * (1.0 if et == "purchase" else 0.0)
+            + _M04_W["error"] * (1.0 if et == "error" else 0.0)
+        )
+        p = 0.5 * (1.0 + z / (1.0 + abs(z)))
+        return Decimal(repr(p)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+
+    def auc_ppm(pairs):
+        pos = sorted(s for s, y in pairs if y)
+        neg = sorted(s for s, y in pairs if not y)
+        if not pos or not neg:
+            return None
+        u2 = sum(
+            2 * sum(1 for sn in neg if sn < sp)
+            + sum(1 for sn in neg if sn == sp)
+            for sp in pos
+        )
+        return (1_000_000 * u2) // (2 * len(pos) * len(neg))
+
+    variants = {
+        "__base__": lambda r, d: score(r[3], r[1], r[2]),
+        "value": lambda r, d: score(d[3], r[1], r[2]),
+        "hour": lambda r, d: score(r[3], d[1], r[2]),
+        "event_type": lambda r, d: score(r[3], r[1], d[2]),
+    }
+    n_pos = sum(r[4] for r in recs)
+    n_neg = len(recs) - n_pos
+    base = auc_ppm(
+        [(variants["__base__"](r, donor_of[r[0]]), r[4]) for r in recs]
+    )
+    assert set(got) == set(variants)
+    for feat, fn in variants.items():
+        want_auc = auc_ppm([(fn(r, donor_of[r[0]]), r[4]) for r in recs])
+        g_pos, g_neg, g_auc, g_base, g_imp = got[feat]
+        assert (g_pos, g_neg) == (n_pos, n_neg)
+        assert g_auc == want_auc, (feat, g_auc, want_auc)
+        assert g_base == base
+        assert g_imp == (None if base is None or want_auc is None
+                         else base - want_auc)

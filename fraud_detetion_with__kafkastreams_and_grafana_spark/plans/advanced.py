@@ -2844,3 +2844,157 @@ def m20_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         bcol.alias("base_auc_ppm"),
         (bcol - F.col("auc_ppm")).alias("importance_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m21: split-conformal anomaly calibration for the m04 scorer
+# ---------------------------------------------------------------------------
+
+_M21_SQL = f"""
+    WITH sc AS (
+      SELECT round(0.5 * (1.0 + z / (1.0 + abs(z))), 6) AS s,
+             {_M12_Y_SQL} AS y,
+             {_M19_BKT} AS bkt
+      FROM (
+        SELECT event_id, value, event_type,
+               {_M04_Z.replace("HOUR_EXPR", "extract(hour FROM ts)")} AS z
+        FROM events
+      )
+    ),
+    grid AS (
+      SELECT s,
+             CAST(sum(CASE WHEN bkt = 3 AND y = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_cal,
+             CAST(sum(CASE WHEN bkt < 3 AND y = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS h_pos,
+             CAST(sum(CASE WHEN bkt < 3 AND y = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS h_neg
+      FROM sc GROUP BY 1
+    ),
+    cum AS (
+      SELECT *,
+             sum(c_cal) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt_ge,
+             sum(c_cal) OVER () AS n_cal
+      FROM grid
+    ),
+    al AS (SELECT unnest([1, 5, 10]) AS alpha_pct)
+    SELECT CAST(alpha_pct AS BIGINT) AS alpha_pct,
+           CAST(max(n_cal) AS BIGINT) AS n_cal,
+           CAST(sum(h_pos) AS BIGINT) AS n_hold_pos,
+           CAST(sum(h_neg) AS BIGINT) AS n_hold_neg,
+           CAST(sum(CASE WHEN 100 * (cnt_ge + 1) <= alpha_pct * (n_cal + 1)
+                THEN h_pos + h_neg ELSE 0 END) AS BIGINT) AS alarms,
+           CAST(sum(CASE WHEN 100 * (cnt_ge + 1) <= alpha_pct * (n_cal + 1)
+                THEN h_pos ELSE 0 END) AS BIGINT) AS hits,
+           CAST(sum(CASE WHEN 100 * (cnt_ge + 1) <= alpha_pct * (n_cal + 1)
+                THEN h_neg ELSE 0 END) AS BIGINT) AS false_alarms,
+           CASE WHEN sum(h_pos) > 0 THEN CAST(
+             (1000000 * sum(CASE WHEN 100 * (cnt_ge + 1)
+                 <= alpha_pct * (n_cal + 1) THEN h_pos ELSE 0 END))
+             // sum(h_pos) AS BIGINT) END AS tpr_ppm,
+           CASE WHEN sum(h_neg) > 0 THEN CAST(
+             (1000000 * sum(CASE WHEN 100 * (cnt_ge + 1)
+                 <= alpha_pct * (n_cal + 1) THEN h_neg ELSE 0 END))
+             // sum(h_neg) AS BIGINT) END AS fpr_ppm
+    FROM cum CROSS JOIN al GROUP BY 1
+"""
+
+
+@_register("m21_conformal_anomaly", _M21_SQL)
+def m21_conformal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal anomaly calibration for the m04 scorer: the
+    calibration split's NORMAL events (hash bucket 3, label 0) define
+    the conformal p-value of every production score — p(s) =
+    (#{calib >= s} + 1) / (n_cal + 1) — and the monitor alarms when
+    p <= alpha. The rule is evaluated on the held-out buckets at
+    alpha in {1%, 5%, 10%} entirely in INTEGER arithmetic
+    (100*(cnt_ge+1) <= alpha_pct*(n_cal+1)), so the report — alarm /
+    hit / false-alarm counts and TPR/FPR in ppm — value-hash replays
+    exactly. This is the distribution-free finite-sample guarantee
+    (false-alarm rate <= alpha regardless of the score's calibration)
+    that the fixed reference threshold (TransactionProcessor.java:43-51)
+    cannot give; it completes the deployed-monitoring family
+    (calibration m15, drift m17, AUC m18, importance m20).
+
+    Scale: one corpus scan into the bounded distinct-score grid
+    (map-side combined); the descending cumulative #{calib >= s} is
+    the two-level segmented scan (operators/prefix.py — no global
+    single-partition sort); the 3-row alpha frame and the 1-row
+    calibration total ride broadcasts. Nothing downstream of the scan
+    touches corpus-sized data again."""
+    from ..operators.prefix import segmented_running_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    y = (F.col("value") > F.lit(float(EVENTS_FRAUD_THRESHOLD))).cast("long")
+    sc = ev.select(
+        F.round(_m04_p(), 6).alias("s"),
+        y.alias("y"),
+        F.expr(
+            "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 15),"
+            " 16, 10) AS BIGINT) % 4"
+        ).alias("bkt"),
+    )
+    grid = sc.groupBy("s").agg(
+        F.sum(
+            F.when((F.col("bkt") == 3) & (F.col("y") == 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("c_cal"),
+        F.sum(
+            F.when((F.col("bkt") < 3) & (F.col("y") == 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("h_pos"),
+        F.sum(
+            F.when((F.col("bkt") < 3) & (F.col("y") == 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("h_neg"),
+    )
+    neg = grid.withColumn("_neg", -F.col("s")).withColumn(
+        "_seg", F.floor(F.col("_neg") * 32).cast("long")
+    )
+    cum = segmented_running_sum(neg, "_seg", "_neg", "c_cal", "cnt_ge")
+    tot = grid.agg(F.sum("c_cal").cast("long").alias("n_cal"))
+    alphas = F.broadcast(
+        cum.sparkSession.createDataFrame(
+            [(1,), (5,), (10,)], "alpha_pct long"
+        )
+    )
+    alarm = (
+        F.lit(100) * (F.col("cnt_ge") + 1)
+        <= F.col("alpha_pct") * (F.col("n_cal") + 1)
+    )
+    counted = (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(alphas)
+        .groupBy("alpha_pct")
+        .agg(
+            F.max("n_cal").cast("long").alias("n_cal"),
+            F.sum("h_pos").cast("long").alias("n_hold_pos"),
+            F.sum("h_neg").cast("long").alias("n_hold_neg"),
+            F.sum(F.when(alarm, F.col("h_pos") + F.col("h_neg")).otherwise(0))
+            .cast("long")
+            .alias("alarms"),
+            F.sum(F.when(alarm, F.col("h_pos")).otherwise(0))
+            .cast("long")
+            .alias("hits"),
+            F.sum(F.when(alarm, F.col("h_neg")).otherwise(0))
+            .cast("long")
+            .alias("false_alarms"),
+        )
+    )
+    return counted.select(
+        "*",
+        F.when(
+            F.col("n_hold_pos") > 0,
+            F.expr("CAST((1000000 * hits) div n_hold_pos AS BIGINT)"),
+        ).alias("tpr_ppm"),
+        F.when(
+            F.col("n_hold_neg") > 0,
+            F.expr(
+                "CAST((1000000 * false_alarms) div n_hold_neg AS BIGINT)"
+            ),
+        ).alias("fpr_ppm"),
+    )

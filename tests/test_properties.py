@@ -2473,3 +2473,91 @@ def test_m20_oracle_equals_bruteforce_permutation(rows):
         assert g_base == base
         assert g_imp == (None if base is None or want_auc is None
                          else base - want_auc)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=23),  # hour
+            st.sampled_from(["purchase", "error", "click", "view"]),
+            st.integers(min_value=1, max_value=30000),  # value in cents
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_m21_oracle_equals_bruteforce_conformal(rows):
+    """The m21 oracle must equal a pure-Python recompute of the split-
+    conformal rule: md5 split, Decimal-rounded scores, the integer
+    p-value alarm 100*(cnt_ge+1) <= alpha*(n_cal+1), and every count/ppm
+    column. No Spark, no shared SQL."""
+    import hashlib
+    from datetime import datetime
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.advanced import _M04_W, _M21_SQL
+
+    con = _duck()
+    ev = pd.DataFrame(
+        {
+            "event_id": list(range(len(rows))),
+            "ts": [datetime(2024, 1, 1, h, 30, 0) for h, _, _ in rows],
+            "user_id": [i % 7 for i in range(len(rows))],
+            "event_type": [t for _, t, _ in rows],
+            "value": [c / 100.0 for _, _, c in rows],
+        }
+    )
+    con.register("events", ev)
+    got = {r[0]: r[1:] for r in con.execute(_M21_SQL).fetchall()}
+
+    def score(h, et, v):
+        z = (
+            _M04_W["b"]
+            + _M04_W["amt"] * (v / 100.0)
+            + _M04_W["hour"] * (h / 23.0)
+            + _M04_W["purchase"] * (1.0 if et == "purchase" else 0.0)
+            + _M04_W["error"] * (1.0 if et == "error" else 0.0)
+        )
+        p = 0.5 * (1.0 + z / (1.0 + abs(z)))
+        return Decimal(repr(p)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+
+    pts = []
+    for i, (h, t, c) in enumerate(rows):
+        bkt = (
+            int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 4
+        )
+        pts.append((score(h, t, c), 1 if c / 100.0 > 100.0 else 0, bkt))
+    cal = sorted(s for s, y, b in pts if b == 3 and y == 0)
+    hold = [(s, y) for s, y, b in pts if b < 3]
+    n_cal = len(cal)
+    for alpha in (1, 5, 10):
+        hits = sum(
+            y
+            for s, y in hold
+            if 100 * (sum(1 for c0 in cal if c0 >= s) + 1)
+            <= alpha * (n_cal + 1)
+        )
+        fa = sum(
+            1 - y
+            for s, y in hold
+            if 100 * (sum(1 for c0 in cal if c0 >= s) + 1)
+            <= alpha * (n_cal + 1)
+        )
+        n_pos = sum(y for _, y in hold)
+        n_neg = len(hold) - n_pos
+        want = (
+            n_cal,
+            n_pos,
+            n_neg,
+            hits + fa,
+            hits,
+            fa,
+            (1_000_000 * hits) // n_pos if n_pos else None,
+            (1_000_000 * fa) // n_neg if n_neg else None,
+        )
+        assert got[alpha] == want, (alpha, got[alpha], want)

@@ -2708,3 +2708,102 @@ def r88_report_from_deltas(d: DataFrame) -> DataFrame:
         .orderBy(F.desc("concurrency"), F.asc("bt"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# r89: incremental materialized-view maintenance (insert-only deltas)
+# ---------------------------------------------------------------------------
+
+_R89_SQL = """
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS min_cents,
+           CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS max_cents,
+           CAST(min(o_orderdate) AS DATE) AS first_d,
+           CAST(max(o_orderdate) AS DATE) AS last_d
+    FROM orders GROUP BY o_custkey
+"""
+
+
+def _r89_agg(df: DataFrame) -> DataFrame:
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return df.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(cents).cast("long").alias("sum_cents"),
+        F.min(cents).cast("long").alias("min_cents"),
+        F.max(cents).cast("long").alias("max_cents"),
+        F.min(F.col("o_orderdate").cast("date")).alias("first_d"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+    )
+
+
+def _r89_merge(view: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge an insert-only delta summary into the maintained view:
+    counts/sums add, min/max/first/last combine via null-safe least/
+    greatest — the standard self-maintainable-aggregate algebra."""
+    d = delta.select(
+        "o_custkey",
+        *[
+            F.col(c).alias(f"_d_{c}")
+            for c in (
+                "n_orders",
+                "sum_cents",
+                "min_cents",
+                "max_cents",
+                "first_d",
+                "last_d",
+            )
+        ],
+    )
+    j = view.join(d, "o_custkey", "full_outer")
+    z = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
+    return j.select(
+        "o_custkey",
+        (z("n_orders") + z("_d_n_orders")).alias("n_orders"),
+        (z("sum_cents") + z("_d_sum_cents")).alias("sum_cents"),
+        F.least("min_cents", "_d_min_cents").alias("min_cents"),
+        F.greatest("max_cents", "_d_max_cents").alias("max_cents"),
+        F.least("first_d", "_d_first_d").alias("first_d"),
+        F.greatest("last_d", "_d_last_d").alias("last_d"),
+    )
+
+
+@_register("r89_incremental_view_maintenance", _R89_SQL)
+def r89_incremental_view_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental materialized-view maintenance: the per-customer
+    order summary (count / sum / min / max in exact cents, first / last
+    order date) is built from a 1997 snapshot and then MAINTAINED
+    through three successive insert-only delta batches (1997-98,
+    1999, 2000+) by the self-maintainable-aggregate merge — counts and
+    sums add, min/max and date bounds combine via null-safe least/
+    greatest over a key-partitioned full-outer join. The oracle is the
+    ONE-SHOT GROUP BY over the whole table, so the hash check proves
+    the maintenance algebra converges to the direct recompute exactly
+    (sums in integer cents — float addition order cannot leak in).
+    This is how the reference's Grafana tiles (Q2, dashboards.json)
+    stay fresh without rescanning history every refresh.
+
+    Scale: each delta is scanned ONCE and pre-aggregated to its own
+    key summary before the merge; the merge join is keyed on
+    o_custkey (co-partitioned aggregates, no corpus-sized side), and
+    the running view is localCheckpointed per generation so the plan
+    stays linear in the number of deltas. At 100 TB the snapshot view
+    is the only large frame and it is never rebuilt — exactly the
+    point of IVM."""
+    ord_ = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    cuts = ["1997-01-01", "1999-01-01", "2000-01-01"]
+    view = _r89_agg(ord_.where(d < cuts[0])).localCheckpoint()
+    spans = list(zip(cuts, cuts[1:] + [None]))
+    for lo, hi in spans:
+        batch = ord_.where(
+            (d >= lo) & ((d < hi) if hi is not None else F.lit(True))
+        )
+        view = _r89_merge(view, _r89_agg(batch)).localCheckpoint()
+    return view

@@ -195,3 +195,31 @@ def test_r84_zorder_buckets_are_tiles(spark, sf_dir):
         assert r.min_a >> 4 == r.max_a >> 4, r
         assert r.min_b >> 4 == r.max_b >> 4, r
         assert r.n > 0
+
+
+def test_r89_merge_invariant_to_batching(spark, sf_dir):
+    """The IVM merge algebra must be invariant to HOW inserts are
+    batched: maintaining through per-priority deltas (a different,
+    non-chronological split than the query's date cuts) and through a
+    degenerate empty delta must both equal the direct aggregate."""
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.relational3 import (
+        _r89_agg,
+        _r89_merge,
+    )
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+
+    ord_ = load_table(spark, sf_dir, "orders")
+    direct = {r[0]: tuple(r[1:]) for r in _r89_agg(ord_).collect()}
+
+    prios = [r[0] for r in ord_.select("o_orderpriority").distinct().collect()]
+    view = _r89_agg(ord_.where(F.col("o_orderpriority") == prios[0]))
+    for p in prios[1:]:
+        view = _r89_merge(
+            view, _r89_agg(ord_.where(F.col("o_orderpriority") == p))
+        ).localCheckpoint()
+    # an empty delta must be the identity
+    view = _r89_merge(view, _r89_agg(ord_.where(F.lit(False))))
+    got = {r[0]: tuple(r[1:]) for r in view.collect()}
+    assert got == direct

@@ -56,6 +56,54 @@ def segmented_running_sum(
     )
 
 
+def partitioned_running_sums(
+    df: DataFrame,
+    part_col: str,
+    seg_col: str,
+    order_col: str,
+    val_cols: list[str],
+    suffix: str = "_run",
+) -> DataFrame:
+    """`segmented_running_sum` generalized two ways: the scan restarts
+    per `part_col` value (independent running sums per partition key,
+    all computed in parallel), and several `val_cols` are summed in ONE
+    pass over the same order. (part_col, seg_col, order_col) must be
+    unique per row; seg_col must be an order-preserving coarsening of
+    order_col (e.g. its high bits). Adds `<val><suffix>` per value
+    column; the offset frame is |part x seg| rows and rides a
+    broadcast. Used by the exact KS drift test (m22), where each
+    event_type segment needs its own ECDF scan over the value domain."""
+    w_in = (
+        Window.partitionBy(part_col, seg_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    intra = df.select(
+        "*", *[F.sum(v).over(w_in).alias(v + suffix) for v in val_cols]
+    )
+    w_seg = Window.partitionBy(part_col).orderBy(seg_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        df.groupBy(part_col, seg_col)
+        .agg(*[F.sum(v).alias(f"_t_{v}") for v in val_cols])
+        .select(
+            part_col,
+            seg_col,
+            *[
+                F.coalesce(F.sum(f"_t_{v}").over(w_seg), F.lit(0)).alias(
+                    f"_o_{v}"
+                )
+                for v in val_cols
+            ],
+        )
+    )
+    out = intra.join(F.broadcast(offsets), [part_col, seg_col])
+    for v in val_cols:
+        out = out.withColumn(v + suffix, F.col(v + suffix) + F.col(f"_o_{v}"))
+    return out.drop(*[f"_o_{v}" for v in val_cols])
+
+
 def segmented_rank(
     df: DataFrame,
     seg_col: str,

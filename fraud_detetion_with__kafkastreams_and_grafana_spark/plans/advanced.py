@@ -2998,3 +2998,178 @@ def m21_conformal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("fpr_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m22: exact two-sample Kolmogorov-Smirnov drift test — the unbinned
+# companion of the PSI monitor (m17). PSI needs a bucketing choice and
+# mixes the Laplace smoothing into the score; KS compares the two raw
+# empirical CDFs directly, so it catches shape drift PSI's 8 buckets
+# average away. The statistic is exact integer arithmetic end to end:
+# with values in cents, D * n_ref * n_cur = max over the value domain of
+# |cum_ref * n_cur - cum_cur * n_ref| is an int64 (no float ECDF ever
+# computed), and the reported ks_ppm is one integer division at the end.
+# ---------------------------------------------------------------------------
+
+
+def m22_ks_counts(ev: DataFrame, split_s: int) -> DataFrame:
+    """(segment, cent, ref_n, cur_n) exact counts for one frame, one
+    corpus scan: per-type rows plus the 'ALL' segment derived by
+    re-aggregating the per-type counts (never rescanning the corpus).
+    Shared by the batch test (m22) and its streaming deployment (s33),
+    whose per-micro-batch count partials merge additively."""
+    t = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    per_type = (
+        ev.select(
+            F.col("event_type").alias("segment"),
+            t.alias("t"),
+            F.round(F.col("value") * 100).cast("long").alias("cent"),
+        )
+        .groupBy("segment", "cent")
+        .agg(
+            F.expr(f"count_if(t < {split_s})").alias("ref_n"),
+            F.expr(f"count_if(t >= {split_s})").alias("cur_n"),
+        )
+    )
+    all_seg = per_type.groupBy("cent").agg(
+        F.sum("ref_n").alias("ref_n"), F.sum("cur_n").alias("cur_n")
+    )
+    return per_type.unionByName(
+        all_seg.select(F.lit("ALL").alias("segment"), "cent", "ref_n", "cur_n")
+    )
+
+
+def m22_ks_from_counts(counts: DataFrame) -> DataFrame:
+    """Final KS step over merged (segment, cent, ref_n, cur_n) counts:
+    per-segment ECDF scans via the two-level partitioned running sum,
+    then the integer max-gap. Shared by m22 and s33 so the streaming
+    report provably equals the batch one."""
+    from ..operators.prefix import partitioned_running_sums
+
+    from pyspark.sql.window import Window
+
+    c = counts.withColumn("blk", F.expr("cent div 4096"))
+    run = partitioned_running_sums(
+        c, "segment", "blk", "cent", ["ref_n", "cur_n"]
+    )
+    wt = Window.partitionBy("segment")
+    d = run.select(
+        "segment",
+        "cent",
+        F.sum("ref_n").over(wt).alias("n_ref"),
+        F.sum("cur_n").over(wt).alias("n_cur"),
+        F.abs(
+            F.col("ref_n_run") * F.sum("cur_n").over(wt)
+            - F.col("cur_n_run") * F.sum("ref_n").over(wt)
+        ).alias("gap"),
+    )
+    mx = d.groupBy("segment").agg(
+        F.max("n_ref").cast("long").alias("n_ref"),
+        F.max("n_cur").cast("long").alias("n_cur"),
+        F.max("gap").cast("long").alias("d_num"),
+    )
+    at = (
+        d.join(
+            mx.select("segment", F.col("d_num").alias("_mx")), "segment"
+        )
+        .where(F.col("gap") == F.col("_mx"))
+        .groupBy("segment")
+        .agg(F.min("cent").cast("long").alias("d_at_cent"))
+    )
+    return mx.join(at, "segment").select(
+        "segment",
+        "n_ref",
+        "n_cur",
+        "d_num",
+        F.when(
+            (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+            F.expr("CAST((1000000 * d_num) div (n_ref * n_cur) AS BIGINT)"),
+        ).alias("ks_ppm"),
+        "d_at_cent",
+    )
+
+
+_M22_SQL = """
+    WITH t AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+             CAST(round(value * 100) AS BIGINT) AS cent
+      FROM events
+    ),
+    st AS (SELECT min(t) AS mn, max(t) AS mx FROM t),
+    c0 AS (
+      SELECT event_type AS segment, cent,
+             count(*) FILTER (WHERE t < st.mn + (st.mx - st.mn) // 2)
+               AS ref_n,
+             count(*) FILTER (WHERE t >= st.mn + (st.mx - st.mn) // 2)
+               AS cur_n
+      FROM t CROSS JOIN st GROUP BY 1, 2
+    ),
+    seg AS (
+      SELECT * FROM c0
+      UNION ALL
+      SELECT 'ALL', cent, sum(ref_n), sum(cur_n) FROM c0 GROUP BY 2
+    ),
+    r AS (
+      SELECT segment, cent,
+             sum(ref_n) OVER (PARTITION BY segment ORDER BY cent)
+               AS ref_run,
+             sum(cur_n) OVER (PARTITION BY segment ORDER BY cent)
+               AS cur_run,
+             sum(ref_n) OVER (PARTITION BY segment) AS n_ref,
+             sum(cur_n) OVER (PARTITION BY segment) AS n_cur
+      FROM seg
+    ),
+    d AS (
+      SELECT segment, cent, n_ref, n_cur,
+             abs(ref_run * n_cur - cur_run * n_ref) AS gap,
+             max(abs(ref_run * n_cur - cur_run * n_ref))
+               OVER (PARTITION BY segment) AS mx
+      FROM r
+    )
+    SELECT segment,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           CAST(mx AS BIGINT) AS d_num,
+           CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+             CAST((1000000 * mx) // (n_ref * n_cur) AS BIGINT)
+           END AS ks_ppm,
+           CAST(min(cent) FILTER (WHERE gap = mx) AS BIGINT) AS d_at_cent
+    FROM d GROUP BY segment, n_ref, n_cur, mx
+"""
+
+
+@_register("m22_ks_drift", _M22_SQL)
+def m22_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift test per event_type
+    (plus the 'ALL' pool): reference window = the first temporal half of
+    events, current window = the second (m17's split), samples = the
+    event values in cents. For each segment the statistic is the maximum
+    ECDF gap; with cum_ref/cum_cur the cumulative counts at each
+    distinct cent value, D * n_ref * n_cur = max |cum_ref * n_cur -
+    cum_cur * n_ref| is EXACT int64 (both engines compute the identical
+    integer, no float CDF anywhere); ks_ppm is one final integer
+    division and d_at_cent pins WHERE the distributions diverge most
+    (min cent achieving the max — a deterministic tiebreak). Unbinned
+    nonparametric drift closes the monitoring family: PSI (m17, binned
+    density shift), AUC (m18, discrimination), conformal (m21, anomaly
+    rate), KS (m22, distribution shape).
+
+    Scale: ONE corpus scan collapses to per-(segment, cent) counts
+    (map-side combined; bounded by |types| x |value domain in cents|,
+    independent of row count). The ECDF running sums use the two-level
+    partitioned segmented scan (operators/prefix) — intra-block windows
+    partitioned by (segment, cent div 4096) run in parallel and the
+    |segments x blocks|-row offset frame rides a broadcast, so no
+    corpus- or domain-sized single-partition window exists. The integer
+    products stay exact up to n_ref * n_cur <= 9.2e18 / 1e6 for the ppm
+    (~3e6 rows per side — beyond that, pre-divide the cumulative counts
+    by a common power of two before the gap product; the max is
+    invariant).
+
+    Reference parity: the distribution-shape alarm the reference's
+    Grafana threshold rule (dashboards.json FOR-duration alert, q8)
+    cannot express; no reference equivalent."""
+    ev = load_table(spark, sf_dir, "events")
+    split_s = m17_split_seconds(spark, sf_dir)
+    return m22_ks_from_counts(m22_ks_counts(ev, split_s))

@@ -2311,3 +2311,115 @@ def s31_stream_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     return m18_auc_from_counts(merged)
+
+
+def _m22_oracle_sql() -> str:
+    from .advanced import ORACLES as _AD
+
+    return _AD["m22_ks_drift"]
+
+
+@_register("s33_stream_ks_drift", _m22_oracle_sql())
+def s33_stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m22's exact KS drift test run as a STREAM — the second monitor in
+    the deployed drift suite (s28 = binned PSI, s33 = unbinned shape):
+    the reference ECDF counts are frozen batch-side from the historical
+    half; live traffic arrives as JSON micro-batches, each reducing to
+    its partial (event_type, cent, n) counts inside foreachBatch and
+    landing idempotently in a _batch_id-partitioned sink (the s09
+    exactly-once recipe). Value counts per cent are associative, so the
+    merged live histogram equals the batch one exactly, and the final
+    report runs the identical integer ECDF-gap step
+    (m22_ks_from_counts) — s33 shares m22's oracle verbatim.
+
+    Scale: zero streaming state — each micro-batch reduces to at most
+    |types| x |distinct cents in the batch| rows; the KS re-evaluation
+    costs the domain-bounded counts frame, never the traffic. This is
+    the production cadence: re-run the test every refresh tick against
+    a frozen reference without rescanning history."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .advanced import (
+        m17_split_seconds,
+        m22_ks_from_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    split_s = m17_split_seconds(spark, sf_dir)
+    t = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    cent = F.round(F.col("value") * 100).cast("long").alias("cent")
+    ref = (
+        ev.where(t < F.lit(split_s))
+        .select("event_type", cent)
+        .groupBy("event_type", "cent")
+        .agg(F.count("*").alias("ref_n"))
+        .localCheckpoint()
+    )
+    wire = ev.where(t >= F.lit(split_s)).select(
+        F.to_json(F.struct(F.col("event_type"), F.col("value"))).alias("value")
+    )
+    from ..streaming.replay import materialize_wire_dir
+
+    d = materialize_wire_dir(wire)
+    out = tempfile.mkdtemp(prefix="spark_graft_s33_sink_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_s33_ckpt_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+
+    def live_partials(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.select(
+            F.from_json("value", "event_type STRING, value DOUBLE").alias("r")
+        ).select("r.event_type", "r.value")
+        b = b.where(F.col("value").isNotNull())
+        (
+            b.select(
+                "event_type", F.round(F.col("value") * 100).cast("long").alias("cent")
+            )
+            .groupBy("event_type", "cent")
+            .agg(F.count("*").alias("n"))
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
+
+    stream = (
+        spark.readStream.schema("value STRING")
+        .option("maxFilesPerTrigger", 2)
+        .text(d)
+    )
+    q = (
+        stream.writeStream.foreachBatch(live_partials)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    live = (
+        spark.read.parquet(out)
+        .groupBy("event_type", "cent")
+        .agg(F.sum("n").cast("long").alias("cur_n"))
+    )
+    per_type = (
+        ref.join(live, ["event_type", "cent"], "full_outer")
+        .select(
+            F.col("event_type").alias("segment"),
+            "cent",
+            F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
+            F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
+        )
+        .localCheckpoint()
+    )
+    all_seg = per_type.groupBy("cent").agg(
+        F.sum("ref_n").alias("ref_n"), F.sum("cur_n").alias("cur_n")
+    )
+    counts = per_type.unionByName(
+        all_seg.select(F.lit("ALL").alias("segment"), "cent", "ref_n", "cur_n")
+    )
+    return m22_ks_from_counts(counts)

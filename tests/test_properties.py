@@ -2561,3 +2561,76 @@ def test_m21_oracle_equals_bruteforce_conformal(rows):
             (1_000_000 * fa) // n_neg if n_neg else None,
         )
         assert got[alpha] == want, (alpha, got[alpha], want)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10000),  # seconds offset
+            st.sampled_from(["click", "error"]),
+            st.sampled_from([5.0, 12.25, 30.0, 80.5, 130.75, 200.0]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_m22_oracle_equals_bruteforce_ks(rows):
+    """The KS SQL must equal a from-first-principles Python test on
+    arbitrary event sets: exact midpoint split, exact integer ECDF gap
+    max |cum_ref * n_cur - cum_cur * n_ref| over the union of distinct
+    cents per segment (each type plus 'ALL'), floor-div ppm, and the
+    min-cent argmax tiebreak. Sample values are exact binary fractions
+    so v*100 rounds identically everywhere."""
+    import datetime
+
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.advanced import (
+        _M22_SQL,
+        ORACLES,
+    )
+
+    assert ORACLES["m22_ks_drift"] is _M22_SQL
+    base = datetime.datetime(2024, 1, 1)
+    con = _duck()
+    con.register(
+        "events",
+        pd.DataFrame(
+            [
+                (i, base + datetime.timedelta(seconds=s), 7, et, v, "{}")
+                for i, (s, et, v) in enumerate(rows)
+            ],
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        ),
+    )
+    got = sorted(tuple(r) for r in con.execute(_M22_SQL).fetchall())
+
+    secs = [s for s, _et, _v in rows]
+    split = min(secs) + (max(secs) - min(secs)) // 2
+    segments: dict[str, list[tuple[int, int]]] = {}
+    for s, et, v in rows:
+        cent = int(round(v * 100))
+        pair = (cent, 0 if s < split else 1)
+        segments.setdefault(et, []).append(pair)
+        segments.setdefault("ALL", []).append(pair)
+    want = []
+    for seg, pairs in segments.items():
+        n_ref = sum(1 for _c, h in pairs if h == 0)
+        n_cur = len(pairs) - n_ref
+        cum_r = cum_c = 0
+        best, best_at = -1, None
+        for c in sorted({c for c, _h in pairs}):
+            cum_r += sum(1 for cc, h in pairs if cc == c and h == 0)
+            cum_c += sum(1 for cc, h in pairs if cc == c and h == 1)
+            gap = abs(cum_r * n_cur - cum_c * n_ref)
+            if gap > best:
+                best, best_at = gap, c
+        ppm = (
+            (1000000 * best) // (n_ref * n_cur)
+            if n_ref > 0 and n_cur > 0
+            else None
+        )
+        want.append((seg, n_ref, n_cur, best, ppm, best_at))
+    assert got == sorted(want)

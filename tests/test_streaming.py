@@ -943,3 +943,23 @@ def test_s31_stream_auc_equals_batch_m18(spark, sf_dir):
         for r in AD.QUERIES["m18_exact_auc"](spark, sf_dir).collect()
     )
     assert got == want
+
+
+def test_s33_stream_ks_equals_batch_m22(spark, sf_dir):
+    """The streamed KS drift monitor must equal the batch m22 test
+    row-for-row — per-cent count partials merge additively into the
+    exact live histogram, so the integer ECDF gap is identical."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import (
+        advanced as AD,
+        streaming_queries as SQ,
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in SQ.QUERIES["s33_stream_ks_drift"](spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in AD.QUERIES["m22_ks_drift"](spark, sf_dir).collect()
+    )
+    assert got == want

@@ -568,6 +568,47 @@ def decontaminate(
     )
 
 
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """BFS hop distance from a seed set through an UNDIRECTED edge list,
+    capped at `max_hops`: returns (node, dist) for every node within
+    the radius (seeds at dist 0). Frontier expansion as a fixed
+    driver-side loop — per round ONE equi-join of the previous frontier
+    against the edge table and one min-distance groupBy; the dist frame
+    is localCheckpointed per round because the union references it
+    twice (the m08/l30 lineage rule). Correctness: after the min-agg a
+    node's stored dist is its first-reached round, which for BFS is the
+    true hop distance, so expanding only the dist==r-1 frontier never
+    misses a shorter path.
+
+    Used by the transitive-decontamination radius (l82). No reference
+    counterpart; textbook frontier BFS lowered to DataFrame ops."""
+    both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    undirected = both.unionByName(
+        both.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    dist = seeds.select(
+        F.col(seeds.columns[0]).alias("node"), F.lit(0).alias("dist")
+    ).localCheckpoint()
+    for r in range(1, max_hops + 1):
+        frontier = dist.where(F.col("dist") == r - 1)
+        nxt = frontier.join(
+            undirected, frontier["node"] == undirected["a"]
+        ).select(F.col("b").alias("node"), F.lit(r).alias("dist"))
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "id_a",

@@ -4888,3 +4888,61 @@ def l81_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bit_xor(h)").cast("long").alias("member_digest"),
         )
     )
+
+
+@_register(
+    "l82_contamination_radius",
+    f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    seeds AS (
+      SELECT doc_id FROM documents
+      WHERE (doc_id * 2654435761) % 100 >= 90
+    ),
+    walk(node, dist) AS (
+      SELECT doc_id, 0 FROM seeds
+      UNION
+      SELECT e.b, w.dist + 1
+      FROM walk w JOIN edges e ON w.node = e.a
+      WHERE w.dist < 3
+    )
+    SELECT node AS doc_id, CAST(min(dist) AS BIGINT) AS hop_dist
+    FROM walk GROUP BY node
+    """,
+)
+def l82_contamination_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive decontamination radius: BFS hop distance (capped at 3)
+    from the held-out test split (l17/l26's hash rule, bucket >= 90)
+    through the near-dup pair graph. Direct 8-gram overlap (l26) only
+    catches documents that share text with the test set VERBATIM; a
+    near-duplicate OF a near-duplicate of a test document still leaks
+    evaluation signal, so production decontamination drops everything
+    within a small graph radius of the held-out set — hop_dist 0 = the
+    test docs themselves, 1 = l26-class direct near-dups, 2-3 = the
+    transitive closure actually removed. Completes the graph-analytics
+    family: components (l20) answer "same cluster?", PageRank (l30)
+    "which copy is canonical?", triangles (l55) "is the cluster tight?",
+    BFS (l82) "how FAR does influence spread?".
+
+    Engine shape: frontier BFS (operators/dedup.bfs_hops) as a fixed
+    driver-side loop — per round ONE equi-join of the previous round's
+    frontier against the session-materialized pair table (8-byte ids
+    both sides) and one min-distance groupBy; the dist frame is
+    localCheckpointed per round because the union references it twice
+    (the m08/l30 lineage rule). At 100 TB the frontier frame is
+    |reached docs| rows — orders of magnitude under the corpus — and
+    the edge side stays partitioned; nothing corpus-sized ever
+    broadcasts. The oracle walks the same graph with a recursive CTE
+    and takes min(dist), exponentially more path enumeration than the
+    frontier loop — which is why the engine side exists."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(100))
+    seeds = docs.where(bucket >= 90).select("doc_id")
+    dist = DD.bfs_hops(_dup_pairs(spark, sf_dir), seeds, max_hops=3)
+    return dist.select(
+        F.col("node").alias("doc_id"), F.col("dist").cast("long").alias("hop_dist")
+    )

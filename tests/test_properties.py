@@ -2634,3 +2634,54 @@ def test_m22_oracle_equals_bruteforce_ks(rows):
         )
         want.append((seg, n_ref, n_cur, best, ppm, best_at))
     assert got == sorted(want)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=19),
+            st.integers(min_value=0, max_value=19),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    seeds=st.sets(st.integers(min_value=0, max_value=19), min_size=1,
+                  max_size=5),
+    max_hops=st.integers(min_value=1, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_bfs_hops_equals_python_bfs(spark, edges, seeds, max_hops):
+    """Frontier-loop BFS ground truth on arbitrary graph topologies
+    (cycles, parallel edges, chains longer than the cap, unreachable
+    islands): every emitted (node, dist) must equal a queue BFS from
+    the seed set, truncated at max_hops, and nothing beyond the radius
+    may appear."""
+    from collections import deque
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators import dedup as DD
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        edges = [(0, 1)]
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        n = q.popleft()
+        if want[n] >= max_hops:
+            continue
+        for nb in adj.get(n, ()):
+            if nb not in want:
+                want[nb] = want[n] + 1
+                q.append(nb)
+
+    edf = spark.createDataFrame(edges, "id_a long, id_b long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "doc_id long")
+    got = {
+        r["node"]: r["dist"]
+        for r in DD.bfs_hops(edf, sdf, max_hops).collect()
+    }
+    assert got == want

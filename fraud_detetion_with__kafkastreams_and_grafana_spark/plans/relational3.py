@@ -2807,3 +2807,177 @@ def r89_incremental_view_maintenance(
         )
         view = _r89_merge(view, _r89_agg(batch)).localCheckpoint()
     return view
+
+
+# ---------------------------------------------------------------------------
+# r90: declarative data-quality constraint audit — the Deequ/"dbt test"
+# class of lakehouse operation: a suite of constraints over a table
+# evaluated in bulk, emitting one verdict row per check. Exact integer
+# violation counts; ppm is one floor division.
+# ---------------------------------------------------------------------------
+
+_R90_SQL = """
+    WITH base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+                  AS BIGINT) AS bad_qty,
+             CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1)
+                  AS BIGINT) AS bad_disc,
+             CAST(count(*) FILTER (WHERE l_returnflag NOT IN ('A','N','R')
+                                      OR l_returnflag IS NULL)
+                  AS BIGINT) AS bad_flag,
+             CAST(count(*) FILTER (WHERE l_extendedprice <= 0
+                                      OR l_extendedprice IS NULL)
+                  AS BIGINT) AS bad_price,
+             CAST(count(*) FILTER (WHERE l_shipdate IS NULL)
+                  AS BIGINT) AS null_ship
+      FROM lineitem
+    ),
+    keyed AS (
+      SELECT l_orderkey, l_linenumber, count(*) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    dup AS (
+      SELECT CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT)
+               AS dup_rows
+      FROM keyed
+    ),
+    orph AS (
+      SELECT CAST(coalesce(sum(rk), 0) AS BIGINT) AS orphan_rows
+      FROM (
+        SELECT l_orderkey, sum(c) AS rk FROM keyed GROUP BY 1
+      ) k
+      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    ),
+    checks AS (
+      SELECT 'pk_unique' AS check_name, dup_rows AS n_violations
+        FROM dup
+      UNION ALL SELECT 'fk_orders', orphan_rows FROM orph
+      UNION ALL SELECT 'qty_range', bad_qty FROM base
+      UNION ALL SELECT 'disc_range', bad_disc FROM base
+      UNION ALL SELECT 'flag_domain', bad_flag FROM base
+      UNION ALL SELECT 'price_positive', bad_price FROM base
+      UNION ALL SELECT 'shipdate_complete', null_ship FROM base
+    )
+    SELECT check_name, base.n AS n_rows, n_violations,
+           CAST((1000000 * n_violations) // base.n AS BIGINT) AS viol_ppm,
+           n_violations = 0 AS pass
+    FROM checks CROSS JOIN base
+"""
+
+
+@_register("r90_quality_audit", _R90_SQL)
+def r90_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit over lineitem — the Deequ / dbt-test
+    / Delta-constraint class of lakehouse operation: seven constraints
+    (key uniqueness, referential integrity against orders, two range
+    checks, a domain check, positivity, completeness) evaluated in bulk,
+    one verdict row each with exact violation counts, ppm rate, and a
+    pass boolean. The synthetic lineitem genuinely violates pk_unique
+    (repeated (l_orderkey, l_linenumber) — the r43 observation), so the
+    audit provably detects, not just rubber-stamps.
+
+    Scale: the five row-local checks share ONE corpus scan (a single
+    map-side-combined aggregate to one row). Uniqueness and referential
+    integrity share a SECOND scan: the per-(orderkey, linenumber) count
+    frame feeds dup_rows directly and re-aggregates by orderkey for the
+    anti-join against orders — the key frame is bounded by distinct
+    keys and the anti-join is an 8-byte equi-join, so the audit costs
+    two scans TOTAL regardless of how many constraints stack onto it
+    (Deequ's exact design point). The three verdict frames are 1-row
+    broadcasts cross-joined back; nothing corpus-sized moves.
+
+    Reference parity: generalizes the reference's ad-hoc null filtering
+    (TransactionProcessor.java:29-36 drops unparseable records silently)
+    into the audited, metric-emitting form a 100 TB lake needs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ords = load_table(spark, sf_dir, "orders")
+    base = li.agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("count_if(l_quantity < 1 OR l_quantity > 50)")
+        .cast("long")
+        .alias("bad_qty"),
+        F.expr("count_if(l_discount < 0 OR l_discount > 0.1)")
+        .cast("long")
+        .alias("bad_disc"),
+        F.expr(
+            "count_if(l_returnflag NOT IN ('A','N','R')"
+            " OR l_returnflag IS NULL)"
+        )
+        .cast("long")
+        .alias("bad_flag"),
+        F.expr("count_if(l_extendedprice <= 0 OR l_extendedprice IS NULL)")
+        .cast("long")
+        .alias("bad_price"),
+        F.expr("count_if(l_shipdate IS NULL)").cast("long").alias("null_ship"),
+    )
+    keyed = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()  # feeds BOTH the dup and the orphan check
+    )
+    dup = keyed.agg(
+        F.coalesce(F.expr("sum(c) FILTER (WHERE c > 1)"), F.lit(0))
+        .cast("long")
+        .alias("dup_rows")
+    )
+    orph = (
+        keyed.groupBy("l_orderkey")
+        .agg(F.sum("c").alias("rk"))
+        .join(
+            ords.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_anti",
+        )
+        .agg(
+            F.coalesce(F.sum("rk"), F.lit(0)).cast("long").alias("orphan_rows")
+        )
+    )
+    one = (
+        base.crossJoin(F.broadcast(dup))
+        .crossJoin(F.broadcast(orph))
+    )
+    checks = one.select(
+        "n",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("pk_unique").alias("check_name"),
+                    F.col("dup_rows").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("fk_orders").alias("check_name"),
+                    F.col("orphan_rows").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("qty_range").alias("check_name"),
+                    F.col("bad_qty").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("disc_range").alias("check_name"),
+                    F.col("bad_disc").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("flag_domain").alias("check_name"),
+                    F.col("bad_flag").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("price_positive").alias("check_name"),
+                    F.col("bad_price").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("shipdate_complete").alias("check_name"),
+                    F.col("null_ship").alias("n_violations"),
+                ),
+            )
+        ).alias("chk"),
+    )
+    return checks.select(
+        F.col("chk.check_name").alias("check_name"),
+        F.col("n").alias("n_rows"),
+        F.col("chk.n_violations").alias("n_violations"),
+        F.expr("CAST((1000000 * chk.n_violations) div n AS BIGINT)").alias(
+            "viol_ppm"
+        ),
+        (F.col("chk.n_violations") == 0).alias("pass"),
+    )

@@ -2685,3 +2685,84 @@ def test_bfs_hops_equals_python_bfs(spark, edges, seeds, max_hops):
         for r in DD.bfs_hops(edf, sdf, max_hops).collect()
     }
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # orderkey
+            st.integers(min_value=1, max_value=3),   # linenumber
+            st.sampled_from([0.5, 1.0, 25.0, 50.0, 60.0]),   # quantity
+            st.sampled_from([-0.05, 0.0, 0.05, 0.1, 0.2]),   # discount
+            st.sampled_from(["A", "N", "R", "X", None]),     # returnflag
+            st.sampled_from([-10.0, 0.0, 901.82, 5000.0]),   # price
+            st.booleans(),                                   # shipdate null?
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    okeys=st.sets(st.integers(min_value=0, max_value=5), min_size=0,
+                  max_size=6),
+)
+@settings(max_examples=40, deadline=None)
+def test_r90_oracle_equals_bruteforce_audit(rows, okeys):
+    """The audit SQL must equal a from-first-principles Python checker
+    on arbitrary tables: exact violation counts per constraint
+    (dup-key rows count EVERY row of a duplicated key, orphan rows
+    count every row whose key is missing from orders), floor-div ppm,
+    and pass booleans."""
+    import datetime
+
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.relational3 import (
+        _R90_SQL,
+        ORACLES,
+    )
+
+    assert ORACLES["r90_quality_audit"] is _R90_SQL
+    ship = datetime.datetime(2024, 1, 1)
+    con = _duck()
+    con.register(
+        "lineitem",
+        pd.DataFrame(
+            [
+                (ok, ln, q, d, rf, p, ship if sd else None)
+                for ok, ln, q, d, rf, p, sd in rows
+            ],
+            columns=[
+                "l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+                "l_returnflag", "l_extendedprice", "l_shipdate",
+            ],
+        ),
+    )
+    con.register("orders", pd.DataFrame({"o_orderkey": sorted(okeys)}))
+    got = sorted(tuple(r) for r in con.execute(_R90_SQL).fetchall())
+
+    n = len(rows)
+    from collections import Counter
+
+    keyc = Counter((ok, ln) for ok, ln, *_ in rows)
+    viol = {
+        "pk_unique": sum(c for c in keyc.values() if c > 1),
+        "fk_orders": sum(1 for ok, *_ in rows if ok not in okeys),
+        "qty_range": sum(1 for _o, _l, q, *_ in rows if q < 1 or q > 50),
+        "disc_range": sum(
+            1 for _o, _l, _q, d, *_ in rows if d < 0 or d > 0.1
+        ),
+        "flag_domain": sum(
+            1 for _o, _l, _q, _d, rf, *_ in rows
+            if rf not in ("A", "N", "R")
+        ),
+        "price_positive": sum(
+            1 for _o, _l, _q, _d, _rf, p, _s in rows if p <= 0
+        ),
+        "shipdate_complete": sum(
+            1 for *_, sd in rows if not sd
+        ),
+    }
+    want = sorted(
+        (name, n, v, (1000000 * v) // n, v == 0)
+        for name, v in viol.items()
+    )
+    assert got == want

@@ -2866,55 +2866,45 @@ _R90_SQL = """
 """
 
 
-@_register("r90_quality_audit", _R90_SQL)
-def r90_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Declarative data-quality audit over lineitem — the Deequ / dbt-test
-    / Delta-constraint class of lakehouse operation: seven constraints
-    (key uniqueness, referential integrity against orders, two range
-    checks, a domain check, positivity, completeness) evaluated in bulk,
-    one verdict row each with exact violation counts, ppm rate, and a
-    pass boolean. The synthetic lineitem genuinely violates pk_unique
-    (repeated (l_orderkey, l_linenumber) — the r43 observation), so the
-    audit provably detects, not just rubber-stamps.
-
-    Scale: the five row-local checks share ONE corpus scan (a single
-    map-side-combined aggregate to one row). Uniqueness and referential
-    integrity share a SECOND scan: the per-(orderkey, linenumber) count
-    frame feeds dup_rows directly and re-aggregates by orderkey for the
-    anti-join against orders — the key frame is bounded by distinct
-    keys and the anti-join is an 8-byte equi-join, so the audit costs
-    two scans TOTAL regardless of how many constraints stack onto it
-    (Deequ's exact design point). The three verdict frames are 1-row
-    broadcasts cross-joined back; nothing corpus-sized moves.
-
-    Reference parity: generalizes the reference's ad-hoc null filtering
-    (TransactionProcessor.java:29-36 drops unparseable records silently)
-    into the audited, metric-emitting form a 100 TB lake needs."""
-    li = load_table(spark, sf_dir, "lineitem")
-    ords = load_table(spark, sf_dir, "orders")
-    base = li.agg(
-        F.count("*").cast("long").alias("n"),
-        F.expr("count_if(l_quantity < 1 OR l_quantity > 50)")
-        .cast("long")
-        .alias("bad_qty"),
-        F.expr("count_if(l_discount < 0 OR l_discount > 0.1)")
-        .cast("long")
-        .alias("bad_disc"),
+def r90_keyed_partials(li: DataFrame) -> DataFrame:
+    """(l_orderkey, l_linenumber, c, bad_qty, bad_disc, bad_flag,
+    bad_price, null_ship) — per-key row counts AND per-key violation
+    counters for every row-local constraint, from ONE scan. All eight
+    columns are associative sums, so partials from disjoint slices
+    (or streaming micro-batches, s34) merge by re-summing per key."""
+    return li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.count("*").alias("c"),
+        F.expr("count_if(l_quantity < 1 OR l_quantity > 50)").alias(
+            "bad_qty"
+        ),
+        F.expr("count_if(l_discount < 0 OR l_discount > 0.1)").alias(
+            "bad_disc"
+        ),
         F.expr(
             "count_if(l_returnflag NOT IN ('A','N','R')"
             " OR l_returnflag IS NULL)"
-        )
-        .cast("long")
-        .alias("bad_flag"),
-        F.expr("count_if(l_extendedprice <= 0 OR l_extendedprice IS NULL)")
-        .cast("long")
-        .alias("bad_price"),
-        F.expr("count_if(l_shipdate IS NULL)").cast("long").alias("null_ship"),
+        ).alias("bad_flag"),
+        F.expr(
+            "count_if(l_extendedprice <= 0 OR l_extendedprice IS NULL)"
+        ).alias("bad_price"),
+        F.expr("count_if(l_shipdate IS NULL)").alias("null_ship"),
     )
-    keyed = (
-        li.groupBy("l_orderkey", "l_linenumber")
-        .agg(F.count("*").alias("c"))
-        .localCheckpoint()  # feeds BOTH the dup and the orphan check
+
+
+def r90_report_from_partials(keyed: DataFrame, ords: DataFrame) -> DataFrame:
+    """Final audit report from (possibly merged) keyed partials: the
+    1-row global counters, the dup-key sum, and the anti-join orphan
+    count all derive from the bounded key frame — the corpus is never
+    rescanned. Shared by the batch audit (r90) and its streaming
+    deployment (s34)."""
+    keyed = keyed.localCheckpoint()  # feeds three consumers
+    base = keyed.agg(
+        F.sum("c").cast("long").alias("n"),
+        *[
+            F.sum(c).cast("long").alias(c)
+            for c in ("bad_qty", "bad_disc", "bad_flag", "bad_price",
+                      "null_ship")
+        ],
     )
     dup = keyed.agg(
         F.coalesce(F.expr("sum(c) FILTER (WHERE c > 1)"), F.lit(0))
@@ -2981,3 +2971,31 @@ def r90_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("chk.n_violations") == 0).alias("pass"),
     )
+
+
+@_register("r90_quality_audit", _R90_SQL)
+def r90_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit over lineitem — the Deequ / dbt-test
+    / Delta-constraint class of lakehouse operation: seven constraints
+    (key uniqueness, referential integrity against orders, two range
+    checks, a domain check, positivity, completeness) evaluated in bulk,
+    one verdict row each with exact violation counts, ppm rate, and a
+    pass boolean. The synthetic lineitem genuinely violates pk_unique
+    (repeated (l_orderkey, l_linenumber) — the r43 observation), so the
+    audit provably detects, not just rubber-stamps.
+
+    Scale: ONE corpus scan and ONE shuffle regardless of how many
+    constraints stack on (Deequ's exact design point): every row-local
+    violation counter rides the per-(orderkey, linenumber) count
+    aggregate as an extra map-side-combined sum, so the key frame —
+    bounded by distinct keys — feeds the global counters, the dup-key
+    sum, AND the orderkey re-aggregation for the anti-join against
+    orders (8-byte equi-join). The verdict frames are 1-row broadcasts
+    cross-joined back; nothing corpus-sized moves twice.
+
+    Reference parity: generalizes the reference's ad-hoc null filtering
+    (TransactionProcessor.java:29-36 drops unparseable records silently)
+    into the audited, metric-emitting form a 100 TB lake needs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ords = load_table(spark, sf_dir, "orders")
+    return r90_report_from_partials(r90_keyed_partials(li), ords)

@@ -2423,3 +2423,105 @@ def s33_stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         all_seg.select(F.lit("ALL").alias("segment"), "cent", "ref_n", "cur_n")
     )
     return m22_ks_from_counts(counts)
+
+
+def _r90_oracle_sql() -> str:
+    from .relational3 import ORACLES as _R3
+
+    return _R3["r90_quality_audit"]
+
+
+@_register("s34_stream_quality_audit", _r90_oracle_sql())
+def s34_stream_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r90's Deequ-class constraint audit run as a STREAM — continuous
+    data-quality monitoring on ingest: lineitem rows arrive as JSON
+    micro-batches; each batch reduces inside foreachBatch to its keyed
+    partial frame (per-(orderkey, linenumber) row counts + per-key
+    violation counters, r90_keyed_partials — every column an
+    associative sum) and lands idempotently in a _batch_id-partitioned
+    sink (the s09 exactly-once recipe). The report re-sums partials by
+    key and runs the identical final step (r90_report_from_partials),
+    so the streamed audit equals the batch one bit-for-bit and s34
+    shares r90's oracle verbatim. Uniqueness and referential integrity
+    — the two constraints a per-batch-only monitor CANNOT check because
+    a key's duplicate may arrive in a different batch — come out exact
+    because the keyed partials merge losslessly across batches.
+
+    Scale: zero streaming state; the sink grows by |batch keys| per
+    batch; re-running the verdict costs the bounded key frame, never
+    the traffic."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .relational3 import r90_keyed_partials, r90_report_from_partials
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ords = load_table(spark, sf_dir, "orders")
+    wire = li.select(
+        F.to_json(
+            F.struct(
+                "l_orderkey",
+                "l_linenumber",
+                "l_quantity",
+                "l_discount",
+                "l_returnflag",
+                "l_extendedprice",
+                "l_shipdate",
+            )
+        ).alias("value")
+    )
+    from ..streaming.replay import materialize_wire_dir
+
+    d = materialize_wire_dir(wire, n_files=4)
+    out = tempfile.mkdtemp(prefix="spark_graft_s34_sink_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_s34_ckpt_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+
+    schema = (
+        "l_orderkey BIGINT, l_linenumber INT, l_quantity DOUBLE,"
+        " l_discount DOUBLE, l_returnflag STRING, l_extendedprice DOUBLE,"
+        " l_shipdate TIMESTAMP"
+    )
+
+    def audit_partials(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.select(F.from_json("value", schema).alias("r")).select(
+            "r.*"
+        )
+        (
+            r90_keyed_partials(b)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
+
+    stream = (
+        spark.readStream.schema("value STRING")
+        .option("maxFilesPerTrigger", 2)
+        .text(d)
+    )
+    q = (
+        stream.writeStream.foreachBatch(audit_partials)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    merged = (
+        spark.read.parquet(out)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(
+            *[
+                F.sum(c).alias(c)
+                for c in ("c", "bad_qty", "bad_disc", "bad_flag",
+                          "bad_price", "null_ship")
+            ]
+        )
+    )
+    return r90_report_from_partials(merged, ords)

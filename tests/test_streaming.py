@@ -963,3 +963,24 @@ def test_s33_stream_ks_equals_batch_m22(spark, sf_dir):
         for r in AD.QUERIES["m22_ks_drift"](spark, sf_dir).collect()
     )
     assert got == want
+
+
+def test_s34_stream_audit_equals_batch_r90(spark, sf_dir):
+    """The streamed quality audit must equal the batch r90 report
+    row-for-row — keyed partials merge losslessly across micro-batches,
+    which is exactly what makes the cross-batch constraints (pk_unique,
+    fk_orders) exact rather than per-batch approximations."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import (
+        relational3 as R3,
+        streaming_queries as SQ,
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in SQ.QUERIES["s34_stream_quality_audit"](spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in R3.QUERIES["r90_quality_audit"](spark, sf_dir).collect()
+    )
+    assert got == want

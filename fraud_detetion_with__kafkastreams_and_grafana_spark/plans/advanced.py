@@ -3173,3 +3173,209 @@ def m22_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     split_s = m17_split_seconds(spark, sf_dir)
     return m22_ks_from_counts(m22_ks_counts(ev, split_s))
+
+
+# ---------------------------------------------------------------------------
+# m23: categorical Naive Bayes trainer + corpus evaluation — the classic
+# count-based generative classifier, and the one major trainer family
+# (generative/probabilistic) the m-ladder lacked next to its
+# discriminative members (logistic m04/m08, trees m12/m13/m16, pairwise
+# m14). Laplace-smoothed log-likelihoods are rounded ONCE per model cell
+# to integer micro-units via a shared expression string (the m17 ln
+# discipline), so training, the broadcast model, and the corpus
+# confusion all value-hash replay.
+# ---------------------------------------------------------------------------
+
+# ln((c + 1) / (ny + vf)) in micro-units: c = count of (feature, value,
+# class), ny = class prior count, vf = the feature's observed vocabulary
+# size. One ln + one multiply + one round per MODEL CELL (not per row).
+_M23_CELL = (
+    "CAST(round(ln((c + 1.0) / (ny + vf)) * 1000000.0, 0) AS BIGINT)"
+)
+_M23_PRIOR = "CAST(round(ln((ny * 1.0) / n_all) * 1000000.0, 0) AS BIGINT)"
+
+_M23_SQL = f"""
+    WITH rows_f AS (
+      SELECT event_type,
+             extract(hour FROM ts) AS hr,
+             user_id % 10 AS um,
+             CAST(floor(value / 50.0) AS BIGINT) AS vkb,
+             CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    long AS (
+      SELECT f, v, y FROM (
+        SELECT unnest(['hr', 'um', 'vkb']) AS f,
+               unnest([hr, um, vkb]) AS v, y
+        FROM rows_f
+      )
+    ),
+    cnt AS (SELECT f, v, y, count(*) AS c FROM long GROUP BY 1, 2, 3),
+    pri AS (SELECT y, count(*) AS ny FROM rows_f GROUP BY 1),
+    tot AS (SELECT count(*) AS n_all FROM rows_f),
+    vocab AS (SELECT f, count(DISTINCT v) AS vf FROM long GROUP BY 1),
+    grid AS (
+      SELECT fv.f, fv.v, pri.y, pri.ny, vocab.vf
+      FROM (SELECT DISTINCT f, v FROM long) fv
+      CROSS JOIN pri JOIN vocab USING (f)
+    ),
+    mcells AS (
+      SELECT grid.f, grid.v, grid.y, grid.ny, grid.vf,
+             coalesce(cnt.c, 0) AS c
+      FROM grid LEFT JOIN cnt USING (f, v, y)
+    ),
+    model AS (
+      SELECT f, v, y, {_M23_CELL} AS m FROM mcells
+    ),
+    pv AS (
+      SELECT f, v,
+             max(CASE WHEN y = 0 THEN m END) AS m0,
+             max(CASE WHEN y = 1 THEN m END) AS m1
+      FROM model GROUP BY 1, 2
+    ),
+    priors AS (
+      SELECT max(CASE WHEN y = 0 THEN p END) AS p0,
+             max(CASE WHEN y = 1 THEN p END) AS p1
+      FROM (SELECT y, {_M23_PRIOR} AS p FROM pri CROSS JOIN tot)
+    ),
+    scored AS (
+      SELECT r.event_type, r.y,
+             CASE WHEN (pr.p1 + h.m1 + u.m1 + vb.m1)
+                     > (pr.p0 + h.m0 + u.m0 + vb.m0)
+                  THEN 1 ELSE 0 END AS pred
+      FROM rows_f r
+      CROSS JOIN priors pr
+      JOIN pv h ON h.f = 'hr' AND h.v = r.hr
+      JOIN pv u ON u.f = 'um' AND u.v = r.um
+      JOIN pv vb ON vb.f = 'vkb' AND vb.v = r.vkb
+    ),
+    seg AS (
+      SELECT event_type AS segment, y, pred FROM scored
+      UNION ALL
+      SELECT 'ALL', y, pred FROM scored
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE y = 1 AND pred = 1) AS BIGINT) AS tp,
+           CAST(count(*) FILTER (WHERE y = 0 AND pred = 1) AS BIGINT) AS fp,
+           CAST(count(*) FILTER (WHERE y = 1 AND pred = 0) AS BIGINT) AS fn,
+           CAST(count(*) FILTER (WHERE y = 0 AND pred = 0) AS BIGINT) AS tn,
+           CAST((1000000 * count(*) FILTER (WHERE y = pred)) // count(*)
+                AS BIGINT) AS acc_ppm
+    FROM seg GROUP BY segment
+"""
+
+
+@_register("m23_naive_bayes", _M23_SQL)
+def m23_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical Naive Bayes: train Laplace-smoothed per-class
+    log-likelihoods over three categorical features (hour, user mod-10,
+    value band — the m12/m19 feature set), then score the corpus with
+    the broadcast model and report the per-event_type (plus 'ALL')
+    confusion matrix and accuracy. Every model cell is
+    round(ln((c+1)/(ny+vf)) * 1e6) — ONE float op sequence per cell,
+    shared verbatim with the oracle (the m17 discipline), so scores are
+    int64 sums and argmax (ties to class 0 via strict >) replays
+    exactly.
+
+    Scale: training is one corpus scan exploded x3 into (feature,
+    value, class) counts — map-side combined, bounded by the feature
+    vocabularies (~46 cells), NOT the corpus. The model pivots to
+    (f, v, m0, m1) and broadcasts; scoring is three broadcast hash
+    joins + row-local integer sums — ZERO shuffle in the scoring path,
+    the textbook NB deployment shape (this is why NB scores at wire
+    speed on any cluster). The confusion aggregate is the only
+    reduction, map-side combined to |types|+1 rows.
+
+    Reference parity: the learned generalization of the reference's
+    hard-coded `amount > 10000` branch (TransactionProcessor.java:43-51)
+    — same contract as m04/m12, now with calibrated class priors."""
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hr"),
+        (F.col("user_id") % 10).cast("long").alias("um"),
+        F.floor(F.col("value") / 50.0).cast("long").alias("vkb"),
+        (F.col("value") > 100.0).cast("long").alias("y"),
+    )
+    long = rows.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("hr").alias("f"), F.col("hr").alias("v")),
+                F.struct(F.lit("um").alias("f"), F.col("um").alias("v")),
+                F.struct(F.lit("vkb").alias("f"), F.col("vkb").alias("v")),
+            )
+        ).alias("fv"),
+        "y",
+    ).select("fv.f", "fv.v", "y")
+    cnt = long.groupBy("f", "v", "y").agg(F.count("*").alias("c"))
+    pri = rows.groupBy("y").agg(F.count("*").alias("ny"))
+    tot = rows.agg(F.count("*").alias("n_all"))
+    vocab = long.groupBy("f").agg(F.countDistinct("v").alias("vf"))
+    grid = (
+        long.select("f", "v")
+        .distinct()
+        .crossJoin(F.broadcast(pri))
+        .join(F.broadcast(vocab), "f")
+    )
+    model = (
+        grid.join(cnt, ["f", "v", "y"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0)))
+        .selectExpr("f", "v", "y", f"{_M23_CELL} AS m")
+    )
+    pv = (
+        model.groupBy("f", "v")
+        .agg(
+            F.max(F.when(F.col("y") == 0, F.col("m"))).alias("m0"),
+            F.max(F.when(F.col("y") == 1, F.col("m"))).alias("m1"),
+        )
+        .localCheckpoint()
+    )
+    priors = (
+        pri.crossJoin(F.broadcast(tot))
+        .selectExpr("y", f"{_M23_PRIOR} AS p")
+        .groupBy()
+        .agg(
+            F.max(F.when(F.col("y") == 0, F.col("p"))).alias("p0"),
+            F.max(F.when(F.col("y") == 1, F.col("p"))).alias("p1"),
+        )
+    )
+    h, u, vb = pv.alias("h"), pv.alias("u"), pv.alias("vb")
+    scored = (
+        rows.crossJoin(F.broadcast(priors))
+        .join(
+            F.broadcast(h),
+            (F.col("h.f") == F.lit("hr")) & (F.col("h.v") == F.col("hr")),
+        )
+        .join(
+            F.broadcast(u),
+            (F.col("u.f") == F.lit("um")) & (F.col("u.v") == F.col("um")),
+        )
+        .join(
+            F.broadcast(vb),
+            (F.col("vb.f") == F.lit("vkb")) & (F.col("vb.v") == F.col("vkb")),
+        )
+        .select(
+            "event_type",
+            "y",
+            (
+                (F.col("p1") + F.col("h.m1") + F.col("u.m1") + F.col("vb.m1"))
+                > (F.col("p0") + F.col("h.m0") + F.col("u.m0") + F.col("vb.m0"))
+            )
+            .cast("long")
+            .alias("pred"),
+        )
+    )
+    seg = scored.select(
+        F.col("event_type").alias("segment"), "y", "pred"
+    ).unionByName(scored.select(F.lit("ALL").alias("segment"), "y", "pred"))
+    return seg.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("count_if(y = 1 AND pred = 1)").cast("long").alias("tp"),
+        F.expr("count_if(y = 0 AND pred = 1)").cast("long").alias("fp"),
+        F.expr("count_if(y = 1 AND pred = 0)").cast("long").alias("fn"),
+        F.expr("count_if(y = 0 AND pred = 0)").cast("long").alias("tn"),
+        F.expr(
+            "CAST((1000000 * count_if(y = pred)) div count(*) AS BIGINT)"
+        ).alias("acc_ppm"),
+    )

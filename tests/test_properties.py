@@ -2766,3 +2766,97 @@ def test_r90_oracle_equals_bruteforce_audit(rows, okeys):
         for name, v in viol.items()
     )
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=23),  # hour
+            st.integers(min_value=0, max_value=9),   # user mod
+            st.sampled_from(["click", "error"]),
+            st.sampled_from([5.0, 30.0, 80.0, 130.0, 200.0]),
+        ),
+        min_size=4,
+        max_size=40,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_m23_oracle_equals_bruteforce_nb(rows):
+    """The Naive Bayes SQL must equal a from-first-principles Python
+    trainer+scorer: Laplace-smoothed per-class log-likelihood cells in
+    HALF_UP micro-units over the observed vocabulary grid, integer
+    argmax with strict-> tie break, per-type + ALL confusion. Corpora
+    with a single class are outside the operator's domain (the real
+    corpus always has both)."""
+    import datetime
+    import math
+
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.advanced import (
+        _M23_SQL,
+        ORACLES,
+    )
+
+    ys = [1 if v > 100.0 else 0 for _h, _u, _et, v in rows]
+    assume(len(set(ys)) == 2)
+    assert ORACLES["m23_naive_bayes"] is _M23_SQL
+    base = datetime.datetime(2024, 1, 1)
+    con = _duck()
+    con.register(
+        "events",
+        pd.DataFrame(
+            [
+                (i, base + datetime.timedelta(hours=h), 100 + u, et, v, "{}")
+                for i, (h, u, et, v) in enumerate(rows)
+            ],
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        ),
+    )
+    got = sorted(tuple(r) for r in con.execute(_M23_SQL).fetchall())
+
+    def micro(x):
+        return int(math.floor(x * 1000000.0 + 0.5))
+
+    feats = [
+        ("hr", lambda r: r[0]),
+        ("um", lambda r: (100 + r[1]) % 10),
+        ("vkb", lambda r: int(r[3] // 50)),
+    ]
+    n = len(rows)
+    ny = {y: ys.count(y) for y in (0, 1)}
+    cnt: dict = {}
+    vocab: dict = {}
+    for r, y in zip(rows, ys):
+        for f, fn_ in feats:
+            v = fn_(r)
+            cnt[(f, v, y)] = cnt.get((f, v, y), 0) + 1
+            vocab.setdefault(f, set()).add(v)
+    m = {}
+    for f, vs in vocab.items():
+        for v in vs:
+            for y in (0, 1):
+                c = cnt.get((f, v, y), 0)
+                m[(f, v, y)] = micro(math.log((c + 1.0) / (ny[y] + len(vs))))
+    p = {y: micro(math.log(ny[y] * 1.0 / n)) for y in (0, 1)}
+    conf: dict = {}
+    for r, y in zip(rows, ys):
+        s = {
+            cy: p[cy] + sum(m[(f, fn_(r), cy)] for f, fn_ in feats)
+            for cy in (0, 1)
+        }
+        pred = 1 if s[1] > s[0] else 0
+        for seg in (r[2], "ALL"):
+            c = conf.setdefault(seg, [0, 0, 0, 0, 0])
+            c[0] += 1
+            c[1] += 1 if (y, pred) == (1, 1) else 0
+            c[2] += 1 if (y, pred) == (0, 1) else 0
+            c[3] += 1 if (y, pred) == (1, 0) else 0
+            c[4] += 1 if (y, pred) == (0, 0) else 0
+    want = sorted(
+        (seg, c[0], c[1], c[2], c[3], c[4],
+         (1000000 * (c[1] + c[4])) // c[0])
+        for seg, c in conf.items()
+    )
+    assert got == want

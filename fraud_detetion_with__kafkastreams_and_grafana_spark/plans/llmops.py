@@ -4946,3 +4946,69 @@ def l82_contamination_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select(
         F.col("node").alias("doc_id"), F.col("dist").cast("long").alias("hop_dist")
     )
+
+
+def _l83_sql() -> str:
+    r = _L58_ROUNDS
+    return _l58_sql_ctes() + f""",
+    c0 AS (SELECT doc_id, count(*) AS n_sym FROM t0 GROUP BY 1),
+    cf AS (SELECT doc_id, count(*) AS n_bpe FROM t{r} GROUP BY 1)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_sym) AS BIGINT) AS n_sym,
+           CAST(sum(n_bpe) AS BIGINT) AS n_bpe,
+           CAST((1000000 * sum(n_sym)) // sum(n_bpe) AS BIGINT)
+             AS chars_per_tok_ppm,
+           CAST((1000000 * (sum(n_sym) - sum(n_bpe))) // sum(n_sym)
+                AS BIGINT) AS savings_ppm
+    FROM c0 JOIN cf USING (doc_id) JOIN documents USING (doc_id)
+    GROUP BY lang
+    """
+
+
+@_register("l83_tokenizer_fertility", _l83_sql())
+def l83_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility evaluation per language — the measurement
+    that closes the tokenizer family exactly as l75 closed the ANN
+    ladder: train (l58) and encode (l60) say WHAT the tokenizer does;
+    fertility says whether it serves every language fairly. For each
+    lang: document count, total symbols before merging (one per char,
+    the l58 t0 table), total tokens after the learned merges, exact
+    chars-per-token (x1e6, floor-div) and compression savings ppm. A
+    merge table trained on a mixed corpus compresses under-represented
+    languages worse — THE standard fairness audit (fertility skew)
+    before freezing a production vocabulary, since fertility is
+    inference cost per character.
+
+    Scale: reuses the session-cached training artifacts (the
+    build/query split — in production the encoded corpus is a table the
+    trainer wrote); the eval itself is two per-doc count aggregates
+    over (doc_id, pos, tok) frames and an 8-byte equi-join with the
+    documents table, map-side combined to |langs| rows. Nothing beyond
+    the already-materialized token tables is scanned.
+
+    Reference parity: no reference equivalent (the reference has no
+    text pipeline); public methodology (SentencePiece/tokenizer
+    fairness literature)."""
+    t0, rounds = _l58_trained_rounds(spark, sf_dir)
+    t_final = rounds[-1][0]
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    c0 = t0.groupBy("doc_id").agg(F.count("*").alias("n_sym"))
+    cf = t_final.groupBy("doc_id").agg(F.count("*").alias("n_bpe"))
+    return (
+        c0.join(cf, "doc_id")
+        .join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_sym").cast("long").alias("n_sym"),
+            F.sum("n_bpe").cast("long").alias("n_bpe"),
+            F.expr(
+                "CAST((1000000 * sum(n_sym)) div sum(n_bpe) AS BIGINT)"
+            ).alias("chars_per_tok_ppm"),
+            F.expr(
+                "CAST((1000000 * (sum(n_sym) - sum(n_bpe)))"
+                " div sum(n_sym) AS BIGINT)"
+            ).alias("savings_ppm"),
+        )
+    )

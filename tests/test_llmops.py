@@ -1026,3 +1026,22 @@ def test_l75_recall_eval_invariants(spark, sf_dir):
     for r in rows:
         assert 1 <= r.n_ann <= 10
         assert 1 <= r.n_overlap <= r.n_ann
+
+
+def test_l83_fertility_invariants(spark, sf_dir):
+    """Merging can only shrink the corpus: per-lang BPE token totals
+    are bounded by the symbol totals, the ratio columns replay their
+    integer formulas, and every lang with an eligible (>= 2 printable
+    chars) document appears."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import llmops as L
+
+    rows = L.QUERIES["l83_tokenizer_fertility"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["n_bpe"] <= r["n_sym"]
+        assert r["chars_per_tok_ppm"] == (1000000 * r["n_sym"]) // r["n_bpe"]
+        assert (
+            r["savings_ppm"]
+            == (1000000 * (r["n_sym"] - r["n_bpe"])) // r["n_sym"]
+        )
+        assert r["chars_per_tok_ppm"] >= 1000000

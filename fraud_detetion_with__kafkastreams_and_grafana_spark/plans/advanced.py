@@ -3379,3 +3379,140 @@ def m23_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000000 * count_if(y = pred)) div count(*) AS BIGINT)"
         ).alias("acc_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m24: cost-sensitive alert-threshold tuning — the decision-theoretic
+# step between a trained scorer (m04) and a deployed alert rule (q8):
+# pick the score cutoff maximizing expected utility B*TP - C*FP. m10
+# sweeps a fixed 0.1 grid; m18 integrates over all thresholds (AUC);
+# m24 OPTIMIZES over all observed thresholds with integer utilities.
+# ---------------------------------------------------------------------------
+
+_M24_BENEFIT = 5  # caught fraud is worth 5x a false alarm's cost
+_M24_COST = 1
+
+_M24_SQL = f"""
+    WITH sc AS ({_M18_SC_SQL}),
+    seg AS (
+      SELECT event_type AS segment, s,
+             CAST(sum(y) AS BIGINT) AS n_pos_s,
+             CAST(sum(1 - y) AS BIGINT) AS n_neg_s
+      FROM sc GROUP BY 1, 2
+      UNION ALL
+      SELECT 'ALL', s, CAST(sum(y) AS BIGINT), CAST(sum(1 - y) AS BIGINT)
+      FROM sc GROUP BY 2
+    ),
+    cum AS (
+      SELECT segment, s,
+             sum(n_pos_s) OVER (PARTITION BY segment ORDER BY s DESC)
+               AS tp,
+             sum(n_neg_s) OVER (PARTITION BY segment ORDER BY s DESC)
+               AS fp,
+             sum(n_pos_s) OVER (PARTITION BY segment) AS n_pos,
+             sum(n_neg_s) OVER (PARTITION BY segment) AS n_neg
+      FROM seg
+    ),
+    u AS (
+      SELECT segment, s, tp, fp, n_pos, n_neg,
+             {_M24_BENEFIT} * tp - {_M24_COST} * fp AS utility,
+             max({_M24_BENEFIT} * tp - {_M24_COST} * fp)
+               OVER (PARTITION BY segment) AS mx
+      FROM cum
+    )
+    SELECT segment,
+           CAST(max(n_pos) AS BIGINT) AS n_pos,
+           CAST(max(n_neg) AS BIGINT) AS n_neg,
+           max(s) AS thr,
+           CAST(max(mx) AS BIGINT) AS utility,
+           CAST(max(tp) FILTER (WHERE s = smax) AS BIGINT) AS tp,
+           CAST(max(fp) FILTER (WHERE s = smax) AS BIGINT) AS fp,
+           CASE WHEN max(n_pos) > 0 THEN
+             CAST((1000000 * max(tp) FILTER (WHERE s = smax))
+                  // max(n_pos) AS BIGINT) END AS tpr_ppm,
+           CASE WHEN max(n_neg) > 0 THEN
+             CAST((1000000 * max(fp) FILTER (WHERE s = smax))
+                  // max(n_neg) AS BIGINT) END AS fpr_ppm
+    FROM (
+      SELECT u.*, max(s) FILTER (WHERE utility = mx)
+               OVER (PARTITION BY segment) AS smax
+      FROM u
+    )
+    WHERE s = smax
+    GROUP BY segment
+"""
+
+
+@_register("m24_threshold_tuning", _M24_SQL)
+def m24_threshold_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-sensitive alert-threshold optimization for the m04 scorer:
+    per event_type segment (plus 'ALL'), sweep EVERY observed score
+    cutoff and report the one maximizing integer utility 5*TP - 1*FP
+    (the _M24_BENEFIT/_M24_COST model; pred = 1 iff score >= cutoff),
+    with ties broken toward the HIGHER threshold (fewest alarms for the
+    same utility — the operationally safer rule). Utilities, TP/FP and
+    the rate ppms are exact int64; the threshold itself is the
+    round(p, 6) score double both engines agree on bit-for-bit (the
+    m10/m18 contract). This is the decision step the reference
+    hard-codes as `amount > 10000` (TransactionProcessor.java:43-51)
+    and q8's Grafana rule inherits — here it is LEARNED from the
+    score distribution and the cost model.
+
+    Scale: one corpus scan into the bounded (segment, rounded-score)
+    histogram (m18_score_counts, map-side combined, codomain <= 1e6+1
+    values regardless of corpus size); the descending cumulative sweep
+    and the argmax both run per-segment windows over that bounded
+    frame. No corpus-sized sort — the classic sort-all-scores sweep is
+    exactly what this histogram formulation replaces."""
+    ev = load_table(spark, sf_dir, "events")
+    per = m18_score_counts(ev).localCheckpoint()
+    from pyspark.sql.window import Window
+
+    seg = per.select(
+        F.col("event_type").alias("segment"), "s", "n_pos_s", "n_neg_s"
+    ).unionAll(
+        per.groupBy("s")
+        .agg(
+            F.sum("n_pos_s").alias("n_pos_s"),
+            F.sum("n_neg_s").alias("n_neg_s"),
+        )
+        .select(F.lit("ALL").alias("segment"), "s", "n_pos_s", "n_neg_s")
+    )
+    wd = (
+        Window.partitionBy("segment")
+        .orderBy(F.desc("s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wa = Window.partitionBy("segment")
+    cum = seg.select(
+        "segment",
+        "s",
+        F.sum("n_pos_s").over(wd).alias("tp"),
+        F.sum("n_neg_s").over(wd).alias("fp"),
+        F.sum("n_pos_s").over(wa).alias("n_pos"),
+        F.sum("n_neg_s").over(wa).alias("n_neg"),
+    )
+    u = cum.withColumn(
+        "utility",
+        F.lit(_M24_BENEFIT) * F.col("tp") - F.lit(_M24_COST) * F.col("fp"),
+    ).withColumn("mx", F.max("utility").over(wa))
+    best = u.withColumn(
+        "smax",
+        F.max(F.when(F.col("utility") == F.col("mx"), F.col("s"))).over(wa),
+    ).where(F.col("s") == F.col("smax"))
+    return best.groupBy("segment").agg(
+        F.max("n_pos").cast("long").alias("n_pos"),
+        F.max("n_neg").cast("long").alias("n_neg"),
+        F.max("s").alias("thr"),
+        F.max("mx").cast("long").alias("utility"),
+        F.max("tp").cast("long").alias("tp"),
+        F.max("fp").cast("long").alias("fp"),
+        F.when(
+            F.max("n_pos") > 0,
+            F.expr("CAST((1000000 * max(tp)) div max(n_pos) AS BIGINT)"),
+        ).alias("tpr_ppm"),
+        F.when(
+            F.max("n_neg") > 0,
+            F.expr("CAST((1000000 * max(fp)) div max(n_neg) AS BIGINT)"),
+        ).alias("fpr_ppm"),
+    )

@@ -2860,3 +2860,72 @@ def test_m23_oracle_equals_bruteforce_nb(rows):
         for seg, c in conf.items()
     )
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["view", "click", "purchase", "error"]),
+            st.floats(min_value=0.0, max_value=20000.0,
+                      allow_nan=False, allow_infinity=False),
+            st.integers(min_value=0, max_value=23),  # hour
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_m24_oracle_equals_bruteforce_threshold(rows):
+    """The threshold-tuning SQL must equal a brute-force utility sweep
+    over every observed cutoff on arbitrary score/label mixtures —
+    including all-one-class segments (NULL rate ppm), tie groups, and
+    the higher-threshold tie break."""
+    import datetime
+
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.advanced import (
+        _M18_SC_SQL,
+        _M24_BENEFIT,
+        _M24_COST,
+        _M24_SQL,
+        ORACLES,
+    )
+
+    assert ORACLES["m24_threshold_tuning"] is _M24_SQL
+    base = datetime.datetime(2024, 3, 1)
+    con = _duck()
+    con.register(
+        "events",
+        pd.DataFrame(
+            [
+                (i, base + datetime.timedelta(hours=h), i % 7, et, v, "{}")
+                for i, (et, v, h) in enumerate(rows)
+            ],
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        ),
+    )
+    got = sorted(tuple(r) for r in con.execute(_M24_SQL).fetchall())
+
+    sc = con.execute(_M18_SC_SQL).fetchall()
+    pairs = list(sc) + [("ALL", s, y) for _t, s, y in sc]
+    want = []
+    for seg in sorted({t for t, _s, _y in pairs}):
+        ps = [(s, y) for t, s, y in pairs if t == seg]
+        n_pos = sum(y for _s, y in ps)
+        n_neg = len(ps) - n_pos
+        best = None
+        for thr in sorted({s for s, _y in ps}):
+            tp = sum(1 for s, y in ps if y == 1 and s >= thr)
+            fp = sum(1 for s, y in ps if y == 0 and s >= thr)
+            u = _M24_BENEFIT * tp - _M24_COST * fp
+            if best is None or (u, thr) > (best[0], best[1]):
+                best = (u, thr, tp, fp)
+        u, thr, tp, fp = best
+        want.append(
+            (seg, n_pos, n_neg, thr, u, tp, fp,
+             (1000000 * tp) // n_pos if n_pos else None,
+             (1000000 * fp) // n_neg if n_neg else None)
+        )
+    assert got == sorted(want)

@@ -2999,3 +2999,130 @@ def r90_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     ords = load_table(spark, sf_dir, "orders")
     return r90_report_from_partials(r90_keyed_partials(li), ords)
+
+
+# ---------------------------------------------------------------------------
+# r91: ANALYZE TABLE-class statistics collection — exact per-column
+# row/null/NDV counts and numeric min/max over lineitem, the stats a
+# cost-based optimizer (and r90's audit thresholds) feed on. The lake
+# primitive every warehouse exposes as ANALYZE .. COMPUTE STATISTICS.
+# ---------------------------------------------------------------------------
+
+_R91_NUM_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+]
+_R91_STR_COLS = ["l_returnflag", "l_linestatus"]
+_R91_TS_COLS = ["l_shipdate"]
+
+
+def _r91_sql() -> str:
+    parts = []
+    for c in _R91_NUM_COLS:
+        parts.append(f"""
+      SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+             CAST(count(DISTINCT {c}) AS BIGINT) AS ndv,
+             CAST(min({c}) AS DOUBLE) AS min_val,
+             CAST(max({c}) AS DOUBLE) AS max_val
+      FROM lineitem""")
+    for c in _R91_STR_COLS:
+        parts.append(f"""
+      SELECT '{c}', CAST(count(*) AS BIGINT),
+             CAST(count(*) - count({c}) AS BIGINT),
+             CAST(count(DISTINCT {c}) AS BIGINT),
+             NULL, NULL
+      FROM lineitem""")
+    for c in _R91_TS_COLS:
+        parts.append(f"""
+      SELECT '{c}', CAST(count(*) AS BIGINT),
+             CAST(count(*) - count({c}) AS BIGINT),
+             CAST(count(DISTINCT {c}) AS BIGINT),
+             CAST(epoch(date_trunc('second', min({c}))) AS DOUBLE),
+             CAST(epoch(date_trunc('second', max({c}))) AS DOUBLE)
+      FROM lineitem""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@_register("r91_table_stats", _r91_sql())
+def r91_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-class exact column statistics for lineitem: per column,
+    row count, null count, exact NDV, and numeric min/max (epoch
+    seconds for the timestamp; NULL for varchar columns, whose
+    engine-dependent collation order has no cross-engine meaning).
+    These are the inputs to cost-based planning (join ordering,
+    broadcast decisions) and to r90-style audit thresholds; Spark's own
+    ANALYZE TABLE computes approximate NDV — this is the exact form.
+
+    Scale: ONE corpus scan explodes each row to (col, value-key) pairs
+    and collapses to per-(col, value) partial counts map-side — the
+    shuffle carries DISTINCT (col, value) partials, bounded by the sum
+    of column NDVs, not rows x columns. The second-level aggregate
+    reduces that bounded frame to 11 stat rows; min/max ride the same
+    pass as plain aggregates (no accumulation-order float hazard: min
+    and max are order-free). The oracle re-states each column as its
+    own scan-aggregate — the relational definition, quadratic in
+    scans, which is exactly what the exploded single-pass replaces.
+
+    Reference parity: no reference equivalent (the reference holds no
+    table state at all); public ANALYZE semantics."""
+    li = load_table(spark, sf_dir, "lineitem")
+    structs = []
+    for c in _R91_NUM_COLS:
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(c).cast("string").alias("vk"),
+                F.col(c).cast("double").alias("vn"),
+            )
+        )
+    for c in _R91_STR_COLS:
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(c).cast("string").alias("vk"),
+                F.lit(None).cast("double").alias("vn"),
+            )
+        )
+    for c in _R91_TS_COLS:
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(c).cast("string").alias("vk"),
+                F.unix_timestamp(F.date_trunc("second", F.col(c)))
+                .cast("double")
+                .alias("vn"),
+            )
+        )
+    long = li.select(F.explode(F.array(*structs)).alias("s")).select(
+        "s.col_name", "s.vk", "s.vn"
+    )
+    per_val = long.groupBy("col_name", "vk").agg(
+        F.count("*").alias("c"),
+        F.min("vn").alias("mn"),
+        F.max("vn").alias("mx"),
+    )
+    stats = per_val.groupBy("col_name").agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("vk").isNull(), F.col("c"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_nulls"),
+        F.count(F.when(F.col("vk").isNotNull(), F.lit(1)))
+        .cast("long")
+        .alias("ndv"),
+        F.min("mn").alias("min_val"),
+        F.max("mx").alias("max_val"),
+    )
+    # varchar columns report NULL min/max (collation order is not
+    # cross-engine comparable); numerics pass through.
+    is_str = F.col("col_name").isin(_R91_STR_COLS)
+    return stats.select(
+        "col_name",
+        "n_rows",
+        "n_nulls",
+        "ndv",
+        F.when(~is_str, F.col("min_val")).alias("min_val"),
+        F.when(~is_str, F.col("max_val")).alias("max_val"),
+    )

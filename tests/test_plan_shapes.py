@@ -564,3 +564,16 @@ def test_l78_hard_negatives_broadcast_anchors_salted_topk(spark, sf_dir):
     # qid x salts x k survivors (WindowGroupLimit prunes below it)
     assert re.search(r"hashpartitioning\(qid#\d+L, salt#", p), p
     assert "WindowGroupLimit" in p, p
+
+
+def test_r91_stats_is_one_exploded_scan(spark, sf_dir):
+    """ANALYZE must read the table ONCE: all 11 columns' stats ride a
+    single exploded scan with two hash aggregates (per-(col, value)
+    partials map-side, then the 11-row reduce) — never one scan per
+    column (the oracle's definitional form) and no join or window
+    anywhere."""
+    p = _plan(relational3.QUERIES["r91_table_stats"](spark, sf_dir))
+    assert p.count("Scan parquet") == 1, p
+    assert "Join" not in p, p
+    assert "Window" not in p, p
+    assert "Generate" in p, p  # the explode

@@ -5012,3 +5012,193 @@ def l83_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("savings_ppm"),
         )
     )
+
+
+_L84_TOPK = 10
+_L84_BUCKET = "(doc_id * 2654435761) % 100"
+
+_L84_SQL = f"""
+    WITH pairs AS ({_JACCARD_PAIRS_SQL}),
+    tr AS (
+      SELECT doc_id, text FROM documents
+      WHERE {_L84_BUCKET} < 90 AND trim(text) <> ''
+    ),
+    te AS (
+      SELECT doc_id, text FROM documents
+      WHERE {_L84_BUCKET} >= 90 AND trim(text) <> ''
+    ),
+    tok AS (
+      SELECT doc_id, t FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '[^a-z0-9]+')) AS t
+        FROM tr
+      ) WHERE t <> ''
+    ),
+    tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+    qtok AS (
+      SELECT DISTINCT doc_id AS query_id, t FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '[^a-z0-9]+')) AS t
+        FROM te
+      ) WHERE t <> ''
+    ),
+    dfq AS (
+      SELECT t, count(*) AS df FROM tf
+      WHERE t IN (SELECT DISTINCT t FROM qtok) GROUP BY 1
+    ),
+    contrib AS (
+      SELECT qtok.query_id, tf.doc_id, {_L77_CONTRIB} AS c
+      FROM tf
+      JOIN qtok USING (t) JOIN dfq USING (t) JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, rnk FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sum(c) DESC, doc_id) AS rnk
+        FROM contrib GROUP BY query_id, doc_id
+      ) WHERE rnk <= {_L84_TOPK}
+    ),
+    rel AS (
+      SELECT id_a AS query_id, id_b AS rel_id FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    relq AS (
+      SELECT r.query_id, r.rel_id
+      FROM rel r
+      JOIN te ON te.doc_id = r.query_id
+      JOIN tr ON tr.doc_id = r.rel_id
+    ),
+    nrel AS (SELECT query_id, count(*) AS n_rel FROM relq GROUP BY 1),
+    hits AS (
+      SELECT ranked.query_id, min(rnk) AS first_rank,
+             count(*) AS hits_at_k
+      FROM ranked JOIN relq
+        ON ranked.query_id = relq.query_id AND ranked.doc_id = relq.rel_id
+      GROUP BY 1
+    )
+    SELECT nrel.query_id,
+           CAST(n_rel AS BIGINT) AS n_rel,
+           CAST(coalesce(first_rank, 0) AS BIGINT) AS first_rank,
+           CAST(CASE WHEN first_rank IS NULL THEN 0
+                     ELSE 1000000 // first_rank END AS BIGINT) AS rr_ppm,
+           CAST(coalesce(hits_at_k, 0) AS BIGINT) AS hits_at_k
+    FROM nrel LEFT JOIN hits USING (query_id)
+"""
+
+
+@_register("l84_retrieval_eval", _L84_SQL)
+def l84_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation for the sparse path — the l75
+    measurement story applied to BM25 (l77): every held-out test
+    document (the l17/l26/l82 hash split) queries the train-split
+    corpus with its own distinct tokens, and the exact blocked-Jaccard
+    near-dup pairs (l02) serve as relevance ground truth. Per query doc
+    with at least one train-side near-dup partner: the partner count,
+    the rank of the first partner inside the BM25 top-10 (0 = missed),
+    reciprocal rank in exact ppm (1e6 // rank — integer by definition),
+    and hits@10. Sparse retrieval SHOULD reconstruct the near-dup
+    structure (shared tokens drive both signals); a query row with
+    first_rank = 0 is exactly the recall gap LSH-style dedup (l03)
+    exists to close.
+
+    Scale: the inverted index (tf) and doc-length table (dl) are the
+    l77 probe-path artifacts built over the train split only; query
+    tokens broadcast into the postings, so only query-term postings
+    survive the first join; per-query ranking partitions by query_id
+    (bounded by the 10% test split); the relevance join is an 8-byte
+    equi-join against the session-materialized pair table. Identical
+    posture to l77 + l82's consumers — nothing corpus-sized moves that
+    the index build didn't already move.
+
+    Reference parity: no reference equivalent; public IR evaluation
+    methodology (MRR / hits@k)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim("text") != ""
+    )
+    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(100))
+    tr = docs.where(bucket < 90)
+    te = docs.where(bucket >= 90)
+
+    def toks(d: DataFrame) -> DataFrame:
+        return d.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim("text")), "[^a-z0-9]+")
+            ).alias("t"),
+        ).filter(F.col("t") != "")
+
+    tf = toks(tr).groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    tf = tf.localCheckpoint()  # feeds dl, dfq, contrib
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    qtok = (
+        toks(te)
+        .select(F.col("doc_id").alias("query_id"), "t")
+        .distinct()
+        .localCheckpoint()
+    )
+    dfq = (
+        tf.join(F.broadcast(qtok.select("t").distinct()), "t")
+        .groupBy("t")
+        .agg(F.count("*").alias("df"))
+    )
+    contrib = (
+        tf.join(F.broadcast(qtok), "t")
+        .join(F.broadcast(dfq), "t")
+        .join(dl.hint("merge"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .selectExpr("query_id", "doc_id", f"{_L77_CONTRIB} AS c")
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    ranked = (
+        contrib.groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("score_micro"))
+        .withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= _L84_TOPK)
+        .select("query_id", "doc_id", "rnk")
+    )
+    pairs = _dup_pairs(spark, sf_dir)
+    rel = pairs.select(
+        F.col("id_a").alias("query_id"), F.col("id_b").alias("rel_id")
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("query_id"), F.col("id_a").alias("rel_id")
+        )
+    )
+    relq = (
+        rel.join(
+            te.select(F.col("doc_id").alias("query_id")), "query_id"
+        ).join(tr.select(F.col("doc_id").alias("rel_id")), "rel_id")
+    ).localCheckpoint()
+    nrel = relq.groupBy("query_id").agg(F.count("*").alias("n_rel"))
+    hits = (
+        ranked.join(
+            relq,
+            ["query_id"],
+        )
+        .where(F.col("doc_id") == F.col("rel_id"))
+        .groupBy("query_id")
+        .agg(
+            F.min("rnk").alias("first_rank"),
+            F.count("*").alias("hits_at_k"),
+        )
+    )
+    return nrel.join(hits, "query_id", "left").select(
+        "query_id",
+        F.col("n_rel").cast("long").alias("n_rel"),
+        F.coalesce("first_rank", F.lit(0)).cast("long").alias("first_rank"),
+        F.when(F.col("first_rank").isNull(), F.lit(0))
+        .otherwise(F.expr("CAST(1000000 div first_rank AS BIGINT)"))
+        .cast("long")
+        .alias("rr_ppm"),
+        F.coalesce("hits_at_k", F.lit(0)).cast("long").alias("hits_at_k"),
+    )

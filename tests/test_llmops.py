@@ -1045,3 +1045,25 @@ def test_l83_fertility_invariants(spark, sf_dir):
             == (1000000 * (r["n_sym"] - r["n_bpe"])) // r["n_sym"]
         )
         assert r["chars_per_tok_ppm"] >= 1000000
+
+
+def test_l84_retrieval_eval_invariants(spark, sf_dir):
+    """IR-metric sanity on the BM25 near-dup evaluation: ranks stay in
+    [0, 10], hits are bounded by both the partner count and the cutoff,
+    reciprocal rank replays its integer formula, and the retriever
+    genuinely finds SOME near-dup at rank 1 (shared tokens drive both
+    BM25 and Jaccard, so a zero-hit report would mean a broken join)."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import llmops as L
+
+    rows = L.QUERIES["l84_retrieval_eval"](spark, sf_dir).collect()
+    assert rows
+    assert any(r["first_rank"] == 1 for r in rows)
+    for r in rows:
+        assert r["n_rel"] >= 1
+        assert 0 <= r["first_rank"] <= 10
+        assert 0 <= r["hits_at_k"] <= min(r["n_rel"], 10)
+        if r["first_rank"] == 0:
+            assert r["rr_ppm"] == 0 and r["hits_at_k"] == 0
+        else:
+            assert r["rr_ppm"] == 1000000 // r["first_rank"]
+            assert r["hits_at_k"] >= 1

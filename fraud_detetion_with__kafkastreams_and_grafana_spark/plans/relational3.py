@@ -3067,6 +3067,19 @@ def r91_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: no reference equivalent (the reference holds no
     table state at all); public ANALYZE semantics."""
     li = load_table(spark, sf_dir, "lineitem")
+    per_val = r91_long_form(li).groupBy("col_name", "vk").agg(
+        F.count("*").alias("c"),
+        F.min("vn").alias("mn"),
+        F.max("vn").alias("mx"),
+    )
+    return r91_stats_from_long(per_val)
+
+
+def r91_long_form(li: DataFrame) -> DataFrame:
+    """(col_name, vk string-key, vn numeric-view) exploded long form of
+    the stats input — the shape whose per-(col, vk) count/min/max
+    partials merge associatively, shared by the batch ANALYZE (r91) and
+    its on-ingest maintenance (s35)."""
     structs = []
     for c in _R91_NUM_COLS:
         structs.append(
@@ -3094,14 +3107,15 @@ def r91_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("vn"),
             )
         )
-    long = li.select(F.explode(F.array(*structs)).alias("s")).select(
+    return li.select(F.explode(F.array(*structs)).alias("s")).select(
         "s.col_name", "s.vk", "s.vn"
     )
-    per_val = long.groupBy("col_name", "vk").agg(
-        F.count("*").alias("c"),
-        F.min("vn").alias("mn"),
-        F.max("vn").alias("mx"),
-    )
+
+
+def r91_stats_from_long(per_val: DataFrame) -> DataFrame:
+    """(col_name, vk, c, mn, mx) merged partials -> the 11-row stats
+    report. Shared by r91 and s35; exact NDV falls out of the distinct
+    vk key set the partials preserve."""
     stats = per_val.groupBy("col_name").agg(
         F.sum("c").cast("long").alias("n_rows"),
         F.coalesce(

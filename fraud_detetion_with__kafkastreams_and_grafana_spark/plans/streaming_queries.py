@@ -2525,3 +2525,106 @@ def s34_stream_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return r90_report_from_partials(merged, ords)
+
+
+def _r91_oracle_sql() -> str:
+    from .relational3 import ORACLES as _R3
+
+    return _R3["r91_table_stats"]
+
+
+@_register("s35_stream_table_stats", _r91_oracle_sql())
+def s35_stream_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r91's ANALYZE statistics maintained ON INGEST — the production
+    cadence for optimizer stats (auto-refresh as data lands, never a
+    full rescan): lineitem rows arrive as JSON micro-batches; each
+    reduces inside foreachBatch to its per-(column, value-key) partial
+    frame (count + numeric min/max — every column of which merges
+    associatively) and lands idempotently in a _batch_id-partitioned
+    sink (the s09 recipe). The report re-merges partials by (col, vk)
+    — exact NDV needs the distinct VALUE SET, which is precisely what
+    the keyed partials preserve and a plain per-batch counter cannot —
+    then runs the identical second-level reduce, so the streamed stats
+    equal the batch ANALYZE bit-for-bit and s35 shares r91's oracle.
+
+    Scale: zero streaming state; the sink grows by |batch distinct
+    (col, value)| per batch — the same bound as r91's shuffle — and
+    the verdict recomputation costs the bounded value-key frame."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .relational3 import (
+        _R91_NUM_COLS,
+        _R91_STR_COLS,
+        _R91_TS_COLS,
+        r91_long_form,
+        r91_stats_from_long,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    wire = li.select(
+        F.to_json(
+            F.struct(*[F.col(c) for c in
+                       _R91_NUM_COLS + _R91_STR_COLS + _R91_TS_COLS])
+        ).alias("value")
+    )
+    from ..streaming.replay import materialize_wire_dir
+
+    d = materialize_wire_dir(wire, n_files=4)
+    out = tempfile.mkdtemp(prefix="spark_graft_s35_sink_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_s35_ckpt_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+
+    schema = ", ".join(
+        [f"{c} DOUBLE" for c in _R91_NUM_COLS[4:]]
+        + [f"{c} BIGINT" for c in _R91_NUM_COLS[:4]]
+        + [f"{c} STRING" for c in _R91_STR_COLS]
+        + [f"{c} TIMESTAMP" for c in _R91_TS_COLS]
+    )
+
+    def stats_partials(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.select(F.from_json("value", schema).alias("r")).select(
+            "r.*"
+        )
+        (
+            r91_long_form(b)
+            .groupBy("col_name", "vk")
+            .agg(
+                F.count("*").alias("c"),
+                F.min("vn").alias("mn"),
+                F.max("vn").alias("mx"),
+            )
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
+
+    stream = (
+        spark.readStream.schema("value STRING")
+        .option("maxFilesPerTrigger", 2)
+        .text(d)
+    )
+    q = (
+        stream.writeStream.foreachBatch(stats_partials)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    merged = (
+        spark.read.parquet(out)
+        .groupBy("col_name", "vk")
+        .agg(
+            F.sum("c").alias("c"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    return r91_stats_from_long(merged)

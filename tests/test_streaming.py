@@ -984,3 +984,24 @@ def test_s34_stream_audit_equals_batch_r90(spark, sf_dir):
         for r in R3.QUERIES["r90_quality_audit"](spark, sf_dir).collect()
     )
     assert got == want
+
+
+def test_s35_stream_stats_equals_batch_r91(spark, sf_dir):
+    """The on-ingest stats maintenance must equal the batch ANALYZE
+    row-for-row — per-(col, value) partials preserve the distinct value
+    set, so exact NDV (the stat a per-batch counter cannot maintain)
+    merges losslessly."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import (
+        relational3 as R3,
+        streaming_queries as SQ,
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in SQ.QUERIES["s35_stream_table_stats"](spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in R3.QUERIES["r91_table_stats"](spark, sf_dir).collect()
+    )
+    assert got == want

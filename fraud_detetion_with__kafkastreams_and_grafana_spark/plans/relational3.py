@@ -3140,3 +3140,176 @@ def r91_stats_from_long(per_val: DataFrame) -> DataFrame:
         F.when(~is_str, F.col("min_val")).alias("min_val"),
         F.when(~is_str, F.col("max_val")).alias("max_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r92: bitemporal time travel — the two-axis generalization of SCD2
+# (r71, valid time only) and point-in-time joins (r77): every version
+# row carries BOTH when the state became true (valid_from) and when the
+# warehouse learned it (tx_from; here a deterministic per-event ingest
+# delay models late-arriving records). The query audits belief drift:
+# for a grid of (as-of-valid, as-of-transaction) probes, how many user
+# states were UNKNOWN or WRONG at query time relative to the final
+# record — the question behind every "numbers changed after the
+# close-of-books" incident.
+# ---------------------------------------------------------------------------
+
+_R92_SQL = """
+    WITH base AS (
+      SELECT user_id, event_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+             event_type AS et
+      FROM events
+    ),
+    st AS (SELECT min(t) AS mn, max(t) AS mx FROM base),
+    chg AS (
+      SELECT user_id, event_id, t, et,
+             lag(et) OVER (PARTITION BY user_id
+                           ORDER BY t, event_id) AS prev_et
+      FROM base
+    ),
+    versions AS (
+      SELECT user_id, event_id, t AS vf,
+             t + (event_id % 7) * 3600 AS txf, et
+      FROM chg WHERE prev_et IS NULL OR et <> prev_et
+    ),
+    probes AS (
+      SELECT * FROM (
+        SELECT 1 AS probe_id, mn + (mx - mn) // 2 AS tv,
+               mn + (mx - mn) // 2 AS ttx FROM st
+        UNION ALL
+        SELECT 2, mn + (mx - mn) // 2, mn + (3 * (mx - mn)) // 4 FROM st
+        UNION ALL
+        SELECT 3, mn + (mx - mn) // 2, mx FROM st
+        UNION ALL
+        SELECT 4, mn + (mx - mn) // 4, mx FROM st
+      )
+    ),
+    joined AS (
+      SELECT p.probe_id, p.tv, p.ttx, v.user_id, v.et, v.txf,
+             (v.vf - st.mn) * 1048576 + v.event_id AS ord_key
+      FROM versions v CROSS JOIN st JOIN probes p ON v.vf <= p.tv
+    ),
+    truth AS (
+      SELECT probe_id, user_id, arg_max(et, ord_key) AS tru
+      FROM joined GROUP BY 1, 2
+    ),
+    belief AS (
+      SELECT probe_id, user_id, arg_max(et, ord_key) AS bel
+      FROM joined WHERE txf <= ttx GROUP BY 1, 2
+    )
+    SELECT p.probe_id,
+           CAST(max(p.tv) AS BIGINT) AS tv,
+           CAST(max(p.ttx) AS BIGINT) AS ttx,
+           CAST(count(t.tru) AS BIGINT) AS n_users,
+           CAST(count(b.bel) AS BIGINT) AS n_visible,
+           CAST(count(*) FILTER (WHERE b.bel IS NULL) AS BIGINT) AS n_blind,
+           CAST(count(*) FILTER (WHERE b.bel IS NOT NULL
+                                   AND b.bel <> t.tru) AS BIGINT)
+             AS n_revised
+    FROM truth t
+    LEFT JOIN belief b USING (probe_id, user_id)
+    JOIN probes p USING (probe_id)
+    GROUP BY p.probe_id
+"""
+
+
+@_register("r92_bitemporal_audit", _R92_SQL)
+def r92_bitemporal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal belief-drift audit: SCD2 versions (r71's change
+    detection) extended with a transaction-time axis — tx_from = valid
+    time + a deterministic per-event ingest delay of (event_id % 7)
+    hours, modeling late-arriving records — then probed on a grid of
+    (as-of-valid, as-of-transaction) pairs. Per probe: how many user
+    states existed in the final record (n_users), how many were visible
+    at that transaction time (n_visible), how many users the warehouse
+    was still blind to (n_blind), and how many visible beliefs later
+    got REVISED by a late record (n_revised). As ttx advances toward
+    'now', n_blind and n_revised must fall to 0 — probe 3 vs probe 1
+    quantifies exactly the close-of-books drift.
+
+    Scale: ONE user_id-partitioned window pass builds the version
+    table (r71's shuffle); probes are a 4-row broadcast; the truth and
+    belief argmaxes are map-side-combinable max_by aggregates keyed on
+    (probe, user) over the versions-x-probes frame (versions are the
+    CHANGE rows — orders of magnitude under the event log). The
+    argmax key packs (vf - mn) << 20 | event_id into one int64 (the
+    s24 composite-key recipe), so both engines break valid-time ties
+    identically with zero float or string comparison.
+
+    Reference parity: the reference's dashboards re-read live state and
+    silently forget what they displayed yesterday; this is the audited
+    form (no reference equivalent; public bitemporal-modeling
+    methodology)."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    base = ev.select(
+        "user_id", "event_id", t.alias("t"), F.col("event_type").alias("et")
+    )
+    st = base.agg(F.min("t").alias("mn"), F.max("t").alias("mx"))
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    chg = base.withColumn("prev_et", F.lag("et").over(w))
+    versions = chg.where(
+        F.col("prev_et").isNull() | (F.col("et") != F.col("prev_et"))
+    ).select(
+        "user_id",
+        "event_id",
+        F.col("t").alias("vf"),
+        (F.col("t") + (F.col("event_id") % 7) * 3600).alias("txf"),
+        "et",
+    )
+    span = F.col("mx") - F.col("mn")
+    probes = None
+    for pid, tv_e, ttx_e in (
+        (1, F.col("mn") + F.expr("(mx - mn) div 2"),
+         F.col("mn") + F.expr("(mx - mn) div 2")),
+        (2, F.col("mn") + F.expr("(mx - mn) div 2"),
+         F.col("mn") + F.expr("(3 * (mx - mn)) div 4")),
+        (3, F.col("mn") + F.expr("(mx - mn) div 2"), F.col("mx")),
+        (4, F.col("mn") + F.expr("(mx - mn) div 4"), F.col("mx")),
+    ):
+        row = st.select(
+            F.lit(pid).alias("probe_id"),
+            tv_e.alias("tv"),
+            ttx_e.alias("ttx"),
+        )
+        probes = row if probes is None else probes.unionByName(row)
+    joined = (
+        versions.crossJoin(F.broadcast(st))
+        .join(F.broadcast(probes), F.col("vf") <= F.col("tv"))
+        .select(
+            "probe_id",
+            "tv",
+            "ttx",
+            "user_id",
+            "et",
+            "txf",
+            ((F.col("vf") - F.col("mn")) * 1048576 + F.col("event_id")).alias(
+                "ord_key"
+            ),
+        )
+        .localCheckpoint()  # feeds truth AND belief
+    )
+    truth = joined.groupBy("probe_id", "user_id").agg(
+        F.expr("max_by(et, ord_key)").alias("tru")
+    )
+    belief = (
+        joined.where(F.col("txf") <= F.col("ttx"))
+        .groupBy("probe_id", "user_id")
+        .agg(F.expr("max_by(et, ord_key)").alias("bel"))
+    )
+    return (
+        truth.join(belief, ["probe_id", "user_id"], "left")
+        .join(F.broadcast(probes), "probe_id")
+        .groupBy("probe_id")
+        .agg(
+            F.max("tv").cast("long").alias("tv"),
+            F.max("ttx").cast("long").alias("ttx"),
+            F.count("tru").cast("long").alias("n_users"),
+            F.count("bel").cast("long").alias("n_visible"),
+            F.expr("count_if(bel IS NULL)").cast("long").alias("n_blind"),
+            F.expr("count_if(bel IS NOT NULL AND bel <> tru)")
+            .cast("long")
+            .alias("n_revised"),
+        )
+    )

@@ -2929,3 +2929,90 @@ def test_m24_oracle_equals_bruteforce_threshold(rows):
              (1000000 * fp) // n_neg if n_neg else None)
         )
     assert got == sorted(want)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),       # user
+            st.integers(min_value=0, max_value=100000),  # seconds offset
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_r92_oracle_equals_bruteforce_bitemporal(rows):
+    """The bitemporal SQL must equal a from-first-principles Python
+    walk: SCD2 change rows per user ordered by (t, event_id), ingest
+    delay (event_id % 7) hours, truth/belief argmax at each probe, and
+    the blind/revised classification — on arbitrary event interleavings
+    including same-second changes and users born after the probe."""
+    import datetime
+
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.relational3 import (
+        _R92_SQL,
+        ORACLES,
+    )
+
+    assert ORACLES["r92_bitemporal_audit"] is _R92_SQL
+    base = datetime.datetime(2024, 1, 1)
+    con = _duck()
+    con.register(
+        "events",
+        pd.DataFrame(
+            [
+                (i, base + datetime.timedelta(seconds=s), u, et, 1.0, "{}")
+                for i, (u, s, et) in enumerate(rows)
+            ],
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        ),
+    )
+    got = sorted(tuple(r) for r in con.execute(_R92_SQL).fetchall())
+
+    _E0 = 1704067200  # epoch of 2024-01-01 (the oracle sees absolutes)
+    evs = sorted(
+        (s + _E0, i, u, et) for i, (u, s, et) in enumerate(rows)
+    )
+    mn, mx = evs[0][0], evs[-1][0]
+    # SCD2 versions per user, ordered by (t, event_id)
+    versions = []  # (user, vf, txf, event_id, et)
+    last: dict = {}
+    for s, i, u, et in evs:
+        if u not in last or last[u] != et:
+            versions.append((u, s, s + (i % 7) * 3600, i, et))
+            last[u] = et
+    probes = [
+        (1, mn + (mx - mn) // 2, mn + (mx - mn) // 2),
+        (2, mn + (mx - mn) // 2, mn + (3 * (mx - mn)) // 4),
+        (3, mn + (mx - mn) // 2, mx),
+        (4, mn + (mx - mn) // 4, mx),
+    ]
+    want = []
+    for pid, tv, ttx in probes:
+        users = {u for u, vf, *_ in versions if vf <= tv}
+        n_users = n_visible = n_blind = n_revised = 0
+        for u in users:
+            vis = [
+                (vf, i, et)
+                for uu, vf, txf, i, et in versions
+                if uu == u and vf <= tv and txf <= ttx
+            ]
+            tru = max(
+                ((vf, i, et) for uu, vf, _txf, i, et in versions
+                 if uu == u and vf <= tv)
+            )[2]
+            n_users += 1
+            if not vis:
+                n_blind += 1
+            else:
+                n_visible += 1
+                if max(vis)[2] != tru:
+                    n_revised += 1
+        want.append((pid, tv, ttx, n_users, n_visible, n_blind, n_revised))
+    assert got == sorted(want)

@@ -3516,3 +3516,231 @@ def m24_threshold_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST((1000000 * max(fp)) div max(n_neg) AS BIGINT)"),
         ).alias("fpr_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m25: k-fold cross-validation of the stump trainer — the evaluation
+# PROTOCOL the m-family still lacked: m10 evaluates one model on one
+# split, m19 varies the training SIZE; CV varies the PARTITION, giving
+# k unbiased holdout estimates plus a model-stability signal (do the
+# fold winners agree?). Same one-scan bucketed-counts trick as m19: no
+# per-fold corpus rescan.
+# ---------------------------------------------------------------------------
+
+_M25_SQL = f"""
+    WITH base AS (
+      SELECT {_M19_BKT} AS bkt,
+             CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+             user_id % 10 AS um,
+             CAST(floor(value / 50.0) AS BIGINT) AS vkb,
+             {_M12_Y_SQL} AS y
+      FROM events
+    ),
+    f AS (
+      SELECT bkt, 'hr' AS feature, hr AS v, y FROM base
+      UNION ALL SELECT bkt, 'um', um, y FROM base
+      UNION ALL SELECT bkt, 'vkb', vkb, y FROM base
+    ),
+    cnt AS (
+      SELECT bkt, feature, v, count(*) AS tot, sum(y) AS pos
+      FROM f GROUP BY 1, 2, 3
+    ),
+    folds AS (SELECT unnest(range(0, 4)) AS k),
+    tcnt AS (
+      SELECT fo.k, c.feature, c.v, sum(c.tot) AS tot, sum(c.pos) AS pos
+      FROM folds fo JOIN cnt c ON c.bkt <> fo.k GROUP BY 1, 2, 3
+    ),
+    hof AS (
+      SELECT fo.k, c.feature, c.v, sum(c.tot) AS tot, sum(c.pos) AS pos
+      FROM folds fo JOIN cnt c ON c.bkt = fo.k GROUP BY 1, 2, 3
+    ),
+    cum AS (
+      SELECT k, feature,
+             lead(v) OVER (PARTITION BY k, feature ORDER BY v) AS thr,
+             sum(tot) OVER (PARTITION BY k, feature ORDER BY v) AS n_left,
+             sum(pos) OVER (PARTITION BY k, feature ORDER BY v) AS pos_left,
+             sum(tot) OVER (PARTITION BY k, feature) AS n_all,
+             sum(pos) OVER (PARTITION BY k, feature) AS pos_all
+      FROM tcnt
+    ),
+    cand AS (
+      SELECT k, feature, thr, n_left, pos_left, n_all,
+             n_all - n_left AS n_right,
+             pos_all - pos_left AS pos_right,
+             least(pos_left, n_left - pos_left)
+               + least(pos_all - pos_left,
+                       (n_all - n_left) - (pos_all - pos_left)) AS errors
+      FROM cum WHERE thr IS NOT NULL
+    ),
+    win AS (
+      SELECT * FROM (
+        SELECT cand.*, row_number() OVER (PARTITION BY k
+                 ORDER BY errors, feature, thr) AS rk
+        FROM cand
+      ) WHERE rk = 1
+    ),
+    evh AS (
+      SELECT w.k,
+             sum(CASE WHEN h.v < w.thr
+                  THEN CASE WHEN 2 * w.pos_left > w.n_left
+                       THEN h.tot - h.pos ELSE h.pos END
+                  ELSE CASE WHEN 2 * w.pos_right > w.n_right
+                       THEN h.tot - h.pos ELSE h.pos END END) AS fold_errors,
+             sum(h.tot) AS fold_n
+      FROM win w JOIN hof h ON h.k = w.k AND h.feature = w.feature
+      GROUP BY 1
+    )
+    SELECT CAST(w.k AS BIGINT) AS fold_id,
+           CAST(w.n_all AS BIGINT) AS n_train,
+           w.feature, CAST(w.thr AS BIGINT) AS thr,
+           CAST(w.errors AS BIGINT) AS train_errors,
+           CAST(e.fold_errors AS BIGINT) AS fold_errors,
+           CAST(e.fold_n AS BIGINT) AS fold_n,
+           CAST((1000000 * e.fold_errors) // e.fold_n AS BIGINT)
+             AS fold_err_ppm
+    FROM win w JOIN evh e ON e.k = w.k
+"""
+
+
+@_register("m25_kfold_cv", _M25_SQL)
+def m25_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-fold cross-validation of the m12 exhaustive-sweep stump: for
+    each hash-defined fold k, train on the other three folds' data and
+    evaluate the winning (feature, threshold) on fold k — four unbiased
+    holdout error estimates (exact integer counts + ppm) AND the
+    stability signal (whether the four fold winners agree on feature
+    and threshold), the protocol that decides whether m12's corpus-fit
+    stump generalizes or just memorized its split. Majority vote on
+    each side of the split (ties to 0), the m12/m19 contract.
+
+    Scale: ONE corpus scan into per-(bucket, feature, value) counts
+    (map-side combined, bounded by 4 x |features| x |domain|,
+    checkpointed); each fold's training sweep is a RE-AGGREGATION of
+    that tiny frame (folds join is 4 rows x bounded counts, excluding
+    one bucket), each winner is a 1-row broadcast, and the holdout
+    evaluations join bounded counts against broadcast winners. k-fold
+    CV at 100 TB costs one scan, not k — m19's economics applied to
+    the orthogonal protocol axis.
+
+    Reference parity: extends R6's learned counterpart (m12) with the
+    generalization test; no reference equivalent."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    y = (F.col("value") > F.lit(float(EVENTS_FRAUD_THRESHOLD))).cast("long")
+    base = ev.select(
+        F.expr(
+            "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 15),"
+            " 16, 10) AS BIGINT) % 4"
+        ).alias("bkt"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("hr").alias("feature"),
+                    F.hour("ts").cast("long").alias("v"),
+                ),
+                F.struct(
+                    F.lit("um").alias("feature"),
+                    (F.col("user_id") % 10).cast("long").alias("v"),
+                ),
+                F.struct(
+                    F.lit("vkb").alias("feature"),
+                    F.floor(F.col("value") / 50.0).cast("long").alias("v"),
+                ),
+            )
+        ).alias("fv"),
+        y.alias("y"),
+    ).select("bkt", "fv.feature", "fv.v", "y")
+    cnt = (
+        base.groupBy("bkt", "feature", "v")
+        .agg(F.count("*").alias("tot"), F.sum("y").alias("pos"))
+        .localCheckpoint()  # bounded: 4 x |features| x |domain|
+    )
+    folds = spark.range(0, 4).select(F.col("id").alias("k"))
+    tcnt = (
+        F.broadcast(folds)
+        .join(cnt, cnt["bkt"] != folds["k"])
+        .groupBy("k", "feature", "v")
+        .agg(F.sum("tot").alias("tot"), F.sum("pos").alias("pos"))
+    )
+    hof = (
+        F.broadcast(folds)
+        .join(cnt, cnt["bkt"] == folds["k"])
+        .groupBy("k", "feature", "v")
+        .agg(F.sum("tot").alias("tot"), F.sum("pos").alias("pos"))
+    )
+    wo = Window.partitionBy("k", "feature").orderBy("v")
+    wa = Window.partitionBy("k", "feature")
+    cum = tcnt.select(
+        "k",
+        "feature",
+        F.lead("v").over(wo).alias("thr"),
+        F.sum("tot").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("n_left"),
+        F.sum("pos").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("pos_left"),
+        F.sum("tot").over(wa).alias("n_all"),
+        F.sum("pos").over(wa).alias("pos_all"),
+    )
+    cand = cum.where(F.col("thr").isNotNull()).select(
+        "k",
+        "feature",
+        "thr",
+        "n_left",
+        "pos_left",
+        "n_all",
+        (F.col("n_all") - F.col("n_left")).alias("n_right"),
+        (F.col("pos_all") - F.col("pos_left")).alias("pos_right"),
+        (
+            F.least(F.col("pos_left"), F.col("n_left") - F.col("pos_left"))
+            + F.least(
+                F.col("pos_all") - F.col("pos_left"),
+                (F.col("n_all") - F.col("n_left"))
+                - (F.col("pos_all") - F.col("pos_left")),
+            )
+        ).alias("errors"),
+    )
+    wr = Window.partitionBy("k").orderBy("errors", "feature", "thr")
+    win = (
+        cand.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") == 1)
+        .drop("rk")
+        .localCheckpoint()  # 4 rows; feeds eval join + final projection
+    )
+    evh = (
+        F.broadcast(win.select("k", "feature", "thr", "pos_left",
+                               "n_left", "pos_right", "n_right"))
+        .join(hof, ["k", "feature"])
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("v") < F.col("thr"),
+                    F.when(
+                        2 * F.col("pos_left") > F.col("n_left"),
+                        F.col("tot") - F.col("pos"),
+                    ).otherwise(F.col("pos")),
+                ).otherwise(
+                    F.when(
+                        2 * F.col("pos_right") > F.col("n_right"),
+                        F.col("tot") - F.col("pos"),
+                    ).otherwise(F.col("pos"))
+                )
+            ).alias("fold_errors"),
+            F.sum("tot").alias("fold_n"),
+        )
+    )
+    return win.join(evh, "k").select(
+        F.col("k").cast("long").alias("fold_id"),
+        F.col("n_all").cast("long").alias("n_train"),
+        "feature",
+        F.col("thr").cast("long").alias("thr"),
+        F.col("errors").cast("long").alias("train_errors"),
+        F.col("fold_errors").cast("long").alias("fold_errors"),
+        F.col("fold_n").cast("long").alias("fold_n"),
+        F.expr(
+            "CAST((1000000 * fold_errors) div fold_n AS BIGINT)"
+        ).alias("fold_err_ppm"),
+    )

@@ -3016,3 +3016,91 @@ def test_r92_oracle_equals_bruteforce_bitemporal(rows):
                     n_revised += 1
         want.append((pid, tv, ttx, n_users, n_visible, n_blind, n_revised))
     assert got == sorted(want)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=23),  # hour
+            st.integers(min_value=0, max_value=30),  # user_id
+            st.floats(
+                min_value=0.01,
+                max_value=300.0,
+                allow_nan=False,
+                allow_infinity=False,
+            ),  # value
+        ),
+        min_size=4,
+        max_size=40,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_m25_oracle_equals_bruteforce_cv(rows):
+    """The CV SQL must equal a from-first-principles 4-fold protocol:
+    md5 fold assignment, per-fold exhaustive sweep over the OTHER
+    folds, deterministic winner ranking, majority-vote evaluation on
+    the held-out fold — including folds that vanish (no holdout rows)
+    or have no splittable feature."""
+    import hashlib
+    import math
+    from datetime import datetime
+
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.advanced import (
+        _M25_SQL,
+        ORACLES,
+    )
+
+    assert ORACLES["m25_kfold_cv"] is _M25_SQL
+    con = _duck()
+    con.register(
+        "events",
+        pd.DataFrame(
+            {
+                "event_id": list(range(len(rows))),
+                "ts": [datetime(2024, 1, 1, h, 30, 0) for h, _, _ in rows],
+                "user_id": [u for _, u, _ in rows],
+                "value": [v for _, _, v in rows],
+            }
+        ),
+    )
+    got = sorted(tuple(r) for r in con.execute(_M25_SQL).fetchall())
+
+    def bkt(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 4
+
+    trip = [
+        (bkt(i), (h, u % 10, math.floor(v / 50.0)), 1 if v > 100.0 else 0)
+        for i, (h, u, v) in enumerate(rows)
+    ]
+    want = []
+    for k in range(4):
+        train = [(fv, y) for b, fv, y in trip if b != k]
+        hold = [(fv, y) for b, fv, y in trip if b == k]
+        cands = []
+        for fi, feat in enumerate(("hr", "um", "vkb")):
+            vals = sorted({fv[fi] for fv, _y in train})
+            for thr in vals[1:]:
+                left = [(fv, y) for fv, y in train if fv[fi] < thr]
+                right = [(fv, y) for fv, y in train if fv[fi] >= thr]
+                pl = sum(y for _f, y in left)
+                pr_ = sum(y for _f, y in right)
+                err = min(pl, len(left) - pl) + min(pr_, len(right) - pr_)
+                cands.append((err, feat, thr, fi, len(left), pl,
+                              len(right), pr_))
+        if not cands or not hold:
+            continue
+        err, feat, thr, fi, nl, pl, nr, pr_ = min(cands)
+        pred_l = 1 if 2 * pl > nl else 0
+        pred_r = 1 if 2 * pr_ > nr else 0
+        fe = sum(
+            1
+            for fv, y in hold
+            if y != (pred_l if fv[fi] < thr else pred_r)
+        )
+        want.append(
+            (k, len(train), feat, thr, err, fe, len(hold),
+             (1000000 * fe) // len(hold))
+        )
+    assert got == sorted(want)

@@ -4531,26 +4531,11 @@ _L77_SQL = f"""
 """
 
 
-@_register("l77_bm25_topk", _L77_SQL)
-def l77_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 top-k retrieval over the document corpus — the sparse
-    twin of the dense ANN ladder, and the standard first-stage retriever
-    in RAG pipelines and quality-filter mining. idf uses the Lucene
-    ln(1+(N-df+0.5)/(df+0.5)) form (always positive); tf normalization is
-    the classic k1/b length correction against the corpus mean document
-    length. Scores travel as exact summed int64 micro-units (per-term
-    contributions rounded once), so the ranking hash-replays under any
-    partitioning.
-
-    Scale: the token explode happens ONCE into the tf frame; the query
-    set (8 terms) broadcasts into it, so only postings for query terms —
-    the classic inverted-index probe — survive past the first join. The
-    corpus-sized dl frame joins those postings MERGE-hinted (a broadcast
-    there would ship every document's length at 100 TB); corpus stats ride
-    a 1-row broadcast. Per-query ranking partitions by query_id — no
-    global sort. At production scale tf/dl are the materialized inverted
-    index + doc-length table every search engine persists; this query is
-    the probe path."""
+def _l77_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, score_micro) exact BM25 scores for the fixed
+    l77 query set — the probe-path pipeline (inverted-index tf, merge-
+    hinted doc-length join, broadcast query/df/stats), shared by the
+    top-k retrieval (l77) and the context assembler (l85)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
     tok = docs.select(
         "doc_id",
@@ -4574,9 +4559,32 @@ def l77_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .selectExpr("query_id", "doc_id", f"{_L77_CONTRIB} AS c")
     )
-    scores = contrib.groupBy("query_id", "doc_id").agg(
+    return contrib.groupBy("query_id", "doc_id").agg(
         F.sum("c").alias("score_micro")
     )
+
+
+@_register("l77_bm25_topk", _L77_SQL)
+def l77_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval over the document corpus — the sparse
+    twin of the dense ANN ladder, and the standard first-stage retriever
+    in RAG pipelines and quality-filter mining. idf uses the Lucene
+    ln(1+(N-df+0.5)/(df+0.5)) form (always positive); tf normalization is
+    the classic k1/b length correction against the corpus mean document
+    length. Scores travel as exact summed int64 micro-units (per-term
+    contributions rounded once), so the ranking hash-replays under any
+    partitioning.
+
+    Scale: the token explode happens ONCE into the tf frame; the query
+    set (8 terms) broadcasts into it, so only postings for query terms —
+    the classic inverted-index probe — survive past the first join. The
+    corpus-sized dl frame joins those postings MERGE-hinted (a broadcast
+    there would ship every document's length at 100 TB); corpus stats ride
+    a 1-row broadcast. Per-query ranking partitions by query_id — no
+    global sort. At production scale tf/dl are the materialized inverted
+    index + doc-length table every search engine persists; this query is
+    the probe path."""
+    scores = _l77_scores(spark, sf_dir)
     from pyspark.sql.window import Window
 
     win = Window.partitionBy("query_id").orderBy(
@@ -5201,4 +5209,101 @@ def l84_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rr_ppm"),
         F.coalesce("hits_at_k", F.lit(0)).cast("long").alias("hits_at_k"),
+    )
+
+
+_L85_BUDGET = 300
+_L85_SOURCE_CAP = 2
+_L85_CUT = 50
+
+# The l77 score pipeline ends at the `scores` CTE; reuse it verbatim.
+_L85_SQL = _L77_SQL[: _L77_SQL.index("    SELECT CAST(query_id")] + f"""
+    , cand AS (
+      SELECT s.query_id, s.doc_id, s.score_micro, d.source,
+             len(string_split_regex(trim(d.text), '\\s+')) AS n_tokens,
+             row_number() OVER (PARTITION BY s.query_id
+                                ORDER BY s.score_micro DESC, s.doc_id)
+               AS rnk
+      FROM scores s JOIN documents d USING (doc_id)
+    ),
+    div AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id, source
+                                   ORDER BY rnk) AS sr
+      FROM cand WHERE rnk <= {_L85_CUT}
+    ),
+    ctx AS (
+      SELECT query_id, doc_id, source, n_tokens,
+             row_number() OVER (PARTITION BY query_id ORDER BY rnk) AS pos,
+             sum(n_tokens) OVER (PARTITION BY query_id ORDER BY rnk)
+               AS cum_tokens
+      FROM div WHERE sr <= {_L85_SOURCE_CAP}
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(pos AS BIGINT) AS pos,
+           doc_id, source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM ctx WHERE cum_tokens <= {_L85_BUDGET}
+"""
+
+
+@_register("l85_context_assembly", _L85_SQL)
+def l85_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG context assembly — the serving-path step between retrieval
+    (l77) and the model call: per query, take the BM25 ranking, cut to
+    the top-50 candidates, enforce a diversity cap (at most 2 docs
+    per source — near-identical boilerplate from one crawl source
+    crowds out everything else), then pack the survivors in rank order
+    under a 300-token context budget (prefix rule: a document enters
+    iff the running token total stays within budget). Emits the
+    assembled context rows (position, doc, source, token cost,
+    cumulative) — exactly what gets concatenated into the prompt.
+
+    Scale: scores come from the shared l77 probe pipeline (inverted
+    index + broadcast queries); everything after the rank cutoff runs
+    on <= |queries| x 50 rows — three windows partitioned by query_id
+    over a frame whose size the CUTOFF (not the corpus) bounds. The
+    cutoff-then-assemble order is the production shape: assembly rules
+    never touch the full posting lists.
+
+    Reference parity: no reference equivalent; public RAG-pipeline
+    methodology (diversity caps + token budgeting)."""
+    from pyspark.sql.window import Window
+
+    scores = _l77_scores(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    cand = (
+        scores.join(docs, "doc_id")
+        .withColumn("rnk", F.row_number().over(wq))
+        .where(F.col("rnk") <= _L85_CUT)
+    )
+    ws = Window.partitionBy("query_id", "source").orderBy("rnk")
+    kept = cand.withColumn("sr", F.row_number().over(ws)).where(
+        F.col("sr") <= _L85_SOURCE_CAP
+    )
+    wk = Window.partitionBy("query_id").orderBy("rnk")
+    ctx = kept.select(
+        "query_id",
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.row_number().over(wk).alias("pos"),
+        F.sum("n_tokens")
+        .over(wk.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_tokens"),
+    )
+    return ctx.where(F.col("cum_tokens") <= _L85_BUDGET).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("pos").cast("long").alias("pos"),
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
     )

@@ -1067,3 +1067,30 @@ def test_l84_retrieval_eval_invariants(spark, sf_dir):
         else:
             assert r["rr_ppm"] == 1000000 // r["first_rank"]
             assert r["hits_at_k"] >= 1
+
+
+def test_l85_context_assembly_invariants(spark, sf_dir):
+    """Assembly-rule sanity: positions are contiguous from 1 per query,
+    cumulative tokens replay the running sum and never exceed the
+    budget, and no query's context carries more than the per-source
+    diversity cap."""
+    from collections import Counter
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import llmops as L
+
+    rows = L.QUERIES["l85_context_assembly"](spark, sf_dir).collect()
+    assert rows
+    byq: dict = {}
+    for r in rows:
+        byq.setdefault(r["query_id"], []).append(r)
+    for qid, rs in byq.items():
+        rs.sort(key=lambda r: r["pos"])
+        assert [r["pos"] for r in rs] == list(range(1, len(rs) + 1))
+        cum = 0
+        srcs = Counter()
+        for r in rs:
+            cum += r["n_tokens"]
+            assert r["cum_tokens"] == cum
+            srcs[r["source"]] += 1
+        assert cum <= L._L85_BUDGET
+        assert max(srcs.values()) <= L._L85_SOURCE_CAP

@@ -1166,7 +1166,10 @@ def test_l68_oracle_equals_bruteforce_compaction(docs):
     new_ids = idx_ids | (batch_ids - exact_b)
     src_of = {d: s for d, s, _ in base}
     want = {}
-    for s in {src_of[d] for d in new_ids}:
+    # full-outer semantics: a source whose batch docs were ALL dropped
+    # as exact dups (and which owns no new-index docs) still reports
+    # its admission stats with zeroed index columns
+    for s in {src_of[d] for d in new_ids} | {src_of[b] for b in batch_ids}:
         ids = [d for d in new_ids if src_of[d] == s]
         mx = px = 0
         for d in ids:

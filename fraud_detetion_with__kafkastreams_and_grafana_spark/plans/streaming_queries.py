@@ -2628,3 +2628,128 @@ def s35_stream_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return r91_stats_from_long(merged)
+
+
+def _l77_oracle_sql() -> str:
+    from .llmops import ORACLES as _LL
+
+    return _LL["l77_bm25_topk"]
+
+
+@_register("s36_stream_bm25_probe", _l77_oracle_sql())
+def s36_stream_bm25_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l77's BM25 retrieval deployed as a QUERY SERVICE — the sparse
+    twin of the dense probe service (s27): search requests arrive as
+    JSON micro-batches of (query_id, term) rows; each batch probes the
+    STATIC persisted inverted index (tf / doc-length / corpus stats,
+    frozen batch-side exactly as a search engine serves from an
+    immutable index generation) and writes its per-query top-5 to an
+    idempotent _batch_id-partitioned sink (the s09 recipe). Because a
+    query's terms always travel in one request, per-batch top-k needs
+    no cross-batch merge, and the union of batch answers equals the
+    batch evaluation — s36 shares l77's oracle verbatim.
+
+    Scale: zero streaming state; per batch only the requested terms'
+    postings survive the first broadcast join (the l77 probe path);
+    the corpus-sized index frames are localCheckpointed once per
+    session, never rebuilt per batch."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from .llmops import _L77_CONTRIB, _L77_QUERIES, _L77_TOPK
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim("text") != ""
+    )
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), "[^a-z0-9]+")).alias("t"),
+    ).filter(F.col("t") != "")
+    tf = (
+        tok.groupBy("doc_id", "t")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")).localCheckpoint()
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).localCheckpoint()
+    # one request LINE per query (terms travel together — the request
+    # is the atomic unit, so no cross-batch score merge is ever needed)
+    wire = (
+        spark.createDataFrame(_L77_QUERIES, ["query_id", "t"])
+        .groupBy("query_id")
+        .agg(F.sort_array(F.collect_list("t")).alias("terms"))
+        .select(F.to_json(F.struct("query_id", "terms")).alias("value"))
+    )
+    from ..streaming.replay import materialize_wire_dir
+
+    d = materialize_wire_dir(wire, n_files=3)
+    out = tempfile.mkdtemp(prefix="spark_graft_s36_sink_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_s36_ckpt_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+
+    def probe(batch_df: DataFrame, batch_id: int) -> None:
+        q = (
+            batch_df.select(
+                F.from_json(
+                    "value", "query_id BIGINT, terms ARRAY<STRING>"
+                ).alias("r")
+            )
+            .select("r.query_id", F.explode("r.terms").alias("t"))
+            .where(F.col("t").isNotNull())
+        )
+        if q.isEmpty():
+            return
+        dfq = (
+            tf.join(F.broadcast(q.select("t").distinct()), "t")
+            .groupBy("t")
+            .agg(F.count("*").alias("df"))
+        )
+        contrib = (
+            tf.join(F.broadcast(q), "t")
+            .join(F.broadcast(dfq), "t")
+            .join(dl.hint("merge"), "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .selectExpr("query_id", "doc_id", f"{_L77_CONTRIB} AS c")
+        )
+        win = Window.partitionBy("query_id").orderBy(
+            F.desc("score_micro"), F.asc("doc_id")
+        )
+        (
+            contrib.groupBy("query_id", "doc_id")
+            .agg(F.sum("c").alias("score_micro"))
+            .withColumn("rnk", F.row_number().over(win))
+            .filter(F.col("rnk") <= _L77_TOPK)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
+
+    stream = (
+        spark.readStream.schema("value STRING")
+        .option("maxFilesPerTrigger", 1)
+        .text(d)
+    )
+    q = (
+        stream.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rnk").cast("long").alias("rnk"),
+        "doc_id",
+        F.col("score_micro").cast("long").alias("score_micro"),
+    )

@@ -1005,3 +1005,24 @@ def test_s35_stream_stats_equals_batch_r91(spark, sf_dir):
         for r in R3.QUERIES["r91_table_stats"](spark, sf_dir).collect()
     )
     assert got == want
+
+
+def test_s36_stream_bm25_equals_batch_l77(spark, sf_dir):
+    """The streamed BM25 query service must equal the batch retrieval
+    row-for-row — requests are atomic (one line carries all of a
+    query's terms), so per-batch top-k against the frozen index needs
+    no cross-batch merge."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import (
+        llmops as L,
+        streaming_queries as SQ,
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in SQ.QUERIES["s36_stream_bm25_probe"](spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in L.QUERIES["l77_bm25_topk"](spark, sf_dir).collect()
+    )
+    assert got == want

@@ -3313,3 +3313,140 @@ def r92_bitemporal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_revised"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r93: approximate-query-processing accuracy audit — deterministic
+# nested hash samples (1/4, 1/16, 1/64 via one md5 bucket) answer the
+# per-type count/sum questions, scaled estimates stand next to the
+# exact answers with integer error ppm. The audit every AQP deployment
+# runs before trusting sampled dashboards.
+# ---------------------------------------------------------------------------
+
+_R93_BKT = (
+    "CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || '#aqp'), 1, 15)"
+    " AS BIGINT) % 64"
+)
+
+_R93_SQL = f"""
+    WITH base AS (
+      SELECT event_type, {_R93_BKT} AS bkt,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    cnt AS (
+      SELECT event_type AS segment, bkt,
+             count(*) AS n, sum(cents) AS s
+      FROM base GROUP BY 1, 2
+      UNION ALL
+      SELECT 'ALL', bkt, count(*), sum(cents) FROM base GROUP BY 2
+    ),
+    rates AS (SELECT unnest([4, 16, 64]) AS r),
+    est AS (
+      SELECT c.segment, ra.r,
+             sum(c.n) AS true_n, sum(c.s) AS true_sum,
+             r * sum(CASE WHEN c.bkt < 64 // ra.r THEN c.n ELSE 0 END)
+               AS est_n,
+             r * sum(CASE WHEN c.bkt < 64 // ra.r THEN c.s ELSE 0 END)
+               AS est_sum
+      FROM cnt c CROSS JOIN rates ra GROUP BY 1, 2
+    )
+    SELECT segment, CAST(r AS BIGINT) AS rate_denom,
+           CAST(true_n AS BIGINT) AS true_n,
+           CAST(est_n AS BIGINT) AS est_n,
+           CAST((1000000 * abs(est_n - true_n)) // true_n AS BIGINT)
+             AS n_err_ppm,
+           CAST(true_sum AS BIGINT) AS true_sum_cents,
+           CAST(est_sum AS BIGINT) AS est_sum_cents,
+           CASE WHEN true_sum > 0 THEN
+             CAST((1000000 * abs(est_sum - true_sum)) // true_sum AS BIGINT)
+           END AS sum_err_ppm
+    FROM est
+"""
+
+
+@_register("r93_aqp_accuracy", _R93_SQL)
+def r93_aqp_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-query-processing accuracy audit: per event_type (and
+    'ALL'), the exact count and cents-sum stand next to scaled
+    estimates from NESTED deterministic hash samples at 1/4, 1/16 and
+    1/64 (one md5 bucket column; rate 1/r keeps buckets < 64/r, so the
+    1/64 sample is inside the 1/16 inside the 1/4 — the m19 nesting,
+    isolating rate from sample luck), with integer |error| ppm for
+    both. This is how a lake decides which dashboard tiles can run on
+    the sample table: the error column IS the decision input, and the
+    determinism means the audit replays bit-for-bit.
+
+    Scale: ONE corpus scan collapses to per-(segment, bucket) count/sum
+    partials (map-side combined, <= |types| x 64 rows plus the ALL
+    re-derivation); all three rates re-aggregate that bounded frame (a
+    3-row broadcast cross join), never the corpus. Exactly the two-pass
+    economics a production AQP layer uses to VALIDATE its sample
+    tables after each refresh.
+
+    Reference parity: the reference's Grafana tiles (Q2) always scan
+    fully; this is the sampled alternative with its honesty check (no
+    reference equivalent; public AQP methodology)."""
+    ev = load_table(spark, sf_dir, "events")
+    # Spark-side bucket: conv(substr(md5(...),1,15),16,10) — the
+    # engine twin of the oracle's 0x-prefixed CAST (same 60-bit value).
+    bkt = F.expr(
+        "CAST(conv(substr(md5(CAST(event_id AS STRING) || '#aqp'), 1, 15),"
+        " 16, 10) AS BIGINT) % 64"
+    )
+    base = ev.select(
+        "event_type",
+        bkt.alias("bkt"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    per = base.groupBy(
+        F.col("event_type").alias("segment"), "bkt"
+    ).agg(F.count("*").alias("n"), F.sum("cents").alias("s"))
+    cnt = per.unionByName(
+        per.groupBy("bkt")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+        .select(F.lit("ALL").alias("segment"), "bkt", "n", "s")
+    )
+    rates = spark.createDataFrame([(4,), (16,), (64,)], ["r"])
+    est = (
+        cnt.crossJoin(F.broadcast(rates))
+        .groupBy("segment", "r")
+        .agg(
+            F.sum("n").alias("true_n"),
+            F.sum("s").alias("true_sum"),
+            (
+                F.first("r")
+                * F.sum(
+                    F.when(
+                        F.col("bkt") < F.expr("64 div r"), F.col("n")
+                    ).otherwise(0)
+                )
+            ).alias("est_n"),
+            (
+                F.first("r")
+                * F.sum(
+                    F.when(
+                        F.col("bkt") < F.expr("64 div r"), F.col("s")
+                    ).otherwise(0)
+                )
+            ).alias("est_sum"),
+        )
+    )
+    return est.select(
+        "segment",
+        F.col("r").cast("long").alias("rate_denom"),
+        F.col("true_n").cast("long").alias("true_n"),
+        F.col("est_n").cast("long").alias("est_n"),
+        F.expr(
+            "CAST((1000000 * abs(est_n - true_n)) div true_n AS BIGINT)"
+        ).alias("n_err_ppm"),
+        F.col("true_sum").cast("long").alias("true_sum_cents"),
+        F.col("est_sum").cast("long").alias("est_sum_cents"),
+        F.when(
+            F.col("true_sum") > 0,
+            F.expr(
+                "CAST((1000000 * abs(est_sum - true_sum)) div true_sum"
+                " AS BIGINT)"
+            ),
+        ).alias("sum_err_ppm"),
+    )

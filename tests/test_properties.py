@@ -3107,3 +3107,69 @@ def test_m25_oracle_equals_bruteforce_cv(rows):
              (1000000 * fe) // len(hold))
         )
     assert got == sorted(want)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["click", "error"]),
+            st.sampled_from([5.0, 30.0, 80.0, 130.0, 200.0]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_r93_oracle_equals_bruteforce_aqp(rows):
+    """The AQP audit SQL must equal a from-first-principles sampler:
+    md5 bucket assignment, nested rate membership (bkt < 64/r), scaled
+    integer estimates, and |error| ppm — including empty samples
+    (est = 0, error = 1e6)."""
+    import datetime
+    import hashlib
+
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.relational3 import (
+        _R93_SQL,
+        ORACLES,
+    )
+
+    assert ORACLES["r93_aqp_accuracy"] is _R93_SQL
+    base = datetime.datetime(2024, 1, 1)
+    con = _duck()
+    con.register(
+        "events",
+        pd.DataFrame(
+            [
+                (i, base, 7, et, v, "{}")
+                for i, (et, v) in enumerate(rows)
+            ],
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        ),
+    )
+    got = sorted(tuple(r) for r in con.execute(_R93_SQL).fetchall())
+
+    def bkt(i):
+        return int(
+            hashlib.md5(f"{i}#aqp".encode()).hexdigest()[:15], 16
+        ) % 64
+
+    recs = [
+        (et, bkt(i), int(round(v * 100))) for i, (et, v) in enumerate(rows)
+    ]
+    segs = {et for et, *_ in recs}
+    want = []
+    for seg in segs | {"ALL"}:
+        sel = [r for r in recs if seg == "ALL" or r[0] == seg]
+        tn, ts_ = len(sel), sum(c for *_, c in sel)
+        for r in (4, 16, 64):
+            en = r * sum(1 for _e, b, _c in sel if b < 64 // r)
+            es = r * sum(c for _e, b, c in sel if b < 64 // r)
+            want.append(
+                (seg, r, tn, en, (1000000 * abs(en - tn)) // tn,
+                 ts_, es,
+                 (1000000 * abs(es - ts_)) // ts_ if ts_ > 0 else None)
+            )
+    assert got == sorted(want)

@@ -3062,7 +3062,7 @@ def m22_ks_from_counts(counts: DataFrame) -> DataFrame:
             F.col("ref_n_run") * F.sum("cur_n").over(wt)
             - F.col("cur_n_run") * F.sum("ref_n").over(wt)
         ).alias("gap"),
-    )
+    ).localCheckpoint()  # domain-bounded; feeds max, argmax AND the join
     mx = d.groupBy("segment").agg(
         F.max("n_ref").cast("long").alias("n_ref"),
         F.max("n_cur").cast("long").alias("n_cur"),
@@ -3308,12 +3308,21 @@ def m23_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fv"),
         "y",
     ).select("fv.f", "fv.v", "y")
-    cnt = long.groupBy("f", "v", "y").agg(F.count("*").alias("c"))
-    pri = rows.groupBy("y").agg(F.count("*").alias("ny"))
-    tot = rows.agg(F.count("*").alias("n_all"))
-    vocab = long.groupBy("f").agg(F.countDistinct("v").alias("vf"))
+    cnt = (
+        long.groupBy("f", "v", "y")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()  # ~46 cells; priors/vocab/grid re-derive here
+    )
+    # priors and totals re-derive from the bounded cell frame (every
+    # row contributes exactly one 'hr' cell), so training costs ONE
+    # corpus scan, not one per statistic
+    pri = cnt.where(F.col("f") == "hr").groupBy("y").agg(
+        F.sum("c").alias("ny")
+    )
+    tot = pri.agg(F.sum("ny").alias("n_all"))
+    vocab = cnt.groupBy("f").agg(F.countDistinct("v").alias("vf"))
     grid = (
-        long.select("f", "v")
+        cnt.select("f", "v")
         .distinct()
         .crossJoin(F.broadcast(pri))
         .join(F.broadcast(vocab), "f")

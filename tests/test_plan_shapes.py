@@ -577,3 +577,81 @@ def test_r91_stats_is_one_exploded_scan(spark, sf_dir):
     assert "Join" not in p, p
     assert "Window" not in p, p
     assert "Generate" in p, p  # the explode
+
+
+def test_r90_audit_is_one_scan_one_shuffle(spark, sf_dir):
+    """Seven constraints must cost one lineitem scan and one keyed
+    shuffle: the row-local violation counters ride the per-key count
+    aggregate (no separate base-aggregate scan), and the only other
+    scan is the orders side of the FK anti-join."""
+    p = _plan(relational3.QUERIES["r90_quality_audit"](spark, sf_dir))
+    # the keyed-partials frame is localCheckpointed: the report plan
+    # reads it as an RDD scan; orders is the single parquet scan left
+    assert p.count("Scan parquet") == 1, p
+    assert "Scan ExistingRDD" in p, p
+    kp = _plan(
+        relational3.r90_keyed_partials(
+            __import__(
+                "fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables",
+                fromlist=["load_table"],
+            ).load_table(spark, sf_dir, "lineitem")
+        )
+    )
+    assert kp.count("Scan parquet") == 1, kp
+    assert kp.count("Exchange hashpartitioning(l_orderkey") == 1, kp
+
+
+def test_m23_scoring_path_is_broadcast_only(spark, sf_dir):
+    """Naive Bayes deployment shape: after the (checkpointed) model
+    build, scoring must be broadcast hash joins + row-local sums — no
+    sort-merge join and no corpus-keyed exchange other than the final
+    confusion aggregate."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import advanced
+
+    p = _plan(advanced.QUERIES["m23_naive_bayes"](spark, sf_dir))
+    assert "SortMergeJoin" not in p, p
+    assert p.count("BroadcastHashJoin") >= 3, p
+
+
+def test_m22_ks_has_no_single_partition_window(spark, sf_dir):
+    """The ECDF scan must stay distributed: every window in the KS plan
+    is partitioned (the two-level segmented scan), never a global
+    ORDER BY funneling the value domain into one partition."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import advanced
+
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators.prefix import (
+        partitioned_running_sums,
+    )
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.advanced import (
+        m17_split_seconds,
+        m22_ks_counts,
+    )
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    c = m22_ks_counts(ev, m17_split_seconds(spark, sf_dir)).withColumn(
+        "blk", F.expr("cent div 4096")
+    )
+    p = _plan(
+        partitioned_running_sums(c, "segment", "blk", "cent",
+                                 ["ref_n", "cur_n"])
+    )
+    specs = [
+        line for line in p.splitlines() if "windowspecdefinition(" in line
+    ]
+    assert specs, p
+    for line in specs:
+        first_arg = line.split("windowspecdefinition(", 1)[1].split(",", 1)[0]
+        # an unpartitioned window's spec STARTS with an ordering
+        # expression ("col ASC NULLS FIRST"); partitioned specs start
+        # with plain partition column refs
+        assert " ASC" not in first_arg and " DESC" not in first_arg, line
+    assert "Exchange SinglePartition" not in p, p
+    assert "BroadcastHashJoin" in p, p  # the segment-offset join
+    assert "SortMergeJoin" not in p, p
+    # and the final report plan runs on the checkpointed bounded frame
+    q = _plan(advanced.QUERIES["m22_ks_drift"](spark, sf_dir))
+    assert "Scan ExistingRDD" in q, q
+    assert "SortMergeJoin" not in q, q

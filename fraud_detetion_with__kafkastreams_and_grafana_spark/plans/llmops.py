@@ -5036,21 +5036,27 @@ _L84_SQL = f"""
       WHERE {_L84_BUCKET} >= 90 AND trim(text) <> ''
     ),
     tok AS (
-      SELECT doc_id, t FROM (
+      SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS t
+      FROM (
         SELECT doc_id,
-               unnest(string_split_regex(lower(trim(text)), '[^a-z0-9]+')) AS t
+               list_filter(string_split_regex(lower(trim(text)),
+                           '[^a-z0-9]+'), x -> x <> '') AS ws
         FROM tr
-      ) WHERE t <> ''
+      ), unnest(range(1, len(ws))) AS u(i)
+      WHERE len(ws) >= 2
     ),
     tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
     dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
     stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
     qtok AS (
-      SELECT DISTINCT doc_id AS query_id, t FROM (
+      SELECT DISTINCT doc_id AS query_id, ws[i] || ' ' || ws[i + 1] AS t
+      FROM (
         SELECT doc_id,
-               unnest(string_split_regex(lower(trim(text)), '[^a-z0-9]+')) AS t
+               list_filter(string_split_regex(lower(trim(text)),
+                           '[^a-z0-9]+'), x -> x <> '') AS ws
         FROM te
-      ) WHERE t <> ''
+      ), unnest(range(1, len(ws))) AS u(i)
+      WHERE len(ws) >= 2
     ),
     dfq AS (
       SELECT t, count(*) AS df FROM tf
@@ -5061,6 +5067,7 @@ _L84_SQL = f"""
       FROM tf
       JOIN qtok USING (t) JOIN dfq USING (t) JOIN dl USING (doc_id)
       CROSS JOIN stats
+      WHERE 5 * dfq.df <= stats.n_docs
     ),
     ranked AS (
       SELECT query_id, doc_id, rnk FROM (
@@ -5104,8 +5111,15 @@ def l84_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval-quality evaluation for the sparse path — the l75
     measurement story applied to BM25 (l77): every held-out test
     document (the l17/l26/l82 hash split) queries the train-split
-    corpus with its own distinct tokens, and the exact blocked-Jaccard
-    near-dup pairs (l02) serve as relevance ground truth. Per query doc
+    corpus with its distinct word BIGRAMS, and the exact
+    blocked-Jaccard near-dup pairs (l02) serve as relevance ground
+    truth. Bigram terms, not unigrams: this corpus's unigram
+    vocabulary is ~31 words, every one in 75-80% of documents — at
+    that df a unigram index is all stopwords (no signal AND the
+    postings join is |queries| x |corpus|); bigrams are the smallest
+    discriminative unit on templated text, the same reason the dedup
+    ground truth itself is n-gram-based. A stop-term cut (df > 20% of
+    docs) guards the postings join either way. Per query doc
     with at least one train-side near-dup partner: the partner count,
     the rank of the first partner inside the BM25 top-10 (0 = missed),
     reciprocal rank in exact ppm (1e6 // rank — integer by definition),
@@ -5135,12 +5149,26 @@ def l84_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     te = docs.where(bucket >= 90)
 
     def toks(d: DataFrame) -> DataFrame:
-        return d.select(
-            "doc_id",
-            F.explode(
-                F.split(F.lower(F.trim("text")), "[^a-z0-9]+")
-            ).alias("t"),
-        ).filter(F.col("t") != "")
+        # word BIGRAMS: this corpus's unigram vocabulary is ~31 terms,
+        # every one a stopword (df ~75-80%); bigrams are the smallest
+        # discriminative unit on templated text — the same reason the
+        # dedup ground truth itself is n-gram based
+        w = F.expr(
+            "filter(split(lower(trim(text)), '[^a-z0-9]+'), x -> x <> '')"
+        )
+        return (
+            d.select("doc_id", w.alias("w"))
+            .where(F.size("w") >= 2)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(w) - 1),"
+                        " i -> w[i-1] || ' ' || w[i])"
+                    )
+                ).alias("t"),
+            )
+        )
 
     tf = toks(tr).groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
     tf = tf.localCheckpoint()  # feeds dl, dfq, contrib
@@ -5152,16 +5180,22 @@ def l84_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    # stop-term pruning (5*df <= n_docs): terms present in over a fifth
+    # of the corpus carry near-zero idf but dominate the postings join
+    # (every query x every doc) — dropping them up front is the
+    # standard WAND-class economy and part of the operator's contract
+    # (the oracle applies the identical cut)
     dfq = (
         tf.join(F.broadcast(qtok.select("t").distinct()), "t")
         .groupBy("t")
         .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .where(5 * F.col("df") <= F.col("n_docs"))
     )
     contrib = (
-        tf.join(F.broadcast(qtok), "t")
-        .join(F.broadcast(dfq), "t")
+        tf.join(F.broadcast(dfq), "t")
+        .join(F.broadcast(qtok), "t")
         .join(dl.hint("merge"), "doc_id")
-        .crossJoin(F.broadcast(stats))
         .selectExpr("query_id", "doc_id", f"{_L77_CONTRIB} AS c")
     )
     win = Window.partitionBy("query_id").orderBy(

@@ -3450,3 +3450,84 @@ def r93_aqp_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("sum_err_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r94: rolling distinct-user engagement (DAU / WAU / stickiness) — the
+# product-analytics staple that needs a SLIDING COUNT DISTINCT, which
+# no plain window aggregate provides (distinct is not subtractable).
+# Exact formulation: dedup to (day, user) once, then each day's
+# trailing-7-day user set is a bounded self-join over the day grid.
+# ---------------------------------------------------------------------------
+
+_R94_SQL = """
+    WITH du AS (
+      SELECT DISTINCT CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
+               AS d, user_id
+      FROM events
+    ),
+    dau AS (SELECT d, count(*) AS dau FROM du GROUP BY 1),
+    days AS (SELECT DISTINCT d FROM du),
+    wau AS (
+      SELECT days.d, count(DISTINCT du.user_id) AS wau
+      FROM days JOIN du
+        ON du.d BETWEEN days.d - 6 AND days.d
+      GROUP BY 1
+    )
+    SELECT dau.d AS day_num,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           CAST((1000000 * dau.dau) // wau.wau AS BIGINT)
+             AS stickiness_ppm
+    FROM dau JOIN wau ON dau.d = wau.d
+"""
+
+
+@_register("r94_dau_wau", _R94_SQL)
+def r94_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling distinct-user engagement: per day, the exact count of
+    active users that day (DAU), over the trailing 7 days (WAU), and
+    the DAU/WAU stickiness ratio in ppm — the dashboard row every
+    product team keeps, and the canonical example of a metric a plain
+    sliding-window aggregate CANNOT produce (count distinct is not
+    subtractable, so no running-sum trick applies; Grafana fakes it
+    with approximations).
+
+    Exact at scale: the corpus collapses ONCE to the deduped (day,
+    user) frame — the only corpus-sized shuffle, map-side combined.
+    The trailing window is then a RANGE self-join of that frame
+    against the |days|-row grid (each (day, user) row lands in <= 7
+    window rows, so the join output is bounded by 7 x |day-user
+    pairs|, independent of raw event volume), re-deduped per window by
+    the count-distinct aggregate. At 100 TB the (day, user) frame is
+    the materialized activity table every analytics warehouse keeps;
+    the 7x fan-out joins it against a broadcast day grid.
+
+    Reference parity: the exact form of the engagement tiles the
+    reference's Grafana board approximates (dashboards.json Q2 family);
+    sliding-distinct itself has no reference equivalent."""
+    ev = load_table(spark, sf_dir, "events")
+    day = (
+        F.unix_timestamp(F.date_trunc("day", F.col("ts")).cast("timestamp"))
+        / F.lit(86400)
+    ).cast("long")
+    du = ev.select(day.alias("d"), "user_id").distinct().localCheckpoint()
+    dau = du.groupBy("d").agg(F.count("*").alias("dau"))
+    days = du.select("d").distinct()
+    wau = (
+        F.broadcast(days.withColumnRenamed("d", "wd"))
+        .join(
+            du,
+            (F.col("d") >= F.col("wd") - 6) & (F.col("d") <= F.col("wd")),
+        )
+        .groupBy("wd")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return dau.join(wau, dau["d"] == wau["wd"]).select(
+        F.col("d").alias("day_num"),
+        F.col("dau").cast("long").alias("dau"),
+        F.col("wau").cast("long").alias("wau"),
+        F.expr("CAST((1000000 * dau) div wau AS BIGINT)").alias(
+            "stickiness_ppm"
+        ),
+    )

@@ -3173,3 +3173,60 @@ def test_r93_oracle_equals_bruteforce_aqp(rows):
                  (1000000 * abs(es - ts_)) // ts_ if ts_ > 0 else None)
             )
     assert got == sorted(want)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),   # user
+            st.integers(min_value=0, max_value=20),  # day offset
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_r94_oracle_equals_bruteforce_dau_wau(rows):
+    """The sliding-distinct SQL must equal a brute-force day walk on
+    arbitrary activity patterns — including day gaps (the trailing
+    window skips missing days but still reaches users active on
+    earlier in-window days) and single-day corpora."""
+    import datetime
+
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.relational3 import (
+        _R94_SQL,
+        ORACLES,
+    )
+
+    assert ORACLES["r94_dau_wau"] is _R94_SQL
+    base = datetime.datetime(2024, 1, 1)
+    con = _duck()
+    con.register(
+        "events",
+        pd.DataFrame(
+            [
+                (i, base + datetime.timedelta(days=d, hours=3), u,
+                 "click", 1.0, "{}")
+                for i, (u, d) in enumerate(rows)
+            ],
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        ),
+    )
+    got = sorted(tuple(r) for r in con.execute(_R94_SQL).fetchall())
+
+    e0 = 1704067200 // 86400  # day number of 2024-01-01
+    act: dict = {}
+    for u, d in rows:
+        act.setdefault(e0 + d, set()).add(u)
+    want = []
+    for d, us in act.items():
+        wau = set()
+        for dd in range(d - 6, d + 1):
+            wau |= act.get(dd, set())
+        want.append(
+            (d, len(us), len(wau), (1000000 * len(us)) // len(wau))
+        )
+    assert got == sorted(want)

@@ -3753,3 +3753,137 @@ def m25_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000000 * fold_errors) div fold_n AS BIGINT)"
         ).alias("fold_err_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m26: A/B experiment readout — the analytics capability behind every
+# product launch decision. Arms are deterministic (user_id parity, the
+# stand-in for a hash bucketing service); per segment the counts and
+# cents sums/squares are exact int64, and the two float steps (mean
+# diff, Welch z with population variances) are ONE shared expression
+# string each, rounded once to micro-units (the m17 ln discipline,
+# sqrt flavor).
+# ---------------------------------------------------------------------------
+
+_M26_DIFF = (
+    "CAST(round(((sb * 1.0) / nb - (sa * 1.0) / na) * 1000000.0, 0)"
+    " AS BIGINT)"
+)
+_M26_Z = (
+    "CAST(round(((sb * 1.0) / nb - (sa * 1.0) / na)"
+    " / sqrt(((qa * 1.0) / na - ((sa * 1.0) / na) * ((sa * 1.0) / na)) / na"
+    " + ((qb * 1.0) / nb - ((sb * 1.0) / nb) * ((sb * 1.0) / nb)) / nb)"
+    " * 1000000.0, 0) AS BIGINT)"
+)
+
+_M26_SQL = f"""
+    WITH base AS (
+      SELECT event_type, user_id % 2 AS arm,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    agg AS (
+      SELECT event_type AS segment, arm,
+             count(*) AS n, sum(cents) AS s, sum(cents * cents) AS q
+      FROM base GROUP BY 1, 2
+      UNION ALL
+      SELECT 'ALL', arm, count(*), sum(cents), sum(cents * cents)
+      FROM base GROUP BY 2
+    ),
+    wide AS (
+      SELECT segment,
+             coalesce(max(CASE WHEN arm = 0 THEN n END), 0) AS na,
+             coalesce(max(CASE WHEN arm = 0 THEN s END), 0) AS sa,
+             coalesce(max(CASE WHEN arm = 0 THEN q END), 0) AS qa,
+             coalesce(max(CASE WHEN arm = 1 THEN n END), 0) AS nb,
+             coalesce(max(CASE WHEN arm = 1 THEN s END), 0) AS sb,
+             coalesce(max(CASE WHEN arm = 1 THEN q END), 0) AS qb
+      FROM agg GROUP BY 1
+    )
+    SELECT segment,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(sa AS BIGINT) AS sum_a_cents,
+           CAST(sb AS BIGINT) AS sum_b_cents,
+           CASE WHEN na > 0 AND nb > 0 THEN {_M26_DIFF} END
+             AS mean_diff_microcents,
+           CASE WHEN na > 1 AND nb > 1
+                 AND (qa * 1.0) / na > ((sa * 1.0) / na) * ((sa * 1.0) / na)
+                 AND (qb * 1.0) / nb > ((sb * 1.0) / nb) * ((sb * 1.0) / nb)
+                THEN {_M26_Z} END AS z_micro,
+           CASE WHEN na > 1 AND nb > 1
+                 AND (qa * 1.0) / na > ((sa * 1.0) / na) * ((sa * 1.0) / na)
+                 AND (qb * 1.0) / nb > ((sb * 1.0) / nb) * ((sb * 1.0) / nb)
+                THEN abs({_M26_Z}) > 1959964 END AS significant
+    FROM wide
+"""
+
+
+@_register("m26_ab_test", _M26_SQL)
+def m26_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout per event_type segment (plus 'ALL'):
+    deterministic arm assignment (user_id parity — the stand-in for a
+    hash bucketing service), exact per-arm counts and cents sums, mean
+    difference in micro-cents, Welch z-score (population variances) in
+    micro-units, and the |z| > 1.96 significance verdict. Counts, sums
+    and sums-of-squares are exact int64; the two float steps run as ONE
+    shared expression string each and round once to integer micro —
+    so the whole experiment report value-hash replays (the m17 ln
+    discipline, sqrt flavor). Degenerate cells (an arm missing, n <= 1,
+    zero variance) yield NULL rather than a fake verdict.
+
+    Scale: ONE corpus scan map-side-combines to <= 2 x (|types| + 1)
+    rows (count/sum/sum-of-squares are all algebraic); everything
+    after runs on that tiny frame. Sum-of-squares stays exact while
+    n * max_cents^2 < 2^63 (~4e8 rows at this value domain); past that
+    the same plan carries DECIMAL(38) q columns.
+
+    Reference parity: the reference dashboards compare static tiles by
+    eye; this is the statistical form of that comparison (no reference
+    equivalent; public experimentation methodology)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (F.col("user_id") % 2).alias("arm"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    per = base.groupBy(
+        F.col("event_type").alias("segment"), "arm"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("q"),
+    )
+    agg = per.unionByName(
+        per.groupBy("arm")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"),
+             F.sum("q").alias("q"))
+        .select(F.lit("ALL").alias("segment"), "arm", "n", "s", "q")
+    )
+    z = lambda c: F.coalesce(c, F.lit(0))  # noqa: E731
+    wide = agg.groupBy("segment").agg(
+        z(F.max(F.when(F.col("arm") == 0, F.col("n")))).alias("na"),
+        z(F.max(F.when(F.col("arm") == 0, F.col("s")))).alias("sa"),
+        z(F.max(F.when(F.col("arm") == 0, F.col("q")))).alias("qa"),
+        z(F.max(F.when(F.col("arm") == 1, F.col("n")))).alias("nb"),
+        z(F.max(F.when(F.col("arm") == 1, F.col("s")))).alias("sb"),
+        z(F.max(F.when(F.col("arm") == 1, F.col("q")))).alias("qb"),
+    )
+    var_ok = F.expr(
+        "na > 1 AND nb > 1"
+        " AND (qa * 1.0) / na > ((sa * 1.0) / na) * ((sa * 1.0) / na)"
+        " AND (qb * 1.0) / nb > ((sb * 1.0) / nb) * ((sb * 1.0) / nb)"
+    )
+    return wide.select(
+        "segment",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("sa").cast("long").alias("sum_a_cents"),
+        F.col("sb").cast("long").alias("sum_b_cents"),
+        F.when(
+            (F.col("na") > 0) & (F.col("nb") > 0), F.expr(_M26_DIFF)
+        ).alias("mean_diff_microcents"),
+        F.when(var_ok, F.expr(_M26_Z)).alias("z_micro"),
+        F.when(var_ok, F.abs(F.expr(_M26_Z)) > 1959964).alias(
+            "significant"
+        ),
+    )

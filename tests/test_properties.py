@@ -3230,3 +3230,79 @@ def test_r94_oracle_equals_bruteforce_dau_wau(rows):
             (d, len(us), len(wau), (1000000 * len(us)) // len(wau))
         )
     assert got == sorted(want)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),   # user
+            st.sampled_from(["click", "error"]),
+            st.sampled_from([5.0, 30.0, 80.0, 130.0, 200.0]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_m26_oracle_equals_bruteforce_ab(rows):
+    """The A/B SQL must equal a from-first-principles analysis: parity
+    arms, exact integer sums/squares, the identical IEEE mean-diff and
+    Welch-z sequences in HALF_UP micro-units, and NULL verdicts for
+    missing arms / n<=1 / zero variance."""
+    import datetime
+    import math
+
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.advanced import (
+        _M26_SQL,
+        ORACLES,
+    )
+
+    assert ORACLES["m26_ab_test"] is _M26_SQL
+    base = datetime.datetime(2024, 1, 1)
+    con = _duck()
+    con.register(
+        "events",
+        pd.DataFrame(
+            [
+                (i, base, u, et, v, "{}")
+                for i, (u, et, v) in enumerate(rows)
+            ],
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        ),
+    )
+    got = sorted(tuple(r) for r in con.execute(_M26_SQL).fetchall())
+
+    def micro(x):
+        return int(math.floor(x * 1000000.0 + 0.5))
+
+    segs = {et for _u, et, _v in rows}
+    want = []
+    for seg in segs | {"ALL"}:
+        sel = [
+            (u % 2, int(round(v * 100)))
+            for u, et, v in rows
+            if seg == "ALL" or et == seg
+        ]
+        st_ = {}
+        for arm in (0, 1):
+            cs = [c for a, c in sel if a == arm]
+            st_[arm] = (len(cs), sum(cs), sum(c * c for c in cs))
+        na, sa, qa = st_[0]
+        nb, sb, qb = st_[1]
+        diff = micro(sb / nb - sa / na) if na > 0 and nb > 0 else None
+        va = qa / na - (sa / na) ** 2 if na else 0.0
+        vb = qb / nb - (sb / nb) ** 2 if nb else 0.0
+        ok = na > 1 and nb > 1 and va > 0 and vb > 0
+        zm = (
+            micro((sb / nb - sa / na) / math.sqrt(va / na + vb / nb))
+            if ok
+            else None
+        )
+        want.append(
+            (seg, na, nb, sa, sb, diff, zm,
+             abs(zm) > 1959964 if ok else None)
+        )
+    assert got == sorted(want)

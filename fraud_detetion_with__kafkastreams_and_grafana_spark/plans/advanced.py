@@ -3475,6 +3475,14 @@ def m24_threshold_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly what this histogram formulation replaces."""
     ev = load_table(spark, sf_dir, "events")
     per = m18_score_counts(ev).localCheckpoint()
+    return m24_report_from_counts(per)
+
+
+def m24_report_from_counts(per: DataFrame) -> DataFrame:
+    """(event_type, s, n_pos_s, n_neg_s) histogram -> the per-segment +
+    ALL utility-optimal threshold report. Shared by the batch tuner
+    (m24) and its streaming deployment (s37), which merges per-batch
+    histogram partials (associative) before the identical sweep."""
     from pyspark.sql.window import Window
 
     seg = per.select(

@@ -2753,3 +2753,94 @@ def s36_stream_bm25_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("score_micro").cast("long").alias("score_micro"),
     )
+
+
+def _m24_oracle_sql() -> str:
+    from .advanced import ORACLES as _AD
+
+    return _AD["m24_threshold_tuning"]
+
+
+@_register("s37_stream_threshold_tuning", _m24_oracle_sql())
+def s37_stream_threshold_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m24's cost-sensitive threshold optimization run as a STREAM —
+    the last member of the deployed-metric family (drift s28/s33,
+    calibration s26, ranking s31, now the DECISION itself): each JSON
+    micro-batch reduces to its partial (event_type, rounded-score)
+    positive/negative counts inside foreachBatch (the same associative
+    histogram s31 maintains) and lands idempotently in a
+    _batch_id-partitioned sink (s09). The report merges partials and
+    runs the identical utility sweep (m24_report_from_counts), so the
+    streamed optimal threshold equals the batch one bit-for-bit and
+    s37 shares m24's oracle verbatim. Operationally this is threshold
+    RETUNING on live traffic — the alert rule follows the score
+    distribution instead of being frozen at deploy time.
+
+    Scale: zero streaming state; per batch the sink grows by the
+    distinct (type, score) rows of that batch; re-optimizing costs the
+    codomain-bounded histogram sweep."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .advanced import m18_score_counts, m24_report_from_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    wire = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("event_type"),
+                F.col("value"),
+                F.hour("ts").cast("long").alias("hr"),
+            )
+        ).alias("value")
+    )
+    from ..streaming.replay import materialize_wire_dir
+
+    d = materialize_wire_dir(wire)
+    out = tempfile.mkdtemp(prefix="spark_graft_s37_sink_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_s37_ckpt_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+
+    def hist_partials(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.select(
+            F.from_json(
+                "value", "event_type STRING, value DOUBLE, hr LONG"
+            ).alias("r")
+        ).select("r.event_type", "r.value", "r.hr")
+        b = b.where(F.col("value").isNotNull())
+        (
+            m18_score_counts(b, hour_col=F.col("hr"))
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
+
+    stream = (
+        spark.readStream.schema("value STRING")
+        .option("maxFilesPerTrigger", 2)
+        .text(d)
+    )
+    q = (
+        stream.writeStream.foreachBatch(hist_partials)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    merged = (
+        spark.read.parquet(out)
+        .groupBy("event_type", "s")
+        .agg(
+            F.sum("n_pos_s").cast("long").alias("n_pos_s"),
+            F.sum("n_neg_s").cast("long").alias("n_neg_s"),
+        )
+        .localCheckpoint()
+    )
+    return m24_report_from_counts(merged)

@@ -1026,3 +1026,25 @@ def test_s36_stream_bm25_equals_batch_l77(spark, sf_dir):
         for r in L.QUERIES["l77_bm25_topk"](spark, sf_dir).collect()
     )
     assert got == want
+
+
+def test_s37_stream_threshold_equals_batch_m24(spark, sf_dir):
+    """The streamed threshold retuning must equal the batch optimizer
+    row-for-row — score-histogram partials merge additively, so the
+    utility sweep sees the identical distribution."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import (
+        advanced as AD,
+        streaming_queries as SQ,
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in SQ.QUERIES["s37_stream_threshold_tuning"](
+            spark, sf_dir
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in AD.QUERIES["m24_threshold_tuning"](spark, sf_dir).collect()
+    )
+    assert got == want

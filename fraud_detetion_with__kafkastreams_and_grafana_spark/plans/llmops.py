@@ -5341,3 +5341,110 @@ def l85_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("cum_tokens").cast("long").alias("cum_tokens"),
     )
+
+
+_L86_SQL = r"""
+    WITH d AS (
+      SELECT doc_id, source, lang,
+             length(text) AS chars,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END
+               AS toks,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+      FROM documents
+    ),
+    hc AS (SELECT h, count(*) AS c FROM d GROUP BY 1),
+    flagged AS (
+      SELECT d.*, (hc.c > 1) AS is_dup FROM d JOIN hc USING (h)
+    ),
+    lc AS (
+      SELECT source, lang, count(*) AS c FROM d GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT source, lang AS top_lang FROM (
+        SELECT source, lang,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY c DESC, lang ASC) AS rk
+        FROM lc
+      ) WHERE rk = 1
+    )
+    SELECT f.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(chars) AS BIGINT) AS n_chars,
+           CAST(sum(toks) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           max(t.top_lang) AS top_lang,
+           CAST(count(*) FILTER (WHERE is_dup) AS BIGINT) AS n_dup_docs,
+           CAST((1000000 * count(*) FILTER (WHERE is_dup)) // count(*)
+                AS BIGINT) AS dup_ppm
+    FROM flagged f JOIN top t USING (source)
+    GROUP BY f.source
+"""
+
+
+@_register("l86_dataset_card", _L86_SQL)
+def l86_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card generator — the per-source documentation row the
+    'Datasheets for Datasets' practice requires before a corpus ships:
+    document / character / whitespace-token totals, language coverage
+    (distinct langs + dominant lang, ties to the alphabetically first),
+    and the corpus-wide exact-duplicate exposure (documents whose l01
+    normalized text appears more than once ANYWHERE — cross-source
+    duplication counts against every source holding a copy) with its
+    ppm rate. One row per source; the judge of whether a source earns
+    its storage.
+
+    Scale: ONE corpus scan produces the per-doc stat row + normalized
+    md5; the duplicate flag is a self-equi-join on that 16-byte hash
+    (group counts map-side combined, bounded by distinct texts); the
+    language and final aggregates collapse to |sources| x |langs| rows.
+    No text column ever crosses a shuffle — only hashes and int stats.
+
+    Reference parity: no reference equivalent; public dataset-
+    documentation methodology (Gebru et al., Datasheets for
+    Datasets)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.length("text").alias("chars"),
+        F.when(F.trim("text") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+        .alias("toks"),
+        F.md5(
+            F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+        ).alias("h"),
+    ).localCheckpoint()  # feeds the dup join, lang counts AND the card
+    hc = d.groupBy("h").agg(F.count("*").alias("c"))
+    flagged = d.join(hc, "h").withColumn("is_dup", F.col("c") > 1)
+    lc = d.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    top = (
+        lc.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.desc("c"), F.asc("lang")
+                )
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return (
+        flagged.join(F.broadcast(top), "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("chars").cast("long").alias("n_chars"),
+            F.sum("toks").cast("long").alias("n_tokens"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.max("top_lang").alias("top_lang"),
+            F.expr("count_if(is_dup)").cast("long").alias("n_dup_docs"),
+            F.expr(
+                "CAST((1000000 * count_if(is_dup)) div count(*) AS BIGINT)"
+            ).alias("dup_ppm"),
+        )
+    )

@@ -1094,3 +1094,33 @@ def test_l85_context_assembly_invariants(spark, sf_dir):
             srcs[r["source"]] += 1
         assert cum <= L._L85_BUDGET
         assert max(srcs.values()) <= L._L85_SOURCE_CAP
+
+
+def test_l86_dataset_card_invariants(spark, sf_dir):
+    """Card sanity: every source appears once, totals are positive and
+    consistent (dup count bounded by doc count, ppm formula replays),
+    and the corpus-wide dup flag is symmetric — summing per-source dup
+    docs equals the number of docs in >1-sized normalized-text groups."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import llmops as L
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = L.QUERIES["l86_dataset_card"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert len(rows) == docs.select("source").distinct().count()
+    total_dup = (
+        docs.groupBy(
+            F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
+        )
+        .count()
+        .where(F.col("count") > 1)
+        .agg(F.sum("count"))
+        .collect()[0][0]
+        or 0
+    )
+    assert sum(r["n_dup_docs"] for r in rows) == total_dup
+    for r in rows:
+        assert 0 <= r["n_dup_docs"] <= r["n_docs"]
+        assert r["dup_ppm"] == (1000000 * r["n_dup_docs"]) // r["n_docs"]
+        assert 1 <= r["n_langs"]
+        assert r["n_chars"] >= r["n_tokens"] >= 0

@@ -3849,18 +3849,30 @@ def m26_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     eye; this is the statistical form of that comparison (no reference
     equivalent; public experimentation methodology)."""
     ev = load_table(spark, sf_dir, "events")
+    return m26_report_from_arm_stats(m26_arm_stats(ev))
+
+
+def m26_arm_stats(ev: DataFrame) -> DataFrame:
+    """(segment=event_type, arm, n, s, q) exact per-arm count / cents
+    sum / cents sum-of-squares — all associative, so streaming batch
+    partials (s38) merge by re-summing per (segment, arm)."""
     base = ev.select(
         "event_type",
         (F.col("user_id") % 2).alias("arm"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    per = base.groupBy(
+    return base.groupBy(
         F.col("event_type").alias("segment"), "arm"
     ).agg(
         F.count("*").alias("n"),
         F.sum("cents").alias("s"),
         F.sum(F.col("cents") * F.col("cents")).alias("q"),
     )
+
+
+def m26_report_from_arm_stats(per: DataFrame) -> DataFrame:
+    """Merged (segment, arm, n, s, q) stats -> the per-segment + ALL
+    experiment report. Shared by m26 and its streaming monitor (s38)."""
     agg = per.unionByName(
         per.groupBy("arm")
         .agg(F.sum("n").alias("n"), F.sum("s").alias("s"),

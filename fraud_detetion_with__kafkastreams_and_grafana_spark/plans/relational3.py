@@ -3531,3 +3531,125 @@ def r94_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# r95: session path mining — the navigation-pattern question funnels
+# (r87) fix in advance: which event-type SEQUENCES actually happen?
+# Sessions are 30-min-gap islands (r32's rule); each session's first
+# four event types concatenate into its path signature, and the report
+# is the top-10 paths by frequency.
+# ---------------------------------------------------------------------------
+
+_R95_GAP = 1800
+_R95_DEPTH = 4
+_R95_TOPK = 10
+
+_R95_SQL = f"""
+    WITH base AS (
+      SELECT user_id, event_id, event_type AS et,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                       OR t - lag(t) OVER w > {_R95_GAP}
+                     THEN 1 ELSE 0 END AS new_s
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ),
+    sess AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                                 ORDER BY t, event_id) AS sid
+      FROM flagged
+    ),
+    ranked AS (
+      SELECT user_id, sid, et, t, event_id,
+             row_number() OVER (PARTITION BY user_id, sid
+                                ORDER BY t, event_id) AS rn
+      FROM sess
+    ),
+    paths AS (
+      SELECT user_id, sid,
+             string_agg(et, '>' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= {_R95_DEPTH}
+      GROUP BY 1, 2
+    )
+    SELECT path, CAST(n AS BIGINT) AS n_sessions,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT path, count(*) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, path ASC) AS rk
+      FROM paths GROUP BY 1
+    ) WHERE rk <= {_R95_TOPK}
+"""
+
+
+@_register("r95_session_paths", _R95_SQL)
+def r95_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining: sessions are 30-minute-gap islands per user
+    (r32's sessionization rule, (t, event_id)-ordered so same-second
+    ties replay identically); each session's first four event types
+    join into a '>'-separated path signature, and the report is the
+    top-10 signatures by session count (ties to the lexicographically
+    first path). This is the exploratory sibling of the funnel (r87):
+    funnels test ONE hypothesized sequence, path mining surfaces which
+    sequences the traffic actually contains.
+
+    Scale: ONE user_id shuffle carries sessionization, session-local
+    ranking and the path assembly (three window passes over the same
+    (user, t, event_id) sort — Catalyst reuses the exchange, the
+    r71/r83/r87 posture); paths themselves are <= 4 short enum strings
+    per SESSION (bounded by session count, not events), and the final
+    top-k is a count aggregate + a k-row rank. Spark-side path
+    assembly sorts each session's collected (rn, et) structs —
+    collect_list order is not deterministic under retries, array_sort
+    makes it so (the same discipline as the oracle's ORDER BY inside
+    string_agg).
+
+    Reference parity: generalizes the reference's single hard-coded
+    detection sequence (TransactionProcessor.java pipeline) to the
+    discovery form; no reference equivalent."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    base = ev.select(
+        "user_id", "event_id", F.col("event_type").alias("et"), t.alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    flagged = base.withColumn(
+        "new_s",
+        F.when(
+            F.lag("t").over(w).isNull()
+            | (F.col("t") - F.lag("t").over(w) > _R95_GAP),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("t", "event_id")
+    ranked = sess.withColumn("rn", F.row_number().over(ws)).where(
+        F.col("rn") <= _R95_DEPTH
+    )
+    paths = ranked.groupBy("user_id", "sid").agg(
+        F.concat_ws(
+            ">",
+            F.expr("transform(array_sort(collect_list(struct(rn, et))),"
+                   " x -> x.et)"),
+        ).alias("path")
+    )
+    wr = Window.orderBy(F.desc("n"), F.asc("path"))
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= _R95_TOPK)
+        .select(
+            "path",
+            F.col("n").cast("long").alias("n_sessions"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )

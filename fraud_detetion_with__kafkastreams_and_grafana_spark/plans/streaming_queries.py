@@ -2844,3 +2844,88 @@ def s37_stream_threshold_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     return m24_report_from_counts(merged)
+
+
+def _m26_oracle_sql() -> str:
+    from .advanced import ORACLES as _AD
+
+    return _AD["m26_ab_test"]
+
+
+@_register("s38_stream_ab_monitor", _m26_oracle_sql())
+def s38_stream_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m26's experiment readout maintained LIVE — the always-on A/B
+    dashboard: each JSON micro-batch reduces inside foreachBatch to its
+    per-(event_type, arm) count / cents-sum / sum-of-squares partials
+    (all associative) and lands idempotently in a _batch_id-partitioned
+    sink (s09). The report re-sums partials and runs the identical
+    wide/Welch tail (m26_report_from_arm_stats), so the streamed
+    verdict equals the batch analysis bit-for-bit and s38 shares m26's
+    oracle verbatim. (A production deployment would gate on sequential-
+    testing corrections; the REPORT arithmetic is what this query
+    pins.)
+
+    Scale: zero streaming state; the sink grows by <= 2 x |types| rows
+    per batch; re-evaluating the experiment costs a ~12-row frame."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .advanced import m26_arm_stats, m26_report_from_arm_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    wire = ev.select(
+        F.to_json(
+            F.struct(F.col("event_type"), F.col("user_id"), F.col("value"))
+        ).alias("value")
+    )
+    from ..streaming.replay import materialize_wire_dir
+
+    d = materialize_wire_dir(wire)
+    out = tempfile.mkdtemp(prefix="spark_graft_s38_sink_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_s38_ckpt_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+
+    def arm_partials(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.select(
+            F.from_json(
+                "value", "event_type STRING, user_id BIGINT, value DOUBLE"
+            ).alias("r")
+        ).select("r.event_type", "r.user_id", "r.value")
+        b = b.where(F.col("value").isNotNull())
+        (
+            m26_arm_stats(b)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
+
+    stream = (
+        spark.readStream.schema("value STRING")
+        .option("maxFilesPerTrigger", 2)
+        .text(d)
+    )
+    q = (
+        stream.writeStream.foreachBatch(arm_partials)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    merged = (
+        spark.read.parquet(out)
+        .groupBy("segment", "arm")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s").alias("s"),
+            F.sum("q").alias("q"),
+        )
+        .localCheckpoint()
+    )
+    return m26_report_from_arm_stats(merged)

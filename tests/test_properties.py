@@ -3306,3 +3306,74 @@ def test_m26_oracle_equals_bruteforce_ab(rows):
              abs(zm) > 1959964 if ok else None)
         )
     assert got == sorted(want)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),      # user
+            st.integers(min_value=0, max_value=9000),   # seconds offset
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_r95_oracle_equals_bruteforce_paths(rows):
+    """The path-mining SQL must equal a brute-force session walk on
+    arbitrary event interleavings: 30-min-gap islands, first-4 type
+    signatures, frequency ranking with the lexicographic tiebreak."""
+    import datetime
+    from collections import Counter
+
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.relational3 import (
+        _R95_DEPTH,
+        _R95_GAP,
+        _R95_SQL,
+        _R95_TOPK,
+        ORACLES,
+    )
+
+    assert ORACLES["r95_session_paths"] is _R95_SQL
+    base = datetime.datetime(2024, 1, 1)
+    con = _duck()
+    con.register(
+        "events",
+        pd.DataFrame(
+            [
+                (i, base + datetime.timedelta(seconds=s), u, et, 1.0, "{}")
+                for i, (u, s, et) in enumerate(rows)
+            ],
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        ),
+    )
+    got = sorted(tuple(r) for r in con.execute(_R95_SQL).fetchall())
+
+    byu: dict = {}
+    for i, (u, s, et) in enumerate(rows):
+        byu.setdefault(u, []).append((s, i, et))
+    paths = Counter()
+    for u, evs in byu.items():
+        evs.sort()
+        sess: list = []
+        prev = None
+        for s, i, et in evs:
+            if prev is None or s - prev > _R95_GAP:
+                if sess:
+                    paths[">".join(sess[:_R95_DEPTH])] += 1
+                sess = []
+            sess.append(et)
+            prev = s
+        if sess:
+            paths[">".join(sess[:_R95_DEPTH])] += 1
+    ranked = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))
+    want = [
+        (p, n, rk)
+        for rk, (p, n) in enumerate(ranked[:_R95_TOPK], start=1)
+    ]
+    assert got == sorted(want)

@@ -1048,3 +1048,23 @@ def test_s37_stream_threshold_equals_batch_m24(spark, sf_dir):
         for r in AD.QUERIES["m24_threshold_tuning"](spark, sf_dir).collect()
     )
     assert got == want
+
+
+def test_s38_stream_ab_equals_batch_m26(spark, sf_dir):
+    """The live A/B monitor must equal the batch analysis row-for-row —
+    count/sum/sum-of-squares partials are associative, so the Welch
+    tail sees identical integers."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import (
+        advanced as AD,
+        streaming_queries as SQ,
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in SQ.QUERIES["s38_stream_ab_monitor"](spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in AD.QUERIES["m26_ab_test"](spark, sf_dir).collect()
+    )
+    assert got == want

@@ -3495,13 +3495,15 @@ def r94_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact at scale: the corpus collapses ONCE to the deduped (day,
     user) frame — the only corpus-sized shuffle, map-side combined.
-    The trailing window is then a RANGE self-join of that frame
-    against the |days|-row grid (each (day, user) row lands in <= 7
-    window rows, so the join output is bounded by 7 x |day-user
-    pairs|, independent of raw event volume), re-deduped per window by
-    the count-distinct aggregate. At 100 TB the (day, user) frame is
-    the materialized activity table every analytics warehouse keeps;
-    the 7x fan-out joins it against a broadcast day grid.
+    The trailing window then uses membership INVERSION: d in [wd-6, wd]
+    iff wd in [d, d+6], so each activity row explodes into its <= 7
+    window anchors and a plain (wd, user) count-distinct aggregate
+    finishes the job — output bounded by 7 x |day-user pairs|,
+    independent of raw event volume, with NO |days| x |activity|
+    range join anywhere (the naive formulation Catalyst would execute
+    as a nested loop). At 100 TB the (day, user) frame is the
+    materialized activity table every analytics warehouse keeps; the
+    7x fan-out is a projection of it.
 
     Reference parity: the exact form of the engagement tiles the
     reference's Grafana board approximates (dashboards.json Q2 family);
@@ -3513,12 +3515,15 @@ def r94_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     du = ev.select(day.alias("d"), "user_id").distinct().localCheckpoint()
     dau = du.groupBy("d").agg(F.count("*").alias("dau"))
-    days = du.select("d").distinct()
+    # membership inversion: d in [wd-6, wd] <=> wd in [d, d+6], so each
+    # activity row EXPLODES into its <=7 window days — a hash-aggregable
+    # 7x fan-out, never a |days| x |activity| nested-loop range join.
+    # Windows anchored on non-active days are computed and then dropped
+    # by the inner join with dau (bounded 7x waste).
     wau = (
-        F.broadcast(days.withColumnRenamed("d", "wd"))
-        .join(
-            du,
-            (F.col("d") >= F.col("wd") - 6) & (F.col("d") <= F.col("wd")),
+        du.select(
+            F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("wd"),
+            "user_id",
         )
         .groupBy("wd")
         .agg(F.countDistinct("user_id").alias("wau"))

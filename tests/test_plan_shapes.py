@@ -655,3 +655,14 @@ def test_m22_ks_has_no_single_partition_window(spark, sf_dir):
     q = _plan(advanced.QUERIES["m22_ks_drift"](spark, sf_dir))
     assert "Scan ExistingRDD" in q, q
     assert "SortMergeJoin" not in q, q
+
+
+def test_r94_sliding_distinct_has_no_nested_loop(spark, sf_dir):
+    """The trailing-window membership must be the <=7x explode, never a
+    |days| x |activity| range join: no nested-loop or sort-merge join
+    exists (the final dau/wau stitch hash-joins two tiny aggregates),
+    and the explode is present."""
+    p = _plan(relational3.QUERIES["r94_dau_wau"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "Generate explode" in p, p

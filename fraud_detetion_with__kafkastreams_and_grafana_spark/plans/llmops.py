@@ -5448,3 +5448,113 @@ def l86_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ppm"),
         )
     )
+
+
+_L87_SQL = f"""
+    WITH pairs AS ({_JACCARD_PAIRS_SQL}),
+    src AS (SELECT doc_id, source FROM documents),
+    szs AS (SELECT source, count(*) AS n_docs FROM src GROUP BY 1),
+    x AS (
+      SELECT least(a.source, b.source) AS src_a,
+             greatest(a.source, b.source) AS src_b,
+             count(*) AS n_pairs,
+             count(DISTINCT CASE WHEN a.source <= b.source
+                                 THEN p.id_a ELSE p.id_b END) AS docs_a,
+             count(DISTINCT CASE WHEN a.source <= b.source
+                                 THEN p.id_b ELSE p.id_a END) AS docs_b
+      FROM pairs p
+      JOIN src a ON a.doc_id = p.id_a
+      JOIN src b ON b.doc_id = p.id_b
+      WHERE a.source <> b.source
+      GROUP BY 1, 2
+    )
+    SELECT x.src_a, x.src_b,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(docs_a AS BIGINT) AS docs_a,
+           CAST(docs_b AS BIGINT) AS docs_b,
+           CAST((1000000 * docs_a) // sa.n_docs AS BIGINT)
+             AS overlap_a_ppm,
+           CAST((1000000 * docs_b) // sb.n_docs AS BIGINT)
+             AS overlap_b_ppm
+    FROM x
+    JOIN szs sa ON sa.source = x.src_a
+    JOIN szs sb ON sb.source = x.src_b
+"""
+
+
+@_register("l87_source_overlap_matrix", _L87_SQL)
+def l87_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source provenance overlap: for every unordered source pair
+    with at least one cross-source near-duplicate (the exact l02 pair
+    graph), the pair count, how many DISTINCT documents of each side
+    participate, and each side's exposure as a ppm of its corpus — the
+    'is source B just a re-crawl of source A?' audit that decides
+    which source to drop before paying for both. Complements l49
+    (train/test contamination — split axis) and l86 (per-source dup
+    totals — no counterparty): this names WHO overlaps WHOM.
+
+    Scale: two 8-byte equi-joins of the session-materialized pair
+    table against the (doc_id, source) projection, then a hash
+    aggregate bounded by |source pairs|; the distinct-doc counts use
+    the standard two-phase count-distinct rewrite on the same bounded
+    key space. least/greatest canonicalize the unordered pair so both
+    engines aggregate identical keys.
+
+    Reference parity: no reference equivalent; public data-governance
+    methodology."""
+    pairs = _dup_pairs(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    szs = src.groupBy("source").agg(F.count("*").alias("n_docs"))
+    a = src.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("src_of_a")
+    )
+    b = src.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("src_of_b")
+    )
+    joined = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .where(F.col("src_of_a") != F.col("src_of_b"))
+        .select(
+            F.least("src_of_a", "src_of_b").alias("src_a"),
+            F.greatest("src_of_a", "src_of_b").alias("src_b"),
+            F.when(
+                F.col("src_of_a") <= F.col("src_of_b"), F.col("id_a")
+            )
+            .otherwise(F.col("id_b"))
+            .alias("doc_of_a"),
+            F.when(
+                F.col("src_of_a") <= F.col("src_of_b"), F.col("id_b")
+            )
+            .otherwise(F.col("id_a"))
+            .alias("doc_of_b"),
+        )
+    )
+    x = joined.groupBy("src_a", "src_b").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("doc_of_a").alias("docs_a"),
+        F.countDistinct("doc_of_b").alias("docs_b"),
+    )
+    sa = szs.select(
+        F.col("source").alias("src_a"), F.col("n_docs").alias("na")
+    )
+    sb = szs.select(
+        F.col("source").alias("src_b"), F.col("n_docs").alias("nb")
+    )
+    return (
+        x.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("docs_a").cast("long").alias("docs_a"),
+            F.col("docs_b").cast("long").alias("docs_b"),
+            F.expr("CAST((1000000 * docs_a) div na AS BIGINT)").alias(
+                "overlap_a_ppm"
+            ),
+            F.expr("CAST((1000000 * docs_b) div nb AS BIGINT)").alias(
+                "overlap_b_ppm"
+            ),
+        )
+    )

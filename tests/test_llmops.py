@@ -1124,3 +1124,38 @@ def test_l86_dataset_card_invariants(spark, sf_dir):
         assert r["dup_ppm"] == (1000000 * r["n_dup_docs"]) // r["n_docs"]
         assert 1 <= r["n_langs"]
         assert r["n_chars"] >= r["n_tokens"] >= 0
+
+
+def test_l87_overlap_matrix_invariants(spark, sf_dir):
+    """Provenance-matrix sanity: pairs are canonically unordered
+    (src_a < src_b), participant counts are bounded by the pair count
+    and by each side's corpus, ppm formulas replay, and summing
+    n_pairs over the matrix equals the number of cross-source edges in
+    the pair graph."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import llmops as L
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = L.QUERIES["l87_source_overlap_matrix"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    pairs = L._dup_pairs(spark, sf_dir)
+    src = docs.select("doc_id", "source")
+    cross = (
+        pairs.join(src.withColumnRenamed("doc_id", "id_a")
+                   .withColumnRenamed("source", "sa"), "id_a")
+        .join(src.withColumnRenamed("doc_id", "id_b")
+              .withColumnRenamed("source", "sb"), "id_b")
+        .where(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert sum(r["n_pairs"] for r in rows) == cross
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        assert 1 <= r["docs_a"] <= min(r["n_pairs"], sizes[r["src_a"]])
+        assert 1 <= r["docs_b"] <= min(r["n_pairs"], sizes[r["src_b"]])
+        assert r["overlap_a_ppm"] == (1000000 * r["docs_a"]) // sizes[r["src_a"]]
+        assert r["overlap_b_ppm"] == (1000000 * r["docs_b"]) // sizes[r["src_b"]]

@@ -3907,3 +3907,147 @@ def m26_report_from_arm_stats(per: DataFrame) -> DataFrame:
             "significant"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# m27: score-distribution drift TREND — m17 answers "did the month
+# drift?" with one reference/live split; production monitoring wants
+# the TIME SERIES: weekly PSI of the deployed m04 score distribution
+# against the launch week, the line a dashboard alerts on when it
+# crosses 0.1/0.25. Ten score-decile buckets, Laplace smoothing, the
+# m17 integer-micro discipline.
+# ---------------------------------------------------------------------------
+
+_M27_NBUCKETS = 10
+_M27_CONTRIB = (
+    "CAST(round(((ref_n + 1.0) / (ref_tot + 10.0)"
+    " - (live_n + 1.0) / (live_tot + 10.0))"
+    " * ln(((ref_n + 1.0) / (ref_tot + 10.0))"
+    " / ((live_n + 1.0) / (live_tot + 10.0))) * 1000000.0, 0) AS BIGINT)"
+)
+
+_M27_SQL = f"""
+    WITH sc AS (
+      SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+             least(CAST(floor((0.5 * (1.0 + z / (1.0 + abs(z)))) * 10)
+                   AS BIGINT), 9) AS bucket
+      FROM (
+        SELECT ts, {_M04_Z.replace("HOUR_EXPR", "extract(hour FROM ts)")} AS z
+        FROM events
+      )
+    ),
+    st AS (SELECT min(t) AS mn FROM sc),
+    wk AS (
+      SELECT (t - st.mn) // 604800 AS w, bucket FROM sc CROSS JOIN st
+    ),
+    cnt AS (SELECT w, bucket, count(*) AS n FROM wk GROUP BY 1, 2),
+    weeks AS (SELECT DISTINCT w FROM cnt WHERE w >= 1),
+    grid AS (
+      SELECT weeks.w, g.bucket
+      FROM weeks CROSS JOIN range({_M27_NBUCKETS}) AS g(bucket)
+    ),
+    ref AS (SELECT bucket, n AS ref_n FROM cnt WHERE w = 0),
+    filled AS (
+      SELECT grid.w, grid.bucket,
+             coalesce(r.ref_n, 0) AS ref_n,
+             coalesce(c.n, 0) AS live_n
+      FROM grid
+      LEFT JOIN ref r USING (bucket)
+      LEFT JOIN cnt c ON c.w = grid.w AND c.bucket = grid.bucket
+    ),
+    tot AS (
+      SELECT w, bucket, ref_n, live_n,
+             sum(ref_n) OVER (PARTITION BY w) AS ref_tot,
+             sum(live_n) OVER (PARTITION BY w) AS live_tot
+      FROM filled
+    )
+    SELECT CAST(w AS BIGINT) AS week,
+           CAST(bucket AS BIGINT) AS bucket,
+           CAST(ref_n AS BIGINT) AS ref_n,
+           CAST(live_n AS BIGINT) AS live_n,
+           {_M27_CONTRIB} AS contrib_micro,
+           CAST(sum({_M27_CONTRIB}) OVER (PARTITION BY w) AS BIGINT)
+             AS psi_micro
+    FROM tot
+"""
+
+
+@_register("m27_score_drift_trend", _M27_SQL)
+def m27_score_drift_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly drift trend of the deployed m04 score distribution: every
+    event's score lands in one of ten deciles (the score p and its
+    decile are the SAME shared IEEE expression sequence on both
+    engines, so the floor is identical); week 0 (from the corpus's
+    first second) is the frozen launch reference, and every later week
+    reports its Laplace-smoothed PSI against it in exact integer
+    micro-units per bucket plus the per-week total — the monitoring
+    LINE (m17 gives one point) a dashboard alerts on at 0.1/0.25.
+
+    Scale: ONE corpus scan map-side-combines to <= |weeks| x 10 rows;
+    the min-timestamp anchor rides a 1-row broadcast; densification,
+    smoothing and the per-week sums run on the bounded grid. Adding
+    weeks extends the frame by 10 rows each — the trend is O(weeks),
+    never a rescan of history (the per-week counts are the
+    materialized artifact a real monitor appends to).
+
+    Reference parity: the trend form of the reference's static Grafana
+    tiles; no reference equivalent."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    p = _m04_p(None)
+    sc = ev.select(
+        t.alias("t"),
+        F.least(
+            F.floor(p * 10).cast("long"), F.lit(9)
+        ).alias("bucket"),
+    )
+    st = sc.agg(F.min("t").alias("mn"))
+    wk = sc.crossJoin(F.broadcast(st)).select(
+        F.expr("(t - mn) div 604800").alias("w"), "bucket"
+    )
+    cnt = wk.groupBy("w", "bucket").agg(F.count("*").alias("n")).localCheckpoint()
+    weeks = cnt.select("w").where(F.col("w") >= 1).distinct()
+    grid = weeks.crossJoin(
+        F.broadcast(
+            cnt.sparkSession.range(_M27_NBUCKETS).select(
+                F.col("id").alias("bucket")
+            )
+        )
+    )
+    ref = cnt.where(F.col("w") == 0).select(
+        "bucket", F.col("n").alias("ref_n")
+    )
+    filled = (
+        grid.join(F.broadcast(ref), "bucket", "left")
+        .join(cnt.withColumnRenamed("n", "live_n"), ["w", "bucket"], "left")
+        .select(
+            "w",
+            "bucket",
+            F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
+            F.coalesce("live_n", F.lit(0)).alias("live_n"),
+        )
+    )
+    ww = Window.partitionBy("w")
+    tot = filled.select(
+        "w",
+        "bucket",
+        "ref_n",
+        "live_n",
+        F.sum("ref_n").over(ww).alias("ref_tot"),
+        F.sum("live_n").over(ww).alias("live_tot"),
+    )
+    return tot.selectExpr(
+        "CAST(w AS BIGINT) AS week",
+        "CAST(bucket AS BIGINT) AS bucket",
+        "CAST(ref_n AS BIGINT) AS ref_n",
+        "CAST(live_n AS BIGINT) AS live_n",
+        f"{_M27_CONTRIB} AS contrib_micro",
+    ).select(
+        "*",
+        F.sum("contrib_micro")
+        .over(Window.partitionBy("week"))
+        .cast("long")
+        .alias("psi_micro"),
+    )

@@ -3377,3 +3377,92 @@ def test_r95_oracle_equals_bruteforce_paths(rows):
         for rk, (p, n) in enumerate(ranked[:_R95_TOPK], start=1)
     ]
     assert got == sorted(want)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2500000),  # seconds offset
+            st.sampled_from(["view", "click", "purchase", "error"]),
+            st.floats(min_value=0.0, max_value=20000.0,
+                      allow_nan=False, allow_infinity=False),
+            st.integers(min_value=0, max_value=23),  # hour shift ignored
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_m27_oracle_equals_bruteforce_trend(rows):
+    """The drift-trend SQL must equal a from-first-principles weekly
+    monitor: identical score/decile expression, week-0 reference,
+    densified 10-bucket grid, Laplace smoothing, HALF_UP micro
+    rounding, per-week integer sums — including weeks with no events
+    (absent from the report) and buckets absent from the reference."""
+    import datetime
+    import math
+
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.advanced import (
+        _M27_NBUCKETS,
+        _M27_SQL,
+        ORACLES,
+    )
+
+    assert ORACLES["m27_score_drift_trend"] is _M27_SQL
+    base = datetime.datetime(2024, 1, 1)
+    con = _duck()
+    con.register(
+        "events",
+        pd.DataFrame(
+            [
+                (i, base + datetime.timedelta(seconds=s), i % 7, et, v, "{}")
+                for i, (s, et, v, _h) in enumerate(rows)
+            ],
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        ),
+    )
+    got = sorted(tuple(r) for r in con.execute(_M27_SQL).fetchall())
+
+    # buckets from the engine-shared score expression (isolates the
+    # weekly machinery from the score arithmetic, the m18-closure
+    # pattern)
+    sc = con.execute(
+        """
+        SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+               least(CAST(floor((0.5 * (1.0 + z / (1.0 + abs(z)))) * 10)
+                     AS BIGINT), 9) AS bucket
+        FROM (
+          SELECT ts, """
+        + __import__(
+            "fraud_detetion_with__kafkastreams_and_grafana_spark.plans.advanced",
+            fromlist=["_M04_Z"],
+        )._M04_Z.replace("HOUR_EXPR", "extract(hour FROM ts)")
+        + " AS z FROM events)"
+    ).fetchall()
+    mn = min(t for t, _b in sc)
+    byw: dict = {}
+    for t, b in sc:
+        byw.setdefault((t - mn) // 604800, []).append(b)
+    ref = byw.get(0, [])
+    refc = [sum(1 for b in ref if b == k) for k in range(_M27_NBUCKETS)]
+    ref_tot = len(ref)
+    want = []
+    for w, bs in byw.items():
+        if w < 1:
+            continue
+        live = [sum(1 for b in bs if b == k) for k in range(_M27_NBUCKETS)]
+        live_tot = len(bs)
+        contribs = []
+        for k in range(_M27_NBUCKETS):
+            p = (refc[k] + 1.0) / (ref_tot + 10.0)
+            q = (live[k] + 1.0) / (live_tot + 10.0)
+            contribs.append(
+                int(math.floor((p - q) * math.log(p / q) * 1000000.0 + 0.5))
+            )
+        psi = sum(contribs)
+        for k in range(_M27_NBUCKETS):
+            want.append((w, k, refc[k], live[k], contribs[k], psi))
+    assert got == sorted(want)

@@ -4051,3 +4051,88 @@ def m27_score_drift_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("psi_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m28: CUSUM sequential change detection — the classic "has the level
+# shifted?" alarm (Page 1954) the threshold rules (q8) and drift tests
+# (m17/m22/m27) don't cover: those compare windows; CUSUM accumulates
+# small persistent deviations until they cross a decision interval.
+# The recurrence S_t = max(0, S_{t-1} + x_t - k) is not a window
+# aggregate, but the closed form S_t = P_t - min(0, min_{j<=t} P_j)
+# (P = inclusive prefix sum of x - k) IS — two running aggregates over
+# the bounded daily frame, exact int64 end to end.
+# ---------------------------------------------------------------------------
+
+_M28_K = 1_700_000  # daily allowance in cents (slightly above the mean)
+_M28_H = 500_000  # decision interval in cents
+
+_M28_SQL = f"""
+    WITH d AS (
+      SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS day_cents
+      FROM events GROUP BY 1
+    ),
+    p AS (
+      SELECT d, day_cents,
+             sum(day_cents - {_M28_K}) OVER (ORDER BY d) AS pt
+      FROM d
+    )
+    SELECT d AS day_num,
+           day_cents,
+           CAST(pt AS BIGINT) AS pt,
+           CAST(pt - least(0, min(pt) OVER (ORDER BY d)) AS BIGINT)
+             AS cusum,
+           pt - least(0, min(pt) OVER (ORDER BY d)) > {_M28_H} AS alarm
+    FROM p
+"""
+
+
+@_register("m28_cusum_alarm", _M28_SQL)
+def m28_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's CUSUM over the daily cents total: per day, the prefix
+    statistic, the CUSUM level S_t = max(0, S_(t-1) + x_t - k)
+    (allowance k = 1.7M cents, just above the stationary mean), and
+    the alarm verdict at decision interval h = 500k — the sequential
+    detector that fires on small PERSISTENT shifts long before any
+    single day breaches a static threshold (q8's rule class). The
+    recurrence lowers to the closed form P_t - min(0, running-min P)
+    — two ordered aggregates, no recursion, exact int64.
+
+    Scale: the corpus collapses in ONE map-side-combined scan to the
+    |days|-row daily frame; the two ordered windows run on that frame
+    alone (tens of thousands of rows after decades — the r88 day-frame
+    posture, where a single-partition window over the BOUNDED series
+    is the honest plan). At stream time the same statistic maintains
+    itself from (P_t, min-P) — two int64s of state.
+
+    Reference parity: the sequential upgrade of the reference's
+    FOR-duration Grafana alert (dashboards.json, q8); public
+    methodology (Page 1954)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    day = (
+        F.unix_timestamp(F.date_trunc("day", F.col("ts")).cast("timestamp"))
+        / F.lit(86400)
+    ).cast("long")
+    d = ev.groupBy(day.alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("day_cents")
+    )
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    p = d.withColumn(
+        "pt", F.sum(F.col("day_cents") - F.lit(_M28_K)).over(w)
+    )
+    cusum = F.col("pt") - F.least(F.lit(0), F.min("pt").over(w))
+    return p.select(
+        F.col("d").alias("day_num"),
+        "day_cents",
+        F.col("pt").cast("long").alias("pt"),
+        cusum.cast("long").alias("cusum"),
+        (cusum > F.lit(_M28_H)).alias("alarm"),
+    )

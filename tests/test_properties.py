@@ -3466,3 +3466,60 @@ def test_m27_oracle_equals_bruteforce_trend(rows):
         for k in range(_M27_NBUCKETS):
             want.append((w, k, refc[k], live[k], contribs[k], psi))
     assert got == sorted(want)
+
+
+@given(
+    cents=st.lists(
+        st.integers(min_value=0, max_value=4_000_000),  # daily totals
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_m28_closed_form_equals_recurrence(cents):
+    """The window closed form P_t - min(0, min P) must equal Page's
+    recurrence S_t = max(0, S_(t-1) + x_t - k) on arbitrary series —
+    including all-below-allowance runs (S pinned at 0) and immediate
+    spikes. Exercised through the oracle SQL so the engine-shared
+    formulation is what's proven."""
+    import datetime
+
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.advanced import (
+        _M28_H,
+        _M28_K,
+        _M28_SQL,
+        ORACLES,
+    )
+
+    assert ORACLES["m28_cusum_alarm"] is _M28_SQL
+    base = datetime.datetime(2024, 1, 1)
+    con = _duck()
+    # one synthetic event per day carrying the whole daily total
+    con.register(
+        "events",
+        pd.DataFrame(
+            [
+                (i, base + datetime.timedelta(days=i), 7, "click",
+                 c / 100.0, "{}")
+                for i, c in enumerate(cents)
+            ],
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        ),
+    )
+    got = sorted(tuple(r) for r in con.execute(_M28_SQL).fetchall())
+
+    e0 = 1704067200 // 86400
+    s = 0
+    want = []
+    for i, c in enumerate(cents):
+        s = max(0, s + c - _M28_K)
+        want.append((e0 + i, c, None, s, s > _M28_H))
+    # pt is the raw prefix; recompute it rather than carrying None
+    pt = 0
+    for i, c in enumerate(cents):
+        pt += c - _M28_K
+        want[i] = (want[i][0], want[i][1], pt, want[i][3], want[i][4])
+    assert got == sorted(want)

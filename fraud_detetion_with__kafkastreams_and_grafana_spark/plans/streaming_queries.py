@@ -2929,3 +2929,108 @@ def s38_stream_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     return m26_report_from_arm_stats(merged)
+
+
+def _m28_oracle_sql() -> str:
+    from .advanced import ORACLES as _AD
+
+    return _AD["m28_cusum_alarm"]
+
+
+@_register("s39_stream_cusum", _m28_oracle_sql())
+def s39_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m28's CUSUM change detector run as a STREAM — the deployment
+    shape sequential detection was invented for: each JSON micro-batch
+    reduces inside foreachBatch to its partial per-day cents sums
+    (associative) and lands idempotently in a _batch_id-partitioned
+    sink (s09); the report re-sums partials into the exact daily frame
+    and runs the identical closed-form windows, so the streamed alarm
+    trace equals the batch one bit-for-bit and s39 shares m28's oracle
+    verbatim. (A per-event implementation would instead carry the two
+    int64s (P_t, min-P) in keyed state — the day-partial form is the
+    replay-auditable one, since it reconstructs the whole alarm
+    history, not just the current level.)
+
+    Scale: zero streaming state; the sink grows by <= |days touched|
+    rows per batch; re-evaluating the detector costs the bounded daily
+    frame."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .advanced import _M28_H, _M28_K
+
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wire = ev.select(
+        F.to_json(F.struct(F.col("ts"), F.col("value"))).alias("value")
+    )
+    from ..streaming.replay import materialize_wire_dir
+
+    d = materialize_wire_dir(wire)
+    out = tempfile.mkdtemp(prefix="spark_graft_s39_sink_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_s39_ckpt_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+
+    def day_partials(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.select(
+            F.from_json("value", "ts TIMESTAMP, value DOUBLE").alias("r")
+        ).select("r.ts", "r.value")
+        b = b.where(F.col("value").isNotNull())
+        day = (
+            F.unix_timestamp(
+                F.date_trunc("day", F.col("ts")).cast("timestamp")
+            )
+            / F.lit(86400)
+        ).cast("long")
+        (
+            b.groupBy(day.alias("d"))
+            .agg(
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                    "cents"
+                )
+            )
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
+
+    stream = (
+        spark.readStream.schema("value STRING")
+        .option("maxFilesPerTrigger", 2)
+        .text(d)
+    )
+    q = (
+        stream.writeStream.foreachBatch(day_partials)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    daily = (
+        spark.read.parquet(out)
+        .groupBy("d")
+        .agg(F.sum("cents").cast("long").alias("day_cents"))
+        .localCheckpoint()
+    )
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    p = daily.withColumn(
+        "pt", F.sum(F.col("day_cents") - F.lit(_M28_K)).over(w)
+    )
+    cusum = F.col("pt") - F.least(F.lit(0), F.min("pt").over(w))
+    return p.select(
+        F.col("d").alias("day_num"),
+        "day_cents",
+        F.col("pt").cast("long").alias("pt"),
+        cusum.cast("long").alias("cusum"),
+        (cusum > F.lit(_M28_H)).alias("alarm"),
+    )

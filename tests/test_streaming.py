@@ -1068,3 +1068,23 @@ def test_s38_stream_ab_equals_batch_m26(spark, sf_dir):
         for r in AD.QUERIES["m26_ab_test"](spark, sf_dir).collect()
     )
     assert got == want
+
+
+def test_s39_stream_cusum_equals_batch_m28(spark, sf_dir):
+    """The streamed change detector must equal the batch CUSUM trace
+    row-for-row — per-day cents partials merge additively into the
+    exact daily frame the closed-form windows run on."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import (
+        advanced as AD,
+        streaming_queries as SQ,
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in SQ.QUERIES["s39_stream_cusum"](spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in AD.QUERIES["m28_cusum_alarm"](spark, sf_dir).collect()
+    )
+    assert got == want

@@ -3658,3 +3658,136 @@ def r95_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r96: association rules over session baskets — the market-basket
+# classic (Agrawal et al.): which event types CO-OCCUR in a session
+# beyond what their individual frequencies predict. Supports,
+# confidences and lift are exact integer cross-ratios in ppm — no
+# float probability ever divides another.
+# ---------------------------------------------------------------------------
+
+_R96_SQL = f"""
+    WITH base AS (
+      SELECT user_id, event_id, event_type AS et,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                       OR t - lag(t) OVER w > {_R95_GAP}
+                     THEN 1 ELSE 0 END AS new_s
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ),
+    sess AS (
+      SELECT user_id, et,
+             sum(new_s) OVER (PARTITION BY user_id
+                              ORDER BY t, event_id) AS sid
+      FROM flagged
+    ),
+    baskets AS (SELECT DISTINCT user_id, sid, et FROM sess),
+    nb AS (SELECT count(DISTINCT (user_id, sid)) AS n FROM baskets),
+    item AS (SELECT et, count(*) AS c FROM baskets GROUP BY 1),
+    pair AS (
+      SELECT a.et AS ant, b.et AS cons, count(*) AS c_ab
+      FROM baskets a JOIN baskets b
+        ON a.user_id = b.user_id AND a.sid = b.sid AND a.et <> b.et
+      GROUP BY 1, 2
+    )
+    SELECT p.ant, p.cons,
+           CAST(p.c_ab AS BIGINT) AS n_both,
+           CAST(ia.c AS BIGINT) AS n_ant,
+           CAST(ic.c AS BIGINT) AS n_cons,
+           CAST((1000000 * p.c_ab) // nb.n AS BIGINT) AS support_ppm,
+           CAST((1000000 * p.c_ab) // ia.c AS BIGINT) AS confidence_ppm,
+           CAST((1000000 * p.c_ab * nb.n) // (ia.c * ic.c) AS BIGINT)
+             AS lift_ppm
+    FROM pair p
+    JOIN item ia ON ia.et = p.ant
+    JOIN item ic ON ic.et = p.cons
+    CROSS JOIN nb
+"""
+
+
+@_register("r96_association_rules", _R96_SQL)
+def r96_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over session baskets (Agrawal et al.'s market
+    basket, sessions = r95's 30-min islands, items = the distinct
+    event types a session contains): for every ordered rule ant=>cons,
+    the exact co-occurrence counts plus support, confidence and lift in
+    ppm — all integer floor-divisions of exact counts (lift multiplies
+    BEFORE dividing: 1e6 * c_ab * n_baskets // (c_a * c_b), so no float
+    probability ratio exists anywhere). Lift > 1e6 marks genuinely
+    associated behaviors; confidence ranks the actionable direction.
+
+    Scale: sessionization is the one corpus shuffle (user_id window);
+    baskets dedup to (session, item) rows — bounded by sessions x
+    |item vocabulary|, which also bounds the pair self-join (per-
+    session fan-out <= |vocab|^2, and the join key (user, sid) is
+    already co-partitioned by the dedup aggregate). Item and basket
+    totals are tiny broadcast frames. The classic Apriori pruning is
+    unnecessary at pair length 2 with an enum-sized vocabulary; at
+    larger itemset lengths the same baskets frame feeds frequent-
+    itemset generation with a support cut per round.
+
+    Reference parity: no reference equivalent; public association-rule
+    methodology."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    base = ev.select(
+        "user_id", "event_id", F.col("event_type").alias("et"), t.alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    sess = base.withColumn(
+        "new_s",
+        F.when(
+            F.lag("t").over(w).isNull()
+            | (F.col("t") - F.lag("t").over(w) > _R95_GAP),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "sid",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    baskets = sess.select("user_id", "sid", "et").distinct().localCheckpoint()
+    nb = baskets.select("user_id", "sid").distinct().count()
+    item = baskets.groupBy("et").agg(F.count("*").alias("c"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.sid") == F.col("b.sid"))
+            & (F.col("a.et") != F.col("b.et")),
+        )
+        .groupBy(F.col("a.et").alias("ant"), F.col("b.et").alias("cons"))
+        .agg(F.count("*").alias("c_ab"))
+    )
+    ia = item.select(F.col("et").alias("ant"), F.col("c").alias("n_ant"))
+    ic = item.select(F.col("et").alias("cons"), F.col("c").alias("n_cons"))
+    return (
+        pair.join(F.broadcast(ia), "ant")
+        .join(F.broadcast(ic), "cons")
+        .select(
+            "ant",
+            "cons",
+            F.col("c_ab").cast("long").alias("n_both"),
+            F.col("n_ant").cast("long").alias("n_ant"),
+            F.col("n_cons").cast("long").alias("n_cons"),
+            F.expr(f"CAST((1000000 * c_ab) div {nb} AS BIGINT)").alias(
+                "support_ppm"
+            ),
+            F.expr("CAST((1000000 * c_ab) div n_ant AS BIGINT)").alias(
+                "confidence_ppm"
+            ),
+            F.expr(
+                f"CAST((1000000 * c_ab * {nb}) div (n_ant * n_cons)"
+                " AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )

@@ -3523,3 +3523,84 @@ def test_m28_closed_form_equals_recurrence(cents):
         pt += c - _M28_K
         want[i] = (want[i][0], want[i][1], pt, want[i][3], want[i][4])
     assert got == sorted(want)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),      # user
+            st.integers(min_value=0, max_value=9000),   # seconds offset
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_r96_oracle_equals_bruteforce_rules(rows):
+    """The association-rule SQL must equal a brute-force basket walk:
+    identical sessionization, distinct items per basket, ordered-pair
+    co-occurrence counts, and the integer ppm support/confidence/lift
+    formulas (multiply before floor-divide)."""
+    import datetime
+
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.relational3 import (
+        _R95_GAP,
+        _R96_SQL,
+        ORACLES,
+    )
+
+    assert ORACLES["r96_association_rules"] is _R96_SQL
+    base = datetime.datetime(2024, 1, 1)
+    con = _duck()
+    con.register(
+        "events",
+        pd.DataFrame(
+            [
+                (i, base + datetime.timedelta(seconds=s), u, et, 1.0, "{}")
+                for i, (u, s, et) in enumerate(rows)
+            ],
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        ),
+    )
+    got = sorted(tuple(r) for r in con.execute(_R96_SQL).fetchall())
+
+    byu: dict = {}
+    for i, (u, s, et) in enumerate(rows):
+        byu.setdefault(u, []).append((s, i, et))
+    baskets = []
+    for u, evs in byu.items():
+        evs.sort()
+        cur: set = set()
+        prev = None
+        for s, i, et in evs:
+            if prev is not None and s - prev > _R95_GAP:
+                baskets.append(cur)
+                cur = set()
+            cur.add(et)
+            prev = s
+        baskets.append(cur)
+    nb = len(baskets)
+    from collections import Counter
+
+    item = Counter()
+    pair = Counter()
+    for bk in baskets:
+        for x in bk:
+            item[x] += 1
+        for x in bk:
+            for y in bk:
+                if x != y:
+                    pair[(x, y)] += 1
+    want = sorted(
+        (ant, cons, c, item[ant], item[cons],
+         (1000000 * c) // nb,
+         (1000000 * c) // item[ant],
+         (1000000 * c * nb) // (item[ant] * item[cons]))
+        for (ant, cons), c in pair.items()
+    )
+    assert got == want

@@ -4136,3 +4136,148 @@ def m28_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
         cusum.cast("long").alias("cusum"),
         (cusum > F.lit(_M28_H)).alias("alarm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m29: Kaplan-Meier time-to-event — the survival capability none of
+# the point metrics cover: how LONG until a user first crosses the
+# high-value line, with users who never do properly right-CENSORED at
+# their observation horizon instead of dropped or miscounted. The
+# curve is reported in LOG micro-units (each step's ln((n-d)/n)
+# rounded once to int64, the m17 discipline; the cumulative sum is
+# then exact integer addition), sidestepping cross-engine exp()
+# entirely — the Nelson-Aalen-style log form every survival library
+# exposes.
+# ---------------------------------------------------------------------------
+
+_M29_THR = 200.0  # the high-value line whose first crossing is the event
+_M29_STEP = (
+    "CAST(round(ln(((n_risk - d) * 1.0) / n_risk) * 1000000.0, 0)"
+    " AS BIGINT)"
+)
+
+_M29_SQL = f"""
+    WITH base AS (
+      SELECT user_id, value AS v,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS d
+      FROM events
+    ),
+    st AS (SELECT max(d) AS mx FROM base),
+    users AS (
+      SELECT user_id, min(d) AS f,
+             min(CASE WHEN v > {_M29_THR} THEN d END) AS hit
+      FROM base GROUP BY 1
+    ),
+    obs AS (
+      SELECT user_id,
+             CASE WHEN hit IS NOT NULL THEN hit - f
+                  ELSE st.mx - f END AS dur,
+             CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM users CROSS JOIN st
+    ),
+    tot AS (SELECT count(*) AS n_users FROM obs),
+    byd AS (
+      SELECT dur, sum(ev) AS d, count(*) AS ending FROM obs GROUP BY 1
+    ),
+    risk AS (
+      SELECT dur, d,
+             tot.n_users
+               - coalesce(sum(ending) OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM byd CROSS JOIN tot
+    ),
+    steps AS (
+      SELECT dur, d, n_risk,
+             CASE WHEN d < n_risk THEN {_M29_STEP} END AS step_micro
+      FROM risk WHERE d > 0
+    )
+    SELECT CAST(dur AS BIGINT) AS duration_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_churned,
+           step_micro,
+           CASE WHEN step_micro IS NOT NULL THEN
+             CAST(sum(step_micro) OVER (ORDER BY dur) AS BIGINT)
+           END AS log_surv_micro
+    FROM steps
+"""
+
+
+@_register("m29_kaplan_meier", _M29_SQL)
+def m29_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-first-high-value-event curve: per user,
+    duration runs from their first active day to their first value
+    > 200 event (the EVENT — at sf0.01, 103 of 150 users); users who
+    never cross the line are right-CENSORED at the corpus horizon
+    (47 users — they leave the risk set without an event, the
+    distinction naive conversion rates get wrong). At each event duration: the at-risk count (users with
+    duration >= t), churn count, the step ln((n-d)/n) rounded once to
+    integer micro-units, and the cumulative log-survival (an exact
+    int64 sum — survival itself is exp of it; the log form crosses
+    engines exactly, exp would gamble on libm ulps).
+
+    Scale: ONE corpus scan collapses to the per-user (first, last)
+    frame (map-side combined); everything after runs on the
+    duration-bounded (<= |days|) step frame, whose ordered windows are
+    the r88/m28 bounded-series posture. At 100 TB the per-user frame
+    is the materialized user-activity summary every warehouse keeps.
+
+    Reference parity: no reference equivalent; public survival-analysis
+    methodology (Kaplan & Meier 1958)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    day = (
+        F.unix_timestamp(F.date_trunc("day", F.col("ts")).cast("timestamp"))
+        / F.lit(86400)
+    ).cast("long")
+    base = ev.select("user_id", F.col("value").alias("v"), day.alias("d"))
+    users = base.groupBy("user_id").agg(
+        F.min("d").alias("f"),
+        F.min(F.when(F.col("v") > _M29_THR, F.col("d"))).alias("hit"),
+    )
+    st = base.agg(F.max("d").alias("mx"))
+    obs = users.crossJoin(F.broadcast(st)).select(
+        F.when(
+            F.col("hit").isNotNull(), F.col("hit") - F.col("f")
+        )
+        .otherwise(F.col("mx") - F.col("f"))
+        .alias("dur"),
+        F.when(F.col("hit").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("ev"),
+    )
+    tot = obs.agg(F.count("*").alias("n_users"))
+    byd = obs.groupBy("dur").agg(
+        F.sum("ev").alias("d"), F.count("*").alias("ending")
+    )
+    wprev = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = byd.crossJoin(F.broadcast(tot)).select(
+        "dur",
+        "d",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum("ending").over(wprev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    steps = risk.where(F.col("d") > 0).selectExpr(
+        "dur",
+        "d",
+        "n_risk",
+        f"CASE WHEN d < n_risk THEN {_M29_STEP} END AS step_micro",
+    )
+    wcum = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return steps.select(
+        F.col("dur").cast("long").alias("duration_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_churned"),
+        "step_micro",
+        F.when(
+            F.col("step_micro").isNotNull(),
+            F.sum("step_micro").over(wcum).cast("long"),
+        ).alias("log_surv_micro"),
+    )

@@ -3604,3 +3604,87 @@ def test_r96_oracle_equals_bruteforce_rules(rows):
         for (ant, cons), c in pair.items()
     )
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),   # user
+            st.integers(min_value=0, max_value=25),  # day offset
+            st.sampled_from([50.0, 150.0, 250.0]),   # value
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_m29_oracle_equals_bruteforce_km(rows):
+    """The Kaplan-Meier SQL must equal a from-first-principles survival
+    analysis: per-user first-day/first-hit durations, censoring at the
+    corpus horizon, at-risk sets from the sorted duration walk, HALF_UP
+    micro log steps, and the exact cumulative log-survival — including
+    all-censored corpora (empty curve) and day-0 hits."""
+    import datetime
+    import math
+
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.advanced import (
+        _M29_SQL,
+        _M29_THR,
+        ORACLES,
+    )
+
+    assert ORACLES["m29_kaplan_meier"] is _M29_SQL
+    base = datetime.datetime(2024, 1, 1)
+    con = _duck()
+    con.register(
+        "events",
+        pd.DataFrame(
+            [
+                (i, base + datetime.timedelta(days=d, hours=2), u, "click",
+                 v, "{}")
+                for i, (u, d, v) in enumerate(rows)
+            ],
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        ),
+    )
+    got = sorted(tuple(r) for r in con.execute(_M29_SQL).fetchall())
+
+    byu: dict = {}
+    mx = max(d for _u, d, _v in rows)
+    for u, d, v in rows:
+        f, hit = byu.get(u, (None, None))
+        f = d if f is None else min(f, d)
+        if v > _M29_THR:
+            hit = d if hit is None else min(hit, d)
+        byu[u] = (f, hit)
+    obs = [
+        ((hit - f) if hit is not None else (mx - f),
+         1 if hit is not None else 0)
+        for f, hit in byu.values()
+    ]
+    n = len(obs)
+    want = []
+    cum = 0
+    seen = 0
+    for dur in sorted({d for d, _e in obs}):
+        d_ev = sum(1 for dd, e in obs if dd == dur and e == 1)
+        ending = sum(1 for dd, _e in obs if dd == dur)
+        n_risk = n - seen
+        seen += ending
+        if d_ev == 0:
+            continue
+        if d_ev == n_risk:
+            # terminal step: survival hits zero, log undefined -> NULLs
+            want.append((dur, n_risk, d_ev, None, None))
+            continue
+        step = int(
+            math.floor(
+                math.log((n_risk - d_ev) * 1.0 / n_risk) * 1000000.0 + 0.5
+            )
+        )
+        cum += step
+        want.append((dur, n_risk, d_ev, step, cum))
+    assert got == sorted(want, key=lambda r: r[0])

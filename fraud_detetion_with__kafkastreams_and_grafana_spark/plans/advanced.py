@@ -4281,3 +4281,102 @@ def m29_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("step_micro").over(wcum).cast("long"),
         ).alias("log_surv_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m30: OLS trend over the daily series — "is the level drifting, and
+# how fast?" as a point estimate with exact integer moments. The slope
+# numerator/denominator n*Sxy - Sx*Sy and n*Sxx - Sx^2 are exact int64
+# (days re-based to 0 keep the moments small); the single division is
+# the only float step and is rounded once to micro-cents/day.
+# ---------------------------------------------------------------------------
+
+_M30_SLOPE = (
+    "CAST(round(((n * sxy - sx * sy) * 1.0)"
+    " / (n * sxx - sx * sx) * 1000000.0, 0) AS BIGINT)"
+)
+
+_M30_SQL = f"""
+    WITH d AS (
+      SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1
+    ),
+    st AS (SELECT min(d) AS mn FROM d),
+    xy AS (SELECT d.d - st.mn AS x, cents AS y FROM d CROSS JOIN st),
+    m AS (
+      SELECT count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_days, sx, sy, sxx, sxy,
+           CASE WHEN n > 1 AND n * sxx > sx * sx THEN {_M30_SLOPE} END
+             AS slope_microcents_per_day,
+           CASE WHEN n > 1 AND n * sxx > sx * sx THEN
+             CAST(round((sy * 1.0) / n - ((n * sxy - sx * sy) * 1.0)
+                  / (n * sxx - sx * sx) * ((sx * 1.0) / n), 0) AS BIGINT)
+           END AS intercept_cents
+    FROM m
+"""
+
+
+@_register("m30_trend_ols", _M30_SQL)
+def m30_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS trend of the daily cents series: exact integer moments (n,
+    Sx, Sy, Sxx, Sxy over days re-based to zero), then slope in
+    micro-cents/day and the intercept — each ONE shared float
+    expression rounded once (the m17 discipline), so the point
+    estimate value-hash replays. The moments themselves ship in the
+    report: any downstream consumer (a control chart, a capacity
+    forecast) can re-derive variance bands from the same integers.
+    Complements the detection family: CUSUM (m28) says WHETHER the
+    level shifted, the trend says HOW FAST it is moving.
+
+    Scale: one map-side-combined scan to the |days| frame, one 5-term
+    moment aggregate (all algebraic), one row out. Moments stay exact
+    while n * max_day^2 * max_cents < 2^63 — decades of daily data at
+    this domain; past that the same plan carries DECIMAL(38) moments.
+
+    Reference parity: the quantified form of eyeballing a Grafana
+    slope; no reference equivalent."""
+    ev = load_table(spark, sf_dir, "events")
+    day = (
+        F.unix_timestamp(F.date_trunc("day", F.col("ts")).cast("timestamp"))
+        / F.lit(86400)
+    ).cast("long")
+    d = ev.groupBy(day.alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    st = d.agg(F.min("d").alias("mn"))
+    xy = d.crossJoin(F.broadcast(st)).select(
+        (F.col("d") - F.col("mn")).alias("x"), F.col("cents").alias("y")
+    )
+    m = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    ok = F.expr("n > 1 AND n * sxx > sx * sx")
+    return m.select(
+        F.col("n").cast("long").alias("n_days"),
+        "sx",
+        "sy",
+        "sxx",
+        "sxy",
+        F.when(ok, F.expr(_M30_SLOPE)).alias("slope_microcents_per_day"),
+        F.when(
+            ok,
+            F.expr(
+                "CAST(round((sy * 1.0) / n - ((n * sxy - sx * sy) * 1.0)"
+                " / (n * sxx - sx * sx) * ((sx * 1.0) / n), 0) AS BIGINT)"
+            ),
+        ).alias("intercept_cents"),
+    )

@@ -3791,3 +3791,78 @@ def r96_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r97: forecast backtest — the seasonal-naive baseline (tomorrow looks
+# like the same weekday last week) evaluated over the event history,
+# the sanity bar every forecasting deployment must beat before it
+# earns a model. Errors are exact integer cents; MAE is a floor
+# division and MAPE a per-day integer ratio summed exactly.
+# ---------------------------------------------------------------------------
+
+_R97_SQL = """
+    WITH d AS (
+      SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1
+    ),
+    f AS (
+      SELECT d, cents,
+             lag(cents, 7) OVER (ORDER BY d) AS pred
+      FROM d
+    )
+    SELECT CAST(d AS BIGINT) AS day_num,
+           cents AS actual_cents,
+           CAST(pred AS BIGINT) AS pred_cents,
+           CAST(abs(cents - pred) AS BIGINT) AS abs_err_cents,
+           CAST((1000000 * abs(cents - pred)) // cents AS BIGINT)
+             AS ape_ppm
+    FROM f WHERE pred IS NOT NULL
+"""
+
+
+@_register("r97_forecast_backtest", _R97_SQL)
+def r97_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest over the daily cents totals:
+    each day's prediction is the value seven days earlier (the weekday
+    baseline), scored with exact integer absolute error and per-day
+    APE in ppm — the hurdle rate a forecasting model must beat, and
+    the query a capacity-planning dashboard runs nightly. Gaps in the
+    day series make lag(7) a SEVEN-ROWS-back prediction, which is the
+    standard backtest convention on a dense daily rollup (this corpus
+    has every day present; on sparse series gap-fill first — r61).
+
+    Scale: the corpus collapses in one map-side-combined scan to the
+    |days|-row frame; the lag window runs on that bounded series (the
+    r88/m28/m29 posture). At stream time the same backtest maintains
+    itself from the last seven daily totals.
+
+    Reference parity: the predictive upgrade of the reference's
+    descriptive Grafana tiles; no reference equivalent."""
+    ev = load_table(spark, sf_dir, "events")
+    day = (
+        F.unix_timestamp(F.date_trunc("day", F.col("ts")).cast("timestamp"))
+        / F.lit(86400)
+    ).cast("long")
+    d = ev.groupBy(day.alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("d")
+    f = d.withColumn("pred", F.lag("cents", 7).over(w)).where(
+        F.col("pred").isNotNull()
+    )
+    return f.select(
+        F.col("d").cast("long").alias("day_num"),
+        F.col("cents").alias("actual_cents"),
+        F.col("pred").cast("long").alias("pred_cents"),
+        F.abs(F.col("cents") - F.col("pred")).cast("long").alias(
+            "abs_err_cents"
+        ),
+        F.expr(
+            "CAST((1000000 * abs(cents - pred)) div cents AS BIGINT)"
+        ).alias("ape_ppm"),
+    )

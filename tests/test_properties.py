@@ -3688,3 +3688,110 @@ def test_m29_oracle_equals_bruteforce_km(rows):
         cum += step
         want.append((dur, n_risk, d_ev, step, cum))
     assert got == sorted(want, key=lambda r: r[0])
+
+
+@given(
+    cents=st.lists(
+        st.integers(min_value=1, max_value=4_000_000),  # daily totals > 0
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_r97_oracle_equals_bruteforce_backtest(cents):
+    """The backtest SQL must equal the literal definition: prediction =
+    the series value seven rows back, exact |error| and per-day APE
+    floor-divided — including series shorter than the season (empty
+    report)."""
+    import datetime
+
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.relational3 import (
+        _R97_SQL,
+        ORACLES,
+    )
+
+    assert ORACLES["r97_forecast_backtest"] is _R97_SQL
+    base = datetime.datetime(2024, 1, 1)
+    con = _duck()
+    con.register(
+        "events",
+        pd.DataFrame(
+            [
+                (i, base + datetime.timedelta(days=i), 7, "click",
+                 c / 100.0, "{}")
+                for i, c in enumerate(cents)
+            ],
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        ),
+    )
+    got = sorted(tuple(r) for r in con.execute(_R97_SQL).fetchall())
+
+    e0 = 1704067200 // 86400
+    want = [
+        (e0 + i, c, cents[i - 7], abs(c - cents[i - 7]),
+         (1000000 * abs(c - cents[i - 7])) // c)
+        for i, c in enumerate(cents)
+        if i >= 7
+    ]
+    assert got == sorted(want)
+
+
+@given(
+    cents=st.lists(
+        st.integers(min_value=0, max_value=4_000_000),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_m30_oracle_equals_bruteforce_ols(cents):
+    """The trend SQL must equal textbook OLS on exact integer moments:
+    identical slope/intercept float sequences in HALF_UP micro/unit
+    rounding, NULL estimates for single-day series."""
+    import datetime
+    import math
+
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.advanced import (
+        _M30_SQL,
+        ORACLES,
+    )
+
+    assert ORACLES["m30_trend_ols"] is _M30_SQL
+    base = datetime.datetime(2024, 1, 1)
+    con = _duck()
+    con.register(
+        "events",
+        pd.DataFrame(
+            [
+                (i, base + datetime.timedelta(days=i), 7, "click",
+                 c / 100.0, "{}")
+                for i, c in enumerate(cents)
+            ],
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        ),
+    )
+    got = con.execute(_M30_SQL).fetchall()
+    assert len(got) == 1
+
+    n = len(cents)
+    sx = sum(range(n))
+    sy = sum(cents)
+    sxx = sum(i * i for i in range(n))
+    sxy = sum(i * c for i, c in enumerate(cents))
+
+    def half_up(x):
+        return int(math.floor(x + 0.5))
+
+    if n > 1 and n * sxx > sx * sx:
+        slope = ((n * sxy - sx * sy) * 1.0) / (n * sxx - sx * sx)
+        want_slope = half_up(slope * 1000000.0)
+        want_icept = half_up((sy * 1.0) / n - slope * ((sx * 1.0) / n))
+    else:
+        want_slope = want_icept = None
+    assert got[0] == (n, sx, sy, sxx, sxy, want_slope, want_icept)

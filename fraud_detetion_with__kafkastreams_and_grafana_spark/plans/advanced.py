@@ -4380,3 +4380,140 @@ def m30_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("intercept_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m31: Brier score decomposition — Murphy's reliability / resolution /
+# uncertainty split of the probabilistic score's quality, the canonical
+# diagnostic beyond a single calibration table (m06/m11/m15 say HOW to
+# recalibrate; the decomposition says how much is fixable). Scores are
+# quantized once to micro (exact int sums); each decomposition term is
+# ONE shared float expression per bucket rounded once to micro, so the
+# whole report is integer arithmetic after that.
+# ---------------------------------------------------------------------------
+
+_M31_REL = (
+    "CAST(round(n * ((sp * 1.0) / n / 1000000.0 - (sy * 1.0) / n)"
+    " * ((sp * 1.0) / n / 1000000.0 - (sy * 1.0) / n)"
+    " * 1000000.0, 0) AS BIGINT)"
+)
+_M31_RES = (
+    "CAST(round(n * ((sy * 1.0) / n - (gy * 1.0) / gn)"
+    " * ((sy * 1.0) / n - (gy * 1.0) / gn) * 1000000.0, 0) AS BIGINT)"
+)
+_M31_UNC = (
+    "CAST(round(((gy * 1.0) / gn) * (1.0 - (gy * 1.0) / gn)"
+    " * 1000000.0, 0) AS BIGINT)"
+)
+
+_M31_SQL = f"""
+    WITH sc AS (
+      SELECT CAST(round((0.5 * (1.0 + z / (1.0 + abs(z)))) * 1000000.0, 0)
+               AS BIGINT) AS pm,
+             least(CAST(floor((0.5 * (1.0 + z / (1.0 + abs(z)))) * 10)
+                   AS BIGINT), 9) AS bucket,
+             CASE WHEN value > {EVENTS_FRAUD_THRESHOLD!r} THEN 1 ELSE 0 END
+               AS y
+      FROM (
+        SELECT value, {_M04_Z.replace("HOUR_EXPR", "extract(hour FROM ts)")} AS z
+        FROM events
+      )
+    ),
+    b AS (
+      SELECT bucket, count(*) AS n, sum(y) AS sy, sum(pm) AS sp,
+             sum((pm - 1000000 * y) * (pm - 1000000 * y)) AS sq
+      FROM sc GROUP BY 1
+    ),
+    g AS (SELECT sum(n) AS gn, sum(sy) AS gy, sum(sq) AS gsq FROM b)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(n AS BIGINT) AS n,
+           CAST(sy AS BIGINT) AS n_pos,
+           CAST(sp AS BIGINT) AS sum_p_micro,
+           CAST(sq AS BIGINT) AS sq_err,
+           {_M31_REL} AS rel_c,
+           {_M31_RES} AS res_c,
+           CAST(sum({_M31_REL}) OVER () AS BIGINT) AS rel_micro,
+           CAST(sum({_M31_RES}) OVER () AS BIGINT) AS res_micro,
+           {_M31_UNC} AS unc_micro,
+           CAST(gsq // (gn * 1000000) AS BIGINT) AS brier_micro
+    FROM b CROSS JOIN g
+"""
+
+
+@_register("m31_brier_decomposition", _M31_SQL)
+def m31_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the m04 scorer's Brier score over ten
+    score deciles: per bucket the exact integer counts (n, positives,
+    micro-quantized probability sum, squared-error sum) plus the
+    reliability and resolution contributions (one shared float
+    expression each, rounded once to micro), and on every row the
+    whole-report aggregates — total reliability (calibration error a
+    recalibrator like m15 can remove), total resolution (genuine
+    discrimination it cannot add), climatological uncertainty, and the
+    exact quantized Brier score (pure integer floor division). The
+    diagnostic reading: Brier ~= reliability - resolution +
+    uncertainty, so a high-reliability report routes to recalibration
+    while low resolution routes to retraining.
+
+    Scale: ONE corpus scan map-side-combines to the 10-bucket frame
+    (quantized micro scores keep every accumulated sum exact int64 up
+    to ~9e6 rows per bucket at this domain; past that the same plan
+    carries DECIMAL(38) sums); the decomposition runs on those 10
+    rows. The empty OVER () totals are 10-row windows, not corpus
+    windows.
+
+    Reference parity: the score-quality audit behind the reference's
+    hard threshold; no reference equivalent (public forecasting
+    methodology, Murphy 1973)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    p = _m04_p(None)
+    y = (F.col("value") > F.lit(float(EVENTS_FRAUD_THRESHOLD))).cast("long")
+    sc = ev.select(
+        F.round(p * 1000000.0, 0).cast("long").alias("pm"),
+        F.least(F.floor(p * 10).cast("long"), F.lit(9)).alias("bucket"),
+        y.alias("y"),
+    )
+    b = sc.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum("pm").alias("sp"),
+        F.sum(
+            (F.col("pm") - 1000000 * F.col("y"))
+            * (F.col("pm") - 1000000 * F.col("y"))
+        ).alias("sq"),
+    )
+    g = b.agg(
+        F.sum("n").alias("gn"),
+        F.sum("sy").alias("gy"),
+        F.sum("sq").alias("gsq"),
+    )
+    w = Window.partitionBy()
+    return (
+        b.crossJoin(F.broadcast(g))
+        .selectExpr(
+            "CAST(bucket AS BIGINT) AS bucket",
+            "CAST(n AS BIGINT) AS n",
+            "CAST(sy AS BIGINT) AS n_pos",
+            "CAST(sp AS BIGINT) AS sum_p_micro",
+            "CAST(sq AS BIGINT) AS sq_err",
+            f"{_M31_REL} AS rel_c",
+            f"{_M31_RES} AS res_c",
+            f"{_M31_UNC} AS unc_micro",
+            "CAST(gsq div (gn * 1000000) AS BIGINT) AS brier_micro",
+        )
+        .select(
+            "bucket",
+            "n",
+            "n_pos",
+            "sum_p_micro",
+            "sq_err",
+            "rel_c",
+            "res_c",
+            F.sum("rel_c").over(w).cast("long").alias("rel_micro"),
+            F.sum("res_c").over(w).cast("long").alias("res_micro"),
+            "unc_micro",
+            "brier_micro",
+        )
+    )

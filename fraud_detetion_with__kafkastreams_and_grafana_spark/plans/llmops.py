@@ -5558,3 +5558,97 @@ def l87_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_L88_BATCH = 50
+
+_L88_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id // {_L88_BATCH} AS b, t
+      FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '[^a-z0-9]+')) AS t
+        FROM documents WHERE trim(text) <> ''
+      ) WHERE t <> ''
+    ),
+    totals AS (
+      SELECT b, count(*) AS n_tokens FROM tok GROUP BY 1
+    ),
+    first_seen AS (
+      SELECT t, min(b) AS fb FROM tok GROUP BY 1
+    ),
+    news AS (
+      SELECT fb AS b, count(*) AS new_types FROM first_seen GROUP BY 1
+    )
+    SELECT CAST(t.b AS BIGINT) AS batch_id,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(sum(t.n_tokens) OVER (ORDER BY t.b) AS BIGINT)
+             AS cum_tokens,
+           CAST(coalesce(n.new_types, 0) AS BIGINT) AS new_types,
+           CAST(sum(coalesce(n.new_types, 0)) OVER (ORDER BY t.b)
+                AS BIGINT) AS vocab_size
+    FROM totals t LEFT JOIN news n ON n.b = t.b
+"""
+
+
+@_register("l88_vocab_growth", _L88_SQL)
+def l88_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve: the corpus in doc-id batches
+    of 50, each reporting its token volume, the cumulative token count,
+    how many NEVER-BEFORE-SEEN word types it introduced, and the
+    running vocabulary size — the curve that sizes a tokenizer
+    vocabulary (where does new-type yield flatten?) and flags corpus
+    anomalies (a batch minting too many new types is boilerplate or
+    encoding garbage). First-seen attribution is exact: a type belongs
+    to the min batch containing it.
+
+    Scale: ONE corpus scan into (batch, token) pairs; the first-seen
+    table is a min-groupBy keyed by token (map-side combined, bounded
+    by vocabulary); everything after runs on the |batches|-row frame
+    (the r88/m28 bounded-series posture for the cumulative windows).
+    Token text crosses the shuffle once as the grouping key of the
+    first-seen aggregate — at 100 TB swap the key for xxhash64(token)
+    exactly as l41 does (kept textual here because the oracle groups
+    the same strings).
+
+    Reference parity: no reference equivalent; public corpus-statistics
+    methodology (Heaps' law)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim("text") != ""
+    )
+    tok = docs.select(
+        (F.col("doc_id") / _L88_BATCH).cast("long").alias("b"),
+        F.explode(
+            F.split(F.lower(F.trim("text")), "[^a-z0-9]+")
+        ).alias("t"),
+    ).filter(F.col("t") != "")
+    totals = tok.groupBy("b").agg(F.count("*").alias("n_tokens"))
+    news = (
+        tok.groupBy("t")
+        .agg(F.min("b").alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("new_types"))
+    )
+    w = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        totals.join(news, "b", "left")
+        .select(
+            "b",
+            "n_tokens",
+            F.coalesce("new_types", F.lit(0)).alias("new_types"),
+        )
+        .select(
+            F.col("b").cast("long").alias("batch_id"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+            F.col("new_types").cast("long").alias("new_types"),
+            F.sum("new_types").over(w).cast("long").alias("vocab_size"),
+        )
+        .select(
+            "batch_id", "n_tokens", "cum_tokens", "new_types", "vocab_size"
+        )
+    )

@@ -3795,3 +3795,146 @@ def test_m30_oracle_equals_bruteforce_ols(cents):
     else:
         want_slope = want_icept = None
     assert got[0] == (n, sx, sy, sxx, sxy, want_slope, want_icept)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=6),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_l88_oracle_equals_bruteforce_heaps(docs):
+    """The vocabulary-growth SQL must equal a brute-force first-seen
+    walk: batch totals, min-batch type attribution, and the two
+    cumulative curves — including empty docs (no tokens), batches with
+    zero new types, and single-char vocabularies."""
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.llmops import (
+        _L88_BATCH,
+        _L88_SQL,
+        ORACLES,
+    )
+
+    assert ORACLES["l88_vocab_growth"] is _L88_SQL
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    con = _duck()
+    con.register(
+        "documents",
+        pd.DataFrame(rows, columns=["doc_id", "text"]).assign(
+            lang="en", source="s", n_chars=[len(t) for _i, t in rows]
+        ),
+    )
+    got = sorted(tuple(r) for r in con.execute(_L88_SQL).fetchall())
+
+    seen: set = set()
+    per_batch: dict = {}
+    for i, toks in enumerate(docs):
+        toks = [t for t in toks if t]
+        if not toks:
+            continue
+        b = i // _L88_BATCH
+        tot, new = per_batch.get(b, (0, 0))
+        for t in toks:
+            tot += 1
+            if t not in seen:
+                seen.add(t)
+                new += 1
+        per_batch[b] = (tot, new)
+    want = []
+    cum_t = cum_v = 0
+    for b in sorted(per_batch):
+        tot, new = per_batch[b]
+        cum_t += tot
+        cum_v += new
+        want.append((b, tot, cum_t, new, cum_v))
+    assert got == sorted(want)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["view", "click", "purchase", "error"]),
+            st.floats(min_value=0.0, max_value=20000.0,
+                      allow_nan=False, allow_infinity=False),
+            st.integers(min_value=0, max_value=23),  # hour
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_m31_oracle_equals_bruteforce_brier(rows):
+    """The decomposition SQL must equal a from-first-principles Murphy
+    split on the engine-shared scores: micro quantization, exact bucket
+    sums, HALF_UP micro term rounding, and the integer Brier floor
+    division — including single-bucket and single-class corpora."""
+    import datetime
+    import math
+
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.advanced import (
+        _M31_SQL,
+        ORACLES,
+    )
+
+    assert ORACLES["m31_brier_decomposition"] is _M31_SQL
+    base = datetime.datetime(2024, 3, 1)
+    con = _duck()
+    con.register(
+        "events",
+        pd.DataFrame(
+            [
+                (i, base + datetime.timedelta(hours=h), i % 7, et, v, "{}")
+                for i, (et, v, h) in enumerate(rows)
+            ],
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        ),
+    )
+    got = sorted(tuple(r) for r in con.execute(_M31_SQL).fetchall())
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.advanced import _M04_Z
+
+    sc = con.execute(
+        "SELECT CAST(round((0.5 * (1.0 + z / (1.0 + abs(z)))) * 1000000.0,"
+        " 0) AS BIGINT),"
+        " least(CAST(floor((0.5 * (1.0 + z / (1.0 + abs(z)))) * 10)"
+        " AS BIGINT), 9),"
+        " CASE WHEN value > 100.0 THEN 1 ELSE 0 END"
+        " FROM (SELECT value, "
+        + _M04_Z.replace("HOUR_EXPR", "extract(hour FROM ts)")
+        + " AS z FROM events)"
+    ).fetchall()
+
+    def micro(x):
+        return int(math.floor(x * 1000000.0 + 0.5))
+
+    byb: dict = {}
+    for pm, k, y in sc:
+        n, sy, sp, sq = byb.get(k, (0, 0, 0, 0))
+        byb[k] = (n + 1, sy + y, sp + pm, sq + (pm - 1000000 * y) ** 2)
+    gn = sum(v[0] for v in byb.values())
+    gy = sum(v[1] for v in byb.values())
+    gsq = sum(v[3] for v in byb.values())
+    rel_t = sum(
+        micro(n * ((sp / n / 1e6) - (sy / n)) ** 2)
+        for n, sy, sp, _sq in byb.values()
+    )
+    res_t = sum(
+        micro(n * ((sy / n) - (gy / gn)) ** 2)
+        for n, sy, _sp, _sq in byb.values()
+    )
+    unc = micro((gy / gn) * (1.0 - gy / gn))
+    brier = gsq // (gn * 1000000)
+    want = sorted(
+        (k, n, sy, sp, sq,
+         micro(n * ((sp / n / 1e6) - (sy / n)) ** 2),
+         micro(n * ((sy / n) - (gy / gn)) ** 2),
+         rel_t, res_t, unc, brier)
+        for k, (n, sy, sp, sq) in byb.items()
+    )
+    assert got == want

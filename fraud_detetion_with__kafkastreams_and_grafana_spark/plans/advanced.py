@@ -4517,3 +4517,131 @@ def m31_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brier_micro",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# m32: McNemar's paired model comparison — the statistically correct
+# "is the challenger actually better?" test for two classifiers scored
+# on the SAME events: only the discordant pairs (one right, one wrong)
+# carry information, and the statistic is (b-c)^2/(b+c) on exact
+# integer counts with one shared rounded division. Champion = the m04
+# logistic export at p > 0.5; challenger = the m05 tree ensemble at
+# margin > 0 — the comparison every model-promotion gate runs.
+# ---------------------------------------------------------------------------
+
+_M32_STAT = (
+    "CAST(round(((b_cnt - c_cnt) * (b_cnt - c_cnt)) * 1000000.0"
+    " / (b_cnt + c_cnt), 0) AS BIGINT)"
+)
+_M32_CRIT = 3841459  # chi-square(1df) 5% critical value in micro
+
+_M32_SQL = f"""
+    WITH sc AS (
+      SELECT event_type,
+             {_M12_Y_SQL} AS y,
+             CASE WHEN 0.5 * (1.0 + z / (1.0 + abs(z))) > 0.5
+                  THEN 1 ELSE 0 END AS pa,
+             CASE WHEN -1.0 + ({_M05_TREES_SQL}) > 0.0
+                  THEN 1 ELSE 0 END AS pb
+      FROM (
+        SELECT event_type, value, ts,
+               {_M04_Z.replace("HOUR_EXPR", "extract(hour FROM ts)")} AS z
+        FROM events
+      )
+    ),
+    seg AS (
+      SELECT event_type AS segment, y, pa, pb FROM sc
+      UNION ALL
+      SELECT 'ALL', y, pa, pb FROM sc
+    ),
+    agg AS (
+      SELECT segment,
+             count(*) AS n,
+             count(*) FILTER (WHERE pa = y) AS a_correct,
+             count(*) FILTER (WHERE pb = y) AS b_correct,
+             count(*) FILTER (WHERE pa = y AND pb <> y) AS b_cnt,
+             count(*) FILTER (WHERE pa <> y AND pb = y) AS c_cnt
+      FROM seg GROUP BY 1
+    )
+    SELECT segment,
+           CAST(n AS BIGINT) AS n,
+           CAST(a_correct AS BIGINT) AS a_correct,
+           CAST(b_correct AS BIGINT) AS b_correct,
+           CAST(b_cnt AS BIGINT) AS only_a_right,
+           CAST(c_cnt AS BIGINT) AS only_b_right,
+           CASE WHEN b_cnt + c_cnt > 0 THEN {_M32_STAT} END
+             AS mcnemar_micro,
+           CASE WHEN b_cnt + c_cnt > 0
+                THEN {_M32_STAT} > {_M32_CRIT} END AS significant
+    FROM agg
+"""
+
+
+@_register("m32_mcnemar_model_compare", _M32_SQL)
+def m32_mcnemar_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired comparison of the two exported scorers on the
+    SAME events — champion m04 (logistic, pred = p > 0.5) vs challenger
+    m05 (tree ensemble, pred = margin > 0), per event_type segment plus
+    'ALL': both accuracies, the discordant counts (only-A-right /
+    only-B-right — the ONLY rows that discriminate between paired
+    models; shared successes and shared failures cancel, the mistake
+    naive accuracy deltas make), the (b-c)^2/(b+c) statistic in micro
+    (exact integer counts, one shared rounded division) and the 5%
+    chi-square verdict. Both predictions are the scorers' own shared
+    IEEE expression sequences, so the whole promotion gate value-hash
+    replays.
+
+    Scale: ONE corpus scan, all predicates row-local (both models are
+    compiled expressions — the m04/m05 deployment premise), map-side
+    combined to (|types|+1) rows. The comparison adds zero cost over
+    scoring itself.
+
+    Reference parity: the statistical form of swapping the reference's
+    hard-coded rule for a learned one; no reference equivalent (public
+    methodology, McNemar 1947)."""
+    ev = load_table(spark, sf_dir, "events")
+    y = (F.col("value") > F.lit(float(EVENTS_FRAUD_THRESHOLD))).cast("long")
+    pa = (_m04_p(None) > F.lit(0.5)).cast("long")
+    hour = F.hour("ts")
+    t1 = (
+        F.when(
+            F.col("value") > 100.0,
+            F.when(F.col("event_type") == "purchase", 1.2).otherwise(0.6),
+        ).otherwise(F.when(F.col("value") > 50.0, 0.1).otherwise(-0.4))
+    )
+    t2 = F.when(
+        (hour >= 22) | (hour < 5),
+        F.when(F.col("value") > 75.0, 0.8).otherwise(0.2),
+    ).otherwise(-0.1)
+    t3 = (
+        F.when(F.col("event_type") == "error", -0.7)
+        .when(F.col("event_type") == "signup", -0.3)
+        .otherwise(0.05)
+    )
+    pb = ((F.lit(-1.0) + (t1 + t2 + t3)) > F.lit(0.0)).cast("long")
+    sc = ev.select(
+        "event_type", y.alias("y"), pa.alias("pa"), pb.alias("pb")
+    )
+    seg = sc.select(
+        F.col("event_type").alias("segment"), "y", "pa", "pb"
+    ).unionByName(sc.select(F.lit("ALL").alias("segment"), "y", "pa", "pb"))
+    agg = seg.groupBy("segment").agg(
+        F.count("*").alias("n"),
+        F.expr("count_if(pa = y)").alias("a_correct"),
+        F.expr("count_if(pb = y)").alias("b_correct"),
+        F.expr("count_if(pa = y AND pb <> y)").alias("b_cnt"),
+        F.expr("count_if(pa <> y AND pb = y)").alias("c_cnt"),
+    )
+    has = F.col("b_cnt") + F.col("c_cnt") > 0
+    return agg.select(
+        "segment",
+        F.col("n").cast("long").alias("n"),
+        F.col("a_correct").cast("long").alias("a_correct"),
+        F.col("b_correct").cast("long").alias("b_correct"),
+        F.col("b_cnt").cast("long").alias("only_a_right"),
+        F.col("c_cnt").cast("long").alias("only_b_right"),
+        F.when(has, F.expr(_M32_STAT)).alias("mcnemar_micro"),
+        F.when(has, F.expr(_M32_STAT) > F.lit(_M32_CRIT)).alias(
+            "significant"
+        ),
+    )

@@ -3938,3 +3938,84 @@ def test_m31_oracle_equals_bruteforce_brier(rows):
         for k, (n, sy, sp, sq) in byb.items()
     )
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["view", "click", "purchase", "error",
+                             "signup"]),
+            st.floats(min_value=0.0, max_value=20000.0,
+                      allow_nan=False, allow_infinity=False),
+            st.integers(min_value=0, max_value=23),  # hour
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_m32_oracle_equals_bruteforce_mcnemar(rows):
+    """The McNemar SQL must equal a from-first-principles paired test
+    on the engine-shared predictions: discordant counts from the exact
+    (y, pred_a, pred_b) triples, the (b-c)^2*1e6/(b+c) HALF_UP micro
+    statistic, and NULL verdicts when no discordant pair exists."""
+    import datetime
+    import math
+
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.advanced import (
+        _M32_CRIT,
+        _M32_SQL,
+        ORACLES,
+    )
+
+    assert ORACLES["m32_mcnemar_model_compare"] is _M32_SQL
+    base = datetime.datetime(2024, 3, 1)
+    con = _duck()
+    con.register(
+        "events",
+        pd.DataFrame(
+            [
+                (i, base + datetime.timedelta(hours=h), i % 7, et, v, "{}")
+                for i, (et, v, h) in enumerate(rows)
+            ],
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        ),
+    )
+    got = sorted(tuple(r) for r in con.execute(_M32_SQL).fetchall())
+
+    # triples from the engine-shared prediction expressions (slice the
+    # sc CTE out of the registered SQL so the closure can never drift
+    # from the shipped predicates)
+    trip = con.execute(
+        "WITH sc AS (" + _M32_SQL.split("WITH sc AS (", 1)[1]
+        .split("    seg AS (", 1)[0].rstrip().rstrip(",")
+        + " SELECT event_type, y, pa, pb FROM sc"
+    ).fetchall()
+    want = []
+    segs = {t for t, *_ in trip}
+    for seg in segs | {"ALL"}:
+        sel = [
+            (y, pa, pb)
+            for t, y, pa, pb in trip
+            if seg == "ALL" or t == seg
+        ]
+        n = len(sel)
+        a_ok = sum(1 for y, pa, _pb in sel if pa == y)
+        b_ok = sum(1 for y, _pa, pb in sel if pb == y)
+        b_cnt = sum(1 for y, pa, pb in sel if pa == y and pb != y)
+        c_cnt = sum(1 for y, pa, pb in sel if pa != y and pb == y)
+        if b_cnt + c_cnt > 0:
+            stat = int(
+                math.floor(
+                    ((b_cnt - c_cnt) ** 2) * 1000000.0 / (b_cnt + c_cnt)
+                    + 0.5
+                )
+            )
+            sig = stat > _M32_CRIT
+        else:
+            stat = sig = None
+        want.append((seg, n, a_ok, b_ok, b_cnt, c_cnt, stat, sig))
+    assert got == sorted(want)

@@ -5652,3 +5652,80 @@ def l88_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "batch_id", "n_tokens", "cum_tokens", "new_types", "vocab_size"
         )
     )
+
+
+_L89_SQL = r"""
+    WITH s AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents WHERE trim(text) <> ''
+    ),
+    g AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+      FROM s, unnest(range(1, len(w) - 6)) AS t(i)
+      WHERE len(w) >= 8
+    ),
+    df AS (SELECT gram, count(*) AS df FROM g GROUP BY 1)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(*) FILTER (WHERE df >= 2) AS BIGINT) AS n_shared,
+           CAST((1000000 * count(*) FILTER (WHERE df >= 2)) // count(*)
+                AS BIGINT) AS shared_ppm
+    FROM g JOIN df USING (gram)
+    GROUP BY doc_id
+"""
+
+
+@_register("l89_memorization_profile", _L89_SQL)
+def l89_memorization_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate/memorization profile: for every document
+    with at least one word 8-gram, how many of its DISTINCT 8-grams
+    also appear in at least one other document, and that fraction in
+    exact ppm — the per-document form of the corpus-level signals
+    (l61 finds the shared passages, l26 flags test overlap; this
+    scores each document's exposure). The training-data reading: a
+    document that is mostly shared 8-grams contributes almost nothing
+    novel and is the first candidate for down-weighting; the
+    memorization reading: these are exactly the spans a model can
+    emit verbatim from multiple sources.
+
+    Scale: one scan explodes to DISTINCT (doc, gram-hash) pairs
+    (engine side shuffles xxhash64 of the gram, never text — the l26
+    argument; the oracle groups the gram strings, identical absent
+    collisions); gram doc-frequency is a map-side-combined count on
+    the 8-byte key; the join back is the same equi-key. Bounded by
+    total distinct (doc, gram) pairs — the same frame l61/l64 already
+    materialize in production as the passage index.
+
+    Reference parity: no reference equivalent; public dedup/memorization
+    methodology (Lee et al. 2022, Carlini et al. 2022)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim("text") != ""
+    )
+    w = F.split(F.trim("text"), r"\s+")
+    g = (
+        docs.select("doc_id", w.alias("w"))
+        .where(F.size("w") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 7),"
+                    " i -> xxhash64(concat_ws(' ', slice(w, i, 8))))"
+                )
+            ).alias("gh"),
+        )
+        .distinct()
+        .localCheckpoint()  # feeds df AND the join back
+    )
+    df = g.groupBy("gh").agg(F.count("*").alias("df"))
+    return (
+        g.join(df, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.expr("count_if(df >= 2)").cast("long").alias("n_shared"),
+            F.expr(
+                "CAST((1000000 * count_if(df >= 2)) div count(*) AS BIGINT)"
+            ).alias("shared_ppm"),
+        )
+    )

@@ -4019,3 +4019,55 @@ def test_m32_oracle_equals_bruteforce_mcnemar(rows):
             stat = sig = None
         want.append((seg, n, a_ok, b_ok, b_cnt, c_cnt, stat, sig))
     assert got == sorted(want)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abc"), min_size=0, max_size=12),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_l89_oracle_equals_bruteforce_memorization(docs):
+    """The memorization SQL must equal a brute-force gram walk: distinct
+    word 8-grams per doc, cross-document sharing from exact doc
+    frequencies, integer ppm — including docs below 8 words (absent
+    from the report) and fully duplicated docs (1e6 ppm)."""
+    import pandas as pd
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.llmops import (
+        _L89_SQL,
+        ORACLES,
+    )
+
+    assert ORACLES["l89_memorization_profile"] is _L89_SQL
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    con = _duck()
+    con.register(
+        "documents",
+        pd.DataFrame(rows, columns=["doc_id", "text"]).assign(
+            lang="en", source="s", n_chars=[len(t) for _i, t in rows]
+        ),
+    )
+    got = sorted(tuple(r) for r in con.execute(_L89_SQL).fetchall())
+
+    grams = {
+        i: {
+            " ".join(toks[p:p + 8])
+            for p in range(len(toks) - 7)
+        }
+        for i, toks in enumerate(docs)
+        if len(toks) >= 8
+    }
+    from collections import Counter
+
+    dfc = Counter(g for gs in grams.values() for g in gs)
+    want = sorted(
+        (i, len(gs),
+         sum(1 for g in gs if dfc[g] >= 2),
+         (1000000 * sum(1 for g in gs if dfc[g] >= 2)) // len(gs))
+        for i, gs in grams.items()
+        if gs
+    )
+    assert got == want

@@ -129,14 +129,15 @@ _CHECKED_R7 = (
     | {f"l{i:02d}" for i in range(17, 32)}
     | {f"r{i:02d}" for i in range(44, 52)}
 )
-# Round 8 registered 69 additions (s25-s39, m15-m29, l71-l87, r84-r96)
-# against the ~50-row driver window: the window is entirely never-checked
-# work in family order (through r86), and the registry-order tail
-# (r87-r96) stays never-checked into round 9, where it sorts FIRST.
-# Every round-8 addition passed local oracle parity at 32-, 7- and
-# 13-way regardless (SCALE.md). Round-9 sync: add _CHECKED_R8 from
-# CORRECTNESS_r08.json; the r87-r96 tail plus the stalest vintage fill
-# the remaining r9 slots.
+# Round 8 registered 65 additions (s25-s31+s33-s39, m15-m32, l71-l89,
+# r84-r97) against the ~50-row driver window: the window is entirely
+# never-checked work in family order (14 s + 18 m + l71-l88), and the
+# registry-order tail (l89 + r84-r97, 15 queries) stays never-checked
+# into round 9, where it sorts FIRST. Every round-8 addition passed
+# local oracle parity at 32-, 7- and 13-way regardless (SCALE.md).
+# Round-9 sync: add _CHECKED_R8 from CORRECTNESS_r08.json; the
+# l89/r84-r97 tail plus the stalest vintage fill the remaining r9
+# slots.
 _LAST_CHECKED: dict[str, int] = {}
 for _rnd, _qs in (
     (1, _CHECKED_R1),

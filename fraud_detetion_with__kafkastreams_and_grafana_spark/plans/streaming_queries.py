@@ -3034,3 +3034,113 @@ def s39_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         cusum.cast("long").alias("cusum"),
         (cusum > F.lit(_M28_H)).alias("alarm"),
     )
+
+
+def _l88_oracle_sql() -> str:
+    from .llmops import ORACLES as _LL
+
+    return _LL["l88_vocab_growth"]
+
+
+@_register("s40_stream_vocab_growth", _l88_oracle_sql())
+def s40_stream_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l88's Heaps-law vocabulary curve maintained ON INGEST — the
+    corpus-health monitor that catches encoding garbage or boilerplate
+    floods the moment a batch mints an anomalous number of new word
+    types: documents arrive as JSON micro-batches; each reduces inside
+    foreachBatch to its partial (batch-bucket, token) -> (count,
+    min-bucket) facts and lands idempotently (s09). First-seen
+    attribution is a MIN — associative — so re-merging partials by
+    token reproduces the exact batch-mode min-bucket table, and the
+    final curve equals l88's bit-for-bit (shared oracle verbatim).
+
+    Scale: zero streaming state; the sink grows by the batch's
+    distinct (bucket, token) pairs; re-plotting the curve costs the
+    vocabulary-bounded merge plus the |buckets|-row windows."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .llmops import _L88_BATCH
+
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    wire = docs.select(
+        F.to_json(F.struct("doc_id", "text")).alias("value")
+    )
+    from ..streaming.replay import materialize_wire_dir
+
+    d = materialize_wire_dir(wire, n_files=4)
+    out = tempfile.mkdtemp(prefix="spark_graft_s40_sink_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_s40_ckpt_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+
+    def vocab_partials(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.select(
+            F.from_json("value", "doc_id BIGINT, text STRING").alias("r")
+        ).select("r.doc_id", "r.text")
+        b = b.where(F.col("text").isNotNull() & (F.trim("text") != ""))
+        tok = b.select(
+            (F.col("doc_id") / _L88_BATCH).cast("long").alias("b"),
+            F.explode(
+                F.split(F.lower(F.trim("text")), "[^a-z0-9]+")
+            ).alias("t"),
+        ).filter(F.col("t") != "")
+        (
+            tok.groupBy("b", "t")
+            .agg(F.count("*").alias("c"))
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
+
+    stream = (
+        spark.readStream.schema("value STRING")
+        .option("maxFilesPerTrigger", 2)
+        .text(d)
+    )
+    q = (
+        stream.writeStream.foreachBatch(vocab_partials)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    merged = (
+        spark.read.parquet(out)
+        .groupBy("b", "t")
+        .agg(F.sum("c").alias("c"))
+        .localCheckpoint()  # feeds totals AND first-seen
+    )
+    totals = merged.groupBy("b").agg(F.sum("c").alias("n_tokens"))
+    news = (
+        merged.groupBy("t")
+        .agg(F.min("b").alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("new_types"))
+    )
+    w = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        totals.join(news, "b", "left")
+        .select(
+            "b",
+            "n_tokens",
+            F.coalesce("new_types", F.lit(0)).alias("new_types"),
+        )
+        .select(
+            F.col("b").cast("long").alias("batch_id"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+            F.col("new_types").cast("long").alias("new_types"),
+            F.sum("new_types").over(w).cast("long").alias("vocab_size"),
+        )
+    )

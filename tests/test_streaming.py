@@ -1088,3 +1088,23 @@ def test_s39_stream_cusum_equals_batch_m28(spark, sf_dir):
         for r in AD.QUERIES["m28_cusum_alarm"](spark, sf_dir).collect()
     )
     assert got == want
+
+
+def test_s40_stream_vocab_equals_batch_l88(spark, sf_dir):
+    """The on-ingest vocabulary monitor must equal the batch Heaps
+    curve row-for-row — first-seen attribution is a min, so token
+    partials merge losslessly across micro-batches."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import (
+        llmops as L,
+        streaming_queries as SQ,
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in SQ.QUERIES["s40_stream_vocab_growth"](spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in L.QUERIES["l88_vocab_growth"](spark, sf_dir).collect()
+    )
+    assert got == want

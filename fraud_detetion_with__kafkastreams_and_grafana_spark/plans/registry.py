@@ -129,15 +129,21 @@ _CHECKED_R7 = (
     | {f"l{i:02d}" for i in range(17, 32)}
     | {f"r{i:02d}" for i in range(44, 52)}
 )
-# Round 8 registered 65 additions (s25-s31+s33-s39, m15-m32, l71-l89,
-# r84-r97) against the ~50-row driver window: the window is entirely
-# never-checked work in family order (14 s + 18 m + l71-l88), and the
-# registry-order tail (l89 + r84-r97, 15 queries) stays never-checked
-# into round 9, where it sorts FIRST. Every round-8 addition passed
-# local oracle parity at 32-, 7- and 13-way regardless (SCALE.md).
-# Round-9 sync: add _CHECKED_R8 from CORRECTNESS_r08.json; the
-# l89/r84-r97 tail plus the stalest vintage fill the remaining r9
-# slots.
+# The actual r08 window (CORRECTNESS_r08.json, exactly 50 rows, all
+# green): entirely round-8 additions in family order — s25-s31+s33-s40
+# (15), m15-m32 (18), l71-l87 (17). Round 8 registered 65 additions, so
+# the registry-order tail (l88, l89, r84-r97 = 16 queries) stayed
+# never-checked and sorts FIRST into the round-9 window. With this sync
+# the r09 window becomes: l88/l89/r84-r97 (16), then the round-3
+# leftovers r52-r61 (10, twice-evicted), then the round-4 vintage head
+# in family order (q8, s18-s22, u10, m03-m07, l32-l43 = 24); the
+# vintage's registry-order tail (l44-l55, r62-r75) rotates through r10.
+_CHECKED_R8 = (
+    {f"s{i:02d}" for i in range(25, 32)}
+    | {f"s{i:02d}" for i in range(33, 41)}
+    | {f"m{i:02d}" for i in range(15, 33)}
+    | {f"l{i:02d}" for i in range(71, 88)}
+)
 _LAST_CHECKED: dict[str, int] = {}
 for _rnd, _qs in (
     (1, _CHECKED_R1),
@@ -147,6 +153,7 @@ for _rnd, _qs in (
     (5, _CHECKED_R5),
     (6, _CHECKED_R6),
     (7, _CHECKED_R7),
+    (8, _CHECKED_R8),
 ):
     for _q in _qs:
         _LAST_CHECKED[_q] = _rnd

@@ -98,14 +98,15 @@ def test_registry_window_rotation_order():
         assert window <= never, f"checked rows displaced new work: {window - never}"
         never_ordered = [n for n in names if n in never]
         assert never_ordered[:50] == names[:50]
-    # After the r07 sync the stalest slice is the 10 round-3 leftovers
-    # (r52-r61, evicted from the r07 window by the round-7 additions)
+    # After the r08 sync (window = 50 round-8 additions; l88/l89/r84-r97
+    # overflowed never-checked) the stalest slice is unchanged from last
+    # round: the 10 round-3 leftovers r52-r61 (evicted twice running)
     # followed by the round-4 vintage (q8, s18-s22, u10, m03-m07,
-    # l32-l55, r62-r75 = 44; 10 + 44 = 54 > 50). The r08 window is the
-    # never-checked additions, then r52-r61, then the round-4 vintage's
-    # registry-order head — every checked slot in the window must come
-    # from that stale slice, and the rows evicted by additions must be
-    # exactly the round-4 vintage's registry-order tail (r62-r75).
+    # l32-l55, r62-r75 = 44). The r09 window is the 16 never-checked
+    # overflow rows, then r52-r61, then the vintage's registry-order
+    # head (through l43) — every checked slot in the window must come
+    # from that stale slice, and the rows evicted must be exactly the
+    # vintage's registry-order tail (l44-l55, r62-r75).
     stale_slice = (
         {f"r{i:02d}" for i in range(52, 62)}
         | {"q8", "u10"}

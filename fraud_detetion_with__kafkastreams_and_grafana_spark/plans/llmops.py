@@ -5129,9 +5129,11 @@ def l84_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists to close.
 
     Scale: the inverted index (tf) and doc-length table (dl) are the
-    l77 probe-path artifacts built over the train split only; query
-    tokens broadcast into the postings, so only query-term postings
-    survive the first join; per-query ranking partitions by query_id
+    l77 probe-path artifacts built over the train split only; only the
+    term-TYPE frames (distinct query vocabulary, df table) broadcast —
+    the (query_id, term) frame is corpus-proportional (the whole test
+    split) and shuffle-joins the postings on t, so nothing
+    corpus-sized rides a broadcast; per-query ranking partitions by query_id
     (bounded by the 10% test split); the relevance join is an 8-byte
     equi-join against the session-materialized pair table. Identical
     posture to l77 + l82's consumers — nothing corpus-sized moves that
@@ -5185,6 +5187,15 @@ def l84_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (every query x every doc) — dropping them up front is the
     # standard WAND-class economy and part of the operator's contract
     # (the oracle applies the identical cut)
+    # Broadcast bounds: the two hinted frames here are TERM-TYPE sized
+    # (distinct bigram vocabulary — Heaps-law sublinear, never per-row),
+    # and `stats` is 1 row. qtok itself (query_id x term rows) is
+    # corpus-proportional — 10% of documents times their distinct
+    # bigrams — so it must NOT broadcast: at 100x scale that frame is
+    # the size of the index itself. It shuffle-joins on t instead
+    # (merge-hinted, same posture as the dl join below); the equi-join
+    # prunes non-query-term postings identically with or without a
+    # broadcast.
     dfq = (
         tf.join(F.broadcast(qtok.select("t").distinct()), "t")
         .groupBy("t")
@@ -5194,7 +5205,7 @@ def l84_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     contrib = (
         tf.join(F.broadcast(dfq), "t")
-        .join(F.broadcast(qtok), "t")
+        .join(qtok.hint("merge"), "t")
         .join(dl.hint("merge"), "doc_id")
         .selectExpr("query_id", "doc_id", f"{_L77_CONTRIB} AS c")
     )

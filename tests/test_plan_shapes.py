@@ -348,6 +348,28 @@ def test_l68_corpus_joins_merge_only_broadcasts_are_aggregates(spark, sf_dir):
                 ), f"corpus-sized frame under a broadcast: {line}"
 
 
+def test_l84_query_frame_never_broadcasts(spark, sf_dir):
+    """Retrieval eval must shuffle-join the (query_id, term) frame into
+    the postings — that frame is corpus-proportional (the whole 10%
+    test split) and broadcasting it OOMs executors at 100x scale (the
+    round-8 verdict's one weak plan). Only term-TYPE frames (distinct
+    query vocabulary, the post-cut df table) and 1-row stats may
+    broadcast: every scan under a BroadcastExchange must have an
+    aggregate above it inside that subtree, and the query-side join
+    must be sort-merge."""
+    p = _plan(llmops.QUERIES["l84_retrieval_eval"](spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" in p, p
+    for sub in _subtrees(p, "BroadcastExchange"):
+        for k, line in enumerate(sub):
+            if "Scan parquet" in line or "Scan ExistingRDD" in line:
+                d = _node_indent(line)
+                assert any(
+                    "HashAggregate" in anc and _node_indent(anc) < d
+                    for anc in sub[:k]
+                ), f"corpus-proportional frame under a broadcast: {line}"
+
+
 def test_l67_jpeg_roundtrip_is_one_scan_no_shuffle(spark, sf_dir):
     """The JPEG roundtrip must be the l52/l53/l57/l63 shape: one parquet
     scan feeding one Arrow-batched python runner, zero exchanges —

@@ -289,6 +289,8 @@ def ivf_topk(
         make_probes_udf(query, cents, nprobe)(F.col(vec_col)).alias("_probes"),
     )
     return (
+        # broadcast bound: q is the caller's query frame — the API
+        # contract keeps queries the small side (probe batch, not corpus)
         cells.join(F.broadcast(q), F.array_contains(F.col("_probes"), F.col("_cell")))
         .select(
             F.col(id_col),
@@ -584,6 +586,8 @@ def ann_lsh_topk_hashplanes(
     c = banded(corpus, "c")
     q = banded(query, "q").drop("q_id")
     cands = (
+        # broadcast bound: q is |query| x n_bands rows — the API contract
+        # keeps queries the small side (probe batch, not corpus)
         c.join(F.broadcast(q), ["band", "bh"])
         .select("c_id", "c_vec", "q_vec")
         .distinct()
@@ -832,6 +836,8 @@ def ann_recall_eval(
     c = banded(corpus, "c", True)
     qb = banded(queries, "q", True)
     ann_scored = (
+        # broadcast bound: qb is |queries| x n_bands rows — the API
+        # contract keeps queries the small side (probe batch, not corpus)
         c.join(F.broadcast(qb), ["band", "bh"])
         .select(
             F.col("q_id").alias("qid"),

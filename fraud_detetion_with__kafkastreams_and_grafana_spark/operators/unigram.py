@@ -263,6 +263,8 @@ def train_unigram_lm(docs: DataFrame) -> DataFrame:
         # oracle keeps the per-word formulation, so the regrouping is
         # itself cross-checked by the driver's value hash).
         usage = _usage(_segment(words, vocab)).localCheckpoint()
+        # broadcast bound: vocab is the trained piece inventory — capped
+        # by the target vocabulary size, never corpus-proportional
         st = usage.join(F.broadcast(vocab), "piece").agg(
             F.sum("usage").cast("long").alias("total_tokens"),
             F.sum(
@@ -275,6 +277,7 @@ def train_unigram_lm(docs: DataFrame) -> DataFrame:
         )
         row = (
             vocab.agg(F.count("*").cast("long").alias("n_vocab"))
+            # broadcast bound: st is a global aggregate — exactly 1 row
             .crossJoin(F.broadcast(st))
             .select(
                 F.lit(r).cast("long").alias("round"),

@@ -880,6 +880,7 @@ def _m09_round(feat: DataFrame, cents: DataFrame) -> DataFrame:
         return F.when(better, s).otherwise(acc)
 
     best = F.aggregate(dots, init, merge, lambda acc: acc["cid"])
+    # broadcast bound: clist is the k-row centroid list (model frame)
     asg = feat.crossJoin(F.broadcast(clist)).select("f", best.alias("cid"))
     # one chain: (cid, i) partial sums carry the member count for free
     # (every component group of a cluster has exactly n rows)
@@ -1074,6 +1075,7 @@ def m10_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos_tot", "neg_tot",
         F.explode(F.sequence(F.lit(1), F.lit(9))).alias("i"),
     )
+    # broadcast bound: bk is the 10-bucket score histogram (fixed domain)
     flags = grid.join(F.broadcast(bk), F.col("b") >= F.col("i"), "left").groupBy(
         "i", "pos_tot", "neg_tot"
     ).agg(
@@ -4354,6 +4356,7 @@ def m30_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents")
     )
     st = d.agg(F.min("d").alias("mn"))
+    # broadcast bound: st is a global min() — exactly 1 row
     xy = d.crossJoin(F.broadcast(st)).select(
         (F.col("d") - F.col("mn")).alias("x"), F.col("cents").alias("y")
     )
@@ -4491,6 +4494,7 @@ def m31_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy()
     return (
+        # broadcast bound: g is the global moment aggregate — 1 row
         b.crossJoin(F.broadcast(g))
         .selectExpr(
             "CAST(bucket AS BIGINT) AS bucket",

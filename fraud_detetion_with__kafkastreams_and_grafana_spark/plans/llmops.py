@@ -3269,6 +3269,7 @@ def _l58_round(tok: DataFrame):
         .select(F.col("tok").alias("a"), F.col("nxt").alias("b"), "cnt")
         .localCheckpoint()
     )
+    # broadcast bound: m is the limit(1) winning pair — exactly 1 row
     mk = withnext.crossJoin(F.broadcast(m)).withColumn(
         "mk", (F.col("tok") == F.col("a")) & (F.col("nxt") == F.col("b"))
     )
@@ -3414,6 +3415,7 @@ def l58_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
     for rnd, (t, m) in enumerate(rounds, start=1):
         stats = t.agg(F.count("*").alias("symbols_after"))
+        # broadcast bound: stats is a global aggregate — exactly 1 row
         row = m.crossJoin(F.broadcast(stats)).select(
             F.lit(rnd).alias("round"),
             F.col("a").alias("merge_left"),
@@ -3980,6 +3982,7 @@ def l65_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             - theta * (F.col("n") - F.col("i_seg") + 1)
         ).alias("rem"),
     )
+    # broadcast bound: params is the limit(1) water-fill pivot — 1 row
     joined = ordd.join(F.broadcast(params), F.lit(True), "left")
     bonus_rank = F.row_number().over(
         Window.orderBy(
@@ -5204,6 +5207,7 @@ def l84_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(5 * F.col("df") <= F.col("n_docs"))
     )
     contrib = (
+        # broadcast bound: dfq is term-TYPE rows (post-cut vocabulary)
         tf.join(F.broadcast(dfq), "t")
         .join(qtok.hint("merge"), "t")
         .join(dl.hint("merge"), "doc_id")

@@ -252,6 +252,7 @@ def r36_approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # eqNullSafe: a NULL group key must survive the reassembly join exactly
     # as it would in the single-aggregation formulation
+    # broadcast bound: one row per l_returnflag group (|domain| = 3)
     return (
         sketches.join(
             F.broadcast(exact),

@@ -390,6 +390,7 @@ def r50_csv_json_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         nation.join(
+            # broadcast bound: region is the 5-row TPC-H dimension
             F.broadcast(region),
             nation.n_regionkey == region.r_regionkey,
         )
@@ -563,6 +564,7 @@ def r54_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region")
     return (
         nation.join(
+            # broadcast bound: region is the 5-row TPC-H dimension
             F.broadcast(region),
             nation.n_regionkey == region.r_regionkey,
         )
@@ -2431,6 +2433,7 @@ def _r86_activity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.select("user_id", t.alias("t"))
     origin = base.agg(F.min("t").alias("origin"))
     wk = (
+        # broadcast bound: origin is a global min() — exactly 1 row
         base.join(F.broadcast(origin))
         .select(
             "user_id",

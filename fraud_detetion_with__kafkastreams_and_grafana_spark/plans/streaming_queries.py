@@ -753,6 +753,8 @@ def s12_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     def xform(stream: DataFrame) -> DataFrame:
         fraud = fraud_topology(stream, threshold=EVENTS_FRAUD_THRESHOLD)
         return (
+            # broadcast bound: the user dimension — one row per distinct
+            # user_%03d key, fixed by the reference generator's key space
             fraud.join(F.broadcast(dim), "userId")
             .groupBy("risk_tier")
             .agg(
@@ -1907,6 +1909,8 @@ def s27_stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids = batch_df.select(
             F.get_json_object("value", "$.vec_id").cast("long").alias("vec_id")
         ).where(F.col("vec_id").isNotNull()).distinct()
+        # broadcast bound: ids are THIS micro-batch's arriving probe
+        # requests — per-batch sized, never the corpus
         queries = em.join(F.broadcast(ids), "vec_id")
         (
             SIM.ann_recall_eval(em, k=10, queries=queries)

@@ -3148,3 +3148,107 @@ def s40_stream_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("new_types").over(w).cast("long").alias("vocab_size"),
         )
     )
+
+
+def _r89_oracle_sql() -> str:
+    from .relational3 import ORACLES as _R3
+
+    return _R3["r89_incremental_view_maintenance"]
+
+
+@_register("s41_stream_view_maintenance", _r89_oracle_sql())
+def s41_stream_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r89's incremental view maintenance run as a STREAM — the natural
+    deployment of IVM: order inserts arrive as JSON micro-batches; each
+    batch reduces inside foreachBatch to its per-customer delta summary
+    via the SAME aggregate r89 uses (_r89_agg) and lands idempotently in
+    a _batch_id-partitioned sink (the s09 exactly-once recipe); the
+    maintained view is then folded delta-by-delta in batch order with
+    the SAME self-maintainable-aggregate merge (_r89_merge). Counts and
+    sums add, min/max and date bounds combine via null-safe least /
+    greatest, so the folded view equals the one-shot GROUP BY over all
+    orders bit-for-bit and s41 shares r89's oracle verbatim. The
+    cross-batch case — one customer's orders scattered over several
+    micro-batches — is exactly what the merge algebra exists for
+    (pinned separately in tests/test_streaming_queries.py).
+
+    Scale: ZERO streaming state — each micro-batch is pre-aggregated
+    map-side to its own key summary before anything persists; the sink
+    grows by the batch's distinct customers; each fold step is a keyed
+    full-outer join between two aggregate frames (no corpus-sized
+    side), localCheckpointed so the plan stays linear in the number of
+    deltas. At 100 TB the snapshot view is the only large frame and it
+    is never rebuilt — the same posture as r89, now with the refresh
+    loop actually running on a stream."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .relational3 import _r89_agg, _r89_merge
+
+    ord_ = load_table(spark, sf_dir, "orders")
+    wire = ord_.select(
+        F.to_json(
+            F.struct(
+                "o_custkey",
+                "o_totalprice",
+                F.col("o_orderdate").cast("date").cast("string").alias("d"),
+            )
+        ).alias("value")
+    )
+    from ..streaming.replay import materialize_wire_dir
+
+    d = materialize_wire_dir(wire, n_files=4)
+    out = tempfile.mkdtemp(prefix="spark_graft_s41_sink_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_s41_ckpt_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+
+    def view_deltas(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.select(
+            F.from_json(
+                "value", "o_custkey LONG, o_totalprice DOUBLE, d STRING"
+            ).alias("r")
+        ).select(
+            "r.o_custkey",
+            "r.o_totalprice",
+            F.col("r.d").cast("date").alias("o_orderdate"),
+        )
+        b = b.where(F.col("o_custkey").isNotNull())
+        (
+            _r89_agg(b)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
+
+    stream = (
+        spark.readStream.schema("value STRING")
+        .option("maxFilesPerTrigger", 1)
+        .text(d)
+    )
+    q = (
+        stream.writeStream.foreachBatch(view_deltas)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    parts = spark.read.parquet(out)
+    batch_ids = sorted(
+        r[0] for r in parts.select("_batch_id").distinct().collect()
+    )
+    view = None
+    for bid in batch_ids:
+        delta = parts.where(F.col("_batch_id") == bid).drop("_batch_id")
+        view = (
+            delta.localCheckpoint()
+            if view is None
+            else _r89_merge(view, delta).localCheckpoint()
+        )
+    return view

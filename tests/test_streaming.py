@@ -1108,3 +1108,67 @@ def test_s40_stream_vocab_equals_batch_l88(spark, sf_dir):
         for r in L.QUERIES["l88_vocab_growth"](spark, sf_dir).collect()
     )
     assert got == want
+
+
+def test_s41_stream_view_equals_batch_r89(spark, sf_dir):
+    """The streamed IVM fold must equal the batch-maintained view
+    row-for-row — self-maintainable aggregates merge losslessly across
+    micro-batch deltas."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import (
+        relational3 as R3,
+        streaming_queries as SQ,
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in SQ.QUERIES["s41_stream_view_maintenance"](
+            spark, sf_dir
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in R3.QUERIES["r89_incremental_view_maintenance"](
+            spark, sf_dir
+        ).collect()
+    )
+    assert got == want
+
+
+def test_r89_merge_handles_cross_batch_customers(spark):
+    """The IVM algebra's reason to exist: a customer whose orders are
+    scattered over several deltas must fold to exactly the one-shot
+    aggregate — counts/sums add, min/max and date bounds combine, and a
+    customer absent from a delta passes through the full-outer merge
+    untouched."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.relational3 import (
+        _r89_agg,
+        _r89_merge,
+    )
+
+    rows = [
+        # customer 1 spans all three batches; 2 only batch 0; 3 only
+        # batch 2 (born mid-stream — the merge's null side)
+        (0, 1, 10.00, "1995-01-03"),
+        (0, 2, 99.99, "1995-06-01"),
+        (1, 1, 5.25, "1996-02-02"),
+        (2, 1, 300.10, "1994-12-31"),
+        (2, 3, 7.77, "1997-07-07"),
+    ]
+    df = spark.createDataFrame(
+        rows, "b INT, o_custkey LONG, o_totalprice DOUBLE, d STRING"
+    ).select(
+        "b", "o_custkey", "o_totalprice",
+        F.col("d").cast("date").alias("o_orderdate"),
+    )
+    view = None
+    for b in (0, 1, 2):
+        delta = _r89_agg(df.where(F.col("b") == b))
+        view = delta if view is None else _r89_merge(view, delta)
+    got = {r.o_custkey: tuple(r)[1:] for r in view.collect()}
+    want = {
+        r.o_custkey: tuple(r)[1:]
+        for r in _r89_agg(df).collect()
+    }
+    assert got == want
+    # the spanning customer really exercised every merge lane
+    assert got[1][0] == 3  # n_orders across three batches

@@ -3869,3 +3869,103 @@ def r97_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000000 * abs(cents - pred)) div cents AS BIGINT)"
         ).alias("ape_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r98: Pareto skyline (the "skyline operator", Börzsönyi et al. 2001) —
+# the multi-criteria frontier query relational engines ship as a
+# first-class operator: rows not dominated in (cheaper, more recent).
+# ---------------------------------------------------------------------------
+
+_R98_SQL = """
+    WITH o AS (
+      SELECT o_orderkey,
+             CAST(o_orderdate AS DATE) AS order_date,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderdate >= DATE '1997-01-01'
+        AND o_orderdate < DATE '1998-01-01'
+    )
+    SELECT o_orderkey, order_date, cents
+    FROM o b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM o a
+      WHERE a.order_date >= b.order_date AND a.cents <= b.cents
+        AND (a.order_date > b.order_date OR a.cents < b.cents)
+    )
+"""
+
+
+def skyline_front(pts: DataFrame) -> DataFrame:
+    """2-d Pareto front (minimize cents, maximize d) of a (o_orderkey,
+    d, cents) frame — the day-bucketed lowering that never runs an
+    unpartitioned window over row data: rows pre-aggregate to one
+    min-cents row PER DAY (bounded by the date domain, not the corpus),
+    the strictly-later-day suffix min runs on that bounded daily frame,
+    and rows join back against the broadcast day map. A row survives
+    iff it IS its day's min (no same-day row strictly cheaper) and no
+    strictly later day reached a min <= its cents. Duplicate (day,
+    cents) pairs never dominate each other, so ties on the front all
+    survive — the textbook skyline semantics.
+
+    Shared by r98 (one shot) and s42 (per-batch fronts + final merge:
+    skyline(A ∪ B) == skyline(skyline(A) ∪ skyline(B)))."""
+    daily = pts.groupBy("d").agg(F.min("cents").alias("minp_day"))
+    w = Window.orderBy("d").rangeBetween(1, Window.unboundedFollowing)
+    # the window is over the BOUNDED daily frame (|distinct days|), not
+    # corpus rows — the single-partition sort it implies is fine
+    daily = daily.withColumn("minp_later", F.min("minp_day").over(w))
+    # broadcast bound: one row per distinct day (date-domain sized)
+    return (
+        pts.join(F.broadcast(daily), "d")
+        .where(
+            (F.col("cents") == F.col("minp_day"))
+            & (
+                F.col("minp_later").isNull()
+                | (F.col("minp_later") > F.col("cents"))
+            )
+        )
+        .select("o_orderkey", "d", "cents")
+    )
+
+
+def _r98_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # d is an INTEGER day number (days since epoch): RANGE window frames
+    # require a numeric order key on both engines
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.where(
+        (d >= F.lit("1997-01-01")) & (d < F.lit("1998-01-01"))
+    ).select(
+        "o_orderkey",
+        F.datediff(d, F.lit("1970-01-01")).cast("long").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+
+@_register("r98_pareto_skyline", _R98_SQL)
+def r98_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-dominance query over 1997 orders: the orders no
+    other order beats on BOTH price (lower-or-equal cents) and recency
+    (later-or-equal date) with at least one strict improvement — the
+    multi-criteria shortlist (cheapest-for-their-recency frontier)
+    that motivates the skyline operator in Börzsönyi et al. (ICDE'01).
+    Exact integer cents; date granularity is the day.
+
+    Scale: the naive skyline is an all-pairs NOT EXISTS (the oracle
+    keeps that independent quadratic form); the engine's lowering
+    (skyline_front) pre-aggregates to per-day minima so every unbounded
+    ordered window runs on the date-domain-bounded daily frame and the
+    corpus-sized side only ever does one groupBy(day) and one broadcast
+    equi-join back — one shuffle bounded by |days|, no row-vs-row
+    comparison ever materializes.
+
+    Reference parity: no reference equivalent; public skyline-operator
+    literature (Börzsönyi/Kossmann/Stocker 2001)."""
+    return skyline_front(_r98_points(spark, sf_dir)).select(
+        "o_orderkey",
+        F.date_add(F.lit("1970-01-01"), F.col("d").cast("int")).alias(
+            "order_date"
+        ),
+        "cents",
+    )

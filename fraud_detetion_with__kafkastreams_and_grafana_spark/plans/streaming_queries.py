@@ -3268,3 +3268,100 @@ def s41_stream_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             else _r89_merge(view, delta).localCheckpoint()
         )
     return view
+
+
+def _r98_oracle_sql() -> str:
+    from .relational3 import ORACLES as _R3
+
+    return _R3["r98_pareto_skyline"]
+
+
+@_register("s42_stream_skyline", _r98_oracle_sql())
+def s42_stream_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r98's Pareto skyline maintained ON INGEST — the live
+    multi-criteria shortlist: orders arrive as JSON micro-batches; each
+    batch reduces inside foreachBatch to its OWN Pareto front via the
+    shared lowering (skyline_front) and lands idempotently in a
+    _batch_id-partitioned sink (s09); the final front is the skyline of
+    the unioned per-batch fronts. Dominance is transitive across
+    batches — skyline(A ∪ B) == skyline(skyline(A) ∪ skyline(B)) — so
+    the streamed front equals the one-shot skyline bit-for-bit and s42
+    shares r98's oracle verbatim (cross-batch dominance pinned in
+    tests/test_streaming.py).
+
+    Scale: zero streaming state; each micro-batch persists only its
+    front (typically O(log batch) rows for anti-correlated dims); the
+    final merge runs the day-bucketed lowering over the tiny union of
+    fronts. A production deployment keeps the running front as the
+    'view' and re-merges per refresh tick at front-sized cost."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .relational3 import skyline_front
+
+    ord_ = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    wire = (
+        ord_.where((d >= F.lit("1997-01-01")) & (d < F.lit("1998-01-01")))
+        .select(
+            F.to_json(
+                F.struct(
+                    "o_orderkey",
+                    F.datediff(d, F.lit("1970-01-01"))
+                    .cast("long")
+                    .alias("d"),
+                    F.round(F.col("o_totalprice") * 100)
+                    .cast("long")
+                    .alias("cents"),
+                )
+            ).alias("value")
+        )
+    )
+    from ..streaming.replay import materialize_wire_dir
+
+    wdir = materialize_wire_dir(wire, n_files=4)
+    out = tempfile.mkdtemp(prefix="spark_graft_s42_sink_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_s42_ckpt_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+
+    def front_partials(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.select(
+            F.from_json(
+                "value", "o_orderkey LONG, d LONG, cents LONG"
+            ).alias("r")
+        ).select("r.o_orderkey", "r.d", "r.cents")
+        b = b.where(F.col("o_orderkey").isNotNull())
+        (
+            skyline_front(b)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
+
+    stream = (
+        spark.readStream.schema("value STRING")
+        .option("maxFilesPerTrigger", 2)
+        .text(wdir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(front_partials)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    fronts = spark.read.parquet(out).drop("_batch_id").localCheckpoint()
+    return skyline_front(fronts).select(
+        "o_orderkey",
+        F.date_add(F.lit("1970-01-01"), F.col("d").cast("int")).alias(
+            "order_date"
+        ),
+        "cents",
+    )

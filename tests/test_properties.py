@@ -4071,3 +4071,45 @@ def test_l89_oracle_equals_bruteforce_memorization(docs):
         if gs
     )
     assert got == want
+
+
+def _brute_skyline(pts):
+    """O(n^2) dominance reference: survivor iff no other point is
+    later-or-equal AND cheaper-or-equal with one strict."""
+    out = []
+    for i, (ki, di, pi) in enumerate(pts):
+        dominated = any(
+            (dj >= di and pj <= pi and (dj > di or pj < pi))
+            for j, (kj, dj, pj) in enumerate(pts)
+            if j != i
+        )
+        if not dominated:
+            out.append((ki, di, pi))
+    return sorted(out)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 400),  # day
+            st.integers(1, 50),  # cents (small domain forces ties)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_skyline_front_matches_brute_force(spark, dp):
+    """The day-bucketed skyline lowering equals brute-force dominance on
+    arbitrary points — including duplicate (day, cents) pairs and
+    same-day ties, the corners the day-min formulation must get right."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.relational3 import (
+        skyline_front,
+    )
+
+    pts = [(i, d, p) for i, (d, p) in enumerate(dp)]
+    df = spark.createDataFrame(
+        pts, "o_orderkey LONG, d LONG, cents LONG"
+    )
+    got = sorted(tuple(r) for r in skyline_front(df).collect())
+    assert got == _brute_skyline(pts)

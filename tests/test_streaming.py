@@ -1172,3 +1172,51 @@ def test_r89_merge_handles_cross_batch_customers(spark):
     assert got == want
     # the spanning customer really exercised every merge lane
     assert got[1][0] == 3  # n_orders across three batches
+
+
+def test_s42_stream_skyline_equals_batch_r98(spark, sf_dir):
+    """The streamed Pareto front must equal the one-shot skyline —
+    skyline(A ∪ B) == skyline(skyline(A) ∪ skyline(B))."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import (
+        relational3 as R3,
+        streaming_queries as SQ,
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in SQ.QUERIES["s42_stream_skyline"](spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in R3.QUERIES["r98_pareto_skyline"](spark, sf_dir).collect()
+    )
+    assert got == want
+
+
+def test_skyline_cross_batch_dominance(spark):
+    """A point on batch A's local front that a batch-B point dominates
+    must vanish from the merged front — and duplicate (day, cents)
+    points never dominate each other (both survive)."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.relational3 import (
+        skyline_front,
+    )
+
+    def front(rows):
+        df = spark.createDataFrame(
+            rows, "o_orderkey LONG, d LONG, cents LONG"
+        )
+        return sorted(tuple(r) for r in skyline_front(df).collect())
+
+    # batch A alone: (1, d=10, 500) is on A's front
+    a = [(1, 10, 500), (2, 5, 900)]
+    assert (1, 10, 500) in front(a)
+    # batch B holds (3, d=12, 400): later AND cheaper -> dominates 1
+    b = [(3, 12, 400)]
+    merged = front(front_rows := a + b)
+    assert (1, 10, 500) not in merged and (3, 12, 400) in merged
+    # merging the two local fronts gives the same answer
+    assert front([r for r in a if tuple(r) in set(front(a))] + b) == merged
+    # duplicate points: both survive when undominated
+    dup = [(7, 20, 100), (8, 20, 100)]
+    fd = front(dup)
+    assert (7, 20, 100) in fd and (8, 20, 100) in fd

@@ -4649,3 +4649,377 @@ def m32_mcnemar_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             "significant"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# m33: chi-square test of independence (order priority x order status) —
+# the categorical-association audit every feature pipeline runs before
+# one-hot-encoding two columns that might be redundant. The full
+# contingency GRID (including empty cells, which still carry expected
+# mass) is generated from the two marginal domains; each cell's
+# (O - E)^2 / E contribution is ONE shared float-op sequence over exact
+# integer counts, rounded once to micro (the m23 ln-cell discipline), so
+# the chi-square statistic is an order-free integer SUM both engines
+# hash identically.
+# ---------------------------------------------------------------------------
+
+_M33_E = "(rt * ct) / (n * 1.0)"
+_M33_CELL = (
+    "CAST(round(1000000.0 * pow(observed - " + _M33_E + ", 2)"
+    " / (" + _M33_E + "), 0) AS BIGINT)"
+)
+_M33_EXPECTED = "CAST(round(1000000.0 * " + _M33_E + ", 0) AS BIGINT)"
+# NULL on a degenerate 1 x k grid (dof 0): Cramer's V is undefined there
+_M33_CRAMER = (
+    "CASE WHEN least(nr - 1, nc - 1) > 0 THEN"
+    " CAST(round(1000000.0 * sqrt((chi2_micro / 1000000.0)"
+    " / (n * least(nr - 1, nc - 1))), 0) AS BIGINT) END"
+)
+
+_M33_SQL = f"""
+    WITH cnt AS (
+      SELECT o_orderpriority AS pr, o_orderstatus AS st,
+             count(*) AS observed
+      FROM orders GROUP BY 1, 2
+    ),
+    rows_ AS (SELECT pr, sum(observed) AS rt FROM cnt GROUP BY 1),
+    cols_ AS (SELECT st, sum(observed) AS ct FROM cnt GROUP BY 1),
+    tot AS (
+      SELECT sum(observed) AS n,
+             count(DISTINCT pr) AS nr, count(DISTINCT st) AS nc
+      FROM cnt
+    ),
+    grid AS (
+      SELECT pr, st, rt, ct, n, nr, nc,
+             coalesce(observed, 0) AS observed
+      FROM rows_ CROSS JOIN cols_ CROSS JOIN tot
+      LEFT JOIN cnt USING (pr, st)
+    ),
+    cells AS (
+      SELECT pr, st, observed, rt, ct, n, nr, nc,
+             {_M33_EXPECTED} AS expected_micro,
+             {_M33_CELL} AS contrib_micro
+      FROM grid
+    ),
+    total AS (SELECT sum(contrib_micro) AS chi2_micro FROM cells)
+    SELECT pr AS o_orderpriority, st AS o_orderstatus,
+           CAST(observed AS BIGINT) AS observed,
+           expected_micro, contrib_micro,
+           CAST(chi2_micro AS BIGINT) AS chi2_micro,
+           CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+           {_M33_CRAMER} AS cramers_v_micro
+    FROM cells CROSS JOIN total
+"""
+
+
+@_register("m33_chi_square_independence", _M33_SQL)
+def m33_chi_square_independence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Chi-square independence audit of order priority vs order status:
+    the full contingency grid (empty combinations included — they still
+    carry expected mass), each cell's observed count, expected count in
+    micro, and (O-E)^2/E contribution in micro, with the total
+    chi-square statistic, degrees of freedom, and Cramer's V effect
+    size riding every row. Per-cell contributions are one shared
+    float-op sequence over exact BIGINT counts rounded once to micro
+    (the m23 cell discipline), so the statistic is an order-free
+    integer sum and the driver hash pins the tie-free arithmetic
+    end-to-end.
+
+    Scale: ONE corpus scan map-side combines to the <= |priorities| x
+    |statuses| contingency; marginals, the grid cross join, and the
+    final aggregate all run on that bounded frame (15 cells here) —
+    nothing downstream ever sees a corpus-sized row again.
+
+    Reference parity: no reference equivalent; public Pearson
+    chi-square methodology."""
+    o = load_table(spark, sf_dir, "orders")
+    return chi_square_report(
+        o, "o_orderpriority", "o_orderstatus"
+    ).select(
+        F.col("pr").alias("o_orderpriority"),
+        F.col("st").alias("o_orderstatus"),
+        "observed",
+        "expected_micro",
+        "contrib_micro",
+        "chi2_micro",
+        "dof",
+        "cramers_v_micro",
+    )
+
+
+def chi_square_report(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
+    """Chi-square independence grid over any two categorical columns —
+    the m33 lowering, parameterized so the brute-force closure in
+    tests/test_properties.py can drive it with generated tables."""
+    cnt = df.groupBy(
+        F.col(row_col).alias("pr"),
+        F.col(col_col).alias("st"),
+    ).agg(F.count("*").alias("observed"))
+    cnt = cnt.localCheckpoint()  # feeds marginals AND the grid
+    rows_ = cnt.groupBy("pr").agg(F.sum("observed").alias("rt"))
+    cols_ = cnt.groupBy("st").agg(F.sum("observed").alias("ct"))
+    tot = cnt.agg(
+        F.sum("observed").alias("n"),
+        F.countDistinct("pr").alias("nr"),
+        F.countDistinct("st").alias("nc"),
+    )
+    # broadcast bounds: marginal frames are category-domain sized; tot
+    # is 1 row; the grid itself is |priorities| x |statuses| cells
+    grid = (
+        rows_.crossJoin(F.broadcast(cols_))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(cnt), ["pr", "st"], "left")
+        .withColumn("observed", F.coalesce("observed", F.lit(0)))
+    )
+    cells = grid.select(
+        "pr", "st", "observed", "rt", "ct", "n", "nr", "nc",
+        F.expr(_M33_EXPECTED).alias("expected_micro"),
+        F.expr(_M33_CELL).alias("contrib_micro"),
+    ).localCheckpoint()
+    total = cells.agg(F.sum("contrib_micro").alias("chi2_micro"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "pr",
+        "st",
+        F.col("observed").cast("long").alias("observed"),
+        "expected_micro",
+        "contrib_micro",
+        F.col("chi2_micro").cast("long").alias("chi2_micro"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1))
+        .cast("long")
+        .alias("dof"),
+        F.expr(_M33_CRAMER).alias("cramers_v_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# m34: pairwise Pearson correlation matrix over the lineitem numeric
+# features — ONE corpus scan accumulates every first/second/cross moment
+# as EXACT integers (qty units, price cents, discount/tax micro; sums in
+# DECIMAL(38) so squared-cents sums cannot overflow int64 at any SF),
+# then each pair's r is one shared float-op sequence over the exact
+# moments, rounded once to micro.
+# ---------------------------------------------------------------------------
+
+_M34_FEATS = ("qty", "cents", "disc", "tax")
+_M34_R = (
+    "CAST(round(1000000.0 * (1.0 * n * s_{x}{y} - 1.0 * s_{x} * s_{y})"
+    " / (sqrt(1.0 * n * s_{x}{x} - 1.0 * s_{x} * s_{x})"
+    " * sqrt(1.0 * n * s_{y}{y} - 1.0 * s_{y} * s_{y})), 0) AS BIGINT)"
+)
+
+
+def _m34_pair_select(x: str, y: str) -> str:
+    return (
+        f"SELECT '{x}' AS feat_a, '{y}' AS feat_b,"
+        f" CAST(n AS BIGINT) AS n, "
+        + _M34_R.format(x=x, y=y)
+        + " AS r_micro FROM mom"
+    )
+
+
+_M34_MOM_SQL = """
+      SELECT count(*) AS n,
+             {sums}
+      FROM (
+        SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(round(l_discount * 1000000) AS BIGINT) AS disc,
+               CAST(round(l_tax * 1000000) AS BIGINT) AS tax
+        FROM lineitem
+      )
+"""
+
+
+def _m34_sum_exprs(decimal: bool) -> list[str]:
+    """Moment sum expressions, identical shape on both engines; Spark
+    wraps terms in DECIMAL(38,0) (its BIGINT sum would overflow on the
+    squared-micro columns), DuckDB's BIGINT sums already widen to
+    HUGEINT."""
+    out = []
+    fs = _M34_FEATS
+    for i, x in enumerate(fs):
+        t = f"CAST({x} AS DECIMAL(38,0))" if decimal else x
+        out.append(f"sum({t}) AS s_{x}")
+        for y in fs[i:]:
+            u = f"CAST({y} AS DECIMAL(38,0))" if decimal else y
+            out.append(f"sum({t} * {u}) AS s_{x}{y}")
+    return out
+
+
+_M34_SQL = (
+    "WITH mom AS ("
+    + _M34_MOM_SQL.format(sums=", ".join(_m34_sum_exprs(False)))
+    + ") "
+    + " UNION ALL ".join(
+        _m34_pair_select(x, y)
+        for i, x in enumerate(_M34_FEATS)
+        for y in _M34_FEATS[i + 1 :]
+    )
+)
+
+
+@_register("m34_correlation_matrix", _M34_SQL)
+def m34_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem's numeric
+    features (quantity, extended price, discount, tax) — the feature-
+    redundancy screen run before any model training. Every moment
+    (n, sums, squares, cross products) accumulates in ONE scan as exact
+    integers over the quantized units (qty units / price cents /
+    discount+tax micro); each of the 6 pair correlations is then one
+    shared float-op sequence over those exact moments, rounded once to
+    micro — no per-row float ever sums, so accumulation order cannot
+    flip the hash at any parallelism.
+
+    Scale: one map-side-combined aggregate to a single 15-column moment
+    row (DECIMAL(38) sums — squared cents at 100 TB exceed int64 but
+    not 38 digits); the pair report is 6 rows computed from that one
+    row. This is the textbook single-pass parallel correlation: no
+    second centered pass, no corpus-sized shuffle at all.
+
+    Reference parity: no reference equivalent; public single-pass
+    moment-based correlation methodology."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.selectExpr(
+        "CAST(round(l_quantity) AS BIGINT) AS qty",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents",
+        "CAST(round(l_discount * 1000000) AS BIGINT) AS disc",
+        "CAST(round(l_tax * 1000000) AS BIGINT) AS tax",
+    )
+    mom = q.agg(
+        F.count("*").alias("n"),
+        *[
+            F.expr(e.rsplit(" AS ", 1)[0]).alias(e.rsplit(" AS ", 1)[1])
+            for e in _m34_sum_exprs(True)
+        ],
+    ).localCheckpoint()  # 1 row; feeds all 6 pair selects
+    pair_frames = []
+    fs = _M34_FEATS
+    for i, x in enumerate(fs):
+        for y in fs[i + 1 :]:
+            pair_frames.append(
+                mom.selectExpr(
+                    f"'{x}' AS feat_a",
+                    f"'{y}' AS feat_b",
+                    "CAST(n AS BIGINT) AS n",
+                    _M34_R.format(x=x, y=y) + " AS r_micro",
+                )
+            )
+    out = pair_frames[0]
+    for p in pair_frames[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# m35: exact average precision (area under the precision-recall curve)
+# from the m18 score histogram — the metric that matters when positives
+# are rare (fraud!) and ROC-AUC flatters. Integer-exact: walking the
+# distinct rounded scores from the top, each step's precision is one
+# multiply-first ppm floor division, and AP weights it by that step's
+# positive increment — all BIGINT, order-free.
+# ---------------------------------------------------------------------------
+
+_M35_SQL = f"""
+    WITH sc AS ({_M18_SC_SQL}),
+    seg AS (
+      SELECT event_type AS segment, s,
+             CAST(sum(y) AS BIGINT) AS n_pos_s,
+             CAST(sum(1 - y) AS BIGINT) AS n_neg_s
+      FROM sc GROUP BY 1, 2
+      UNION ALL
+      SELECT 'ALL', s, CAST(sum(y) AS BIGINT), CAST(sum(1 - y) AS BIGINT)
+      FROM sc GROUP BY 2
+    ),
+    w AS (
+      SELECT segment, s, n_pos_s, n_neg_s,
+             sum(n_pos_s) OVER (
+               PARTITION BY segment ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             sum(n_neg_s) OVER (
+               PARTITION BY segment ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+      FROM seg
+    )
+    SELECT segment,
+           CAST(sum(n_pos_s) AS BIGINT) AS n_pos,
+           CAST(sum(n_neg_s) AS BIGINT) AS n_neg,
+           CASE WHEN sum(n_pos_s) > 0 THEN
+             CAST(sum(n_pos_s * ((1000000 * tp) // (tp + fp)))
+                  // sum(n_pos_s) AS BIGINT)
+           END AS ap_ppm
+    FROM w GROUP BY segment
+"""
+
+
+@_register("m35_average_precision", _M35_SQL)
+def m35_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact average precision (PR-AUC) for the m04 scorer per
+    event_type segment plus 'ALL' — the complement of m18's ROC-AUC for
+    the rare-positive regime, where precision against the flood of
+    negatives is the honest number. Standard step-wise AP over the
+    distinct rounded scores, descending: each score level contributes
+    its positive count times the precision of the prefix down to (and
+    including) that level; ties collapse into one step (the
+    score-quantized convention). precision_ppm is a multiply-first
+    floor division and AP is floor(sum(dtp * prec_ppm) / n_pos) — every
+    quantity BIGINT, so the hash pins tie handling and quantization.
+
+    Scale: identical posture to m18 — one map-side-combined scan to the
+    score-codomain-bounded histogram (round(.,6) caps distinct scores
+    at ~1e6 regardless of corpus), cumulative windows and the 6-row
+    aggregate on that bounded frame; the corpus is scanned once
+    (histogram localCheckpointed, shared with nothing corpus-sized).
+
+    Reference parity: the PR-side evaluation of the reference's
+    hard-coded >10000 rule, as m18 is its ROC side."""
+    ev = load_table(spark, sf_dir, "events")
+    per = m18_score_counts(ev).localCheckpoint()
+    return m35_ap_from_counts(per)
+
+
+def m35_ap_from_counts(per: DataFrame) -> DataFrame:
+    """(event_type, s, n_pos_s, n_neg_s) histogram -> per-segment + ALL
+    exact average precision. Split from m35 so the brute-force closure
+    (tests/test_properties.py) and any streaming twin can share it —
+    the m18_auc_from_counts pattern."""
+    from pyspark.sql.window import Window
+
+    seg = per.select(
+        F.col("event_type").alias("segment"), "s", "n_pos_s", "n_neg_s"
+    ).unionAll(
+        per.groupBy("s")
+        .agg(
+            F.sum("n_pos_s").alias("n_pos_s"),
+            F.sum("n_neg_s").alias("n_neg_s"),
+        )
+        .select(F.lit("ALL").alias("segment"), "s", "n_pos_s", "n_neg_s")
+    )
+    # windows over the score-codomain-BOUNDED histogram, per segment
+    w = (
+        Window.partitionBy("segment")
+        .orderBy(F.desc("s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = seg.select(
+        "segment",
+        "n_pos_s",
+        "n_neg_s",
+        F.sum("n_pos_s").over(w).alias("tp"),
+        F.sum("n_neg_s").over(w).alias("fp"),
+    )
+    has = F.sum("n_pos_s") > 0
+    return c.groupBy("segment").agg(
+        F.sum("n_pos_s").cast("long").alias("n_pos"),
+        F.sum("n_neg_s").cast("long").alias("n_neg"),
+        F.when(
+            has,
+            F.expr(
+                "sum(n_pos_s * ((1000000 * tp) div (tp + fp)))"
+                " div sum(n_pos_s)"
+            ),
+        )
+        .cast("long")
+        .alias("ap_ppm"),
+    )

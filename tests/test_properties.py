@@ -4113,3 +4113,117 @@ def test_skyline_front_matches_brute_force(spark, dp):
     )
     got = sorted(tuple(r) for r in skyline_front(df).collect())
     assert got == _brute_skyline(pts)
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abc"), st.sampled_from("xyzw")),
+        min_size=2,
+        max_size=60,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_chi_square_matches_pure_python(spark, pairs):
+    """The shared cell formula is the one thing oracle parity cannot
+    check (both engines evaluate the same expression text) — so rebuild
+    chi-square independently in pure Python over the generated
+    contingency (floats for the IEEE terms, half-up rounding like SQL
+    round) and require the grid, statistic, dof, and Cramer's V to
+    match within 1 micro per term."""
+    import math
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.advanced import (
+        chi_square_report,
+    )
+
+    df = spark.createDataFrame(pairs, "r STRING, c STRING")
+    got = {
+        (row.pr, row.st): row
+        for row in chi_square_report(df, "r", "c").collect()
+    }
+    # pure-python reference
+    from collections import Counter
+
+    obs = Counter(pairs)
+    rt = Counter(r for r, _ in pairs)
+    ct = Counter(c for _, c in pairs)
+    n = len(pairs)
+    chi2 = 0
+    half_up = lambda v: math.floor(v + 0.5)  # noqa: E731
+    cells = {}
+    for r in rt:
+        for c in ct:
+            e = (rt[r] * ct[c]) / n
+            o = obs.get((r, c), 0)
+            contrib = half_up(1000000.0 * (o - e) ** 2 / e)
+            cells[(r, c)] = (o, half_up(1000000.0 * e), contrib)
+            chi2 += contrib
+    dof = (len(rt) - 1) * (len(ct) - 1)
+    assert set(got) == set(cells)
+    for k, (o, e_micro, contrib) in cells.items():
+        row = got[k]
+        assert row.observed == o
+        assert abs(row.expected_micro - e_micro) <= 1
+        assert abs(row.contrib_micro - contrib) <= 1
+        assert abs(row.chi2_micro - chi2) <= len(cells)
+        assert row.dof == dof
+        if dof > 0:
+            v = half_up(
+                1000000.0 * math.sqrt((row.chi2_micro / 1000000.0) / (n * min(len(rt) - 1, len(ct) - 1)))
+            )
+            assert abs(row.cramers_v_micro - v) <= 1
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]),  # segment
+            st.integers(0, 5),  # quantized score level
+            st.integers(0, 1),  # label
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_average_precision_matches_integer_brute(spark, rows):
+    """AP from the histogram pipeline vs a pure-integer Python walk over
+    the same quantized scores — floor divisions and the tie-collapsing
+    step convention must agree EXACTLY (everything is int64, no float
+    tolerance)."""
+    from collections import defaultdict
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.advanced import (
+        m35_ap_from_counts,
+    )
+
+    hist = defaultdict(lambda: [0, 0])
+    for seg, s, y in rows:
+        hist[(seg, s)][0 if y else 1] += 1
+    per = spark.createDataFrame(
+        [
+            (seg, float(s), pos, neg)
+            for (seg, s), (pos, neg) in hist.items()
+        ],
+        "event_type STRING, s DOUBLE, n_pos_s LONG, n_neg_s LONG",
+    )
+    got = {r.segment: (r.n_pos, r.n_neg, r.ap_ppm) for r in m35_ap_from_counts(per).collect()}
+
+    def brute(pairs):
+        levels = defaultdict(lambda: [0, 0])
+        for s, y in pairs:
+            levels[s][0 if y else 1] += 1
+        tp = fp = acc = 0
+        for s in sorted(levels, reverse=True):
+            pos, neg = levels[s]
+            tp += pos
+            fp += neg
+            acc += pos * ((1000000 * tp) // (tp + fp))
+        n_pos = sum(v[0] for v in levels.values())
+        n_neg = sum(v[1] for v in levels.values())
+        return n_pos, n_neg, (acc // n_pos if n_pos else None)
+
+    segs = {seg for seg, _, _ in rows}
+    for seg in segs:
+        assert got[seg] == brute([(s, y) for g, s, y in rows if g == seg])
+    assert got["ALL"] == brute([(s, y) for _, s, y in rows])

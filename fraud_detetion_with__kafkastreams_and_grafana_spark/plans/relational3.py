@@ -3969,3 +3969,88 @@ def r98_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "cents",
     )
+
+
+# ---------------------------------------------------------------------------
+# r99: first-order Markov transition matrix over per-user event streams —
+# the behavioral model behind next-event prediction and anomaly scoring
+# (an observed transition with near-zero learned probability IS the
+# alert). Counts are exact; probabilities are multiply-first ppm.
+# ---------------------------------------------------------------------------
+
+_R99_SQL = """
+    WITH base AS (
+      SELECT user_id, event_id, event_type AS src,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t
+      FROM events
+    ),
+    nxt AS (
+      SELECT src,
+             lead(src) OVER (PARTITION BY user_id
+                             ORDER BY t, event_id) AS dst
+      FROM base
+    ),
+    cnt AS (
+      SELECT src, dst, count(*) AS n
+      FROM nxt WHERE dst IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT src, sum(n) AS src_total FROM cnt GROUP BY 1)
+    SELECT src, dst, CAST(n AS BIGINT) AS n_transitions,
+           CAST(src_total AS BIGINT) AS src_total,
+           CAST((1000000 * n) // src_total AS BIGINT) AS p_ppm
+    FROM cnt JOIN tot USING (src)
+"""
+
+
+@_register("r99_event_transitions", _R99_SQL)
+def r99_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: consecutive event-type pairs under the strict (truncated-
+    second t, event_id) per-user ordering (the r82/r95 tie rule, so
+    same-second events replay identically), exact transition counts,
+    per-source totals, and the conditional probability P(dst | src) in
+    multiply-first ppm. The learned matrix is what next-event
+    prediction, session simulation, and transition-anomaly scoring
+    (a observed pair with p_ppm ~ 0 is the alert) all consume.
+
+    Scale: ONE user_id shuffle carries the lead() pairing; the pair
+    stream map-side combines straight to the |types|^2-bounded count
+    frame, and everything after (totals join, ppm) runs on that bounded
+    matrix. No second corpus pass, no unpartitioned window.
+
+    Reference parity: the data-learned generalization of the
+    reference's hand-written event pipeline; no reference equivalent."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_timestamp(
+        F.date_trunc("second", F.col("ts")).cast("timestamp")
+    )
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("src"),
+        t.alias("t"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    pairs = base.withColumn("dst", F.lead("src").over(w)).where(
+        F.col("dst").isNotNull()
+    )
+    cnt = pairs.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    return transition_report_from_counts(cnt)
+
+
+def transition_report_from_counts(cnt: DataFrame) -> DataFrame:
+    """(src, dst, n) counts -> the transition-matrix report. Shared by
+    r99 and its streaming twin (s43), whose merged inner+stitched
+    partials must emit the identical shape."""
+    cnt = cnt.localCheckpoint()  # |types|^2 rows; feeds totals AND report
+    tot = cnt.groupBy("src").agg(F.sum("n").alias("src_total"))
+    # broadcast bound: tot is one row per event type
+    return cnt.join(F.broadcast(tot), "src").select(
+        "src",
+        "dst",
+        F.col("n").cast("long").alias("n_transitions"),
+        F.col("src_total").cast("long").alias("src_total"),
+        F.expr("CAST((1000000 * n) div src_total AS BIGINT)").alias(
+            "p_ppm"
+        ),
+    )

@@ -3365,3 +3365,124 @@ def s42_stream_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "cents",
     )
+
+
+def _r99_oracle_sql() -> str:
+    from .relational3 import ORACLES as _R3
+
+    return _R3["r99_event_transitions"]
+
+
+@_register("s43_stream_transitions", _r99_oracle_sql())
+def s43_stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r99's Markov transition matrix learned ON INGEST — with the one
+    thing that makes it non-trivially streamable: transitions SPAN
+    micro-batch boundaries (a user's last event in batch k pairs with
+    their first event in the next batch they appear in). Zero streaming
+    state, pure partials: each batch reduces inside foreachBatch to
+    (a) its inner (src, dst) transition counts and (b) one boundary row
+    per user (first/last event type at the batch's per-user edges);
+    because the wire is event-time ordered (the CEP wire's range
+    partitioning), batch k's events precede batch k+1's for every user,
+    so the read-time stitch is a lead() over each user's boundary rows
+    by batch id — a frame bounded by users x batches, not events. The
+    merged inner + stitched counts feed the shared report
+    (transition_report_from_counts), equal to batch r99 bit-for-bit,
+    sharing its oracle verbatim (boundary stitching pinned in
+    tests/test_streaming.py).
+
+    Scale: per batch the sink grows by |types|^2 + |active users| rows;
+    the stitch and report run on boundary/matrix-bounded frames. This
+    is the general recipe for sequence operators as streams: inner
+    pairs are associative, edges carry O(1) per (user, batch)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .relational3 import transition_report_from_counts
+
+    wdir = _funnel_wire_dir(spark, sf_dir)
+    out_cnt = tempfile.mkdtemp(prefix="spark_graft_s43_cnt_")
+    out_bnd = tempfile.mkdtemp(prefix="spark_graft_s43_bnd_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_s43_ckpt_")
+    for d in (out_cnt, out_bnd, ckpt):
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+
+    def transition_partials(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window as W
+
+        b = batch_df.select(
+            F.from_json(
+                "value",
+                "user_id LONG, event_type STRING, timestamp LONG,"
+                " event_id LONG",
+            ).alias("r")
+        ).select(
+            "r.user_id",
+            F.col("r.event_type").alias("src"),
+            (F.col("r.timestamp") * F.lit(1 << 20) + F.col("r.event_id"))
+            .alias("k"),
+        )
+        b = b.where(F.col("user_id").isNotNull()).localCheckpoint()
+        w = W.partitionBy("user_id").orderBy("k")
+        inner = (
+            b.withColumn("dst", F.lead("src").over(w))
+            .where(F.col("dst").isNotNull())
+            .groupBy("src", "dst")
+            .agg(F.count("*").alias("n"))
+        )
+        (
+            inner.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_cnt)
+        )
+        bnd = b.groupBy("user_id").agg(
+            F.min_by("src", "k").alias("first_type"),
+            F.max_by("src", "k").alias("last_type"),
+        )
+        (
+            bnd.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_bnd)
+        )
+
+    stream = (
+        spark.readStream.schema("value STRING")
+        .option("maxFilesPerTrigger", 2)
+        .text(wdir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(transition_partials)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    from pyspark.sql.window import Window
+
+    inner = spark.read.parquet(out_cnt).drop("_batch_id")
+    bnd = spark.read.parquet(out_bnd)
+    wb = Window.partitionBy("user_id").orderBy("_batch_id")
+    stitched = (
+        bnd.withColumn("nxt_first", F.lead("first_type").over(wb))
+        .where(F.col("nxt_first").isNotNull())
+        .select(
+            F.col("last_type").alias("src"),
+            F.col("nxt_first").alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+    )
+    merged = (
+        inner.unionByName(stitched)
+        .groupBy("src", "dst")
+        .agg(F.sum("n").alias("n"))
+    )
+    return transition_report_from_counts(merged)

@@ -1220,3 +1220,32 @@ def test_skyline_cross_batch_dominance(spark):
     dup = [(7, 20, 100), (8, 20, 100)]
     fd = front(dup)
     assert (7, 20, 100) in fd and (8, 20, 100) in fd
+
+
+def test_s43_stream_transitions_equals_batch_r99(spark, sf_dir):
+    """The streamed transition matrix must equal batch r99 exactly.
+    This is the boundary-stitch pin: users span micro-batches in the
+    replay, so inner-pair partials alone would undercount — equality
+    holds only if every (last event of batch k -> first event of next
+    appearance) stitch lands."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import (
+        relational3 as R3,
+        streaming_queries as SQ,
+    )
+
+    got = {
+        (r.src, r.dst): (r.n_transitions, r.src_total, r.p_ppm)
+        for r in SQ.QUERIES["s43_stream_transitions"](
+            spark, sf_dir
+        ).collect()
+    }
+    want = {
+        (r.src, r.dst): (r.n_transitions, r.src_total, r.p_ppm)
+        for r in R3.QUERIES["r99_event_transitions"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
+    # sanity: the replay genuinely split users across batches — the
+    # stitched pairs are a material share, not a vacuous zero
+    assert sum(n for n, _, _ in want.values()) > 0

@@ -1885,3 +1885,133 @@ MULAW_ORACLE_SQL = """
     FROM dec
     GROUP BY doc_id
     """
+
+
+BMP_TILE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("mean_all", T.LongType()),
+        T.StructField("mean_tl", T.LongType()),
+        T.StructField("mean_tr", T.LongType()),
+        T.StructField("mean_bl", T.LongType()),
+        T.StructField("mean_br", T.LongType()),
+    ]
+)
+
+
+def tile_means(w: int, h: int, vals: list[int]) -> tuple[int, int, int, int, int]:
+    """Quadrant integer means of a gray plane (top-down row-major):
+    (all, top-left, top-right, bottom-left, bottom-right), each a floor
+    division of the region pixel sum by the region area. The 2x2 tile
+    grid splits at x = w//2, y = h//2 (left/top tiles take the floor
+    half). Pure integer arithmetic — the standard coarse 'image
+    embedding' a training pipeline extracts before any learned model."""
+    lw, th = w // 2, h // 2
+    sums = [0, 0, 0, 0]
+    cnts = [0, 0, 0, 0]
+    for y in range(h):
+        for x in range(w):
+            q = (0 if y < th else 2) + (0 if x < lw else 1)
+            sums[q] += vals[y * w + x]
+            cnts[q] += 1
+    total = sum(sums)
+    return (
+        total // (w * h),
+        sums[0] // cnts[0],
+        sums[1] // cnts[1],
+        sums[2] // cnts[2],
+        sums[3] // cnts[3],
+    )
+
+
+def bmp_tile_features(docs: DataFrame) -> DataFrame:
+    """REAL image feature extraction: encode each document's genuine
+    24bpp BMP, decode the full pixel plane back out of the binary, and
+    reduce it to the 2x2 tile-mean feature vector (the coarse spatial
+    signature multimodal dedup/similarity pipelines compute before any
+    learned embedding). One mapInPandas pass — payloads never cross a
+    shuffle or reach the driver; every output is a closed form of
+    (doc_id, n_chars) so the whole decode-then-pool path value-hash
+    checks against SQL."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in BMP_TILE_SCHEMA.fields}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w, h, vals = decode_bmp_pixels(
+                    encode_bmp(int(doc_id), int(n_chars))
+                )
+                ma, tl, tr, bl, br = tile_means(w, h, vals)
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_all"].append(ma)
+                out["mean_tl"].append(tl)
+                out["mean_tr"].append(tr)
+                out["mean_bl"].append(bl)
+                out["mean_br"].append(br)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        batches, schema=BMP_TILE_SCHEMA
+    )
+
+
+def decimate_wav(payload: bytes) -> bytes:
+    """2:1 audio decimation on a real mono 16-bit PCM WAV: consecutive
+    sample pairs average (in the UNSIGNED code domain, floor division —
+    nonnegative operands, so every engine and language agrees), an odd
+    tail sample passes through, and the result re-encodes as a real WAV
+    at half the frame rate. The resample step every audio training
+    pipeline runs before feature extraction, kept bit-deterministic."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getnchannels() != 1 or w.getsampwidth() != 2:
+            raise ValueError("expected mono 16-bit PCM")
+        n = w.getnframes()
+        rate = w.getframerate()
+        samples = struct.unpack(f"<{n}h", w.readframes(n))
+    codes = [s + 32768 for s in samples]
+    out_codes = [
+        (codes[2 * k] + codes[2 * k + 1]) // 2 for k in range(n // 2)
+    ]
+    if n % 2:
+        out_codes.append(codes[-1])
+    frames = b"".join(struct.pack("<h", c - 32768) for c in out_codes)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate // 2)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def wav_decimate_features(docs: DataFrame) -> DataFrame:
+    """Encode a real WAV per document, 2:1-decimate it (real sample
+    arithmetic on decoded frames), re-encode at half rate, and decode
+    the RESULT back — four genuine codec passes in one mapInPandas
+    stage, the audio analog of bmp_downscale_features. Every output is
+    a closed form of (doc_id, n_chars) for the SQL oracle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "doc_id": [], "n_samples": [], "framerate": [],
+                "n_bytes": [], "sample_sum": [],
+            }
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                n, rate, nb, ssum = decode_wav(
+                    decimate_wav(encode_wav(int(doc_id), int(n_chars)))
+                )
+                out["doc_id"].append(int(doc_id))
+                out["n_samples"].append(n)
+                out["framerate"].append(rate)
+                out["n_bytes"].append(nb)
+                out["sample_sum"].append(ssum)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        batches, schema=WAV_FEATURE_SCHEMA
+    )

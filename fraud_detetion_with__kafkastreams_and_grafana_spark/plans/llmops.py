@@ -5744,3 +5744,109 @@ def l89_memorization_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shared_ppm"),
         )
     )
+
+
+# quadrant pixel-sum closed form: sum over the tile's (x, y) box of
+# (doc_id*31 + (y*w + x)*7) % 256, floor-divided by the tile area
+_L90_TILE = (
+    "list_reduce(list_transform("
+    "list_filter(range(0, w * h),"
+    " j -> (j % w) {xc} w // 2 AND (j // w) {yc} h // 2),"
+    " j -> (doc_id * 31 + j * 7) % 256), (a, b) -> a + b)"
+)
+
+
+def _l90_tile_sql(xc: str, yc: str, area: str) -> str:
+    return (
+        "CAST("
+        + _L90_TILE.format(xc=xc, yc=yc)
+        + f" // ({area}) AS BIGINT)"
+    )
+
+
+_L90_SQL = f"""
+    WITH g AS (
+      SELECT doc_id,
+             4 + n_chars % 13 AS w,
+             3 + n_chars % 7 AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(list_reduce(list_transform(range(0, w * h),
+                  j -> (doc_id * 31 + j * 7) % 256), (a, b) -> a + b)
+                // (w * h) AS BIGINT) AS mean_all,
+           {_l90_tile_sql('<', '<', '(w // 2) * (h // 2)')} AS mean_tl,
+           {_l90_tile_sql('>=', '<', '(w - w // 2) * (h // 2)')} AS mean_tr,
+           {_l90_tile_sql('<', '>=', '(w // 2) * (h - h // 2)')} AS mean_bl,
+           {_l90_tile_sql('>=', '>=', '(w - w // 2) * (h - h // 2)')} AS mean_br
+    FROM g
+"""
+
+
+@_register("l90_image_tile_features", _L90_SQL)
+def l90_image_tile_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image feature extraction — the decode-then-pool step between
+    the codecs (l52/l73) and the similarity surface: each document's
+    genuine 24bpp BMP decodes to its full pixel plane, which pools to
+    the 2x2 tile-mean vector (overall + per-quadrant integer means,
+    floor division) — the coarse spatial signature multimodal pipelines
+    bucket or embed before any learned model. The oracle replays every
+    tile mean as a closed form of (doc_id, n_chars), so a row-order
+    bug, a quadrant-boundary slip (left/top tiles take the floor half),
+    or an area miscount flips the driver's value hash.
+
+    Scale: identical posture to l52/l73 — one scan, one mapInPandas,
+    zero exchanges; pixels live and die inside Arrow batches, and only
+    the 5-int feature vector ever leaves the executor. That reduction
+    (payload -> fixed-width features at the scan) is exactly what makes
+    downstream image dedup joinable at 100 TB.
+
+    Reference parity: no reference equivalent; public multimodal
+    feature-extraction methodology."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.bmp_tile_features(docs)
+
+
+_L91_SQL = """
+    WITH g AS (
+      SELECT doc_id, 100 + n_chars % 50 AS n FROM documents
+    )
+    SELECT doc_id,
+           CAST((n + 1) // 2 AS BIGINT) AS n_samples,
+           CAST(4000 AS BIGINT) AS framerate,
+           CAST(44 + 2 * ((n + 1) // 2) AS BIGINT) AS n_bytes,
+           CAST(list_reduce(list_transform(range(0, n // 2),
+                  k -> ((doc_id * 17 + (2 * k) * 11) % 65536
+                        + (doc_id * 17 + (2 * k + 1) * 11) % 65536) // 2
+                       - 32768),
+                  (a, b) -> a + b)
+                + CASE WHEN n % 2 = 1
+                       THEN (doc_id * 17 + (n - 1) * 11) % 65536 - 32768
+                       ELSE 0 END
+                AS BIGINT) AS sample_sum
+    FROM g
+"""
+
+
+@_register("l91_wav_decimate_roundtrip", _L91_SQL)
+def l91_wav_decimate_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio resampling — l73's four-pass recipe for sound: each
+    document's genuine mono 16-bit PCM WAV decodes, 2:1-decimates
+    (consecutive pairs average in the unsigned code domain — floor on
+    nonnegative operands, so Python, Spark, and DuckDB agree sample for
+    sample; an odd tail passes through), re-encodes as a real WAV at
+    half the frame rate, and decodes AGAIN. The oracle replays the
+    output length, rate, byte size, and exact sample sum as closed
+    forms of (doc_id, n_chars), so a header slip, a pair-boundary bug,
+    or a signed-floor mismatch flips the driver's value hash.
+
+    Scale: one scan, one mapInPandas, zero exchanges — audio frames
+    live and die inside Arrow batches (the l52/l73 posture); only the
+    4-int summary leaves the executor.
+
+    Reference parity: no reference equivalent; public audio-pipeline
+    resampling methodology."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.wav_decimate_features(docs)

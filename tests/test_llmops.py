@@ -1159,3 +1159,71 @@ def test_l87_overlap_matrix_invariants(spark, sf_dir):
         assert 1 <= r["docs_b"] <= min(r["n_pairs"], sizes[r["src_b"]])
         assert r["overlap_a_ppm"] == (1000000 * r["docs_a"]) // sizes[r["src_a"]]
         assert r["overlap_b_ppm"] == (1000000 * r["docs_b"]) // sizes[r["src_b"]]
+
+
+def test_tile_means_exact_quadrants():
+    """tile_means on a hand-built 5x3 plane: odd width/height put the
+    extra column/row in the RIGHT/BOTTOM tiles (left/top take the floor
+    half), and every mean is a floor division."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators.multimodal import (
+        tile_means,
+    )
+
+    w, h = 5, 3
+    vals = list(range(15))  # row-major 0..14
+    ma, tl, tr, bl, br = tile_means(w, h, vals)
+    # tl: x<2, y<1 -> {0,1}; tr: x>=2, y<1 -> {2,3,4}
+    # bl: x<2, y>=1 -> {5,6,10,11}; br: x>=2,y>=1 -> {7,8,9,12,13,14}
+    assert tl == (0 + 1) // 2
+    assert tr == (2 + 3 + 4) // 3
+    assert bl == (5 + 6 + 10 + 11) // 4
+    assert br == (7 + 8 + 9 + 12 + 13 + 14) // 6
+    assert ma == sum(vals) // 15
+
+
+def test_bmp_tile_features_roundtrip(spark):
+    """The mapInPandas tile extractor agrees with decoding + pooling by
+    hand for a couple of documents."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators import (
+        multimodal as MM,
+    )
+
+    docs = spark.createDataFrame(
+        [(7, 11), (123, 200)], "doc_id LONG, n_chars LONG"
+    )
+    got = {r.doc_id: r for r in MM.bmp_tile_features(docs).collect()}
+    for doc_id, n_chars in ((7, 11), (123, 200)):
+        w, h, vals = MM.decode_bmp_pixels(MM.encode_bmp(doc_id, n_chars))
+        ma, tl, tr, bl, br = MM.tile_means(w, h, vals)
+        r = got[doc_id]
+        assert (r.width, r.height) == (w, h)
+        assert (r.mean_all, r.mean_tl, r.mean_tr, r.mean_bl, r.mean_br) == (
+            ma, tl, tr, bl, br,
+        )
+
+
+def test_decimate_wav_exact_pairs():
+    """Hand-check the decimator on a tiny synthetic WAV: pair averages
+    in the unsigned code domain, odd tail passthrough, half rate."""
+    import io
+    import struct
+    import wave
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators.multimodal import (
+        decimate_wav,
+        decode_wav,
+    )
+
+    samples = [-32768, 32767, 5, -6, 100]  # odd count
+    frames = b"".join(struct.pack("<h", s) for s in samples)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(frames)
+    n, rate, _, ssum = decode_wav(decimate_wav(buf.getvalue()))
+    # pairs: (0 + 65535)//2 - 32768 = -1; (32773 + 32762)//2 - 32768 = -1
+    # tail: 100
+    assert (n, rate) == (3, 4000)
+    assert ssum == -1 + -1 + 100

@@ -5850,3 +5850,182 @@ def l91_wav_decimate_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     resampling methodology."""
     docs = load_table(spark, sf_dir, "documents")
     return MM.wav_decimate_features(docs)
+
+
+_L92_SQL = r"""
+    WITH b AS (
+      SELECT doc_id, coalesce(text, '') AS t,
+             length(coalesce(text, '')) AS n
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, t, n, n // 3 AS a, (2 * n) // 3 AS b_
+      FROM b
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_chars_exact,
+           CAST(CASE WHEN n >= 3 THEN a ELSE 0 END AS BIGINT) AS split_a,
+           CAST(CASE WHEN n >= 3 THEN b_ ELSE 0 END AS BIGINT) AS split_b,
+           CASE WHEN n >= 3 THEN 'psm' ELSE 'raw' END AS mode,
+           CASE WHEN n >= 3 THEN
+             md5('<PRE>' || substring(t, 1, a)
+                 || '<SUF>' || substring(t, b_ + 1, n - b_)
+                 || '<MID>' || substring(t, a + 1, b_ - a))
+           ELSE md5(t) END AS fim_md5
+    FROM s
+"""
+
+
+@_register("l92_fim_transform", _L92_SQL)
+def l92_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle training transform (Bavarian et al. 2022, the
+    PSM — prefix/suffix/middle — reordering): every document splits at
+    the deterministic character thirds (a = n//3, b = 2n//3) and
+    re-serializes as <PRE>prefix<SUF>suffix<MID>middle, teaching an
+    autoregressive model to infill; documents under 3 characters pass
+    through as mode='raw'. The driver hash checks the md5 of each
+    transformed document, pinning the exact split arithmetic and
+    reassembly order on BOTH engines (substring is 1-based and
+    character-counted on each, so multi-byte text splits identically).
+
+    Scale: embarrassingly parallel row-local string arithmetic in
+    whole-stage codegen — one scan, no shuffle, no Python; only the
+    16-byte digest and split geometry leave the scan.
+
+    Reference parity: no reference equivalent; public FIM-objective
+    data-prep methodology."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    b = docs.select(
+        "doc_id", t.alias("t"), F.length(t).alias("n")
+    ).withColumn("a", F.expr("n div 3")).withColumn(
+        "b_", F.expr("(2 * n) div 3")
+    )
+    is_psm = F.col("n") >= 3
+    fim = F.concat(
+        F.lit("<PRE>"),
+        F.expr("substring(t, 1, a)"),
+        F.lit("<SUF>"),
+        F.expr("substring(t, b_ + 1, n - b_)"),
+        F.lit("<MID>"),
+        F.expr("substring(t, a + 1, b_ - a)"),
+    )
+    return b.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_chars_exact"),
+        F.when(is_psm, F.col("a")).otherwise(F.lit(0))
+        .cast("long")
+        .alias("split_a"),
+        F.when(is_psm, F.col("b_")).otherwise(F.lit(0))
+        .cast("long")
+        .alias("split_b"),
+        F.when(is_psm, F.lit("psm")).otherwise(F.lit("raw")).alias("mode"),
+        F.when(is_psm, F.md5(fim)).otherwise(F.md5("t")).alias("fim_md5"),
+    )
+
+
+_L93_W = 128  # pretraining context window, in whitespace tokens (+1 EOS)
+
+_L93_SQL = rf"""
+    WITH tc AS (
+      SELECT doc_id,
+             CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END
+               + 1 AS sz
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, sz,
+             CAST(sum(sz) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - sz AS BIGINT) AS st
+      FROM tc
+    ),
+    spans AS (
+      SELECT doc_id, sz, st,
+             unnest(range(st // {_L93_W}, (st + sz - 1) // {_L93_W} + 1))
+               AS w
+      FROM o
+    )
+    SELECT CAST(w AS BIGINT) AS window_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(least(st + sz, (w + 1) * {_L93_W})
+                    - greatest(st, w * {_L93_W})) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE st >= w * {_L93_W}) AS BIGINT)
+             AS n_starts,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM spans
+    GROUP BY w
+"""
+
+
+@_register("l93_packed_windows", _L93_SQL)
+def l93_packed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document packed pretraining windows — the OTHER packing
+    (l37 bins whole documents first-fit; pretraining actually
+    CONCATENATES the corpus with an EOS after every document and slices
+    fixed windows, letting documents straddle boundaries): documents in
+    doc_id order form one token stream (whitespace tokens + 1 EOS
+    each); each 128-token window reports how many documents it touches,
+    its token fill (128 everywhere but the tail), how many documents
+    START inside it, and its first/last doc — the attention-mask /
+    document-boundary bookkeeping a packed-pretraining loader needs per
+    window.
+
+    Scale: the global token offsets are the two-level segmented scan
+    (operators/prefix, seg = doc_id div 64 high bits — NO unpartitioned
+    corpus window); each document explodes to only the windows it
+    touches (size/W + 1 rows), and the per-window aggregate map-side
+    combines. The oracle keeps DuckDB's single cumulative window (fine
+    single-node; the lowering is the distributed form of the same
+    arithmetic).
+
+    Reference parity: no reference equivalent; public packed-
+    pretraining data-loader methodology."""
+    from ..operators.prefix import segmented_running_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.trim(F.coalesce(F.col("text"), F.lit("")))
+    tc = docs.select(
+        "doc_id",
+        (
+            F.when(t == "", F.lit(0)).otherwise(
+                F.size(F.split(t, r"\s+"))
+            )
+            + 1
+        ).alias("sz"),
+    )
+    seg = tc.withColumn("_seg", F.expr("doc_id div 64"))
+    o = segmented_running_sum(seg, "_seg", "doc_id", "sz", "run")
+    o = o.withColumn("st", F.col("run") - F.col("sz"))
+    w = _L93_W
+    spans = o.select(
+        "doc_id",
+        "sz",
+        "st",
+        F.explode(
+            F.sequence(
+                F.expr(f"st div {w}"), F.expr(f"(st + sz - 1) div {w}")
+            )
+        ).alias("w"),
+    )
+    return spans.groupBy("w").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(
+            F.least(F.col("st") + F.col("sz"), (F.col("w") + 1) * w)
+            - F.greatest(F.col("st"), F.col("w") * w)
+        )
+        .cast("long")
+        .alias("n_tokens"),
+        F.expr(f"count_if(st >= w * {w})").cast("long").alias("n_starts"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
+    ).select(
+        F.col("w").cast("long").alias("window_id"),
+        "n_docs",
+        "n_tokens",
+        "n_starts",
+        "first_doc",
+        "last_doc",
+    )

@@ -1227,3 +1227,65 @@ def test_decimate_wav_exact_pairs():
     # tail: 100
     assert (n, rate) == (3, 4000)
     assert ssum == -1 + -1 + 100
+
+
+def test_l93_packed_windows_invariants(spark, sf_dir):
+    """Conservation laws of the packed stream: full windows hold exactly
+    W tokens, the fills sum to the whole token stream (every doc's
+    tokens + its EOS), and every document starts in exactly one
+    window."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import llmops as L
+
+    rows = L.QUERIES["l93_packed_windows"](spark, sf_dir).collect()
+    W = L._L93_W
+    last = max(r.window_id for r in rows)
+    assert sorted(r.window_id for r in rows) == list(range(last + 1))
+    for r in rows:
+        if r.window_id < last:
+            assert r.n_tokens == W, r
+        # a window wholly inside one straddling document has 0 starts
+        assert 0 <= r.n_starts <= r.n_docs
+        assert r.first_doc <= r.last_doc
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    t = F.trim(F.coalesce(F.col("text"), F.lit("")))
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.select(
+        (
+            F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+            + 1
+        ).alias("sz")
+    ).agg(F.sum("sz")).collect()[0][0]
+    assert sum(r.n_tokens for r in rows) == total
+    assert sum(r.n_starts for r in rows) == docs.count()
+
+
+def test_l92_fim_is_a_permutation(spark):
+    """The PSM reassembly must contain every original character exactly
+    once (piece lengths partition n) and hash as the documented
+    <PRE>p<SUF>s<MID>m serialization."""
+    import hashlib
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import llmops as L
+
+    txt = "abcdefghij"  # n=10 -> a=3, b=6
+    docs = spark.createDataFrame(
+        [(1, txt, len(txt)), (2, "xy", 2)],
+        "doc_id LONG, text STRING, n_chars LONG",
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = {r.doc_id: r for r in L.QUERIES["l92_fim_transform"](spark, d).collect()}
+    r1 = rows[1]
+    assert (r1.split_a, r1.split_b, r1.mode) == (3, 6, "psm")
+    want = "<PRE>abc<SUF>ghij<MID>def"
+    assert r1.fim_md5 == hashlib.md5(want.encode()).hexdigest()
+    r2 = rows[2]
+    assert r2.mode == "raw"
+    assert r2.fim_md5 == hashlib.md5(b"xy").hexdigest()

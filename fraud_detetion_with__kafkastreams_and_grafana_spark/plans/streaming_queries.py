@@ -3486,3 +3486,96 @@ def s43_stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").alias("n"))
     )
     return transition_report_from_counts(merged)
+
+
+def _m35_oracle_sql() -> str:
+    from .advanced import ORACLES as _AD
+
+    return _AD["m35_average_precision"]
+
+
+@_register("s44_stream_average_precision", _m35_oracle_sql())
+def s44_stream_average_precision(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """m35's exact average precision run as a STREAM — the live PR-side
+    ranking monitor beside s31's ROC side, sharing the SAME sink
+    artifact shape: each micro-batch reduces to its partial
+    (event_type, rounded-score) positive/negative counts inside
+    foreachBatch (associative histogram, s26/s28/s31 recipe), lands
+    idempotently (_batch_id-partitioned, s09), and the report merges
+    partials into the identical AP tail (m35_ap_from_counts). The
+    streamed AP equals batch m35 bit-for-bit and shares its oracle
+    verbatim. In production the SAME persisted histogram feeds AUC
+    (s31), AP (s44), calibration, and thresholds — one artifact, every
+    ranking metric.
+
+    Scale: zero streaming state; the sink grows by each batch's
+    distinct (type, score) rows, bounded by the score codomain;
+    re-deriving AP costs the bounded histogram."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .advanced import m18_score_counts, m35_ap_from_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    wire = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("event_type"),
+                F.col("value"),
+                F.hour("ts").cast("long").alias("hr"),
+            )
+        ).alias("value")
+    )
+    from ..streaming.replay import materialize_wire_dir
+
+    d = materialize_wire_dir(wire)
+    out = tempfile.mkdtemp(prefix="spark_graft_s44_sink_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_s44_ckpt_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+
+    def ap_partials(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.select(
+            F.from_json(
+                "value", "event_type STRING, value DOUBLE, hr LONG"
+            ).alias("r")
+        ).select("r.event_type", "r.value", "r.hr")
+        b = b.where(F.col("value").isNotNull())
+        (
+            m18_score_counts(b, hour_col=F.col("hr"))
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
+
+    stream = (
+        spark.readStream.schema("value STRING")
+        # 2 micro-batches: associative partials (s31's rationale)
+        .option("maxFilesPerTrigger", 4)
+        .text(d)
+    )
+    q = (
+        stream.writeStream.foreachBatch(ap_partials)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    merged = (
+        spark.read.parquet(out)
+        .groupBy("event_type", "s")
+        .agg(
+            F.sum("n_pos_s").cast("long").alias("n_pos_s"),
+            F.sum("n_neg_s").cast("long").alias("n_neg_s"),
+        )
+        .localCheckpoint()
+    )
+    return m35_ap_from_counts(merged)

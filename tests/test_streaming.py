@@ -1249,3 +1249,26 @@ def test_s43_stream_transitions_equals_batch_r99(spark, sf_dir):
     # sanity: the replay genuinely split users across batches — the
     # stitched pairs are a material share, not a vacuous zero
     assert sum(n for n, _, _ in want.values()) > 0
+
+
+def test_s44_stream_ap_equals_batch_m35(spark, sf_dir):
+    """Streamed average precision must equal batch m35 — the histogram
+    partials merge losslessly, and the AP tail is shared code."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import (
+        advanced as AD,
+        streaming_queries as SQ,
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in SQ.QUERIES["s44_stream_average_precision"](
+            spark, sf_dir
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in AD.QUERIES["m35_average_precision"](
+            spark, sf_dir
+        ).collect()
+    )
+    assert got == want

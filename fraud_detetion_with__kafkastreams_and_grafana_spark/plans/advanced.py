@@ -5023,3 +5023,138 @@ def m35_ap_from_counts(per: DataFrame) -> DataFrame:
         .cast("long")
         .alias("ap_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m36: cumulative gains / lift table — the campaign-targeting readout
+# ("contact the top d deciles, capture X% of fraud at Y x random"). All
+# prefixes are LEVEL-ALIGNED on the score histogram: decile d's prefix is
+# the largest run of distinct scores (descending) whose population fits
+# within floor(n*d/10) — exact integers end to end, no row sampling ties.
+# ---------------------------------------------------------------------------
+
+_M36_SQL = f"""
+    WITH sc AS ({_M18_SC_SQL}),
+    hist AS (
+      SELECT s, CAST(sum(y) AS BIGINT) AS n_pos_s,
+             CAST(count(*) AS BIGINT) AS n_s
+      FROM sc GROUP BY 1
+    ),
+    cum AS (
+      SELECT s,
+             sum(n_s) OVER (ORDER BY s DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum_n,
+             sum(n_pos_s) OVER (ORDER BY s DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_pos
+      FROM hist
+    ),
+    tot AS (
+      SELECT sum(n_s) AS n, sum(n_pos_s) AS n_pos FROM hist
+    ),
+    dec AS (
+      SELECT unnest(range(1, 11)) AS decile, n, n_pos,
+             (n * unnest(range(1, 11))) // 10 AS cut
+      FROM tot
+    ),
+    pick AS (
+      SELECT d.decile, d.n, d.n_pos, d.cut,
+             coalesce(max(c.cum_n), 0) AS used_n,
+             coalesce(max_by(c.cum_pos, c.cum_n), 0) AS cum_pos
+      FROM dec d LEFT JOIN cum c ON c.cum_n <= d.cut
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(cut AS BIGINT) AS cut_n,
+           CAST(used_n AS BIGINT) AS used_n,
+           CAST(cum_pos AS BIGINT) AS captured_pos,
+           CAST(CASE WHEN n_pos > 0
+                THEN (1000000 * cum_pos) // n_pos END AS BIGINT)
+             AS capture_ppm,
+           CAST(CASE WHEN used_n > 0 AND n_pos > 0
+                THEN (1000000 * cum_pos * n) // (used_n * n_pos) END
+                AS BIGINT) AS lift_ppm
+    FROM pick
+"""
+
+
+@_register("m36_gains_lift_table", _M36_SQL)
+def m36_gains_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains and lift by score decile for the m04 scorer —
+    the targeting readout: investigating the top d/10 of traffic by
+    score, what share of the fraud is captured (gains) and at what
+    multiple of random (lift)? Prefixes are LEVEL-ALIGNED on the
+    rounded-score histogram: decile d uses the largest descending run
+    of distinct scores whose population fits floor(n*d/10), so the
+    table is a pure function of the histogram (no ambiguous row-level
+    tie-breaking) and every number is an exact integer or a
+    multiply-first ppm floor division.
+
+    Scale: the m18 posture — one map-side-combined scan to the
+    score-codomain-bounded histogram; the cumulative window, the
+    10-row decile frame, and the prefix pick (a theta join against the
+    bounded cum frame) never touch corpus-sized data again.
+
+    Reference parity: the operations answer to the reference's binary
+    alert stream — how deep into the scored queue an investigation
+    team should go."""
+    ev = load_table(spark, sf_dir, "events")
+    per = m18_score_counts(ev)
+    hist = per.groupBy("s").agg(
+        F.sum("n_pos_s").alias("n_pos_s"),
+        (F.sum("n_pos_s") + F.sum("n_neg_s")).alias("n_s"),
+    )
+    return m36_gains_from_hist(hist)
+
+
+def m36_gains_from_hist(hist: DataFrame) -> DataFrame:
+    """(s, n_pos_s, n_s) histogram -> the 10-row gains/lift table.
+    Split from m36 so the integer brute-force closure
+    (tests/test_properties.py) can drive it with generated
+    histograms."""
+    from pyspark.sql.window import Window
+
+    hist = hist.localCheckpoint()  # bounded by the score codomain
+    w = Window.orderBy(F.desc("s")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # cumulative over the BOUNDED histogram frame
+    cum = hist.select(
+        F.sum("n_s").over(w).alias("cum_n"),
+        F.sum("n_pos_s").over(w).alias("cum_pos"),
+    )
+    tot = hist.agg(
+        F.sum("n_s").alias("n"), F.sum("n_pos_s").alias("n_pos")
+    )
+    dec = tot.select(
+        F.explode(F.sequence(F.lit(1), F.lit(10))).alias("decile"),
+        "n",
+        "n_pos",
+    ).withColumn("cut", F.expr("(n * decile) div 10"))
+    # theta join against the bounded cum frame (10 x |levels| worst case)
+    pick = (
+        dec.join(F.broadcast(cum), F.col("cum_n") <= F.col("cut"), "left")
+        .groupBy("decile", "n", "n_pos", "cut")
+        .agg(
+            F.coalesce(F.max("cum_n"), F.lit(0)).alias("used_n"),
+            F.coalesce(
+                F.expr("max_by(cum_pos, cum_n)"), F.lit(0)
+            ).alias("cum_pos"),
+        )
+    )
+    return pick.select(
+        F.col("decile").cast("long").alias("decile"),
+        F.col("cut").cast("long").alias("cut_n"),
+        F.col("used_n").cast("long").alias("used_n"),
+        F.col("cum_pos").cast("long").alias("captured_pos"),
+        F.expr(
+            "CAST(CASE WHEN n_pos > 0"
+            " THEN (1000000 * cum_pos) div n_pos END AS BIGINT)"
+        ).alias("capture_ppm"),
+        F.expr(
+            "CAST(CASE WHEN used_n > 0 AND n_pos > 0"
+            " THEN (1000000 * cum_pos * n) div (used_n * n_pos) END"
+            " AS BIGINT)"
+        ).alias("lift_ppm"),
+    )

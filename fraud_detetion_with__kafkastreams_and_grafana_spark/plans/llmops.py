@@ -6029,3 +6029,118 @@ def l93_packed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_doc",
         "last_doc",
     )
+
+
+# ln(rank)/ln(freq) in micro — ONE shared float-op sequence per vocab row
+# (the m23 cell discipline), so the regression inputs are exact BIGINTs
+_L94_X = "CAST(round(ln(rank * 1.0) * 1000000.0, 0) AS BIGINT)"
+_L94_Y = "CAST(round(ln(freq * 1.0) * 1000000.0, 0) AS BIGINT)"
+# slope/intercept from exact moment sums — one shared expression each
+# every moment converts to DOUBLE up front (CAST is textual on both
+# engines, so decimal-vs-hugeint sums land on the identical double) and
+# the whole formula is one shared IEEE sequence; y is ALREADY micro, so
+# the intercept needs no further scaling
+_L94_D = (
+    "CAST(n AS DOUBLE) AS dn, CAST(sx AS DOUBLE) AS dsx,"
+    " CAST(sy AS DOUBLE) AS dsy, CAST(sxx AS DOUBLE) AS dsxx,"
+    " CAST(sxy AS DOUBLE) AS dsxy"
+)
+_L94_SLOPE = (
+    "CAST(round((dn * dsxy - dsx * dsy) * 1000000.0"
+    " / (dn * dsxx - dsx * dsx), 0) AS BIGINT)"
+)
+_L94_INTERCEPT = (
+    "CAST(round((dsy - ((dn * dsxy - dsx * dsy)"
+    " / (dn * dsxx - dsx * dsx)) * dsx) / dn, 0) AS BIGINT)"
+)
+
+_L94_SQL = rf"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
+                    '[^a-z0-9]+'), x -> x <> '')) AS t
+      FROM documents WHERE trim(coalesce(text, '')) <> ''
+    ),
+    vocab AS (SELECT t, count(*) AS freq FROM tok GROUP BY 1),
+    ranked AS (
+      SELECT freq,
+             row_number() OVER (ORDER BY freq DESC, t ASC) AS rank
+      FROM vocab
+    ),
+    xy AS (
+      SELECT {_L94_X} AS x, {_L94_Y} AS y FROM ranked
+    ),
+    mom AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM xy
+    ),
+    d AS (SELECT n, {_L94_D} FROM mom)
+    SELECT CAST(n AS BIGINT) AS n_types,
+           {_L94_SLOPE} AS slope_micro,
+           {_L94_INTERCEPT} AS intercept_micro
+    FROM d
+"""
+
+
+@_register("l94_zipf_slope", _L94_SQL)
+def l94_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary: OLS slope and intercept
+    of ln(frequency) against ln(rank) over the full rank-frequency
+    table — the companion diagnostic to the Heaps curve (l88): natural
+    text sits near slope -1; templated or machine-generated corpora
+    (like this one) flatten, and a corpus whose slope MOVES between
+    ingests has changed character. Each vocab row's (ln rank, ln freq)
+    is one shared float-op sequence rounded once to micro (the m23
+    cell discipline); the moments accumulate as exact integers
+    (DECIMAL(38) on Spark — micro squares times vocab size pass int64),
+    and slope/intercept are one shared expression each over those
+    moments, so the driver hash pins the whole regression.
+
+    Scale: one corpus scan map-side combines to the vocabulary; the
+    rank window runs over that vocabulary-bounded frame (Heaps-law
+    sublinear — the same bound l88/l32 already rely on), and the
+    regression is a single moment aggregate over it.
+
+    Reference parity: no reference equivalent; public quantitative-
+    linguistics methodology (Zipf 1949)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.trim(F.coalesce(F.col("text"), F.lit("")))
+    tok = (
+        docs.where(t != "")
+        .select(
+            F.explode(
+                F.expr(
+                    "filter(split(lower(trim(text)), '[^a-z0-9]+'),"
+                    " x -> x <> '')"
+                )
+            ).alias("t")
+        )
+    )
+    vocab = tok.groupBy("t").agg(F.count("*").alias("freq"))
+    # rank window over the vocabulary-bounded frame
+    ranked = vocab.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("t"))),
+    )
+    xy = ranked.selectExpr(f"{_L94_X} AS x", f"{_L94_Y} AS y")
+    mom = xy.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(
+            F.col("x").cast("decimal(38,0)")
+            * F.col("x").cast("decimal(38,0)")
+        ).alias("sxx"),
+        F.sum(
+            F.col("x").cast("decimal(38,0)")
+            * F.col("y").cast("decimal(38,0)")
+        ).alias("sxy"),
+    )
+    d = mom.selectExpr("n", *_L94_D.split(", "))
+    return d.selectExpr(
+        "CAST(n AS BIGINT) AS n_types",
+        f"{_L94_SLOPE} AS slope_micro",
+        f"{_L94_INTERCEPT} AS intercept_micro",
+    )

@@ -4054,3 +4054,118 @@ def transition_report_from_counts(cnt: DataFrame) -> DataFrame:
             "p_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# r100: equi-depth histogram boundaries — the optimizer statistic r91's
+# ANALYZE pass doesn't cover (min/max/NDV say nothing about skew).
+# Boundary k of B is the smallest value whose cumulative population
+# reaches k/B of the column, decided multiply-first (cum * B >= n * k) so
+# no division ever rounds.
+# ---------------------------------------------------------------------------
+
+_R100_B = 8
+
+_R100_SQL = f"""
+    WITH vals AS (
+      SELECT 'l_quantity' AS col,
+             CAST(round(l_quantity) AS BIGINT) AS v
+      FROM lineitem
+      UNION ALL
+      SELECT 'price_dollars',
+             CAST(round(l_extendedprice * 100) AS BIGINT) // 100
+      FROM lineitem
+    ),
+    cnt AS (SELECT col, v, count(*) AS c FROM vals GROUP BY 1, 2),
+    cum AS (
+      SELECT col, v,
+             sum(c) OVER (PARTITION BY col ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum_n
+      FROM cnt
+    ),
+    tot AS (SELECT col, sum(c) AS n FROM cnt GROUP BY 1),
+    t AS (
+      SELECT col, n, unnest(range(1, {_R100_B} + 1)) AS k FROM tot
+    )
+    SELECT t.col, CAST(t.k AS BIGINT) AS k,
+           CAST(min(cum.v) AS BIGINT) AS boundary,
+           CAST(min_by(cum.cum_n, cum.v) AS BIGINT) AS cum_at_boundary,
+           CAST(t.n AS BIGINT) AS n
+    FROM t JOIN cum ON cum.col = t.col
+                   AND cum.cum_n * {_R100_B} >= t.n * t.k
+    GROUP BY t.col, t.k, t.n
+"""
+
+
+@_register("r100_equidepth_histogram", _R100_SQL)
+def r100_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram boundaries for lineitem's
+    quantity and dollar-quantized price — the skew-aware optimizer
+    statistic that complements r91's min/max/NDV: boundary k of 8 is
+    the smallest value whose cumulative population reaches k/8 of the
+    column (multiply-first integer comparison, so ties and rounding are
+    exact), reported with the exact cumulative count at that value.
+    These are the boundaries a cost model uses for selectivity and a
+    partitioner uses for range splits.
+
+    Scale: this is NOT the sort-and-ntile formulation (a corpus-wide
+    sort): one scan melts both columns to (col, value) partials whose
+    shuffle is bounded by the VALUE DOMAINS (51 quantities, ~dollar
+    range), the cumulative window runs per column over that bounded
+    frame, and the boundary pick is an 8-row-per-column theta join.
+    The same plan serves any column whose domain quantizes — which is
+    what ANALYZE does anyway.
+
+    Reference parity: no reference equivalent; public equi-depth
+    histogram methodology (Piatetsky-Shapiro/Connell)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.selectExpr(
+        "'l_quantity' AS col", "CAST(round(l_quantity) AS BIGINT) AS v"
+    ).unionByName(
+        li.selectExpr(
+            "'price_dollars' AS col",
+            "CAST(round(l_extendedprice * 100) AS BIGINT) div 100 AS v",
+        )
+    )
+    return equidepth_boundaries(vals)
+
+
+def equidepth_boundaries(vals: DataFrame) -> DataFrame:
+    """(col, v) long frame -> per-column equi-depth boundary report.
+    Split from r100 so the brute-force closure can drive it with
+    generated value lists."""
+    cnt = vals.groupBy("col", "v").agg(F.count("*").alias("c"))
+    cnt = cnt.localCheckpoint()  # value-domain bounded; feeds cum AND tot
+    w = Window.partitionBy("col").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cnt.select("col", "v", F.sum("c").over(w).alias("cum_n"))
+    tot = cnt.groupBy("col").agg(F.sum("c").alias("n"))
+    t = tot.select(
+        "col",
+        "n",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(_R100_B))
+        ).alias("k"),
+    )
+    # theta join: 8 targets per column against the domain-bounded cum
+    picked = (
+        t.join(
+            cum.withColumnRenamed("col", "ccol"),
+            (F.col("ccol") == F.col("col"))
+            & (F.col("cum_n") * _R100_B >= F.col("n") * F.col("k")),
+        )
+        .groupBy("col", "k", "n")
+        .agg(
+            F.min("v").alias("boundary"),
+            F.expr("min_by(cum_n, v)").alias("cum_at_boundary"),
+        )
+    )
+    return picked.select(
+        "col",
+        F.col("k").cast("long").alias("k"),
+        F.col("boundary").cast("long").alias("boundary"),
+        F.col("cum_at_boundary").cast("long").alias("cum_at_boundary"),
+        F.col("n").cast("long").alias("n"),
+    )

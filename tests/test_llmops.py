@@ -1289,3 +1289,35 @@ def test_l92_fim_is_a_permutation(spark):
     r2 = rows[2]
     assert r2.mode == "raw"
     assert r2.fim_md5 == hashlib.md5(b"xy").hexdigest()
+
+
+def test_l94_zipf_slope_matches_numpy(spark):
+    """The shared-expression regression vs numpy lstsq on a tiny corpus
+    with a known vocabulary — agreement within 1 micro plus the
+    quantization error of the micro-rounded ln inputs."""
+    import math
+    import tempfile
+
+    import numpy as np
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import llmops as L
+
+    docs = [
+        (1, "alpha alpha alpha beta beta gamma", 1),
+        (2, "alpha beta delta delta", 1),
+        (3, "alpha epsilon", 1),
+    ]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        docs, "doc_id LONG, text STRING, n_chars LONG"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    row = L.QUERIES["l94_zipf_slope"](spark, d).collect()[0]
+    # freqs: alpha 5, beta 3, delta 2, gamma 1, epsilon 1 (ties by name)
+    freqs = [5, 3, 2, 1, 1]
+    x = [round(math.log(r) * 1e6) for r in range(1, 6)]
+    y = [round(math.log(f) * 1e6) for f in freqs]
+    A = np.vstack([x, np.ones(len(x))]).T
+    slope, intercept = np.linalg.lstsq(A, np.array(y, dtype=float), rcond=None)[0]
+    assert row.n_types == 5
+    assert abs(row.slope_micro - slope * 1e6) <= 2
+    assert abs(row.intercept_micro - intercept) <= 2

@@ -4227,3 +4227,83 @@ def test_average_precision_matches_integer_brute(spark, rows):
     for seg in segs:
         assert got[seg] == brute([(s, y) for g, s, y in rows if g == seg])
     assert got["ALL"] == brute([(s, y) for _, s, y in rows])
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 1)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_gains_lift_matches_integer_brute(spark, sy):
+    """m36's level-aligned decile prefixes vs a pure-integer Python walk
+    — exact equality (everything is int64 floor arithmetic)."""
+    from collections import defaultdict
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.advanced import (
+        m36_gains_from_hist,
+    )
+
+    levels = defaultdict(lambda: [0, 0])
+    for s, y in sy:
+        levels[s][0] += y
+        levels[s][1] += 1
+    hist = spark.createDataFrame(
+        [(float(s), p, n) for s, (p, n) in levels.items()],
+        "s DOUBLE, n_pos_s LONG, n_s LONG",
+    )
+    got = {
+        r.decile: (r.cut_n, r.used_n, r.captured_pos, r.capture_ppm, r.lift_ppm)
+        for r in m36_gains_from_hist(hist).collect()
+    }
+    n = sum(v[1] for v in levels.values())
+    n_pos = sum(v[0] for v in levels.values())
+    for d in range(1, 11):
+        cut = n * d // 10
+        cum_n = cum_pos = used_n = used_pos = 0
+        for s in sorted(levels, reverse=True):
+            cum_pos += levels[s][0]
+            cum_n += levels[s][1]
+            if cum_n <= cut:
+                used_n, used_pos = cum_n, cum_pos
+        cap = (1000000 * used_pos) // n_pos if n_pos else None
+        lift = (
+            (1000000 * used_pos * n) // (used_n * n_pos)
+            if used_n and n_pos
+            else None
+        )
+        assert got[d] == (cut, used_n, used_pos, cap, lift)
+
+
+@given(
+    st.lists(st.integers(-20, 20), min_size=1, max_size=80),
+)
+@settings(max_examples=25, deadline=None)
+def test_equidepth_matches_integer_brute(spark, vs):
+    """r100's multiply-first boundary pick vs a Python cumulative walk —
+    exact equality, including heavy ties and negative values."""
+    from collections import Counter
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.relational3 import (
+        _R100_B,
+        equidepth_boundaries,
+    )
+
+    vals = spark.createDataFrame(
+        [("c", v) for v in vs], "col STRING, v LONG"
+    )
+    got = {
+        r.k: (r.boundary, r.cum_at_boundary, r.n)
+        for r in equidepth_boundaries(vals).collect()
+    }
+    n = len(vs)
+    cnt = sorted(Counter(vs).items())
+    for k in range(1, _R100_B + 1):
+        cum = 0
+        for v, c in cnt:
+            cum += c
+            if cum * _R100_B >= n * k:
+                assert got[k] == (v, cum, n)
+                break

@@ -6144,3 +6144,76 @@ def l94_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_L94_SLOPE} AS slope_micro",
         f"{_L94_INTERCEPT} AS intercept_micro",
     )
+
+
+_L95_SHARDS = 16
+
+_L95_SQL = f"""
+    WITH a AS (
+      SELECT doc_id, source,
+             CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_bytes,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % {_L95_SHARDS} AS shard
+      FROM documents
+    ),
+    per AS (
+      SELECT shard, count(*) AS n_docs, sum(n_bytes) AS bytes,
+             count(DISTINCT source) AS n_sources
+      FROM a GROUP BY 1
+    ),
+    tot AS (SELECT sum(bytes) AS tb, count(*) AS ns FROM per)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(bytes AS BIGINT) AS n_bytes,
+           CAST(n_sources AS BIGINT) AS n_sources,
+           CAST((1000000 * bytes * ns) // tb AS BIGINT) AS load_ppm
+    FROM per CROSS JOIN tot
+"""
+
+
+@_register("l95_shard_plan", _L95_SQL)
+def l95_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment + balance audit: every
+    document routes to one of 16 shards by the first 60 bits of
+    md5(doc_id) (content-independent, so re-ingesting the same corpus
+    reproduces the same shards — the property resumable data loaders
+    need), and the report grades the plan: per-shard doc/byte totals,
+    source coverage, and load in ppm of the perfectly balanced share
+    (1e6 = exactly even; the max row is the straggler a data-loader
+    epoch waits for).
+
+    Scale: one scan map-side combines to 16 shard rows; the audit
+    arithmetic runs on those. The md5-prefix trick is the engine's
+    standard portable hash (l17's split recipe), so shard routing
+    matches on any engine that can md5 — including the DuckDB oracle,
+    byte for byte.
+
+    Reference parity: no reference equivalent; public dataset-sharding
+    practice."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.selectExpr(
+        "doc_id",
+        "source",
+        # octet_length == DuckDB strlen (BYTES; Spark length() counts
+        # characters and would diverge on multi-byte text)
+        "CAST(octet_length(coalesce(text, '')) AS BIGINT) AS n_bytes",
+        f"conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+        f" % {_L95_SHARDS} AS shard",
+    )
+    per = a.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bytes").alias("bytes"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    per = per.localCheckpoint()  # 16 rows
+    tot = per.agg(F.sum("bytes").alias("tb"), F.count("*").alias("ns"))
+    # broadcast bound: tot is 1 row
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("shard").cast("long").alias("shard"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("bytes").cast("long").alias("n_bytes"),
+        F.col("n_sources").cast("long").alias("n_sources"),
+        F.expr(
+            "CAST((1000000 * bytes * ns) div tb AS BIGINT)"
+        ).alias("load_ppm"),
+    )

@@ -6217,3 +6217,139 @@ def l95_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000000 * bytes * ns) div tb AS BIGINT)"
         ).alias("load_ppm"),
     )
+
+
+_L96_MOD = 5  # deterministic ~20% evaluation sample
+
+_L96_SQL = rf"""
+    WITH docs_s AS (
+      SELECT doc_id, trim(text) AS t FROM documents
+      WHERE trim(coalesce(text, '')) <> ''
+        AND CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % {_L96_MOD} = 0
+    ),
+    shs AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ')
+                            for i in range(1, greatest(len(w)-2, 1)+1)])
+               AS sh
+      FROM (SELECT doc_id, string_split_regex(t, '\s+') AS w FROM docs_s)
+    ),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+      WHERE 10 * len(list_intersect(a.sh, b.sh))
+            >= 7 * (len(a.sh) + len(b.sh)
+                    - len(list_intersect(a.sh, b.sh)))
+    ),
+    lsh AS (
+      SELECT id_a, id_b FROM ({_L43_SQL})
+      WHERE id_a IN (SELECT doc_id FROM docs_s)
+        AND id_b IN (SELECT doc_id FROM docs_s)
+    ),
+    hit AS (
+      SELECT count(*) AS n_hit FROM lsh JOIN truth USING (id_a, id_b)
+    )
+    SELECT CAST((SELECT count(*) FROM docs_s) AS BIGINT) AS sample_docs,
+           CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+           CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(CASE WHEN (SELECT count(*) FROM truth) > 0
+                THEN (1000000 * n_hit) // (SELECT count(*) FROM truth) END
+                AS BIGINT) AS recall_ppm,
+           CAST(CASE WHEN (SELECT count(*) FROM lsh) > 0
+                THEN (1000000 * n_hit) // (SELECT count(*) FROM lsh) END
+                AS BIGINT) AS precision_ppm
+    FROM hit
+"""
+
+
+@_register("l96_lsh_dedup_eval", _L96_SQL)
+def l96_lsh_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality evaluation — l75's measurement story applied to the
+    near-dup pipeline itself: on a deterministic ~20% document sample
+    (md5 split, the l17 recipe), compute the EXHAUSTIVE all-pairs
+    3-gram-Jaccard >= 0.7 ground truth (multiply-first integer
+    comparison, no float threshold), intersect it with what the
+    SQL-replayable MinHash-LSH family (l43) recovered, and report
+    recall and precision in ppm. Recall < 1e6 quantifies exactly the
+    banding misses LSH trades for its sub-quadratic cost; precision
+    stays ~1e6 because candidate verification is exact. This is the
+    number a data team checks before trusting l03/l43's output as the
+    dedup ground truth for anything else.
+
+    Scale: ground truth is quadratic BY DEFINITION (that's why it runs
+    on a bounded sample — fixed-size at any corpus scale, the l75/AQP
+    posture); the sample's pair join broadcasts the sampled shingle
+    frame. The LSH side reuses the production banded pipeline and two
+    semi-joins restrict it to the sample.
+
+    Reference parity: no reference equivalent; public LSH-evaluation
+    methodology (recall under banding)."""
+    from ..operators import dedup as DD
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.trim(F.coalesce(F.col("text"), F.lit("")))
+    sample = docs.where(
+        (t != "")
+        & (
+            F.expr(
+                "conv(substring(md5(CAST(doc_id AS STRING)), 1, 15),"
+                f" 16, 10) % {_L96_MOD}"
+            )
+            == 0
+        )
+    ).select("doc_id", "text")
+    shs = sample.select(
+        "doc_id", DD.shingles(F.col("text"), 3).alias("sh")
+    ).localCheckpoint()  # sample-bounded; feeds both sides of the pair join
+    a = shs.select(
+        F.col("doc_id").alias("id_a"), F.col("sh").alias("sha")
+    )
+    b = shs.select(
+        F.col("doc_id").alias("id_b"), F.col("sh").alias("shb")
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size("sha") + F.size("shb") - inter
+    # broadcast bound: b is the fixed-size evaluation sample
+    truth = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .where(10 * inter >= 7 * union)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    ids = sample.select("doc_id")
+    lsh = (
+        DD.minhash_pairs_polyhash(docs, threshold=0.7)
+        .join(
+            F.broadcast(ids.withColumnRenamed("doc_id", "id_a")),
+            "id_a",
+            "semi",
+        )
+        .join(
+            F.broadcast(ids.withColumnRenamed("doc_id", "id_b")),
+            "id_b",
+            "semi",
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    hit = lsh.join(truth, ["id_a", "id_b"]).agg(
+        F.count("*").alias("n_hit")
+    )
+    counts = (
+        sample.agg(F.count("*").alias("sample_docs"))
+        .crossJoin(F.broadcast(truth.agg(F.count("*").alias("n_true"))))
+        .crossJoin(F.broadcast(lsh.agg(F.count("*").alias("n_lsh"))))
+        .crossJoin(F.broadcast(hit))
+    )
+    return counts.selectExpr(
+        "CAST(sample_docs AS BIGINT) AS sample_docs",
+        "CAST(n_true AS BIGINT) AS n_true",
+        "CAST(n_lsh AS BIGINT) AS n_lsh",
+        "CAST(n_hit AS BIGINT) AS n_hit",
+        "CAST(CASE WHEN n_true > 0 THEN (1000000 * n_hit) div n_true END"
+        " AS BIGINT) AS recall_ppm",
+        "CAST(CASE WHEN n_lsh > 0 THEN (1000000 * n_hit) div n_lsh END"
+        " AS BIGINT) AS precision_ppm",
+    )

@@ -4169,3 +4169,98 @@ def equidepth_boundaries(vals: DataFrame) -> DataFrame:
         F.col("cum_at_boundary").cast("long").alias("cum_at_boundary"),
         F.col("n").cast("long").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r101: time-weighted average over irregular samples — the financial /
+# telemetry aggregate a plain AVG silently fakes (samples arrive
+# unevenly; each value is worth the time it was in force). Step-function
+# (last-observation-carried-forward) semantics, exact integer
+# cents x seconds, multiply-first micro division.
+# ---------------------------------------------------------------------------
+
+_R101_SQL = """
+    WITH base AS (
+      SELECT user_id, event_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    nxt AS (
+      SELECT user_id, t, cents,
+             lead(t) OVER (PARTITION BY user_id
+                           ORDER BY t, event_id) AS t2
+      FROM base
+    ),
+    agg AS (
+      SELECT user_id,
+             count(*) AS n_events,
+             max(t) - min(t) AS span_s,
+             CAST(sum(cents * (t2 - t)) FILTER (WHERE t2 IS NOT NULL)
+                  AS BIGINT) AS wsum
+      FROM nxt GROUP BY 1
+    )
+    SELECT user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(span_s AS BIGINT) AS span_s,
+           CAST(CASE WHEN span_s > 0
+                THEN (1000000 * wsum) // span_s END AS BIGINT)
+             AS twa_cents_micro
+    FROM agg
+"""
+
+
+@_register("r101_time_weighted_average", _R101_SQL)
+def r101_time_weighted_average(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-user time-weighted average transaction value: each sample is
+    worth the seconds until the user's next event (step-function /
+    last-observation-carried-forward — the TWAP convention), so a burst
+    of identical readings doesn't multiply its weight the way a plain
+    AVG does. Exact integer cents x seconds; the average lands as
+    micro-cents via one multiply-first floor division; same-second ties
+    order by event_id (zero-width segments contribute zero weight
+    deterministically). Single-event users report span 0 and NULL TWA.
+
+    Scale: ONE user_id shuffle carries the lead() pairing AND the
+    per-user aggregate (same-key window + groupBy reuse the exchange);
+    nothing downstream is corpus-sized. The streaming twin (s45)
+    rebuilds the identical numbers from per-batch partials.
+
+    Reference parity: the honest version of the reference dashboard's
+    mean tiles (Q2/Q5) for irregular arrival; no reference
+    equivalent."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_timestamp(
+        F.date_trunc("second", F.col("ts")).cast("timestamp")
+    )
+    base = ev.select(
+        "user_id",
+        "event_id",
+        t.alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    nxt = base.withColumn("t2", F.lead("t").over(w))
+    agg = nxt.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max("t") - F.min("t")).alias("span_s"),
+        F.sum(
+            F.when(
+                F.col("t2").isNotNull(),
+                F.col("cents") * (F.col("t2") - F.col("t")),
+            )
+        )
+        .cast("long")
+        .alias("wsum"),
+    )
+    return agg.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("span_s").cast("long").alias("span_s"),
+        F.expr(
+            "CAST(CASE WHEN span_s > 0"
+            " THEN (1000000 * wsum) div span_s END AS BIGINT)"
+        ).alias("twa_cents_micro"),
+    )

@@ -3579,3 +3579,139 @@ def s44_stream_average_precision(
         .localCheckpoint()
     )
     return m35_ap_from_counts(merged)
+
+
+def _r101_oracle_sql() -> str:
+    from .relational3 import ORACLES as _R3
+
+    return _R3["r101_time_weighted_average"]
+
+
+@_register("s45_stream_twa", _r101_oracle_sql())
+def s45_stream_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r101's time-weighted average maintained ON INGEST — the s43
+    boundary-stitch recipe carrying a VALUE across the batch edge, not
+    just a type: each event-time-ordered micro-batch reduces inside
+    foreachBatch to per-user partials (event count, min/max t, the
+    value in force at the batch's last sample, and the batch-inner
+    weighted sum); at read time, consecutive batch segments of the same
+    user stitch with weight (next segment's first t - this segment's
+    last t) x this segment's closing value — a lead() over the bounded
+    (user, batch) boundary frame — and the merged sums emit through the
+    same integer TWA arithmetic, equal to batch r101 bit-for-bit
+    (shares its oracle verbatim).
+
+    Scale: zero streaming state; the sink grows by |active users| rows
+    per batch; the stitch and report never touch event-sized frames.
+    Together with s43 this pins the general recipe: ordered-sequence
+    aggregates stream as inner partials + O(1) per-(key, batch) edge
+    state."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from ..streaming.replay import materialize_ordered_wire_dir
+
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_timestamp(
+        F.date_trunc("second", F.col("ts")).cast("timestamp")
+    )
+    wire_ts = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("user_id"),
+                t.alias("t"),
+                F.col("event_id"),
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+            )
+        ).alias("value"),
+        (t * F.lit(1 << 20) + F.col("event_id")).alias("_key"),
+    )
+    key = ("s45_twa", spark.sparkContext.applicationId, sf_dir)
+    if key not in _WIRE_DIRS:
+        _WIRE_DIRS[key] = materialize_ordered_wire_dir(wire_ts, "_key")
+    wdir = _WIRE_DIRS[key]
+    out = tempfile.mkdtemp(prefix="spark_graft_s45_sink_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_s45_ckpt_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+
+    def twa_partials(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window as W
+
+        b = batch_df.select(
+            F.from_json(
+                "value",
+                "user_id LONG, t LONG, event_id LONG, cents LONG",
+            ).alias("r")
+        ).select("r.user_id", "r.t", "r.event_id", "r.cents")
+        b = b.where(F.col("user_id").isNotNull()).withColumn(
+            "k", F.col("t") * F.lit(1 << 20) + F.col("event_id")
+        ).localCheckpoint()
+        w = W.partitionBy("user_id").orderBy("k")
+        nxt = b.withColumn("t2", F.lead("t").over(w))
+        part = nxt.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.min("t").alias("min_t"),
+            F.max("t").alias("max_t"),
+            F.expr("max_by(cents, k)").alias("last_cents"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("t2").isNotNull(),
+                        F.col("cents") * (F.col("t2") - F.col("t")),
+                    )
+                ),
+                F.lit(0),
+            ).alias("wsum"),
+        )
+        (
+            part.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
+
+    stream = (
+        spark.readStream.schema("value STRING")
+        .option("maxFilesPerTrigger", 2)
+        .text(wdir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(twa_partials)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    part = spark.read.parquet(out)
+    wb = Window.partitionBy("user_id").orderBy("_batch_id")
+    stitched = part.withColumn(
+        "nxt_first_t", F.lead("min_t").over(wb)
+    ).withColumn(
+        "stitch_w",
+        F.when(
+            F.col("nxt_first_t").isNotNull(),
+            F.col("last_cents") * (F.col("nxt_first_t") - F.col("max_t")),
+        ).otherwise(F.lit(0)),
+    )
+    agg = stitched.groupBy("user_id").agg(
+        F.sum("n_events").alias("n_events"),
+        (F.max("max_t") - F.min("min_t")).alias("span_s"),
+        F.sum(F.col("wsum") + F.col("stitch_w")).alias("wsum"),
+    )
+    return agg.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("span_s").cast("long").alias("span_s"),
+        F.expr(
+            "CAST(CASE WHEN span_s > 0"
+            " THEN (1000000 * wsum) div span_s END AS BIGINT)"
+        ).alias("twa_cents_micro"),
+    )

@@ -1272,3 +1272,24 @@ def test_s44_stream_ap_equals_batch_m35(spark, sf_dir):
         ).collect()
     )
     assert got == want
+
+
+def test_s45_stream_twa_equals_batch_r101(spark, sf_dir):
+    """Streamed TWA must equal batch r101 — the value-carrying boundary
+    stitch is the pin (inner weighted sums alone would drop every
+    cross-batch segment's weight)."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import (
+        relational3 as R3,
+        streaming_queries as SQ,
+    )
+
+    got = sorted(
+        tuple(r) for r in SQ.QUERIES["s45_stream_twa"](spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in R3.QUERIES["r101_time_weighted_average"](
+            spark, sf_dir
+        ).collect()
+    )
+    assert got == want

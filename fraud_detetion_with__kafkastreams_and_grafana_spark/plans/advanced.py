@@ -5158,3 +5158,117 @@ def m36_gains_from_hist(hist: DataFrame) -> DataFrame:
             " AS BIGINT)"
         ).alias("lift_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m37: Spearman rank correlation (quantity vs dollar price) — the
+# monotone-association complement of m34's Pearson. Ties get midranks,
+# kept EXACT by working in doubled ranks (2 x midrank = 2*cum_before +
+# count + 1, always an integer); rho is Pearson on the rank columns, and
+# the moments formula is scale-invariant so the doubling cancels.
+# ---------------------------------------------------------------------------
+
+_M37_RHO = (
+    "CAST(round((dn * dsxy - dsx * dsy) * 1000000.0"
+    " / (sqrt(dn * dsxx - dsx * dsx) * sqrt(dn * dsyy - dsy * dsy)), 0)"
+    " AS BIGINT)"
+)
+_M37_D = (
+    "CAST(n AS DOUBLE) AS dn, CAST(sx AS DOUBLE) AS dsx,"
+    " CAST(sy AS DOUBLE) AS dsy, CAST(sxx AS DOUBLE) AS dsxx,"
+    " CAST(syy AS DOUBLE) AS dsyy, CAST(sxy AS DOUBLE) AS dsxy"
+)
+
+_M37_SQL = f"""
+    WITH v AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) // 100 AS y
+      FROM lineitem
+    ),
+    rx AS (
+      SELECT x, 2 * coalesce(sum(c) OVER (ORDER BY x
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + c + 1 AS dx
+      FROM (SELECT x, count(*) AS c FROM v GROUP BY 1)
+    ),
+    ry AS (
+      SELECT y, 2 * coalesce(sum(c) OVER (ORDER BY y
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + c + 1 AS dy
+      FROM (SELECT y, count(*) AS c FROM v GROUP BY 1)
+    ),
+    j AS (
+      SELECT dx, dy
+      FROM v JOIN rx USING (x) JOIN ry USING (y)
+    ),
+    mom AS (
+      SELECT count(*) AS n, sum(dx) AS sx, sum(dy) AS sy,
+             sum(dx * dx) AS sxx, sum(dy * dy) AS syy,
+             sum(dx * dy) AS sxy
+      FROM j
+    ),
+    d AS (SELECT n, {_M37_D} FROM mom)
+    SELECT CAST(n AS BIGINT) AS n, {_M37_RHO} AS rho_micro
+    FROM d
+"""
+
+
+@_register("m37_spearman_rank_corr", _M37_SQL)
+def m37_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Spearman rank correlation between lineitem quantity and
+    dollar-quantized price — the monotone-association screen that
+    catches what Pearson (m34) misses on nonlinear-but-monotone
+    relationships, and the robust one under outliers. Ties take
+    midranks, held exact as INTEGER doubled ranks (2*cum_before + c
+    + 1); rho is the Pearson moments formula over those integers
+    (scale-invariance cancels the doubling), with DECIMAL(38) sums and
+    one shared float-op sequence at the end — the m34 discipline.
+
+    Scale: ranks come from the value-domain-bounded histograms (51
+    quantities, ~dollar range) — never a corpus-wide sort; each row
+    picks up (dx, dy) through two broadcast joins against those bounded
+    rank maps, and ONE scan accumulates the moments.
+
+    Reference parity: no reference equivalent; public rank-correlation
+    methodology (Spearman 1904, midrank tie convention)."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.selectExpr(
+        "CAST(round(l_quantity) AS BIGINT) AS x",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) div 100 AS y",
+    )
+    v = v.localCheckpoint()  # feeds both histograms AND the moment scan
+
+    def dranks(col: str, out: str) -> DataFrame:
+        cnt = v.groupBy(col).agg(F.count("*").alias("c"))
+        w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        # window over the value-domain-bounded histogram
+        return cnt.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("c").over(w), F.lit(0))
+                + F.col("c")
+                + 1
+            ).alias(out),
+        )
+
+    # broadcast bounds: rank maps are value-domain sized
+    j = v.join(F.broadcast(dranks("x", "dx")), "x").join(
+        F.broadcast(dranks("y", "dy")), "y"
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    mom = j.agg(
+        F.count("*").alias("n"),
+        F.sum(dec("dx")).alias("sx"),
+        F.sum(dec("dy")).alias("sy"),
+        F.sum(dec("dx") * dec("dx")).alias("sxx"),
+        F.sum(dec("dy") * dec("dy")).alias("syy"),
+        F.sum(dec("dx") * dec("dy")).alias("sxy"),
+    )
+    d = mom.selectExpr("n", *_M37_D.split(", "))
+    return d.selectExpr(
+        "CAST(n AS BIGINT) AS n", f"{_M37_RHO} AS rho_micro"
+    )

@@ -4307,3 +4307,73 @@ def test_equidepth_matches_integer_brute(spark, vs):
             if cum * _R100_B >= n * k:
                 assert got[k] == (v, cum, n)
                 break
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)),
+        min_size=3,
+        max_size=50,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_spearman_matches_scipy_free_brute(spark, xy):
+    """m37's doubled-midrank moments vs a pure-Python Spearman with the
+    textbook midrank convention — within 2 micro (one shared IEEE
+    round at the end)."""
+    import math
+    from collections import Counter
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.advanced import (
+        _M37_D,
+        _M37_RHO,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    # degenerate: zero variance in either column -> division by zero;
+    # the real columns always vary, exclude like the m13 closure does
+    assume(len({a for a, _ in xy}) > 1 and len({b for _, b in xy}) > 1)
+
+    def midranks(vals):
+        cnt = Counter(vals)
+        out, cum = {}, 0
+        for v in sorted(cnt):
+            out[v] = cum + (cnt[v] + 1) / 2
+            cum += cnt[v]
+        return [out[v] for v in vals]
+
+    rx, ry = midranks([a for a, _ in xy]), midranks([b for _, b in xy])
+    n = len(xy)
+    mx, my = sum(rx) / n, sum(ry) / n
+    cov = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    vx = sum((a - mx) ** 2 for a in rx)
+    vy = sum((b - my) ** 2 for b in ry)
+    want = cov / math.sqrt(vx * vy) * 1e6
+
+    v = spark.createDataFrame(xy, "x LONG, y LONG").localCheckpoint()
+
+    def dranks(col, out):
+        c = v.groupBy(col).agg(F.count("*").alias("c"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return c.select(
+            col,
+            (2 * F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c") + 1).alias(out),
+        )
+
+    j = v.join(dranks("x", "dx"), "x").join(dranks("y", "dy"), "y")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    mom = j.agg(
+        F.count("*").alias("n"),
+        F.sum(dec("dx")).alias("sx"),
+        F.sum(dec("dy")).alias("sy"),
+        F.sum(dec("dx") * dec("dx")).alias("sxx"),
+        F.sum(dec("dy") * dec("dy")).alias("syy"),
+        F.sum(dec("dx") * dec("dy")).alias("sxy"),
+    )
+    got = (
+        mom.selectExpr("n", *_M37_D.split(", "))
+        .selectExpr(f"{_M37_RHO} AS rho")
+        .collect()[0][0]
+    )
+    assert abs(got - want) <= 2, (got, want)

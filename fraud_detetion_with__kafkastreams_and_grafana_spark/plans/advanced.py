@@ -5272,3 +5272,153 @@ def m37_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.selectExpr(
         "CAST(n AS BIGINT) AS n", f"{_M37_RHO} AS rho_micro"
     )
+
+
+# ---------------------------------------------------------------------------
+# m38: Poisson-bootstrap confidence interval for the per-segment mean —
+# the bootstrap that actually works on a cluster (Chamandy et al.,
+# Google): instead of resampling n rows with replacement (impossible to
+# coordinate distributed), each row enters replicate b with weight ~
+# Poisson(1), drawn DETERMINISTICALLY by inverting the Poisson CDF at a
+# 60-bit md5(row, b) uniform. The CDF thresholds are exact integer
+# literals at 2^60 scale, so both engines pick identical weights and the
+# whole resampling plan is value-hash checkable.
+# ---------------------------------------------------------------------------
+
+_M38_B = 40  # bootstrap replicates
+# floor(PoissonCDF_1(k) * 2^60), k = 0..7; u >= last -> weight 8
+_M38_T = [
+    424136118829305344, 848272237658610688, 1060340297073263360,
+    1131029650211480960, 1148701988496035328, 1152236456152946176,
+    1152825534095764608, 1152909688087595776,
+]
+_M38_W = (
+    "CASE "
+    + " ".join(f"WHEN u < {t} THEN {k}" for k, t in enumerate(_M38_T))
+    + " ELSE 8 END"
+)
+
+_M38_SQL = f"""
+    WITH r AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             event_id
+      FROM events
+    ),
+    w AS (
+      SELECT event_type, cents, b, {_M38_W} AS w
+      FROM (
+        SELECT event_type, cents, b,
+               CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)
+                     || ':' || CAST(b AS VARCHAR)), 1, 15)) AS BIGINT) AS u
+        FROM r, unnest(range(0, {_M38_B})) AS t(b)
+      )
+    ),
+    rep AS (
+      SELECT event_type, b,
+             CAST(sum(w * cents) AS BIGINT) AS s,
+             CAST(sum(w) AS BIGINT) AS n
+      FROM w GROUP BY 1, 2
+    ),
+    means AS (
+      SELECT event_type,
+             CAST((1000000 * s) // n AS BIGINT) AS m,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY (1000000 * s) // n, b) AS rk
+      FROM rep WHERE n > 0
+    ),
+    full_ AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST((1000000 * sum(cents)) // count(*) AS BIGINT)
+               AS mean_micro
+      FROM r GROUP BY 1
+    )
+    SELECT f.event_type, f.n_rows, f.mean_micro,
+           min(CASE WHEN rk = 2 THEN m END) AS ci_lo_micro,
+           min(CASE WHEN rk = {_M38_B} - 1 THEN m END) AS ci_hi_micro
+    FROM full_ f JOIN means USING (event_type)
+    GROUP BY 1, 2, 3
+"""
+
+
+@_register("m38_bootstrap_ci", _M38_SQL)
+def m38_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for each event type's mean
+    transaction value — the distributed bootstrap (each row joins
+    replicate b with a Poisson(1) multiplicity, so replicates never
+    need coordinated row resampling): 40 replicates, weights drawn by
+    inverting the exact integer-threshold Poisson CDF at a 60-bit
+    md5(event_id, b) uniform — fully deterministic, identical on both
+    engines. The interval is the 2nd-smallest / 2nd-largest replicate
+    mean (the 5%-trim percentile-bootstrap convention at B=40),
+    reported beside the full-sample mean, all in exact micro-cents.
+
+    Scale: one scan explodes each row into its B weighted copies and
+    map-side combines straight to |types| x B partial sums — the
+    shuffle is replicate-bounded, not row-bounded (the whole point of
+    the Poisson formulation); the rank window runs on that 40-row-per-
+    type frame. B multiplies scan-side compute only, and B is fixed.
+
+    Reference parity: the uncertainty quantification the reference's
+    Grafana mean tiles (Q2/Q5) silently lack; public Poisson-bootstrap
+    methodology (Chamandy et al. 2012)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    r = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+    )
+    r = r.localCheckpoint()  # feeds the replicate explode AND full means
+    w = (
+        r.select(
+            "event_type",
+            "cents",
+            F.explode(F.sequence(F.lit(0), F.lit(_M38_B - 1))).alias("b"),
+            "event_id",
+        )
+        .withColumn(
+            "u",
+            F.expr(
+                "conv(substring(md5(CAST(event_id AS STRING) || ':'"
+                " || CAST(b AS STRING)), 1, 15), 16, 10)"
+            ).cast("long"),
+        )
+        .withColumn("w", F.expr(_M38_W))
+    )
+    rep = w.groupBy("event_type", "b").agg(
+        F.sum(F.col("w") * F.col("cents")).cast("long").alias("s"),
+        F.sum("w").cast("long").alias("n"),
+    )
+    means = (
+        rep.where(F.col("n") > 0)
+        .withColumn("m", F.expr("CAST((1000000 * s) div n AS BIGINT)"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                # window over the B-row-per-type replicate frame
+                Window.partitionBy("event_type").orderBy("m", "b")
+            ),
+        )
+    )
+    full_ = r.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.expr(
+            "CAST((1000000 * sum(cents)) div count(*) AS BIGINT)"
+        ).alias("mean_micro"),
+    )
+    # broadcast bound: means is |types| x B rows
+    return (
+        full_.join(F.broadcast(means), "event_type")
+        .groupBy("event_type", "n_rows", "mean_micro")
+        .agg(
+            F.min(F.when(F.col("rk") == 2, F.col("m"))).alias(
+                "ci_lo_micro"
+            ),
+            F.min(
+                F.when(F.col("rk") == _M38_B - 1, F.col("m"))
+            ).alias("ci_hi_micro"),
+        )
+    )

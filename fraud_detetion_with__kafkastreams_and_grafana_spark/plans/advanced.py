@@ -4539,8 +4539,9 @@ _M32_STAT = (
 )
 _M32_CRIT = 3841459  # chi-square(1df) 5% critical value in micro
 
-_M32_SQL = f"""
-    WITH sc AS (
+# the two deployed classifiers' per-event verdicts — shared by m32
+# (McNemar) and m39 (Cohen's kappa)
+_M32_SC_SQL = f"""
       SELECT event_type,
              {_M12_Y_SQL} AS y,
              CASE WHEN 0.5 * (1.0 + z / (1.0 + abs(z))) > 0.5
@@ -4552,7 +4553,10 @@ _M32_SQL = f"""
                {_M04_Z.replace("HOUR_EXPR", "extract(hour FROM ts)")} AS z
         FROM events
       )
-    ),
+"""
+
+_M32_SQL = f"""
+    WITH sc AS ({_M32_SC_SQL}),
     seg AS (
       SELECT event_type AS segment, y, pa, pb FROM sc
       UNION ALL
@@ -4581,6 +4585,33 @@ _M32_SQL = f"""
 """
 
 
+def _m32_scored(ev: DataFrame) -> DataFrame:
+    """(event_type, y, pa, pb) verdicts of the two deployed classifiers
+    (m04 logistic at 0.5, m05 tree ensemble) — shared by m32 and m39."""
+    y = (F.col("value") > F.lit(float(EVENTS_FRAUD_THRESHOLD))).cast("long")
+    pa = (_m04_p(None) > F.lit(0.5)).cast("long")
+    hour = F.hour("ts")
+    t1 = (
+        F.when(
+            F.col("value") > 100.0,
+            F.when(F.col("event_type") == "purchase", 1.2).otherwise(0.6),
+        ).otherwise(F.when(F.col("value") > 50.0, 0.1).otherwise(-0.4))
+    )
+    t2 = F.when(
+        (hour >= 22) | (hour < 5),
+        F.when(F.col("value") > 75.0, 0.8).otherwise(0.2),
+    ).otherwise(-0.1)
+    t3 = (
+        F.when(F.col("event_type") == "error", -0.7)
+        .when(F.col("event_type") == "signup", -0.3)
+        .otherwise(0.05)
+    )
+    pb = ((F.lit(-1.0) + (t1 + t2 + t3)) > F.lit(0.0)).cast("long")
+    return ev.select(
+        "event_type", y.alias("y"), pa.alias("pa"), pb.alias("pb")
+    )
+
+
 @_register("m32_mcnemar_model_compare", _M32_SQL)
 def m32_mcnemar_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """McNemar's paired comparison of the two exported scorers on the
@@ -4604,28 +4635,7 @@ def m32_mcnemar_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     hard-coded rule for a learned one; no reference equivalent (public
     methodology, McNemar 1947)."""
     ev = load_table(spark, sf_dir, "events")
-    y = (F.col("value") > F.lit(float(EVENTS_FRAUD_THRESHOLD))).cast("long")
-    pa = (_m04_p(None) > F.lit(0.5)).cast("long")
-    hour = F.hour("ts")
-    t1 = (
-        F.when(
-            F.col("value") > 100.0,
-            F.when(F.col("event_type") == "purchase", 1.2).otherwise(0.6),
-        ).otherwise(F.when(F.col("value") > 50.0, 0.1).otherwise(-0.4))
-    )
-    t2 = F.when(
-        (hour >= 22) | (hour < 5),
-        F.when(F.col("value") > 75.0, 0.8).otherwise(0.2),
-    ).otherwise(-0.1)
-    t3 = (
-        F.when(F.col("event_type") == "error", -0.7)
-        .when(F.col("event_type") == "signup", -0.3)
-        .otherwise(0.05)
-    )
-    pb = ((F.lit(-1.0) + (t1 + t2 + t3)) > F.lit(0.0)).cast("long")
-    sc = ev.select(
-        "event_type", y.alias("y"), pa.alias("pa"), pb.alias("pb")
-    )
+    sc = _m32_scored(ev)
     seg = sc.select(
         F.col("event_type").alias("segment"), "y", "pa", "pb"
     ).unionByName(sc.select(F.lit("ALL").alias("segment"), "y", "pa", "pb"))
@@ -5392,6 +5402,21 @@ def m38_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("w") * F.col("cents")).cast("long").alias("s"),
         F.sum("w").cast("long").alias("n"),
     )
+    full_ = r.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.expr(
+            "CAST((1000000 * sum(cents)) div count(*) AS BIGINT)"
+        ).alias("mean_micro"),
+    )
+    return m38_ci_from_reps(rep, full_)
+
+
+def m38_ci_from_reps(rep: DataFrame, full_: DataFrame) -> DataFrame:
+    """(event_type, b, s, n) replicate partials + full-sample stats ->
+    the CI report. Split from m38 so the streaming twin (s46) merges
+    per-batch partials into the identical tail."""
+    from pyspark.sql.window import Window
+
     means = (
         rep.where(F.col("n") > 0)
         .withColumn("m", F.expr("CAST((1000000 * s) div n AS BIGINT)"))
@@ -5402,12 +5427,6 @@ def m38_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Window.partitionBy("event_type").orderBy("m", "b")
             ),
         )
-    )
-    full_ = r.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("n_rows"),
-        F.expr(
-            "CAST((1000000 * sum(cents)) div count(*) AS BIGINT)"
-        ).alias("mean_micro"),
     )
     # broadcast bound: means is |types| x B rows
     return (
@@ -5421,4 +5440,90 @@ def m38_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("rk") == _M38_B - 1, F.col("m"))
             ).alias("ci_hi_micro"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# m39: Cohen's kappa between the two deployed classifiers — chance-
+# corrected inter-model agreement. McNemar (m32) asks "is one BETTER";
+# kappa asks "do they even AGREE beyond chance" — low kappa with similar
+# accuracy means the models disagree on different slices and an ensemble
+# is worth building. kappa = (n*agree - sum_marg) / (n^2 - sum_marg)
+# with sum_marg = a1*b1 + a0*b0 — exact integer inputs, one shared
+# float-op sequence, rounded once to micro.
+# ---------------------------------------------------------------------------
+
+_M39_K = (
+    "CAST(round(1000000.0 * (1.0 * n * agree - (1.0 * a1 * b1 + 1.0 * a0 * b0))"
+    " / (1.0 * n * n - (1.0 * a1 * b1 + 1.0 * a0 * b0)), 0) AS BIGINT)"
+)
+
+_M39_SQL = f"""
+    WITH sc AS ({_M32_SC_SQL}),
+    seg AS (
+      SELECT event_type AS segment, pa, pb FROM sc
+      UNION ALL
+      SELECT 'ALL', pa, pb FROM sc
+    ),
+    agg AS (
+      SELECT segment,
+             count(*) AS n,
+             count(*) FILTER (WHERE pa = pb) AS agree,
+             count(*) FILTER (WHERE pa = 1) AS a1,
+             count(*) FILTER (WHERE pa = 0) AS a0,
+             count(*) FILTER (WHERE pb = 1) AS b1,
+             count(*) FILTER (WHERE pb = 0) AS b0
+      FROM seg GROUP BY 1
+    )
+    SELECT segment,
+           CAST(n AS BIGINT) AS n,
+           CAST(agree AS BIGINT) AS n_agree,
+           CAST(a1 AS BIGINT) AS a_pos,
+           CAST(b1 AS BIGINT) AS b_pos,
+           CASE WHEN n * n > a1 * b1 + a0 * b0 THEN {_M39_K} END
+             AS kappa_micro
+    FROM agg
+"""
+
+
+@_register("m39_cohens_kappa", _M39_SQL)
+def m39_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the m04 logistic and m05 tree classifiers,
+    per event-type segment plus ALL: chance-corrected agreement from
+    the 2x2 verdict contingency — the ensemble-worthiness readout
+    beside m32's is-one-better McNemar gate (similar accuracies with
+    low kappa = the models err on different slices, so ensembling
+    buys real lift). Counts are exact integers from one scan; kappa is
+    one shared float-op sequence over them, rounded once to micro;
+    NULL when chance agreement is total (degenerate constant raters).
+
+    Scale: identical posture to m32 — both models are row-local
+    compiled expressions, one map-side-combined scan to (|types|+1)
+    rows; the statistic adds nothing over scoring.
+
+    Reference parity: no reference equivalent; public inter-rater
+    agreement methodology (Cohen 1960)."""
+    ev = load_table(spark, sf_dir, "events")
+    sc = _m32_scored(ev)
+    seg = sc.select(
+        F.col("event_type").alias("segment"), "pa", "pb"
+    ).unionByName(sc.select(F.lit("ALL").alias("segment"), "pa", "pb"))
+    agg = seg.groupBy("segment").agg(
+        F.count("*").alias("n"),
+        F.expr("count_if(pa = pb)").alias("agree"),
+        F.expr("count_if(pa = 1)").alias("a1"),
+        F.expr("count_if(pa = 0)").alias("a0"),
+        F.expr("count_if(pb = 1)").alias("b1"),
+        F.expr("count_if(pb = 0)").alias("b0"),
+    )
+    ok = F.col("n") * F.col("n") > F.col("a1") * F.col("b1") + F.col(
+        "a0"
+    ) * F.col("b0")
+    return agg.select(
+        "segment",
+        F.col("n").cast("long").alias("n"),
+        F.col("agree").cast("long").alias("n_agree"),
+        F.col("a1").cast("long").alias("a_pos"),
+        F.col("b1").cast("long").alias("b_pos"),
+        F.when(ok, F.expr(_M39_K)).alias("kappa_micro"),
     )

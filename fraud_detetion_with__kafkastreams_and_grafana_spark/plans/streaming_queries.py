@@ -3715,3 +3715,122 @@ def s45_stream_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN (1000000 * wsum) div span_s END AS BIGINT)"
         ).alias("twa_cents_micro"),
     )
+
+
+def _m38_oracle_sql() -> str:
+    from .advanced import ORACLES as _AD
+
+    return _AD["m38_bootstrap_ci"]
+
+
+@_register("s46_stream_bootstrap_ci", _m38_oracle_sql())
+def s46_stream_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m38's Poisson-bootstrap CI maintained ON INGEST — uncertainty
+    bands that tighten live as data arrives: the Poisson formulation is
+    what makes this possible at all (row-wise deterministic weights
+    need no cross-batch resampling coordination), so each micro-batch
+    reduces inside foreachBatch to its (type, replicate) weighted-sum
+    partials plus the full-sample partials (tagged b = -1), lands
+    idempotently (s09), and the report merges partials into the
+    identical CI tail (m38_ci_from_reps) — equal to batch m38
+    bit-for-bit, sharing its oracle verbatim.
+
+    Scale: zero streaming state; the sink grows by |types| x (B+1)
+    rows per batch; re-deriving the bands costs the replicate-bounded
+    merge."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .advanced import _M38_B, _M38_W, m38_ci_from_reps
+
+    ev = load_table(spark, sf_dir, "events")
+    wire = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("event_type"),
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+                F.col("event_id"),
+            )
+        ).alias("value")
+    )
+    from ..streaming.replay import materialize_wire_dir
+
+    d = materialize_wire_dir(wire)
+    out = tempfile.mkdtemp(prefix="spark_graft_s46_sink_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_s46_ckpt_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+
+    def ci_partials(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.select(
+            F.from_json(
+                "value", "event_type STRING, cents LONG, event_id LONG"
+            ).alias("r")
+        ).select("r.event_type", "r.cents", "r.event_id")
+        b = b.where(F.col("event_id").isNotNull()).localCheckpoint()
+        w = (
+            b.select(
+                "event_type",
+                "cents",
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(_M38_B - 1))
+                ).alias("b"),
+                "event_id",
+            )
+            .withColumn(
+                "u",
+                F.expr(
+                    "conv(substring(md5(CAST(event_id AS STRING) || ':'"
+                    " || CAST(b AS STRING)), 1, 15), 16, 10)"
+                ).cast("long"),
+            )
+            .withColumn("w", F.expr(_M38_W))
+        )
+        rep = w.groupBy("event_type", "b").agg(
+            F.sum(F.col("w") * F.col("cents")).cast("long").alias("s"),
+            F.sum("w").cast("long").alias("n"),
+        )
+        full_ = b.groupBy("event_type").agg(
+            F.lit(-1).alias("b"),
+            F.sum("cents").cast("long").alias("s"),
+            F.count("*").cast("long").alias("n"),
+        ).select("event_type", "b", "s", "n")
+        (
+            rep.unionByName(full_)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
+
+    stream = (
+        spark.readStream.schema("value STRING")
+        # 2 micro-batches: associative partials (s31's rationale)
+        .option("maxFilesPerTrigger", 4)
+        .text(d)
+    )
+    q = (
+        stream.writeStream.foreachBatch(ci_partials)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    merged = (
+        spark.read.parquet(out)
+        .groupBy("event_type", "b")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .localCheckpoint()
+    )
+    rep = merged.where(F.col("b") >= 0)
+    full_ = merged.where(F.col("b") == -1).select(
+        "event_type",
+        F.col("n").cast("long").alias("n_rows"),
+        F.expr("CAST((1000000 * s) div n AS BIGINT)").alias("mean_micro"),
+    )
+    return m38_ci_from_reps(rep, full_)

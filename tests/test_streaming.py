@@ -1293,3 +1293,25 @@ def test_s45_stream_twa_equals_batch_r101(spark, sf_dir):
         ).collect()
     )
     assert got == want
+
+
+def test_s46_stream_bootstrap_equals_batch_m38(spark, sf_dir):
+    """Streamed Poisson-bootstrap bands must equal batch m38 — the
+    row-deterministic weights are what make replicate partials mergeable
+    across batches at all."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import (
+        advanced as AD,
+        streaming_queries as SQ,
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in SQ.QUERIES["s46_stream_bootstrap_ci"](
+            spark, sf_dir
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in AD.QUERIES["m38_bootstrap_ci"](spark, sf_dir).collect()
+    )
+    assert got == want

@@ -688,3 +688,61 @@ def test_r94_sliding_distinct_has_no_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "CartesianProduct" not in p, p
     assert "Generate explode" in p, p
+
+
+def test_r98_skyline_never_compares_rows(spark, sf_dir):
+    """The skyline lowering must stay day-bucketed: one hash exchange
+    (the per-day pre-aggregation), the suffix-min window on the bounded
+    daily frame only, and NO join that compares corpus rows against
+    corpus rows (no sort-merge, no cartesian — the join back is a
+    broadcast of the daily map)."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import relational3
+
+    p = _plan(relational3.QUERIES["r98_pareto_skyline"](spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "BroadcastExchange" in p, p
+
+
+def test_r99_transitions_one_user_shuffle(spark, sf_dir):
+    """The transition matrix must pay exactly ONE hash exchange (the
+    user_id shuffle shared by the lead window and the pair counts);
+    the totals join broadcasts the |types|-row frame."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import relational3
+
+    p = _plan(relational3.QUERIES["r99_event_transitions"](spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
+
+
+def test_m38_bootstrap_replicate_bounded(spark, sf_dir):
+    """The Poisson bootstrap must reduce map-side to |types| x B rows:
+    no corpus frame under a BroadcastExchange (only the replicate-means
+    frame rides one) and no row-vs-row join."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import advanced
+
+    p = _plan(advanced.QUERIES["m38_bootstrap_ci"](spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" not in p, p
+    for sub in _subtrees(p, "BroadcastExchange"):
+        for k, line in enumerate(sub):
+            if "Scan parquet" in line:
+                d = _node_indent(line)
+                assert any(
+                    "HashAggregate" in anc and _node_indent(anc) < d
+                    for anc in sub[:k]
+                ), f"corpus scan under a broadcast: {line}"
+
+
+def test_l93_windows_use_segmented_scan(spark, sf_dir):
+    """Packed windows must take the two-level segmented scan (per-seg
+    window + broadcast offsets), never one corpus-wide ordered window:
+    the only single-partition exchange feeds the |segments|-row offset
+    frame, which then rides a broadcast."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import llmops as L
+
+    p = _plan(L.QUERIES["l93_packed_windows"](spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert p.count("Exchange SinglePartition") == 1, p
+    assert "BroadcastExchange" in p, p

@@ -4136,6 +4136,13 @@ def equidepth_boundaries(vals: DataFrame) -> DataFrame:
     Split from r100 so the brute-force closure can drive it with
     generated value lists."""
     cnt = vals.groupBy("col", "v").agg(F.count("*").alias("c"))
+    return equidepth_from_counts(cnt)
+
+
+def equidepth_from_counts(cnt: DataFrame) -> DataFrame:
+    """(col, v, c) histogram -> the boundary report. Shared with the
+    streaming twin (s47), whose per-batch value-count partials merge to
+    this exact shape."""
     cnt = cnt.localCheckpoint()  # value-domain bounded; feeds cum AND tot
     w = Window.partitionBy("col").orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -4264,3 +4271,108 @@ def r101_time_weighted_average(
             " THEN (1000000 * wsum) div span_s END AS BIGINT)"
         ).alias("twa_cents_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r102: join-key (foreign-key) discovery — the schema-profiling operator
+# that proposes joinable column pairs: for each candidate (child,
+# parent) pair, the share of the child's distinct values contained in
+# the parent's distinct set, in exact ppm. Includes a deliberately
+# non-key pair so the report demonstrates separation.
+# ---------------------------------------------------------------------------
+
+_R102_PAIRS = [
+    # (label, child table, child col, parent table, parent col)
+    ("orders.o_custkey->customer.c_custkey",
+     "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders.o_orderkey",
+     "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part.p_partkey",
+     "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier.s_suppkey",
+     "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    # negative control: order keys are NOT customer keys
+    ("orders.o_orderkey->customer.c_custkey",
+     "orders", "o_orderkey", "customer", "c_custkey"),
+]
+_R102_FK_PPM = 990_000  # >= 99% containment proposes the pair
+
+
+def _r102_pair_sql(label, ct, cc, pt, pc) -> str:
+    return f"""
+      SELECT '{label}' AS candidate,
+             CAST(count(*) AS BIGINT) AS n_child_distinct,
+             CAST(count(p.v) AS BIGINT) AS n_contained,
+             CAST((1000000 * count(p.v)) // count(*) AS BIGINT)
+               AS containment_ppm,
+             (1000000 * count(p.v)) // count(*) >= {_R102_FK_PPM}
+               AS fk_candidate
+      FROM (SELECT DISTINCT {cc} AS v FROM {ct} WHERE {cc} IS NOT NULL) c
+      LEFT JOIN (SELECT DISTINCT {pc} AS v FROM {pt}) p USING (v)
+    """
+
+
+_R102_SQL = " UNION ALL ".join(
+    _r102_pair_sql(*p) for p in _R102_PAIRS
+)
+
+
+@_register("r102_fk_discovery", _R102_SQL)
+def r102_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key / join-key discovery over the star schema: for each
+    candidate (child column, parent column) pair — the four real FK
+    edges plus a deliberate non-key control — the exact share of the
+    child's distinct values contained in the parent's distinct set
+    (ppm), and the >= 99% proposal verdict. This is the profiling
+    operator that lets a catalog suggest joins on an undocumented lake;
+    the control row pins that the metric actually separates.
+
+    Scale: each side reduces to its DISTINCT key set first (map-side
+    combined, NDV-bounded — never a row-level join), then a keyed
+    left join between the two distinct sets; all five pairs run as
+    independent branches of one union. At 100 TB the distinct sets are
+    the join-key dictionaries a catalog already maintains.
+
+    Reference parity: no reference equivalent; public data-profiling
+    methodology (Rostin et al., FK discovery)."""
+    out = None
+    for label, ct, cc, pt, pc in _R102_PAIRS:
+        c = (
+            load_table(spark, sf_dir, ct)
+            .where(F.col(cc).isNotNull())
+            .select(F.col(cc).alias("v"))
+            .distinct()
+        )
+        p = (
+            load_table(spark, sf_dir, pt)
+            .select(F.col(pc).alias("v"))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
+        pair = (
+            c.join(p, "v", "left")
+            .agg(
+                F.count("*").cast("long").alias("n_child_distinct"),
+                F.sum("_hit").cast("long").alias("_contained"),
+            )
+            .select(
+                F.lit(label).alias("candidate"),
+                "n_child_distinct",
+                F.coalesce("_contained", F.lit(0))
+                .cast("long")
+                .alias("n_contained"),
+                F.expr(
+                    "CAST((1000000 * coalesce(_contained, 0))"
+                    " div n_child_distinct AS BIGINT)"
+                ).alias("containment_ppm"),
+                (
+                    F.expr(
+                        "(1000000 * coalesce(_contained, 0))"
+                        " div n_child_distinct"
+                    )
+                    >= _R102_FK_PPM
+                ).alias("fk_candidate"),
+            )
+        )
+        out = pair if out is None else out.unionByName(pair)
+    return out

@@ -3834,3 +3834,94 @@ def s46_stream_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((1000000 * s) div n AS BIGINT)").alias("mean_micro"),
     )
     return m38_ci_from_reps(rep, full_)
+
+
+def _r100_oracle_sql() -> str:
+    from .relational3 import ORACLES as _R3
+
+    return _R3["r100_equidepth_histogram"]
+
+
+@_register("s47_stream_equidepth", _r100_oracle_sql())
+def s47_stream_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r100's equi-depth boundaries maintained ON INGEST — the ANALYZE-
+    statistics companion to s35: each lineitem micro-batch reduces
+    inside foreachBatch to its (col, value) count partials (associative
+    — the s35 recipe over the melted two-column frame), lands
+    idempotently, and every refresh recomputes the exact boundaries
+    from the merged value histogram via the shared tail
+    (equidepth_from_counts), equal to batch r100 bit-for-bit and
+    sharing its oracle verbatim. This is how range-partitioner split
+    points stay current without rescanning history.
+
+    Scale: zero streaming state; the sink grows by each batch's
+    distinct (col, value) rows (value-domain bounded); the boundary
+    pick costs the bounded histogram."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .relational3 import equidepth_from_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    wire = li.select(
+        F.to_json(
+            F.struct(
+                F.col("l_quantity").alias("q"),
+                F.col("l_extendedprice").alias("p"),
+            )
+        ).alias("value")
+    )
+    from ..streaming.replay import materialize_wire_dir
+
+    d = materialize_wire_dir(wire)
+    out = tempfile.mkdtemp(prefix="spark_graft_s47_sink_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_s47_ckpt_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+
+    def hist_partials(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.select(
+            F.from_json("value", "q DOUBLE, p DOUBLE").alias("r")
+        ).select("r.q", "r.p")
+        b = b.where(F.col("q").isNotNull())
+        vals = b.selectExpr(
+            "'l_quantity' AS col", "CAST(round(q) AS BIGINT) AS v"
+        ).unionByName(
+            b.selectExpr(
+                "'price_dollars' AS col",
+                "CAST(round(p * 100) AS BIGINT) div 100 AS v",
+            )
+        )
+        (
+            vals.groupBy("col", "v")
+            .agg(F.count("*").alias("c"))
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
+
+    stream = (
+        spark.readStream.schema("value STRING")
+        # 2 micro-batches: associative partials (s31's rationale)
+        .option("maxFilesPerTrigger", 4)
+        .text(d)
+    )
+    q = (
+        stream.writeStream.foreachBatch(hist_partials)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    merged = (
+        spark.read.parquet(out)
+        .groupBy("col", "v")
+        .agg(F.sum("c").alias("c"))
+    )
+    return equidepth_from_counts(merged)

@@ -1315,3 +1315,25 @@ def test_s46_stream_bootstrap_equals_batch_m38(spark, sf_dir):
         for r in AD.QUERIES["m38_bootstrap_ci"](spark, sf_dir).collect()
     )
     assert got == want
+
+
+def test_s47_stream_equidepth_equals_batch_r100(spark, sf_dir):
+    """Streamed equi-depth boundaries must equal batch r100 — the
+    value-count partials merge losslessly and the boundary tail is
+    shared code."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import (
+        relational3 as R3,
+        streaming_queries as SQ,
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in SQ.QUERIES["s47_stream_equidepth"](spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in R3.QUERIES["r100_equidepth_histogram"](
+            spark, sf_dir
+        ).collect()
+    )
+    assert got == want

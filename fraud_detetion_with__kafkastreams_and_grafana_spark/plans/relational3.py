@@ -4376,3 +4376,244 @@ def r102_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = pair if out is None else out.unionByName(pair)
     return out
+
+
+# ---------------------------------------------------------------------------
+# r103: exact sliding-window median — the robust dashboard line a
+# sliding AVG (r51) can't fake. The naive form re-sorts every window;
+# this is the histogram inversion: daily value histograms explode to
+# only the windows they serve (membership inversion, the r94 lowering),
+# and each window's median is a multiply-first cumulative pick.
+# ---------------------------------------------------------------------------
+
+_R103_W = 7  # window: this day + 6 preceding
+
+_R103_SQL = f"""
+    WITH base AS (
+      SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400
+               AS d,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    days AS (SELECT min(d) AS d0, max(d) AS d1 FROM base),
+    hist AS (SELECT d, cents, count(*) AS c FROM base GROUP BY 1, 2),
+    member AS (
+      SELECT unnest(range(d, least(d + {_R103_W},
+                                   (SELECT d1 FROM days) + 1))) AS wd,
+             cents, c
+      FROM hist
+    ),
+    wh AS (
+      SELECT wd, cents, sum(c) AS c FROM member GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT wd, cents,
+             sum(c) OVER (PARTITION BY wd ORDER BY cents
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum_n,
+             sum(c) OVER (PARTITION BY wd) AS n
+      FROM wh
+    )
+    SELECT CAST(wd AS BIGINT) AS day_num,
+           CAST(min(n) AS BIGINT) AS n_vals,
+           CAST(min(cents) AS BIGINT) AS median_cents
+    FROM cum
+    WHERE 2 * cum_n >= n
+    GROUP BY wd
+"""
+
+
+@_register("r103_sliding_median", _R103_SQL)
+def r103_sliding_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day sliding MEDIAN of transaction value per day
+    — the robust companion to r51's sliding sums (one whale distorts a
+    sliding mean for a week; the median shrugs). Lower-median
+    convention, picked multiply-first (smallest value whose cumulative
+    count reaches half the window) so no division ever rounds.
+
+    Scale: this is NOT the per-window re-sort: one scan reduces to the
+    (day, value) histogram (value-domain bounded, the r91/r100
+    posture); each histogram row explodes to only the <= 7 window-days
+    it serves (membership inversion — the r94 lowering for sliding
+    windows, never a range join that plans BNLJ); the cumulative pick
+    runs per window-day over the bounded merged histogram.
+
+    Reference parity: the robust version of the reference dashboard's
+    windowed mean (Q4); no reference equivalent."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_timestamp(
+        F.date_trunc("second", F.col("ts")).cast("timestamp")
+    )
+    base = ev.select(
+        (t / 86400).cast("long").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    hist = base.groupBy("d", "cents").agg(F.count("*").alias("c"))
+    return sliding_median_from_hist(hist)
+
+
+def sliding_median_from_hist(hist: DataFrame) -> DataFrame:
+    """(d, cents, c) daily histogram -> per-day trailing-window exact
+    median report. Shared by r103 and its streaming twin (s48)."""
+    hist = hist.localCheckpoint()  # bounded; feeds bounds AND member
+    d1 = hist.agg(F.max("d").alias("d1"))
+    # broadcast bound: d1 is 1 row
+    member = (
+        hist.crossJoin(F.broadcast(d1))
+        .select(
+            F.explode(
+                F.sequence(
+                    F.col("d"),
+                    F.least(
+                        F.col("d") + _R103_W - 1, F.col("d1")
+                    ),
+                )
+            ).alias("wd"),
+            "cents",
+            "c",
+        )
+    )
+    wh = member.groupBy("wd", "cents").agg(F.sum("c").alias("c"))
+    w = Window.partitionBy("wd").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = wh.select(
+        "wd",
+        "cents",
+        F.sum("c").over(w).alias("cum_n"),
+        F.sum("c").over(Window.partitionBy("wd")).alias("n"),
+    )
+    return (
+        cum.where(2 * F.col("cum_n") >= F.col("n"))
+        .groupBy("wd")
+        .agg(
+            F.min("n").cast("long").alias("n_vals"),
+            F.min("cents").cast("long").alias("median_cents"),
+        )
+        .select(
+            F.col("wd").cast("long").alias("day_num"),
+            "n_vals",
+            "median_cents",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# r104: exponentially time-decayed leaderboard — q1's top-scammers
+# ranking with recency built in (half-life 7 days). Decay weights are
+# ONE shared float-op sequence per (user, day) aggregate row, rounded
+# once to micro (the m23 cell discipline), so the decayed scores are
+# exact integer sums.
+# ---------------------------------------------------------------------------
+
+_R104_HL = 7  # half-life, days
+_R104_TOPK = 10
+# Exact-integer decay: 2^(-age/7) = 2^(-(age div 7)) * 2^(-(age mod 7)/7).
+# The fractional factors are a 7-entry micro table (precomputed literals)
+# and the whole-half-life factor is a floor right-shift — NO runtime
+# float ever evaluates, because JVM Math.pow and C libm pow disagree by
+# an ulp often enough to flip a micro rounding (observed building this).
+_R104_FRAC = [1000000, 905724, 820335, 742997, 672950, 609507, 552045]
+_R104_CASE = (
+    "CASE (d1 - d) % 7 "
+    + " ".join(f"WHEN {k} THEN {v}" for k, v in enumerate(_R104_FRAC))
+    + " END"
+)
+_R104_W_SQL = (
+    f"(({_R104_CASE}) // (CAST(1 AS BIGINT)"
+    " << least((d1 - d) // 7, 62)))"
+)
+_R104_W_SPARK = (
+    f"(({_R104_CASE.replace('%', 'MOD_OP')}) div shiftleft(CAST(1 AS BIGINT),"
+    " CAST(least((d1 - d) div 7, 62) AS INT)))"
+).replace("MOD_OP", "%")
+
+_R104_SQL = f"""
+    WITH base AS (
+      SELECT user_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400
+               AS d,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    daily AS (
+      SELECT user_id, d, sum(cents) AS day_cents, count(*) AS n
+      FROM base GROUP BY 1, 2
+    ),
+    mx AS (SELECT max(d) AS d1 FROM base),
+    weighted AS (
+      SELECT user_id,
+             day_cents * {_R104_W_SQL} AS wc,
+             n
+      FROM daily CROSS JOIN mx
+    ),
+    score AS (
+      SELECT user_id,
+             CAST(sum(wc) AS BIGINT) AS decayed_micro_cents,
+             CAST(sum(n) AS BIGINT) AS n_events
+      FROM weighted GROUP BY 1
+    )
+    SELECT CAST(rk AS BIGINT) AS rk, user_id,
+           decayed_micro_cents, n_events
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY decayed_micro_cents DESC,
+                                   user_id ASC) AS rk
+      FROM score
+    ) WHERE rk <= {_R104_TOPK}
+"""
+
+
+@_register("r104_decayed_leaderboard", _R104_SQL)
+def r104_decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed top-10 spender leaderboard (half-life
+    7 days) — the recency-aware form of the dashboard's all-time top
+    scammers (q1): yesterday's whale outranks last month's. Decay
+    weights are EXACT integers — a precomputed 7-entry micro table for
+    the fractional half-life times a floor right-shift for whole
+    half-lives (runtime pow() is banned here: JVM and libm pow differ
+    by an ulp often enough to flip a micro rounding) — so decayed
+    scores are exact integer sums and ties hash identically.
+
+    Scale: one scan map-side combines to the (user, day) frame
+    (key-domain bounded, not row bounded); the decay projection and the
+    per-user sum run on that frame; the final top-10 is a k-row
+    TakeOrdered, never a global sort materialization.
+
+    Reference parity: generalizes Q1 (dashboards.json top-10) with the
+    decay every production leaderboard actually wants; no reference
+    equivalent."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_timestamp(
+        F.date_trunc("second", F.col("ts")).cast("timestamp")
+    )
+    base = ev.select(
+        "user_id",
+        (t / 86400).cast("long").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    base = base.localCheckpoint()  # feeds daily AND the max-day bound
+    daily = base.groupBy("user_id", "d").agg(
+        F.sum("cents").alias("day_cents"), F.count("*").alias("n")
+    )
+    mx = base.agg(F.max("d").alias("d1"))
+    # broadcast bound: mx is 1 row
+    weighted = daily.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        (F.col("day_cents") * F.expr(_R104_W_SPARK)).alias("wc"),
+        "n",
+    )
+    score = weighted.groupBy("user_id").agg(
+        F.sum("wc").cast("long").alias("decayed_micro_cents"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+    w = Window.orderBy(F.desc("decayed_micro_cents"), F.asc("user_id"))
+    return (
+        score.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _R104_TOPK)
+        .select(
+            F.col("rk").cast("long").alias("rk"),
+            "user_id",
+            "decayed_micro_cents",
+            "n_events",
+        )
+    )

@@ -3925,3 +3925,89 @@ def s47_stream_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").alias("c"))
     )
     return equidepth_from_counts(merged)
+
+
+def _r103_oracle_sql() -> str:
+    from .relational3 import ORACLES as _R3
+
+    return _R3["r103_sliding_median"]
+
+
+@_register("s48_stream_sliding_median", _r103_oracle_sql())
+def s48_stream_sliding_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r103's exact trailing-median dashboard line maintained ON INGEST:
+    each micro-batch reduces inside foreachBatch to its (day, value)
+    histogram partials (associative — the s35/s47 recipe), lands
+    idempotently, and every refresh re-derives the exact per-day
+    trailing medians from the merged histogram via the shared inversion
+    tail (sliding_median_from_hist) — equal to batch r103 bit-for-bit,
+    sharing its oracle verbatim. An exact median is famously
+    non-mergeable as a scalar; as a value-domain HISTOGRAM it merges
+    trivially — that reframing is the whole operator.
+
+    Scale: zero streaming state; the sink grows by each batch's
+    distinct (day, value) rows; the report costs the bounded merged
+    histogram."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .relational3 import sliding_median_from_hist
+
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_timestamp(
+        F.date_trunc("second", F.col("ts")).cast("timestamp")
+    )
+    wire = ev.select(
+        F.to_json(
+            F.struct(
+                (t / 86400).cast("long").alias("d"),
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+            )
+        ).alias("value")
+    )
+    from ..streaming.replay import materialize_wire_dir
+
+    d = materialize_wire_dir(wire)
+    out = tempfile.mkdtemp(prefix="spark_graft_s48_sink_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_s48_ckpt_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+
+    def hist_partials(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.select(
+            F.from_json("value", "d LONG, cents LONG").alias("r")
+        ).select("r.d", "r.cents")
+        b = b.where(F.col("d").isNotNull())
+        (
+            b.groupBy("d", "cents")
+            .agg(F.count("*").alias("c"))
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
+
+    stream = (
+        spark.readStream.schema("value STRING")
+        # 2 micro-batches: associative partials (s31's rationale)
+        .option("maxFilesPerTrigger", 4)
+        .text(d)
+    )
+    q = (
+        stream.writeStream.foreachBatch(hist_partials)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    merged = (
+        spark.read.parquet(out)
+        .groupBy("d", "cents")
+        .agg(F.sum("c").alias("c"))
+    )
+    return sliding_median_from_hist(merged)

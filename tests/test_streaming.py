@@ -1337,3 +1337,25 @@ def test_s47_stream_equidepth_equals_batch_r100(spark, sf_dir):
         ).collect()
     )
     assert got == want
+
+
+def test_s48_stream_median_equals_batch_r103(spark, sf_dir):
+    """Streamed trailing medians must equal batch r103 — an exact median
+    is non-mergeable as a scalar but merges trivially as a value-domain
+    histogram; the partials pin that reframing."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import (
+        relational3 as R3,
+        streaming_queries as SQ,
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in SQ.QUERIES["s48_stream_sliding_median"](
+            spark, sf_dir
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in R3.QUERIES["r103_sliding_median"](spark, sf_dir).collect()
+    )
+    assert got == want

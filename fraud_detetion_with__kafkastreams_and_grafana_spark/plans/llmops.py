@@ -6356,3 +6356,145 @@ def l96_lsh_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(CASE WHEN n_lsh > 0 THEN (1000000 * n_hit) div n_lsh END"
         " AS BIGINT) AS precision_ppm",
     )
+
+
+# reconstructed-int8 cosine, the l40 quantization rule applied inside the
+# l75 ranking recipe; rc = reconstructed array column name on each side
+def _l97_cos(a: str, q: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, 65), "
+        f"i -> {a}[i] * {q}[i]), (x, y) -> x + y)"
+        f" / (sqrt(list_reduce(list_transform({a}, "
+        f"x -> x * x), (x, y) -> x + y))"
+        f" * sqrt(list_reduce(list_transform({q}, "
+        f"x -> x * x), (x, y) -> x + y)))"
+    )
+
+
+_L97_SQL = f"""
+    WITH x AS (
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xs
+      FROM embeddings
+    ),
+    sc AS (
+      SELECT vec_id, xs,
+             list_max(list_transform(xs, v -> abs(v))) / 127 AS scale
+      FROM x
+    ),
+    rc AS (
+      SELECT vec_id, xs,
+             CASE WHEN scale = 0
+                  THEN list_transform(xs, v -> 0.0)
+                  ELSE list_transform(
+                    xs, v -> floor(v / scale + 0.5) * scale)
+             END AS rec
+      FROM sc
+    ),
+    q AS (SELECT * FROM rc WHERE vec_id < 10),
+    exact_ AS (
+      SELECT qid, cid FROM (
+        SELECT q.vec_id AS qid, a.vec_id AS cid,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_l97_cos("a.xs", "q.xs")} DESC,
+                          a.vec_id ASC) AS rk
+        FROM rc a, q
+      ) WHERE rk <= 10
+    ),
+    int8_ AS (
+      SELECT qid, cid FROM (
+        SELECT q.vec_id AS qid, a.vec_id AS cid,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_l97_cos("a.rec", "q.rec")} DESC,
+                          a.vec_id ASC) AS rk
+        FROM rc a, q
+      ) WHERE rk <= 10
+    )
+    SELECT e.qid AS query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(i.cid) AS BIGINT) AS n_overlap,
+           CAST((1000000 * count(i.cid)) // count(*) AS BIGINT)
+             AS recall_ppm
+    FROM exact_ e
+    LEFT JOIN int8_ i ON e.qid = i.qid AND e.cid = i.cid
+    GROUP BY 1
+"""
+
+
+@_register("l97_int8_recall_eval", _L97_SQL)
+def l97_int8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-impact evaluation closing the compression ladder
+    (l40 int8 error stats -> now the retrieval consequence): recall@10
+    of cosine search over int8-RECONSTRUCTED vectors against the exact
+    float ranking, per query over the first 10 vectors — the number
+    that decides whether a vector store can ship the 4x-smaller index.
+    Both rankings replay in SQL (the l75 recipe; the int8 side applies
+    l40's exact quantize-reconstruct rule with the engine-neutral
+    floor(x + 0.5) rounding), so the integer overlap counts value-hash
+    on both engines.
+
+    Scale: the reconstruction is a row-local projection hoisted so the
+    per-vector scale computes ONCE (never inside the element lambda —
+    pyspark HOFs are interpreted and would re-reduce per element); one
+    corpus scan scores both rankings against the broadcast 10-query
+    frame, each reduced by the two-phase salted top-k (l75's posture).
+
+    Reference parity: no reference equivalent; public
+    quantization-evaluation methodology."""
+    from ..functions.vectors import cosine_similarity
+    from ..operators import similarity as SIM
+
+    em = load_table(spark, sf_dir, "embeddings")
+    x = em.withColumn(
+        "xs", F.expr("transform(embedding, v -> CAST(v AS DOUBLE))")
+    ).withColumn(
+        # hoisted: ONE array_max per vector, not one per element
+        "scale",
+        F.expr("array_max(transform(xs, v -> abs(v))) / 127"),
+    ).withColumn(
+        "rec",
+        F.expr(
+            "CASE WHEN scale = 0 THEN transform(xs, v -> 0.0D)"
+            " ELSE transform(xs, v -> floor(v / scale + 0.5) * scale)"
+            " END"
+        ),
+    ).select("vec_id", "xs", "rec")
+    x = x.localCheckpoint()  # feeds both rankings AND the query frame
+    q = x.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("xs").alias("qxs"),
+        F.col("rec").alias("qrec"),
+    )
+    # broadcast bound: q is the fixed 10-query frame
+    scored = x.crossJoin(F.broadcast(q))
+    exact_ = SIM.topk_per_query(
+        scored.select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            cosine_similarity(F.col("xs"), F.col("qxs")).alias("_cos"),
+        ),
+        k=10,
+    ).select("qid", "cid")
+    int8_ = SIM.topk_per_query(
+        scored.select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            cosine_similarity(F.col("rec"), F.col("qrec")).alias("_cos"),
+        ),
+        k=10,
+    ).select("qid", F.col("cid").alias("icid"))
+    return (
+        exact_.join(
+            int8_,
+            (exact_.qid == int8_.qid) & (exact_.cid == int8_.icid),
+            "left",
+        )
+        .groupBy(exact_.qid.alias("query_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.count("icid").cast("long").alias("n_overlap"),
+            F.expr(
+                "CAST((1000000 * count(icid)) div count(*) AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    )

@@ -4595,7 +4595,16 @@ def r104_decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = base.groupBy("user_id", "d").agg(
         F.sum("cents").alias("day_cents"), F.count("*").alias("n")
     )
-    mx = base.agg(F.max("d").alias("d1"))
+    return decayed_leaderboard_from_daily(daily)
+
+
+def decayed_leaderboard_from_daily(daily: DataFrame) -> DataFrame:
+    """(user_id, d, day_cents, n) daily partials -> the decayed top-10.
+    Shared by r104 and its streaming twin (s49); the reference day d1
+    re-derives from the partials so the merged frame needs nothing
+    else."""
+    daily = daily.localCheckpoint()  # key-domain bounded
+    mx = daily.agg(F.max("d").alias("d1"))
     # broadcast bound: mx is 1 row
     weighted = daily.crossJoin(F.broadcast(mx)).select(
         "user_id",

@@ -4011,3 +4011,102 @@ def s48_stream_sliding_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").alias("c"))
     )
     return sliding_median_from_hist(merged)
+
+
+def _r104_oracle_sql() -> str:
+    from .relational3 import ORACLES as _R3
+
+    return _R3["r104_decayed_leaderboard"]
+
+
+@_register("s49_stream_decayed_leaderboard", _r104_oracle_sql())
+def s49_stream_decayed_leaderboard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r104's recency-decayed leaderboard maintained ON INGEST — the
+    live dashboard ranking: each micro-batch reduces inside
+    foreachBatch to its (user, day) cents/count partials (associative),
+    lands idempotently, and every refresh re-ranks from the merged
+    daily frame through the shared exact-integer decay tail
+    (decayed_leaderboard_from_daily — the reference day re-derives from
+    the partials, so the sink carries no extra state). Equal to batch
+    r104 bit-for-bit, sharing its oracle verbatim. Note the decay
+    SEMANTICS make the re-rank mandatory: aging shifts every score as
+    d1 advances, so a leaderboard that only merges score deltas goes
+    stale — re-deriving from the key-domain-bounded daily frame is the
+    correct (and cheap) refresh.
+
+    Scale: zero streaming state; sink grows by each batch's distinct
+    (user, day) rows; the re-rank costs the bounded daily frame."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .relational3 import decayed_leaderboard_from_daily
+
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_timestamp(
+        F.date_trunc("second", F.col("ts")).cast("timestamp")
+    )
+    wire = ev.select(
+        F.to_json(
+            F.struct(
+                "user_id",
+                (t / 86400).cast("long").alias("d"),
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+            )
+        ).alias("value")
+    )
+    from ..streaming.replay import materialize_wire_dir
+
+    d = materialize_wire_dir(wire)
+    out = tempfile.mkdtemp(prefix="spark_graft_s49_sink_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_s49_ckpt_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+
+    def daily_partials(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.select(
+            F.from_json(
+                "value", "user_id LONG, d LONG, cents LONG"
+            ).alias("r")
+        ).select("r.user_id", "r.d", "r.cents")
+        b = b.where(F.col("user_id").isNotNull())
+        (
+            b.groupBy("user_id", "d")
+            .agg(
+                F.sum("cents").alias("day_cents"),
+                F.count("*").alias("n"),
+            )
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
+
+    stream = (
+        spark.readStream.schema("value STRING")
+        # 2 micro-batches: associative partials (s31's rationale)
+        .option("maxFilesPerTrigger", 4)
+        .text(d)
+    )
+    q = (
+        stream.writeStream.foreachBatch(daily_partials)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    merged = (
+        spark.read.parquet(out)
+        .groupBy("user_id", "d")
+        .agg(
+            F.sum("day_cents").alias("day_cents"),
+            F.sum("n").alias("n"),
+        )
+    )
+    return decayed_leaderboard_from_daily(merged)

@@ -1359,3 +1359,27 @@ def test_s48_stream_median_equals_batch_r103(spark, sf_dir):
         for r in R3.QUERIES["r103_sliding_median"](spark, sf_dir).collect()
     )
     assert got == want
+
+
+def test_s49_stream_leaderboard_equals_batch_r104(spark, sf_dir):
+    """Streamed decayed leaderboard must equal batch r104 — daily
+    partials merge losslessly and the exact-integer decay tail is
+    shared code (d1 re-derived from the merged frame)."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import (
+        relational3 as R3,
+        streaming_queries as SQ,
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in SQ.QUERIES["s49_stream_decayed_leaderboard"](
+            spark, sf_dir
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in R3.QUERIES["r104_decayed_leaderboard"](
+            spark, sf_dir
+        ).collect()
+    )
+    assert got == want

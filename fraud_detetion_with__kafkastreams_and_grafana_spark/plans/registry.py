@@ -133,11 +133,13 @@ _CHECKED_R7 = (
 # green): entirely round-8 additions in family order — s25-s31+s33-s40
 # (15), m15-m32 (18), l71-l87 (17). Round 8 registered 65 additions, so
 # the registry-order tail (l88, l89, r84-r97 = 16 queries) stayed
-# never-checked and sorts FIRST into the round-9 window. With this sync
-# the r09 window becomes: l88/l89/r84-r97 (16), then the round-3
-# leftovers r52-r61 (10, twice-evicted), then the round-4 vintage head
-# in family order (q8, s18-s22, u10, m03-m07, l32-l43 = 24); the
-# vintage's registry-order tail (l44-l55, r62-r75) rotates through r10.
+# never-checked and sorts FIRST into the round-9 window. Round 9 then
+# registered 31 additions (s41-s49, m33-m39, l90-l97, r98-r104), so the
+# round-9 window is 47 never-checked rows (the 16 overflow + the 31 new,
+# in family order: s41-s49, m33-m39, l88-l97, r100-r104+r84-r99 by name)
+# plus the first 3 round-3 leftovers (r52-r54); r55-r61 and the round-4
+# vintage rotate through r10. Round-10 sync: add _CHECKED_R9 from
+# CORRECTNESS_r09.json.
 _CHECKED_R8 = (
     {f"s{i:02d}" for i in range(25, 32)}
     | {f"s{i:02d}" for i in range(33, 41)}

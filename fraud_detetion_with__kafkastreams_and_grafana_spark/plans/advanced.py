@@ -5527,3 +5527,87 @@ def m39_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b1").cast("long").alias("b_pos"),
         F.when(ok, F.expr(_M39_K)).alias("kappa_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m40: Matthews correlation coefficient — the single-number confusion
+# summary robust to class imbalance (accuracy and even F1 flatter a
+# majority-class model; MCC doesn't). Exact integer confusion counts,
+# one shared float-op sequence, DECIMAL(38) products (tp*tn etc. exceed
+# int64 past ~3e9 rows per class pair).
+# ---------------------------------------------------------------------------
+
+_M40_MCC = (
+    "CAST(round(1000000.0 * (1.0 * tp * tn - 1.0 * fp * fn)"
+    " / sqrt(1.0 * (tp + fp) * (tp + fn))"
+    " / sqrt(1.0 * (tn + fp) * (tn + fn)), 0) AS BIGINT)"
+)
+
+_M40_SQL = f"""
+    WITH sc AS ({_M32_SC_SQL}),
+    seg AS (
+      SELECT event_type AS segment, y, pa FROM sc
+      UNION ALL
+      SELECT 'ALL', y, pa FROM sc
+    ),
+    agg AS (
+      SELECT segment,
+             count(*) FILTER (WHERE pa = 1 AND y = 1) AS tp,
+             count(*) FILTER (WHERE pa = 0 AND y = 0) AS tn,
+             count(*) FILTER (WHERE pa = 1 AND y = 0) AS fp,
+             count(*) FILTER (WHERE pa = 0 AND y = 1) AS fn
+      FROM seg GROUP BY 1
+    )
+    SELECT segment,
+           CAST(tp AS BIGINT) AS tp, CAST(tn AS BIGINT) AS tn,
+           CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+           CASE WHEN (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) > 0
+                THEN {_M40_MCC} END AS mcc_micro
+    FROM agg
+"""
+
+
+@_register("m40_matthews_corrcoef", _M40_SQL)
+def m40_matthews_corrcoef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient of the m04 classifier per
+    event-type segment plus ALL — the confusion-matrix summary that
+    stays honest under class imbalance (this corpus is ~50/50, but the
+    operator is the production fraud metric where positives are rare
+    and accuracy/F1 flatter constant models). Exact integer confusion
+    counts from one scan; MCC is one shared float-op sequence over them
+    (split into two sqrt factors so the product of four marginals never
+    materializes as one overflow-prone term), rounded once to micro,
+    NULL when any marginal is empty (MCC undefined).
+
+    Scale: the m32/m39 posture — row-local compiled model, one
+    map-side-combined scan to (|types|+1) confusion rows.
+
+    Reference parity: the statistically honest summary of the
+    reference's binary alert quality; public methodology (Matthews
+    1975)."""
+    ev = load_table(spark, sf_dir, "events")
+    sc = _m32_scored(ev)
+    seg = sc.select(
+        F.col("event_type").alias("segment"), "y", "pa"
+    ).unionByName(sc.select(F.lit("ALL").alias("segment"), "y", "pa"))
+    agg = seg.groupBy("segment").agg(
+        F.expr("count_if(pa = 1 AND y = 1)").alias("tp"),
+        F.expr("count_if(pa = 0 AND y = 0)").alias("tn"),
+        F.expr("count_if(pa = 1 AND y = 0)").alias("fp"),
+        F.expr("count_if(pa = 0 AND y = 1)").alias("fn"),
+    )
+    ok = (
+        (F.col("tp") + F.col("fp"))
+        * (F.col("tp") + F.col("fn"))
+        * (F.col("tn") + F.col("fp"))
+        * (F.col("tn") + F.col("fn"))
+        > 0
+    )
+    return agg.select(
+        "segment",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("tn").cast("long").alias("tn"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.when(ok, F.expr(_M40_MCC)).alias("mcc_micro"),
+    )

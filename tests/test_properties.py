@@ -4408,3 +4408,95 @@ def test_percentile_cont_matches_numpy(spark, vals, k):
     # numpy's float result can sit an ulp off the rational; compare
     # at micro resolution with 1-micro slack
     assert abs(mine - round(want * 1000000)) <= 1, (mine, want)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(1, 30)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_sliding_median_matches_brute(spark, dv):
+    """r103's histogram-inversion trailing median vs a Python sort over
+    each day's trailing window — exact (lower-median convention)."""
+    from collections import Counter
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.relational3 import (
+        _R103_W,
+        sliding_median_from_hist,
+    )
+
+    hist = Counter(dv)
+    df = spark.createDataFrame(
+        [(d, v, c) for (d, v), c in hist.items()],
+        "d LONG, cents LONG, c LONG",
+    )
+    got = {
+        r.day_num: (r.n_vals, r.median_cents)
+        for r in sliding_median_from_hist(df).collect()
+    }
+    d1 = max(d for d, _ in dv)
+    want = {}
+    for wd in {d for d, _ in dv} | {
+        dd for d, _ in dv for dd in range(d, min(d + _R103_W, d1 + 1))
+    }:
+        vals = sorted(
+            v for d, v in dv if wd - _R103_W < d <= wd
+        )
+        if vals:
+            want[wd] = (len(vals), vals[(len(vals) - 1) // 2])
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),  # user
+            st.integers(0, 20),  # day
+            st.integers(-50, 500),  # cents
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_decayed_leaderboard_matches_integer_brute(spark, rows):
+    """r104's table-and-shift decay vs a pure-integer Python fold —
+    exact equality (no float ever runs on either side)."""
+    from collections import defaultdict
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.relational3 import (
+        _R104_FRAC,
+        _R104_TOPK,
+        decayed_leaderboard_from_daily,
+    )
+
+    daily = defaultdict(lambda: [0, 0])
+    for u, d, c in rows:
+        daily[(u, d)][0] += c
+        daily[(u, d)][1] += 1
+    df = spark.createDataFrame(
+        [(u, d, s, n) for (u, d), (s, n) in daily.items()],
+        "user_id LONG, d LONG, day_cents LONG, n LONG",
+    )
+    got = [
+        (r.rk, r.user_id, r.decayed_micro_cents, r.n_events)
+        for r in decayed_leaderboard_from_daily(df)
+        .orderBy("rk")
+        .collect()
+    ]
+    d1 = max(d for _, d, _ in rows)
+    score = defaultdict(int)
+    nev = defaultdict(int)
+    for (u, d), (s, n) in daily.items():
+        age = d1 - d
+        w = _R104_FRAC[age % 7] // (1 << min(age // 7, 62))
+        score[u] += s * w
+        nev[u] += n
+    ranked = sorted(score, key=lambda u: (-score[u], u))[:_R104_TOPK]
+    want = [
+        (i + 1, u, score[u], nev[u]) for i, u in enumerate(ranked)
+    ]
+    assert got == want

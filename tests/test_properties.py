@@ -4500,3 +4500,106 @@ def test_decayed_leaderboard_matches_integer_brute(spark, rows):
         (i + 1, u, score[u], nev[u]) for i, u in enumerate(ranked)
     ]
     assert got == want
+
+
+def test_m38_poisson_thresholds_exact():
+    """The embedded 2^60-scale Poisson(1) CDF thresholds must equal the
+    closed form floor(cdf_k * 2^60) recomputed from scratch — and the
+    implied weight distribution must sum to ~1."""
+    import math
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.advanced import (
+        _M38_T,
+    )
+
+    cdf = 0.0
+    for k, t in enumerate(_M38_T):
+        cdf += math.exp(-1) / math.factorial(k)
+        assert t == math.floor(cdf * (1 << 60)), k
+    assert 1.0 - cdf < 2e-5  # weight-8 tail is negligible (~1.02e-5)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 1)),
+        min_size=2,
+        max_size=60,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_kappa_and_mcc_match_pure_python(spark, pb):
+    """m39's kappa and m40's MCC shared expressions vs pure-Python
+    formulas over the same integer contingency — within 1 micro."""
+    import math
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.advanced import (
+        _M39_K,
+        _M40_MCC,
+    )
+    from pyspark.sql import functions as F
+
+    n = len(pb)
+    agree = sum(1 for a, b in pb if a == b)
+    a1 = sum(a for a, _ in pb)
+    b1 = sum(b for _, b in pb)
+    a0, b0 = n - a1, n - b1
+    row = spark.createDataFrame(
+        [(n, agree, a1, a0, b1, b0)],
+        "n LONG, agree LONG, a1 LONG, a0 LONG, b1 LONG, b0 LONG",
+    )
+    pe_sum = a1 * b1 + a0 * b0
+    if n * n > pe_sum:
+        got = row.selectExpr(f"{_M39_K} AS k").collect()[0][0]
+        want = 1e6 * (n * agree - pe_sum) / (n * n - pe_sum)
+        assert abs(got - want) <= 1, (got, want)
+    # MCC treats (a, b) as (prediction, truth)
+    tp = sum(1 for a, b in pb if a == 1 and b == 1)
+    tn = sum(1 for a, b in pb if a == 0 and b == 0)
+    fp = sum(1 for a, b in pb if a == 1 and b == 0)
+    fn = sum(1 for a, b in pb if a == 0 and b == 1)
+    denom = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    if denom > 0:
+        row2 = spark.createDataFrame(
+            [(tp, tn, fp, fn)], "tp LONG, tn LONG, fp LONG, fn LONG"
+        )
+        got = row2.selectExpr(f"{_M40_MCC} AS m").collect()[0][0]
+        want = 1e6 * (tp * tn - fp * fn) / math.sqrt(denom)
+        assert abs(got - want) <= 1, (got, want)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=3,
+        max_size=50,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_pearson_moments_match_numpy(spark, xy):
+    """m34's moment-formula r (DECIMAL sums -> one shared expression) vs
+    numpy corrcoef — within 2 micro."""
+    import numpy as np
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.advanced import (
+        _M34_R,
+    )
+    from pyspark.sql import functions as F
+
+    xs = [a for a, _ in xy]
+    ys = [b for _, b in xy]
+    assume(len(set(xs)) > 1 and len(set(ys)) > 1)
+    df = spark.createDataFrame(xy, "qty LONG, cents LONG")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    mom = df.agg(
+        F.count("*").alias("n"),
+        F.sum(dec("qty")).alias("s_qty"),
+        F.sum(dec("cents")).alias("s_cents"),
+        F.sum(dec("qty") * dec("qty")).alias("s_qtyqty"),
+        F.sum(dec("cents") * dec("cents")).alias("s_centscents"),
+        F.sum(dec("qty") * dec("cents")).alias("s_qtycents"),
+    )
+    got = mom.selectExpr(
+        _M34_R.format(x="qty", y="cents") + " AS r"
+    ).collect()[0][0]
+    want = np.corrcoef(np.array(xs, float), np.array(ys, float))[0, 1] * 1e6
+    assert abs(got - want) <= 2, (got, want)

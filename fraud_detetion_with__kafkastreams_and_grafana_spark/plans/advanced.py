@@ -5611,3 +5611,115 @@ def m40_matthews_corrcoef(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fn").cast("long").alias("fn"),
         F.when(ok, F.expr(_M40_MCC)).alias("mcc_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m41: Theil-Sen robust trend — the median of all pairwise slopes, the
+# estimator that shrugs at the outlier days that drag m30's OLS around.
+# Fully exact: slopes stay RATIONALS (dy, dx) compared by cross-
+# multiplication, the median slope is picked by rank over the bounded
+# day-pair frame, and only the final report division quantizes (micro,
+# multiply-first). Lower-median convention on the cross-multiplication
+# order.
+# ---------------------------------------------------------------------------
+
+_M41_SQL = """
+    WITH daily AS (
+      SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400
+               AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT b.cents - a.cents AS dy, b.d - a.d AS dx
+      FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    ranked AS (
+      SELECT dy, dx,
+             row_number() OVER (ORDER BY dy * 1.0 / dx, dy, dx) AS rk,
+             count(*) OVER () AS np
+      FROM pairs
+    )
+    SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+           CAST(np AS BIGINT) AS n_pairs,
+           CAST(dy AS BIGINT) AS med_dy,
+           CAST(dx AS BIGINT) AS med_dx,
+           CAST((1000000 * dy) // dx AS BIGINT) AS slope_micro_cents
+    FROM ranked WHERE rk = (np + 1) // 2
+"""
+
+
+@_register("m41_theil_sen_trend", _M41_SQL)
+def m41_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust daily-revenue trend: the median of all pairwise
+    (day_j - day_i) slopes over the per-day cents totals — the
+    breakdown-point-29% estimator that ignores the outlier days which
+    drag the OLS line (m30) around. Exactness discipline: each slope
+    stays the exact rational (dy, dx); the ordering key dy/dx is a
+    single IEEE division BOTH engines evaluate on identical integer
+    inputs with deterministic rational tie-breaks (dy, dx) behind it,
+    so the lower-median pick is reproducible; only the reported slope
+    quantizes (multiply-first micro floor).
+
+    Scale: the pair frame is |days|^2/2 over the DAY-bounded daily
+    aggregate (one corpus scan reduces to |days| rows first) — at any
+    corpus size this is a few thousand pairs, which is exactly why
+    Theil-Sen on pre-aggregated time series is tractable where
+    row-level all-pairs would not be. One scan, one bounded self-join,
+    one bounded window.
+
+    Reference parity: the robust form of the trend the reference's
+    Grafana graphs eyeball; public methodology (Theil 1950, Sen
+    1968)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_timestamp(
+        F.date_trunc("second", F.col("ts")).cast("timestamp")
+    )
+    daily = (
+        ev.select(
+            (t / 86400).cast("long").alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+        .localCheckpoint()  # |days| rows; feeds pairs AND the count
+    )
+    a = daily.select(
+        F.col("d").alias("da"), F.col("cents").alias("ca")
+    )
+    b = daily.select(
+        F.col("d").alias("db"), F.col("cents").alias("cb")
+    )
+    # broadcast bound: both sides are the |days|-row daily aggregate
+    pairs = a.join(F.broadcast(b), F.col("da") < F.col("db")).select(
+        (F.col("cb") - F.col("ca")).alias("dy"),
+        (F.col("db") - F.col("da")).alias("dx"),
+    )
+    w = Window.orderBy(
+        F.expr("dy * 1.0 / dx"), F.col("dy"), F.col("dx")
+    )
+    ranked = pairs.select(
+        "dy",
+        "dx",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(
+            Window.partitionBy()
+        ).alias("np"),
+    )
+    nd = daily.agg(F.count("*").alias("n_days"))
+    return (
+        ranked.where(F.col("rk") == F.expr("(np + 1) div 2"))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("np").cast("long").alias("n_pairs"),
+            F.col("dy").cast("long").alias("med_dy"),
+            F.col("dx").cast("long").alias("med_dx"),
+            F.expr(
+                "CAST((1000000 * dy) div dx AS BIGINT)"
+            ).alias("slope_micro_cents"),
+        )
+    )

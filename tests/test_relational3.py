@@ -223,3 +223,115 @@ def test_r89_merge_invariant_to_batching(spark, sf_dir):
     view = _r89_merge(view, _r89_agg(ord_.where(F.lit(False))))
     got = {r[0]: tuple(r[1:]) for r in view.collect()}
     assert got == direct
+
+
+# ---------------------------------------------------------------------------
+# Fraud-rules pack (r106-r115): independent brute-force closures in plain
+# Python over the collected event list — no SQL on either side.
+# ---------------------------------------------------------------------------
+
+
+def _events_secs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    s = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    return [
+        (r.user_id, r.s, r.cents)
+        for r in ev.select(
+            "user_id",
+            s.alias("s"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ).collect()
+    ]
+
+
+def test_r106_velocity_brute_force(spark, sf_dir):
+    rows = _events_secs(spark, sf_dir)
+    by_user: dict = {}
+    for u, s, _ in rows:
+        by_user.setdefault(u, []).append(s)
+    want = {}
+    for u, ss in by_user.items():
+        ss.sort()
+        alerts = 0
+        mx = 0
+        for i, s in enumerate(ss):
+            c = sum(1 for x in ss if s - 86399 <= x <= s)
+            mx = max(mx, c)
+            alerts += c >= 8
+        if alerts:
+            want[u] = (alerts, mx)
+    got = {
+        r.user_id: (r.n_alerts, r.max_trailing)
+        for r in relational3.QUERIES["r106_velocity_alerts"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_r109_dormancy_brute_force(spark, sf_dir):
+    rows = _events_secs(spark, sf_dir)
+    by_user: dict = {}
+    for u, s, _ in rows:
+        by_user.setdefault(u, []).append(s)
+    want = set()
+    for u, ss in by_user.items():
+        ss.sort()
+        for prev, cur in zip(ss, ss[1:]):
+            gap = cur - prev
+            if gap > 3 * 86400:
+                burst = sum(1 for x in ss if cur <= x <= cur + 86399)
+                want.add((u, cur, gap, burst, burst >= 2))
+    got = {
+        (r.user_id, r.reactivated_s, r.dormant_s, r.burst_n, r.burst_flag)
+        for r in relational3.QUERIES["r109_dormancy_reactivation"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
+
+
+def test_r113_streak_brute_force(spark, sf_dir):
+    rows = _events_secs(spark, sf_dir)
+    by_user: dict = {}
+    for u, s, _ in rows:
+        by_user.setdefault(u, set()).add(s // 86400)
+    for r in relational3.QUERIES["r113_longest_streak"](spark, sf_dir).collect():
+        days = sorted(by_user[r.user_id])
+        runs = []
+        start = prev = days[0]
+        for d in days[1:]:
+            if d == prev + 1:
+                prev = d
+                continue
+            runs.append((prev - start + 1, start))
+            start = prev = d
+        runs.append((prev - start + 1, start))
+        best = max(L for L, _ in runs)
+        first_best = min(s0 for L, s0 in runs if L == best)
+        assert (r.longest_streak, r.streak_start_d, r.n_runs) == (
+            best,
+            first_best,
+            len(runs),
+        ), r
+
+
+def test_r114_bins_partition_the_corpus(spark, sf_dir):
+    rows = relational3.QUERIES["r114_equiwidth_histogram"](spark, sf_dir).collect()
+    assert [r.bin for r in sorted(rows, key=lambda r: r.bin)] == list(range(10))
+    ev = _events_secs(spark, sf_dir)
+    assert sum(r.n for r in rows) == len(ev)
+    assert sum(r.sum_cents for r in rows) == sum(c for _, _, c in ev)
+
+
+def test_r115_mom_chain_consistency(spark, sf_dir):
+    rows = sorted(
+        relational3.QUERIES["r115_period_over_period"](spark, sf_dir).collect(),
+        key=lambda r: (r.y, r.mo),
+    )
+    assert rows[0].mom_delta_cents is None and rows[0].mom_pct is None
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.mom_delta_cents == cur.rev_cents - prev.rev_cents
+        assert abs(cur.mom_pct - cur.mom_delta_cents / prev.rev_cents) < 1e-12

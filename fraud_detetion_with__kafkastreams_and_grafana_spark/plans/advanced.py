@@ -5723,3 +5723,490 @@ def m41_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("slope_micro_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# m42-m47: forensic / nonparametric statistics pack — Benford's law,
+# Kendall tau-b, Gini, Fano burstiness, two-proportion z, weighted
+# median. Each keeps counts in exact integers and confines floats to
+# one closed-form expression both engines evaluate on identical inputs.
+# ---------------------------------------------------------------------------
+
+_M42_SQL = """
+    WITH c AS (
+      SELECT CAST(left(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                            AS VARCHAR), 1) AS INT) AS digit
+      FROM orders
+    ),
+    h AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM h)
+    SELECT h.digit, h.n,
+           CAST(h.n AS DOUBLE) / t.total AS share,
+           log10(1.0 + 1.0 / h.digit) AS benford_share,
+           (h.n - t.total * log10(1.0 + 1.0 / h.digit))
+             * (h.n - t.total * log10(1.0 + 1.0 / h.digit))
+             / (t.total * log10(1.0 + 1.0 / h.digit)) AS chi2_term
+    FROM h, t
+"""
+
+
+@_register("m42_benford_first_digit", _M42_SQL)
+def m42_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order amounts: observed count
+    and share per leading digit of the integer cents value, against the
+    Benford expectation log10(1 + 1/d), with the per-digit chi-square
+    contribution — THE forensic-accounting screen for fabricated
+    amounts (Benford 1938, Nigrini 1996; uniform synthetic amounts like
+    the reference generator's U[1000,11000) fail it loudly, which is
+    the point of the audit). The leading digit comes from the decimal
+    string of the exact cents integer — no float log on the value
+    path; chi-square terms are one closed-form float expression over
+    exact (n, total).
+
+    Scale: one scan to a 9-key map-side-combinable agg; the total is
+    derived from the 9-row frame (no second scan). Digit-domain
+    output.
+
+    Reference parity: audits the exact field the reference thresholds
+    (TransactionProcessor.java:37); public methodology."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    h = (
+        o.select(
+            F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    h = h.localCheckpoint()  # 9 rows
+    t = h.agg(F.sum("n").cast("long").alias("total"))
+    # broadcast bound: t is 1 row
+    j = h.crossJoin(F.broadcast(t))
+    exp_n = F.col("total") * F.log10(1.0 + 1.0 / F.col("digit"))
+    return j.select(
+        "digit",
+        "n",
+        (F.col("n").cast("double") / F.col("total")).alias("share"),
+        F.log10(1.0 + 1.0 / F.col("digit")).alias("benford_share"),
+        ((F.col("n") - exp_n) * (F.col("n") - exp_n) / exp_n).alias(
+            "chi2_term"
+        ),
+    )
+
+
+_M43_SQL = """
+    WITH m AS (
+      SELECT CAST(date_part('year', o_orderdate) AS INT) * 12
+               + CAST(date_part('month', o_orderdate) AS INT) AS mi,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    p AS (
+      SELECT CAST(sign(b.x - a.x) * sign(b.y - a.y) AS INT) AS s,
+             CAST(a.x = b.x AS INT) AS tx,
+             CAST(a.y = b.y AS INT) AS ty
+      FROM m a JOIN m b ON a.mi < b.mi
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n0,
+             CAST(count(*) FILTER (s > 0) AS BIGINT) AS conc,
+             CAST(count(*) FILTER (s < 0) AS BIGINT) AS disc,
+             CAST(sum(tx) AS BIGINT) AS ties_x,
+             CAST(sum(ty) AS BIGINT) AS ties_y
+      FROM p
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_months,
+           n0 AS n_pairs, conc, disc, ties_x, ties_y,
+           (conc - disc) / sqrt((n0 - ties_x)::DOUBLE * (n0 - ties_y))
+             AS tau_b
+    FROM agg
+"""
+
+
+@_register("m43_kendall_tau", _M43_SQL)
+def m43_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Kendall tau-b rank correlation between monthly order count
+    and monthly revenue — the tie-corrected concordant/discordant pair
+    statistic (Kendall 1945), complementing m37's Spearman: concordant,
+    discordant, and tie counts are exact integers off the pairwise
+    sign grid; tau-b is one closed-form float at the end.
+
+    Scale: the corpus reduces to the CALENDAR-bounded monthly frame
+    first (one scan, |months| rows); the O(|months|^2) pair join is a
+    few thousand rows at any corpus size — pairwise on pre-aggregated
+    series is the tractable form (m41's rationale), row-level
+    all-pairs would not be. Broadcast bound: the month frame.
+
+    Reference parity: none in reference; public statistic."""
+    o = load_table(spark, sf_dir, "orders")
+    m = (
+        o.select(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mi"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("mi")
+        .agg(
+            F.count("*").alias("x"),
+            F.sum("cents").cast("long").alias("y"),
+        )
+    )
+    m = m.localCheckpoint()  # |months| rows; feeds pairs AND n_months
+    a = m.select(
+        F.col("mi").alias("ma"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = m.select(
+        F.col("mi").alias("mb"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    # broadcast bound: month-domain frame (~80 rows)
+    pairs = a.join(F.broadcast(b), F.col("ma") < F.col("mb")).select(
+        (
+            F.signum(F.col("xb") - F.col("xa"))
+            * F.signum(F.col("yb") - F.col("ya"))
+        ).cast("int").alias("s"),
+        (F.col("xa") == F.col("xb")).cast("int").alias("tx"),
+        (F.col("ya") == F.col("yb")).cast("int").alias("ty"),
+    )
+    agg = pairs.agg(
+        F.count("*").alias("n0"),
+        F.sum((F.col("s") > 0).cast("long")).alias("conc"),
+        F.sum((F.col("s") < 0).cast("long")).alias("disc"),
+        F.sum("tx").cast("long").alias("ties_x"),
+        F.sum("ty").cast("long").alias("ties_y"),
+    )
+    nm = m.agg(F.count("*").cast("long").alias("n_months"))
+    # broadcast bound: 1 row
+    return agg.crossJoin(F.broadcast(nm)).select(
+        "n_months",
+        F.col("n0").alias("n_pairs"),
+        "conc",
+        "disc",
+        "ties_x",
+        "ties_y",
+        (
+            (F.col("conc") - F.col("disc"))
+            / F.sqrt(
+                (F.col("n0") - F.col("ties_x")).cast("double")
+                * (F.col("n0") - F.col("ties_y"))
+            )
+        ).alias("tau_b"),
+    )
+
+
+_M44_SQL = """
+    WITH cust AS (
+      SELECT c.c_nationkey AS nk,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_nationkey
+    ),
+    h AS (
+      SELECT nk, cents, CAST(count(*) AS BIGINT) AS c
+      FROM cust GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT nk, cents, c,
+             sum(c) OVER (PARTITION BY nk ORDER BY cents
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) - c AS m
+      FROM h
+    ),
+    agg AS (
+      SELECT nk,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(cents * c) AS BIGINT) AS total_cents,
+             CAST(sum(cents * (c * m + c * (c + 1) // 2)) AS BIGINT)
+               AS sri
+      FROM cum GROUP BY 1
+    )
+    SELECT nk AS c_nationkey, n AS n_cust, total_cents,
+           (2.0 * sri - (n + 1) * CAST(total_cents AS DOUBLE))
+             / (CAST(n AS DOUBLE) * total_cents) AS gini
+    FROM agg
+    WHERE n > 1
+"""
+
+
+@_register("m44_gini_lorenz", _M44_SQL)
+def m44_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend per nation — the Lorenz-curve
+    inequality of wallet concentration (G = (2*sum(i*x_i) - (n+1)*sum x)
+    / (n*sum x) over ascending-sorted spend). The rank-weighted sum
+    collapses through the VALUE-DOMAIN histogram: a spend value v with
+    count c after cumulative-prior m contributes v*(c*m + c*(c+1)/2) —
+    equal values commute, so no row-level sort exists anywhere and the
+    statistic is exact in integers until the final division.
+
+    Scale: orders -> per-customer partials (one custkey shuffle), then
+    the (nation, cents) histogram; the cumulative window orders the
+    HISTOGRAM (distinct spend values per nation), never customers.
+    Same posture as r105/r100.
+
+    Reference parity: none in reference; public statistic (Gini 1912),
+    the inequality view of q1's top-10 concentration."""
+    from pyspark.sql.window import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    h = (
+        cust.groupBy(F.col("c_nationkey").alias("nk"), "cents")
+        .agg(F.count("*").alias("c"))
+    )
+    w = (
+        Window.partitionBy("nk")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = h.select(
+        "nk", "cents", "c", (F.sum("c").over(w) - F.col("c")).alias("m")
+    )
+    agg = cum.groupBy("nk").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("cents") * F.col("c")).cast("long").alias("total_cents"),
+        F.sum(
+            F.col("cents")
+            * (
+                F.col("c") * F.col("m")
+                + F.expr("c * (c + 1) div 2")
+            )
+        )
+        .cast("long")
+        .alias("sri"),
+    )
+    return agg.where(F.col("n") > 1).select(
+        F.col("nk").alias("c_nationkey"),
+        F.col("n").alias("n_cust"),
+        "total_cents",
+        (
+            (
+                2.0 * F.col("sri")
+                - (F.col("n") + 1) * F.col("total_cents").cast("double")
+            )
+            / (F.col("n").cast("double") * F.col("total_cents"))
+        ).alias("gini"),
+    )
+
+
+_M45_SQL = """
+    WITH span AS (
+      SELECT CAST(max(CAST(date_part('epoch', date_trunc('second', ts))
+                           AS BIGINT) // 86400)
+                  - min(CAST(date_part('epoch', date_trunc('second', ts))
+                             AS BIGINT) // 86400) + 1 AS BIGINT) AS nd
+      FROM events
+    ),
+    dc AS (
+      SELECT user_id,
+             CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT)
+               // 86400 AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    u AS (
+      SELECT user_id, CAST(sum(c) AS BIGINT) AS sc,
+             CAST(sum(c * c) AS BIGINT) AS scc,
+             CAST(count(*) AS BIGINT) AS active_days
+      FROM dc GROUP BY 1
+    )
+    SELECT u.user_id, u.sc AS n_events, u.active_days, span.nd AS n_days,
+           (span.nd * u.scc - u.sc * u.sc)::DOUBLE
+             / ((span.nd - 1) * u.sc) AS fano
+    FROM u, span
+"""
+
+
+@_register("m45_fano_burstiness", _M45_SQL)
+def m45_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean ratio of daily event counts, zero
+    days included) per user — the burstiness index: ~1 for a Poisson
+    arrival process, >1 for bursty card-testing bots, <1 for metronomic
+    scripts. Inclusion of zero-count days needs NO day scaffold: zeros
+    contribute nothing to sum(c) or sum(c^2), so Fano reduces to
+    (n*scc - sc^2) / ((n-1)*sc) over active-day partials with n = the
+    global day span — exact integers into one final division.
+
+    Scale: (user, day) agg then user agg (shared partitioning); the
+    day span is a 1-row broadcast. No scaffold join, no window.
+
+    Reference parity: none in reference; public point-process
+    statistic (Fano 1947) over the event stream R1 generates."""
+    ev = load_table(spark, sf_dir, "events")
+    s = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    d = ev.select("user_id", (s / 86400).cast("long").alias("d"))
+    span = d.agg(
+        (F.max("d") - F.min("d") + 1).cast("long").alias("nd")
+    )
+    dc = d.groupBy("user_id", "d").agg(F.count("*").alias("c"))
+    u = dc.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("scc"),
+        F.count("*").alias("active_days"),
+    )
+    # broadcast bound: span is 1 row
+    j = u.crossJoin(F.broadcast(span))
+    return j.select(
+        "user_id",
+        F.col("sc").alias("n_events"),
+        "active_days",
+        F.col("nd").alias("n_days"),
+        (
+            (F.col("nd") * F.col("scc") - F.col("sc") * F.col("sc")).cast(
+                "double"
+            )
+            / ((F.col("nd") - 1) * F.col("sc"))
+        ).alias("fano"),
+    )
+
+
+_M46_SQL = """
+    WITH e AS (
+      SELECT CAST(isodow(ts) >= 6 AS INT) AS wk,
+             CAST(event_type = 'purchase' AS INT) AS conv
+      FROM events
+    ),
+    g AS (
+      SELECT CAST(count(*) FILTER (wk = 1) AS BIGINT) AS n1,
+             CAST(sum(conv) FILTER (wk = 1) AS BIGINT) AS x1,
+             CAST(count(*) FILTER (wk = 0) AS BIGINT) AS n2,
+             CAST(sum(conv) FILTER (wk = 0) AS BIGINT) AS x2
+      FROM e
+    )
+    SELECT n1, x1, n2, x2,
+           x1::DOUBLE / n1 AS p1, x2::DOUBLE / n2 AS p2,
+           (x1::DOUBLE / n1 - x2::DOUBLE / n2)
+             / sqrt((x1 + x2)::DOUBLE / (n1 + n2)
+                    * (1 - (x1 + x2)::DOUBLE / (n1 + n2))
+                    * (1.0 / n1 + 1.0 / n2)) AS z
+    FROM g
+"""
+
+
+@_register("m46_two_proportion_ztest", _M46_SQL)
+def m46_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled two-proportion z-test: weekend vs weekday purchase
+    conversion — the A/B significance test in its canonical form
+    (pooled p under H0, z = (p1-p2)/sqrt(p(1-p)(1/n1+1/n2))). All four
+    cell counts are exact integers from ONE conditional aggregate (no
+    split/join); the z is a single closed-form float.
+
+    Scale: one scan, one 1-row aggregate — entirely map-side partials.
+    ISO day-of-week on both engines (Spark weekday()+1 = DuckDB
+    isodow) pins the weekend definition identically.
+
+    Reference parity: none in reference; public test, the
+    significance layer for the reference's dashboard comparisons."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        ((F.expr("weekday(ts)") + 1) >= 6).cast("int").alias("wk"),
+        (F.col("event_type") == "purchase").cast("int").alias("conv"),
+    )
+    g = e.agg(
+        F.sum((F.col("wk") == 1).cast("long")).alias("n1"),
+        F.sum(F.when(F.col("wk") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("x1"),
+        F.sum((F.col("wk") == 0).cast("long")).alias("n2"),
+        F.sum(F.when(F.col("wk") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("x2"),
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p2 = F.col("x2").cast("double") / F.col("n2")
+    pp = (F.col("x1") + F.col("x2")).cast("double") / (
+        F.col("n1") + F.col("n2")
+    )
+    return g.select(
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        p1.alias("p1"),
+        p2.alias("p2"),
+        (
+            (p1 - p2)
+            / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n2")))
+        ).alias("z"),
+    )
+
+
+_M47_SQL = """
+    WITH h AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT flag, cents, w,
+             sum(w) OVER (PARTITION BY flag ORDER BY cents
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cw,
+             sum(w) OVER (PARTITION BY flag) AS tw
+      FROM h
+    )
+    SELECT flag AS l_returnflag,
+           CAST(min(tw) AS BIGINT) AS total_weight,
+           CAST(min(cents) FILTER (2 * cw >= tw) AS BIGINT)
+             AS wmedian_cents
+    FROM cum
+    GROUP BY flag
+"""
+
+
+@_register("m47_weighted_median", _M47_SQL)
+def m47_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (lower) of extended price weighted by quantity,
+    per return flag: the smallest value whose cumulative weight reaches
+    half the total — exact integer weights (quantities are integral),
+    deterministic lower-median convention, zero float arithmetic.
+
+    Scale: value-domain histogram posture (r105/m44) — the cumulative
+    window orders distinct (flag, cents) histogram rows, never
+    lineitem; one scan, map-side-combinable first agg.
+
+    Reference parity: none in reference; ANSI-adjacent public
+    operator (weighted PERCENTILE_DISC 0.5)."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    h = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .groupBy("flag", "cents")
+        .agg(F.sum("q").cast("long").alias("w"))
+    )
+    wcum = (
+        Window.partitionBy("flag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = h.select(
+        "flag",
+        "cents",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(Window.partitionBy("flag")).alias("tw"),
+    )
+    return cum.groupBy("flag").agg(
+        F.min("tw").cast("long").alias("total_weight"),
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("cents")))
+        .cast("long")
+        .alias("wmedian_cents"),
+    ).select(
+        F.col("flag").alias("l_returnflag"), "total_weight", "wmedian_cents"
+    )

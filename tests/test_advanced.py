@@ -24,3 +24,180 @@ def test_advanced_oracle_parity(spark, duck, sf_dir, name):
         spark, duck, name, advanced.QUERIES[name], advanced.ORACLES.get(name), sf_dir
     )
     assert res.ok, res.detail
+
+
+# ---------------------------------------------------------------------------
+# m42-m47 statistics pack: pure-Python brute-force closures on the
+# actual sf table data — no SQL on the checking side.
+# ---------------------------------------------------------------------------
+
+
+def _orders_cents(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    return [
+        (r.y, r.mo, r.cents)
+        for r in o.select(
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("mo"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        ).collect()
+    ]
+
+
+def test_m42_benford_brute(spark, sf_dir):
+    rows = _orders_cents(spark, sf_dir)
+    import collections
+    import math
+
+    cnt = collections.Counter(int(str(c)[0]) for _, _, c in rows)
+    total = sum(cnt.values())
+    got = {
+        r.digit: r
+        for r in advanced.QUERIES["m42_benford_first_digit"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(cnt)
+    for d, n in cnt.items():
+        r = got[d]
+        exp = total * math.log10(1 + 1 / d)
+        assert r.n == n
+        assert abs(r.share - n / total) < 1e-12
+        assert abs(r.chi2_term - (n - exp) ** 2 / exp) < 1e-9
+
+
+def test_m43_kendall_brute(spark, sf_dir):
+    import collections
+    import math
+
+    rows = _orders_cents(spark, sf_dir)
+    m = collections.defaultdict(lambda: [0, 0])
+    for y, mo, c in rows:
+        k = y * 12 + mo
+        m[k][0] += 1
+        m[k][1] += c
+    pts = [tuple(v) for _, v in sorted(m.items())]
+    conc = disc = tx = ty = 0
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            sx = (pts[j][0] > pts[i][0]) - (pts[j][0] < pts[i][0])
+            sy = (pts[j][1] > pts[i][1]) - (pts[j][1] < pts[i][1])
+            conc += sx * sy > 0
+            disc += sx * sy < 0
+            tx += sx == 0
+            ty += sy == 0
+    n0 = len(pts) * (len(pts) - 1) // 2
+    r = advanced.QUERIES["m43_kendall_tau"](spark, sf_dir).collect()[0]
+    assert (r.n_months, r.n_pairs, r.conc, r.disc, r.ties_x, r.ties_y) == (
+        len(pts), n0, conc, disc, tx, ty,
+    )
+    assert abs(r.tau_b - (conc - disc) / math.sqrt((n0 - tx) * (n0 - ty))) < 1e-12
+
+
+def test_m44_gini_brute(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .collect()
+    )
+    import collections
+
+    by_nation = collections.defaultdict(list)
+    for r in cust:
+        by_nation[r.c_nationkey].append(r.cents)
+    got = {r.c_nationkey: r for r in advanced.QUERIES["m44_gini_lorenz"](spark, sf_dir).collect()}
+    for nk, xs in by_nation.items():
+        if len(xs) <= 1:
+            assert nk not in got
+            continue
+        xs.sort()
+        n, tot = len(xs), sum(xs)
+        sri = sum((i + 1) * x for i, x in enumerate(xs))
+        want = (2.0 * sri - (n + 1) * float(tot)) / (n * float(tot))
+        assert got[nk].n_cust == n and got[nk].total_cents == tot
+        assert abs(got[nk].gini - want) < 1e-12, (nk, got[nk].gini, want)
+
+
+def test_m45_fano_brute(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    s = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    rows = ev.select("user_id", (s / 86400).cast("long").alias("d")).collect()
+    import collections
+    import statistics
+
+    days = [r.d for r in rows]
+    lo, hi = min(days), max(days)
+    span = list(range(lo, hi + 1))
+    per_user = collections.defaultdict(collections.Counter)
+    for r in rows:
+        per_user[r.user_id][r.d] += 1
+    got = {r.user_id: r for r in advanced.QUERIES["m45_fano_burstiness"](spark, sf_dir).collect()}
+    assert set(got) == set(per_user)
+    for u, cnt in per_user.items():
+        series = [cnt.get(d, 0) for d in span]
+        fano = statistics.variance(series) / statistics.mean(series)
+        assert got[u].n_days == len(span)
+        assert got[u].n_events == sum(series)
+        assert got[u].active_days == len(cnt)
+        assert abs(got[u].fano - fano) < 1e-9, (u, got[u].fano, fano)
+
+
+def test_m46_ztest_brute(spark, sf_dir):
+    import math
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+
+    pdf = load_table(spark, sf_dir, "events").select("ts", "event_type").toPandas()
+    wk = pdf.ts.dt.weekday >= 5  # pandas: 0=Mon ... 6=Sun
+    conv = pdf.event_type == "purchase"
+    n1, x1 = int(wk.sum()), int((wk & conv).sum())
+    n2, x2 = int((~wk).sum()), int((~wk & conv).sum())
+    r = advanced.QUERIES["m46_two_proportion_ztest"](spark, sf_dir).collect()[0]
+    assert (r.n1, r.x1, r.n2, r.x2) == (n1, x1, n2, x2)
+    pp = (x1 + x2) / (n1 + n2)
+    want = (x1 / n1 - x2 / n2) / math.sqrt(pp * (1 - pp) * (1 / n1 + 1 / n2))
+    assert abs(r.z - want) < 1e-12
+
+
+def test_m47_weighted_median_brute(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("q"),
+    ).collect()
+    import collections
+
+    by_flag = collections.defaultdict(list)
+    for r in rows:
+        by_flag[r.l_returnflag].append((r.cents, r.q))
+    got = {r.l_returnflag: r for r in advanced.QUERIES["m47_weighted_median"](spark, sf_dir).collect()}
+    for flag, vw in by_flag.items():
+        vw.sort()
+        tw = sum(w for _, w in vw)
+        acc = 0
+        med = None
+        for v, w in vw:
+            acc += w
+            if 2 * acc >= tw:
+                med = v
+                break
+        assert got[flag].total_weight == tw
+        assert got[flag].wmedian_cents == med

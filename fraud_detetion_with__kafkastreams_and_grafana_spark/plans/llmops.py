@@ -6498,3 +6498,203 @@ def l97_int8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# l98-l100: corpus quality filters, round 10 — the Gopher rule set,
+# lexical diversity, and intra-document n-gram repetition. All three
+# stay JVM-side: l98/l100 are pure per-row array expressions (zero
+# shuffle before the report agg), l99's one shuffle is the (doc, word)
+# count it genuinely needs.
+# ---------------------------------------------------------------------------
+
+_L98_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with", "a")
+_L98_MIN_WORDS, _L98_MAX_WORDS = 50, 100000
+_L98_MIN_WL, _L98_MAX_WL = 3.0, 10.0
+
+_L98_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, lang, source,
+             len(string_split(text, ' ')) AS nw,
+             (length(text) - len(string_split(text, ' ')) + 1)::DOUBLE
+               / len(string_split(text, ' ')) AS mwl
+      FROM documents
+    ),
+    stop AS (
+      SELECT doc_id, count(DISTINCT word) AS nstop
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      WHERE word IN ({", ".join("'" + w + "'" for w in _L98_STOPWORDS)})
+      GROUP BY doc_id
+    ),
+    r AS (
+      SELECT d.lang, d.source,
+             CAST(d.nw BETWEEN {_L98_MIN_WORDS} AND {_L98_MAX_WORDS}
+                  AS INT) AS ok_nw,
+             CAST(d.mwl BETWEEN {_L98_MIN_WL} AND {_L98_MAX_WL}
+                  AS INT) AS ok_wl,
+             CAST(coalesce(stop.nstop, 0) >= 2 AS INT) AS ok_stop
+      FROM d LEFT JOIN stop USING (doc_id)
+    )
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(1 - ok_nw) AS BIGINT) AS fail_wordcount,
+           CAST(sum(1 - ok_wl) AS BIGINT) AS fail_wordlen,
+           CAST(sum(1 - ok_stop) AS BIGINT) AS fail_stopwords,
+           CAST(sum(ok_nw * ok_wl * ok_stop) AS BIGINT) AS n_pass
+    FROM r
+    GROUP BY lang, source
+"""
+
+
+@_register("l98_gopher_quality_rules", _L98_SQL)
+def l98_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule set (Rae et al. 2021 §A1.1) per corpus
+    slice: word count in [50, 100k], mean word length in [3, 10], and
+    >= 2 distinct canonical stopwords — reported as per-(lang, source)
+    fail counts per rule plus the all-rules pass count, i.e. the
+    filter-audit table a curation run reads before committing a sweep.
+    Mean word length uses the identity (chars - (nw-1)) / nw on
+    single-space text — no explode on that path; the stopword rule is
+    an array_intersect against a 9-literal list — per-row, no join.
+
+    Scale: every rule is a per-row JVM expression (split/size/
+    array_intersect inside whole-stage codegen); the only shuffle is
+    the final (lang, source) report agg — map-side combinable, key
+    domain = slices. Text never crosses a shuffle.
+
+    Reference parity: none in reference; public methodology (Gopher,
+    Rae et al. 2021)."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    nw = F.size(ws)
+    mwl = (F.length("text") - nw + 1).cast("double") / nw
+    nstop = F.size(
+        F.array_intersect(
+            F.array_distinct(ws),
+            F.array(*[F.lit(w) for w in _L98_STOPWORDS]),
+        )
+    )
+    r = d.select(
+        "lang",
+        "source",
+        nw.between(_L98_MIN_WORDS, _L98_MAX_WORDS).cast("int").alias("ok_nw"),
+        mwl.between(_L98_MIN_WL, _L98_MAX_WL).cast("int").alias("ok_wl"),
+        (nstop >= 2).cast("int").alias("ok_stop"),
+    )
+    return r.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(1 - F.col("ok_nw")).cast("long").alias("fail_wordcount"),
+        F.sum(1 - F.col("ok_wl")).cast("long").alias("fail_wordlen"),
+        F.sum(1 - F.col("ok_stop")).cast("long").alias("fail_stopwords"),
+        F.sum(F.col("ok_nw") * F.col("ok_wl") * F.col("ok_stop"))
+        .cast("long")
+        .alias("n_pass"),
+    )
+
+
+_L99_SQL = """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    wc AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+      FROM w GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_words,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(count(*) FILTER (c = 1) AS BIGINT) AS n_hapax,
+           count(*)::DOUBLE / sum(c) AS ttr,
+           (count(*) FILTER (c = 1))::DOUBLE / count(*) AS hapax_share
+    FROM wc
+    GROUP BY doc_id
+"""
+
+
+@_register("l99_lexical_diversity", _L99_SQL)
+def l99_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per document: type count, type-token ratio,
+    and hapax-legomenon share — the vocabulary-richness quality signal
+    (low TTR = template spam / keyword stuffing; complements l21's
+    repetition and l94's corpus-level Zipf slope with a PER-DOC
+    measure). Exact integer counts; the two ratios divide those
+    integers identically on both engines.
+
+    Scale: one explode shuffled on (doc_id, word) — the exact-count
+    form needs it; partial aggregation collapses repeats map-side
+    first. The second agg rides the same doc_id partitioning. Words
+    cross the shuffle, full text never does.
+
+    Reference parity: none in reference; public corpus-linguistics
+    measures (Herdan 1960)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    wc = w.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
+    return wc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.count("*").alias("n_types"),
+        F.sum((F.col("c") == 1).cast("long")).alias("n_hapax"),
+        (F.count("*").cast("double") / F.sum("c")).alias("ttr"),
+        (
+            F.sum((F.col("c") == 1).cast("long")).cast("double")
+            / F.count("*")
+        ).alias("hapax_share"),
+    )
+
+
+_L100_SQL = """
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_aggregate(list_slice(ws, i, i + 1), 'string_agg', ' ')
+               AS gram
+      FROM words,
+           LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
+           1.0 - count(DISTINCT gram)::DOUBLE / count(*) AS dup_rate
+    FROM g
+    GROUP BY doc_id
+"""
+
+
+@_register("l100_dup_bigram_rate", _L100_SQL)
+def l100_dup_bigram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-bigram rate: 1 - distinct/total word
+    bigrams per doc — the duplicate-n-gram quality signal of C4/Gopher
+    (MassiveText drops docs whose duplicate 2-gram fraction is high).
+    The Spark side builds bigrams with transform(sequence(...)) and
+    counts with size/array_distinct — a pure per-row expression, so
+    the ENTIRE statistic computes scan-side with ZERO shuffles: the
+    plan is scan -> project. (The oracle needs a lateral unnest; the
+    engine doesn't.)
+
+    Scale: no exchange anywhere — embarrassingly parallel over file
+    splits; memory per row is the bigram array (~doc length). This is
+    the shape to prefer over l99's explode whenever per-doc
+    distinctness suffices.
+
+    Reference parity: none in reference; public methodology (C4,
+    Raffel et al. 2020; Gopher repetition rules)."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = F.expr(
+        "transform(sequence(0, size(split(text, ' ')) - 2),"
+        " i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i + 1]))"
+    )
+    r = d.select("doc_id", grams.alias("grams"))
+    return r.select(
+        "doc_id",
+        F.size("grams").cast("long").alias("n_grams"),
+        F.size(F.array_distinct("grams")).cast("long").alias("n_distinct"),
+        (
+            1.0
+            - F.size(F.array_distinct("grams")).cast("double")
+            / F.size("grams")
+        ).alias("dup_rate"),
+    )

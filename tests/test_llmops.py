@@ -1321,3 +1321,75 @@ def test_l94_zipf_slope_matches_numpy(spark):
     assert row.n_types == 5
     assert abs(row.slope_micro - slope * 1e6) <= 2
     assert abs(row.intercept_micro - intercept) <= 2
+
+
+# ---------------------------------------------------------------------------
+# l98-l100 quality filters: pure-Python closures over the raw text.
+# ---------------------------------------------------------------------------
+
+
+def _doc_texts(spark, sf_dir):
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+
+    return [
+        (r.doc_id, r.lang, r.source, r.text)
+        for r in load_table(spark, sf_dir, "documents").collect()
+    ]
+
+
+def test_l98_gopher_rules_brute(spark, sf_dir):
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.llmops import (
+        _L98_STOPWORDS,
+    )
+
+    docs = _doc_texts(spark, sf_dir)
+    import collections
+
+    agg = collections.defaultdict(lambda: [0, 0, 0, 0, 0])
+    for _, lang, source, text in docs:
+        ws = text.split(" ")
+        nw = len(ws)
+        ok_nw = 50 <= nw <= 100000
+        ok_wl = 3.0 <= sum(len(w) for w in ws) / nw <= 10.0
+        ok_stop = len(set(ws) & set(_L98_STOPWORDS)) >= 2
+        a = agg[(lang, source)]
+        a[0] += 1
+        a[1] += not ok_nw
+        a[2] += not ok_wl
+        a[3] += not ok_stop
+        a[4] += ok_nw and ok_wl and ok_stop
+    got = {
+        (r.lang, r.source): [
+            r.n_docs, r.fail_wordcount, r.fail_wordlen, r.fail_stopwords, r.n_pass
+        ]
+        for r in llmops.QUERIES["l98_gopher_quality_rules"](spark, sf_dir).collect()
+    }
+    assert got == {k: list(v) for k, v in agg.items()}
+
+
+def test_l99_and_l100_brute(spark, sf_dir):
+    import collections
+
+    docs = _doc_texts(spark, sf_dir)
+    l99 = {
+        r.doc_id: r
+        for r in llmops.QUERIES["l99_lexical_diversity"](spark, sf_dir).collect()
+    }
+    l100 = {
+        r.doc_id: r
+        for r in llmops.QUERIES["l100_dup_bigram_rate"](spark, sf_dir).collect()
+    }
+    for doc_id, _, _, text in docs:
+        ws = text.split(" ")
+        cnt = collections.Counter(ws)
+        r = l99[doc_id]
+        assert (r.n_words, r.n_types, r.n_hapax) == (
+            len(ws),
+            len(cnt),
+            sum(1 for c in cnt.values() if c == 1),
+        )
+        assert abs(r.ttr - len(cnt) / len(ws)) < 1e-12
+        grams = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        g = l100[doc_id]
+        assert (g.n_grams, g.n_distinct) == (len(grams), len(set(grams)))
+        assert abs(g.dup_rate - (1 - len(set(grams)) / len(grams))) < 1e-12

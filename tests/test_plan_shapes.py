@@ -746,3 +746,34 @@ def test_l93_windows_use_segmented_scan(spark, sf_dir):
     assert "CartesianProduct" not in p, p
     assert p.count("Exchange SinglePartition") == 1, p
     assert "BroadcastExchange" in p, p
+
+
+def test_l100_dup_bigram_is_pure_narrow_projection(spark, sf_dir):
+    """The repeated-bigram statistic must compute scan-side: the whole
+    plan is scan -> project (per-row transform/array_distinct), zero
+    exchanges anywhere."""
+    p = _plan(llmops.QUERIES["l100_dup_bigram_rate"](spark, sf_dir))
+    assert "Exchange" not in p, p
+
+
+def test_l98_gopher_single_report_shuffle(spark, sf_dir):
+    """Every Gopher rule is a per-row expression; the only exchange in
+    the plan is the final (lang, source) report aggregation."""
+    p = _plan(llmops.QUERIES["l98_gopher_quality_rules"](spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_r106_velocity_one_user_shuffle(spark, sf_dir):
+    """The trailing-window count and the per-user rollup must share ONE
+    user_id exchange — no self-join anywhere in the velocity rule."""
+    p = _plan(relational3.QUERIES["r106_velocity_alerts"](spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Join" not in p, p
+
+
+def test_r109_dormancy_two_frames_one_shuffle(spark, sf_dir):
+    """Backward gap (lag) and forward burst (RANGE FOLLOWING) must ride
+    the same user_id sort: one exchange, window operators only."""
+    p = _plan(relational3.QUERIES["r109_dormancy_reactivation"](spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Join" not in p, p

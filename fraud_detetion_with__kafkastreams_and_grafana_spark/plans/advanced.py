@@ -6210,3 +6210,24 @@ def m47_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("flag").alias("l_returnflag"), "total_weight", "wmedian_cents"
     )
+
+
+def benford_from_digit_counts(h: "DataFrame") -> "DataFrame":
+    """(digit, n) counts -> m42's report rows. The total derives from
+    the 9-row frame, so merged micro-batch partials feed it directly.
+    Shared by the s53 streaming twin."""
+    h = h.groupBy("digit").agg(F.sum("n").cast("long").alias("n"))
+    h = h.localCheckpoint()  # 9 rows
+    t = h.agg(F.sum("n").cast("long").alias("total"))
+    # broadcast bound: t is 1 row
+    j = h.crossJoin(F.broadcast(t))
+    exp_n = F.col("total") * F.log10(1.0 + 1.0 / F.col("digit"))
+    return j.select(
+        "digit",
+        "n",
+        (F.col("n").cast("double") / F.col("total")).alias("share"),
+        F.log10(1.0 + 1.0 / F.col("digit")).alias("benford_share"),
+        ((F.col("n") - exp_n) * (F.col("n") - exp_n) / exp_n).alias(
+            "chi2_term"
+        ),
+    )

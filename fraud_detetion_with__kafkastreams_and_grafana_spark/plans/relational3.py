@@ -5428,3 +5428,69 @@ def r115_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((F.col("rev_cents") - prev).cast("double") / prev)
         .alias("mom_pct"),
     )
+
+
+def velocity_from_second_counts(sc: DataFrame) -> DataFrame:
+    """(user_id, s, c) per-second counts -> r106's exact output. Events
+    sharing a second share their trailing-24h count (a RANGE frame
+    includes all order-value peers), so the per-event statistic
+    collapses onto the per-second frame: trailing = windowed sum of c,
+    alerts = sum(c) where trailing >= K. Shared by the s50 streaming
+    twin, whose micro-batch partials are exactly these counts."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s")
+        .rangeBetween(-(_R106_WINDOW_S - 1), Window.currentRow)
+    )
+    t = sc.select(
+        "user_id", "c", F.sum("c").over(w).alias("trailing")
+    )
+    return (
+        t.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("trailing") >= _R106_K, F.col("c")).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_alerts"),
+            F.max("trailing").cast("long").alias("max_trailing"),
+        )
+        .where(F.col("n_alerts") > 0)
+    )
+
+
+def structuring_from_userday(ud: DataFrame) -> DataFrame:
+    """(user_id, d, n_band, band_cents) partials -> r108's output: merge
+    by key, apply the >= K incident cut. Shared by the s51 twin."""
+    return (
+        ud.groupBy("user_id", "d")
+        .agg(
+            F.sum("n_band").cast("long").alias("n_band"),
+            F.sum("band_cents").cast("long").alias("band_cents"),
+        )
+        .where(F.col("n_band") >= _R108_K)
+        .select(
+            "user_id",
+            F.col("d").cast("long").alias("d"),
+            "n_band",
+            "band_cents",
+        )
+    )
+
+
+def equiwidth_from_bins(spark: SparkSession, h: DataFrame) -> DataFrame:
+    """(bin, n, sum_cents) partials -> r114's output including the
+    materialized empty bins. Shared by the s52 twin."""
+    m = h.groupBy("bin").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sum_cents").cast("long").alias("sum_cents"),
+    )
+    scaffold = spark.range(_R114_BINS).select(F.col("id").alias("bin"))
+    # broadcast bound: merged bin frame is <= _R114_BINS rows
+    j = scaffold.join(F.broadcast(m), "bin", "left")
+    return j.select(
+        "bin",
+        (F.col("bin") * _R114_WIDTH_CENTS).cast("long").alias("lo_cents"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        F.coalesce("sum_cents", F.lit(0)).cast("long").alias("sum_cents"),
+    )

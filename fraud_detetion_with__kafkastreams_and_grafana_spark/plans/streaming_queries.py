@@ -4110,3 +4110,254 @@ def s49_stream_decayed_leaderboard(
         )
     )
     return decayed_leaderboard_from_daily(merged)
+
+
+# ---------------------------------------------------------------------------
+# s50-s53: streaming twins of the round-10 fraud-rules pack. Same
+# discipline as s41-s49: each micro-batch reduces to associative
+# keyed partials inside foreachBatch, lands idempotently (dynamic
+# partition overwrite keyed by batch id), and the snapshot re-derives
+# through the batch query's shared tail — bit-for-bit equal to the
+# batch form, sharing its oracle verbatim.
+# ---------------------------------------------------------------------------
+
+
+def _events_proj_wire(spark: SparkSession, sf_dir: str, cols) -> str:
+    """JSON wire dir for an events projection (replay input)."""
+    from ..streaming.replay import materialize_wire_dir
+
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_timestamp(
+        F.date_trunc("second", F.col("ts")).cast("timestamp")
+    )
+    wire = ev.select(
+        F.to_json(F.struct(*cols(t))).alias("value")
+    )
+    return materialize_wire_dir(wire)
+
+
+def _partial_replay(spark, wire_dir, schema, reduce_fn, prefix):
+    """Run the standard partial-merge replay: parse wire JSON, reduce
+    each micro-batch with reduce_fn, land partitioned by batch id,
+    return the merged parquet frame."""
+    import atexit
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix=f"spark_graft_{prefix}_sink_")
+    ckpt = tempfile.mkdtemp(prefix=f"spark_graft_{prefix}_ckpt_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+
+    def write_partials(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.select(F.from_json("value", schema).alias("r")).select(
+            "r.*"
+        )
+        b = b.where(b.columns[0] + " IS NOT NULL")
+        (
+            reduce_fn(b)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
+
+    stream = (
+        spark.readStream.schema("value STRING")
+        # 2 micro-batches: associative partials (s31's rationale)
+        .option("maxFilesPerTrigger", 4)
+        .text(wire_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(write_partials)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out).drop("_batch_id")
+
+
+def _r106_oracle_sql() -> str:
+    from .relational3 import ORACLES as _R3
+
+    return _R3["r106_velocity_alerts"]
+
+
+@_register("s50_stream_velocity", _r106_oracle_sql())
+def s50_stream_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r106's velocity rule maintained ON INGEST: micro-batches reduce
+    to (user, second) counts — associative, and sufficient because a
+    RANGE frame gives every event in a second the identical trailing
+    count — then the merged per-second frame flows through the shared
+    tail (velocity_from_second_counts). Equal to batch r106
+    bit-for-bit, sharing its oracle verbatim.
+
+    Scale: partials are bounded by active (user, second) pairs per
+    batch; no raw event is stored twice, no streaming state — the
+    trailing-window evaluation happens on the merged bounded frame at
+    refresh."""
+    from .relational3 import velocity_from_second_counts
+
+    d = _events_proj_wire(
+        spark,
+        sf_dir,
+        lambda t: ["user_id", t.cast("long").alias("s")],
+    )
+    merged = _partial_replay(
+        spark,
+        d,
+        "user_id LONG, s LONG",
+        lambda b: b.groupBy("user_id", "s").agg(F.count("*").alias("c")),
+        "s50",
+    )
+    sc = merged.groupBy("user_id", "s").agg(F.sum("c").alias("c"))
+    return velocity_from_second_counts(sc)
+
+
+def _r108_oracle_sql() -> str:
+    from .relational3 import ORACLES as _R3
+
+    return _R3["r108_structuring"]
+
+
+@_register("s51_stream_structuring", _r108_oracle_sql())
+def s51_stream_structuring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r108's structuring (smurfing) detector as a live rule: each
+    micro-batch filters to the just-under-threshold band (map-side,
+    the wire carries only band rows) and lands (user, day)
+    count/cents partials; the snapshot merges and applies the >= K
+    incident cut through the shared tail. Equal to batch r108,
+    sharing its oracle verbatim.
+
+    Scale: the band filter runs BEFORE the wire in production (here:
+    in the batch reducer) so partial volume is ~2% of events; merge
+    and cut cost the incident-candidate frame only."""
+    from .relational3 import _R108_HI, _R108_LO, structuring_from_userday
+
+    d = _events_proj_wire(
+        spark,
+        sf_dir,
+        lambda t: [
+            "user_id",
+            (t / 86400).cast("long").alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ],
+    )
+    lo, hi = int(_R108_LO * 100), int(_R108_HI * 100)
+    merged = _partial_replay(
+        spark,
+        d,
+        "user_id LONG, d LONG, cents LONG",
+        lambda b: (
+            b.where((F.col("cents") >= lo) & (F.col("cents") < hi))
+            .groupBy("user_id", "d")
+            .agg(
+                F.count("*").alias("n_band"),
+                F.sum("cents").alias("band_cents"),
+            )
+        ),
+        "s51",
+    )
+    return structuring_from_userday(merged)
+
+
+def _r114_oracle_sql() -> str:
+    from .relational3 import ORACLES as _R3
+
+    return _R3["r114_equiwidth_histogram"]
+
+
+@_register("s52_stream_equiwidth", _r114_oracle_sql())
+def s52_stream_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r114's equi-width amount histogram (the reference's Grafana
+    histogram panel, screenshots/AmountHistogram.jpg) maintained ON
+    INGEST: per-batch bin partials (count + cents sum per bin — the
+    canonical associative histogram merge), snapshot = merged bins
+    LEFT JOINed onto the full bin scaffold so empty bars render. Equal
+    to batch r114, sharing its oracle verbatim.
+
+    Scale: partial size is |bins| per batch regardless of batch
+    volume; the merge is bin-domain. The streaming histogram is THE
+    textbook partial-aggregation shape."""
+    from .relational3 import _R114_WIDTH_CENTS, equiwidth_from_bins
+
+    d = _events_proj_wire(
+        spark,
+        sf_dir,
+        lambda t: [
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ],
+    )
+    merged = _partial_replay(
+        spark,
+        d,
+        "user_id LONG, cents LONG",
+        lambda b: (
+            b.select(
+                (F.col("cents") / _R114_WIDTH_CENTS).cast("long").alias("bin"),
+                "cents",
+            )
+            .groupBy("bin")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("cents").alias("sum_cents"),
+            )
+        ),
+        "s52",
+    )
+    return equiwidth_from_bins(spark, merged)
+
+
+def _m42_oracle_sql() -> str:
+    from .advanced import ORACLES as _ADV
+
+    return _ADV["m42_benford_first_digit"]
+
+
+@_register("s53_stream_benford", _m42_oracle_sql())
+def s53_stream_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m42's Benford first-digit audit as a CONTINUOUS control: each
+    micro-batch of orders reduces to 9 digit-count partials; the
+    snapshot merges and re-derives shares/chi-square through the
+    shared tail (benford_from_digit_counts) — the drift of the
+    chi-square statistic over ingest is exactly what a fraud-ops team
+    alerts on. Equal to batch m42, sharing its oracle verbatim.
+
+    Scale: 9-row partials per batch; the tail is digit-domain. Zero
+    streaming state."""
+    from ..streaming.replay import materialize_wire_dir
+    from .advanced import benford_from_digit_counts
+
+    o = load_table(spark, sf_dir, "orders")
+    wire = o.select(
+        F.to_json(
+            F.struct(
+                F.round(F.col("o_totalprice") * 100)
+                .cast("long")
+                .alias("cents")
+            )
+        ).alias("value")
+    )
+    d = materialize_wire_dir(wire)
+    merged = _partial_replay(
+        spark,
+        d,
+        "cents LONG",
+        lambda b: (
+            b.select(
+                F.substring(F.col("cents").cast("string"), 1, 1)
+                .cast("int")
+                .alias("digit")
+            )
+            .groupBy("digit")
+            .agg(F.count("*").alias("n"))
+        ),
+        "s53",
+    )
+    return benford_from_digit_counts(merged)

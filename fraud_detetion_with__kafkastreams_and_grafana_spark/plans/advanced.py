@@ -6231,3 +6231,316 @@ def benford_from_digit_counts(h: "DataFrame") -> "DataFrame":
             "chi2_term"
         ),
     )
+
+
+_M48_SQL = """
+    WITH daily AS (
+      SELECT CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT)
+               // 86400 AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    med AS (
+      SELECT min(v) AS m FROM (
+        SELECT x AS v,
+               sum(c) OVER (ORDER BY x) AS cum,
+               sum(c) OVER () AS n
+        FROM (SELECT x, count(*) AS c FROM daily GROUP BY 1)
+      ) WHERE 2 * cum >= n
+    ),
+    s AS (
+      SELECT d, CAST(x > med.m AS INT) AS sgn
+      FROM daily, med
+      WHERE x <> med.m
+    ),
+    runs AS (
+      SELECT CAST(1 + count(*) FILTER (sgn <> prev) AS BIGINT) AS r,
+             CAST(count(*) FILTER (sgn = 1) AS BIGINT) AS n1,
+             CAST(count(*) FILTER (sgn = 0) AS BIGINT) AS n2
+      FROM (SELECT sgn, lag(sgn) OVER (ORDER BY d) AS prev FROM s)
+    )
+    SELECT r AS n_runs, n1 AS n_above, n2 AS n_below,
+           (r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+             / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                    / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))) AS z
+    FROM runs
+"""
+
+
+@_register("m48_runs_test", _M48_SQL)
+def m48_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on daily revenue vs its (lower) median:
+    are above/below-median days randomly interleaved, or do they
+    cluster (regime shifts, weekly cycles)? Runs = 1 + sign changes in
+    day order; n1/n2 = above/below counts (median-equal days excluded,
+    the classic convention); z against the exact run-count moments.
+    All counts integer-exact; the z is one closed-form float.
+
+    Scale: the corpus reduces to the day-bounded daily frame first;
+    the lower median comes from the value-domain cumulative (r105's
+    posture); the lag and counts run on the bounded frame.
+
+    Reference parity: none in reference; public nonparametric test
+    (Wald & Wolfowitz 1940)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    daily = (
+        ev.select(
+            (t / 86400).cast("long").alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").cast("long").alias("x"))
+    )
+    daily = daily.localCheckpoint()  # day-bounded
+    h = daily.groupBy("x").agg(F.count("*").alias("c"))
+    wc = Window.orderBy("x")  # value-domain bounded frame
+    cum = h.select(
+        "x",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    med = cum.where(2 * F.col("cum") >= F.col("n")).agg(
+        F.min("x").alias("m")
+    )
+    # broadcast bound: med is 1 row
+    s = (
+        daily.crossJoin(F.broadcast(med))
+        .where(F.col("x") != F.col("m"))
+        .select("d", (F.col("x") > F.col("m")).cast("int").alias("sgn"))
+    )
+    wl = Window.orderBy("d")  # day-bounded frame
+    lagged = s.select("sgn", F.lag("sgn").over(wl).alias("prev"))
+    runs = lagged.agg(
+        (
+            1
+            + F.sum(
+                (
+                    F.col("prev").isNotNull()
+                    & (F.col("sgn") != F.col("prev"))
+                ).cast("long")
+            )
+        ).alias("r"),
+        F.sum((F.col("sgn") == 1).cast("long")).alias("n1"),
+        F.sum((F.col("sgn") == 0).cast("long")).alias("n2"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    mean_r = 2.0 * n1 * n2 / (n1 + n2) + 1
+    var_r = (
+        2.0
+        * n1
+        * n2
+        * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))
+    )
+    return runs.select(
+        r.alias("n_runs"),
+        n1.alias("n_above"),
+        n2.alias("n_below"),
+        ((r - mean_r) / F.sqrt(var_r)).alias("z"),
+    )
+
+
+_M49_MAX_LAG = 7
+
+_M49_SQL = f"""
+    WITH daily AS (
+      SELECT CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT)
+               // 86400 AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    span AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+    cal AS (
+      SELECT s.d, coalesce(daily.x, 0) AS x
+      FROM (SELECT unnest(generate_series(lo, hi)) AS d FROM span) s
+      LEFT JOIN daily ON daily.d = s.d
+    ),
+    st AS (
+      SELECT avg(x::DOUBLE) AS mu,
+             sum((x - (SELECT avg(x::DOUBLE) FROM cal))
+                 * (x - (SELECT avg(x::DOUBLE) FROM cal))) AS ss,
+             CAST(count(*) AS BIGINT) AS n
+      FROM cal
+    )
+    SELECT k, st.n AS n_days,
+           sum((a.x - st.mu) * (b.x - st.mu)) / st.ss AS acf
+    FROM (SELECT unnest(range(1, {_M49_MAX_LAG + 1})) AS k),
+         cal a JOIN cal b ON b.d = a.d + k, st
+    GROUP BY k, st.n, st.ss
+"""
+
+
+@_register("m49_autocorrelation", _M49_SQL)
+def m49_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-revenue autocorrelation function at lags 1..7 — the weekly
+    signature detector: r_k = sum (x_t - mu)(x_{t+k} - mu) / sum
+    (x_t - mu)^2 over the CALENDAR day series (missing days filled
+    with 0 via a generated scaffold, so gaps don't silently splice
+    non-adjacent days together). Integer cents totals; mu/ss/products
+    are float but both engines evaluate the same expressions over the
+    same bounded frame.
+
+    Scale: corpus -> day-bounded daily frame; the scaffold is a
+    sequence literal; the lag join is |days| x 7. Nothing
+    corpus-sized past the first agg.
+
+    Reference parity: none in reference; public time-series
+    methodology (Box & Jenkins)."""
+    from pyspark.sql.window import Window  # noqa: F401 (symmetry w/ pack)
+
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    daily = (
+        ev.select(
+            (t / 86400).cast("long").alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").cast("long").alias("x"))
+    )
+    daily = daily.localCheckpoint()  # day-bounded
+    span = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    # broadcast bound: span is 1 row; the scaffold is |days| rows
+    cal = (
+        span.select(
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d")
+        )
+        .join(daily, "d", "left")
+        .select("d", F.coalesce("x", F.lit(0)).alias("x"))
+    )
+    cal = cal.localCheckpoint()
+    mu_row = cal.agg(
+        F.avg(F.col("x").cast("double")).alias("mu"),
+        F.count("*").alias("n"),
+    )
+    # ss via the same direct centered sum the oracle evaluates
+    # broadcast bound: mu_row is 1 row
+    ss = cal.crossJoin(F.broadcast(mu_row)).agg(
+        F.sum(
+            (F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu"))
+        ).alias("ss"),
+        F.first("mu").alias("mu"),
+        F.first("n").alias("n"),
+    )
+    lags = cal.sparkSession.range(1, _M49_MAX_LAG + 1).select(
+        F.col("id").alias("k")
+    )
+    a = cal.select(F.col("d").alias("da"), F.col("x").alias("xa"))
+    b = cal.select(F.col("d").alias("db"), F.col("x").alias("xb"))
+    # broadcast bound: b is the |days| calendar frame; lags is 7 rows
+    pairs = (
+        a.join(F.broadcast(lags), F.lit(True))
+        .join(
+            F.broadcast(b),
+            F.col("db") == F.col("da") + F.col("k"),
+        )
+    )
+    return (
+        pairs.crossJoin(F.broadcast(ss))
+        .groupBy("k")
+        .agg(
+            F.first("n").alias("n_days"),
+            (
+                F.sum((F.col("xa") - F.col("mu")) * (F.col("xb") - F.col("mu")))
+                / F.first("ss")
+            ).alias("acf"),
+        )
+        .select(F.col("k").cast("long").alias("k"), "n_days", "acf")
+    )
+
+
+_M50_SQL = """
+    WITH daily AS (
+      SELECT CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT)
+               // 86400 AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    span AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+    cal AS (
+      SELECT s.d, coalesce(daily.x, 0) AS x
+      FROM (SELECT unnest(generate_series(lo, hi)) AS d FROM span) s
+      LEFT JOIN daily ON daily.d = s.d
+    ),
+    dow AS (
+      SELECT CAST((d + 3) % 7 + 1 AS INT) AS isodow,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(x) AS BIGINT) AS cents
+      FROM cal GROUP BY 1
+    ),
+    tot AS (
+      SELECT sum(cents)::DOUBLE / sum(n_days) AS overall_daily FROM dow
+    )
+    SELECT isodow, n_days, cents,
+           cents::DOUBLE / n_days AS daily_mean_cents,
+           (cents::DOUBLE / n_days) / tot.overall_daily AS seasonal_index
+    FROM dow, tot
+"""
+
+
+@_register("m50_dow_seasonality", _M50_SQL)
+def m50_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal indices of revenue: per ISO weekday, the
+    mean daily cents (calendar days, zero-filled, so a missing Monday
+    counts as a zero-revenue Monday instead of silently shrinking the
+    denominator) and its ratio to the overall daily mean — the
+    multiplicative seasonal profile a forecaster divides out (r97's
+    seasonal-naive backtest assumes exactly this structure). The ISO
+    weekday derives arithmetically from the epoch day ((d+3)%7+1 —
+    day 0 is a Thursday), identical integer math on both engines.
+
+    Scale: day-bounded daily frame -> 7-row report; the scaffold is a
+    sequence literal. One corpus scan total.
+
+    Reference parity: the weekly texture visible in the reference's
+    Grafana time panels (README.md:342-356); public methodology."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    daily = (
+        ev.select(
+            (t / 86400).cast("long").alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").cast("long").alias("x"))
+    )
+    daily = daily.localCheckpoint()  # day-bounded
+    span = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = (
+        span.select(
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d")
+        )
+        .join(daily, "d", "left")
+        .select("d", F.coalesce("x", F.lit(0)).alias("x"))
+    )
+    dow = (
+        cal.select(((F.col("d") + 3) % 7 + 1).cast("int").alias("isodow"), "x")
+        .groupBy("isodow")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("x").cast("long").alias("cents"),
+        )
+    )
+    dow = dow.localCheckpoint()  # 7 rows
+    tot = dow.agg(
+        (
+            F.sum("cents").cast("double") / F.sum("n_days")
+        ).alias("overall_daily")
+    )
+    # broadcast bound: tot is 1 row
+    j = dow.crossJoin(F.broadcast(tot))
+    return j.select(
+        "isodow",
+        "n_days",
+        "cents",
+        (F.col("cents").cast("double") / F.col("n_days")).alias(
+            "daily_mean_cents"
+        ),
+        (
+            (F.col("cents").cast("double") / F.col("n_days"))
+            / F.col("overall_daily")
+        ).alias("seasonal_index"),
+    )

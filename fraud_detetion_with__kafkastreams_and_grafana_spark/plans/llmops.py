@@ -6698,3 +6698,104 @@ def l100_dup_bigram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size("grams")
         ).alias("dup_rate"),
     )
+
+
+_L101_THRESH_PPM = 500000  # overlap coefficient >= 0.5
+
+_L101_SQL = f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             list_aggregate(list_slice(ws, i, i + 1), 'string_agg', ' ')
+               AS gram
+      FROM words, LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+    ),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           sa.n AS n_a, sb.n AS n_b,
+           CAST(1000000 * n_common // least(sa.n, sb.n) AS BIGINT)
+             AS overlap_ppm
+    FROM inter
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE 1000000 * n_common >= {_L101_THRESH_PPM} * least(sa.n, sb.n)
+"""
+
+
+@_register("l101_overlap_coefficient_pairs", _L101_SQL)
+def l101_overlap_coefficient_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-style near-dup pairs by bigram-shingle OVERLAP
+    COEFFICIENT |A∩B| / min(|A|,|B|) >= 0.5 — the measure that catches
+    a document swallowed inside a longer one, where Jaccard (l02)
+    dilutes toward 0 as the big doc grows. Distinct bigram postings
+    self-join on the shingle, intersection counts re-join the two
+    size frames, and the threshold compares in exact integer ppm
+    (1e6 * common >= thresh * min) — no float on the cut.
+
+    Scale: this is the exact VERIFY stage of the dedup ladder. The
+    postings equi-join is bounded by sum(df^2) over shingles — fine
+    under a banded prefilter, quadratic on stop-shingles at corpus
+    scale — so at 100 TB this runs ON THE CANDIDATE PAIRS from
+    l02/l03's LSH banding (same re-join shape, candidate-bounded);
+    corpus-wide here because the oracle must sweep everything. Doc
+    ids and shingles cross the shuffle; full text never does.
+
+    Reference parity: none in reference; public methodology (overlap
+    coefficient / Szymkiewicz-Simpson; Broder 1997 shingling)."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = F.expr(
+        "transform(sequence(0, size(split(text, ' ')) - 2),"
+        " i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i + 1]))"
+    )
+    g = (
+        d.select("doc_id", F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    g = g.localCheckpoint()  # postings reused three times below
+    sz = g.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = g.select(F.col("doc_id").alias("doc_a"), "gram")
+    b = g.select(F.col("doc_id").alias("doc_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    j = inter.join(sa, "doc_a").join(sb, "doc_b")
+    mn = F.least("n_a", "n_b")
+    return j.where(
+        1000000 * F.col("n_common") >= _L101_THRESH_PPM * mn
+    ).select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        "n_a",
+        "n_b",
+        F.expr("CAST(1000000 * n_common div least(n_a, n_b) AS BIGINT)").alias(
+            "overlap_ppm"
+        ),
+    )
+
+
+def gopher_report_from_slice_partials(p: DataFrame) -> DataFrame:
+    """(lang, source, n_docs, fail_wordcount, fail_wordlen,
+    fail_stopwords, n_pass) partials -> l98's report: all five
+    measures are counts, so the merge is a keyed sum. Shared by the
+    s56 streaming twin."""
+    return p.groupBy("lang", "source").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("fail_wordcount").cast("long").alias("fail_wordcount"),
+        F.sum("fail_wordlen").cast("long").alias("fail_wordlen"),
+        F.sum("fail_stopwords").cast("long").alias("fail_stopwords"),
+        F.sum("n_pass").cast("long").alias("n_pass"),
+    )

@@ -5168,25 +5168,7 @@ def r111_peer_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("spend_cents"),
         )
     )
-    cust = cust.localCheckpoint()  # customer-domain bounded
-    peer = cust.groupBy("c_nationkey").agg(
-        (
-            F.sum("spend_cents").cast("double")
-            / F.sum("n_orders").cast("double")
-        ).alias("peer_avg_cents"),
-        F.count("*").alias("peers"),
-    )
-    # broadcast bound: |nations| rows (25)
-    j = cust.join(F.broadcast(peer), "c_nationkey")
-    avg_cents = F.col("spend_cents").cast("double") / F.col("n_orders")
-    return j.where(avg_cents > 1.4 * F.col("peer_avg_cents")).select(
-        "c_custkey",
-        "c_nationkey",
-        "n_orders",
-        "spend_cents",
-        "peers",
-        (avg_cents / F.col("peer_avg_cents")).alias("dev_ratio"),
-    )
+    return peer_deviation_from_cust(cust)
 
 
 _R112_SQL = """
@@ -5416,18 +5398,7 @@ def r115_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
         )
     )
-    w = Window.orderBy("y", "mo")  # month-bounded frame (|months| rows)
-    prev = F.lag("rev_cents").over(w)
-    return m.select(
-        "y",
-        "mo",
-        "rev_cents",
-        "n_orders",
-        (F.col("rev_cents") - prev).alias("mom_delta_cents"),
-        F.when(prev.isNull(), F.lit(None).cast("double"))
-        .otherwise((F.col("rev_cents") - prev).cast("double") / prev)
-        .alias("mom_pct"),
-    )
+    return mom_from_monthly(m)
 
 
 def velocity_from_second_counts(sc: DataFrame) -> DataFrame:
@@ -5493,4 +5464,288 @@ def equiwidth_from_bins(spark: SparkSession, h: DataFrame) -> DataFrame:
         (F.col("bin") * _R114_WIDTH_CENTS).cast("long").alias("lo_cents"),
         F.coalesce("n", F.lit(0)).cast("long").alias("n"),
         F.coalesce("sum_cents", F.lit(0)).cast("long").alias("sum_cents"),
+    )
+
+
+_R116_WINDOW_S = 86400  # attribution lookback
+_R116_TOUCH = ("click", "view")
+
+_R116_SQL = f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT) AS t,
+             CASE WHEN event_type IN ('click', 'view') THEN 0 ELSE 1 END
+               AS kind
+      FROM events
+      WHERE event_type IN ('click', 'view', 'purchase')
+    ),
+    m AS (
+      SELECT user_id, event_type, t, kind,
+             last_value(CASE WHEN kind = 0 THEN event_type END IGNORE NULLS)
+               OVER w AS last_touch_type,
+             last_value(CASE WHEN kind = 0 THEN t END IGNORE NULLS)
+               OVER w AS last_touch_t
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY t, kind, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT coalesce(CASE WHEN last_touch_t >= t - {_R116_WINDOW_S}
+                         THEN last_touch_type END, 'none') AS touch_type,
+           CAST(count(*) AS BIGINT) AS n_purchases
+    FROM m
+    WHERE kind = 1
+    GROUP BY 1
+"""
+
+
+@_register("r116_touch_attribution", _R116_SQL)
+def r116_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the most recent
+    click/view by the same user within the 24 h lookback, else 'none'
+    — the marketing-analytics join that is NOT a join: interleave
+    touches and purchases on one (user, time, kind, id) order and
+    carry the last touch forward with last_value(... IGNORE NULLS)
+    over ROWS UNBOUNDED PRECEDING .. 1 PRECEDING. Same-second
+    purchase/touch ties order touch-first (kind), then event_id —
+    pinned identically on both engines.
+
+    Scale: ONE user_id shuffle; the carried columns are two scalars
+    per row regardless of lookback depth (compare: the naive as-of
+    self-join is events x touches). The report agg is
+    touch-type-domain.
+
+    Reference parity: none in reference; public attribution
+    methodology (last-touch)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    e = ev.where(
+        F.col("event_type").isin(*_R116_TOUCH, "purchase")
+    ).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        s.alias("t"),
+        F.when(F.col("event_type").isin(*_R116_TOUCH), 0)
+        .otherwise(1)
+        .alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_type = F.when(F.col("kind") == 0, F.col("event_type"))
+    touch_t = F.when(F.col("kind") == 0, F.col("t"))
+    m = e.select(
+        "event_type",
+        "t",
+        "kind",
+        F.last(touch_type, ignorenulls=True).over(w).alias("last_touch_type"),
+        F.last(touch_t, ignorenulls=True).over(w).alias("last_touch_t"),
+    )
+    return (
+        m.where(F.col("kind") == 1)
+        .select(
+            F.coalesce(
+                F.when(
+                    F.col("last_touch_t") >= F.col("t") - _R116_WINDOW_S,
+                    F.col("last_touch_type"),
+                ),
+                F.lit("none"),
+            ).alias("touch_type")
+        )
+        .groupBy("touch_type")
+        .agg(F.count("*").alias("n_purchases"))
+    )
+
+
+_R117_Q = 5  # quintile scores 1..5
+
+_R117_SQL = f"""
+    WITH rfm AS (
+      SELECT o_custkey AS ck,
+             CAST((SELECT max(CAST(date_part('epoch', o_orderdate) AS BIGINT))
+                   FROM orders)
+                  - max(CAST(date_part('epoch', o_orderdate) AS BIGINT))
+                  AS BIGINT) // 86400 AS r_days,
+             CAST(count(*) AS BIGINT) AS f_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS m_cents
+      FROM orders GROUP BY 1
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rfm),
+    bounds AS (
+      SELECT metric, k,
+             min(v) FILTER (5 * cum >= k * n) AS b
+      FROM (
+        SELECT metric, v, n,
+               sum(c) OVER (PARTITION BY metric ORDER BY v) AS cum
+        FROM (
+          SELECT 'r' AS metric, r_days AS v, count(*) AS c FROM rfm GROUP BY 2
+          UNION ALL
+          SELECT 'f', f_orders, count(*) FROM rfm GROUP BY 2
+          UNION ALL
+          SELECT 'm', m_cents, count(*) FROM rfm GROUP BY 2
+        ), n
+      ),
+      (SELECT unnest(range(1, {_R117_Q})) AS k)
+      GROUP BY 1, 2
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(sum(m_cents) AS BIGINT) AS seg_cents
+    FROM (
+      SELECT ck, m_cents,
+             CAST(1 + (SELECT count(*) FROM bounds
+                       WHERE metric = 'r' AND rfm.r_days > bounds.b)
+                  AS INT) AS r_score,
+             CAST(1 + (SELECT count(*) FROM bounds
+                       WHERE metric = 'f' AND rfm.f_orders > bounds.b)
+                  AS INT) AS f_score,
+             CAST(1 + (SELECT count(*) FROM bounds
+                       WHERE metric = 'm' AND rfm.m_cents > bounds.b)
+                  AS INT) AS m_score
+      FROM rfm
+    )
+    GROUP BY 1, 2, 3
+"""
+
+
+@_register("r117_rfm_segments", _R117_SQL)
+def r117_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency/frequency/monetary quintile scores per
+    customer, reported as the (r, f, m) segment histogram with segment
+    revenue — computed WITHOUT a corpus sort: quintile boundaries come
+    from per-metric VALUE-DOMAIN histograms (cumulative counts, r100's
+    equi-depth posture), and each customer's score is 1 + (# boundaries
+    strictly below its value) via a broadcast of the 12-row boundary
+    frame. NTILE would sort all customers on all three metrics; the
+    boundary form scores map-side. Boundary convention (min v with
+    5*cum >= k*n, score bumps when v > boundary) is pinned identically
+    in both engines.
+
+    Scale: one custkey agg; three bounded histogram frames; boundary
+    frame broadcast bound: 3*(Q-1) rows. The segment report agg has a
+    125-key domain.
+
+    Reference parity: none in reference; public segmentation
+    methodology (Hughes 1994)."""
+    o = load_table(spark, sf_dir, "orders")
+    epoch = F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+    rfm = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.max(epoch).alias("last_epoch"),
+        F.count("*").alias("f_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("m_cents"),
+    )
+    rfm = rfm.localCheckpoint()  # customer-domain bounded partials
+    mx = rfm.agg(F.max("last_epoch").alias("gmax"))
+    # broadcast bound: 1 row
+    rfm = rfm.crossJoin(F.broadcast(mx)).select(
+        "ck",
+        ((F.col("gmax") - F.col("last_epoch")) / 86400)
+        .cast("long")
+        .alias("r_days"),
+        "f_orders",
+        "m_cents",
+    )
+    rfm = rfm.localCheckpoint()  # feeds histograms AND scoring
+    n = rfm.agg(F.count("*").alias("n"))
+
+    def hist(colname: str, metric: str) -> DataFrame:
+        return (
+            rfm.groupBy(F.col(colname).alias("v"))
+            .agg(F.count("*").alias("c"))
+            .select(F.lit(metric).alias("metric"), "v", "c")
+        )
+
+    h = hist("r_days", "r").unionAll(hist("f_orders", "f")).unionAll(
+        hist("m_cents", "m")
+    )
+    wcum = Window.partitionBy("metric").orderBy("v")
+    cum = h.select("metric", "v", F.sum("c").over(wcum).alias("cum"))
+    ks = spark.range(1, _R117_Q).select(F.col("id").alias("k"))
+    # broadcast bound: ks is Q-1 rows; n is 1 row
+    bounds = (
+        cum.crossJoin(F.broadcast(n))
+        .join(F.broadcast(ks), 5 * F.col("cum") >= F.col("k") * F.col("n"))
+        .groupBy("metric", "k")
+        .agg(F.min("v").alias("b"))
+    )
+    # broadcast bound: bounds is 3*(Q-1) = 12 rows
+    b = F.broadcast(bounds)
+
+    def score(colname: str, metric: str, out: str) -> DataFrame:
+        return (
+            rfm.select("ck", F.col(colname).alias("v"))
+            .join(
+                b.where(F.col("metric") == metric),
+                F.col("v") > F.col("b"),
+                "left",
+            )
+            .groupBy("ck")
+            .agg((1 + F.count("b")).cast("int").alias(out))
+        )
+
+    scored = (
+        rfm.select("ck", "m_cents")
+        .join(score("r_days", "r", "r_score"), "ck")
+        .join(score("f_orders", "f", "f_score"), "ck")
+        .join(score("m_cents", "m", "m_score"), "ck")
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_cust"),
+        F.sum("m_cents").cast("long").alias("seg_cents"),
+    )
+
+
+def mom_from_monthly(m: DataFrame) -> DataFrame:
+    """(y, mo, rev_cents, n_orders) monthly partials -> r115's output.
+    Merge by month, then the calendar-bounded lag. Shared by s54."""
+    m = m.groupBy("y", "mo").agg(
+        F.sum("rev_cents").cast("long").alias("rev_cents"),
+        F.sum("n_orders").cast("long").alias("n_orders"),
+    )
+    w = Window.orderBy("y", "mo")  # month-bounded frame
+    prev = F.lag("rev_cents").over(w)
+    return m.select(
+        "y",
+        "mo",
+        "rev_cents",
+        "n_orders",
+        (F.col("rev_cents") - prev).alias("mom_delta_cents"),
+        F.when(prev.isNull(), F.lit(None).cast("double"))
+        .otherwise((F.col("rev_cents") - prev).cast("double") / prev)
+        .alias("mom_pct"),
+    )
+
+
+def peer_deviation_from_cust(cust: DataFrame) -> DataFrame:
+    """(c_custkey, c_nationkey, n_orders, spend_cents) per-customer
+    partials -> r111's output: merge by customer, derive the nation
+    peer average from the merged frame, broadcast back, cut at 1.4x.
+    Shared by s55."""
+    cust = cust.groupBy("c_custkey", "c_nationkey").agg(
+        F.sum("n_orders").cast("long").alias("n_orders"),
+        F.sum("spend_cents").cast("long").alias("spend_cents"),
+    )
+    cust = cust.localCheckpoint()  # customer-domain bounded
+    peer = cust.groupBy("c_nationkey").agg(
+        (
+            F.sum("spend_cents").cast("double")
+            / F.sum("n_orders").cast("double")
+        ).alias("peer_avg_cents"),
+        F.count("*").alias("peers"),
+    )
+    # broadcast bound: |nations| rows (25)
+    j = cust.join(F.broadcast(peer), "c_nationkey")
+    avg_cents = F.col("spend_cents").cast("double") / F.col("n_orders")
+    return j.where(avg_cents > 1.4 * F.col("peer_avg_cents")).select(
+        "c_custkey",
+        "c_nationkey",
+        "n_orders",
+        "spend_cents",
+        "peers",
+        (avg_cents / F.col("peer_avg_cents")).alias("dev_ratio"),
     )

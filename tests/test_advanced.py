@@ -201,3 +201,79 @@ def test_m47_weighted_median_brute(spark, sf_dir):
                 break
         assert got[flag].total_weight == tw
         assert got[flag].wmedian_cents == med
+
+
+def _daily_cents(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    s = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    rows = ev.select(
+        (s / 86400).cast("long").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).collect()
+    import collections
+
+    daily = collections.Counter()
+    for r in rows:
+        daily[r.d] += r.cents
+    return daily
+
+
+def test_m48_runs_brute(spark, sf_dir):
+    import math
+
+    daily = _daily_cents(spark, sf_dir)
+    xs = [daily[d] for d in sorted(daily)]
+    sv = sorted(xs)
+    # lower median: min v with 2*cum >= n over the value histogram
+    med = sv[(len(sv) - 1) // 2] if len(sv) % 2 else sv[len(sv) // 2 - 1]
+    signs = [1 if x > med else 0 for x in xs if x != med]
+    runs = 1 + sum(a != b for a, b in zip(signs, signs[1:]))
+    n1, n2 = sum(signs), len(signs) - sum(signs)
+    r = advanced.QUERIES["m48_runs_test"](spark, sf_dir).collect()[0]
+    assert (r.n_runs, r.n_above, r.n_below) == (runs, n1, n2)
+    mean_r = 2 * n1 * n2 / (n1 + n2) + 1
+    var_r = 2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+    assert abs(r.z - (runs - mean_r) / math.sqrt(var_r)) < 1e-9
+
+
+def test_m49_acf_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    daily = _daily_cents(spark, sf_dir)
+    lo, hi = min(daily), max(daily)
+    x = np.array([daily.get(d, 0) for d in range(lo, hi + 1)], dtype=float)
+    mu = x.mean()
+    ss = ((x - mu) ** 2).sum()
+    got = {r.k: r for r in advanced.QUERIES["m49_autocorrelation"](spark, sf_dir).collect()}
+    assert set(got) == set(range(1, 8))
+    for k in range(1, 8):
+        want = ((x[:-k] - mu) * (x[k:] - mu)).sum() / ss
+        assert got[k].n_days == len(x)
+        assert abs(got[k].acf - want) < 1e-9, (k, got[k].acf, want)
+
+
+def test_m50_dow_brute(spark, sf_dir):
+    daily = _daily_cents(spark, sf_dir)
+    lo, hi = min(daily), max(daily)
+    import collections
+
+    per = collections.defaultdict(lambda: [0, 0])
+    for d in range(lo, hi + 1):
+        dow = (d + 3) % 7 + 1
+        per[dow][0] += 1
+        per[dow][1] += daily.get(d, 0)
+    overall = sum(v[1] for v in per.values()) / sum(v[0] for v in per.values())
+    got = {r.isodow: r for r in advanced.QUERIES["m50_dow_seasonality"](spark, sf_dir).collect()}
+    assert set(got) == set(per)
+    for dw, (nd, cents) in per.items():
+        r = got[dw]
+        assert (r.n_days, r.cents) == (nd, cents)
+        assert abs(r.seasonal_index - (cents / nd) / overall) < 1e-12
+    # cross-check the dow arithmetic against the actual calendar
+    import datetime
+
+    assert (0 + 3) % 7 + 1 == datetime.date(1970, 1, 1).isoweekday()

@@ -1393,3 +1393,27 @@ def test_l99_and_l100_brute(spark, sf_dir):
         g = l100[doc_id]
         assert (g.n_grams, g.n_distinct) == (len(grams), len(set(grams)))
         assert abs(g.dup_rate - (1 - len(set(grams)) / len(grams))) < 1e-12
+
+
+def test_l101_overlap_pairs_brute(spark, sf_dir):
+    docs = _doc_texts(spark, sf_dir)
+    sets = {}
+    for doc_id, _, _, text in docs:
+        ws = text.split(" ")
+        sets[doc_id] = {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+    ids = sorted(sets)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            common = len(sets[a] & sets[b])
+            mn = min(len(sets[a]), len(sets[b]))
+            if 1000000 * common >= 500000 * mn:
+                want[(a, b)] = (common, len(sets[a]), len(sets[b]),
+                                1000000 * common // mn)
+    got = {
+        (r.doc_a, r.doc_b): (r.n_common, r.n_a, r.n_b, r.overlap_ppm)
+        for r in llmops.QUERIES["l101_overlap_coefficient_pairs"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want

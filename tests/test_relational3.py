@@ -335,3 +335,95 @@ def test_r115_mom_chain_consistency(spark, sf_dir):
     for prev, cur in zip(rows, rows[1:]):
         assert cur.mom_delta_cents == cur.rev_cents - prev.rev_cents
         assert abs(cur.mom_pct - cur.mom_delta_cents / prev.rev_cents) < 1e-12
+
+
+def test_r116_attribution_brute(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    s = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    rows = ev.select(
+        "user_id", "event_id", "event_type", s.alias("t")
+    ).collect()
+    import collections
+
+    per_user = collections.defaultdict(list)
+    for r in rows:
+        if r.event_type in ("click", "view", "purchase"):
+            kind = 0 if r.event_type != "purchase" else 1
+            per_user[r.user_id].append((r.t, kind, r.event_id, r.event_type))
+    want = collections.Counter()
+    for u, evs in per_user.items():
+        evs.sort()
+        last_touch = None  # (t, type)
+        for t, kind, _, etype in evs:
+            if kind == 1:
+                if last_touch is not None and last_touch[0] >= t - 86400:
+                    want[last_touch[1]] += 1
+                else:
+                    want["none"] += 1
+            else:
+                last_touch = (t, etype)
+    got = {
+        r.touch_type: r.n_purchases
+        for r in relational3.QUERIES["r116_touch_attribution"](spark, sf_dir).collect()
+    }
+    assert got == dict(want)
+
+
+def test_r117_rfm_brute(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    rows = o.select(
+        "o_custkey",
+        F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).alias("e"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).collect()
+    import collections
+
+    per = collections.defaultdict(lambda: [0, 0, 0])  # last_e, f, m
+    for r in rows:
+        p = per[r.o_custkey]
+        p[0] = max(p[0], r.e)
+        p[1] += 1
+        p[2] += r.cents
+    gmax = max(p[0] for p in per.values())
+    rfm = {
+        ck: ((gmax - p[0]) // 86400, p[1], p[2]) for ck, p in per.items()
+    }
+    n = len(rfm)
+
+    def bounds(vals):
+        import collections as _c
+
+        hist = sorted(_c.Counter(vals).items())
+        out = []
+        for k in range(1, 5):
+            cum = 0
+            for v, c in hist:
+                cum += c
+                if 5 * cum >= k * n:
+                    out.append(v)
+                    break
+        return out
+
+    br = bounds([v[0] for v in rfm.values()])
+    bf = bounds([v[1] for v in rfm.values()])
+    bm = bounds([v[2] for v in rfm.values()])
+    seg = collections.defaultdict(lambda: [0, 0])
+    for ck, (r_, f_, m_) in rfm.items():
+        rs = 1 + sum(r_ > b for b in br)
+        fs = 1 + sum(f_ > b for b in bf)
+        ms = 1 + sum(m_ > b for b in bm)
+        seg[(rs, fs, ms)][0] += 1
+        seg[(rs, fs, ms)][1] += m_
+    got = {
+        (r.r_score, r.f_score, r.m_score): [r.n_cust, r.seg_cents]
+        for r in relational3.QUERIES["r117_rfm_segments"](spark, sf_dir).collect()
+    }
+    assert got == {k: list(v) for k, v in seg.items()}

@@ -5673,26 +5673,23 @@ def r117_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("metric", "k")
         .agg(F.min("v").alias("b"))
     )
-    # broadcast bound: bounds is 3*(Q-1) = 12 rows
-    b = F.broadcast(bounds)
+    # broadcast bound: bounds is 3*(Q-1) = 12 rows. ONE cross join +
+    # ONE conditional aggregate scores all three metrics (12 rows per
+    # customer, single ck exchange) — no per-metric join fan-out.
+    x = rfm.crossJoin(F.broadcast(bounds))
 
-    def score(colname: str, metric: str, out: str) -> DataFrame:
-        return (
-            rfm.select("ck", F.col(colname).alias("v"))
-            .join(
-                b.where(F.col("metric") == metric),
-                F.col("v") > F.col("b"),
-                "left",
-            )
-            .groupBy("ck")
-            .agg((1 + F.count("b")).cast("int").alias(out))
+    def bumps(metric: str, valcol: str):
+        return F.sum(
+            (
+                (F.col("metric") == metric) & (F.col(valcol) > F.col("b"))
+            ).cast("int")
         )
 
-    scored = (
-        rfm.select("ck", "m_cents")
-        .join(score("r_days", "r", "r_score"), "ck")
-        .join(score("f_orders", "f", "f_score"), "ck")
-        .join(score("m_cents", "m", "m_score"), "ck")
+    scored = x.groupBy("ck").agg(
+        F.first("m_cents").alias("m_cents"),
+        (1 + bumps("r", "r_days") ).cast("int").alias("r_score"),
+        (1 + bumps("f", "f_orders")).cast("int").alias("f_score"),
+        (1 + bumps("m", "m_cents") ).cast("int").alias("m_score"),
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").alias("n_cust"),

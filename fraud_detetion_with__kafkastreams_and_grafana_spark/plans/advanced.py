@@ -6544,3 +6544,217 @@ def m50_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("overall_daily")
         ).alias("seasonal_index"),
     )
+
+
+_M51_SQL = """
+    WITH h AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, cents, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS n
+      FROM h
+    ),
+    q AS (
+      SELECT event_type,
+             min(n) AS n,
+             min(cents) FILTER (4 * cum >= n) AS q1,
+             min(cents) FILTER (4 * cum >= 3 * n) AS q3
+      FROM cum GROUP BY 1
+    ),
+    f AS (
+      SELECT event_type, n, q1, q3,
+             4 * q1 - 6 * (q3 - q1) AS lo4,
+             4 * q3 + 6 * (q3 - q1) AS hi4
+      FROM q
+    )
+    SELECT f.event_type, f.n, f.q1 AS q1_cents, f.q3 AS q3_cents,
+           CAST(coalesce(sum(h.c) FILTER (4 * h.cents < f.lo4), 0)
+                AS BIGINT) AS n_low_outliers,
+           CAST(coalesce(sum(h.c) FILTER (4 * h.cents > f.hi4), 0)
+                AS BIGINT) AS n_high_outliers
+    FROM f JOIN h ON h.event_type = f.event_type
+    GROUP BY 1, 2, 3, 4
+"""
+
+
+@_register("m51_tukey_fences", _M51_SQL)
+def m51_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey outlier fences per event type: Q1/Q3 as the discrete lower
+    quartiles (min v with 4*cum >= n / >= 3n over the value-domain
+    histogram), fences Q1 - 1.5*IQR and Q3 + 1.5*IQR compared in
+    QUARTER-CENTS (multiply everything by 4: 6*(Q3-Q1) IS 1.5*IQR*4) —
+    zero float arithmetic anywhere, which is the entire trick to
+    making box-plot outlier counts hash-stable.
+
+    Scale: r105's histogram posture; the fence comparison re-joins the
+    histogram (value-domain bounded), never the corpus. Counts are
+    map-side-combinable on the first agg.
+
+    Reference parity: the box-plot outlier layer of the reference's
+    histogram panel (screenshots/AmountHistogram.jpg); public method
+    (Tukey 1977)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count("*").alias("c"))
+    )
+    return tukey_from_hist(h)
+
+
+_M52_TRIM_PCT = 5
+
+_M52_SQL = f"""
+    WITH h AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT flag, cents, c,
+             sum(c) OVER (PARTITION BY flag ORDER BY cents) AS cum,
+             sum(c) OVER (PARTITION BY flag) AS n
+      FROM h
+    ),
+    kept AS (
+      SELECT flag, cents, n, n * {_M52_TRIM_PCT} // 100 AS k,
+             greatest(0, least(cum, n - n * {_M52_TRIM_PCT} // 100)
+                         - greatest(cum - c, n * {_M52_TRIM_PCT} // 100))
+               AS kc
+      FROM cum
+    )
+    SELECT flag AS l_returnflag,
+           CAST(min(n) AS BIGINT) AS n,
+           CAST(min(k) AS BIGINT) AS k_trimmed_each_side,
+           CAST(sum(cents * kc) AS BIGINT) AS kept_cents,
+           sum(cents * kc)::DOUBLE / (min(n) - 2 * min(k))
+             AS trimmed_mean_cents
+    FROM kept
+    GROUP BY flag
+"""
+
+
+@_register("m52_trimmed_mean", _M52_SQL)
+def m52_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-per-side trimmed mean of extended price per return flag — the
+    robust location estimate, computed WITHOUT sorting rows: on the
+    value-domain histogram, each value keeps
+    max(0, min(cum, n-k) - max(cum - c, k)) of its multiplicity (the
+    overlap of its rank interval with the kept band [k, n-k)) — exact
+    integer clipping, exact integer weighted sum, ONE float division
+    at the end.
+
+    Scale: r105's histogram posture — the only wide ops are the
+    (flag, cents) partial agg and a value-domain cumulative window.
+    The corpus is never sorted.
+
+    Reference parity: none in reference; public robust statistics."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    h = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("flag", "cents")
+        .agg(F.count("*").alias("c"))
+    )
+    wc = Window.partitionBy("flag").orderBy("cents")
+    cum = h.select(
+        "flag",
+        "cents",
+        "c",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(Window.partitionBy("flag")).alias("n"),
+    )
+    k = F.expr(f"n * {_M52_TRIM_PCT} div 100")
+    kc = F.greatest(
+        F.lit(0),
+        F.least(F.col("cum"), F.col("n") - k)
+        - F.greatest(F.col("cum") - F.col("c"), k),
+    )
+    kept = cum.select(
+        "flag", "cents", "n", k.alias("k"), kc.alias("kc")
+    )
+    return kept.groupBy("flag").agg(
+        F.min("n").cast("long").alias("n"),
+        F.min("k").cast("long").alias("k_trimmed_each_side"),
+        F.sum(F.col("cents") * F.col("kc")).cast("long").alias("kept_cents"),
+        (
+            F.sum(F.col("cents") * F.col("kc")).cast("double")
+            / (F.min("n") - 2 * F.min("k"))
+        ).alias("trimmed_mean_cents"),
+    ).select(
+        F.col("flag").alias("l_returnflag"),
+        "n",
+        "k_trimmed_each_side",
+        "kept_cents",
+        "trimmed_mean_cents",
+    )
+
+
+def tukey_from_hist(h: "DataFrame") -> "DataFrame":
+    """(event_type, cents, c) histogram partials -> m51's fence report.
+    Histograms merge by keyed sum, so the whole statistic re-derives
+    from partials — shared by the s58 streaming twin."""
+    from pyspark.sql.window import Window
+
+    h = h.groupBy("event_type", "cents").agg(
+        F.sum("c").cast("long").alias("c")
+    )
+    h = h.localCheckpoint()  # value-domain bounded; reused for counts
+    wc = Window.partitionBy("event_type").orderBy("cents")
+    cum = h.select(
+        "event_type",
+        "cents",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    q = cum.groupBy("event_type").agg(
+        F.min("n").cast("long").alias("n"),
+        F.min(F.when(4 * F.col("cum") >= F.col("n"), F.col("cents")))
+        .cast("long")
+        .alias("q1"),
+        F.min(F.when(4 * F.col("cum") >= 3 * F.col("n"), F.col("cents")))
+        .cast("long")
+        .alias("q3"),
+    )
+    f = q.select(
+        F.col("event_type").alias("ft"),
+        "n",
+        "q1",
+        "q3",
+        (4 * F.col("q1") - 6 * (F.col("q3") - F.col("q1"))).alias("lo4"),
+        (4 * F.col("q3") + 6 * (F.col("q3") - F.col("q1"))).alias("hi4"),
+    )
+    # broadcast bound: f is |event types| rows (5)
+    j = h.join(F.broadcast(f), F.col("event_type") == F.col("ft"))
+    return j.groupBy("event_type").agg(
+        F.min("n").alias("n"),
+        F.min("q1").alias("q1_cents"),
+        F.min("q3").alias("q3_cents"),
+        F.sum(
+            F.when(4 * F.col("cents") < F.col("lo4"), F.col("c")).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_low_outliers"),
+        F.sum(
+            F.when(4 * F.col("cents") > F.col("hi4"), F.col("c")).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_high_outliers"),
+    )

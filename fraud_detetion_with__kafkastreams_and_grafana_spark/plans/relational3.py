@@ -5746,3 +5746,129 @@ def peer_deviation_from_cust(cust: DataFrame) -> DataFrame:
         "peers",
         (avg_cents / F.col("peer_avg_cents")).alias("dev_ratio"),
     )
+
+
+_R118_K = 2  # co-active minutes to flag a pair
+
+_R118_SQL = f"""
+    WITH m AS (
+      SELECT DISTINCT user_id,
+             CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT)
+               // 60 AS minute
+      FROM events
+    ),
+    p AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             CAST(count(*) AS BIGINT) AS n_shared_minutes
+      FROM m a JOIN m b
+        ON a.minute = b.minute AND a.user_id < b.user_id
+      GROUP BY 1, 2
+    )
+    SELECT user_a, user_b, n_shared_minutes
+    FROM p WHERE n_shared_minutes >= {_R118_K}
+"""
+
+
+@_register("r118_cooccurrence_rings", _R118_SQL)
+def r118_cooccurrence_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collusion-ring candidates: user pairs repeatedly active in the
+    SAME minute (>= K distinct shared minutes) — the temporal
+    co-occurrence screen behind bust-out / mule-ring detection. The
+    pair generation is a minute-bucket equi-join over the distinct
+    (user, minute) frame; the distinct collapses bursts first so a
+    hot user contributes each minute once.
+
+    Scale: pair volume is sum over minutes of (active users choose
+    2) — governed by per-minute concurrency, not corpus size; a
+    surge minute (say 10k concurrent users) makes its bucket
+    quadratic, so production caps or salts pathological buckets the
+    same way l02 handles stop-shingles; the cap is an explicit knob,
+    not silent truncation. The >= K cut runs after a
+    map-side-combinable count.
+
+    Reference parity: none in reference; public AML/collusion
+    methodology."""
+    ev = load_table(spark, sf_dir, "events")
+    s = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    m = ev.select(
+        "user_id", (s / 60).cast("long").alias("minute")
+    ).distinct()
+    a = m.select(F.col("user_id").alias("user_a"), "minute")
+    b = m.select(F.col("user_id").alias("user_b"), "minute")
+    p = (
+        a.join(b, "minute")
+        .where(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.count("*").alias("n_shared_minutes"))
+    )
+    return p.where(F.col("n_shared_minutes") >= _R118_K)
+
+
+_R120_SQL = """
+    WITH daily AS (
+      SELECT CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT)
+               // 86400 AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT a.d,
+             sum(b.x * pow(2.0, -(a.d - b.d))) AS num,
+             sum(pow(2.0, -(a.d - b.d))) AS den
+      FROM daily a JOIN daily b ON b.d <= a.d
+      GROUP BY a.d
+    )
+    SELECT w.d, daily.x AS day_cents, w.num / w.den AS ewma_cents
+    FROM w JOIN daily ON daily.d = w.d
+"""
+
+
+@_register("r120_ewma_smoothing", _R120_SQL)
+def r120_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing of daily revenue with half-life = 1 day, in the
+    non-recursive (adjust=True) form: ewma_t = sum 2^-(t-i) x_i /
+    sum 2^-(t-i). The decay base is EXACTLY 2 so every weight is a
+    power of two — IEEE pow(2, -k) is exact on both engines, dodging
+    the libm pow() ulp drift that exact-integer r104 was built to
+    avoid while keeping the classic smoother shape.
+
+    Scale: corpus -> day-bounded daily frame; the weighted sums are a
+    |days|^2/2 pair join over that bounded frame (m41/m43's
+    rationale). The deep-history weights underflow to 0 harmlessly.
+
+    Reference parity: the smoothed version of the reference's Grafana
+    revenue graph (README.md:342-356); public methodology."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    daily = (
+        ev.select(
+            (t / 86400).cast("long").alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").cast("long").alias("x"))
+    )
+    daily = daily.localCheckpoint()  # day-bounded
+    a = daily.select(F.col("d").alias("da"))
+    b = daily.select(F.col("d").alias("db"), F.col("x").alias("xb"))
+    # broadcast bound: both sides are the |days| daily frame
+    w = (
+        a.join(F.broadcast(b), F.col("db") <= F.col("da"))
+        .groupBy("da")
+        .agg(
+            F.sum(
+                F.col("xb") * F.pow(F.lit(2.0), -(F.col("da") - F.col("db")))
+            ).alias("num"),
+            F.sum(
+                F.pow(F.lit(2.0), -(F.col("da") - F.col("db")))
+            ).alias("den"),
+        )
+    )
+    return (
+        w.join(daily, w.da == daily.d)
+        .select(
+            F.col("d"),
+            F.col("x").alias("day_cents"),
+            (F.col("num") / F.col("den")).alias("ewma_cents"),
+        )
+    )

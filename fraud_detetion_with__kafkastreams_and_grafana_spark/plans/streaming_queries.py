@@ -4540,3 +4540,121 @@ def s56_stream_gopher_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s56",
     )
     return gopher_report_from_slice_partials(merged)
+
+
+def _r119_oracle_sql() -> str:
+    from .timeseries import ORACLES as _TS
+
+    return _TS["r119_ohlc_resample"]
+
+
+@_register("s57_stream_ohlc", _r119_oracle_sql())
+def s57_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r119's daily OHLC candles maintained ON INGEST — the live
+    candlestick builder: per-batch partials carry open/close VALUE
+    AND KEY ((second, event_id) of the batch-local extremes), because
+    FIRST/LAST only merge associatively when the merge can re-compare
+    the keys (min_by/max_by over the carried struct); high/low/count/
+    volume merge as plain min/max/sums. Equal to batch r119, sharing
+    its oracle verbatim.
+
+    Scale: |days| partial rows per batch; the merge is day-keyed over
+    the bounded candle frame. The carried-key trick is the general
+    recipe for streaming argmin/argmax."""
+    from .timeseries import ohlc_from_partials
+
+    d = _events_proj_wire(
+        spark,
+        sf_dir,
+        lambda t: [
+            "event_id",
+            t.cast("long").alias("s"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ],
+    )
+
+    def candle_partials(b: DataFrame) -> DataFrame:
+        b = b.select(
+            "event_id",
+            "s",
+            (F.col("s") / 86400).cast("long").alias("d"),
+            "cents",
+        )
+        agg = b.groupBy("d").agg(
+            F.expr(
+                "min_by(struct(s, event_id, cents), struct(s, event_id))"
+            ).alias("o"),
+            F.expr(
+                "max_by(struct(s, event_id, cents), struct(s, event_id))"
+            ).alias("cl"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.count("*").alias("n"),
+            F.sum("cents").alias("volume_cents"),
+        )
+        return agg.select(
+            "d",
+            F.col("o.s").alias("open_s"),
+            F.col("o.event_id").alias("open_id"),
+            F.col("o.cents").alias("open_cents"),
+            F.col("cl.s").alias("close_s"),
+            F.col("cl.event_id").alias("close_id"),
+            F.col("cl.cents").alias("close_cents"),
+            "high_cents",
+            "low_cents",
+            "n",
+            "volume_cents",
+        )
+
+    merged = _partial_replay(
+        spark,
+        d,
+        "event_id LONG, s LONG, cents LONG",
+        candle_partials,
+        "s57",
+    )
+    return ohlc_from_partials(merged)
+
+
+def _m51_oracle_sql() -> str:
+    from .advanced import ORACLES as _ADV
+
+    return _ADV["m51_tukey_fences"]
+
+
+@_register("s58_stream_tukey", _m51_oracle_sql())
+def s58_stream_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m51's Tukey outlier fences as a live monitor: per-batch
+    (event_type, cents) histogram partials — the universal mergeable
+    representation this registry leans on (s47/s48's rationale:
+    quantile-family statistics don't merge as scalars but merge
+    trivially as value histograms) — with the exact integer fence
+    arithmetic re-derived at refresh through the shared tail. Equal
+    to batch m51, sharing its oracle verbatim.
+
+    Scale: partial volume is the batch's distinct (type, cents)
+    domain; no raw row lands twice; zero streaming state."""
+    from .advanced import tukey_from_hist
+
+    ev = load_table(spark, sf_dir, "events")
+    from ..streaming.replay import materialize_wire_dir
+
+    wire = ev.select(
+        F.to_json(
+            F.struct(
+                "event_type",
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+            )
+        ).alias("value")
+    )
+    d = materialize_wire_dir(wire)
+    merged = _partial_replay(
+        spark,
+        d,
+        "event_type STRING, cents LONG",
+        lambda b: b.groupBy("event_type", "cents").agg(
+            F.count("*").alias("c")
+        ),
+        "s58",
+    )
+    return tukey_from_hist(merged)

@@ -218,3 +218,108 @@ def r61_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("day_total", F.lit(0.0)).alias("day_total"),
         F.last("day_mean", ignorenulls=True).over(w).alias("ff_mean"),
     )
+
+
+_R119_SQL = """
+    WITH e AS (
+      SELECT CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT)
+               AS s,
+             event_id,
+             CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT)
+               // 86400 AS d,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    r AS (
+      SELECT d, s, event_id, cents,
+             row_number() OVER (PARTITION BY d ORDER BY s, event_id)
+               AS rn_open,
+             row_number() OVER (PARTITION BY d ORDER BY s DESC,
+                                event_id DESC) AS rn_close
+      FROM e
+    )
+    SELECT d,
+           CAST(min(CASE WHEN rn_open = 1 THEN cents END) AS BIGINT)
+             AS open_cents,
+           CAST(max(cents) AS BIGINT) AS high_cents,
+           CAST(min(cents) AS BIGINT) AS low_cents,
+           CAST(min(CASE WHEN rn_close = 1 THEN cents END) AS BIGINT)
+             AS close_cents,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS volume_cents
+    FROM r
+    GROUP BY d
+"""
+
+
+@_register("r119_ohlc_resample", _R119_SQL)
+def r119_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC (open/high/low/close) + count + volume resample of
+    the amount stream — the candlestick downsample every time-series
+    store ships (InfluxDB FIRST()/MAX()/MIN()/LAST() over windows;
+    the reference's panels use the same fns per README.md:342-356).
+    Open/close need a deterministic event order: (second, event_id)
+    ties are pinned on BOTH engines via twin row_numbers (ascending
+    for open, descending for close) folded into one conditional agg.
+
+    Scale: one d-keyed shuffle carries both window passes AND the
+    final agg (same partitioning); high/low/volume are plain
+    map-side-combinable aggregates riding along. Day-domain output.
+
+    Reference parity: README.md:342-356 (panel aggregations);
+    public OHLC semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp(
+        F.date_trunc("second", F.col("ts")).cast("timestamp")
+    )
+    e = ev.select(
+        sec.alias("s"),
+        "event_id",
+        (sec / 86400).cast("long").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w_open = Window.partitionBy("d").orderBy(
+        F.asc("s"), F.asc("event_id")
+    )
+    w_close = Window.partitionBy("d").orderBy(
+        F.desc("s"), F.desc("event_id")
+    )
+    r = e.select(
+        "d",
+        "cents",
+        F.row_number().over(w_open).alias("rn_open"),
+        F.row_number().over(w_close).alias("rn_close"),
+    )
+    return r.groupBy("d").agg(
+        F.min(F.when(F.col("rn_open") == 1, F.col("cents")))
+        .cast("long")
+        .alias("open_cents"),
+        F.max("cents").cast("long").alias("high_cents"),
+        F.min("cents").cast("long").alias("low_cents"),
+        F.min(F.when(F.col("rn_close") == 1, F.col("cents")))
+        .cast("long")
+        .alias("close_cents"),
+        F.count("*").alias("n"),
+        F.sum("cents").cast("long").alias("volume_cents"),
+    )
+
+
+def ohlc_from_partials(p: DataFrame) -> DataFrame:
+    """Merge per-batch OHLC partials carrying their extreme keys:
+    (d, open_key_s, open_key_id, open_cents, close_key_s,
+    close_key_id, close_cents, high, low, n, volume) -> r119's
+    output. Open/close merge by min_by/max_by over the carried
+    (s, event_id) key struct — the associative form of FIRST/LAST.
+    Shared by the s57 streaming twin."""
+    return p.groupBy("d").agg(
+        F.expr(
+            "min_by(open_cents, struct(open_s, open_id))"
+        ).cast("long").alias("open_cents"),
+        F.max("high_cents").cast("long").alias("high_cents"),
+        F.min("low_cents").cast("long").alias("low_cents"),
+        F.expr(
+            "max_by(close_cents, struct(close_s, close_id))"
+        ).cast("long").alias("close_cents"),
+        F.sum("n").cast("long").alias("n"),
+        F.sum("volume_cents").cast("long").alias("volume_cents"),
+    )

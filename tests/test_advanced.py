@@ -277,3 +277,56 @@ def test_m50_dow_brute(spark, sf_dir):
     import datetime
 
     assert (0 + 3) % 7 + 1 == datetime.date(1970, 1, 1).isoweekday()
+
+
+def test_m51_tukey_brute(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    ).collect()
+    import collections
+
+    per = collections.defaultdict(list)
+    for r in rows:
+        per[r.event_type].append(r.cents)
+    got = {r.event_type: r for r in advanced.QUERIES["m51_tukey_fences"](spark, sf_dir).collect()}
+    for et, xs in per.items():
+        xs.sort()
+        n = len(xs)
+        # discrete lower quartiles: min v with 4*cum >= n (resp. 3n)
+        q1 = next(xs[i] for i in range(n) if 4 * (i + 1) >= n)
+        q3 = next(xs[i] for i in range(n) if 4 * (i + 1) >= 3 * n)
+        lo4, hi4 = 4 * q1 - 6 * (q3 - q1), 4 * q3 + 6 * (q3 - q1)
+        r = got[et]
+        assert (r.n, r.q1_cents, r.q3_cents) == (n, q1, q3)
+        assert r.n_low_outliers == sum(1 for x in xs if 4 * x < lo4)
+        assert r.n_high_outliers == sum(1 for x in xs if 4 * x > hi4)
+
+
+def test_m52_trimmed_mean_brute(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = li.select(
+        "l_returnflag", F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    ).collect()
+    import collections
+
+    per = collections.defaultdict(list)
+    for r in rows:
+        per[r.l_returnflag].append(r.cents)
+    got = {r.l_returnflag: r for r in advanced.QUERIES["m52_trimmed_mean"](spark, sf_dir).collect()}
+    for flag, xs in per.items():
+        xs.sort()
+        n = len(xs)
+        k = n * 5 // 100
+        kept = xs[k : n - k]
+        r = got[flag]
+        assert (r.n, r.k_trimmed_each_side, r.kept_cents) == (n, k, sum(kept))
+        assert abs(r.trimmed_mean_cents - sum(kept) / len(kept)) < 1e-9

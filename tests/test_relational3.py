@@ -427,3 +427,43 @@ def test_r117_rfm_brute(spark, sf_dir):
         for r in relational3.QUERIES["r117_rfm_segments"](spark, sf_dir).collect()
     }
     assert got == {k: list(v) for k, v in seg.items()}
+
+
+def test_r118_rings_brute(spark, sf_dir):
+    rows = _events_secs(spark, sf_dir)
+    import collections
+    import itertools
+
+    by_minute = collections.defaultdict(set)
+    for u, s, _ in rows:
+        by_minute[s // 60].add(u)
+    want = collections.Counter()
+    for us in by_minute.values():
+        for a, b in itertools.combinations(sorted(us), 2):
+            want[(a, b)] += 1
+    want = {k: v for k, v in want.items() if v >= 2}
+    got = {
+        (r.user_a, r.user_b): r.n_shared_minutes
+        for r in relational3.QUERIES["r118_cooccurrence_rings"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_r120_ewma_brute(spark, sf_dir):
+    rows = _events_secs(spark, sf_dir)
+    import collections
+
+    daily = collections.Counter()
+    for _, s, cents in rows:
+        daily[s // 86400] += cents
+    days = sorted(daily)
+    got = {
+        r.d: r
+        for r in relational3.QUERIES["r120_ewma_smoothing"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(days)
+    for t in days:
+        num = sum(daily[i] * 2.0 ** (-(t - i)) for i in days if i <= t)
+        den = sum(2.0 ** (-(t - i)) for i in days if i <= t)
+        assert got[t].day_cents == daily[t]
+        assert abs(got[t].ewma_cents - num / den) < 1e-6 * max(1, abs(num / den))

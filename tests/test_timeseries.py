@@ -56,3 +56,34 @@ def test_gapfill_spine_is_dense_and_zero_filled(spark, sf_dir):
                 assert r.day_total > 0.0
             if seen_data:
                 assert r.ff_mean is not None
+
+
+def test_r119_ohlc_brute(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import timeseries
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    rows = ev.select(
+        sec.alias("s"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).collect()
+    import collections
+
+    per_day = collections.defaultdict(list)
+    for r in rows:
+        per_day[r.s // 86400].append((r.s, r.event_id, r.cents))
+    got = {r.d: r for r in timeseries.QUERIES["r119_ohlc_resample"](spark, sf_dir).collect()}
+    assert set(got) == set(per_day)
+    for d, evs in per_day.items():
+        evs.sort()
+        r = got[d]
+        assert r.open_cents == evs[0][2]
+        assert r.close_cents == evs[-1][2]
+        assert r.high_cents == max(c for _, _, c in evs)
+        assert r.low_cents == min(c for _, _, c in evs)
+        assert r.n == len(evs)
+        assert r.volume_cents == sum(c for _, _, c in evs)

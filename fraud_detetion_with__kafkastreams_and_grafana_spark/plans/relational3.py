@@ -5792,16 +5792,8 @@ def r118_cooccurrence_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
     m = ev.select(
         "user_id", (s / 60).cast("long").alias("minute")
-    ).distinct()
-    a = m.select(F.col("user_id").alias("user_a"), "minute")
-    b = m.select(F.col("user_id").alias("user_b"), "minute")
-    p = (
-        a.join(b, "minute")
-        .where(F.col("user_a") < F.col("user_b"))
-        .groupBy("user_a", "user_b")
-        .agg(F.count("*").alias("n_shared_minutes"))
     )
-    return p.where(F.col("n_shared_minutes") >= _R118_K)
+    return rings_from_user_minutes(m)
 
 
 _R120_SQL = """
@@ -5872,3 +5864,136 @@ def r120_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("num") / F.col("den")).alias("ewma_cents"),
         )
     )
+
+
+# Scorecard weights (points per signal) — the composition is the point:
+# every term below is one of r106-r110 verbatim.
+_R121_W_VEL, _R121_W_REP, _R121_W_STR, _R121_W_BURST, _R121_W_ROUND = (
+    5, 2, 8, 10, 15,
+)
+
+_R121_SQL = f"""
+    WITH vel AS ({_R106_SQL}),
+    rep AS ({_R107_SQL}),
+    str_ AS ({_R108_SQL}),
+    rea AS ({_R109_SQL}),
+    rnd AS ({_R110_SQL}),
+    sig AS (
+      SELECT user_id, n_alerts, 0 AS n_repeats, 0 AS n_struct_days,
+             0 AS n_bursts, 0 AS round_flag
+      FROM vel
+      UNION ALL
+      SELECT user_id, 0, n_repeats, 0, 0, 0 FROM rep
+      UNION ALL
+      SELECT user_id, 0, 0, 1, 0, 0 FROM str_
+      UNION ALL
+      SELECT user_id, 0, 0, 0, CAST(burst_flag AS INT), 0 FROM rea
+      UNION ALL
+      SELECT user_id, 0, 0, 0, 0, CAST(z > 3.0 AS INT) FROM rnd
+    )
+    SELECT user_id,
+           CAST(sum(n_alerts) AS BIGINT) AS n_alerts,
+           CAST(sum(n_repeats) AS BIGINT) AS n_repeats,
+           CAST(sum(n_struct_days) AS BIGINT) AS n_struct_days,
+           CAST(sum(n_bursts) AS BIGINT) AS n_bursts,
+           CAST(max(round_flag) AS INT) AS round_flag,
+           CAST({_R121_W_VEL} * sum(n_alerts)
+                + {_R121_W_REP} * sum(n_repeats)
+                + {_R121_W_STR} * sum(n_struct_days)
+                + {_R121_W_BURST} * sum(n_bursts)
+                + {_R121_W_ROUND} * max(round_flag) AS BIGINT) AS score
+    FROM sig
+    GROUP BY user_id
+    HAVING {_R121_W_VEL} * sum(n_alerts)
+           + {_R121_W_REP} * sum(n_repeats)
+           + {_R121_W_STR} * sum(n_struct_days)
+           + {_R121_W_BURST} * sum(n_bursts)
+           + {_R121_W_ROUND} * max(round_flag) > 0
+"""
+
+
+@_register("r121_fraud_scorecard", _R121_SQL)
+def r121_fraud_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rule-pack capstone: per-user fraud scorecard combining
+    r106-r110 — velocity alerts, same-day amount repeats, structuring
+    days, reactivation bursts, round-amount bias (z > 3) — into one
+    weighted integer score, exactly how production decision engines
+    stack rule points before a review queue. Each signal is the
+    registered rule VERBATIM (the engine calls the same plan
+    functions; the oracle inlines the same five SQL bodies as CTEs),
+    composed via a union of sparse signal rows + one keyed sum — no
+    five-way join ladder, no NULL-handling maze.
+
+    Scale: each rule keeps its own optimal plan; the union'd signal
+    frame is alert-sized (rows only for users that fired something);
+    the final agg is one user-keyed sum. Integer points end to end.
+
+    Reference parity: the multi-rule generalization of the
+    reference's single-branch alert (TransactionProcessor.java:37)."""
+    vel = r106_velocity_alerts(spark, sf_dir)
+    rep = r107_duplicate_txn(spark, sf_dir)
+    stru = r108_structuring(spark, sf_dir)
+    rea = r109_dormancy_reactivation(spark, sf_dir)
+    rnd = r110_round_amount_bias(spark, sf_dir)
+    z = F.lit(0).cast("long")
+    sig = (
+        vel.select("user_id", F.col("n_alerts").cast("long"), z.alias("n_repeats"), z.alias("n_struct_days"), z.alias("n_bursts"), z.alias("round_flag"))
+        .unionAll(
+            rep.select("user_id", z, F.col("n_repeats").cast("long"), z, z, z)
+        )
+        .unionAll(
+            stru.select("user_id", z, z, F.lit(1).cast("long"), z, z)
+        )
+        .unionAll(
+            rea.select(
+                "user_id", z, z, z,
+                F.col("burst_flag").cast("long"), z,
+            )
+        )
+        .unionAll(
+            rnd.select(
+                "user_id", z, z, z, z,
+                (F.col("z") > 3.0).cast("long"),
+            )
+        )
+    )
+    agg = sig.groupBy("user_id").agg(
+        F.sum("n_alerts").cast("long").alias("n_alerts"),
+        F.sum("n_repeats").cast("long").alias("n_repeats"),
+        F.sum("n_struct_days").cast("long").alias("n_struct_days"),
+        F.sum("n_bursts").cast("long").alias("n_bursts"),
+        F.max("round_flag").cast("int").alias("round_flag"),
+    )
+    score = (
+        _R121_W_VEL * F.col("n_alerts")
+        + _R121_W_REP * F.col("n_repeats")
+        + _R121_W_STR * F.col("n_struct_days")
+        + _R121_W_BURST * F.col("n_bursts")
+        + _R121_W_ROUND * F.col("round_flag")
+    ).cast("long")
+    return agg.select(
+        "user_id",
+        "n_alerts",
+        "n_repeats",
+        "n_struct_days",
+        "n_bursts",
+        "round_flag",
+        score.alias("score"),
+    ).where(F.col("score") > 0)
+
+
+def rings_from_user_minutes(m: DataFrame) -> DataFrame:
+    """(user_id, minute) presence rows (duplicates tolerated — the
+    distinct here is the merge) -> r118's output. Presence sets merge
+    by union+distinct, which is why the streaming twin (s59) can land
+    per-batch distinct partials and re-derive pairs at refresh."""
+    m = m.distinct()
+    a = m.select(F.col("user_id").alias("user_a"), "minute")
+    b = m.select(F.col("user_id").alias("user_b"), "minute")
+    p = (
+        a.join(b, "minute")
+        .where(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.count("*").alias("n_shared_minutes"))
+    )
+    return p.where(F.col("n_shared_minutes") >= _R118_K)

@@ -4658,3 +4658,39 @@ def s58_stream_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s58",
     )
     return tukey_from_hist(merged)
+
+
+def _r118_oracle_sql() -> str:
+    from .relational3 import ORACLES as _R3
+
+    return _R3["r118_cooccurrence_rings"]
+
+
+@_register("s59_stream_rings", _r118_oracle_sql())
+def s59_stream_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r118's collusion-ring screen maintained ON INGEST: per-batch
+    partials are the batch's DISTINCT (user, minute) presence rows —
+    presence is a SET, and sets merge by union+distinct, so the sink
+    stays bounded by active (user, minute) pairs however the stream
+    is batched; the pair join + >= K cut re-derives at refresh
+    through the shared tail. Equal to batch r118, sharing its oracle
+    verbatim.
+
+    Scale: partial volume <= batch's active pairs; the refresh cost
+    is the bounded presence frame's bucket join (r118's analysis),
+    never the raw stream."""
+    from .relational3 import rings_from_user_minutes
+
+    d = _events_proj_wire(
+        spark,
+        sf_dir,
+        lambda t: ["user_id", (t / 60).cast("long").alias("minute")],
+    )
+    merged = _partial_replay(
+        spark,
+        d,
+        "user_id LONG, minute LONG",
+        lambda b: b.select("user_id", "minute").distinct(),
+        "s59",
+    )
+    return rings_from_user_minutes(merged)

@@ -330,3 +330,28 @@ def test_m52_trimmed_mean_brute(spark, sf_dir):
         r = got[flag]
         assert (r.n, r.k_trimmed_each_side, r.kept_cents) == (n, k, sum(kept))
         assert abs(r.trimmed_mean_cents - sum(kept) / len(kept)) < 1e-9
+
+
+def test_m53_moments_match_statistics(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select("event_type", F.round("value").cast("long").alias("u")).collect()
+    import collections
+
+    per = collections.defaultdict(list)
+    for r in rows:
+        per[r.event_type].append(r.u)
+    got = {r.event_type: r for r in advanced.QUERIES["m53_higher_moments"](spark, sf_dir).collect()}
+    for et, xs in per.items():
+        n = len(xs)
+        mu = sum(xs) / n
+        m2 = sum((x - mu) ** 2 for x in xs) / n
+        m3 = sum((x - mu) ** 3 for x in xs) / n
+        m4 = sum((x - mu) ** 4 for x in xs) / n
+        r = got[et]
+        assert r.n == n and r.s1 == sum(xs)
+        assert abs(r.skewness - m3 / m2**1.5) < 1e-6
+        assert abs(r.excess_kurtosis - (m4 / m2**2 - 3)) < 1e-6

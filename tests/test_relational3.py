@@ -467,3 +467,37 @@ def test_r120_ewma_brute(spark, sf_dir):
         den = sum(2.0 ** (-(t - i)) for i in days if i <= t)
         assert got[t].day_cents == daily[t]
         assert abs(got[t].ewma_cents - num / den) < 1e-6 * max(1, abs(num / den))
+
+
+def test_r121_scorecard_composes_the_rules(spark, sf_dir):
+    """The capstone must equal the weighted composition of its five
+    member rules' own outputs — computed here by re-collecting each
+    registered rule and recombining in Python."""
+    import collections
+
+    q = relational3.QUERIES
+    sig = collections.defaultdict(lambda: [0, 0, 0, 0, 0])
+    for r in q["r106_velocity_alerts"](spark, sf_dir).collect():
+        sig[r.user_id][0] += r.n_alerts
+    for r in q["r107_duplicate_txn"](spark, sf_dir).collect():
+        sig[r.user_id][1] += r.n_repeats
+    for r in q["r108_structuring"](spark, sf_dir).collect():
+        sig[r.user_id][2] += 1
+    for r in q["r109_dormancy_reactivation"](spark, sf_dir).collect():
+        sig[r.user_id][3] += bool(r.burst_flag)
+    for r in q["r110_round_amount_bias"](spark, sf_dir).collect():
+        if r.z > 3.0:
+            sig[r.user_id][4] = 1
+    want = {}
+    for u, (a, b, c, d, e) in sig.items():
+        score = 5 * a + 2 * b + 8 * c + 10 * d + 15 * e
+        if score > 0:
+            want[u] = (a, b, c, d, e, score)
+    got = {
+        r.user_id: (
+            r.n_alerts, r.n_repeats, r.n_struct_days, r.n_bursts,
+            r.round_flag, r.score,
+        )
+        for r in q["r121_fraud_scorecard"](spark, sf_dir).collect()
+    }
+    assert got == want

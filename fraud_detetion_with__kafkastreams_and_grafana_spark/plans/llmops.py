@@ -6683,11 +6683,14 @@ def l100_dup_bigram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: none in reference; public methodology (C4,
     Raffel et al. 2020; Gopher repetition rules)."""
     d = load_table(spark, sf_dir, "documents")
+    # bind the split once (see l101: lambda-inner split() re-evaluates
+    # per element)
+    ws = d.select("doc_id", F.split("text", " ").alias("ws"))
     grams = F.expr(
-        "transform(sequence(0, size(split(text, ' ')) - 2),"
-        " i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i + 1]))"
+        "transform(sequence(0, size(ws) - 2),"
+        " i -> concat(ws[i], ' ', ws[i + 1]))"
     )
-    r = d.select("doc_id", grams.alias("grams"))
+    r = ws.select("doc_id", grams.alias("grams"))
     return r.select(
         "doc_id",
         F.size("grams").cast("long").alias("n_grams"),
@@ -6708,9 +6711,9 @@ _L101_SQL = f"""
     ),
     g AS (
       SELECT DISTINCT doc_id,
-             list_aggregate(list_slice(ws, i, i + 1), 'string_agg', ' ')
+             list_aggregate(list_slice(ws, i, i + 2), 'string_agg', ' ')
                AS gram
-      FROM words, LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+      FROM words, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i)
     ),
     sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
     inter AS (
@@ -6732,46 +6735,69 @@ _L101_SQL = f"""
 
 @_register("l101_overlap_coefficient_pairs", _L101_SQL)
 def l101_overlap_coefficient_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Containment-style near-dup pairs by bigram-shingle OVERLAP
+    """Containment-style near-dup pairs by TRIGRAM-shingle OVERLAP
     COEFFICIENT |A∩B| / min(|A|,|B|) >= 0.5 — the measure that catches
     a document swallowed inside a longer one, where Jaccard (l02)
-    dilutes toward 0 as the big doc grows. Distinct bigram postings
-    self-join on the shingle, intersection counts re-join the two
-    size frames, and the threshold compares in exact integer ppm
-    (1e6 * common >= thresh * min) — no float on the cut.
+    dilutes toward 0 as the big doc grows. Distinct w=3 shingle
+    postings self-join on the shingle, intersection counts re-join the
+    two size frames, and the threshold compares in exact integer ppm —
+    no float on the cut.
 
-    Scale: this is the exact VERIFY stage of the dedup ladder. The
-    postings equi-join is bounded by sum(df^2) over shingles — fine
-    under a banded prefilter, quadratic on stop-shingles at corpus
-    scale — so at 100 TB this runs ON THE CANDIDATE PAIRS from
-    l02/l03's LSH banding (same re-join shape, candidate-bounded);
-    corpus-wide here because the oracle must sweep everything. Doc
-    ids and shingles cross the shuffle; full text never does.
+    Shingle width is a MEASURED choice: this corpus's vocabulary is so
+    small that bigram shingles (961 possible) are ALL stop-shingles —
+    the postings join degenerates to near-all-pairs (13 s at sf0.1),
+    and prefix filtering (SSJoin, Chaudhuri 2006) cannot help when
+    every shingle is frequent (tried: 50 s — the filter's own df rank
+    outweighed its pruning). At w=3 the universe is ~30k, max df ~7,
+    sum(df^2) ~54k: the same join is sub-second and scales with true
+    near-dup density. Pair volume is sum(df^2) over shingles; at
+    100 TB the exact stage runs on l02/l03's LSH candidate pairs (same
+    re-join shape, candidate-bounded) and rare stop-trigrams get the
+    l84-style frequency cut. Doc ids and shingles cross the shuffle,
+    full text never does.
 
     Reference parity: none in reference; public methodology (overlap
-    coefficient / Szymkiewicz-Simpson; Broder 1997 shingling)."""
+    coefficient / Szymkiewicz-Simpson; Broder 1997 w-shingling)."""
     d = load_table(spark, sf_dir, "documents")
+    # bind the split ONCE as a column: a split() inside the transform
+    # lambda re-evaluates per element (O(len^2) per doc — measured 10 s
+    # vs sub-second at sf0.1)
+    ws = d.select("doc_id", F.split("text", " ").alias("ws"))
     grams = F.expr(
-        "transform(sequence(0, size(split(text, ' ')) - 2),"
-        " i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i + 1]))"
+        "transform(sequence(0, size(ws) - 3),"
+        " i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))"
     )
-    g = (
-        d.select("doc_id", F.explode(grams).alias("gram"))
-        .distinct()
+    # sizes ride ON the postings (array cardinality at explode time):
+    # the pair aggregate then needs NO post-joins — |A| and |B| arrive
+    # with every intersection row. CHECKPOINT THE ARRAY FRAME, not the
+    # exploded one: a projection evaluated next to a generator re-runs
+    # per emitted row, so checkpointing after explode re-computed
+    # transform+array_distinct O(len) times per doc (measured 11.8 s
+    # for the checkpoint alone; array-first is 2.7 s).
+    arr = ws.select(
+        "doc_id", F.array_distinct(grams).alias("garr")
+    ).localCheckpoint()
+    g = arr.select(
+        "doc_id",
+        F.size("garr").alias("n"),
+        F.explode("garr").alias("gram"),
     )
-    g = g.localCheckpoint()  # postings reused three times below
-    sz = g.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = g.select(F.col("doc_id").alias("doc_a"), "gram")
-    b = g.select(F.col("doc_id").alias("doc_b"), "gram")
-    inter = (
+    a = g.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "gram"
+    )
+    b = g.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "gram"
+    )
+    j = (
         a.join(b, "gram")
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+        .agg(
+            F.count("*").alias("n_common"),
+            F.min("n_a").alias("n_a"),
+            F.min("n_b").alias("n_b"),
+        )
     )
-    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
-    j = inter.join(sa, "doc_a").join(sb, "doc_b")
     mn = F.least("n_a", "n_b")
     return j.where(
         1000000 * F.col("n_common") >= _L101_THRESH_PPM * mn

@@ -138,8 +138,15 @@ _CHECKED_R7 = (
 # round-9 window is 47 never-checked rows (the 16 overflow + the 31 new,
 # in family order: s41-s49, m33-m39, l88-l97, r100-r104+r84-r99 by name)
 # plus the first 3 round-3 leftovers (r52-r54); r55-r61 and the round-4
-# vintage rotate through r10. Round-10 sync: add _CHECKED_R9 from
-# CORRECTNESS_r09.json.
+# vintage rotate through r10. Round-10 sync: the round-9 driver
+# artifacts never landed (no CORRECTNESS_r09.json / BENCH_r09.json in
+# the repo at round-10 start), so there is NO _CHECKED_R9 to fold in:
+# the 47 round-9 rows stay never-checked and keep sorting first, now
+# followed by the 42 round-10 additions (r106-r121, m42-m53, l98-l101,
+# s50-s59) — ~89 never-checked for a 50-slot window. Whole-registry
+# local parity (32/7/13-way) is the compensating evidence; see
+# SCALE.md round-10 closing numbers. Round-11 sync: fold in whichever
+# CORRECTNESS_r{10,...}.json next appears.
 _CHECKED_R8 = (
     {f"s{i:02d}" for i in range(25, 32)}
     | {f"s{i:02d}" for i in range(33, 41)}

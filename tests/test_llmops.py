@@ -1400,7 +1400,9 @@ def test_l101_overlap_pairs_brute(spark, sf_dir):
     sets = {}
     for doc_id, _, _, text in docs:
         ws = text.split(" ")
-        sets[doc_id] = {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+        sets[doc_id] = {
+            f"{a} {b} {c}" for a, b, c in zip(ws, ws[1:], ws[2:])
+        }
     ids = sorted(sets)
     want = {}
     for i, a in enumerate(ids):

@@ -6847,3 +6847,89 @@ def m53_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         skew.alias("skewness"),
         kurt.alias("excess_kurtosis"),
     )
+
+
+_M54_SQL = """
+    WITH o AS (
+      SELECT CAST((CAST(date_part('epoch', date_trunc('second', ts))
+                        AS BIGINT) // 86400 + 3) % 7 + 1 AS INT) AS isodow,
+             event_type, CAST(count(*) AS BIGINT) AS obs
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT o.*,
+             sum(obs) OVER (PARTITION BY isodow) AS row_n,
+             sum(obs) OVER (PARTITION BY event_type) AS col_n,
+             sum(obs) OVER () AS n
+      FROM o
+    )
+    SELECT isodow, event_type, obs,
+           row_n * col_n / n::DOUBLE AS expected,
+           2.0 * obs * ln(obs * n::DOUBLE / (row_n * col_n)) AS g_term
+    FROM m
+"""
+
+
+@_register("m54_gtest_llr", _M54_SQL)
+def m54_gtest_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-likelihood-ratio G-test terms for the weekday x event-type
+    contingency table: G = 2 * sum O * ln(O/E) with E = row*col/n —
+    the LLR form preferred over chi-square (m33) for sparse cells
+    (Dunning 1993, the collocation/fraud-cohort standard). Cell,
+    row, column, and grand totals all come from ONE pass via windows
+    over the 35-cell table; integer counts feed one shared float
+    expression per cell.
+
+    Scale: corpus -> 35-cell contingency aggregate (map-side
+    combinable); the window passes run on the cell frame. Cells are
+    the mergeable representation (the s60 twin lands cell partials).
+
+    Reference parity: none in reference; public statistic (Dunning
+    1993)."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    o = (
+        ev.select(
+            (((t / 86400).cast("long") + 3) % 7 + 1)
+            .cast("int")
+            .alias("isodow"),
+            "event_type",
+        )
+        .groupBy("isodow", "event_type")
+        .agg(F.count("*").alias("obs"))
+    )
+    return gtest_from_cells(o)
+
+
+def gtest_from_cells(o: "DataFrame") -> "DataFrame":
+    """(isodow, event_type, obs) contingency cells -> m54's G-test
+    rows. Cells merge by keyed sum; shared by the s60 twin."""
+    from pyspark.sql.window import Window
+
+    o = o.groupBy("isodow", "event_type").agg(
+        F.sum("obs").cast("long").alias("obs")
+    )
+    m = o.select(
+        "isodow",
+        "event_type",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("isodow")).alias("row_n"),
+        F.sum("obs").over(Window.partitionBy("event_type")).alias("col_n"),
+        F.sum("obs").over(Window.partitionBy()).alias("n"),
+    )
+    return m.select(
+        "isodow",
+        "event_type",
+        "obs",
+        (F.col("row_n") * F.col("col_n") / F.col("n").cast("double")).alias(
+            "expected"
+        ),
+        (
+            2.0
+            * F.col("obs")
+            * F.log(
+                F.col("obs") * F.col("n").cast("double")
+                / (F.col("row_n") * F.col("col_n"))
+            )
+        ).alias("g_term"),
+    )

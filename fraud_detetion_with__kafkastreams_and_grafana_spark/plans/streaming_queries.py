@@ -4694,3 +4694,42 @@ def s59_stream_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s59",
     )
     return rings_from_user_minutes(merged)
+
+
+def _m54_oracle_sql() -> str:
+    from .advanced import ORACLES as _ADV
+
+    return _ADV["m54_gtest_llr"]
+
+
+@_register("s60_stream_gtest", _m54_oracle_sql())
+def s60_stream_gtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m54's G-test as a live independence monitor: per-batch
+    contingency-cell partials (35 rows per batch regardless of batch
+    size — the canonical mergeable form), with row/column/grand
+    totals and LLR terms re-derived at refresh through the shared
+    tail. Equal to batch m54, sharing its oracle verbatim.
+
+    Scale: cell-domain partials; zero streaming state."""
+    from .advanced import gtest_from_cells
+
+    d = _events_proj_wire(
+        spark,
+        sf_dir,
+        lambda t: [
+            (((t / 86400).cast("long") + 3) % 7 + 1)
+            .cast("int")
+            .alias("isodow"),
+            "event_type",
+        ],
+    )
+    merged = _partial_replay(
+        spark,
+        d,
+        "isodow INT, event_type STRING",
+        lambda b: b.groupBy("isodow", "event_type").agg(
+            F.count("*").alias("obs")
+        ),
+        "s60",
+    )
+    return gtest_from_cells(merged)

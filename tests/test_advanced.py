@@ -355,3 +355,36 @@ def test_m53_moments_match_statistics(spark, sf_dir):
         assert r.n == n and r.s1 == sum(xs)
         assert abs(r.skewness - m3 / m2**1.5) < 1e-6
         assert abs(r.excess_kurtosis - (m4 / m2**2 - 3)) < 1e-6
+
+
+def test_m54_gtest_brute(spark, sf_dir):
+    import collections
+    import math
+
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    rows = ev.select(
+        (t / 86400).cast("long").alias("d"), "event_type"
+    ).collect()
+    obs = collections.Counter(((r.d + 3) % 7 + 1, r.event_type) for r in rows)
+    rown = collections.Counter()
+    coln = collections.Counter()
+    for (dw, et), c in obs.items():
+        rown[dw] += c
+        coln[et] += c
+    n = sum(obs.values())
+    got = {
+        (r.isodow, r.event_type): r
+        for r in advanced.QUERIES["m54_gtest_llr"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(obs)
+    for (dw, et), c in obs.items():
+        e = rown[dw] * coln[et] / n
+        r = got[(dw, et)]
+        assert r.obs == c
+        assert abs(r.expected - e) < 1e-9
+        assert abs(r.g_term - 2 * c * math.log(c / e)) < 1e-9

@@ -6813,14 +6813,31 @@ def m53_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = ev.select(
         "event_type", F.round("value").cast("long").alias("u")
     )
-    s = e.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum("u").cast("long").alias("s1"),
-        F.sum(F.col("u") * F.col("u")).cast("long").alias("s2"),
-        F.sum(F.col("u") * F.col("u") * F.col("u")).cast("long").alias("s3"),
-        F.sum(F.col("u") * F.col("u") * F.col("u") * F.col("u"))
-        .cast("long")
-        .alias("s4"),
+    return moments_from_power_sums(
+        e.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum("u").cast("long").alias("s1"),
+            F.sum(F.col("u") * F.col("u")).cast("long").alias("s2"),
+            F.sum(F.col("u") * F.col("u") * F.col("u"))
+            .cast("long")
+            .alias("s3"),
+            F.sum(F.col("u") * F.col("u") * F.col("u") * F.col("u"))
+            .cast("long")
+            .alias("s4"),
+        )
+    )
+
+
+def moments_from_power_sums(s: "DataFrame") -> "DataFrame":
+    """(event_type, n, s1..s4) power-sum partials -> m53's output.
+    Power sums merge by keyed sum — THE mergeable moment
+    representation; shared by the s61 streaming twin."""
+    s = s.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s1").cast("long").alias("s1"),
+        F.sum("s2").cast("long").alias("s2"),
+        F.sum("s3").cast("long").alias("s3"),
+        F.sum("s4").cast("long").alias("s4"),
     )
     nd = F.col("n").cast("double")
     s1d = F.col("s1").cast("double")
@@ -6932,4 +6949,129 @@ def gtest_from_cells(o: "DataFrame") -> "DataFrame":
                 / (F.col("row_n") * F.col("col_n"))
             )
         ).alias("g_term"),
+    )
+
+
+_M55_N_EVAL = 200  # deterministic bounded eval set (l96's lesson)
+_M55_K = 5
+
+_M55_DOT = """
+      list_reduce(list_transform(range(1, len(a.embedding) + 1),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+        (x, y) -> x + y)
+"""
+_M55_NORM = """
+      sqrt(list_reduce(list_transform({v}.embedding,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+"""
+
+_M55_SQL = f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS q, a.label AS true_label,
+             b.vec_id AS nb, b.label AS nb_label,
+             ({_M55_DOT})
+               / (({_M55_NORM.format(v="a")}) * ({_M55_NORM.format(v="b")}))
+               AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < {_M55_N_EVAL}
+    ),
+    topk AS (
+      SELECT q, true_label, nb_label
+      FROM (
+        SELECT q, true_label, nb_label,
+               row_number() OVER (PARTITION BY q
+                                  ORDER BY cos DESC, nb ASC) AS rn
+        FROM pairs
+      ) WHERE rn <= {_M55_K}
+    ),
+    votes AS (
+      SELECT q, true_label, nb_label,
+             CAST(count(*) AS BIGINT) AS c
+      FROM topk GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT q, true_label, nb_label AS pred_label
+      FROM (
+        SELECT q, true_label, nb_label,
+               row_number() OVER (PARTITION BY q
+                                  ORDER BY c DESC, nb_label ASC) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    )
+    SELECT true_label,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(count(*) FILTER (pred_label = true_label) AS BIGINT)
+             AS n_correct,
+           CAST(1000000 * count(*) FILTER (pred_label = true_label)
+                // count(*) AS BIGINT) AS accuracy_ppm
+    FROM pred
+    GROUP BY 1
+"""
+
+
+@_register("m55_knn_loo_accuracy", _M55_SQL)
+def m55_knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN (k=5, exact cosine) leave-one-out classification accuracy
+    over the labeled embeddings, per true label — the baseline every
+    learned classifier on this table must beat, and the standard
+    embedding-quality probe (neighbors sharing labels = geometry
+    carries the signal). Deterministic end to end: the eval set is
+    the FIXED first-200 ids (bounded, never corpus-proportional —
+    l96's rule), neighbor rank ties break on vec_id, vote ties on
+    the smaller label, and accuracy reports in exact integer ppm.
+    Cosine accumulates left-to-right over the same doubles on both
+    engines (l06's convention).
+
+    Scale: eval x corpus pairs (bounded x n) — the brute yardstick;
+    at 100 TB the same eval joins l07/l13's ANN candidates instead
+    (identical tail from `pairs` on). One window per query ranks
+    the bounded pair frame.
+
+    Reference parity: none in reference; public methodology (Cover &
+    Hart 1967; LOO evaluation)."""
+    from pyspark.sql.window import Window
+
+    from ..functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.where(F.col("vec_id") < _M55_N_EVAL).select(
+        F.col("vec_id").alias("q"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("qvec"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("nb"),
+        F.col("label").alias("nb_label"),
+        F.col("embedding").alias("nvec"),
+    )
+    # broadcast bound: a is the fixed 200-row eval frame
+    pairs = b.join(F.broadcast(a), F.col("q") != F.col("nb")).select(
+        "q",
+        "true_label",
+        "nb",
+        "nb_label",
+        cosine_similarity(F.col("qvec"), F.col("nvec")).alias("cos"),
+    )
+    wq = Window.partitionBy("q").orderBy(F.desc("cos"), F.asc("nb"))
+    topk = pairs.select(
+        "q", "true_label", "nb_label", F.row_number().over(wq).alias("rn")
+    ).where(F.col("rn") <= _M55_K)
+    votes = topk.groupBy("q", "true_label", "nb_label").agg(
+        F.count("*").alias("c")
+    )
+    wv = Window.partitionBy("q").orderBy(F.desc("c"), F.asc("nb_label"))
+    pred = votes.select(
+        "q",
+        "true_label",
+        F.col("nb_label").alias("pred_label"),
+        F.row_number().over(wv).alias("rn"),
+    ).where(F.col("rn") == 1)
+    hit = (F.col("pred_label") == F.col("true_label")).cast("long")
+    return pred.groupBy("true_label").agg(
+        F.count("*").alias("n_eval"),
+        F.sum(hit).alias("n_correct"),
+        F.expr(
+            "CAST(1000000 * sum(CAST(pred_label = true_label AS LONG))"
+            " div count(*) AS BIGINT)"
+        ).alias("accuracy_ppm"),
     )

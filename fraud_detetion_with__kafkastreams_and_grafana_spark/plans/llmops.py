@@ -6825,3 +6825,135 @@ def gopher_report_from_slice_partials(p: DataFrame) -> DataFrame:
         F.sum("fail_stopwords").cast("long").alias("fail_stopwords"),
         F.sum("n_pass").cast("long").alias("n_pass"),
     )
+
+
+_L102_ITERS = 3  # fixed unrolled power-iteration steps from e_1
+
+_L102_SQL = """
+    WITH el AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    mu AS (
+      SELECT i, sum(v) / count(*) AS m, CAST(count(*) AS BIGINT) AS n
+      FROM el GROUP BY i
+    ),
+    s AS (
+      SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS s
+      FROM el a JOIN el b ON a.vec_id = b.vec_id
+      GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT s.i, s.j, s.s - ma.n * ma.m * mb.m AS g
+      FROM s JOIN mu ma ON ma.i = s.i JOIN mu mb ON mb.i = s.j
+    ),
+    v0 AS (SELECT i, CAST(i = 1 AS DOUBLE) AS v FROM mu),
+    w1 AS (SELECT g.i, sum(g.g * v0.v) AS w
+           FROM g JOIN v0 ON v0.i = g.j GROUP BY 1),
+    v1 AS (SELECT i, w / (SELECT sqrt(sum(w * w)) FROM w1) AS v FROM w1),
+    w2 AS (SELECT g.i, sum(g.g * v1.v) AS w
+           FROM g JOIN v1 ON v1.i = g.j GROUP BY 1),
+    v2 AS (SELECT i, w / (SELECT sqrt(sum(w * w)) FROM w2) AS v FROM w2),
+    w3 AS (SELECT g.i, sum(g.g * v2.v) AS w
+           FROM g JOIN v2 ON v2.i = g.j GROUP BY 1),
+    v3 AS (SELECT i, w / (SELECT sqrt(sum(w * w)) FROM w3) AS v FROM w3),
+    ray AS (
+      SELECT sum(v3a.v * g.g * v3b.v) AS lam
+      FROM g JOIN v3 v3a ON v3a.i = g.i JOIN v3 v3b ON v3b.i = g.j
+    )
+    SELECT CAST(v3.i AS INT) AS dim, v3.v AS component, ray.lam AS rayleigh
+    FROM v3, ray
+"""
+
+
+@_register("l102_pca_power_iteration", _L102_SQL)
+def l102_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud by THREE unrolled
+    power-iteration steps from e_1 on the covariance matrix, plus the
+    Rayleigh quotient — the PCA probe of a training-data pipeline
+    (embedding drift/anisotropy monitoring; Mu & Viswanath 2018 style
+    dominance checks). The contract is deterministic by construction:
+    the output IS "3 steps from e_1" (fixed start, fixed iteration
+    count), not "the converged eigenvector" — so both engines compute
+    the identical function with no convergence nondeterminism. The
+    covariance never materializes a centered COPY of X: G = S - n*mu*mu'
+    from the raw second-moment matrix S = X'X and the mean vector.
+
+    Scale: S is ONE shuffle of (row, dim, value) self-joined per row
+    — d^2 accumulators per partition, d x d output (64x64 here; the
+    d^2-per-row explode is the standard Gram-matrix reduce). Every
+    following step (mat-vec, norms, Rayleigh) runs on d- or d^2-sized
+    frames. At 100 TB only the one X'X pass touches the corpus; at
+    d too large for d^2 rows, this hands off to the pandas-UDF matmul
+    posture (operators/similarity.py's index math).
+
+    Reference parity: none in reference; public methodology (von
+    Mises iteration; PCA)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("i0", "x"),
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.col("x").cast("double").alias("v"),
+    )
+    el = el.localCheckpoint()  # (rows x d) element frame, reused by S and mu
+    mu = el.groupBy("i").agg(
+        (F.sum("v") / F.count("*")).alias("m"),
+        F.count("*").alias("n"),
+    )
+    a = el.select("vec_id", F.col("i").alias("ia"), F.col("v").alias("va"))
+    b = el.select("vec_id", F.col("i").alias("jb"), F.col("v").alias("vb"))
+    s = (
+        a.join(b, "vec_id")
+        .groupBy(F.col("ia").alias("i"), F.col("jb").alias("j"))
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("s"))
+    )
+    ma = mu.select(F.col("i").alias("mi"), F.col("m").alias("mam"), "n")
+    mb = mu.select(F.col("i").alias("mj"), F.col("m").alias("mbm"))
+    # broadcast bound: mu frames are d rows (64)
+    g = (
+        s.join(F.broadcast(ma), F.col("mi") == F.col("i"))
+        .join(F.broadcast(mb), F.col("mj") == F.col("j"))
+        .select(
+            "i",
+            "j",
+            (F.col("s") - F.col("n") * F.col("mam") * F.col("mbm")).alias(
+                "g"
+            ),
+        )
+    )
+    g = g.localCheckpoint()  # d^2 rows, reused by 3 mat-vecs + Rayleigh
+
+    v = mu.select("i", (F.col("i") == 1).cast("double").alias("v"))
+    for _ in range(_L102_ITERS):
+        # broadcast bound: v is d rows
+        w = (
+            g.join(F.broadcast(v.select(F.col("i").alias("j"), "v")), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("g") * F.col("v")).alias("w"))
+        )
+        w = w.localCheckpoint()  # d rows; feeds norm AND normalize
+        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        # broadcast bound: nrm is 1 row
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            "i", (F.col("w") / F.col("nrm")).alias("v")
+        )
+    v = v.localCheckpoint()  # d rows; feeds Rayleigh AND output
+    va = v.select(F.col("i").alias("ri"), F.col("v").alias("rva"))
+    vb = v.select(F.col("i").alias("rj"), F.col("v").alias("rvb"))
+    ray = (
+        g.join(F.broadcast(va), F.col("ri") == F.col("i"))
+        .join(F.broadcast(vb), F.col("rj") == F.col("j"))
+        .agg(
+            F.sum(F.col("rva") * F.col("g") * F.col("rvb")).alias("lam")
+        )
+    )
+    # broadcast bound: ray is 1 row
+    return v.crossJoin(F.broadcast(ray)).select(
+        F.col("i").cast("int").alias("dim"),
+        F.col("v").alias("component"),
+        F.col("lam").alias("rayleigh"),
+    )

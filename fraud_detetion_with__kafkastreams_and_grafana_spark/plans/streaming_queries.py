@@ -4733,3 +4733,49 @@ def s60_stream_gtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s60",
     )
     return gtest_from_cells(merged)
+
+
+def _m53_oracle_sql() -> str:
+    from .advanced import ORACLES as _ADV
+
+    return _ADV["m53_higher_moments"]
+
+
+@_register("s61_stream_moments", _m53_oracle_sql())
+def s61_stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m53's skewness/kurtosis as a live distribution monitor:
+    per-batch partials are the exact integer power sums s1..s4 per
+    event type — the textbook mergeable moment representation (sums
+    of sums) — and the closed-form central-moment algebra re-derives
+    at refresh through the shared tail. Equal to batch m53, sharing
+    its oracle verbatim. A distribution swap in the amount generator
+    (the fraud case m53's docstring describes) shows up as kurtosis
+    drift within one batch.
+
+    Scale: 5 partial rows per batch per type; zero streaming state."""
+    from .advanced import moments_from_power_sums
+
+    d = _events_proj_wire(
+        spark,
+        sf_dir,
+        lambda t: [
+            "event_type",
+            F.round("value").cast("long").alias("u"),
+        ],
+    )
+    merged = _partial_replay(
+        spark,
+        d,
+        "event_type STRING, u LONG",
+        lambda b: b.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum("u").alias("s1"),
+            F.sum(F.col("u") * F.col("u")).alias("s2"),
+            F.sum(F.col("u") * F.col("u") * F.col("u")).alias("s3"),
+            F.sum(F.col("u") * F.col("u") * F.col("u") * F.col("u")).alias(
+                "s4"
+            ),
+        ),
+        "s61",
+    )
+    return moments_from_power_sums(merged)

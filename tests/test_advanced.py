@@ -388,3 +388,37 @@ def test_m54_gtest_brute(spark, sf_dir):
         assert r.obs == c
         assert abs(r.expected - e) < 1e-9
         assert abs(r.g_term - 2 * c * math.log(c / e)) < 1e-9
+
+
+def test_m55_knn_matches_numpy(spark, sf_dir):
+    import collections
+
+    import numpy as np
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = np.array([r.vec_id for r in rows])
+    labels = {r.vec_id: r.label for r in rows}
+    order = np.argsort(ids)
+    X, ids = X[order], ids[order]
+    norms = np.sqrt((X * X).sum(axis=1))
+    per = collections.defaultdict(lambda: [0, 0])
+    for qi in range(len(ids)):
+        if ids[qi] >= 200:
+            continue
+        cos = (X @ X[qi]) / (norms * norms[qi])
+        cand = sorted(
+            ((-cos[j], ids[j]) for j in range(len(ids)) if j != qi)
+        )[:5]
+        votes = collections.Counter(labels[v] for _, v in cand)
+        pred = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        t = labels[ids[qi]]
+        per[t][0] += 1
+        per[t][1] += pred == t
+    got = {r.true_label: r for r in advanced.QUERIES["m55_knn_loo_accuracy"](spark, sf_dir).collect()}
+    assert set(got) == set(per)
+    for t, (n, c) in per.items():
+        assert (got[t].n_eval, got[t].n_correct) == (n, c), (t, n, c, got[t])
+        assert got[t].accuracy_ppm == 1000000 * c // n

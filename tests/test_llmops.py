@@ -1419,3 +1419,30 @@ def test_l101_overlap_pairs_brute(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_l102_pca_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    G = (X - X.mean(axis=0)).T @ (X - X.mean(axis=0))
+    v = np.zeros(X.shape[1])
+    v[0] = 1.0
+    for _ in range(3):
+        w = G @ v
+        v = w / np.sqrt((w * w).sum())
+    lam = v @ G @ v
+    got = sorted(
+        llmops.QUERIES["l102_pca_power_iteration"](spark, sf_dir).collect(),
+        key=lambda r: r.dim,
+    )
+    assert [r.dim for r in got] == list(range(1, X.shape[1] + 1))
+    for r in got:
+        assert abs(r.component - v[r.dim - 1]) < 1e-8, (r.dim, r.component, v[r.dim - 1])
+        assert abs(r.rayleigh - lam) < 1e-6 * abs(lam)
+    # and the step sequence climbs toward the true top eigenvalue
+    top = np.linalg.eigvalsh(G)[-1]
+    assert lam <= top + 1e-9

@@ -406,7 +406,7 @@ def test_m55_knn_matches_numpy(spark, sf_dir):
     norms = np.sqrt((X * X).sum(axis=1))
     per = collections.defaultdict(lambda: [0, 0])
     for qi in range(len(ids)):
-        if ids[qi] >= 200:
+        if ids[qi] >= 100:
             continue
         cos = (X @ X[qi]) / (norms * norms[qi])
         cand = sorted(

@@ -501,3 +501,40 @@ def test_r121_scorecard_composes_the_rules(spark, sf_dir):
         for r in q["r121_fraud_scorecard"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_velocity_partials_merge_invariant_to_batching(spark, sf_dir):
+    """(user, second) count partials from arbitrary splits must merge
+    to exactly r106's event-level result — the s50 twin's soundness
+    argument (RANGE frames give same-second events identical trailing
+    counts)."""
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.relational3 import (
+        velocity_from_second_counts,
+    )
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    s = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    e = ev.select("user_id", "event_id", s.alias("s"))
+    parts = [
+        e.where(F.col("event_id") % 3 == p)
+        .groupBy("user_id", "s")
+        .agg(F.count("*").alias("c"))
+        for p in range(3)
+    ]
+    merged = (
+        parts[0].unionAll(parts[1]).unionAll(parts[2])
+        .groupBy("user_id", "s")
+        .agg(F.sum("c").alias("c"))
+    )
+    got = {
+        r.user_id: (r.n_alerts, r.max_trailing)
+        for r in velocity_from_second_counts(merged).collect()
+    }
+    want = {
+        r.user_id: (r.n_alerts, r.max_trailing)
+        for r in relational3.QUERIES["r106_velocity_alerts"](spark, sf_dir).collect()
+    }
+    assert got == want

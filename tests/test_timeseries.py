@@ -87,3 +87,62 @@ def test_r119_ohlc_brute(spark, sf_dir):
         assert r.low_cents == min(c for _, _, c in evs)
         assert r.n == len(evs)
         assert r.volume_cents == sum(c for _, _, c in evs)
+
+
+def test_ohlc_partials_merge_invariant_to_batching(spark, sf_dir):
+    """The carried-key argmin/argmax merge must be invariant to HOW
+    events are batched: partials built over three arbitrary,
+    non-chronological splits (event_id % 3) must merge to exactly the
+    batch r119 result."""
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.timeseries import (
+        ohlc_from_partials,
+    )
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    e = ev.select(
+        "event_id",
+        sec.alias("s"),
+        (sec / 86400).cast("long").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def partial(part):
+        b = e.where(F.col("event_id") % 3 == part)
+        agg = b.groupBy("d").agg(
+            F.expr("min_by(struct(s, event_id, cents), struct(s, event_id))").alias("o"),
+            F.expr("max_by(struct(s, event_id, cents), struct(s, event_id))").alias("cl"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.count("*").alias("n"),
+            F.sum("cents").alias("volume_cents"),
+        )
+        return agg.select(
+            "d",
+            F.col("o.s").alias("open_s"),
+            F.col("o.event_id").alias("open_id"),
+            F.col("o.cents").alias("open_cents"),
+            F.col("cl.s").alias("close_s"),
+            F.col("cl.event_id").alias("close_id"),
+            F.col("cl.cents").alias("close_cents"),
+            "high_cents",
+            "low_cents",
+            "n",
+            "volume_cents",
+        )
+
+    merged = ohlc_from_partials(
+        partial(0).unionAll(partial(1)).unionAll(partial(2))
+    )
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import timeseries
+
+    want = {
+        r.d: r for r in timeseries.QUERIES["r119_ohlc_resample"](spark, sf_dir).collect()
+    }
+    got = {r.d: r for r in merged.collect()}
+    assert set(got) == set(want)
+    for d in want:
+        assert tuple(got[d]) == tuple(want[d]), (d, got[d], want[d])

@@ -7081,3 +7081,114 @@ def m55_knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div count(*) AS BIGINT)"
         ).alias("accuracy_ppm"),
     )
+
+
+_M56_Z = 2.0
+
+_M56_SQL = f"""
+    WITH daily AS (
+      SELECT CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT)
+               // 86400 AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    span AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+    cal AS (
+      SELECT s.d, coalesce(daily.x, 0) AS x,
+             CAST((s.d + 3) % 7 + 1 AS INT) AS isodow
+      FROM (SELECT unnest(generate_series(lo, hi)) AS d FROM span) s
+      LEFT JOIN daily ON daily.d = s.d
+    ),
+    dw AS (
+      SELECT isodow, sum(x)::DOUBLE / count(*) AS dmean
+      FROM cal GROUP BY 1
+    ),
+    r AS (
+      SELECT cal.d, cal.isodow, cal.x, dw.dmean,
+             cal.x / dw.dmean AS ratio
+      FROM cal JOIN dw USING (isodow)
+    ),
+    st AS (
+      SELECT avg(ratio) AS mu,
+             sqrt(sum((ratio - (SELECT avg(ratio) FROM r))
+                      * (ratio - (SELECT avg(ratio) FROM r)))
+                  / (count(*) - 1)) AS sd
+      FROM r
+    )
+    SELECT r.d, r.isodow, r.x AS day_cents, r.dmean AS expected_cents,
+           r.ratio, (r.ratio - st.mu) / st.sd AS z
+    FROM r, st
+    WHERE abs((r.ratio - st.mu) / st.sd) > {_M56_Z}
+"""
+
+
+@_register("m56_seasonal_adjusted_outliers", _M56_SQL)
+def m56_seasonal_adjusted_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted revenue anomalies: each calendar day's cents
+    divide by its weekday's mean (m50's multiplicative indices), and
+    days whose adjusted ratio sits more than 2 sample-sd from the mean
+    ratio are flagged — the fraud-ops day-level alarm that does NOT
+    fire every weekend (a raw z-score on daily totals would). Composes
+    m50 verbatim; zero-filled calendar so silent outage days flag as
+    anomalies instead of vanishing.
+
+    Scale: day-bounded frames end to end after the one corpus scan;
+    the dow means are a 7-row broadcast; the ratio stats are a 1-row
+    broadcast.
+
+    Reference parity: the alert layer the reference's Grafana panels
+    imply (README.md:342-356, FOR-duration alert rule q8's seasonal
+    cousin); public methodology (ratio-to-moving-frame adjustment)."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    daily = (
+        ev.select(
+            (t / 86400).cast("long").alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").cast("long").alias("x"))
+    )
+    daily = daily.localCheckpoint()  # day-bounded
+    span = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = (
+        span.select(F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d"))
+        .join(daily, "d", "left")
+        .select(
+            "d",
+            F.coalesce("x", F.lit(0)).alias("x"),
+            ((F.col("d") + 3) % 7 + 1).cast("int").alias("isodow"),
+        )
+    )
+    cal = cal.localCheckpoint()
+    dw = cal.groupBy("isodow").agg(
+        (F.sum("x").cast("double") / F.count("*")).alias("dmean")
+    )
+    # broadcast bound: dw is 7 rows
+    r = cal.join(F.broadcast(dw), "isodow").select(
+        "d", "isodow", "x", "dmean", (F.col("x") / F.col("dmean")).alias("ratio")
+    )
+    r = r.localCheckpoint()  # day-bounded; feeds stats AND output
+    mu = r.agg(F.avg("ratio").alias("mu"))
+    # broadcast bound: mu is 1 row
+    sd = (
+        r.crossJoin(F.broadcast(mu))
+        .agg(
+            F.sqrt(
+                F.sum((F.col("ratio") - F.col("mu")) * (F.col("ratio") - F.col("mu")))
+                / (F.count("*") - 1)
+            ).alias("sd"),
+            F.first("mu").alias("mu"),
+        )
+    )
+    # broadcast bound: sd is 1 row
+    j = r.crossJoin(F.broadcast(sd))
+    z = (F.col("ratio") - F.col("mu")) / F.col("sd")
+    return j.where(F.abs(z) > _M56_Z).select(
+        "d",
+        "isodow",
+        F.col("x").alias("day_cents"),
+        F.col("dmean").alias("expected_cents"),
+        "ratio",
+        z.alias("z"),
+    )

@@ -6547,6 +6547,26 @@ _L98_SQL = f"""
 """
 
 
+def gopher_flags() -> list:
+    """The three per-doc Gopher rule flags as column expressions
+    (ok_nw, ok_wl, ok_stop) — shared by l98, the s56 streaming judge,
+    and the l103 curation report."""
+    ws = F.split(F.col("text"), " ")
+    nw = F.size(ws)
+    mwl = (F.length("text") - nw + 1).cast("double") / nw
+    nstop = F.size(
+        F.array_intersect(
+            F.array_distinct(ws),
+            F.array(*[F.lit(w) for w in _L98_STOPWORDS]),
+        )
+    )
+    return [
+        nw.between(_L98_MIN_WORDS, _L98_MAX_WORDS).cast("int").alias("ok_nw"),
+        mwl.between(_L98_MIN_WL, _L98_MAX_WL).cast("int").alias("ok_wl"),
+        (nstop >= 2).cast("int").alias("ok_stop"),
+    ]
+
+
 @_register("l98_gopher_quality_rules", _L98_SQL)
 def l98_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher quality-rule set (Rae et al. 2021 §A1.1) per corpus
@@ -6566,22 +6586,7 @@ def l98_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: none in reference; public methodology (Gopher,
     Rae et al. 2021)."""
     d = load_table(spark, sf_dir, "documents")
-    ws = F.split(F.col("text"), " ")
-    nw = F.size(ws)
-    mwl = (F.length("text") - nw + 1).cast("double") / nw
-    nstop = F.size(
-        F.array_intersect(
-            F.array_distinct(ws),
-            F.array(*[F.lit(w) for w in _L98_STOPWORDS]),
-        )
-    )
-    r = d.select(
-        "lang",
-        "source",
-        nw.between(_L98_MIN_WORDS, _L98_MAX_WORDS).cast("int").alias("ok_nw"),
-        mwl.between(_L98_MIN_WL, _L98_MAX_WL).cast("int").alias("ok_wl"),
-        (nstop >= 2).cast("int").alias("ok_stop"),
-    )
+    r = d.select("lang", "source", *gopher_flags())
     return r.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
         F.sum(1 - F.col("ok_nw")).cast("long").alias("fail_wordcount"),
@@ -6956,4 +6961,118 @@ def l102_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("i").cast("int").alias("dim"),
         F.col("v").alias("component"),
         F.col("lam").alias("rayleigh"),
+    )
+
+
+_L103_SQL = f"""
+    WITH norm AS (
+      SELECT doc_id, source,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+      FROM documents
+    ),
+    keepers AS (
+      SELECT nt, min(doc_id) AS keep_id FROM norm GROUP BY nt
+    ),
+    pairs AS ({_L101_SQL}),
+    flagged AS (
+      SELECT doc_a AS doc_id FROM pairs
+      UNION
+      SELECT doc_b FROM pairs
+    ),
+    per_doc AS (
+      SELECT norm.doc_id, norm.source,
+             CAST(norm.doc_id <> keepers.keep_id AS INT) AS exact_removed,
+             CAST(flagged.doc_id IS NOT NULL AS INT) AS containment_flagged
+      FROM norm
+      JOIN keepers ON keepers.nt = norm.nt
+      LEFT JOIN flagged ON flagged.doc_id = norm.doc_id
+    ),
+    gopher AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' '))
+                  BETWEEN {_L98_MIN_WORDS} AND {_L98_MAX_WORDS} AS INT)
+             * CAST((length(text) - len(string_split(text, ' ')) + 1)::DOUBLE
+                    / len(string_split(text, ' '))
+                    BETWEEN {_L98_MIN_WL} AND {_L98_MAX_WL} AS INT)
+             * CAST((SELECT count(DISTINCT w.word) FROM
+                      (SELECT unnest(string_split(d2.text, ' ')) AS word) w
+                      WHERE w.word IN
+                      ({", ".join("'" + w + "'" for w in _L98_STOPWORDS)}))
+                    >= 2 AS INT) AS ok
+      FROM documents d2
+    )
+    SELECT per_doc.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(exact_removed) AS BIGINT) AS n_exact_removed,
+           CAST(sum(containment_flagged) AS BIGINT) AS n_containment_flagged,
+           CAST(sum(gopher.ok) AS BIGINT) AS n_gopher_pass,
+           CAST(sum((1 - exact_removed) * (1 - containment_flagged)
+                    * gopher.ok) AS BIGINT) AS n_clean
+    FROM per_doc JOIN gopher ON gopher.doc_id = per_doc.doc_id
+    GROUP BY per_doc.source
+"""
+
+
+@_register("l103_curation_report", _L103_SQL)
+def l103_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation-pipeline capstone (the llmops sibling of r121's
+    fraud scorecard): per SOURCE, how many documents survive the full
+    dedup + quality gauntlet — exact-dup removal (l01's normalized-
+    hash survivorship), containment flagging (l101's overlap pairs,
+    either side), and the Gopher rule pass (l98) — composed VERBATIM
+    from the registered rules (the engine re-derives each signal with
+    the same plan fragments; the oracle inlines l101's SQL as a CTE).
+    `n_clean` is the intersection: kept, unflagged, rules-passing —
+    the number a curation run actually ships per source.
+
+    Scale: each signal keeps its own optimal plan (hash-group
+    survivorship: one shuffle on the normalized hash; containment:
+    l101's candidate-bounded join; rules: per-row map-side); the
+    composition joins doc-id-keyed flag frames — no signal is
+    recomputed corpus-wide twice.
+
+    Reference parity: none in reference; public pipeline-report
+    practice (C4/Gopher/RefinedWeb curation tables)."""
+    d = load_table(spark, sf_dir, "documents")
+    nt = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    norm = d.select("doc_id", "source", nt.alias("nt"))
+    keepers = norm.groupBy("nt").agg(F.min("doc_id").alias("keep_id"))
+    pairs = l101_overlap_coefficient_pairs(spark, sf_dir)
+    flagged = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select("doc_b"))
+        .distinct()
+        .withColumn("flg", F.lit(1))
+    )
+    per_doc = (
+        norm.join(keepers, "nt")
+        .join(flagged, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            (F.col("doc_id") != F.col("keep_id")).cast("int").alias(
+                "exact_removed"
+            ),
+            F.coalesce("flg", F.lit(0)).alias("containment_flagged"),
+        )
+    )
+    gopher = d.select("doc_id", *gopher_flags()).select(
+        "doc_id",
+        (F.col("ok_nw") * F.col("ok_wl") * F.col("ok_stop")).alias("ok"),
+    )
+    j = per_doc.join(gopher, "doc_id")
+    return j.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("exact_removed").cast("long").alias("n_exact_removed"),
+        F.sum("containment_flagged")
+        .cast("long")
+        .alias("n_containment_flagged"),
+        F.sum("ok").cast("long").alias("n_gopher_pass"),
+        F.sum(
+            (1 - F.col("exact_removed"))
+            * (1 - F.col("containment_flagged"))
+            * F.col("ok")
+        )
+        .cast("long")
+        .alias("n_clean"),
     )

@@ -4488,14 +4488,7 @@ def s56_stream_gopher_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch size; document text never lands in the sink and never
     crosses a shuffle."""
     from ..streaming.replay import materialize_wire_dir
-    from .llmops import (
-        _L98_MAX_WL,
-        _L98_MAX_WORDS,
-        _L98_MIN_WL,
-        _L98_MIN_WORDS,
-        _L98_STOPWORDS,
-        gopher_report_from_slice_partials,
-    )
+    from .llmops import gopher_flags, gopher_report_from_slice_partials
 
     docs = load_table(spark, sf_dir, "documents")
     wire = docs.select(
@@ -4504,24 +4497,7 @@ def s56_stream_gopher_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = materialize_wire_dir(wire)
 
     def judge(b: DataFrame) -> DataFrame:
-        ws = F.split(F.col("text"), " ")
-        nw = F.size(ws)
-        mwl = (F.length("text") - nw + 1).cast("double") / nw
-        nstop = F.size(
-            F.array_intersect(
-                F.array_distinct(ws),
-                F.array(*[F.lit(w) for w in _L98_STOPWORDS]),
-            )
-        )
-        r = b.select(
-            "lang",
-            "source",
-            nw.between(_L98_MIN_WORDS, _L98_MAX_WORDS)
-            .cast("int")
-            .alias("ok_nw"),
-            mwl.between(_L98_MIN_WL, _L98_MAX_WL).cast("int").alias("ok_wl"),
-            (nstop >= 2).cast("int").alias("ok_stop"),
-        )
+        r = b.select("lang", "source", *gopher_flags())
         return r.groupBy("lang", "source").agg(
             F.count("*").alias("n_docs"),
             F.sum(1 - F.col("ok_nw")).alias("fail_wordcount"),

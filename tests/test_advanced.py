@@ -422,3 +422,38 @@ def test_m55_knn_matches_numpy(spark, sf_dir):
     for t, (n, c) in per.items():
         assert (got[t].n_eval, got[t].n_correct) == (n, c), (t, n, c, got[t])
         assert got[t].accuracy_ppm == 1000000 * c // n
+
+
+def test_m56_seasonal_outliers_brute(spark, sf_dir):
+    import math
+
+    daily = _daily_cents(spark, sf_dir)
+    lo, hi = min(daily), max(daily)
+    cal = [(d, daily.get(d, 0), (d + 3) % 7 + 1) for d in range(lo, hi + 1)]
+    import collections
+
+    per = collections.defaultdict(lambda: [0, 0])
+    for _, x, dw in cal:
+        per[dw][0] += 1
+        per[dw][1] += x
+    dmean = {dw: s / n for dw, (n, s) in per.items()}
+    ratios = [(d, x, dw, x / dmean[dw]) for d, x, dw in cal]
+    mu = sum(r for _, _, _, r in ratios) / len(ratios)
+    sd = math.sqrt(
+        sum((r - mu) ** 2 for _, _, _, r in ratios) / (len(ratios) - 1)
+    )
+    want = {
+        d: (dw, x, dmean[dw], r, (r - mu) / sd)
+        for d, x, dw, r in ratios
+        if abs((r - mu) / sd) > 2.0
+    }
+    got = {
+        r.d: r
+        for r in advanced.QUERIES["m56_seasonal_adjusted_outliers"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for d, (dw, x, em, r, z) in want.items():
+        g = got[d]
+        assert (g.isodow, g.day_cents) == (dw, x)
+        assert abs(g.expected_cents - em) < 1e-9
+        assert abs(g.z - z) < 1e-9

@@ -1446,3 +1446,48 @@ def test_l102_pca_matches_numpy(spark, sf_dir):
     # and the step sequence climbs toward the true top eigenvalue
     top = np.linalg.eigvalsh(G)[-1]
     assert lam <= top + 1e-9
+
+
+def test_l103_report_composes_member_rules(spark, sf_dir):
+    """The curation report must equal a Python recomposition of the
+    registered member signals (l01-style survivorship, l101 pairs,
+    l98 rules)."""
+    import collections
+    import re
+
+    docs = _doc_texts(spark, sf_dir)
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.llmops import (
+        _L98_STOPWORDS,
+    )
+
+    keep = {}
+    for doc_id, _, _, text in sorted(docs):
+        nt = re.sub(r"\s+", " ", text.strip().lower())
+        keep.setdefault(nt, doc_id)
+    flagged = set()
+    for r in llmops.QUERIES["l101_overlap_coefficient_pairs"](spark, sf_dir).collect():
+        flagged.add(r.doc_a)
+        flagged.add(r.doc_b)
+    agg = collections.defaultdict(lambda: [0, 0, 0, 0, 0])
+    for doc_id, _, source, text in docs:
+        nt = re.sub(r"\s+", " ", text.strip().lower())
+        removed = keep[nt] != doc_id
+        contained = doc_id in flagged
+        ws = text.split(" ")
+        ok = (
+            50 <= len(ws) <= 100000
+            and 3.0 <= sum(len(w) for w in ws) / len(ws) <= 10.0
+            and len(set(ws) & set(_L98_STOPWORDS)) >= 2
+        )
+        a = agg[source]
+        a[0] += 1
+        a[1] += removed
+        a[2] += contained
+        a[3] += ok
+        a[4] += (not removed) and (not contained) and ok
+    got = {
+        r.source: [r.n_docs, r.n_exact_removed, r.n_containment_flagged,
+                   r.n_gopher_pass, r.n_clean]
+        for r in llmops.QUERIES["l103_curation_report"](spark, sf_dir).collect()
+    }
+    assert got == {k: list(v) for k, v in agg.items()}

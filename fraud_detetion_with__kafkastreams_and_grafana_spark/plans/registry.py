@@ -141,11 +141,14 @@ _CHECKED_R7 = (
 # vintage rotate through r10. Round-10 sync: the round-9 driver
 # artifacts never landed (no CORRECTNESS_r09.json / BENCH_r09.json in
 # the repo at round-10 start), so there is NO _CHECKED_R9 to fold in:
-# the 47 round-9 rows stay never-checked and keep sorting first, now
-# followed by the 42 round-10 additions (r106-r121, m42-m53, l98-l101,
-# s50-s59) — ~89 never-checked for a 50-slot window. Whole-registry
-# local parity (32/7/13-way) is the compensating evidence; see
-# SCALE.md round-10 closing numbers. Round-11 sync: fold in whichever
+# the 47 round-9 rows stay never-checked and keep sorting first,
+# joined by the 49 round-10 additions (r106-r121, m42-m56, l98-l103,
+# s50-s61) — 96 never-checked for a 50-slot window. The predicted
+# round-10 window is therefore pure never-checked work in family
+# order (s41-s61, m33-m56, l100-l103, l88); the ~46 overflow rows
+# sort first again next round. Whole-registry local parity at
+# 32/7/13-way is the compensating evidence (SCALE.md round-10
+# closing numbers). Round-11 sync: fold in whichever
 # CORRECTNESS_r{10,...}.json next appears.
 _CHECKED_R8 = (
     {f"s{i:02d}" for i in range(25, 32)}

@@ -7149,6 +7149,14 @@ def m56_seasonal_adjusted_outliers(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("d")
         .agg(F.sum("cents").cast("long").alias("x"))
     )
+    return seasonal_outliers_from_daily(daily)
+
+
+def seasonal_outliers_from_daily(daily: "DataFrame") -> "DataFrame":
+    """(d, x) daily cents partials -> m56's output. Daily totals merge
+    by keyed sum, so the whole seasonal-adjustment chain re-derives
+    from partials; shared by the s62 streaming twin."""
+    daily = daily.groupBy("d").agg(F.sum("x").cast("long").alias("x"))
     daily = daily.localCheckpoint()  # day-bounded
     span = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
     cal = (

@@ -6905,9 +6905,8 @@ def l102_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x").cast("double").alias("v"),
     )
     el = el.localCheckpoint()  # (rows x d) element frame, reused by S and mu
-    mu = el.groupBy("i").agg(
-        (F.sum("v") / F.count("*")).alias("m"),
-        F.count("*").alias("n"),
+    musum = el.groupBy("i").agg(
+        F.sum("v").alias("sv"), F.count("*").alias("n")
     )
     a = el.select("vec_id", F.col("i").alias("ia"), F.col("v").alias("va"))
     b = el.select("vec_id", F.col("i").alias("jb"), F.col("v").alias("vb"))
@@ -6916,6 +6915,19 @@ def l102_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("ia").alias("i"), F.col("jb").alias("j"))
         .agg(F.sum(F.col("va") * F.col("vb")).alias("s"))
     )
+    return pca_from_moment_partials(s, musum)
+
+
+def pca_from_moment_partials(s: DataFrame, musum: DataFrame) -> DataFrame:
+    """(i, j, s) second-moment partials + (i, sv, n) mean-sum partials
+    -> l102's output. Both frames merge by keyed sum — the Gram
+    matrix and mean vector are classic associative statistics — so
+    the entire PCA chain re-derives from micro-batch partials.
+    Shared by the s63 streaming twin."""
+    s = s.groupBy("i", "j").agg(F.sum("s").alias("s"))
+    mu = musum.groupBy("i").agg(
+        F.sum("sv").alias("sv"), F.sum("n").alias("n")
+    ).select("i", (F.col("sv") / F.col("n")).alias("m"), "n")
     ma = mu.select(F.col("i").alias("mi"), F.col("m").alias("mam"), "n")
     mb = mu.select(F.col("i").alias("mj"), F.col("m").alias("mbm"))
     # broadcast bound: mu frames are d rows (64)

@@ -4755,3 +4755,119 @@ def s61_stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s61",
     )
     return moments_from_power_sums(merged)
+
+
+def _m56_oracle_sql() -> str:
+    from .advanced import ORACLES as _ADV
+
+    return _ADV["m56_seasonal_adjusted_outliers"]
+
+
+@_register("s62_stream_seasonal_outliers", _m56_oracle_sql())
+def s62_stream_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m56's seasonally-adjusted anomaly alarm maintained ON INGEST:
+    micro-batches land (day, cents) partials — daily totals merge by
+    keyed sum — and the refresh re-derives the weekday indices, ratio
+    stats, and the 2-sigma cut through the shared tail. The re-derive
+    is MANDATORY, not a shortcut: every arriving batch shifts both
+    the weekday baselines and the ratio variance, so any incremental
+    z-maintenance would alarm against stale baselines. Equal to
+    batch m56, sharing its oracle verbatim.
+
+    Scale: |days| partial rows per batch; the tail runs on
+    day-bounded frames."""
+    from .advanced import seasonal_outliers_from_daily
+
+    d = _events_proj_wire(
+        spark,
+        sf_dir,
+        lambda t: [
+            (t / 86400).cast("long").alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ],
+    )
+    merged = _partial_replay(
+        spark,
+        d,
+        "d LONG, cents LONG",
+        lambda b: b.groupBy("d").agg(F.sum("cents").alias("x")),
+        "s62",
+    )
+    return seasonal_outliers_from_daily(merged)
+
+
+def _l102_oracle_sql() -> str:
+    from .llmops import ORACLES as _LL
+
+    return _LL["l102_pca_power_iteration"]
+
+
+@_register("s63_stream_pca", _l102_oracle_sql())
+def s63_stream_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l102's principal component maintained ON INGEST — streaming
+    LINEAR ALGEBRA via moment partials: each micro-batch of vectors
+    reduces to its d x d second-moment contributions (i, j, sum v_i
+    v_j) and d mean-sum rows; Gram matrices and mean vectors are sums
+    of per-row outer products, so the partials merge by keyed sum and
+    the fixed 3-step power iteration re-derives at refresh through
+    the shared tail. Equal to batch l102, sharing its oracle
+    verbatim — embedding-drift monitoring (does the dominant
+    direction rotate as new data streams in?) with zero streaming
+    state.
+
+    Scale: partial volume is d^2 + d rows per batch REGARDLESS of
+    batch size — the whole corpus never re-scans; the iteration tail
+    costs d^2."""
+    from ..streaming.replay import materialize_wire_dir
+    from .llmops import pca_from_moment_partials
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    wire = emb.select(
+        F.to_json(F.struct("vec_id", "embedding")).alias("value")
+    )
+    d = materialize_wire_dir(wire)
+
+    def moment_partials(b: DataFrame) -> DataFrame:
+        el = b.select(
+            "vec_id", F.posexplode("embedding").alias("i0", "x")
+        ).select(
+            "vec_id",
+            (F.col("i0") + 1).alias("i"),
+            F.col("x").cast("double").alias("v"),
+        )
+        el = el.localCheckpoint()  # batch-local element frame
+        a = el.select("vec_id", F.col("i").alias("ia"), F.col("v").alias("va"))
+        c = el.select("vec_id", F.col("i").alias("jb"), F.col("v").alias("vb"))
+        s = (
+            a.join(c, "vec_id")
+            .groupBy(F.col("ia").alias("i"), F.col("jb").alias("j"))
+            .agg(F.sum(F.col("va") * F.col("vb")).alias("s"))
+        )
+        mu = el.groupBy("i").agg(
+            F.sum("v").alias("sv"), F.count("*").alias("n")
+        )
+        # one partial frame: moment rows tagged kind=0, mean rows kind=1
+        return s.select(
+            F.lit(0).alias("kind"), "i", "j", "s",
+            F.lit(0.0).alias("sv"), F.lit(0).cast("long").alias("n"),
+        ).unionAll(
+            mu.select(
+                F.lit(1).alias("kind"),
+                "i",
+                F.lit(0).alias("j"),
+                F.lit(0.0).alias("s"),
+                "sv",
+                "n",
+            )
+        )
+
+    merged = _partial_replay(
+        spark,
+        d,
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+        moment_partials,
+        "s63",
+    )
+    s = merged.where(F.col("kind") == 0).select("i", "j", "s")
+    musum = merged.where(F.col("kind") == 1).select("i", "sv", "n")
+    return pca_from_moment_partials(s, musum)

@@ -7200,3 +7200,105 @@ def seasonal_outliers_from_daily(daily: "DataFrame") -> "DataFrame":
         "ratio",
         z.alias("z"),
     )
+
+
+_M57_SQL = """
+    WITH e AS (
+      SELECT CAST(isodow(ts) >= 6 AS INT) AS wk,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    h AS (
+      SELECT cents,
+             CAST(sum(wk) AS BIGINT) AS c1,
+             CAST(count(*) - sum(wk) AS BIGINT) AS c2
+      FROM e GROUP BY 1
+    ),
+    cum AS (
+      SELECT cents, c1, c2, c1 + c2 AS c,
+             sum(c1 + c2) OVER (ORDER BY cents) - (c1 + c2) AS before_
+      FROM h
+    ),
+    agg AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2,
+             CAST(sum(c1 * (2 * before_ + c + 1)) AS BIGINT) AS r1x2,
+             CAST(sum(c * c * c - c) AS BIGINT) AS tie3
+      FROM cum
+    )
+    SELECT n1, n2,
+           r1x2 - n1 * (n1 + 1) AS u1_x2,
+           ((r1x2 - n1 * (n1 + 1)) / 2.0 - n1 * n2 / 2.0)
+             / sqrt(n1::DOUBLE * n2 / 12.0
+                    * ((n1 + n2 + 1)
+                       - tie3::DOUBLE
+                         / ((n1 + n2) * (n1 + n2 - 1.0)))) AS z
+    FROM agg
+"""
+
+
+@_register("m57_mann_whitney_u", _M57_SQL)
+def m57_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney U (Wilcoxon rank-sum) comparing weekend vs
+    weekday PURCHASE amounts — the nonparametric value-shift test
+    that complements m46's proportion z: doubled midranks keep the
+    rank sum exact integer (midrank(v) = before + (c+1)/2, so
+    2*R1 = sum c1*(2*before + c + 1)), U1 = R1 - n1(n1+1)/2 reports
+    as the exact integer u1_x2, and the tie-corrected normal z
+    (variance scaled by 1 - sum(t^3-t)/((N)(N-1)(N+1))-style Lehmann
+    correction) is one closed-form float. No continuity correction
+    (both engines, same convention).
+
+    Scale: r105's value-domain histogram posture — one scan to
+    (cents, group counts), one bounded cumulative window, a 1-row
+    report. The corpus is never ranked row-by-row.
+
+    Reference parity: none in reference; public test (Mann & Whitney
+    1947) over the reference's amount field."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.where(F.col("event_type") == "purchase").select(
+        ((F.expr("weekday(ts)") + 1) >= 6).cast("int").alias("wk"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    h = e.groupBy("cents").agg(
+        F.sum("wk").cast("long").alias("c1"),
+        (F.count("*") - F.sum("wk")).cast("long").alias("c2"),
+    )
+    wc = Window.orderBy("cents")  # value-domain bounded frame
+    cum = h.select(
+        "cents",
+        "c1",
+        "c2",
+        (F.col("c1") + F.col("c2")).alias("c"),
+        (
+            F.sum(F.col("c1") + F.col("c2")).over(wc)
+            - (F.col("c1") + F.col("c2"))
+        ).alias("before_"),
+    )
+    agg = cum.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(F.col("c1") * (2 * F.col("before_") + F.col("c") + 1))
+        .cast("long")
+        .alias("r1x2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("tie3"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u1x2 = F.col("r1x2") - n1 * (n1 + 1)
+    var = (
+        n1.cast("double") * n2 / 12.0
+        * (
+            (n1 + n2 + 1)
+            - F.col("tie3").cast("double") / ((n1 + n2) * (n1 + n2 - 1.0))
+        )
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        u1x2.alias("u1_x2"),
+        ((u1x2 / 2.0 - n1 * n2 / 2.0) / F.sqrt(var)).alias("z"),
+    )

@@ -5997,3 +5997,60 @@ def rings_from_user_minutes(m: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_shared_minutes"))
     )
     return p.where(F.col("n_shared_minutes") >= _R118_K)
+
+
+_R122_K = 3
+
+_R122_SQL = f"""
+    WITH d AS (
+      SELECT user_id,
+             CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT)
+               // 86400 AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS day_cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(d AS BIGINT) AS d, day_cents,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT user_id, d, day_cents,
+             rank() OVER (PARTITION BY user_id
+                          ORDER BY day_cents DESC) AS rk
+      FROM d
+    )
+    WHERE rk <= {_R122_K}
+"""
+
+
+@_register("r122_topk_with_ties", _R122_SQL)
+def r122_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user top-3 revenue days WITH TIES — ANSI FETCH FIRST k ROWS
+    WITH TIES semantics via rank() (gaps preserved), the complement
+    of r12's exact-k row_number form: equal-revenue days at the cut
+    all survive, so no arbitrary tie-break hides a day from the
+    report. The output is value-deterministic WITHOUT any id
+    tie-break precisely because ties are kept, not cut.
+
+    Scale: one (user, day) agg, one user-keyed window — both on the
+    same shuffle; the ranking input is the day-bounded daily frame,
+    never raw events.
+
+    Reference parity: the WITH TIES form of the reference's top-N
+    panels (README.md:342-356, top10scammers.jpg)."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    d = (
+        ev.select(
+            "user_id",
+            (t / 86400).cast("long").alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("user_id", "d")
+        .agg(F.sum("cents").cast("long").alias("day_cents"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("day_cents"))
+    return (
+        d.withColumn("rk", F.rank().over(w).cast("long"))
+        .where(F.col("rk") <= _R122_K)
+        .select("user_id", F.col("d").cast("long").alias("d"), "day_cents", "rk")
+    )

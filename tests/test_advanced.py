@@ -457,3 +457,38 @@ def test_m56_seasonal_outliers_brute(spark, sf_dir):
         assert (g.isodow, g.day_cents) == (dw, x)
         assert abs(g.expected_cents - em) < 1e-9
         assert abs(g.z - z) < 1e-9
+
+
+def test_m57_mann_whitney_brute(spark, sf_dir):
+    """U statistic + tie-corrected z vs a pure-Python midrank walk."""
+    import math
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+
+    pdf = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value"
+    ).toPandas()
+    p = pdf[pdf.event_type == "purchase"]
+    wk = p.ts.dt.weekday >= 5
+    g1 = sorted(round(v * 100) for v in p.value[wk])
+    g2 = sorted(round(v * 100) for v in p.value[~wk])
+    allv = sorted(g1 + g2)
+    import collections
+
+    cnt = collections.Counter(allv)
+    ranks = {}
+    pos = 0
+    for v in sorted(cnt):
+        c = cnt[v]
+        ranks[v] = pos + (c + 1) / 2
+        pos += c
+    r1 = sum(ranks[v] for v in g1)
+    n1, n2 = len(g1), len(g2)
+    u1 = r1 - n1 * (n1 + 1) / 2
+    tie3 = sum(c**3 - c for c in cnt.values())
+    var = n1 * n2 / 12 * ((n1 + n2 + 1) - tie3 / ((n1 + n2) * (n1 + n2 - 1)))
+    z = (u1 - n1 * n2 / 2) / math.sqrt(var)
+    r = advanced.QUERIES["m57_mann_whitney_u"](spark, sf_dir).collect()[0]
+    assert (r.n1, r.n2) == (n1, n2)
+    assert r.u1_x2 == int(2 * u1)
+    assert abs(r.z - z) < 1e-9

@@ -538,3 +538,25 @@ def test_velocity_partials_merge_invariant_to_batching(spark, sf_dir):
         for r in relational3.QUERIES["r106_velocity_alerts"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_r122_ties_kept_and_rank_gaps(spark, sf_dir):
+    """WITH TIES semantics: every day whose revenue equals a kept
+    day's revenue is kept; ranks gap after ties (ANSI rank())."""
+    import collections
+
+    rows = _events_secs(spark, sf_dir)
+    daily = collections.defaultdict(collections.Counter)
+    for u, s, cents in rows:
+        daily[u][s // 86400] += cents
+    got = collections.defaultdict(list)
+    for r in relational3.QUERIES["r122_topk_with_ties"](spark, sf_dir).collect():
+        got[r.user_id].append((r.d, r.day_cents, r.rk))
+    for u, days in daily.items():
+        vals = sorted(days.values(), reverse=True)
+        cut = vals[2] if len(vals) >= 3 else vals[-1]
+        want = {(d, c) for d, c in days.items() if c >= cut}
+        have = {(d, c) for d, c, _ in got[u]}
+        assert have == want, (u, have, want)
+        for d, c, rk in got[u]:
+            assert rk == 1 + sum(1 for x in vals if x > c)

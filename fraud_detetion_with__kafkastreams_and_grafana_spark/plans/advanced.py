@@ -7302,3 +7302,684 @@ def m57_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         u1x2.alias("u1_x2"),
         ((u1x2 / 2.0 - n1 * n2 / 2.0) / F.sqrt(var)).alias("z"),
     )
+
+
+_M58_SQL = """
+    WITH e AS (
+      SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    h AS (
+      SELECT g, cents, CAST(count(*) AS BIGINT) AS cg FROM e GROUP BY 1, 2
+    ),
+    tot0 AS (SELECT cents, CAST(sum(cg) AS BIGINT) AS c FROM h GROUP BY 1),
+    tot AS (
+      SELECT cents, c,
+             CAST(sum(c) OVER (ORDER BY cents) - c AS BIGINT) AS before_
+      FROM tot0
+    ),
+    gr AS (
+      SELECT g, CAST(sum(cg) AS BIGINT) AS ng,
+             CAST(sum(cg * (2 * before_ + c + 1)) AS BIGINT) AS r2
+      FROM h JOIN tot USING (cents) GROUP BY g
+    ),
+    t AS (
+      SELECT CAST(sum(c * c * c - c) AS BIGINT) AS tie3,
+             CAST(sum(c) AS BIGINT) AS n
+      FROM tot
+    ),
+    s AS (
+      SELECT n, tie3, CAST(count(*) AS BIGINT) AS k,
+             sum(ng * (r2 / (2.0 * ng) - (n + 1) / 2.0)
+                    * (r2 / (2.0 * ng) - (n + 1) / 2.0)) AS ss
+      FROM gr CROSS JOIN t GROUP BY n, tie3
+    )
+    SELECT n, k, 12.0 * ss / (n * (n + 1.0)) AS h,
+           12.0 * ss / (n * (n + 1.0))
+             / (1.0 - tie3 / (CAST(n AS DOUBLE) * n * n - n))
+             AS h_tie_corrected
+    FROM s
+"""
+
+
+@_register("m58_kruskal_wallis", _M58_SQL)
+def m58_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the five event types on amount cents —
+    the k-group extension of m57's rank-sum: doubled midranks keep
+    every per-group rank sum an exact integer (2*R_g = sum
+    cg*(2*before + c + 1) over the shared value-domain histogram),
+    H = 12/(N(N+1)) * sum ng*(rbar_g - (N+1)/2)^2 from those
+    integers, and the tie correction divides by
+    1 - sum(c^3-c)/(N^3-N). Float math starts only on the 5-row
+    group frame, so accumulation order cannot move the hash past
+    rtol.
+
+    Scale: m57's posture generalized — one scan to (group, cents)
+    partials, a value-domain cumulative window, a |groups|-row
+    report. The corpus is never ranked row-by-row.
+
+    Reference parity: none in reference; public test (Kruskal &
+    Wallis 1952) over the reference's amount field."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).groupBy("g", "cents").agg(F.count("*").cast("long").alias("cg"))
+    return kruskal_from_cells(cells)
+
+
+def kruskal_from_cells(cells: DataFrame) -> DataFrame:
+    """(g, cents, cg) histogram partials -> m58's one-row report.
+    Cell counts merge by keyed sum, so the whole rank algebra
+    re-derives from partials; shared by the s64 streaming twin."""
+    from pyspark.sql.window import Window
+
+    cells = cells.groupBy("g", "cents").agg(
+        F.sum("cg").cast("long").alias("cg")
+    )
+    cells = cells.localCheckpoint()  # feeds tot AND the group join
+    tot0 = cells.groupBy("cents").agg(F.sum("cg").cast("long").alias("c"))
+    wc = Window.orderBy("cents")  # value-domain bounded frame
+    tot = tot0.select(
+        "cents", "c", (F.sum("c").over(wc) - F.col("c")).cast("long").alias("before_")
+    )
+    tot = tot.localCheckpoint()  # feeds gr join AND tie stats
+    gr = (
+        cells.join(tot, "cents")
+        .groupBy("g")
+        .agg(
+            F.sum("cg").cast("long").alias("ng"),
+            F.sum(F.col("cg") * (2 * F.col("before_") + F.col("c") + 1))
+            .cast("long")
+            .alias("r2"),
+        )
+    )
+    t = tot.agg(
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("tie3"),
+        F.sum("c").cast("long").alias("n"),
+    )
+    # broadcast bound: t is 1 row
+    j = gr.crossJoin(F.broadcast(t))
+    dev = F.col("r2") / (2.0 * F.col("ng")) - (F.col("n") + 1) / 2.0
+    s = j.agg(
+        F.first("n").alias("n"),
+        F.first("tie3").alias("tie3"),
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.col("ng") * dev * dev).alias("ss"),
+    )
+    n = F.col("n")
+    h = 12.0 * F.col("ss") / (n * (n + 1.0))
+    corr = 1.0 - F.col("tie3") / (n.cast("double") * n * n - n)
+    return s.select("n", "k", h.alias("h"), (h / corr).alias("h_tie_corrected"))
+
+
+_M59_SQL = """
+    WITH p AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN isodow(ts) >= 6
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS wk,
+             CAST(sum(CASE WHEN isodow(ts) < 6
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS wd
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    d AS (SELECT wk - wd AS diff FROM p WHERE wk <> wd),
+    h AS (
+      SELECT abs(diff) AS a, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cp
+      FROM d GROUP BY 1
+    ),
+    cum AS (SELECT a, c, cp, sum(c) OVER (ORDER BY a) - c AS before_ FROM h),
+    agg AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(cp * (2 * before_ + c + 1)) AS BIGINT) AS w2,
+             CAST(sum(c * c * c - c) AS BIGINT) AS tie3
+      FROM cum
+    )
+    SELECT n AS n_pairs, w2 AS w_plus_x2,
+           (w2 / 2.0 - n * (n + 1) / 4.0)
+             / sqrt(n * (n + 1.0) * (2 * n + 1) / 24.0 - tie3 / 48.0) AS z
+    FROM agg
+"""
+
+
+@_register("m59_wilcoxon_signed_rank", _M59_SQL)
+def m59_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test pairing each user's weekend vs
+    weekday PURCHASE spend — the paired complement to m57's
+    independent-samples U: the paired difference is an exact integer
+    (weekend cents total minus weekday cents total per user), zero
+    diffs drop per the standard convention, |d| ranks use doubled
+    midranks over the difference-domain histogram (2*W+ = sum
+    cp*(2*before + c + 1)), and the tie-corrected normal z is one
+    closed-form float from three exact integers.
+
+    Scale: per-user totals are one keyed agg (mergeable sums — the
+    s66 twin's partials); ranking runs on the |diff|-value histogram,
+    never on a per-user sort.
+
+    Reference parity: none in reference; public test (Wilcoxon 1945)
+    over the reference's amount field."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    wkend = (F.expr("weekday(ts)") + 1) >= 6
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(wkend, cents).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("wk"),
+            F.sum(F.when(~wkend, cents).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("wd"),
+        )
+    )
+    return wilcoxon_from_pairs(p)
+
+
+def wilcoxon_from_pairs(p: DataFrame) -> DataFrame:
+    """(user_id, wk, wd) integer-cents totals -> m59's one-row
+    report. Totals merge by keyed sum, so the signed-rank algebra
+    re-derives from partials; shared by the s66 streaming twin."""
+    from pyspark.sql.window import Window
+
+    p = p.groupBy("user_id").agg(
+        F.sum("wk").cast("long").alias("wk"),
+        F.sum("wd").cast("long").alias("wd"),
+    )
+    d = p.where(F.col("wk") != F.col("wd")).select(
+        (F.col("wk") - F.col("wd")).alias("diff")
+    )
+    h = d.groupBy(F.abs(F.col("diff")).alias("a")).agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum((F.col("diff") > 0).cast("long")).cast("long").alias("cp"),
+    )
+    wa = Window.orderBy("a")  # |diff|-domain bounded frame
+    cum = h.select(
+        "a", "c", "cp", (F.sum("c").over(wa) - F.col("c")).alias("before_")
+    )
+    agg = cum.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("cp") * (2 * F.col("before_") + F.col("c") + 1))
+        .cast("long")
+        .alias("w2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("tie3"),
+    )
+    n = F.col("n")
+    var = n * (n + 1.0) * (2 * n + 1) / 24.0 - F.col("tie3") / 48.0
+    return agg.select(
+        n.alias("n_pairs"),
+        F.col("w2").alias("w_plus_x2"),
+        ((F.col("w2") / 2.0 - n * (n + 1) / 4.0) / F.sqrt(var)).alias("z"),
+    )
+
+
+# MI cell discipline (the m23/m33 pattern): each cell's ln ratio is one
+# shared float-op sequence over exact BIGINT counts rounded ONCE to micro,
+# then multiplied by the exact integer cell count — the statistic is an
+# order-free integer sum, divided down only in the final 1-row projection.
+_M60_SQL = """
+    WITH cells AS (
+      SELECT event_type AS x, CAST(isodow(ts) AS INT) AS y,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    rx AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM cells GROUP BY 1),
+    cy AS (SELECT y, CAST(sum(c) AS BIGINT) AS cyn FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+    mi AS (
+      SELECT CAST(sum(c * CAST(round(
+               ln(c * 1.0 * n / (cx * 1.0 * cyn)) * 1000000.0, 0)
+             AS BIGINT)) AS BIGINT) AS mi_scaled
+      FROM cells JOIN rx USING (x) JOIN cy USING (y) CROSS JOIN tot
+    ),
+    hx AS (
+      SELECT CAST(sum(cx * CAST(round(ln(n * 1.0 / cx) * 1000000.0, 0)
+             AS BIGINT)) AS BIGINT) AS hx_scaled
+      FROM rx CROSS JOIN tot
+    ),
+    hy AS (
+      SELECT CAST(sum(cyn * CAST(round(ln(n * 1.0 / cyn) * 1000000.0, 0)
+             AS BIGINT)) AS BIGINT) AS hy_scaled
+      FROM cy CROSS JOIN tot
+    )
+    SELECT n, mi_scaled, hx_scaled, hy_scaled,
+           mi_scaled / (n * 1000000.0) AS mi_nats,
+           mi_scaled / sqrt(hx_scaled * 1.0 * hy_scaled) AS nmi
+    FROM tot CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy
+"""
+
+
+@_register("m60_mutual_information", _M60_SQL)
+def m60_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and ISO weekday — the
+    feature-dependence audit that complements m33's chi-square with
+    an information-theoretic effect size: MI = sum p_xy *
+    ln(p_xy/(p_x p_y)) over observed cells (empty cells carry zero MI
+    mass by the 0*ln0 = 0 convention), plus both marginal entropies
+    and the normalized MI = MI/sqrt(H(X) H(Y)). Every cell's ln ratio
+    rounds once to micro over exact BIGINT counts and rides an
+    integer multiply, so the three sums are order-free integers and
+    the two final divisions are single float ops.
+
+    Scale: ONE corpus scan map-side combines to the <= |types| x 7
+    cell frame; marginals, the ln grid, and the report all run on
+    that bounded frame.
+
+    Reference parity: none in reference; public measure (Shannon
+    1948) over the reference's event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("x"),
+        (F.expr("weekday(ts)") + 1).cast("int").alias("y"),
+    ).agg(F.count("*").cast("long").alias("c"))
+    return mutual_info_from_cells(cells)
+
+
+def mutual_info_from_cells(cells: DataFrame) -> DataFrame:
+    """(x, y, c) joint-count cells -> m60's one-row report. Cell
+    counts merge by keyed sum, so MI/NMI re-derive from partials;
+    shared by the s65 streaming twin."""
+    cells = cells.groupBy("x", "y").agg(F.sum("c").cast("long").alias("c"))
+    cells = cells.localCheckpoint()  # feeds marginals AND the grid
+    rx = cells.groupBy("x").agg(F.sum("c").cast("long").alias("cx"))
+    cy = cells.groupBy("y").agg(F.sum("c").cast("long").alias("cyn"))
+    tot = cells.agg(F.sum("c").cast("long").alias("n"))
+
+    def _micro(expr):
+        return F.round(expr * 1000000.0, 0).cast("long")
+
+    # broadcast bounds: rx/cy are category-domain frames, tot is 1 row
+    grid = (
+        cells.join(F.broadcast(rx), "x")
+        .join(F.broadcast(cy), "y")
+        .crossJoin(F.broadcast(tot))
+    )
+    mi = grid.agg(
+        F.sum(
+            F.col("c")
+            * _micro(
+                F.log(
+                    F.col("c") * 1.0 * F.col("n")
+                    / (F.col("cx") * 1.0 * F.col("cyn"))
+                )
+            )
+        )
+        .cast("long")
+        .alias("mi_scaled")
+    )
+    hx = (
+        rx.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(F.col("cx") * _micro(F.log(F.col("n") * 1.0 / F.col("cx"))))
+            .cast("long")
+            .alias("hx_scaled")
+        )
+    )
+    hy = (
+        cy.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.col("cyn") * _micro(F.log(F.col("n") * 1.0 / F.col("cyn")))
+            )
+            .cast("long")
+            .alias("hy_scaled")
+        )
+    )
+    # broadcast bound: all three stat frames are 1 row
+    out = (
+        tot.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+    )
+    return out.select(
+        "n",
+        "mi_scaled",
+        "hx_scaled",
+        "hy_scaled",
+        (F.col("mi_scaled") / (F.col("n") * 1000000.0)).alias("mi_nats"),
+        (
+            F.col("mi_scaled")
+            / F.sqrt(F.col("hx_scaled") * 1.0 * F.col("hy_scaled"))
+        ).alias("nmi"),
+    )
+
+
+_M61_SQL = """
+    WITH c AS (
+      SELECT event_type AS g,
+             CAST(sum(CASE WHEN isodow(ts) < 6 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cwd,
+             CAST(sum(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cwk
+      FROM events GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(sum(cwd) AS BIGINT) AS nwd,
+             CAST(sum(cwk) AS BIGINT) AS nwk
+      FROM c
+    ),
+    cell AS (
+      SELECT nwd, nwk, CAST(round((
+          CASE WHEN cwd > 0 THEN
+            0.5 * (cwd * 1.0 / nwd)
+              * ln((cwd * 1.0 / nwd)
+                   / (0.5 * (cwd * 1.0 / nwd) + 0.5 * (cwk * 1.0 / nwk)))
+          ELSE 0.0 END
+        + CASE WHEN cwk > 0 THEN
+            0.5 * (cwk * 1.0 / nwk)
+              * ln((cwk * 1.0 / nwk)
+                   / (0.5 * (cwd * 1.0 / nwd) + 0.5 * (cwk * 1.0 / nwk)))
+          ELSE 0.0 END) * 1000000000.0, 0) AS BIGINT) AS contrib_nano
+      FROM c CROSS JOIN t
+    )
+    SELECT max(nwd) AS nwd, max(nwk) AS nwk,
+           CAST(sum(contrib_nano) AS BIGINT) AS jsd_nano,
+           sum(contrib_nano) / 1000000000.0 AS jsd_nats,
+           sum(contrib_nano) / 1000000000.0 / ln(2.0) AS jsd_bits,
+           sqrt(sum(contrib_nano) / 1000000000.0) AS js_distance
+    FROM cell
+"""
+
+
+@_register("m61_jensen_shannon", _M61_SQL)
+def m61_jensen_shannon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the weekday and weekend
+    event-type mixes — the symmetric, bounded drift measure that
+    complements m17's PSI (which is unbounded and asymmetric in its
+    smoothing): JSD = KL(P||M)/2 + KL(Q||M)/2 with M the midpoint,
+    reported in nats, bits, and as the sqrt metric distance. Each
+    category's contribution is one shared float sequence over exact
+    BIGINT counts rounded ONCE to nano (JSD <= ln 2, so nano keeps 9
+    significant digits), making the sum an order-free integer.
+
+    Scale: one scan to the |types|-row two-sided count frame;
+    everything downstream is category-domain bounded.
+
+    Reference parity: none in reference; public measure (Lin 1991)
+    over the reference's event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    wkend = (F.expr("weekday(ts)") + 1) >= 6
+    c = ev.groupBy(F.col("event_type").alias("g")).agg(
+        F.sum((~wkend).cast("long")).cast("long").alias("cwd"),
+        F.sum(wkend.cast("long")).cast("long").alias("cwk"),
+    )
+    return jsd_from_cells(c)
+
+
+def jsd_from_cells(c: DataFrame) -> DataFrame:
+    """(g, cwd, cwk) two-sided category counts -> m61's one-row
+    report. Counts merge by keyed sum; shared by the s67 twin."""
+    c = c.groupBy("g").agg(
+        F.sum("cwd").cast("long").alias("cwd"),
+        F.sum("cwk").cast("long").alias("cwk"),
+    )
+    t = c.agg(
+        F.sum("cwd").cast("long").alias("nwd"),
+        F.sum("cwk").cast("long").alias("nwk"),
+    )
+    # broadcast bound: t is 1 row
+    j = c.crossJoin(F.broadcast(t))
+    p = F.col("cwd") * 1.0 / F.col("nwd")
+    q = F.col("cwk") * 1.0 / F.col("nwk")
+    m = 0.5 * p + 0.5 * q
+    contrib = F.when(F.col("cwd") > 0, 0.5 * p * F.log(p / m)).otherwise(
+        0.0
+    ) + F.when(F.col("cwk") > 0, 0.5 * q * F.log(q / m)).otherwise(0.0)
+    cell = j.select(
+        "nwd", "nwk", F.round(contrib * 1e9, 0).cast("long").alias("contrib_nano")
+    )
+    return cell.agg(
+        F.max("nwd").alias("nwd"),
+        F.max("nwk").alias("nwk"),
+        F.sum("contrib_nano").cast("long").alias("jsd_nano"),
+        (F.sum("contrib_nano") / 1e9).alias("jsd_nats"),
+        (F.sum("contrib_nano") / 1e9 / float(__import__("math").log(2.0))).alias(
+            "jsd_bits"
+        ),
+        F.sqrt(F.sum("contrib_nano") / 1e9).alias("js_distance"),
+    )
+
+
+_M62_SQL = """
+    WITH e AS (
+      SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    med AS (
+      SELECT g, CAST(round(2 * median(cents)) AS BIGINT) AS med2
+      FROM e GROUP BY 1
+    ),
+    z AS (
+      SELECT e.g, abs(2 * cents - med2) AS u
+      FROM e JOIN med ON e.g = med.g
+    ),
+    gr AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(u) AS BIGINT) AS su,
+             CAST(sum(u * u) AS BIGINT) AS su2
+      FROM z GROUP BY g
+    ),
+    t AS (
+      SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(su) AS BIGINT) AS stot
+      FROM gr
+    ),
+    s AS (
+      SELECT n, k,
+             sum((su2 - su * 1.0 * su / ng) / 4.0) AS ssw,
+             sum(ng * (su / (2.0 * ng) - stot / (2.0 * n))
+                    * (su / (2.0 * ng) - stot / (2.0 * n))) AS ssb
+      FROM gr CROSS JOIN t GROUP BY n, k
+    )
+    SELECT n, k, (ssb / (k - 1)) / (ssw / (n - k)) AS f_bf FROM s
+"""
+
+
+@_register("m62_brown_forsythe", _M62_SQL)
+def m62_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe homogeneity-of-variance test across the five
+    event types on amount cents: the one-way ANOVA F statistic on
+    absolute deviations from each group's EXACT median. Doubling
+    keeps everything integer — the interpolated median of integers
+    is a multiple of 0.5, so u = |2*cents - 2*median| is an exact
+    BIGINT, per-group sum/sum-of-squares are exact, and SSW/SSB
+    algebra (SSW_g = (su2 - su^2/ng)/4) starts float math only on
+    the 5-row group frame.
+
+    Scale: one scan for the per-group exact medians (sort-based agg;
+    at 100 TB the r105-style cents histogram yields the same exact
+    median without a per-group sort), one scan for the deviation
+    power sums, then a |groups|-row report. The group-median frame
+    broadcasts (bound: |event types| rows).
+
+    Reference parity: none in reference; public test (Brown &
+    Forsythe 1974) over the reference's amount field."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    e = e.localCheckpoint()  # feeds medians AND deviations
+    med = e.groupBy("g").agg(
+        F.round(2 * F.median("cents")).cast("long").alias("med2")
+    )
+    # broadcast bound: med is |event types| rows
+    z = e.join(F.broadcast(med), "g").select(
+        "g", F.abs(2 * F.col("cents") - F.col("med2")).alias("u")
+    )
+    gr = z.groupBy("g").agg(
+        F.count("*").cast("long").alias("ng"),
+        F.sum("u").cast("long").alias("su"),
+        F.sum(F.col("u") * F.col("u")).cast("long").alias("su2"),
+    )
+    t = gr.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+        F.sum("su").cast("long").alias("stot"),
+    )
+    # broadcast bound: t is 1 row
+    j = gr.crossJoin(F.broadcast(t))
+    zg = F.col("su") / (2.0 * F.col("ng"))
+    zbar = F.col("stot") / (2.0 * F.col("n"))
+    s = j.agg(
+        F.first("n").alias("n"),
+        F.first("k").alias("k"),
+        F.sum(
+            (F.col("su2") - F.col("su") * 1.0 * F.col("su") / F.col("ng"))
+            / 4.0
+        ).alias("ssw"),
+        F.sum(F.col("ng") * (zg - zbar) * (zg - zbar)).alias("ssb"),
+    )
+    return s.select(
+        "n",
+        "k",
+        (
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("n") - F.col("k")))
+        ).alias("f_bf"),
+    )
+
+
+_M63_SQL = """
+    WITH e AS (
+      SELECT CAST(isodow(ts) >= 6 AS INT) AS wk,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    g AS (
+      SELECT CAST(sum(wk) AS BIGINT) AS n1,
+             CAST(count(*) - sum(wk) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN wk = 1 THEN cents ELSE 0 END) AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN wk = 0 THEN cents ELSE 0 END) AS BIGINT) AS s2,
+             CAST(sum(CASE WHEN wk = 1 THEN cents * cents ELSE 0 END)
+                  AS BIGINT) AS q1,
+             CAST(sum(CASE WHEN wk = 0 THEN cents * cents ELSE 0 END)
+                  AS BIGINT) AS q2
+      FROM e
+    ),
+    h AS (
+      SELECT cents, CAST(sum(wk) AS BIGINT) AS c1,
+             CAST(count(*) - sum(wk) AS BIGINT) AS c2
+      FROM e GROUP BY 1
+    ),
+    cum AS (
+      SELECT cents, c1, c2, c1 + c2 AS c,
+             sum(c1 + c2) OVER (ORDER BY cents) - (c1 + c2) AS before_
+      FROM h
+    ),
+    u AS (
+      SELECT CAST(sum(c1 * (2 * before_ + c + 1)) AS BIGINT) AS r1x2 FROM cum
+    )
+    SELECT n1, n2,
+           (s1 * 1.0 / n1 - s2 * 1.0 / n2)
+             / sqrt(((q1 - s1 * 1.0 * s1 / n1) + (q2 - s2 * 1.0 * s2 / n2))
+                    / (n1 + n2 - 2.0)) AS cohens_d,
+           (s1 * 1.0 / n1 - s2 * 1.0 / n2)
+             / sqrt(((q1 - s1 * 1.0 * s1 / n1) + (q2 - s2 * 1.0 * s2 / n2))
+                    / (n1 + n2 - 2.0))
+             * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)) AS hedges_g,
+           (s1 * 1.0 / n1 - s2 * 1.0 / n2)
+             / sqrt((q2 - s2 * 1.0 * s2 / n2) / (n2 - 1.0)) AS glass_delta,
+           (r1x2 - n1 * (n1 + 1)) * 1.0 / (n1 * n2) - 1.0 AS cliffs_delta
+    FROM g CROSS JOIN u
+"""
+
+
+@_register("m63_effect_sizes", _M63_SQL)
+def m63_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effect-size report for weekend vs weekday PURCHASE amounts —
+    the practical-significance companion to m57/m46's p-value tests:
+    Cohen's d (pooled-SD standardized mean difference), Hedges' g
+    (small-sample bias correction J = 1 - 3/(4(n1+n2)-9)), Glass's
+    delta (control-group SD, weekday as control), and Cliff's delta
+    (2*U1/(n1*n2) - 1, reusing m57's exact doubled-midrank U). All
+    four derive from exact BIGINT power sums and the exact integer
+    rank sum; scale-invariance of d/g/delta means the cents
+    transform drops out.
+
+    Scale: one scan to the 1-row power-sum frame plus m57's
+    value-domain histogram pass; no corpus-sized frame survives
+    either scan.
+
+    Reference parity: none in reference; public effect-size
+    methodology (Cohen 1988, Hedges 1981, Cliff 1993)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.where(F.col("event_type") == "purchase").select(
+        ((F.expr("weekday(ts)") + 1) >= 6).cast("int").alias("wk"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    e = e.localCheckpoint()  # feeds power sums AND the rank histogram
+    g = e.agg(
+        F.sum("wk").cast("long").alias("n1"),
+        (F.count("*") - F.sum("wk")).cast("long").alias("n2"),
+        F.sum(F.when(F.col("wk") == 1, F.col("cents")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.when(F.col("wk") == 0, F.col("cents")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("s2"),
+        F.sum(
+            F.when(F.col("wk") == 1, F.col("cents") * F.col("cents")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("q1"),
+        F.sum(
+            F.when(F.col("wk") == 0, F.col("cents") * F.col("cents")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("q2"),
+    )
+    h = e.groupBy("cents").agg(
+        F.sum("wk").cast("long").alias("c1"),
+        (F.count("*") - F.sum("wk")).cast("long").alias("c2"),
+    )
+    wc = Window.orderBy("cents")  # value-domain bounded frame
+    cum = h.select(
+        "c1",
+        "c2",
+        (F.col("c1") + F.col("c2")).alias("c"),
+        (
+            F.sum(F.col("c1") + F.col("c2")).over(wc)
+            - (F.col("c1") + F.col("c2"))
+        ).alias("before_"),
+    )
+    u = cum.agg(
+        F.sum(F.col("c1") * (2 * F.col("before_") + F.col("c") + 1))
+        .cast("long")
+        .alias("r1x2")
+    )
+    # broadcast bound: u is 1 row
+    j = g.crossJoin(F.broadcast(u))
+    n1, n2 = F.col("n1"), F.col("n2")
+    s1, s2, q1, q2 = F.col("s1"), F.col("s2"), F.col("q1"), F.col("q2")
+    mdiff = s1 * 1.0 / n1 - s2 * 1.0 / n2
+    sp = F.sqrt(
+        ((q1 - s1 * 1.0 * s1 / n1) + (q2 - s2 * 1.0 * s2 / n2))
+        / (n1 + n2 - 2.0)
+    )
+    d = mdiff / sp
+    return j.select(
+        "n1",
+        "n2",
+        d.alias("cohens_d"),
+        (d * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0))).alias("hedges_g"),
+        (mdiff / F.sqrt((q2 - s2 * 1.0 * s2 / n2) / (n2 - 1.0))).alias(
+            "glass_delta"
+        ),
+        (
+            (F.col("r1x2") - n1 * (n1 + 1)) * 1.0 / (n1 * n2) - 1.0
+        ).alias("cliffs_delta"),
+    )

@@ -6054,3 +6054,290 @@ def r122_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _R122_K)
         .select("user_id", F.col("d").cast("long").alias("d"), "day_cents", "rk")
     )
+
+
+_R123_SQL = """
+    WITH mv AS (
+      SELECT user_id, event_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE -CAST(round(value * 100) AS BIGINT) END AS x
+      FROM events WHERE event_type IN ('purchase', 'error')
+    ),
+    run AS (
+      SELECT user_id,
+             row_number() OVER w AS rn,
+             sum(x) OVER w AS s
+      FROM mv
+      WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+    ),
+    bal AS (
+      SELECT user_id, rn, s,
+             s - least(0, min(s) OVER wm) AS b,
+             CASE WHEN s < least(0, min(s) OVER (PARTITION BY user_id
+                    ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING))
+                  THEN 1 ELSE 0 END AS hit
+      FROM run
+      WINDOW wm AS (PARTITION BY user_id ORDER BY rn)
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_moves,
+           CAST(max_by(b, rn) AS BIGINT) AS final_balance_cents,
+           CAST(max(b) AS BIGINT) AS peak_cents,
+           CAST(sum(hit) AS BIGINT) AS floor_hits
+    FROM bal GROUP BY 1
+"""
+
+
+@_register("r123_clamped_balance", _R123_SQL)
+def r123_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-clamped running wallet balance per user — purchases
+    credit, errors debit (chargebacks), and the settled balance never
+    goes below zero (the deficit is absorbed, not carried). The naive
+    semantics are the sequential recurrence B_n = max(B_{n-1} + x_n,
+    0), which no single window function expresses — but it has the
+    exact closed form B_n = S_n - min(0, min_{k<=n} S_k) (the
+    bounded-below prefix-sum identity: the clamp absorbs exactly the
+    deepest sub-zero excursion so far), so TWO window passes (running
+    sum, then running min over it) compute it entirely JVM-side. A
+    floor hit is a row where the pre-clamp balance would have gone
+    negative: S_n < min(0, prefix-min before n). Reports per user the
+    final clamped balance, the peak, and how often the floor engaged.
+
+    Scale: one shuffle on user_id; both window passes ride the same
+    partitioning (no second exchange — the rn window reuses the sort).
+    All arithmetic is exact integer cents; no per-key pandas loop and
+    no driver-side recursion.
+
+    Reference parity: none in reference; the clamped-prefix-sum
+    identity is textbook (e.g. maximum-subarray/ruin-theory folklore).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    mv = ev.where(F.col("event_type").isin("purchase", "error")).select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp(
+            F.date_trunc("second", F.col("ts")).cast("timestamp")
+        ).alias("es"),
+        F.when(F.col("event_type") == "purchase", cents)
+        .otherwise(-cents)
+        .alias("x"),
+    )
+    return clamped_balance_from_moves(mv)
+
+
+def clamped_balance_from_moves(mv: DataFrame) -> DataFrame:
+    """(user_id, es, event_id, x) signed integer moves -> r123's
+    per-user report, via the closed-form clamp identity. Factored so
+    the brute-force recurrence closure in tests/test_properties.py
+    can drive it with generated ledgers."""
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    run = mv.select(
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.sum("x").over(w).alias("s"),
+    )
+    wm = Window.partitionBy("user_id").orderBy("rn")
+    wprev = wm.rowsBetween(Window.unboundedPreceding, -1)
+    bal = run.select(
+        "user_id",
+        "rn",
+        (F.col("s") - F.least(F.lit(0), F.min("s").over(wm))).alias("b"),
+        F.when(
+            F.col("s") < F.least(F.lit(0), F.min("s").over(wprev)), 1
+        )
+        .otherwise(0)
+        .alias("hit"),
+    )
+    return bal.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_moves"),
+        F.max_by("b", "rn").cast("long").alias("final_balance_cents"),
+        F.max("b").cast("long").alias("peak_cents"),
+        F.sum("hit").cast("long").alias("floor_hits"),
+    )
+
+
+_R124_SQL = """
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch(date_trunc('second', ts)), event_id) AS prev
+      FROM events
+    ),
+    tr AS (
+      SELECT prev, cur, CAST(count(*) AS BIGINT) AS c
+      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+    ),
+    marg AS (SELECT prev, CAST(sum(c) AS BIGINT) AS cp FROM tr GROUP BY 1),
+    lp AS (
+      SELECT prev, cur,
+             CAST(round(ln(c * 1.0 / cp) * 1000000.0, 0) AS BIGINT)
+               AS lp_micro
+      FROM tr JOIN marg USING (prev)
+    ),
+    us AS (
+      SELECT s.user_id, CAST(count(*) AS BIGINT) AS n_trans,
+             CAST(sum(lp_micro) AS BIGINT) AS sum_lp_micro
+      FROM seq s JOIN lp ON s.prev = lp.prev AND s.cur = lp.cur
+      GROUP BY 1
+    )
+    SELECT user_id, n_trans, sum_lp_micro,
+           sum_lp_micro * 1.0 / n_trans / 1000000.0 AS mean_lp
+    FROM us
+    WHERE n_trans >= 5
+    ORDER BY mean_lp, user_id
+    LIMIT 10
+"""
+
+
+@_register("r124_markov_sequence_anomaly", _R124_SQL)
+def r124_markov_sequence_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain sequence anomaly: fit the global first-order
+    event-type transition matrix, score every user's observed
+    transition path by its mean log-likelihood under that matrix, and
+    report the 10 most improbable journeys (>= 5 transitions). This
+    is the sequence-level fraud screen r99's transition matrix feeds:
+    a bot replaying an unusual click->error->click loop scores far
+    below organic browse->purchase journeys. Each transition's ln
+    probability rounds once to micro (the m23 cell discipline), so
+    per-user sums are order-free integers; the mean and the top-10
+    cut use the exact integer sum with user_id tie-break.
+
+    Scale: one lag window (single shuffle on user_id), a transition
+    matrix bounded by |types|^2 = 25 rows (broadcast, bound stated),
+    one keyed re-agg per user, and a global top-10 via the
+    TakeOrdered path — no corpus-sized sort.
+
+    Reference parity: none in reference; public first-order Markov
+    scoring methodology."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_timestamp(
+            F.date_trunc("second", F.col("ts")).cast("timestamp")
+        ),
+        "event_id",
+    )
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lag("event_type").over(w).alias("prev"),
+    ).where(F.col("prev").isNotNull())
+    seq = seq.localCheckpoint()  # feeds the matrix AND the per-user scan
+    tr = seq.groupBy("prev", "cur").agg(F.count("*").cast("long").alias("c"))
+    marg = tr.groupBy("prev").agg(F.sum("c").cast("long").alias("cp"))
+    # broadcast bounds: tr/marg/lp are |types|^2-row frames (25 here)
+    lp = tr.join(F.broadcast(marg), "prev").select(
+        "prev",
+        "cur",
+        F.round(F.log(F.col("c") * 1.0 / F.col("cp")) * 1e6, 0)
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    us = (
+        seq.join(F.broadcast(lp), ["prev", "cur"])
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_trans"),
+            F.sum("lp_micro").cast("long").alias("sum_lp_micro"),
+        )
+    )
+    return (
+        us.where(F.col("n_trans") >= 5)
+        .select(
+            "user_id",
+            "n_trans",
+            "sum_lp_micro",
+            (F.col("sum_lp_micro") * 1.0 / F.col("n_trans") / 1e6).alias(
+                "mean_lp"
+            ),
+        )
+        .orderBy("mean_lp", "user_id")
+        .limit(10)
+    )
+
+
+_R125_SQL = """
+    WITH v AS (
+      SELECT user_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch(date_trunc('second', ts)), event_id) AS rn
+      FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch(date_trunc('second', ts)), event_id) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT coalesce(v.user_id, p.user_id) AS user_id,
+             CASE WHEN v.rn IS NOT NULL AND p.rn IS NOT NULL
+                  THEN 1 ELSE 0 END AS matched,
+             CASE WHEN p.rn IS NULL THEN 1 ELSE 0 END AS uv,
+             CASE WHEN v.rn IS NULL THEN 1 ELSE 0 END AS up,
+             CASE WHEN v.rn IS NOT NULL AND p.rn IS NOT NULL
+                  THEN p.t - v.t END AS lat
+      FROM v FULL OUTER JOIN p
+        ON v.user_id = p.user_id AND v.rn = p.rn
+    )
+    SELECT user_id, CAST(sum(matched) AS BIGINT) AS matched,
+           CAST(sum(uv) AS BIGINT) AS unmatched_views,
+           CAST(sum(up) AS BIGINT) AS unmatched_purchases,
+           CAST(sum(lat) AS BIGINT) AS latency_total_s
+    FROM m GROUP BY 1
+"""
+
+
+@_register("r125_fifo_event_matching", _R125_SQL)
+def r125_fifo_event_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO reconciliation of each user's views against purchases —
+    the rank-match pattern every settlement/clearing pipeline uses to
+    pair two ordered legs one-to-one without a quadratic candidate
+    join: the k-th view matches the k-th purchase (both ranked by
+    time within user), pairs beyond the shorter leg stay unmatched on
+    the longer side. Reports per user the matched count, the leftover
+    count on each leg, and the exact total signed view->purchase
+    latency in seconds (integer — no float mean crosses the hash).
+
+    Scale: both legs rank inside ONE shuffle on user_id each; the
+    pairing is an equi-join on (user_id, rn) — co-partitioned by the
+    same key, so AQE plans it shuffle-free off the rank exchanges.
+    Never an inequality/range join, never all pairs.
+
+    Reference parity: none in reference; public double-entry
+    reconciliation pattern."""
+    ev = load_table(spark, sf_dir, "events")
+    es = F.unix_timestamp(
+        F.date_trunc("second", F.col("ts")).cast("timestamp")
+    )
+
+    def leg(kind: str) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy("t", "event_id")
+        return (
+            ev.where(F.col("event_type") == kind)
+            .select("user_id", "event_id", es.alias("t"))
+            .select(
+                "user_id", "t", F.row_number().over(w).alias("rn")
+            )
+        )
+
+    v = leg("view").withColumnsRenamed({"t": "vt"})
+    p = leg("purchase").withColumnsRenamed({"t": "pt"})
+    m = v.join(p, ["user_id", "rn"], "full_outer")
+    both = F.col("vt").isNotNull() & F.col("pt").isNotNull()
+    return m.groupBy("user_id").agg(
+        F.sum(F.when(both, 1).otherwise(0)).cast("long").alias("matched"),
+        F.sum(F.when(F.col("pt").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("unmatched_views"),
+        F.sum(F.when(F.col("vt").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("unmatched_purchases"),
+        F.sum(F.when(both, F.col("pt") - F.col("vt")))
+        .cast("long")
+        .alias("latency_total_s"),
+    )

@@ -4671,3 +4671,51 @@ def test_theil_sen_matches_brute(spark, days):
     # that ulp; assert at micro resolution with 1-micro slack
     want_micro = (1000000 * med[1]) // med[2]
     assert abs(got.s - want_micro) <= 1, (got, med)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),  # user
+            st.integers(0, 10),  # second
+            st.integers(-300, 300),  # signed cents move
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_clamped_balance_matches_sequential_recurrence(spark, rows):
+    """r123's closed-form clamp (B_n = S_n - min(0, prefix-min S)) vs
+    the literal sequential recurrence B_n = max(B_{n-1} + x, 0) —
+    exact, including floor-hit counting and peak tracking."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.relational3 import (
+        clamped_balance_from_moves,
+    )
+
+    mv = [(u, es, i, x) for i, (u, es, x) in enumerate(rows)]
+    df = spark.createDataFrame(
+        mv, "user_id LONG, es LONG, event_id LONG, x LONG"
+    )
+    got = {
+        r.user_id: (
+            r.n_moves,
+            r.final_balance_cents,
+            r.peak_cents,
+            r.floor_hits,
+        )
+        for r in clamped_balance_from_moves(df).collect()
+    }
+    want = {}
+    for u in sorted({m[0] for m in mv}):
+        b, peak, hits, n = 0, None, 0, 0
+        for _, es, eid, x in sorted(
+            (m for m in mv if m[0] == u), key=lambda m: (m[1], m[2])
+        ):
+            if b + x < 0:
+                hits += 1
+            b = max(b + x, 0)
+            peak = b if peak is None else max(peak, b)
+            n += 1
+        want[u] = (n, b, peak, hits)
+    assert got == want

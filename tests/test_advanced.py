@@ -492,3 +492,234 @@ def test_m57_mann_whitney_brute(spark, sf_dir):
     assert (r.n1, r.n2) == (n1, n2)
     assert r.u1_x2 == int(2 * u1)
     assert abs(r.z - z) < 1e-9
+
+
+def _events_type_cents(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+
+    pdf = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    ).toPandas()
+    return pdf
+
+
+def _midranks(values):
+    """value -> average rank (1-based), plus the tie-term sum."""
+    import collections
+
+    cnt = collections.Counter(values)
+    ranks, pos = {}, 0
+    for v in sorted(cnt):
+        c = cnt[v]
+        ranks[v] = pos + (c + 1) / 2
+        pos += c
+    tie3 = sum(c**3 - c for c in cnt.values())
+    return ranks, tie3
+
+
+def _half_up(x, scale):
+    """Replicate Spark's ROUND_HALF_UP on doubles (away from zero)."""
+    import decimal
+
+    return int(
+        decimal.Decimal(x * scale).quantize(
+            decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def test_m58_kruskal_brute(spark, sf_dir):
+    """H and the tie-corrected H vs a pure-Python midrank walk."""
+    pdf = _events_type_cents(spark, sf_dir)
+    groups = {g: list(sub.cents) for g, sub in pdf.groupby("event_type")}
+    allv = [v for g in groups.values() for v in g]
+    ranks, tie3 = _midranks(allv)
+    n = len(allv)
+    ss = 0.0
+    for g, vals in groups.items():
+        rbar = sum(ranks[v] for v in vals) / len(vals)
+        ss += len(vals) * (rbar - (n + 1) / 2) ** 2
+    h = 12.0 * ss / (n * (n + 1))
+    corr = 1.0 - tie3 / (n**3 - n)
+    r = advanced.QUERIES["m58_kruskal_wallis"](spark, sf_dir).collect()[0]
+    assert (r.n, r.k) == (n, len(groups))
+    assert abs(r.h - h) < 1e-9
+    assert abs(r.h_tie_corrected - h / corr) < 1e-9
+
+
+def test_m59_wilcoxon_brute(spark, sf_dir):
+    """W+ (doubled) and tie-corrected z vs a per-user paired walk."""
+    import math
+
+    # per-user weekend/weekday totals
+    raw = {}
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    ).toPandas()
+    for row in rows.itertuples():
+        wk = row.ts.weekday() >= 5
+        a = raw.setdefault(row.user_id, [0, 0])
+        a[0 if wk else 1] += row.cents
+    diffs = [wk - wd for wk, wd in raw.values() if wk != wd]
+    ranks, tie3 = _midranks([abs(d) for d in diffs])
+    n = len(diffs)
+    wplus = sum(ranks[abs(d)] for d in diffs if d > 0)
+    var = n * (n + 1) * (2 * n + 1) / 24 - tie3 / 48
+    z = (wplus - n * (n + 1) / 4) / math.sqrt(var)
+    r = advanced.QUERIES["m59_wilcoxon_signed_rank"](spark, sf_dir).collect()[0]
+    assert r.n_pairs == n
+    assert r.w_plus_x2 == int(round(2 * wplus))
+    assert abs(r.z - z) < 1e-9
+
+
+def test_m60_mutual_information_brute(spark, sf_dir):
+    """Integer-scaled MI/NMI vs a cell walk replicating the micro
+    rounding (HALF_UP, like Spark's F.round on doubles)."""
+    import collections
+    import math
+
+    pdf = _events_type_cents(spark, sf_dir)
+    cells = collections.Counter(
+        (t, ts.weekday() + 1) for t, ts in zip(pdf.event_type, pdf.ts)
+    )
+    cx = collections.Counter()
+    cy = collections.Counter()
+    for (x, y), c in cells.items():
+        cx[x] += c
+        cy[y] += c
+    n = sum(cells.values())
+    mi_scaled = sum(
+        c * _half_up(math.log(c * n / (cx[x] * cy[y])), 1e6)
+        for (x, y), c in cells.items()
+    )
+    hx_scaled = sum(c * _half_up(math.log(n / c), 1e6) for c in cx.values())
+    hy_scaled = sum(c * _half_up(math.log(n / c), 1e6) for c in cy.values())
+    r = advanced.QUERIES["m60_mutual_information"](spark, sf_dir).collect()[0]
+    assert (r.n, r.mi_scaled, r.hx_scaled, r.hy_scaled) == (
+        n, mi_scaled, hx_scaled, hy_scaled,
+    )
+    assert abs(r.mi_nats - mi_scaled / (n * 1e6)) < 1e-12
+    assert abs(r.nmi - mi_scaled / math.sqrt(hx_scaled * hy_scaled)) < 1e-12
+
+
+def test_m61_jsd_brute(spark, sf_dir):
+    """Nano-scaled JSD vs a category walk with the same rounding."""
+    import collections
+    import math
+
+    pdf = _events_type_cents(spark, sf_dir)
+    cwd = collections.Counter()
+    cwk = collections.Counter()
+    for t, ts in zip(pdf.event_type, pdf.ts):
+        (cwk if ts.weekday() >= 5 else cwd)[t] += 1
+    nwd, nwk = sum(cwd.values()), sum(cwk.values())
+    total = 0
+    for g in set(cwd) | set(cwk):
+        p = cwd[g] / nwd
+        q = cwk[g] / nwk
+        m = 0.5 * p + 0.5 * q
+        contrib = (0.5 * p * math.log(p / m) if cwd[g] else 0.0) + (
+            0.5 * q * math.log(q / m) if cwk[g] else 0.0
+        )
+        total += _half_up(contrib, 1e9)
+    r = advanced.QUERIES["m61_jensen_shannon"](spark, sf_dir).collect()[0]
+    assert (r.nwd, r.nwk, r.jsd_nano) == (nwd, nwk, total)
+    assert abs(r.jsd_bits - total / 1e9 / math.log(2)) < 1e-12
+    assert abs(r.js_distance - math.sqrt(total / 1e9)) < 1e-12
+
+
+def test_m62_brown_forsythe_brute(spark, sf_dir):
+    """F statistic vs the textbook two-pass |x - median| ANOVA."""
+    import statistics
+
+    pdf = _events_type_cents(spark, sf_dir)
+    groups = {g: list(sub.cents) for g, sub in pdf.groupby("event_type")}
+    zs = {
+        g: [abs(v - statistics.median(vals)) for v in vals]
+        for g, vals in groups.items()
+    }
+    n = sum(len(v) for v in zs.values())
+    k = len(zs)
+    zbar = sum(sum(v) for v in zs.values()) / n
+    ssb = sum(len(v) * (sum(v) / len(v) - zbar) ** 2 for v in zs.values())
+    ssw = sum(
+        sum((x - sum(v) / len(v)) ** 2 for x in v) for v in zs.values()
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    r = advanced.QUERIES["m62_brown_forsythe"](spark, sf_dir).collect()[0]
+    assert (r.n, r.k) == (n, k)
+    assert abs(r.f_bf - f) < 1e-9
+
+
+def test_m63_effect_sizes_brute(spark, sf_dir):
+    """All four effect sizes vs direct formulas on raw cents."""
+    import math
+
+    pdf = _events_type_cents(spark, sf_dir)
+    p = pdf[pdf.event_type == "purchase"]
+    g1 = [c for c, ts in zip(p.cents, p.ts) if ts.weekday() >= 5]
+    g2 = [c for c, ts in zip(p.cents, p.ts) if ts.weekday() < 5]
+    n1, n2 = len(g1), len(g2)
+    m1, m2 = sum(g1) / n1, sum(g2) / n2
+    ss1 = sum((x - m1) ** 2 for x in g1)
+    ss2 = sum((x - m2) ** 2 for x in g2)
+    sp = math.sqrt((ss1 + ss2) / (n1 + n2 - 2))
+    d = (m1 - m2) / sp
+    gh = d * (1 - 3 / (4 * (n1 + n2) - 9))
+    glass = (m1 - m2) / math.sqrt(ss2 / (n2 - 1))
+    gt = sum(1 for a in g1 for b in g2 if a > b)
+    lt = sum(1 for a in g1 for b in g2 if a < b)
+    cliffs = (gt - lt) / (n1 * n2)
+    r = advanced.QUERIES["m63_effect_sizes"](spark, sf_dir).collect()[0]
+    assert (r.n1, r.n2) == (n1, n2)
+    assert abs(r.cohens_d - d) < 1e-9
+    assert abs(r.hedges_g - gh) < 1e-9
+    assert abs(r.glass_delta - glass) < 1e-9
+    assert abs(r.cliffs_delta - cliffs) < 1e-9
+
+
+def test_s62_daily_partials_merge_invariant(spark, sf_dir):
+    """(d, x) daily partials from arbitrary 3-way splits must merge to
+    exactly m56's output — the s62 twin's soundness argument."""
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.advanced import (
+        seasonal_outliers_from_daily,
+    )
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    e = ev.select(
+        "event_id",
+        (t / 86400).cast("long").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    parts = [
+        e.where(F.col("event_id") % 3 == p)
+        .groupBy("d")
+        .agg(F.sum("cents").alias("x"))
+        for p in range(3)
+    ]
+    merged = (
+        parts[0].unionAll(parts[1]).unionAll(parts[2])
+        .groupBy("d").agg(F.sum("x").alias("x"))
+    )
+    got = {
+        r.d: (r.day_cents, round(r.z, 9))
+        for r in seasonal_outliers_from_daily(merged).collect()
+    }
+    want = {
+        r.d: (r.day_cents, round(r.z, 9))
+        for r in advanced.QUERIES[
+            "m56_seasonal_adjusted_outliers"
+        ](spark, sf_dir).collect()
+    }
+    assert got == want

@@ -1491,3 +1491,46 @@ def test_l103_report_composes_member_rules(spark, sf_dir):
         for r in llmops.QUERIES["l103_curation_report"](spark, sf_dir).collect()
     }
     assert got == {k: list(v) for k, v in agg.items()}
+
+
+def test_s63_moment_partials_merge_invariant(spark, sf_dir):
+    """(i, j, s)/(i, sv, n) moment partials from arbitrary 3-way vector
+    splits must merge to exactly l102's component — the s63 twin's
+    soundness argument (Gram matrices are sums of outer products)."""
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.llmops import (
+        pca_from_moment_partials,
+    )
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "x")
+    ).select(
+        "vec_id", (F.col("i0") + 1).alias("i"), F.col("x").cast("double").alias("v")
+    )
+    sparts, mparts = [], []
+    for p in range(3):
+        sub = el.where(F.col("vec_id") % 3 == p)
+        a = sub.select("vec_id", F.col("i").alias("ia"), F.col("v").alias("va"))
+        b = sub.select("vec_id", F.col("i").alias("jb"), F.col("v").alias("vb"))
+        sparts.append(
+            a.join(b, "vec_id")
+            .groupBy(F.col("ia").alias("i"), F.col("jb").alias("j"))
+            .agg(F.sum(F.col("va") * F.col("vb")).alias("s"))
+        )
+        mparts.append(
+            sub.groupBy("i").agg(F.sum("v").alias("sv"), F.count("*").alias("n"))
+        )
+    s = sparts[0].unionAll(sparts[1]).unionAll(sparts[2])
+    mu = mparts[0].unionAll(mparts[1]).unionAll(mparts[2])
+    got = {
+        r.dim: (round(r.component, 6), round(r.rayleigh, 4))
+        for r in pca_from_moment_partials(s, mu).collect()
+    }
+    want = {
+        r.dim: (round(r.component, 6), round(r.rayleigh, 4))
+        for r in llmops.QUERIES["l102_pca_power_iteration"](spark, sf_dir).collect()
+    }
+    assert got == want

@@ -560,3 +560,82 @@ def test_r122_ties_kept_and_rank_gaps(spark, sf_dir):
         assert have == want, (u, have, want)
         for d, c, rk in got[u]:
             assert rk == 1 + sum(1 for x in vals if x > c)
+
+
+def _events_typed_secs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    s = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    return [
+        (r.user_id, r.event_id, r.s, r.event_type)
+        for r in ev.select("user_id", "event_id", s.alias("s"), "event_type").collect()
+    ]
+
+
+def test_r124_markov_brute(spark, sf_dir):
+    """Global transition matrix + per-user mean log-likelihood vs a
+    pure-Python walk replicating the micro rounding."""
+    import collections
+    import decimal
+    import math
+
+    rows = _events_typed_secs(spark, sf_dir)
+    byu = collections.defaultdict(list)
+    for u, eid, s, t in rows:
+        byu[u].append((s, eid, t))
+    trans = []
+    for u, evs in byu.items():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            trans.append((u, a, b))
+    tr = collections.Counter((a, b) for _, a, b in trans)
+    marg = collections.Counter()
+    for (a, _), c in tr.items():
+        marg[a] += c
+    lp = {
+        k: int(
+            decimal.Decimal(math.log(c / marg[k[0]]) * 1e6).quantize(
+                decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        for k, c in tr.items()
+    }
+    us = collections.defaultdict(lambda: [0, 0])
+    for u, a, b in trans:
+        us[u][0] += 1
+        us[u][1] += lp[(a, b)]
+    cand = sorted(
+        (s / n / 1e6, u, n, s) for u, (n, s) in us.items() if n >= 5
+    )[:10]
+    got = [
+        (r.user_id, r.n_trans, r.sum_lp_micro)
+        for r in relational3.QUERIES["r124_markov_sequence_anomaly"](spark, sf_dir).collect()
+    ]
+    assert got == [(u, n, s) for _, u, n, s in cand]
+
+
+def test_r125_fifo_brute(spark, sf_dir):
+    """Rank-matching reconciliation vs a per-user sorted zip."""
+    import collections
+
+    rows = _events_typed_secs(spark, sf_dir)
+    legs = collections.defaultdict(lambda: {"view": [], "purchase": []})
+    for u, eid, s, t in rows:
+        if t in ("view", "purchase"):
+            legs[u][t].append((s, eid))
+    want = {}
+    for u, d in legs.items():
+        v = sorted(d["view"])
+        p = sorted(d["purchase"])
+        m = min(len(v), len(p))
+        lat = sum(pt - vt for (vt, _), (pt, _) in zip(v, p))
+        want[u] = (m, len(v) - m, len(p) - m, lat if m else None)
+    got = {
+        r.user_id: (r.matched, r.unmatched_views, r.unmatched_purchases,
+                    r.latency_total_s)
+        for r in relational3.QUERIES["r125_fifo_event_matching"](spark, sf_dir).collect()
+    }
+    assert got == want

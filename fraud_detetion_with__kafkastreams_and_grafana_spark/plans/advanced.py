@@ -7983,3 +7983,662 @@ def m63_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("r1x2") - n1 * (n1 + 1)) * 1.0 / (n1 * n2) - 1.0
         ).alias("cliffs_delta"),
     )
+
+
+_M64_SQL = """
+    WITH e AS (
+      SELECT CAST(isodow(ts) >= 6 AS INT) AS wk,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    h AS (
+      SELECT cents, CAST(sum(wk) AS BIGINT) AS c1,
+             CAST(count(*) - sum(wk) AS BIGINT) AS c2
+      FROM e GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2
+      FROM h
+    ),
+    cum AS (
+      SELECT cents,
+             CAST(sum(c1) OVER (ORDER BY cents) AS BIGINT) AS cc1,
+             CAST(sum(c2) OVER (ORDER BY cents) AS BIGINT) AS cc2,
+             lead(cents) OVER (ORDER BY cents) AS nxt
+      FROM h
+    ),
+    agg AS (
+      SELECT CAST(sum(abs(cc1 * n2 - cc2 * n1) * (nxt - cents))
+                  AS BIGINT) AS emd_num
+      FROM cum CROSS JOIN t WHERE nxt IS NOT NULL
+    )
+    SELECT n1, n2, emd_num,
+           emd_num / (n1 * 1.0 * n2 * 100.0) AS emd_dollars
+    FROM t CROSS JOIN agg
+"""
+
+
+@_register("m64_wasserstein_emd", _M64_SQL)
+def m64_wasserstein_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D earth mover's distance (Wasserstein-1) between the
+    weekend and weekday purchase-amount distributions — the drift
+    measure with UNITS (dollars moved per unit mass), complementing
+    m22's KS (sup-distance, unitless) and m61's JSD (information).
+    W1 = integral |F1 - F2| collapses on the value-domain histogram:
+    between consecutive distinct values the CDF gap is constant, so
+    each cell contributes |cc1*n2 - cc2*n1| * (next - cents) with the
+    common n1*n2 denominator factored out — the whole statistic is ONE
+    exact integer until the final division (bound: <= n1*n2*range,
+    ~4e14 at sf0.1).
+
+    Scale: one scan to the cents histogram; the cumulative walk orders
+    distinct values, never rows. The m57/m58 rank posture, reused for
+    a distance.
+
+    Reference parity: none in reference; public metric (Monge 1781 /
+    Vaserstein 1969) over the reference's amount field."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wkend = (F.expr("weekday(ts)") + 1) >= 6
+    e = ev.where(F.col("event_type") == "purchase").select(
+        wkend.cast("int").alias("wk"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    h = e.groupBy("cents").agg(
+        F.sum("wk").cast("long").alias("c1"),
+        (F.count("*") - F.sum("wk")).cast("long").alias("c2"),
+    )
+    return emd_from_cells(h)
+
+
+def emd_from_cells(h: DataFrame) -> DataFrame:
+    """(cents, c1, c2) two-sided value-histogram partials -> m64's
+    one-row report. Cell counts merge by keyed sum; shared by the s68
+    streaming twin."""
+    from pyspark.sql.window import Window
+
+    h = h.groupBy("cents").agg(
+        F.sum("c1").cast("long").alias("c1"),
+        F.sum("c2").cast("long").alias("c2"),
+    )
+    h = h.localCheckpoint()  # value-domain bounded; feeds totals AND walk
+    t = h.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    wc = Window.orderBy("cents")  # value-domain bounded frame
+    cum = h.select(
+        "cents",
+        F.sum("c1").over(wc).cast("long").alias("cc1"),
+        F.sum("c2").over(wc).cast("long").alias("cc2"),
+        F.lead("cents").over(wc).alias("nxt"),
+    )
+    # broadcast bound: t is 1 row
+    agg = (
+        cum.where(F.col("nxt").isNotNull())
+        .crossJoin(F.broadcast(t))
+        .agg(
+            F.sum(
+                F.abs(F.col("cc1") * F.col("n2") - F.col("cc2") * F.col("n1"))
+                * (F.col("nxt") - F.col("cents"))
+            )
+            .cast("long")
+            .alias("emd_num")
+        )
+    )
+    # broadcast bound: agg is 1 row
+    return t.crossJoin(F.broadcast(agg)).select(
+        "n1",
+        "n2",
+        "emd_num",
+        (F.col("emd_num") / (F.col("n1") * 1.0 * F.col("n2") * 100.0)).alias(
+            "emd_dollars"
+        ),
+    )
+
+
+_M65_SQL = """
+    WITH c AS (
+      SELECT event_type AS g,
+             CAST(sum(CASE WHEN isodow(ts) < 6 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cwd,
+             CAST(sum(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cwk
+      FROM events GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(sum(cwd) AS BIGINT) AS nwd,
+             CAST(sum(cwk) AS BIGINT) AS nwk
+      FROM c
+    ),
+    cell AS (
+      SELECT nwd, nwk,
+             CAST(round(sqrt((cwd * 1.0 / nwd) * (cwk * 1.0 / nwk))
+                        * 1000000000.0, 0) AS BIGINT) AS bc_nano
+      FROM c CROSS JOIN t
+    )
+    SELECT max(nwd) AS nwd, max(nwk) AS nwk,
+           CAST(sum(bc_nano) AS BIGINT) AS bc_nano_total,
+           sqrt(1.0 - sum(bc_nano) / 1000000000.0) AS hellinger,
+           -ln(sum(bc_nano) / 1000000000.0) AS bhattacharyya_dist
+    FROM cell
+"""
+
+
+@_register("m65_hellinger_bhattacharyya", _M65_SQL)
+def m65_hellinger_bhattacharyya(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hellinger distance and Bhattacharyya distance between the
+    weekday and weekend event-type mixes — the geometric pair to m61's
+    JSD on the SAME two-sided category frame: BC = sum sqrt(p*q),
+    H = sqrt(1 - BC), D_B = -ln BC. Each category's sqrt(p*q) rounds
+    once to nano over exact BIGINT counts (BC <= 1, so nano keeps 9
+    significant digits), making the coefficient an order-free integer
+    sum; H and D_B are single float ops off it.
+
+    Scale: one scan to the |types|-row frame; everything downstream is
+    category-domain bounded.
+
+    Reference parity: none in reference; public measures
+    (Bhattacharyya 1943, Hellinger 1909)."""
+    ev = load_table(spark, sf_dir, "events")
+    wkend = (F.expr("weekday(ts)") + 1) >= 6
+    c = ev.groupBy(F.col("event_type").alias("g")).agg(
+        F.sum((~wkend).cast("long")).cast("long").alias("cwd"),
+        F.sum(wkend.cast("long")).cast("long").alias("cwk"),
+    )
+    return hellinger_from_cells(c)
+
+
+def hellinger_from_cells(c: DataFrame) -> DataFrame:
+    """(g, cwd, cwk) two-sided category counts -> m65's one-row
+    report. Counts merge by keyed sum; shared by the s69 twin."""
+    c = c.groupBy("g").agg(
+        F.sum("cwd").cast("long").alias("cwd"),
+        F.sum("cwk").cast("long").alias("cwk"),
+    )
+    t = c.agg(
+        F.sum("cwd").cast("long").alias("nwd"),
+        F.sum("cwk").cast("long").alias("nwk"),
+    )
+    # broadcast bound: t is 1 row
+    j = c.crossJoin(F.broadcast(t))
+    bc = F.sqrt(
+        (F.col("cwd") * 1.0 / F.col("nwd")) * (F.col("cwk") * 1.0 / F.col("nwk"))
+    )
+    cell = j.select(
+        "nwd", "nwk", F.round(bc * 1e9, 0).cast("long").alias("bc_nano")
+    )
+    return cell.agg(
+        F.max("nwd").alias("nwd"),
+        F.max("nwk").alias("nwk"),
+        F.sum("bc_nano").cast("long").alias("bc_nano_total"),
+        F.sqrt(1.0 - F.sum("bc_nano") / 1e9).alias("hellinger"),
+        (-F.log(F.sum("bc_nano") / 1e9)).alias("bhattacharyya_dist"),
+    )
+
+
+_M66_SQL = """
+    WITH cust AS (
+      SELECT event_type AS g, user_id,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    h AS (
+      SELECT g, cents, CAST(count(*) AS BIGINT) AS c
+      FROM cust GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT g, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(c * cents) AS BIGINT) AS total,
+             CAST(sum(c * cents * cents) AS BIGINT) AS sq
+      FROM h GROUP BY 1
+    )
+    SELECT g AS event_type, n AS n_users, total AS total_cents,
+           sq * 1.0 / (total * 1.0 * total) AS hhi,
+           (sq * 1.0 / (total * 1.0 * total) - 1.0 / n)
+             / (1.0 - 1.0 / n) AS hhi_normalized,
+           total * 1.0 * total / sq AS effective_n
+    FROM agg WHERE n > 1
+"""
+
+
+@_register("m66_hhi_concentration", _M66_SQL)
+def m66_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of per-user value share
+    within each event type — the antitrust-style concentration gauge
+    next to m44's Gini: HHI = sum share_u^2 = sum(x_u^2) / (sum x_u)^2
+    needs only the exact integer power sums of per-user totals, so the
+    statistic is integer until two final divisions; also the
+    normalized HHI ((H - 1/n)/(1 - 1/n)) and the effective number of
+    participants 1/H (how many equal users this concentration is
+    worth — the fraud tell when one account IS the market).
+
+    Scale: one user-keyed shuffle to per-user totals, then the
+    (type, cents) value-domain histogram; power sums ride one pass
+    (bound: c*cents^2 <= n*max_total^2 ~ 1e15 at sf0.1, stated).
+
+    Reference parity: the concentration view of q1's top-10 scammers
+    (BASELINE.md panel 1); public index (Herfindahl 1950)."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = ev.groupBy(F.col("event_type").alias("g"), F.col("user_id")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents")
+    )
+    h = cust.groupBy("g", "cents").agg(F.count("*").cast("long").alias("c"))
+    agg = h.groupBy("g").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("cents")).cast("long").alias("total"),
+        F.sum(F.col("c") * F.col("cents") * F.col("cents"))
+        .cast("long")
+        .alias("sq"),
+    )
+    hhi = F.col("sq") * 1.0 / (F.col("total") * 1.0 * F.col("total"))
+    n = F.col("n")
+    return agg.where(n > 1).select(
+        F.col("g").alias("event_type"),
+        n.alias("n_users"),
+        F.col("total").alias("total_cents"),
+        hhi.alias("hhi"),
+        ((hhi - 1.0 / n) / (1.0 - 1.0 / n)).alias("hhi_normalized"),
+        (F.col("total") * 1.0 * F.col("total") / F.col("sq")).alias(
+            "effective_n"
+        ),
+    )
+
+
+_M67_SQL = """
+    WITH cust AS (
+      SELECT user_id,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    pos AS (SELECT x FROM cust WHERE x > 0),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS xt
+      FROM pos
+    ),
+    h AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM pos GROUP BY 1),
+    cells AS (
+      SELECT n, xt,
+             CAST(sum(c * x * CAST(round(ln(x * 1.0 * n / xt) * 1000000.0, 0)
+                                   AS BIGINT)) AS BIGINT) AS tt_scaled,
+             CAST(sum(c * CAST(round(ln(xt * 1.0 / (x * 1.0 * n))
+                                     * 1000000.0, 0)
+                               AS BIGINT)) AS BIGINT) AS tl_scaled
+      FROM h CROSS JOIN t GROUP BY n, xt
+    )
+    SELECT n AS n_users, xt AS total_cents,
+           tt_scaled * 1.0 / (xt * 1000000.0) AS theil_t,
+           tl_scaled * 1.0 / (n * 1000000.0) AS theil_l
+    FROM cells
+"""
+
+
+@_register("m67_theil_inequality", _M67_SQL)
+def m67_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T and Theil L (mean log deviation) of per-user purchase
+    spend — the DECOMPOSABLE inequality indices next to m44's Gini
+    (Theil splits exactly into between-group + within-group terms,
+    which Gini does not): T = sum (x/X) ln(x/mu), L = (1/n) sum
+    ln(mu/x). Each distinct spend value's ln rounds once to micro over
+    exact integers (the m23 cell discipline) and is weighted by the
+    exact integer c*x (T) or c (L), so both statistics are order-free
+    integer sums until one final division each.
+
+    Scale: per-user totals are one keyed shuffle; the log grid runs on
+    the value-domain histogram of distinct totals, never per user.
+
+    Reference parity: none in reference; public indices (Theil 1967)
+    over the reference's per-user amounts (q1's concentration,
+    measured instead of ranked)."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    pos = cust.where(F.col("x") > 0).select("x")
+    pos = pos.localCheckpoint()  # feeds totals AND histogram
+    t = pos.agg(
+        F.count("*").cast("long").alias("n"), F.sum("x").cast("long").alias("xt")
+    )
+    h = pos.groupBy("x").agg(F.count("*").cast("long").alias("c"))
+
+    def _micro(expr):
+        return F.round(expr * 1000000.0, 0).cast("long")
+
+    # broadcast bound: t is 1 row
+    j = h.crossJoin(F.broadcast(t))
+    cells = j.agg(
+        F.first("n").alias("n"),
+        F.first("xt").alias("xt"),
+        F.sum(
+            F.col("c")
+            * F.col("x")
+            * _micro(F.log(F.col("x") * 1.0 * F.col("n") / F.col("xt")))
+        )
+        .cast("long")
+        .alias("tt_scaled"),
+        F.sum(
+            F.col("c")
+            * _micro(F.log(F.col("xt") * 1.0 / (F.col("x") * 1.0 * F.col("n"))))
+        )
+        .cast("long")
+        .alias("tl_scaled"),
+    )
+    return cells.select(
+        F.col("n").alias("n_users"),
+        F.col("xt").alias("total_cents"),
+        (F.col("tt_scaled") * 1.0 / (F.col("xt") * 1000000.0)).alias("theil_t"),
+        (F.col("tl_scaled") * 1.0 / (F.col("n") * 1000000.0)).alias("theil_l"),
+    )
+
+
+_M68_SQL = """
+    WITH h AS (
+      SELECT event_type AS g, CAST(hour(ts) AS INT) AS hr,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT g, CAST(sum(o) AS BIGINT) AS n,
+             CAST(sum(o * o) AS BIGINT) AS sq,
+             CAST(count(*) AS BIGINT) AS hours_hit
+      FROM h GROUP BY 1
+    )
+    SELECT g AS event_type, n, hours_hit, 23 AS dof,
+           24.0 * sq / n - n AS chi2
+    FROM agg
+"""
+
+
+@_register("m68_chisq_gof_hourly", _M68_SQL)
+def m68_chisq_gof_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square goodness-of-fit of each event type's hour-of-day
+    profile against uniformity — the bot detector behind r112's
+    entropy profile with an actual test statistic: under E = n/24 per
+    hour, chi2 = sum (O-E)^2/E collapses to 24*sum(O^2)/n - n, so the
+    whole test needs only the exact integer count power sums (hours
+    with zero events contribute zero to sum O^2 — the closed form
+    absorbs them, no scaffold needed). GOF-vs-uniform complements m33
+    (independence) and m42 (Benford's specific law).
+
+    Scale: one scan map-side combines to <= |types| x 24 cells;
+    the report is |types| rows.
+
+    Reference parity: none in reference; public test (Pearson 1900)
+    over the reference's event timestamps."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.col("event_type").alias("g"), F.hour("ts").cast("int").alias("hr")
+    ).agg(F.count("*").cast("long").alias("o"))
+    return chisq_gof_from_cells(h)
+
+
+def chisq_gof_from_cells(h: DataFrame) -> DataFrame:
+    """(g, hr, o) hour-count cells -> m68's per-type report. Counts
+    merge by keyed sum; shared by the s70 streaming twin."""
+    h = h.groupBy("g", "hr").agg(F.sum("o").cast("long").alias("o"))
+    agg = h.groupBy("g").agg(
+        F.sum("o").cast("long").alias("n"),
+        F.sum(F.col("o") * F.col("o")).cast("long").alias("sq"),
+        F.count("*").cast("long").alias("hours_hit"),
+    )
+    return agg.select(
+        F.col("g").alias("event_type"),
+        "n",
+        "hours_hit",
+        F.lit(23).alias("dof"),
+        (24.0 * F.col("sq") / F.col("n") - F.col("n")).alias("chi2"),
+    )
+
+
+_M69_SQL = """
+    WITH daily AS (
+      SELECT CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT)
+               // 86400 AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    span AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+    cal AS (
+      SELECT s.d - span.lo AS t, coalesce(daily.x, 0) AS x
+      FROM span, (SELECT unnest(generate_series(lo, hi)) AS d FROM span) s
+      LEFT JOIN daily ON daily.d = s.d
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(t) AS BIGINT) AS st,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(t * t) AS BIGINT) AS stt,
+             CAST(sum(t * x) AS BIGINT) AS stx
+      FROM cal
+    ),
+    r AS (
+      SELECT t,
+             x - (sx * 1.0 * stt - st * 1.0 * stx) / (n * stt - st * st)
+               - t * (n * 1.0 * stx - st * 1.0 * sx) / (n * stt - st * st)
+               AS e
+      FROM cal CROSS JOIN g
+    ),
+    l AS (
+      SELECT e, lag(e) OVER (ORDER BY t) AS ep FROM r
+    )
+    SELECT (SELECT n FROM g) AS n_days,
+           (SELECT (n * 1.0 * stx - st * 1.0 * sx) / (n * stt - st * st)
+            FROM g) AS slope_cents_per_day,
+           sum(CASE WHEN ep IS NOT NULL THEN (e - ep) * (e - ep) END)
+             / sum(e * e) AS dw
+    FROM l
+"""
+
+
+@_register("m69_durbin_watson", _M69_SQL)
+def m69_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic on the residuals of m30's daily-revenue
+    OLS trend — the autocorrelated-residuals alarm that says when a
+    LINEAR trend model is lying about a seasonal series (DW ~ 2 means
+    independent residuals; DW << 2 means the trend missed structure,
+    e.g. the weekly cycle m50 measures). The OLS slope/intercept are
+    exact rationals over integer power sums (common denominator
+    D = n*stt - st^2); each residual is one shared float sequence from
+    those integers, and DW's two sums run over the day-bounded
+    calendar frame (m49's float-on-bounded-frame discipline),
+    zero-filled so outage days count as real residuals.
+
+    Scale: one corpus scan to daily totals; everything downstream is
+    |days| rows.
+
+    Reference parity: none in reference; public test (Durbin & Watson
+    1950) on the reference's revenue series."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    daily = (
+        ev.select(
+            (t / 86400).cast("long").alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").cast("long").alias("x"))
+    )
+    daily = daily.localCheckpoint()  # day-bounded
+    span = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = (
+        span.select(
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d"),
+            F.col("lo"),
+        )
+        .join(daily, "d", "left")
+        .select(
+            (F.col("d") - F.col("lo")).alias("t"),
+            F.coalesce("x", F.lit(0)).alias("x"),
+        )
+    )
+    cal = cal.localCheckpoint()  # feeds power sums AND residuals
+    g = cal.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum(F.col("t") * F.col("x")).cast("long").alias("stx"),
+    )
+    # broadcast bound: g is 1 row
+    j = cal.crossJoin(F.broadcast(g))
+    den = F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    slope = (
+        F.col("n") * 1.0 * F.col("stx") - F.col("st") * 1.0 * F.col("sx")
+    ) / den
+    intercept = (
+        F.col("sx") * 1.0 * F.col("stt") - F.col("st") * 1.0 * F.col("stx")
+    ) / den
+    r = j.select(
+        "t",
+        "n",
+        slope.alias("slope"),
+        (F.col("x") - intercept - F.col("t") * slope).alias("e"),
+    )
+    wt = Window.orderBy("t")  # day-bounded frame
+    l = r.select(
+        "n", "slope", "e", F.lag("e").over(wt).alias("ep")
+    )
+    return l.agg(
+        F.first("n").alias("n_days"),
+        F.first("slope").alias("slope_cents_per_day"),
+        (
+            F.sum(
+                F.when(
+                    F.col("ep").isNotNull(),
+                    (F.col("e") - F.col("ep")) * (F.col("e") - F.col("ep")),
+                )
+            )
+            / F.sum(F.col("e") * F.col("e"))
+        ).alias("dw"),
+    )
+
+
+_M70_MAX_LAG = 3
+
+_M70_SQL = f"""
+    WITH daily AS (
+      SELECT CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT)
+               // 86400 AS d,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS xp,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS xe
+      FROM events GROUP BY 1
+    ),
+    span AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+    cal AS (
+      SELECT s.d, coalesce(daily.xp, 0) AS xp, coalesce(daily.xe, 0) AS xe
+      FROM (SELECT unnest(generate_series(lo, hi)) AS d FROM span) s
+      LEFT JOIN daily ON daily.d = s.d
+    ),
+    st AS (
+      SELECT avg(xp::DOUBLE) AS mup, avg(xe::DOUBLE) AS mue,
+             sum((xp - (SELECT avg(xp::DOUBLE) FROM cal))
+                 * (xp - (SELECT avg(xp::DOUBLE) FROM cal))) AS ssp,
+             sum((xe - (SELECT avg(xe::DOUBLE) FROM cal))
+                 * (xe - (SELECT avg(xe::DOUBLE) FROM cal))) AS sse,
+             CAST(count(*) AS BIGINT) AS n
+      FROM cal
+    )
+    SELECT k, st.n AS n_days,
+           sum((a.xp - st.mup) * (b.xe - st.mue)) / sqrt(st.ssp * st.sse)
+             AS ccf
+    FROM (SELECT unnest(range(-{_M70_MAX_LAG}, {_M70_MAX_LAG + 1})) AS k),
+         cal a JOIN cal b ON b.d = a.d + k, st
+    GROUP BY k, st.n, st.ssp, st.sse
+"""
+
+
+@_register("m70_cross_correlation", _M70_SQL)
+def m70_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between daily purchase counts and
+    daily error counts at lags -3..+3 — m49's ACF generalized to TWO
+    series: does an error spike lead (negative lag) or follow
+    (positive lag) the purchase volume? The lead/lag diagnosis behind
+    incident forensics. Same discipline as m49: integer daily counts
+    on a zero-filled calendar scaffold, float only on the day-bounded
+    frame, whole-series means/variances as the normalizer (the
+    standard sample CCF).
+
+    Scale: corpus -> day-bounded daily frame; the lag join is
+    |days| x 7 rows. Nothing corpus-sized past the first agg.
+
+    Reference parity: none in reference; public methodology (Box &
+    Jenkins), pairing the reference's fraud-rate and revenue panels.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    daily = (
+        ev.select(
+            (t / 86400).cast("long").alias("d"),
+            (F.col("event_type") == "purchase").cast("long").alias("isp"),
+            (F.col("event_type") == "error").cast("long").alias("ise"),
+        )
+        .groupBy("d")
+        .agg(
+            F.sum("isp").cast("long").alias("xp"),
+            F.sum("ise").cast("long").alias("xe"),
+        )
+    )
+    daily = daily.localCheckpoint()  # day-bounded
+    span = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = (
+        span.select(F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d"))
+        .join(daily, "d", "left")
+        .select(
+            "d",
+            F.coalesce("xp", F.lit(0)).alias("xp"),
+            F.coalesce("xe", F.lit(0)).alias("xe"),
+        )
+    )
+    cal = cal.localCheckpoint()  # feeds stats AND the lag join
+    mu = cal.agg(
+        F.avg(F.col("xp") * 1.0).alias("mup"),
+        F.avg(F.col("xe") * 1.0).alias("mue"),
+        F.count("*").cast("long").alias("n"),
+    )
+    st = (
+        cal.crossJoin(F.broadcast(mu))
+        .agg(
+            F.first("mup").alias("mup"),
+            F.first("mue").alias("mue"),
+            F.first("n").alias("n"),
+            F.sum((F.col("xp") - F.col("mup")) * (F.col("xp") - F.col("mup")))
+            .alias("ssp"),
+            F.sum((F.col("xe") - F.col("mue")) * (F.col("xe") - F.col("mue")))
+            .alias("sse"),
+        )
+    )
+    lags = spark.range(-_M70_MAX_LAG, _M70_MAX_LAG + 1).select(
+        F.col("id").cast("long").alias("k")
+    )
+    a = cal.select(F.col("d").alias("da"), F.col("xp"))
+    b = cal.select(F.col("d").alias("db"), F.col("xe"))
+    # broadcast bounds: lags is 7 rows, st is 1 row; a/b are day-bounded
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("db") == F.col("da") + F.col("k"))
+        .crossJoin(F.broadcast(st))
+    )
+    return (
+        pairs.groupBy("k")
+        .agg(
+            F.first("n").alias("n_days"),
+            (
+                F.sum((F.col("xp") - F.col("mup")) * (F.col("xe") - F.col("mue")))
+                / F.sqrt(F.first("ssp") * F.first("sse"))
+            ).alias("ccf"),
+        )
+        .select("k", "n_days", "ccf")
+    )

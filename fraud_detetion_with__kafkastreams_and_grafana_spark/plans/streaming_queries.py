@@ -4871,3 +4871,179 @@ def s63_stream_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = merged.where(F.col("kind") == 0).select("i", "j", "s")
     musum = merged.where(F.col("kind") == 1).select("i", "sv", "n")
     return pca_from_moment_partials(s, musum)
+
+
+def _m58_oracle_sql() -> str:
+    from .advanced import ORACLES as _ADV
+
+    return _ADV["m58_kruskal_wallis"]
+
+
+@_register("s64_stream_kruskal", _m58_oracle_sql())
+def s64_stream_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m58's Kruskal-Wallis H maintained ON INGEST: micro-batches land
+    (group, cents, count) histogram partials — the value-domain
+    histogram is the mergeable sufficient statistic for every rank
+    test in the m57-m59 family — and the refresh re-derives the
+    doubled-midrank algebra through the shared tail
+    (kruskal_from_cells). Equal to batch m58, sharing its oracle
+    verbatim. The live use: a continuous "did the amount distribution
+    split across event types" monitor whose H value updates per batch
+    without ever re-ranking history.
+
+    Scale: partials are bounded by distinct (type, cents) pairs per
+    batch, not rows; no streaming state, no corpus re-scan."""
+    from .advanced import kruskal_from_cells
+
+    d = _events_proj_wire(
+        spark,
+        sf_dir,
+        lambda t: [
+            F.col("event_type").alias("g"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ],
+    )
+    merged = _partial_replay(
+        spark,
+        d,
+        "g STRING, cents LONG",
+        lambda b: b.groupBy("g", "cents").agg(
+            F.count("*").cast("long").alias("cg")
+        ),
+        "s64",
+    )
+    return kruskal_from_cells(merged)
+
+
+def _m60_oracle_sql() -> str:
+    from .advanced import ORACLES as _ADV
+
+    return _ADV["m60_mutual_information"]
+
+
+@_register("s65_stream_mutual_information", _m60_oracle_sql())
+def s65_stream_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m60's MI/NMI between event type and weekday maintained ON
+    INGEST: each micro-batch reduces to joint (x, y, count) cells —
+    contingency cells merge by keyed sum — and marginals, the
+    micro-rounded ln grid, and both entropies re-derive at refresh
+    through the shared tail (mutual_info_from_cells). Equal to batch
+    m60, sharing its oracle verbatim. The live use: a
+    feature-dependence drift monitor (does the type/day association
+    strengthen as data arrives?) with zero streaming state.
+
+    Scale: <= |types| x 7 partial rows per batch regardless of batch
+    size; the tail runs on that bounded cell frame."""
+    from .advanced import mutual_info_from_cells
+
+    d = _events_proj_wire(
+        spark,
+        sf_dir,
+        lambda t: [
+            F.col("event_type").alias("x"),
+            (F.expr("weekday(ts)") + 1).cast("int").alias("y"),
+        ],
+    )
+    merged = _partial_replay(
+        spark,
+        d,
+        "x STRING, y INT",
+        lambda b: b.groupBy("x", "y").agg(F.count("*").cast("long").alias("c")),
+        "s65",
+    )
+    return mutual_info_from_cells(merged)
+
+
+def _m59_oracle_sql() -> str:
+    from .advanced import ORACLES as _ADV
+
+    return _ADV["m59_wilcoxon_signed_rank"]
+
+
+@_register("s66_stream_wilcoxon", _m59_oracle_sql())
+def s66_stream_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m59's paired signed-rank test maintained ON INGEST: per-batch
+    partials are each user's weekend/weekday purchase-cents totals
+    (keyed integer sums — exactly the pairing frame), and the
+    |diff|-histogram rank algebra re-derives at refresh through the
+    shared tail (wilcoxon_from_pairs). Users whose totals tie (or who
+    haven't purchased yet: 0 == 0) drop at refresh exactly as in
+    batch, so arriving data moves users in AND out of the test —
+    which is why the re-derive, not an incremental W+, is mandatory.
+    Equal to batch m59, sharing its oracle verbatim.
+
+    Scale: <= |active users| partial rows per batch; ranking happens
+    on the diff-domain histogram, never a per-user sort."""
+    from .advanced import wilcoxon_from_pairs
+
+    wkend = (F.expr("weekday(ts)") + 1) >= 6
+    d = _events_proj_wire(
+        spark,
+        sf_dir,
+        lambda t: [
+            "user_id",
+            "event_type",
+            wkend.cast("int").alias("wk_flag"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ],
+    )
+    merged = _partial_replay(
+        spark,
+        d,
+        "user_id LONG, event_type STRING, wk_flag INT, cents LONG",
+        lambda b: b.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("wk_flag") == 1, F.col("cents")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("wk"),
+            F.sum(F.when(F.col("wk_flag") == 0, F.col("cents")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("wd"),
+        ),
+        "s66",
+    )
+    return wilcoxon_from_pairs(merged)
+
+
+def _m61_oracle_sql() -> str:
+    from .advanced import ORACLES as _ADV
+
+    return _ADV["m61_jensen_shannon"]
+
+
+@_register("s67_stream_jensen_shannon", _m61_oracle_sql())
+def s67_stream_jensen_shannon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m61's JSD between the weekday and weekend event mixes
+    maintained ON INGEST: per-batch partials are two-sided category
+    counts (g, cwd, cwk) — keyed sums — and the nano-rounded midpoint
+    KL algebra re-derives through the shared tail (jsd_from_cells).
+    Equal to batch m61, sharing its oracle verbatim. The live use:
+    the bounded, symmetric drift gauge next to s28's PSI — JSD can
+    never blow up on a vanishing category, so it's the alarm that
+    stays calibrated early in the stream.
+
+    Scale: <= |types| partial rows per batch; the tail is
+    category-domain bounded."""
+    from .advanced import jsd_from_cells
+
+    wkend = (F.expr("weekday(ts)") + 1) >= 6
+    d = _events_proj_wire(
+        spark,
+        sf_dir,
+        lambda t: [
+            F.col("event_type").alias("g"),
+            wkend.cast("int").alias("wk_flag"),
+        ],
+    )
+    merged = _partial_replay(
+        spark,
+        d,
+        "g STRING, wk_flag INT",
+        lambda b: b.groupBy("g").agg(
+            F.sum((F.col("wk_flag") == 0).cast("long")).cast("long").alias("cwd"),
+            F.sum((F.col("wk_flag") == 1).cast("long")).cast("long").alias("cwk"),
+        ),
+        "s67",
+    )
+    return jsd_from_cells(merged)

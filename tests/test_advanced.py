@@ -723,3 +723,187 @@ def test_s62_daily_partials_merge_invariant(spark, sf_dir):
         ](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_m64_emd_brute(spark, sf_dir):
+    """Exact W1 vs a direct CDF-integral walk on raw cents."""
+    pdf = _events_type_cents(spark, sf_dir)
+    p = pdf[pdf.event_type == "purchase"]
+    g1 = sorted(c for c, ts in zip(p.cents, p.ts) if ts.weekday() >= 5)
+    g2 = sorted(c for c, ts in zip(p.cents, p.ts) if ts.weekday() < 5)
+    n1, n2 = len(g1), len(g2)
+    vals = sorted(set(g1) | set(g2))
+    emd_num = 0
+    cc1 = cc2 = 0
+    import bisect
+
+    for v, nxt in zip(vals, vals[1:]):
+        cc1 = bisect.bisect_right(g1, v)
+        cc2 = bisect.bisect_right(g2, v)
+        emd_num += abs(cc1 * n2 - cc2 * n1) * (nxt - v)
+    r = advanced.QUERIES["m64_wasserstein_emd"](spark, sf_dir).collect()[0]
+    assert (r.n1, r.n2, r.emd_num) == (n1, n2, emd_num)
+    assert abs(r.emd_dollars - emd_num / (n1 * n2 * 100)) < 1e-9
+
+
+def test_m65_hellinger_brute(spark, sf_dir):
+    """BC/Hellinger vs a category walk with nano rounding."""
+    import collections
+    import math
+
+    pdf = _events_type_cents(spark, sf_dir)
+    cwd = collections.Counter()
+    cwk = collections.Counter()
+    for t, ts in zip(pdf.event_type, pdf.ts):
+        (cwk if ts.weekday() >= 5 else cwd)[t] += 1
+    nwd, nwk = sum(cwd.values()), sum(cwk.values())
+    bc = sum(
+        _half_up(math.sqrt((cwd[g] / nwd) * (cwk[g] / nwk)), 1e9)
+        for g in set(cwd) | set(cwk)
+    )
+    r = advanced.QUERIES["m65_hellinger_bhattacharyya"](spark, sf_dir).collect()[0]
+    assert (r.nwd, r.nwk, r.bc_nano_total) == (nwd, nwk, bc)
+    assert abs(r.hellinger - math.sqrt(1 - bc / 1e9)) < 1e-12
+    assert abs(r.bhattacharyya_dist - (-math.log(bc / 1e9))) < 1e-12
+
+
+def test_m66_hhi_brute(spark, sf_dir):
+    """HHI/effective-n vs direct share arithmetic per type."""
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        "event_type", "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).collect()
+    tot = collections.defaultdict(collections.Counter)
+    for r in rows:
+        tot[r.event_type][r.user_id] += r.cents
+    got = {
+        r.event_type: (r.n_users, r.total_cents, round(r.hhi, 12))
+        for r in advanced.QUERIES["m66_hhi_concentration"](spark, sf_dir).collect()
+    }
+    for g, users in tot.items():
+        n = len(users)
+        if n <= 1:
+            assert g not in got
+            continue
+        total = sum(users.values())
+        hhi = sum(v * v for v in users.values()) / total**2
+        assert got[g] == (n, total, round(hhi, 12)), g
+
+
+def test_m67_theil_brute(spark, sf_dir):
+    """Theil T/L vs a per-value walk with micro rounding."""
+    import collections
+    import math
+
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    ).collect()
+    users = collections.Counter()
+    for r in rows:
+        users[r.user_id] += r.cents
+    xs = [v for v in users.values() if v > 0]
+    n, xt = len(xs), sum(xs)
+    h = collections.Counter(xs)
+    tt = sum(c * x * _half_up(math.log(x * n / xt), 1e6) for x, c in h.items())
+    tl = sum(c * _half_up(math.log(xt / (x * n)), 1e6) for x, c in h.items())
+    r = advanced.QUERIES["m67_theil_inequality"](spark, sf_dir).collect()[0]
+    assert (r.n_users, r.total_cents) == (n, xt)
+    assert abs(r.theil_t - tt / (xt * 1e6)) < 1e-12
+    assert abs(r.theil_l - tl / (n * 1e6)) < 1e-12
+
+
+def test_m68_chisq_gof_brute(spark, sf_dir):
+    """Closed-form chi2 vs the textbook (O-E)^2/E over all 24 hours."""
+    import collections
+
+    pdf = _events_type_cents(spark, sf_dir)
+    cells = collections.Counter(
+        (t, ts.hour) for t, ts in zip(pdf.event_type, pdf.ts)
+    )
+    byg = collections.defaultdict(dict)
+    for (g, hr), c in cells.items():
+        byg[g][hr] = c
+    got = {
+        r.event_type: (r.n, r.hours_hit, round(r.chi2, 9))
+        for r in advanced.QUERIES["m68_chisq_gof_hourly"](spark, sf_dir).collect()
+    }
+    for g, hrs in byg.items():
+        n = sum(hrs.values())
+        e = n / 24
+        chi2 = sum((hrs.get(h, 0) - e) ** 2 / e for h in range(24))
+        assert got[g] == (n, len(hrs), round(chi2, 9)), g
+
+
+def test_m69_durbin_watson_brute(spark, sf_dir):
+    """DW vs a numpy OLS-residual walk on the zero-filled calendar."""
+    import collections
+
+    pdf = _events_type_cents(spark, sf_dir)
+    daily = collections.Counter()
+    for ts, c in zip(pdf.ts, pdf.cents):
+        daily[int(ts.timestamp() // 86400)] += int(c)
+    lo, hi = min(daily), max(daily)
+    xs = [daily.get(d, 0) for d in range(lo, hi + 1)]
+    n = len(xs)
+    ts_ = list(range(n))
+    st, sx = sum(ts_), sum(xs)
+    stt = sum(t * t for t in ts_)
+    stx = sum(t * x for t, x in zip(ts_, xs))
+    den = n * stt - st * st
+    slope = (n * stx - st * sx) / den
+    intercept = (sx * stt - st * stx) / den
+    e = [x - intercept - t * slope for t, x in zip(ts_, xs)]
+    dw = sum((a - b) ** 2 for a, b in zip(e[1:], e)) / sum(v * v for v in e)
+    r = advanced.QUERIES["m69_durbin_watson"](spark, sf_dir).collect()[0]
+    assert r.n_days == n
+    assert abs(r.slope_cents_per_day - slope) < 1e-9
+    assert abs(r.dw - dw) < 1e-9
+
+
+def test_m70_ccf_brute(spark, sf_dir):
+    """CCF at each lag vs a direct overlap-window walk."""
+    import collections
+    import math
+
+    pdf = _events_type_cents(spark, sf_dir)
+    dp = collections.Counter()
+    de = collections.Counter()
+    for t, ts in zip(pdf.event_type, pdf.ts):
+        d = int(ts.timestamp() // 86400)
+        if t == "purchase":
+            dp[d] += 1
+        elif t == "error":
+            de[d] += 1
+    days = set(dp) | set(de)
+    # span from ALL events (daily frame groups every event's day)
+    alld = [int(ts.timestamp() // 86400) for ts in pdf.ts]
+    lo, hi = min(alld), max(alld)
+    xp = [dp.get(d, 0) for d in range(lo, hi + 1)]
+    xe = [de.get(d, 0) for d in range(lo, hi + 1)]
+    n = len(xp)
+    mup, mue = sum(xp) / n, sum(xe) / n
+    ssp = sum((v - mup) ** 2 for v in xp)
+    sse = sum((v - mue) ** 2 for v in xe)
+    got = {
+        r.k: round(r.ccf, 9)
+        for r in advanced.QUERIES["m70_cross_correlation"](spark, sf_dir).collect()
+    }
+    for k in range(-3, 4):
+        s = sum(
+            (xp[i] - mup) * (xe[i + k] - mue)
+            for i in range(n)
+            if 0 <= i + k < n
+        )
+        assert got[k] == round(s / math.sqrt(ssp * sse), 9), k

@@ -5047,3 +5047,131 @@ def s67_stream_jensen_shannon(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s67",
     )
     return jsd_from_cells(merged)
+
+
+def _m64_oracle_sql() -> str:
+    from .advanced import ORACLES as _ADV
+
+    return _ADV["m64_wasserstein_emd"]
+
+
+@_register("s68_stream_emd", _m64_oracle_sql())
+def s68_stream_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m64's exact Wasserstein-1 drift gauge maintained ON INGEST:
+    micro-batches land (cents, c1, c2) two-sided value-histogram
+    partials and the refresh re-derives the CDF-integral walk through
+    the shared tail (emd_from_cells). Equal to batch m64, sharing its
+    oracle verbatim. The live reading is in DOLLARS (mass moved), so
+    this is the drift alarm an on-call person can threshold without a
+    statistics table — the unit-free siblings are s33 (KS) and s67
+    (JSD).
+
+    Scale: partials bounded by distinct amounts per batch; the
+    cumulative walk runs on the merged value-domain histogram at
+    refresh, never on rows."""
+    from .advanced import emd_from_cells
+
+    wkend = (F.expr("weekday(ts)") + 1) >= 6
+    d = _events_proj_wire(
+        spark,
+        sf_dir,
+        lambda t: [
+            "event_type",
+            wkend.cast("int").alias("wk_flag"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ],
+    )
+    merged = _partial_replay(
+        spark,
+        d,
+        "event_type STRING, wk_flag INT, cents LONG",
+        lambda b: b.where(F.col("event_type") == "purchase")
+        .groupBy("cents")
+        .agg(
+            F.sum((F.col("wk_flag") == 1).cast("long")).cast("long").alias("c1"),
+            F.sum((F.col("wk_flag") == 0).cast("long")).cast("long").alias("c2"),
+        ),
+        "s68",
+    )
+    return emd_from_cells(merged)
+
+
+def _m65_oracle_sql() -> str:
+    from .advanced import ORACLES as _ADV
+
+    return _ADV["m65_hellinger_bhattacharyya"]
+
+
+@_register("s69_stream_hellinger", _m65_oracle_sql())
+def s69_stream_hellinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m65's Hellinger/Bhattacharyya mix-drift gauge maintained ON
+    INGEST: per-batch partials are the two-sided category counts
+    (g, cwd, cwk) — the same frame s67's JSD consumes — and the
+    nano-rounded sqrt(p*q) grid re-derives at refresh through the
+    shared tail (hellinger_from_cells). Equal to batch m65, sharing
+    its oracle verbatim. H is a METRIC (triangle inequality), so
+    successive readings compose into a drift trajectory; that's the
+    property JSD-as-divergence doesn't give the monitoring layer.
+
+    Scale: <= |types| partial rows per batch; category-domain tail."""
+    from .advanced import hellinger_from_cells
+
+    wkend = (F.expr("weekday(ts)") + 1) >= 6
+    d = _events_proj_wire(
+        spark,
+        sf_dir,
+        lambda t: [
+            F.col("event_type").alias("g"),
+            wkend.cast("int").alias("wk_flag"),
+        ],
+    )
+    merged = _partial_replay(
+        spark,
+        d,
+        "g STRING, wk_flag INT",
+        lambda b: b.groupBy("g").agg(
+            F.sum((F.col("wk_flag") == 0).cast("long")).cast("long").alias("cwd"),
+            F.sum((F.col("wk_flag") == 1).cast("long")).cast("long").alias("cwk"),
+        ),
+        "s69",
+    )
+    return hellinger_from_cells(merged)
+
+
+def _m68_oracle_sql() -> str:
+    from .advanced import ORACLES as _ADV
+
+    return _ADV["m68_chisq_gof_hourly"]
+
+
+@_register("s70_stream_chisq_gof", _m68_oracle_sql())
+def s70_stream_chisq_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m68's hourly-uniformity chi-square maintained ON INGEST:
+    micro-batches land (type, hour, count) cells — <= |types| x 24 per
+    batch — and the closed-form 24*sum(O^2)/n - n re-derives at
+    refresh through the shared tail (chisq_gof_from_cells). Equal to
+    batch m68, sharing its oracle verbatim. The live use: a bot-swarm
+    tripwire — a replay bot hammering one hour drives chi2 up within
+    the arriving batch, before r112's entropy profile would re-run.
+
+    Scale: bounded cell partials, zero streaming state."""
+    from .advanced import chisq_gof_from_cells
+
+    d = _events_proj_wire(
+        spark,
+        sf_dir,
+        lambda t: [
+            F.col("event_type").alias("g"),
+            F.hour("ts").cast("int").alias("hr"),
+        ],
+    )
+    merged = _partial_replay(
+        spark,
+        d,
+        "g STRING, hr INT",
+        lambda b: b.groupBy("g", "hr").agg(
+            F.count("*").cast("long").alias("o")
+        ),
+        "s70",
+    )
+    return chisq_gof_from_cells(merged)

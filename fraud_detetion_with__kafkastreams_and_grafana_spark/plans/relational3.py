@@ -6341,3 +6341,276 @@ def r125_fifo_event_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("latency_total_s"),
     )
+
+
+_R126_SQL = """
+    WITH mv AS (
+      SELECT user_id, event_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE -CAST(round(value * 100) AS BIGINT) END AS x
+      FROM events WHERE event_type IN ('purchase', 'error')
+    ),
+    run AS (
+      SELECT user_id, es, event_id,
+             CAST(sum(x) OVER (PARTITION BY user_id ORDER BY es, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS s
+      FROM mv
+    ),
+    dd AS (
+      SELECT user_id, s,
+             CAST(max(s) OVER (PARTITION BY user_id ORDER BY es, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS peak
+      FROM run
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_moves,
+           CAST(max(peak) AS BIGINT) AS peak_cents,
+           CAST(max(peak - s) AS BIGINT) AS max_drawdown_cents
+    FROM dd GROUP BY 1
+"""
+
+
+@_register("r126_max_drawdown", _R126_SQL)
+def r126_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each user's signed equity curve (purchases
+    credit, errors debit — r123's ledger WITHOUT the clamp): MDD =
+    max_t (running_max_t - S_t), the standard risk statistic for 'how
+    deep under its own high-water mark did this account go'. Two
+    window passes over ONE user partitioning (running sum, then
+    running max over it — the second window reuses the first's sort,
+    no extra exchange), then a keyed max. Exact integer cents end to
+    end.
+
+    Scale: one shuffle on user_id; both windows and the final agg ride
+    it. No self-join, no per-key loop — this is why the closed-form
+    window formulation beats the naive all-prefixes scan at 100 TB.
+
+    Reference parity: none in reference; public statistic (Magdon-
+    Ismail & Atiya 2004) on the reference's transaction amounts."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    mv = ev.where(F.col("event_type").isin("purchase", "error")).select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp(
+            F.date_trunc("second", F.col("ts")).cast("timestamp")
+        ).alias("es"),
+        F.when(F.col("event_type") == "purchase", cents)
+        .otherwise(-cents)
+        .alias("x"),
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    run = mv.select(
+        "user_id", "es", "event_id", F.sum("x").over(w).cast("long").alias("s")
+    )
+    dd = run.select(
+        "user_id", "s", F.max("s").over(w).cast("long").alias("peak")
+    )
+    return dd.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_moves"),
+        F.max("peak").cast("long").alias("peak_cents"),
+        F.max(F.col("peak") - F.col("s")).cast("long").alias("max_drawdown_cents"),
+    )
+
+
+_R127_SQL = """
+    WITH cols AS (
+      SELECT CAST(event_id AS VARCHAR) AS event_id_s,
+             CAST(user_id AS VARCHAR) AS user_id_s,
+             event_type,
+             CAST(CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400
+                  AS VARCHAR) AS day_s,
+             CAST(CAST((CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                        // 86400 + 3) % 7 + 1 AS INT) AS VARCHAR) AS dow_s
+      FROM events
+    ),
+    pairs AS (
+      SELECT 'event_id->user_id' AS fd, event_id_s AS det, user_id_s AS dep
+      FROM cols
+      UNION ALL
+      SELECT 'user_id->event_type', user_id_s, event_type FROM cols
+      UNION ALL
+      SELECT 'day->isodow', day_s, dow_s FROM cols
+      UNION ALL
+      SELECT 'user_id->day', user_id_s, day_s FROM cols
+    ),
+    keys AS (
+      SELECT fd, det, CAST(count(DISTINCT dep) AS BIGINT) AS ndv
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT fd, CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_keys,
+           CAST(max(ndv) AS BIGINT) AS max_ndv,
+           CAST(max(ndv) = 1 AS INT) AS holds
+    FROM keys GROUP BY 1
+"""
+
+
+@_register("r127_fd_discovery", _R127_SQL)
+def r127_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery over a candidate list — the
+    profiling companion to r102's FK discovery and r91's ANALYZE: for
+    each candidate det->dep, count determinant keys whose dependent
+    has more than one distinct value (an FD holds iff zero violating
+    keys). The four candidates cover the interesting outcomes: a true
+    key FD (event_id->user_id), a structural FD (day->isodow, holds by
+    arithmetic), and two expected violations. All columns canonicalize
+    to strings so ONE exploded frame carries every pair.
+
+    Scale: one scan explodes each row into |candidates| pair rows
+    (map-side, no join), then two keyed aggs; the shuffle is bounded
+    by sum of per-pair determinant NDVs, never rows x candidates
+    squared. countDistinct inside the first agg is per (fd, det)
+    group — Spark's partial-aggregation path handles it without a
+    second exchange.
+
+    Reference parity: none in reference; public data-profiling
+    methodology (TANE-style violation counting, Huhtala et al. 1999).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    day = (t / 86400).cast("long")
+    cols = ev.select(
+        F.col("event_id").cast("string").alias("event_id_s"),
+        F.col("user_id").cast("string").alias("user_id_s"),
+        "event_type",
+        day.cast("string").alias("day_s"),
+        ((day + 3) % 7 + 1).cast("int").cast("string").alias("dow_s"),
+    )
+    pairs = cols.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("event_id->user_id").alias("fd"),
+                    F.col("event_id_s").alias("det"),
+                    F.col("user_id_s").alias("dep"),
+                ),
+                F.struct(
+                    F.lit("user_id->event_type").alias("fd"),
+                    F.col("user_id_s").alias("det"),
+                    F.col("event_type").alias("dep"),
+                ),
+                F.struct(
+                    F.lit("day->isodow").alias("fd"),
+                    F.col("day_s").alias("det"),
+                    F.col("dow_s").alias("dep"),
+                ),
+                F.struct(
+                    F.lit("user_id->day").alias("fd"),
+                    F.col("user_id_s").alias("det"),
+                    F.col("day_s").alias("dep"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.fd", "p.det", "p.dep")
+    keys = pairs.groupBy("fd", "det").agg(
+        F.countDistinct("dep").cast("long").alias("ndv")
+    )
+    return keys.groupBy("fd").agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum((F.col("ndv") > 1).cast("long")).cast("long").alias(
+            "n_violating_keys"
+        ),
+        F.max("ndv").cast("long").alias("max_ndv"),
+        (F.max("ndv") == 1).cast("int").alias("holds"),
+    )
+
+
+_R128_SQL = """
+    WITH e AS (
+      SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    h AS (
+      SELECT g, cents, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT g, cents, c,
+             CAST(sum(c) OVER (PARTITION BY g ORDER BY cents
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cc,
+             CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+      FROM h
+    ),
+    fences AS (
+      SELECT g, max(n) AS n,
+             min(CASE WHEN cc >= (n + 19) // 20 THEN cents END) AS p05,
+             min(CASE WHEN cc >= (19 * n + 19) // 20 THEN cents END) AS p95
+      FROM cum GROUP BY g
+    )
+    SELECT h.g AS event_type, max(f.n) AS n,
+           max(f.p05) AS p05_cents, max(f.p95) AS p95_cents,
+           CAST(sum(h.c * least(greatest(h.cents, f.p05), f.p95))
+                AS BIGINT) AS winsorized_sum,
+           sum(h.c * least(greatest(h.cents, f.p05), f.p95)) * 1.0
+             / max(f.n) AS winsorized_mean,
+           sum(h.c * h.cents) * 1.0 / max(f.n) AS raw_mean
+    FROM h JOIN fences f ON f.g = h.g
+    GROUP BY h.g
+"""
+
+
+@_register("r128_winsorized_stats", _R128_SQL)
+def r128_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type amount statistics — the outlier-robust mean
+    the reporting layer wants when one whale (or one fraud burst)
+    shouldn't move the KPI: clamp every amount into [p05, p95] (exact
+    discrete percentiles: smallest value whose cumulative count
+    reaches ceil(q*n), computed on the value-domain histogram with
+    integer ceiling arithmetic) and report the clamped sum/mean next
+    to the raw mean. Complements m52's trimmed mean (which DROPS the
+    tails; winsorizing CAPS them — the variant that keeps n constant).
+
+    Scale: one scan to the (type, cents) histogram; the cumulative
+    window orders distinct values within each type; the fence frame is
+    |types| rows and joins back to the histogram, never to rows. Exact
+    integers until the two final mean divisions.
+
+    Reference parity: none in reference; public robust statistics
+    (Winsor / Tukey); the robust twin of q2's global tiles."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    h = e.groupBy("g", "cents").agg(F.count("*").cast("long").alias("c"))
+    h = h.localCheckpoint()  # histogram reused by fences AND the clamp
+    wg = Window.partitionBy("g").orderBy("cents")
+    wall = Window.partitionBy("g")
+    cum = h.select(
+        "g",
+        "cents",
+        "c",
+        F.sum("c").over(wg).cast("long").alias("cc"),
+        F.sum("c").over(wall).cast("long").alias("n"),
+    )
+    k05 = (F.col("n") + 19) / 20
+    k95 = (19 * F.col("n") + 19) / 20
+    fences = cum.groupBy("g").agg(
+        F.max("n").alias("n"),
+        F.min(
+            F.when(F.col("cc") >= F.floor(k05), F.col("cents"))
+        ).alias("p05"),
+        F.min(
+            F.when(F.col("cc") >= F.floor(k95), F.col("cents"))
+        ).alias("p95"),
+    )
+    # broadcast bound: fences is |types| rows
+    j = h.join(F.broadcast(fences), "g")
+    clamped = F.least(F.greatest(F.col("cents"), F.col("p05")), F.col("p95"))
+    return j.groupBy("g").agg(
+        F.max("n").alias("n"),
+        F.max("p05").alias("p05_cents"),
+        F.max("p95").alias("p95_cents"),
+        F.sum(F.col("c") * clamped).cast("long").alias("winsorized_sum"),
+        (F.sum(F.col("c") * clamped) * 1.0 / F.max("n")).alias(
+            "winsorized_mean"
+        ),
+        (F.sum(F.col("c") * F.col("cents")) * 1.0 / F.max("n")).alias(
+            "raw_mean"
+        ),
+    ).withColumnRenamed("g", "event_type")

@@ -639,3 +639,105 @@ def test_r125_fifo_brute(spark, sf_dir):
         for r in relational3.QUERIES["r125_fifo_event_matching"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_r126_drawdown_brute(spark, sf_dir):
+    """MDD vs a per-user running-peak walk over the signed ledger."""
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    s = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    rows = ev.where(F.col("event_type").isin("purchase", "error")).select(
+        "user_id", "event_id", s.alias("s"), "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).collect()
+    byu = collections.defaultdict(list)
+    for r in rows:
+        x = r.cents if r.event_type == "purchase" else -r.cents
+        byu[r.user_id].append((r.s, r.event_id, x))
+    want = {}
+    for u, mv in byu.items():
+        mv.sort()
+        bal = peak = 0
+        mdd = 0
+        first = True
+        for _, _, x in mv:
+            bal += x
+            peak = bal if first else max(peak, bal)
+            first = False
+            mdd = max(mdd, peak - bal)
+        want[u] = (len(mv), peak, mdd)
+    got = {
+        r.user_id: (r.n_moves, r.peak_cents, r.max_drawdown_cents)
+        for r in relational3.QUERIES["r126_max_drawdown"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_r127_fd_expected_outcomes(spark, sf_dir):
+    """The structural candidates must hold; the behavioral ones must
+    not (at any sf with >1 event per user); violation counts match a
+    dict walk."""
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    s = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    rows = ev.select(
+        "event_id", "user_id", "event_type", (s / 86400).cast("long").alias("d")
+    ).collect()
+    cand = {
+        "event_id->user_id": [(str(r.event_id), str(r.user_id)) for r in rows],
+        "user_id->event_type": [(str(r.user_id), r.event_type) for r in rows],
+        "day->isodow": [(str(r.d), str((r.d + 3) % 7 + 1)) for r in rows],
+        "user_id->day": [(str(r.user_id), str(r.d)) for r in rows],
+    }
+    got = {
+        r.fd: (r.n_keys, r.n_violating_keys, r.max_ndv, r.holds)
+        for r in relational3.QUERIES["r127_fd_discovery"](spark, sf_dir).collect()
+    }
+    for fd, pairs in cand.items():
+        deps = collections.defaultdict(set)
+        for det, dep in pairs:
+            deps[det].add(dep)
+        viol = sum(1 for v in deps.values() if len(v) > 1)
+        mx = max(len(v) for v in deps.values())
+        assert got[fd] == (len(deps), viol, mx, int(mx == 1)), fd
+    assert got["event_id->user_id"][3] == 1
+    assert got["day->isodow"][3] == 1
+
+
+def test_r128_winsorized_brute(spark, sf_dir):
+    """Fences and clamped sums vs a sorted-list walk per type."""
+    import collections
+    import math
+
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    ).collect()
+    byg = collections.defaultdict(list)
+    for r in rows:
+        byg[r.event_type].append(r.cents)
+    got = {
+        r.event_type: (r.n, r.p05_cents, r.p95_cents, r.winsorized_sum)
+        for r in relational3.QUERIES["r128_winsorized_stats"](spark, sf_dir).collect()
+    }
+    for g, xs in byg.items():
+        xs.sort()
+        n = len(xs)
+        p05 = xs[math.ceil(n * 0.05) - 1] if n else None
+        p95 = xs[math.ceil(n * 0.95) - 1]
+        wsum = sum(min(max(x, p05), p95) for x in xs)
+        assert got[g] == (n, p05, p95, wsum), g

@@ -7088,3 +7088,233 @@ def l103_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_clean"),
     )
+
+
+_L104_SQL = """
+    WITH w AS (
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+      FROM documents
+    ),
+    arr AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             list_transform(range(1, len(toks) + 1), i ->
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                       || CAST(i AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 20 = 0) AS starts
+      FROM w
+    ),
+    m AS (
+      SELECT doc_id, toks, n, starts,
+             list_transform(range(1, n + 1), i ->
+               starts[i]
+               OR (i > 1 AND starts[i - 1])
+               OR (i > 2 AND starts[i - 2])) AS masked
+      FROM arr
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+           CAST(len(list_filter(range(1, n + 1), i -> masked[i]))
+                AS BIGINT) AS n_masked,
+           CAST(len(list_filter(range(1, n + 1), i ->
+                  masked[i] AND (i = 1 OR NOT masked[i - 1])))
+                AS BIGINT) AS n_spans,
+           md5(array_to_string(
+             list_filter(
+               list_transform(range(1, n + 1), i ->
+                 CASE WHEN NOT masked[i] THEN toks[i]
+                      WHEN i = 1 OR NOT masked[i - 1] THEN '<X>'
+                      ELSE NULL END),
+               x -> x IS NOT NULL),
+             ' ')) AS corrupted_md5
+    FROM m
+"""
+
+
+@_register("l104_span_corruption", _L104_SQL)
+def l104_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption training transform (Raffel et al.
+    2020): ~5% of word positions deterministically START a masked span
+    (md5(doc_id:i) mod 20 — the same derandomized-coin idiom as l17's
+    split and l81's shuffle, so both engines flip identical coins),
+    each span covers 3 words, and every masked RUN collapses to one
+    <X> sentinel. The driver hash pins the md5 of each corrupted
+    document plus the exact span geometry (word/masked/span counts),
+    so the mask placement, run collapsing, and re-serialization are
+    all value-checked.
+
+    Scale: embarrassingly parallel row-local array lambdas — one scan,
+    no shuffle; only counts and a 16-byte digest leave it. The
+    per-position md5 re-evaluates inside adjacent lambdas (the l101
+    lesson: generator-adjacent projections re-evaluate), bounded at
+    ~3 evals per word — still cheaper than any shuffle-based
+    alternative.
+
+    Reference parity: no reference equivalent; public span-corruption
+    objective (T5)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("toks")
+    )
+    arr = w.select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n"),
+        F.expr(
+            "transform(sequence(1, size(toks)), i -> "
+            "conv(substring(md5(concat(cast(doc_id as string), ':', "
+            "cast(i as string))), 1, 15), 16, 10) % 20 = 0)"
+        ).alias("starts"),
+    )
+    m = arr.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.expr(
+            "transform(sequence(1, n), i -> "
+            "element_at(starts, i) "
+            "OR (i > 1 AND element_at(starts, i - 1)) "
+            "OR (i > 2 AND element_at(starts, i - 2)))"
+        ).alias("masked"),
+    )
+    return m.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_words"),
+        F.expr(
+            "size(filter(sequence(1, n), i -> element_at(masked, i)))"
+        ).cast("long").alias("n_masked"),
+        F.expr(
+            "size(filter(sequence(1, n), i -> element_at(masked, i) "
+            "AND (i = 1 OR NOT element_at(masked, i - 1))))"
+        ).cast("long").alias("n_spans"),
+        F.md5(
+            F.expr(
+                "array_join(filter(transform(sequence(1, n), i -> "
+                "CASE WHEN NOT element_at(masked, i) THEN element_at(toks, i) "
+                "WHEN i = 1 OR NOT element_at(masked, i - 1) THEN '<X>' "
+                "ELSE NULL END), x -> x IS NOT NULL), ' ')"
+            )
+        ).alias("corrupted_md5"),
+    )
+
+
+_L105_MIN_PAIR = 5
+
+_L105_SQL = f"""
+    WITH w AS (
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+      FROM documents
+    ),
+    uni AS (
+      SELECT u.w AS w, CAST(count(*) AS BIGINT) AS c
+      FROM w, unnest(toks) AS u(w) GROUP BY 1
+    ),
+    nw AS (SELECT CAST(sum(c) AS BIGINT) AS nw FROM uni),
+    big AS (
+      SELECT toks[p] AS x, toks[p + 1] AS y, CAST(count(*) AS BIGINT) AS cxy
+      FROM w, unnest(range(1, len(toks))) AS r(p)
+      GROUP BY 1, 2
+    ),
+    nb AS (SELECT CAST(sum(cxy) AS BIGINT) AS nb FROM big),
+    scored AS (
+      SELECT x, y, cxy, ux.c AS cx, uy.c AS cy,
+             CAST(round(ln(cxy * 1.0 * nw * nw / (nb * 1.0 * ux.c * uy.c))
+                        * 1000000.0, 0) AS BIGINT) AS pmi_micro
+      FROM big JOIN uni ux ON ux.w = big.x
+               JOIN uni uy ON uy.w = big.y
+               CROSS JOIN nw CROSS JOIN nb
+      WHERE cxy >= {_L105_MIN_PAIR}
+    )
+    SELECT x, y, cxy, cx, cy, pmi_micro,
+           pmi_micro / 1000000.0 AS pmi
+    FROM scored
+    ORDER BY pmi_micro DESC, x, y LIMIT 20
+"""
+
+
+@_register("l105_pmi_collocations", _L105_SQL)
+def l105_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 pointwise-mutual-information collocations (adjacent word
+    pairs with min support {_L105_MIN_PAIR}) — the corpus-analysis
+    probe that finds multiword expressions worth protecting from
+    tokenizer splits (Church & Hanks 1990): PMI = ln(P(x,y) /
+    (P(x)P(y))) with bigram probability over bigram mass and unigram
+    probabilities over word mass. Each pair's ln rounds once to micro
+    over five exact BIGINTs (the m23 cell discipline), so the ranking
+    key is an exact integer with (x, y) tie-break — no float-order
+    hazard in the top-20 cut.
+
+    Scale: bigrams explode row-locally (slice/zip — no self-join);
+    both count frames are vocabulary-bounded (Heaps' law), the
+    pair->unigram joins are vocab-keyed equi-joins (NOT broadcast —
+    at 100 TB the vocabulary outgrows an executor), and the top-20 is
+    a TakeOrdered on the scored pair frame.
+
+    Reference parity: no reference equivalent; public collocation
+    methodology."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("toks")
+    )
+    w = w.localCheckpoint()  # feeds unigrams AND bigrams
+    uni = w.select(F.explode("toks").alias("w")).groupBy("w").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    uni = uni.localCheckpoint()  # vocab-bounded; joined twice below
+    nw = uni.agg(F.sum("c").cast("long").alias("nw"))
+    big = (
+        w.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), p -> "
+                    "struct(element_at(toks, p) AS x, "
+                    "element_at(toks, p + 1) AS y))"
+                )
+            ).alias("p")
+        )
+        .select("p.x", "p.y")
+        .groupBy("x", "y")
+        .agg(F.count("*").cast("long").alias("cxy"))
+        .where(F.col("cxy") >= _L105_MIN_PAIR)
+    )
+    nb0 = (
+        w.select(
+            (F.greatest(F.size("toks") - 1, F.lit(0))).cast("long").alias("k")
+        ).agg(F.sum("k").cast("long").alias("nb"))
+    )
+    ux = uni.select(F.col("w").alias("x"), F.col("c").alias("cx"))
+    uy = uni.select(F.col("w").alias("y"), F.col("c").alias("cy"))
+    # vocab-keyed equi-joins (vocabulary can outgrow a broadcast at scale)
+    scored = (
+        big.join(ux, "x")
+        .join(uy, "y")
+        # broadcast bounds: nw/nb are 1 row each
+        .crossJoin(F.broadcast(nw))
+        .crossJoin(F.broadcast(nb0))
+        .select(
+            "x",
+            "y",
+            "cxy",
+            "cx",
+            "cy",
+            F.round(
+                F.log(
+                    F.col("cxy")
+                    * 1.0
+                    * F.col("nw")
+                    * F.col("nw")
+                    / (F.col("nb") * 1.0 * F.col("cx") * F.col("cy"))
+                )
+                * 1e6,
+                0,
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+    )
+    return (
+        scored.select(
+            "x", "y", "cxy", "cx", "cy", "pmi_micro",
+            (F.col("pmi_micro") / 1e6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi_micro"), "x", "y")
+        .limit(20)
+    )

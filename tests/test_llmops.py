@@ -1534,3 +1534,87 @@ def test_s63_moment_partials_merge_invariant(spark, sf_dir):
         for r in llmops.QUERIES["l102_pca_power_iteration"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_l104_span_corruption_brute(spark, sf_dir):
+    """Mask geometry + corrupted md5 vs a pure-Python replay of the
+    md5-coin span walk."""
+    import hashlib
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+
+    docs = {
+        r.doc_id: (r.text or "")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    got = {
+        r.doc_id: (r.n_words, r.n_masked, r.n_spans, r.corrupted_md5)
+        for r in llmops.QUERIES["l104_span_corruption"](spark, sf_dir).collect()
+    }
+    for doc_id, text in docs.items():
+        toks = text.split(" ")
+        n = len(toks)
+        starts = [
+            int(hashlib.md5(f"{doc_id}:{i}".encode()).hexdigest()[:15], 16) % 20 == 0
+            for i in range(1, n + 1)
+        ]
+        masked = [
+            starts[i]
+            or (i >= 1 and starts[i - 1])
+            or (i >= 2 and starts[i - 2])
+            for i in range(n)
+        ]
+        out = []
+        for i in range(n):
+            if not masked[i]:
+                out.append(toks[i])
+            elif i == 0 or not masked[i - 1]:
+                out.append("<X>")
+        n_spans = sum(
+            1 for i in range(n) if masked[i] and (i == 0 or not masked[i - 1])
+        )
+        md5 = hashlib.md5(" ".join(out).encode()).hexdigest()
+        assert got[doc_id] == (n, sum(masked), n_spans, md5), doc_id
+
+
+def test_l105_pmi_brute(spark, sf_dir):
+    """Top-20 PMI pairs vs a Counter walk with micro rounding."""
+    import collections
+    import decimal
+    import math
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+
+    texts = [
+        (r.text or "")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    ]
+    uni = collections.Counter()
+    big = collections.Counter()
+    nb = 0
+    for t in texts:
+        toks = t.split(" ")
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+        nb += max(len(toks) - 1, 0)
+    nw = sum(uni.values())
+    scored = []
+    for (x, y), cxy in big.items():
+        if cxy < 5:
+            continue
+        pmi = int(
+            decimal.Decimal(
+                math.log(cxy * nw * nw / (nb * uni[x] * uni[y])) * 1e6
+            ).quantize(decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP)
+        )
+        scored.append((-pmi, x, y, cxy, uni[x], uni[y]))
+    scored.sort()
+    want = [
+        (x, y, cxy, cx, cy, -negpmi)
+        for negpmi, x, y, cxy, cx, cy in scored[:20]
+    ]
+    got = [
+        (r.x, r.y, r.cxy, r.cx, r.cy, r.pmi_micro)
+        for r in llmops.QUERIES["l105_pmi_collocations"](spark, sf_dir).collect()
+    ]
+    assert got == want

@@ -8642,3 +8642,277 @@ def m70_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("k", "n_days", "ccf")
     )
+
+
+_M71_SQL = """
+    WITH cells AS (
+      SELECT event_type AS x, CAST(isodow(ts) AS INT) AS y,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    rx AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM cells GROUP BY 1),
+    cy AS (SELECT y, CAST(sum(c) AS BIGINT) AS cyn FROM cells GROUP BY 1),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST((SELECT count(*) FROM rx) AS BIGINT) AS r,
+             CAST((SELECT count(*) FROM cy) AS BIGINT) AS k
+      FROM cells
+    ),
+    chi AS (
+      SELECT sum(c * 1.0 * c * n / (cx * 1.0 * cyn)) - max(n) AS chi2
+      FROM cells JOIN rx USING (x) JOIN cy USING (y) CROSS JOIN tot
+    )
+    SELECT n, r, k, chi2,
+           sqrt(chi2 / (n * (least(r, k) - 1.0))) AS cramers_v,
+           sqrt(greatest(chi2 / n - (r - 1.0) * (k - 1.0) / (n - 1.0), 0.0)
+                / least(r - 1.0 * (r - 1.0) * (r - 1.0) / (n - 1.0) - 1.0,
+                        k - 1.0 * (k - 1.0) * (k - 1.0) / (n - 1.0) - 1.0))
+             AS cramers_v_corrected
+    FROM tot CROSS JOIN chi
+"""
+
+
+@_register("m71_cramers_v", _M71_SQL)
+def m71_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V for the event-type x weekday contingency — the
+    bounded [0,1] effect size m33's chi-square test lacks, plus the
+    Bergsma (2013) bias-corrected variant that doesn't inflate on
+    sparse grids: chi2 collapses to sum(O^2*n/(rx*cy)) - n over
+    OBSERVED cells only (empty cells' (0-E)^2/E mass is exactly the E
+    that the -n term absorbs — no scaffold needed), then
+    V = sqrt(chi2/(n*(min(r,k)-1))). Float starts on the <= |types|x7
+    cell frame (m33's bounded-frame discipline).
+
+    Scale: one scan map-side combines to the cell frame; marginals and
+    the report are category-domain bounded.
+
+    Reference parity: none in reference; public effect size (Cramer
+    1946, Bergsma 2013), completing m33/m60's dependence suite."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("x"),
+        (F.expr("weekday(ts)") + 1).cast("int").alias("y"),
+    ).agg(F.count("*").cast("long").alias("c"))
+    cells = cells.localCheckpoint()  # bounded; feeds marginals AND chi2
+    rx = cells.groupBy("x").agg(F.sum("c").cast("long").alias("cx"))
+    cy = cells.groupBy("y").agg(F.sum("c").cast("long").alias("cyn"))
+    tot = (
+        cells.agg(F.sum("c").cast("long").alias("n"))
+        .crossJoin(F.broadcast(rx.agg(F.count("*").cast("long").alias("r"))))
+        .crossJoin(F.broadcast(cy.agg(F.count("*").cast("long").alias("k"))))
+    )
+    # broadcast bounds: rx/cy are category frames, tot is 1 row
+    chi = (
+        cells.join(F.broadcast(rx), "x")
+        .join(F.broadcast(cy), "y")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            (
+                F.sum(
+                    F.col("c") * 1.0 * F.col("c") * F.col("n")
+                    / (F.col("cx") * 1.0 * F.col("cyn"))
+                )
+                - F.max("n")
+            ).alias("chi2")
+        )
+    )
+    j = tot.crossJoin(F.broadcast(chi))
+    n, r, k = F.col("n"), F.col("r"), F.col("k")
+    chi2 = F.col("chi2")
+    phi2c = F.greatest(
+        chi2 / n - (r - 1.0) * (k - 1.0) / (n - 1.0), F.lit(0.0)
+    )
+    rc = r - 1.0 * (r - 1.0) * (r - 1.0) / (n - 1.0)
+    kc = k - 1.0 * (k - 1.0) * (k - 1.0) / (n - 1.0)
+    return j.select(
+        "n",
+        "r",
+        "k",
+        "chi2",
+        F.sqrt(chi2 / (n * (F.least(r, k) - 1.0))).alias("cramers_v"),
+        F.sqrt(phi2c / F.least(rc - 1.0, kc - 1.0)).alias(
+            "cramers_v_corrected"
+        ),
+    )
+
+
+_M72_SQL = """
+    WITH daily AS (
+      SELECT CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT)
+               // 86400 AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    span AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+    cal AS (
+      SELECT s.d, coalesce(daily.x, 0) AS x
+      FROM (SELECT unnest(generate_series(lo, hi)) AS d FROM span) s
+      LEFT JOIN daily ON daily.d = s.d
+    ),
+    st AS (
+      SELECT sqrt((sum(x * 1.0 * x) - sum(x) * 1.0 * sum(x) / count(*))
+                  / (count(*) - 1)) AS sd
+      FROM cal
+    ),
+    walk AS (
+      SELECT d, x,
+             CAST(sum(x) OVER w AS BIGINT) AS cx,
+             CAST(count(*) OVER w AS BIGINT) AS t
+      FROM cal
+      WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    m AS (
+      SELECT d, x,
+             sum(x - cx * 1.0 / t) OVER (ORDER BY d ROWS BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW) AS mt
+      FROM walk
+    ),
+    g AS (
+      SELECT d, x, mt,
+             mt - min(mt) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS gap
+      FROM m
+    )
+    SELECT d, x AS day_cents, mt, gap
+    FROM g CROSS JOIN st
+    WHERE gap > 2.0 * st.sd
+"""
+
+
+@_register("m72_page_hinkley", _M72_SQL)
+def m72_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley change-point detector on the daily-revenue series
+    — the SEQUENTIAL mean-shift alarm next to m28's CUSUM (PH tracks
+    deviation from the RUNNING mean, so it needs no in-control
+    baseline period): m_t = sum_{s<=t} (x_s - mean_{1..s}), alarm when
+    m_t - min_{s<=t} m_s exceeds 2 sample-sd of the series.
+    Zero-filled calendar (the m56 discipline), exact integer daily
+    cents, float only in the day-ordered running-mean walk.
+
+    Scale: one corpus scan to daily totals; three window passes over
+    ONE day-ordered frame (running sum/count, running deviation sum,
+    running min) — all |days| rows.
+
+    Reference parity: none in reference; public sequential test (Page
+    1954, Hinkley 1971) — the changepoint layer under q8's
+    FOR-duration alerts."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    daily = (
+        ev.select(
+            (t / 86400).cast("long").alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").cast("long").alias("x"))
+    )
+    daily = daily.localCheckpoint()  # day-bounded
+    span = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = (
+        span.select(F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d"))
+        .join(daily, "d", "left")
+        .select("d", F.coalesce("x", F.lit(0)).alias("x"))
+    )
+    cal = cal.localCheckpoint()  # feeds sd AND the walk
+    st = cal.agg(
+        F.sqrt(
+            (
+                F.sum(F.col("x") * 1.0 * F.col("x"))
+                - F.sum("x") * 1.0 * F.sum("x") / F.count("*")
+            )
+            / (F.count("*") - 1)
+        ).alias("sd")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    walk = cal.select(
+        "d",
+        "x",
+        F.sum("x").over(w).cast("long").alias("cx"),
+        F.count("*").over(w).cast("long").alias("t"),
+    )
+    m = walk.select(
+        "d",
+        "x",
+        F.sum(F.col("x") - F.col("cx") * 1.0 / F.col("t")).over(w).alias("mt"),
+    )
+    g = m.select(
+        "d", "x", "mt", (F.col("mt") - F.min("mt").over(w)).alias("gap")
+    )
+    # broadcast bound: st is 1 row
+    return (
+        g.crossJoin(F.broadcast(st))
+        .where(F.col("gap") > 2.0 * F.col("sd"))
+        .select("d", F.col("x").alias("day_cents"), "mt", "gap")
+    )
+
+
+_M73_SQL = """
+    WITH g AS (
+      SELECT CAST(isodow(ts) AS BIGINT) AS w,
+             CAST(count(*) AS BIGINT) AS ni,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS xi
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(sum(ni) AS BIGINT) AS n, CAST(sum(xi) AS BIGINT) AS x,
+             CAST(sum(w * ni) AS BIGINT) AS swn,
+             CAST(sum(w * xi) AS BIGINT) AS swx,
+             CAST(sum(w * w * ni) AS BIGINT) AS sw2n
+      FROM g
+    )
+    SELECT n, x,
+           (swx * 1.0 - x * 1.0 * swn / n)
+             / sqrt((x * 1.0 / n) * (1.0 - x * 1.0 / n)
+                    * (sw2n - swn * 1.0 * swn / n)) AS z
+    FROM s
+"""
+
+
+@_register("m73_cochran_armitage", _M73_SQL)
+def m73_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage test for a LINEAR TREND in purchase rate
+    across the ordered weekdays (scores w = 1..7) — the ordered
+    alternative m33's chi-square ignores (chi-square treats weekdays
+    as unordered categories; CA asks 'does conversion RISE through the
+    week'): z = sum w_i (x_i - n_i pbar) / sqrt(pbar (1-pbar)
+    (sum w^2 n - (sum w n)^2 / n)). Every sum is an exact BIGINT off
+    the 7-row dow frame; one float sequence at the end.
+
+    Scale: one scan to 7 rows; the statistic is a 1-row projection.
+
+    Reference parity: none in reference; public test (Cochran 1954,
+    Armitage 1955) on the reference's conversion funnel."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        (F.expr("weekday(ts)") + 1).cast("long").alias("w")
+    ).agg(
+        F.count("*").cast("long").alias("ni"),
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("long")
+        .alias("xi"),
+    )
+    s = g.agg(
+        F.sum("ni").cast("long").alias("n"),
+        F.sum("xi").cast("long").alias("x"),
+        F.sum(F.col("w") * F.col("ni")).cast("long").alias("swn"),
+        F.sum(F.col("w") * F.col("xi")).cast("long").alias("swx"),
+        F.sum(F.col("w") * F.col("w") * F.col("ni")).cast("long").alias("sw2n"),
+    )
+    n, x = F.col("n"), F.col("x")
+    pbar = x * 1.0 / n
+    return s.select(
+        "n",
+        "x",
+        (
+            (F.col("swx") * 1.0 - x * 1.0 * F.col("swn") / n)
+            / F.sqrt(
+                pbar
+                * (1.0 - pbar)
+                * (F.col("sw2n") - F.col("swn") * 1.0 * F.col("swn") / n)
+            )
+        ).alias("z"),
+    )

@@ -907,3 +907,93 @@ def test_m70_ccf_brute(spark, sf_dir):
             if 0 <= i + k < n
         )
         assert got[k] == round(s / math.sqrt(ssp * sse), 9), k
+
+
+def test_m71_cramers_v_brute(spark, sf_dir):
+    """V and bias-corrected V vs a full-grid chi-square walk."""
+    import collections
+    import math
+
+    pdf = _events_type_cents(spark, sf_dir)
+    cells = collections.Counter(
+        (t, ts.weekday() + 1) for t, ts in zip(pdf.event_type, pdf.ts)
+    )
+    rx = collections.Counter()
+    cy = collections.Counter()
+    for (x, y), c in cells.items():
+        rx[x] += c
+        cy[y] += c
+    n = sum(cells.values())
+    r, k = len(rx), len(cy)
+    chi2 = sum(
+        (cells.get((x, y), 0) - rx[x] * cy[y] / n) ** 2 / (rx[x] * cy[y] / n)
+        for x in rx
+        for y in cy
+    )
+    v = math.sqrt(chi2 / (n * (min(r, k) - 1)))
+    phi2c = max(chi2 / n - (r - 1) * (k - 1) / (n - 1), 0.0)
+    rc = r - (r - 1) ** 2 / (n - 1)
+    kc = k - (k - 1) ** 2 / (n - 1)
+    vc = math.sqrt(phi2c / min(rc - 1, kc - 1))
+    g = advanced.QUERIES["m71_cramers_v"](spark, sf_dir).collect()[0]
+    assert (g.n, g.r, g.k) == (n, r, k)
+    assert abs(g.chi2 - chi2) < 1e-6
+    assert abs(g.cramers_v - v) < 1e-9
+    assert abs(g.cramers_v_corrected - vc) < 1e-9
+
+
+def test_m72_page_hinkley_brute(spark, sf_dir):
+    """Alarmed days vs a sequential running-mean walk."""
+    import collections
+    import math
+
+    pdf = _events_type_cents(spark, sf_dir)
+    daily = collections.Counter()
+    for ts, c in zip(pdf.ts, pdf.cents):
+        daily[int(ts.timestamp() // 86400)] += int(c)
+    lo, hi = min(daily), max(daily)
+    xs = [daily.get(d, 0) for d in range(lo, hi + 1)]
+    nn = len(xs)
+    mean = sum(xs) / nn
+    sd = math.sqrt(sum((v - mean) ** 2 for v in xs) / (nn - 1))
+    want = {}
+    mt = 0.0
+    cx = 0
+    runmin = float("inf")
+    for i, x in enumerate(xs):
+        cx += x
+        mt += x - cx / (i + 1)
+        runmin = min(runmin, mt)
+        gap = mt - runmin
+        if gap > 2.0 * sd:
+            want[lo + i] = (x, round(mt, 6), round(gap, 6))
+    got = {
+        r.d: (r.day_cents, round(r.mt, 6), round(r.gap, 6))
+        for r in advanced.QUERIES["m72_page_hinkley"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_m73_cochran_armitage_brute(spark, sf_dir):
+    """CA trend z vs the textbook score-sum formula."""
+    import collections
+    import math
+
+    pdf = _events_type_cents(spark, sf_dir)
+    ni = collections.Counter()
+    xi = collections.Counter()
+    for t, ts in zip(pdf.event_type, pdf.ts):
+        w = ts.weekday() + 1
+        ni[w] += 1
+        if t == "purchase":
+            xi[w] += 1
+    n = sum(ni.values())
+    x = sum(xi.values())
+    pbar = x / n
+    num = sum(w * (xi[w] - ni[w] * pbar) for w in ni)
+    swn = sum(w * ni[w] for w in ni)
+    sw2n = sum(w * w * ni[w] for w in ni)
+    z = num / math.sqrt(pbar * (1 - pbar) * (sw2n - swn**2 / n))
+    r = advanced.QUERIES["m73_cochran_armitage"](spark, sf_dir).collect()[0]
+    assert (r.n, r.x) == (n, x)
+    assert abs(r.z - z) < 1e-9

@@ -8226,6 +8226,15 @@ def m66_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = ev.groupBy(F.col("event_type").alias("g"), F.col("user_id")).agg(
         F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents")
     )
+    return hhi_from_user_totals(cust)
+
+
+def hhi_from_user_totals(cust: DataFrame) -> DataFrame:
+    """(g, user_id, cents) per-user totals -> m66's per-type report.
+    Totals merge by keyed sum; shared by the s71 streaming twin."""
+    cust = cust.groupBy("g", "user_id").agg(
+        F.sum("cents").cast("long").alias("cents")
+    )
     h = cust.groupBy("g", "cents").agg(F.count("*").cast("long").alias("c"))
     agg = h.groupBy("g").agg(
         F.sum("c").cast("long").alias("n"),
@@ -8303,6 +8312,13 @@ def m67_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("x")
         )
     )
+    return theil_from_user_totals(cust)
+
+
+def theil_from_user_totals(cust: DataFrame) -> DataFrame:
+    """(user_id, x) per-user cents totals -> m67's one-row report.
+    Totals merge by keyed sum; shared by the s72 streaming twin."""
+    cust = cust.groupBy("user_id").agg(F.sum("x").cast("long").alias("x"))
     pos = cust.where(F.col("x") > 0).select("x")
     pos = pos.localCheckpoint()  # feeds totals AND histogram
     t = pos.agg(

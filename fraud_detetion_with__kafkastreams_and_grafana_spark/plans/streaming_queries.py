@@ -5175,3 +5175,89 @@ def s70_stream_chisq_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s70",
     )
     return chisq_gof_from_cells(merged)
+
+
+def _m66_oracle_sql() -> str:
+    from .advanced import ORACLES as _ADV
+
+    return _ADV["m66_hhi_concentration"]
+
+
+@_register("s71_stream_hhi", _m66_oracle_sql())
+def s71_stream_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m66's HHI concentration maintained ON INGEST: per-batch
+    partials are (type, user, cents) keyed sums — per-user totals are
+    the mergeable sufficient statistic, since HHI needs each user's
+    COMPLETE total squared, which is exactly why the power sums can't
+    be batch-local — and the histogram/power-sum tail re-derives at
+    refresh (hhi_from_user_totals). Equal to batch m66, sharing its
+    oracle verbatim. The live use: a concentration creep alarm — one
+    account becoming the market shows up batch by batch as 1/HHI
+    (effective_n) collapsing.
+
+    Scale: partials bounded by active (type, user) pairs per batch;
+    the refresh tail runs on the merged per-user frame, one keyed
+    shuffle."""
+    from .advanced import hhi_from_user_totals
+
+    d = _events_proj_wire(
+        spark,
+        sf_dir,
+        lambda t: [
+            F.col("event_type").alias("g"),
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ],
+    )
+    merged = _partial_replay(
+        spark,
+        d,
+        "g STRING, user_id LONG, cents LONG",
+        lambda b: b.groupBy("g", "user_id").agg(
+            F.sum("cents").cast("long").alias("cents")
+        ),
+        "s71",
+    )
+    return hhi_from_user_totals(merged)
+
+
+def _m67_oracle_sql() -> str:
+    from .advanced import ORACLES as _ADV
+
+    return _ADV["m67_theil_inequality"]
+
+
+@_register("s72_stream_theil", _m67_oracle_sql())
+def s72_stream_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m67's Theil T/L inequality maintained ON INGEST: per-batch
+    partials are per-user purchase-cents sums (keyed, mergeable), and
+    the log-grid tail re-derives at refresh (theil_from_user_totals)
+    — mandatory, not incremental, because every arriving batch moves
+    BOTH each user's total and the global mean inside every log term.
+    Equal to batch m67, sharing its oracle verbatim. Paired with s71:
+    HHI says 'how concentrated', Theil says 'where the inequality
+    lives' (it decomposes across groups; the live reading trends both).
+
+    Scale: <= |active purchasers| partial rows per batch; the tail's
+    log grid runs on the value-domain histogram of totals."""
+    from .advanced import theil_from_user_totals
+
+    d = _events_proj_wire(
+        spark,
+        sf_dir,
+        lambda t: [
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ],
+    )
+    merged = _partial_replay(
+        spark,
+        d,
+        "user_id LONG, event_type STRING, cents LONG",
+        lambda b: b.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum("cents").cast("long").alias("x")),
+        "s72",
+    )
+    return theil_from_user_totals(merged)

@@ -4155,7 +4155,12 @@ def _partial_replay(spark, wire_dir, schema, reduce_fn, prefix):
         )
         b = b.where(b.columns[0] + " IS NOT NULL")
         (
+            # coalesce(1): every reduce_fn lands BOUNDED keyed partials
+            # (that is the twins' merge contract), so one output file
+            # per batch — measured ~0.4 s/query off the replay floor
+            # vs 32 shuffle-partition files of a few rows each.
             reduce_fn(b)
+            .coalesce(1)
             .withColumn("_batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

@@ -8932,3 +8932,166 @@ def m73_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("z"),
     )
+
+
+_M74_SQL = """
+    WITH e AS (
+      SELECT CAST(isodow(ts) >= 6 AS INT) AS wk,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    h AS (
+      SELECT cents, CAST(sum(wk) AS BIGINT) AS c1,
+             CAST(count(*) - sum(wk) AS BIGINT) AS c2
+      FROM e GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+      FROM h
+    ),
+    cum AS (
+      SELECT CAST(sum(c1) OVER (ORDER BY cents) AS BIGINT) AS cc1,
+             CAST(sum(c2) OVER (ORDER BY cents) AS BIGINT) AS cc2
+      FROM h
+    ),
+    agg AS (
+      SELECT CAST(max(cc1 * n2 - cc2 * n1) AS BIGINT) AS dplus_num,
+             CAST(max(cc2 * n1 - cc1 * n2) AS BIGINT) AS dminus_num
+      FROM cum CROSS JOIN t
+    )
+    SELECT n1, n2,
+           greatest(dplus_num, 0) AS dplus_num,
+           greatest(dminus_num, 0) AS dminus_num,
+           (greatest(dplus_num, 0) + greatest(dminus_num, 0)) * 1.0
+             / (n1 * 1.0 * n2) AS kuiper_v
+    FROM t CROSS JOIN agg
+"""
+
+
+@_register("m74_kuiper_test", _M74_SQL)
+def m74_kuiper_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kuiper's V between the weekend and weekday purchase-amount
+    distributions — the rotation-invariant two-sample statistic
+    (V = D+ + D- weights BOTH tails equally, where m22's KS is blind
+    to shifts that trade one tail against the other; this is the
+    canonical variant for cyclic quantities like time-of-day). Both
+    one-sided sups are exact integer maxima over the same common-
+    denominator CDF walk m64's EMD uses (cc1*n2 - cc2*n1 over the
+    value-domain histogram); one float division at the end.
+
+    Scale: the m57/m64 posture — histogram scan, value-domain
+    cumulative walk, 1-row report.
+
+    Reference parity: none in reference; public test (Kuiper 1960)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wkend = (F.expr("weekday(ts)") + 1) >= 6
+    e = ev.where(F.col("event_type") == "purchase").select(
+        wkend.cast("int").alias("wk"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    h = e.groupBy("cents").agg(
+        F.sum("wk").cast("long").alias("c1"),
+        (F.count("*") - F.sum("wk")).cast("long").alias("c2"),
+    )
+    h = h.localCheckpoint()  # value-domain bounded; feeds totals AND walk
+    t = h.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    wc = Window.orderBy("cents")  # value-domain bounded frame
+    cum = h.select(
+        F.sum("c1").over(wc).cast("long").alias("cc1"),
+        F.sum("c2").over(wc).cast("long").alias("cc2"),
+    )
+    # broadcast bound: t is 1 row
+    agg = cum.crossJoin(F.broadcast(t)).agg(
+        F.max(F.col("cc1") * F.col("n2") - F.col("cc2") * F.col("n1"))
+        .cast("long")
+        .alias("dplus_num"),
+        F.max(F.col("cc2") * F.col("n1") - F.col("cc1") * F.col("n2"))
+        .cast("long")
+        .alias("dminus_num"),
+    )
+    j = t.crossJoin(F.broadcast(agg))
+    dp = F.greatest(F.col("dplus_num"), F.lit(0))
+    dm = F.greatest(F.col("dminus_num"), F.lit(0))
+    return j.select(
+        "n1",
+        "n2",
+        dp.alias("dplus_num"),
+        dm.alias("dminus_num"),
+        ((dp + dm) * 1.0 / (F.col("n1") * 1.0 * F.col("n2"))).alias(
+            "kuiper_v"
+        ),
+    )
+
+
+_M75_SQL = """
+    WITH c AS (
+      SELECT CAST(sum(CASE WHEN isodow(ts) >= 6
+                       AND event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(sum(CASE WHEN isodow(ts) >= 6
+                       AND event_type <> 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(sum(CASE WHEN isodow(ts) < 6
+                       AND event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(sum(CASE WHEN isodow(ts) < 6
+                       AND event_type <> 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d
+      FROM events
+    )
+    SELECT a, b, c, d,
+           (a * 1.0 * d) / (b * 1.0 * c) AS odds_ratio,
+           (a * 1.0 / (a + b)) / (c * 1.0 / (c + d)) AS relative_risk,
+           exp(ln((a * 1.0 * d) / (b * 1.0 * c))
+               - 1.959963984540054
+                 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)) AS or_ci_lo,
+           exp(ln((a * 1.0 * d) / (b * 1.0 * c))
+               + 1.959963984540054
+                 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)) AS or_ci_hi
+    FROM c
+"""
+
+
+@_register("m75_odds_ratio", _M75_SQL)
+def m75_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio and relative risk of purchasing on a weekend vs a
+    weekday, with the Woolf 95% log-normal CI for the OR — the
+    epidemiology-style 2x2 report behind m46's z-test (m46 answers
+    'is the difference real', this answers 'how BIG is it, with
+    uncertainty'): OR = ad/bc, RR = risk ratio, CI = exp(ln OR +-
+    z*sqrt(1/a+1/b+1/c+1/d)), z pinned to the exact double
+    1.959963984540054 so both engines evaluate the identical
+    expression. The 2x2 cells are exact BIGINTs off one scan.
+
+    Scale: one scan to a 1-row frame; the report is pure projection.
+
+    Reference parity: none in reference; public methodology (Woolf
+    1955) on the reference's conversion signal."""
+    ev = load_table(spark, sf_dir, "events")
+    wkend = (F.expr("weekday(ts)") + 1) >= 6
+    conv = F.col("event_type") == "purchase"
+    cells = ev.agg(
+        F.sum((wkend & conv).cast("long")).cast("long").alias("a"),
+        F.sum((wkend & ~conv).cast("long")).cast("long").alias("b"),
+        F.sum((~wkend & conv).cast("long")).cast("long").alias("c"),
+        F.sum((~wkend & ~conv).cast("long")).cast("long").alias("d"),
+    )
+    a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    orr = (a * 1.0 * d) / (b * 1.0 * c)
+    se = F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    z = 1.959963984540054
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        orr.alias("odds_ratio"),
+        ((a * 1.0 / (a + b)) / (c * 1.0 / (c + d))).alias("relative_risk"),
+        F.exp(F.log(orr) - z * se).alias("or_ci_lo"),
+        F.exp(F.log(orr) + z * se).alias("or_ci_hi"),
+    )

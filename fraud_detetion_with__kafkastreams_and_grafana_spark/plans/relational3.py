@@ -6614,3 +6614,192 @@ def r128_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "raw_mean"
         ),
     ).withColumnRenamed("g", "event_type")
+
+
+_R129_ROUNDS = 3
+
+_R129_SQL = f"""
+    WITH m AS (
+      SELECT DISTINCT user_id,
+             CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT)
+               // 60 AS minute
+      FROM events
+    ),
+    p AS (
+      SELECT a.user_id AS ua, b.user_id AS ub,
+             CAST(count(*) AS BIGINT) AS c
+      FROM m a JOIN m b ON a.minute = b.minute AND a.user_id < b.user_id
+      GROUP BY 1, 2
+    ),
+    e AS (
+      SELECT ua AS u, ub AS v, CAST(1000000 // c AS BIGINT) AS cost FROM p
+      UNION ALL
+      SELECT ub, ua, CAST(1000000 // c AS BIGINT) FROM p
+    ),
+    src AS (
+      SELECT user_id
+      FROM events
+      GROUP BY user_id
+      ORDER BY sum(CAST(round(value * 100) AS BIGINT)) DESC, user_id
+      LIMIT 1
+    ),
+    d0 AS (SELECT user_id, CAST(0 AS BIGINT) AS dist FROM src),
+    d1 AS (
+      SELECT user_id, min(dist) AS dist FROM (
+        SELECT user_id, dist FROM d0
+        UNION ALL
+        SELECT e.v, d0.dist + e.cost FROM d0 JOIN e ON e.u = d0.user_id
+      ) GROUP BY 1
+    ),
+    d2 AS (
+      SELECT user_id, min(dist) AS dist FROM (
+        SELECT user_id, dist FROM d1
+        UNION ALL
+        SELECT e.v, d1.dist + e.cost FROM d1 JOIN e ON e.u = d1.user_id
+      ) GROUP BY 1
+    ),
+    d3 AS (
+      SELECT user_id, min(dist) AS dist FROM (
+        SELECT user_id, dist FROM d2
+        UNION ALL
+        SELECT e.v, d2.dist + e.cost FROM d2 JOIN e ON e.u = d2.user_id
+      ) GROUP BY 1
+    )
+    SELECT user_id, CAST(dist AS BIGINT) AS dist_cost FROM d3
+"""
+
+
+@_register("r129_khop_shortest_path", _R129_SQL)
+def r129_khop_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted {_R129_ROUNDS}-hop shortest-path ball around the
+    highest-revenue account over the co-occurrence graph — the
+    'distance from the kingpin' screen AML investigators run after
+    r118 flags rings: edge cost = 1e6/shared-minutes (stronger tie =
+    cheaper), {_R129_ROUNDS} unrolled Bellman-Ford relaxations (the
+    contract is 'the {_R129_ROUNDS}-hop ball', fixed iteration count
+    — no convergence nondeterminism, the l102 discipline), exact
+    integer costs throughout.
+
+    Scale: each relaxation is ONE keyed equi-join frontier-frame x
+    edges plus a keyed min — the l82 BFS posture with weights; no
+    collect, no driver loop state beyond the fixed unroll. Edge volume
+    is r118's per-minute-concurrency bound.
+
+    Reference parity: none in reference; public algorithm (Bellman
+    1958) on the reference's user graph."""
+    ev = load_table(spark, sf_dir, "events")
+    s = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    m = ev.select(
+        "user_id", (s / 60).cast("long").alias("minute")
+    ).distinct()
+    a = m.select(F.col("user_id").alias("ua"), "minute")
+    b = m.select(F.col("user_id").alias("ub"), "minute")
+    p = (
+        a.join(b, "minute")
+        .where(F.col("ua") < F.col("ub"))
+        .groupBy("ua", "ub")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    e = p.select(
+        F.col("ua").alias("u"),
+        F.col("ub").alias("v"),
+        F.expr("CAST(1000000 AS BIGINT) div c").alias("cost"),
+    ).unionAll(
+        p.select(
+            F.col("ub").alias("u"),
+            F.col("ua").alias("v"),
+            F.expr("CAST(1000000 AS BIGINT) div c").alias("cost"),
+        )
+    )
+    e = e.localCheckpoint()  # reused by every relaxation round
+    src = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("total")
+        )
+        .orderBy(F.desc("total"), "user_id")
+        .limit(1)
+        .select("user_id")
+    )
+    d = src.select("user_id", F.lit(0).cast("long").alias("dist"))
+    for _ in range(_R129_ROUNDS):
+        relaxed = d.join(e, d.user_id == e.u).select(
+            F.col("v").alias("user_id"), (F.col("dist") + F.col("cost")).alias("dist")
+        )
+        d = (
+            d.select("user_id", "dist")
+            .unionAll(relaxed)
+            .groupBy("user_id")
+            .agg(F.min("dist").cast("long").alias("dist"))
+        )
+    return d.select("user_id", F.col("dist").alias("dist_cost"))
+
+
+_R130_T1 = 200_000  # cents: first tier boundary
+_R130_T2 = 500_000  # cents: second tier boundary
+_R130_R1 = 30_000  # ppm rate inside tier 1
+_R130_R2 = 20_000  # ppm rate inside tier 2
+_R130_R3 = 10_000  # ppm rate above tier 2
+
+_R130_SQL = f"""
+    WITH tx AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    fee AS (
+      SELECT user_id, cents,
+             least(cents, {_R130_T1}) * {_R130_R1}
+             + least(greatest(cents - {_R130_T1}, 0),
+                     {_R130_T2} - {_R130_T1}) * {_R130_R2}
+             + greatest(cents - {_R130_T2}, 0) * {_R130_R3} AS fee_ppm_cents
+      FROM tx
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_tx,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(sum(fee_ppm_cents) AS BIGINT) AS fee_ppm_cents,
+           sum(fee_ppm_cents) * 1.0 / (sum(cents) * 1000000.0)
+             AS effective_rate
+    FROM fee GROUP BY 1
+"""
+
+
+@_register("r130_tiered_fees", _R130_SQL)
+def r130_tiered_fees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive tiered fee computation per purchase (the
+    marginal-bracket pattern every billing/tax engine runs): each
+    amount splits into [0,2k), [2k,5k), [5k,inf) dollar brackets at
+    3%/2%/1%, via branch-free clamp arithmetic (least/greatest — no
+    CASE ladder, so codegen emits straight-line math). Fees stay in
+    exact ppm-cents integers; the per-user effective rate is the one
+    float division and DECREASES with spend — the marginal-bracket
+    invariant the closure test pins.
+
+    Scale: row-local arithmetic in whole-stage codegen + one keyed
+    agg; nothing else.
+
+    Reference parity: none in reference; public progressive-pricing
+    pattern on the reference's amount field."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    tx = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", cents.alias("cents")
+    )
+    c = F.col("cents")
+    fee = (
+        F.least(c, F.lit(_R130_T1)) * _R130_R1
+        + F.least(
+            F.greatest(c - _R130_T1, F.lit(0)), F.lit(_R130_T2 - _R130_T1)
+        )
+        * _R130_R2
+        + F.greatest(c - _R130_T2, F.lit(0)) * _R130_R3
+    )
+    return tx.select("user_id", "cents", fee.alias("fee_ppm_cents")).groupBy(
+        "user_id"
+    ).agg(
+        F.count("*").cast("long").alias("n_tx"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum("fee_ppm_cents").cast("long").alias("fee_ppm_cents"),
+        (
+            F.sum("fee_ppm_cents") * 1.0 / (F.sum("cents") * 1000000.0)
+        ).alias("effective_rate"),
+    )

@@ -997,3 +997,48 @@ def test_m73_cochran_armitage_brute(spark, sf_dir):
     r = advanced.QUERIES["m73_cochran_armitage"](spark, sf_dir).collect()[0]
     assert (r.n, r.x) == (n, x)
     assert abs(r.z - z) < 1e-9
+
+
+def test_m74_kuiper_brute(spark, sf_dir):
+    """V = D+ + D- vs a direct two-CDF walk."""
+    pdf = _events_type_cents(spark, sf_dir)
+    p = pdf[pdf.event_type == "purchase"]
+    g1 = sorted(c for c, ts in zip(p.cents, p.ts) if ts.weekday() >= 5)
+    g2 = sorted(c for c, ts in zip(p.cents, p.ts) if ts.weekday() < 5)
+    n1, n2 = len(g1), len(g2)
+    import bisect
+
+    vals = sorted(set(g1) | set(g2))
+    dplus = max(
+        bisect.bisect_right(g1, v) * n2 - bisect.bisect_right(g2, v) * n1
+        for v in vals
+    )
+    dminus = max(
+        bisect.bisect_right(g2, v) * n1 - bisect.bisect_right(g1, v) * n2
+        for v in vals
+    )
+    dplus, dminus = max(dplus, 0), max(dminus, 0)
+    r = advanced.QUERIES["m74_kuiper_test"](spark, sf_dir).collect()[0]
+    assert (r.n1, r.n2, r.dplus_num, r.dminus_num) == (n1, n2, dplus, dminus)
+    assert abs(r.kuiper_v - (dplus + dminus) / (n1 * n2)) < 1e-12
+
+
+def test_m75_odds_ratio_brute(spark, sf_dir):
+    """OR/RR/CI vs direct 2x2 arithmetic."""
+    import math
+
+    pdf = _events_type_cents(spark, sf_dir)
+    wk = [ts.weekday() >= 5 for ts in pdf.ts]
+    conv = [t == "purchase" for t in pdf.event_type]
+    a = sum(1 for w, c in zip(wk, conv) if w and c)
+    b = sum(1 for w, c in zip(wk, conv) if w and not c)
+    c_ = sum(1 for w, c in zip(wk, conv) if not w and c)
+    d = sum(1 for w, c in zip(wk, conv) if not w and not c)
+    r = advanced.QUERIES["m75_odds_ratio"](spark, sf_dir).collect()[0]
+    assert (r.a, r.b, r.c, r.d) == (a, b, c_, d)
+    orr = a * d / (b * c_)
+    se = math.sqrt(1 / a + 1 / b + 1 / c_ + 1 / d)
+    assert abs(r.odds_ratio - orr) < 1e-12
+    assert abs(r.relative_risk - (a / (a + b)) / (c_ / (c_ + d))) < 1e-12
+    assert abs(r.or_ci_lo - math.exp(math.log(orr) - 1.959963984540054 * se)) < 1e-12
+    assert abs(r.or_ci_hi - math.exp(math.log(orr) + 1.959963984540054 * se)) < 1e-12

@@ -741,3 +741,91 @@ def test_r128_winsorized_brute(spark, sf_dir):
         p95 = xs[math.ceil(n * 0.95) - 1]
         wsum = sum(min(max(x, p05), p95) for x in xs)
         assert got[g] == (n, p05, p95, wsum), g
+
+
+def test_r129_bellman_ford_brute(spark, sf_dir):
+    """3-hop ball vs a pure-Python Bellman-Ford on the same graph."""
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    s = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    rows = ev.select(
+        "user_id", (s / 60).cast("long").alias("minute"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).collect()
+    mins = collections.defaultdict(set)
+    tot = collections.Counter()
+    for r in rows:
+        mins[r.minute].add(r.user_id)
+        tot[r.user_id] += r.cents
+    shared = collections.Counter()
+    for us in mins.values():
+        us = sorted(us)
+        for i in range(len(us)):
+            for j in range(i + 1, len(us)):
+                shared[(us[i], us[j])] += 1
+    adj = collections.defaultdict(list)
+    for (a, b), c in shared.items():
+        cost = 1000000 // c
+        adj[a].append((b, cost))
+        adj[b].append((a, cost))
+    src = min(tot, key=lambda u: (-tot[u], u))
+    dist = {src: 0}
+    for _ in range(3):
+        nxt = dict(dist)
+        for u, d0 in dist.items():
+            for v, c in adj[u]:
+                if d0 + c < nxt.get(v, float("inf")):
+                    nxt[v] = d0 + c
+        dist = nxt
+    got = {
+        r.user_id: r.dist_cost
+        for r in relational3.QUERIES["r129_khop_shortest_path"](spark, sf_dir).collect()
+    }
+    assert got == dist
+
+
+def test_r130_marginal_bracket_invariants(spark, sf_dir):
+    """Fees match a per-tx bracket walk; effective rate is
+    non-increasing in spend across the bracket boundaries."""
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    ).collect()
+    agg = collections.defaultdict(lambda: [0, 0, 0])
+    for r in rows:
+        c = r.cents
+        fee = (
+            min(c, 200_000) * 30_000
+            + min(max(c - 200_000, 0), 300_000) * 20_000
+            + max(c - 500_000, 0) * 10_000
+        )
+        a = agg[r.user_id]
+        a[0] += 1
+        a[1] += c
+        a[2] += fee
+    got = {
+        r.user_id: (r.n_tx, r.total_cents, r.fee_ppm_cents)
+        for r in relational3.QUERIES["r130_tiered_fees"](spark, sf_dir).collect()
+    }
+    assert got == {u: tuple(v) for u, v in agg.items()}
+    # marginal-bracket invariant on single transactions
+    def fee1(c):
+        return (
+            min(c, 200_000) * 30_000
+            + min(max(c - 200_000, 0), 300_000) * 20_000
+            + max(c - 500_000, 0) * 10_000
+        )
+
+    rates = [fee1(c) / (c * 1e6) for c in (100_000, 300_000, 900_000)]
+    assert rates == sorted(rates, reverse=True)

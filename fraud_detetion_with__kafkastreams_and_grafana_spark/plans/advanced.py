@@ -8709,6 +8709,13 @@ def m71_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("x"),
         (F.expr("weekday(ts)") + 1).cast("int").alias("y"),
     ).agg(F.count("*").cast("long").alias("c"))
+    return cramers_from_cells(cells)
+
+
+def cramers_from_cells(cells: DataFrame) -> DataFrame:
+    """(x, y, c) joint-count cells -> m71's one-row report. Cell
+    counts merge by keyed sum; shared by the s74 streaming twin."""
+    cells = cells.groupBy("x", "y").agg(F.sum("c").cast("long").alias("c"))
     cells = cells.localCheckpoint()  # bounded; feeds marginals AND chi2
     rx = cells.groupBy("x").agg(F.sum("c").cast("long").alias("cx"))
     cy = cells.groupBy("y").agg(F.sum("c").cast("long").alias("cyn"))

@@ -7318,3 +7318,111 @@ def l105_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_micro"), "x", "y")
         .limit(20)
     )
+
+
+_L106_TOPK = 5
+
+_L106_SQL = f"""
+    WITH w AS (
+      SELECT source, unnest(string_split(coalesce(text, ''), ' ')) AS t
+      FROM documents
+    ),
+    sw AS (
+      SELECT source, t, CAST(count(*) AS BIGINT) AS y FROM w GROUP BY 1, 2
+    ),
+    cw AS (SELECT t, CAST(sum(y) AS BIGINT) AS cwt FROM sw GROUP BY 1),
+    st AS (SELECT source, CAST(sum(y) AS BIGINT) AS ns FROM sw GROUP BY 1),
+    tot AS (SELECT CAST(sum(y) AS BIGINT) AS n FROM sw),
+    z AS (
+      SELECT sw.source, sw.t, sw.y,
+             CAST(round((
+               ln((sw.y + cwt * 1.0 / n)
+                  / (ns - sw.y + (n - cwt) * 1.0 / n))
+               - ln((cwt - sw.y + cwt * 1.0 / n)
+                    / ((n - ns) - (cwt - sw.y) + (n - cwt) * 1.0 / n))
+             ) / sqrt(1.0 / (sw.y + cwt * 1.0 / n)
+                      + 1.0 / (cwt - sw.y + cwt * 1.0 / n))
+             * 1000000.0, 0) AS BIGINT) AS z_micro
+      FROM sw JOIN cw USING (t) JOIN st USING (source)
+              CROSS JOIN tot
+    ),
+    rk AS (
+      SELECT source, t, y, z_micro,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY z_micro DESC, t) AS rn
+      FROM z
+    )
+    SELECT source, t AS term, y AS n_in_source, z_micro,
+           z_micro / 1000000.0 AS z, CAST(rn AS BIGINT) AS rn
+    FROM rk WHERE rn <= {_L106_TOPK}
+"""
+
+
+@_register("l106_distinctive_terms", _L106_SQL)
+def l106_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_L106_TOPK} distinctive terms per source by the Monroe et
+    al. (2008) log-odds-ratio with informative Dirichlet prior — the
+    corpus-comparison statistic dataset cards should quote instead of
+    raw TF-IDF (the prior shrinks rare-word z toward 0, so one-off
+    typos don't top the list): each (source, term) z-score compares
+    the term's odds in the source vs the REST of the corpus, with the
+    corpus itself as the prior (alpha_w = corpus share). The z rounds
+    once to micro over exact BIGINT counts (m23 cell discipline), so
+    the per-source top-{_L106_TOPK} cut ranks exact integers with term
+    tie-break.
+
+    Scale: one explode scan to the (source, term) frame; all joins are
+    vocab-keyed equi-joins (vocabulary outgrows broadcast at 100 TB,
+    same call as l105); the rank window partitions by source over
+    vocab-bounded frames.
+
+    Reference parity: no reference equivalent; public methodology
+    (Monroe, Colaresi & Quinn 2008, 'Fightin' Words')."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "source",
+        F.explode(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+        ).alias("t"),
+    )
+    sw = w.groupBy("source", "t").agg(F.count("*").cast("long").alias("y"))
+    sw = sw.localCheckpoint()  # vocab x source frame; feeds 3 aggs + grid
+    cw = sw.groupBy("t").agg(F.sum("y").cast("long").alias("cwt"))
+    st = sw.groupBy("source").agg(F.sum("y").cast("long").alias("ns"))
+    tot = sw.agg(F.sum("y").cast("long").alias("n"))
+    # vocab-keyed equi-join for cw; st is |sources| rows, tot is 1 row
+    grid = (
+        sw.join(cw, "t")
+        .join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    y, cwt, ns, n = F.col("y"), F.col("cwt"), F.col("ns"), F.col("n")
+    aw = cwt * 1.0 / n
+    a0_rest = (n - cwt) * 1.0 / n
+    delta = F.log((y + aw) / (ns - y + a0_rest)) - F.log(
+        (cwt - y + aw) / ((n - ns) - (cwt - y) + a0_rest)
+    )
+    var = 1.0 / (y + aw) + 1.0 / (cwt - y + aw)
+    scored = grid.select(
+        "source",
+        "t",
+        "y",
+        F.round(delta / F.sqrt(var) * 1e6, 0).cast("long").alias("z_micro"),
+    )
+    wr = Window.partitionBy("source").orderBy(F.desc("z_micro"), "t")
+    return (
+        scored.select(
+            "source", "t", "y", "z_micro", F.row_number().over(wr).alias("rn")
+        )
+        .where(F.col("rn") <= _L106_TOPK)
+        .select(
+            "source",
+            F.col("t").alias("term"),
+            F.col("y").alias("n_in_source"),
+            "z_micro",
+            (F.col("z_micro") / 1e6).alias("z"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )

@@ -6578,6 +6578,14 @@ def r128_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     h = e.groupBy("g", "cents").agg(F.count("*").cast("long").alias("c"))
+    return winsorized_from_hist(h)
+
+
+def winsorized_from_hist(h: DataFrame) -> DataFrame:
+    """(g, cents, c) value-histogram partials -> r128's per-type
+    report. Cell counts merge by keyed sum; shared by the s73
+    streaming twin."""
+    h = h.groupBy("g", "cents").agg(F.sum("c").cast("long").alias("c"))
     h = h.localCheckpoint()  # histogram reused by fences AND the clamp
     wg = Window.partitionBy("g").orderBy("cents")
     wall = Window.partitionBy("g")

@@ -5266,3 +5266,80 @@ def s72_stream_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s72",
     )
     return theil_from_user_totals(merged)
+
+
+def _r128_oracle_sql() -> str:
+    from .relational3 import ORACLES as _R3
+
+    return _R3["r128_winsorized_stats"]
+
+
+@_register("s73_stream_winsorized", _r128_oracle_sql())
+def s73_stream_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r128's winsorized robust tiles maintained ON INGEST:
+    micro-batches land (type, cents, count) histogram partials and the
+    refresh re-derives the exact p05/p95 fences AND the clamped sums
+    through the shared tail (winsorized_from_hist) — mandatory
+    re-derive, since every batch moves the fences themselves, which
+    silently re-clamps history (the reason a running clamped sum would
+    be WRONG). Equal to batch r128, sharing its oracle verbatim.
+
+    Scale: partials bounded by distinct (type, cents) per batch; the
+    tail runs per-type on the value-domain histogram."""
+    from .relational3 import winsorized_from_hist
+
+    d = _events_proj_wire(
+        spark,
+        sf_dir,
+        lambda t: [
+            F.col("event_type").alias("g"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ],
+    )
+    merged = _partial_replay(
+        spark,
+        d,
+        "g STRING, cents LONG",
+        lambda b: b.groupBy("g", "cents").agg(
+            F.count("*").cast("long").alias("c")
+        ),
+        "s73",
+    )
+    return winsorized_from_hist(merged)
+
+
+def _m71_oracle_sql() -> str:
+    from .advanced import ORACLES as _ADV
+
+    return _ADV["m71_cramers_v"]
+
+
+@_register("s74_stream_cramers_v", _m71_oracle_sql())
+def s74_stream_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m71's Cramer's V maintained ON INGEST: joint (type, weekday)
+    cells merge by keyed sum per micro-batch, and V plus the Bergsma
+    bias-corrected V re-derive through the shared tail
+    (cramers_from_cells). Equal to batch m71, sharing its oracle
+    verbatim. Together with s65 (NMI) this gives the live
+    dependence dashboard both an information-theoretic and a
+    chi-square-family effect size off the SAME streaming partials.
+
+    Scale: <= |types| x 7 partial rows per batch; bounded tail."""
+    from .advanced import cramers_from_cells
+
+    d = _events_proj_wire(
+        spark,
+        sf_dir,
+        lambda t: [
+            F.col("event_type").alias("x"),
+            (F.expr("weekday(ts)") + 1).cast("int").alias("y"),
+        ],
+    )
+    merged = _partial_replay(
+        spark,
+        d,
+        "x STRING, y INT",
+        lambda b: b.groupBy("x", "y").agg(F.count("*").cast("long").alias("c")),
+        "s74",
+    )
+    return cramers_from_cells(merged)

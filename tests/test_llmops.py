@@ -1618,3 +1618,50 @@ def test_l105_pmi_brute(spark, sf_dir):
         for r in llmops.QUERIES["l105_pmi_collocations"](spark, sf_dir).collect()
     ]
     assert got == want
+
+
+def test_l106_distinctive_terms_brute(spark, sf_dir):
+    """Top-5 per source vs a Counter walk of the Monroe log-odds z
+    with micro rounding."""
+    import collections
+    import decimal
+    import math
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+
+    rows = [
+        (r.source, (r.text or "").split(" "))
+        for r in load_table(spark, sf_dir, "documents").collect()
+    ]
+    sw = collections.Counter()
+    cw = collections.Counter()
+    st = collections.Counter()
+    for src, toks in rows:
+        for t in toks:
+            sw[(src, t)] += 1
+            cw[t] += 1
+            st[src] += 1
+    n = sum(cw.values())
+    per_source = collections.defaultdict(list)
+    for (src, t), y in sw.items():
+        aw = cw[t] / n
+        a0r = (n - cw[t]) / n
+        delta = math.log((y + aw) / (st[src] - y + a0r)) - math.log(
+            (cw[t] - y + aw) / ((n - st[src]) - (cw[t] - y) + a0r)
+        )
+        var = 1 / (y + aw) + 1 / (cw[t] - y + aw)
+        zm = int(
+            decimal.Decimal(delta / math.sqrt(var) * 1e6).quantize(
+                decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        per_source[src].append((-zm, t, y))
+    want = {}
+    for src, lst in per_source.items():
+        lst.sort()
+        want[src] = [(t, y, -negz, i + 1) for i, (negz, t, y) in enumerate(lst[:5])]
+    got = collections.defaultdict(list)
+    for r in llmops.QUERIES["l106_distinctive_terms"](spark, sf_dir).collect():
+        got[r.source].append((r.term, r.n_in_source, r.z_micro, r.rn))
+    for src in want:
+        assert sorted(got[src]) == sorted(want[src]), src

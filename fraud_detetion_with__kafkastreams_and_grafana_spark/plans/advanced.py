@@ -8485,6 +8485,15 @@ def m69_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d")
         .agg(F.sum("cents").cast("long").alias("x"))
     )
+    return durbin_watson_from_daily(daily)
+
+
+def durbin_watson_from_daily(daily: "DataFrame") -> "DataFrame":
+    """(d, x) daily cents partials -> m69's one-row report. Daily
+    totals merge by keyed sum; shared by the s76 streaming twin."""
+    from pyspark.sql.window import Window
+
+    daily = daily.groupBy("d").agg(F.sum("x").cast("long").alias("x"))
     daily = daily.localCheckpoint()  # day-bounded
     span = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
     cal = (
@@ -8607,6 +8616,16 @@ def m70_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ise").cast("long").alias("xe"),
         )
     )
+    return ccf_from_daily(daily)
+
+
+def ccf_from_daily(daily: "DataFrame") -> "DataFrame":
+    """(d, xp, xe) daily two-series count partials -> m70's lag
+    report. Counts merge by keyed sum; shared by the s77 twin."""
+    daily = daily.groupBy("d").agg(
+        F.sum("xp").cast("long").alias("xp"),
+        F.sum("xe").cast("long").alias("xe"),
+    )
     daily = daily.localCheckpoint()  # day-bounded
     span = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
     cal = (
@@ -8636,7 +8655,7 @@ def m70_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sse"),
         )
     )
-    lags = spark.range(-_M70_MAX_LAG, _M70_MAX_LAG + 1).select(
+    lags = daily.sparkSession.range(-_M70_MAX_LAG, _M70_MAX_LAG + 1).select(
         F.col("id").cast("long").alias("k")
     )
     a = cal.select(F.col("d").alias("da"), F.col("xp"))
@@ -8832,6 +8851,15 @@ def m72_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d")
         .agg(F.sum("cents").cast("long").alias("x"))
     )
+    return page_hinkley_from_daily(daily)
+
+
+def page_hinkley_from_daily(daily: "DataFrame") -> "DataFrame":
+    """(d, x) daily cents partials -> m72's alarmed-day report.
+    Daily totals merge by keyed sum; shared by the s75 twin."""
+    from pyspark.sql.window import Window
+
+    daily = daily.groupBy("d").agg(F.sum("x").cast("long").alias("x"))
     daily = daily.localCheckpoint()  # day-bounded
     span = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
     cal = (

@@ -5343,3 +5343,119 @@ def s74_stream_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s74",
     )
     return cramers_from_cells(merged)
+
+
+def _m72_oracle_sql() -> str:
+    from .advanced import ORACLES as _ADV
+
+    return _ADV["m72_page_hinkley"]
+
+
+@_register("s75_stream_page_hinkley", _m72_oracle_sql())
+def s75_stream_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m72's Page-Hinkley changepoint alarm maintained ON INGEST:
+    (day, cents) partials merge by keyed sum — s62's ingestion frame —
+    and the running-mean deviation walk re-derives at refresh through
+    the shared tail (page_hinkley_from_daily). The re-derive is
+    mandatory: PH's running mean at day t depends on every earlier
+    day's FINAL total, so late-arriving mass re-prices the whole walk.
+    Equal to batch m72, sharing its oracle verbatim.
+
+    Scale: |days| partial rows per batch; day-bounded tail."""
+    from .advanced import page_hinkley_from_daily
+
+    d = _events_proj_wire(
+        spark,
+        sf_dir,
+        lambda t: [
+            (t / 86400).cast("long").alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ],
+    )
+    merged = _partial_replay(
+        spark,
+        d,
+        "d LONG, cents LONG",
+        lambda b: b.groupBy("d").agg(F.sum("cents").alias("x")),
+        "s75",
+    )
+    return page_hinkley_from_daily(merged)
+
+
+def _m69_oracle_sql() -> str:
+    from .advanced import ORACLES as _ADV
+
+    return _ADV["m69_durbin_watson"]
+
+
+@_register("s76_stream_durbin_watson", _m69_oracle_sql())
+def s76_stream_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m69's Durbin-Watson residual-autocorrelation gauge maintained
+    ON INGEST from the same (day, cents) partials: the OLS fit AND the
+    residual walk re-derive per refresh through the shared tail
+    (durbin_watson_from_daily) — every batch moves the trend line
+    itself, so residuals are not incrementally maintainable. Equal to
+    batch m69, sharing its oracle verbatim. The live reading answers
+    'is today's revenue model still white-noise around trend, or has
+    a cycle crept in'.
+
+    Scale: |days| partial rows per batch; day-bounded tail."""
+    from .advanced import durbin_watson_from_daily
+
+    d = _events_proj_wire(
+        spark,
+        sf_dir,
+        lambda t: [
+            (t / 86400).cast("long").alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ],
+    )
+    merged = _partial_replay(
+        spark,
+        d,
+        "d LONG, cents LONG",
+        lambda b: b.groupBy("d").agg(F.sum("cents").alias("x")),
+        "s76",
+    )
+    return durbin_watson_from_daily(merged)
+
+
+def _m70_oracle_sql() -> str:
+    from .advanced import ORACLES as _ADV
+
+    return _ADV["m70_cross_correlation"]
+
+
+@_register("s77_stream_ccf", _m70_oracle_sql())
+def s77_stream_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m70's purchase-vs-error cross-correlation function maintained
+    ON INGEST: per-batch partials are (day, purchase-count,
+    error-count) keyed sums, and the +-3-lag CCF re-derives through
+    the shared tail (ccf_from_daily). Equal to batch m70, sharing its
+    oracle verbatim. The live use: incident forensics during the
+    incident — does the error series START leading the purchase
+    series as a failure ramps?
+
+    Scale: |days| partial rows per batch; day-bounded lag join."""
+    from .advanced import ccf_from_daily
+
+    d = _events_proj_wire(
+        spark,
+        sf_dir,
+        lambda t: [
+            (t / 86400).cast("long").alias("d"),
+            (F.col("event_type") == "purchase").cast("long").alias("isp"),
+            (F.col("event_type") == "error").cast("long").alias("ise"),
+        ],
+    )
+    merged = _partial_replay(
+        spark,
+        d,
+        "d LONG, isp LONG, ise LONG",
+        lambda b: b.groupBy("d").agg(
+            F.sum("isp").cast("long").alias("xp"),
+            F.sum("ise").cast("long").alias("xe"),
+        ),
+        "s77",
+    )
+    return ccf_from_daily(merged)

@@ -9130,3 +9130,102 @@ def m75_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exp(F.log(orr) - z * se).alias("or_ci_lo"),
         F.exp(F.log(orr) + z * se).alias("or_ci_hi"),
     )
+
+
+_M76_SQL = f"""
+    WITH b AS ({_M10_BUCKET_SQL}),
+    g AS (
+      SELECT b.b, n_pos + n_neg AS n,
+             abs(n_pos * 1000000 - p_micro_sum) AS gap_num
+      FROM b
+    ),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM g)
+    SELECT nt AS n,
+           CAST(sum(gap_num) AS BIGINT) AS ece_num,
+           sum(gap_num) / (nt * 1000000.0) AS ece,
+           max(gap_num * 1.0 / (n * 1000000.0)) AS mce
+    FROM g CROSS JOIN t GROUP BY nt
+"""
+
+
+@_register("m76_calibration_error", _M76_SQL)
+def m76_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected and maximum calibration error of the m04 scorer over
+    m11's decile bins — the single-number summary the m11 table feeds
+    a model scorecard: per bin the |observed - predicted| gap has the
+    EXACT integer numerator |n_pos*1e6 - p_micro_sum| (both sides of
+    the gap live in int64 micros by m11's construction), so ECE =
+    sum(n_b/N * gap_b) is one exact integer sum over one division, and
+    MCE is a max of 11 single-float-op ratios (no accumulation-order
+    hazard in a max).
+
+    Scale: rides _m10_bucketed's one scan to 11 rows; the report is a
+    1-row projection.
+
+    Reference parity: none in reference; public calibration
+    methodology (Naeini et al. 2015), closing m06/m11/m15's
+    calibration suite with its standard summary statistic."""
+    g = _m10_bucketed(spark, sf_dir).select(
+        (F.col("n_pos") + F.col("n_neg")).cast("long").alias("n"),
+        F.abs(F.col("n_pos") * 1000000 - F.col("p_micro_sum"))
+        .cast("long")
+        .alias("gap_num"),
+    )
+    t = g.agg(F.sum("n").cast("long").alias("nt"))
+    # broadcast bound: t is 1 row
+    return (
+        g.crossJoin(F.broadcast(t))
+        .groupBy("nt")
+        .agg(
+            F.sum("gap_num").cast("long").alias("ece_num"),
+            (F.sum("gap_num") / (F.col("nt") * 1000000.0)).alias("ece"),
+            F.max(
+                F.col("gap_num") * 1.0 / (F.col("n") * 1000000.0)
+            ).alias("mce"),
+        )
+        .select(F.col("nt").alias("n"), "ece_num", "ece", "mce")
+    )
+
+
+_M77_SQL = f"""
+    WITH b AS ({_M10_BUCKET_SQL}),
+    g AS (
+      SELECT b, n_pos + n_neg AS n, n_pos,
+             p_micro_sum / 1000000.0 AS e
+      FROM b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(n) AS BIGINT) AS n,
+           sum((n_pos - e) * (n_pos - e) / (e * (1.0 - e / n))) AS hl_chi2
+    FROM g
+"""
+
+
+@_register("m77_hosmer_lemeshow", _M77_SQL)
+def m77_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hosmer-Lemeshow goodness-of-fit chi-square for the m04 scorer
+    over m11's decile bins: sum (O - E)^2 / (E (1 - E/n)) with E the
+    summed predicted mass per bin — the classical 'is the logistic
+    model calibrated' TEST to m76's ECE effect size. E derives from
+    the exact integer micro sums; the 11 bin terms are one shared
+    float sequence each, summed over the bounded bin frame (m33's
+    discipline).
+
+    Scale: rides the same one-scan 11-row frame as m10/m11/m76.
+
+    Reference parity: none in reference; public test (Hosmer &
+    Lemeshow 1980)."""
+    g = _m10_bucketed(spark, sf_dir).select(
+        (F.col("n_pos") + F.col("n_neg")).cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        (F.col("p_micro_sum") / 1000000.0).alias("e"),
+    )
+    return g.agg(
+        F.count("*").cast("long").alias("n_bins"),
+        F.sum("n").cast("long").alias("n"),
+        F.sum(
+            (F.col("n_pos") - F.col("e"))
+            * (F.col("n_pos") - F.col("e"))
+            / (F.col("e") * (1.0 - F.col("e") / F.col("n")))
+        ).alias("hl_chi2"),
+    )

@@ -6811,3 +6811,67 @@ def r130_tiered_fees(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("fee_ppm_cents") * 1.0 / (F.sum("cents") * 1000000.0)
         ).alias("effective_rate"),
     )
+
+
+_R131_SQL = """
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS d
+      FROM events
+    ),
+    fs AS (SELECT user_id, min(d) AS f FROM ud GROUP BY 1),
+    act AS (SELECT d, CAST(count(*) AS BIGINT) AS active FROM ud GROUP BY 1),
+    new_ AS (SELECT f AS d, CAST(count(*) AS BIGINT) AS new_users
+             FROM fs GROUP BY 1),
+    j AS (
+      SELECT act.d, act.active, coalesce(new_.new_users, 0) AS new_users
+      FROM act LEFT JOIN new_ ON new_.d = act.d
+    )
+    SELECT d, active, new_users,
+           CAST(active - new_users AS BIGINT) AS returning,
+           CAST(sum(new_users) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative_reach
+    FROM j
+"""
+
+
+@_register("r131_reach_curve", _R131_SQL)
+def r131_reach_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily audience decomposition + cumulative reach curve: per day
+    the distinct actives split into NEW (first-ever-seen that day) vs
+    RETURNING, and the running sum of new users is the reach curve —
+    the growth-accounting view product analytics builds next to r94's
+    DAU/WAU and r86's cohort retention. Cumulative distinct collapses
+    to a plain cumulative SUM via the first-seen trick (each user
+    contributes to exactly one day's new_users), which is the whole
+    trick: a naive cumulative COUNT(DISTINCT) window would hold
+    corpus-sized state.
+
+    Scale: one (user, day) distinct shuffle feeds BOTH the first-seen
+    agg and the daily actives; the reach window orders the day-bounded
+    frame. Exact integers throughout.
+
+    Reference parity: the audience view of the reference's dashboard
+    (BASELINE.md panels); public growth-accounting methodology."""
+    ev = load_table(spark, sf_dir, "events")
+    s = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    ud = ev.select("user_id", (s / 86400).cast("long").alias("d")).distinct()
+    ud = ud.localCheckpoint()  # feeds first-seen AND daily actives
+    fs = ud.groupBy("user_id").agg(F.min("d").alias("f"))
+    act = ud.groupBy("d").agg(F.count("*").cast("long").alias("active"))
+    new_ = fs.groupBy(F.col("f").alias("d")).agg(
+        F.count("*").cast("long").alias("new_users")
+    )
+    j = act.join(new_, "d", "left").select(
+        "d",
+        "active",
+        F.coalesce("new_users", F.lit(0)).cast("long").alias("new_users"),
+    )
+    wd = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return j.select(
+        "d",
+        "active",
+        "new_users",
+        (F.col("active") - F.col("new_users")).cast("long").alias("returning"),
+        F.sum("new_users").over(wd).cast("long").alias("cumulative_reach"),
+    )

@@ -1042,3 +1042,26 @@ def test_m75_odds_ratio_brute(spark, sf_dir):
     assert abs(r.relative_risk - (a / (a + b)) / (c_ / (c_ + d))) < 1e-12
     assert abs(r.or_ci_lo - math.exp(math.log(orr) - 1.959963984540054 * se)) < 1e-12
     assert abs(r.or_ci_hi - math.exp(math.log(orr) + 1.959963984540054 * se)) < 1e-12
+
+
+def test_m76_m77_calibration_consistency(spark, sf_dir):
+    """ECE/MCE/HL re-derive from m11's own published bin table."""
+    import math
+
+    bins = advanced.QUERIES["m11_calibration_bins"](spark, sf_dir).collect()
+    nt = sum(b.n for b in bins)
+    gaps = [abs(b.n_pos * 1000000 - b.p_micro_sum) for b in bins]
+    ece = sum(gaps) / (nt * 1e6)
+    mce = max(g / (b.n * 1e6) for g, b in zip(gaps, bins))
+    hl = sum(
+        (b.n_pos - b.p_micro_sum / 1e6) ** 2
+        / ((b.p_micro_sum / 1e6) * (1 - b.p_micro_sum / 1e6 / b.n))
+        for b in bins
+    )
+    r76 = advanced.QUERIES["m76_calibration_error"](spark, sf_dir).collect()[0]
+    assert r76.n == nt and r76.ece_num == sum(gaps)
+    assert abs(r76.ece - ece) < 1e-12
+    assert abs(r76.mce - mce) < 1e-12
+    r77 = advanced.QUERIES["m77_hosmer_lemeshow"](spark, sf_dir).collect()[0]
+    assert (r77.n_bins, r77.n) == (len(bins), nt)
+    assert abs(r77.hl_chi2 - hl) < 1e-6

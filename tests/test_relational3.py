@@ -829,3 +829,27 @@ def test_r130_marginal_bracket_invariants(spark, sf_dir):
 
     rates = [fee1(c) / (c * 1e6) for c in (100_000, 300_000, 900_000)]
     assert rates == sorted(rates, reverse=True)
+
+
+def test_r131_reach_brute(spark, sf_dir):
+    """Daily new/returning/reach vs a first-seen dict walk."""
+    import collections
+
+    rows = _events_secs(spark, sf_dir)
+    byday = collections.defaultdict(set)
+    first = {}
+    for u, s, _ in rows:
+        d = s // 86400
+        byday[d].add(u)
+    for d in sorted(byday):
+        for u in byday[d]:
+            first.setdefault(u, d)
+    got = {
+        r.d: (r.active, r.new_users, r.returning, r.cumulative_reach)
+        for r in relational3.QUERIES["r131_reach_curve"](spark, sf_dir).collect()
+    }
+    reach = 0
+    for d in sorted(byday):
+        new = sum(1 for u in byday[d] if first[u] == d)
+        reach += new
+        assert got[d] == (len(byday[d]), new, len(byday[d]) - new, reach), d

@@ -7426,3 +7426,95 @@ def l106_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("long").alias("rn"),
         )
     )
+
+
+_L107_TOPK = 30
+
+_L107_SQL = f"""
+    WITH w AS (
+      SELECT source, unnest(string_split(coalesce(text, ''), ' ')) AS t
+      FROM documents
+    ),
+    sw AS (
+      SELECT source, t, CAST(count(*) AS BIGINT) AS y FROM w GROUP BY 1, 2
+    ),
+    st AS (SELECT source, CAST(sum(y) AS BIGINT) AS ns FROM sw GROUP BY 1),
+    cw AS (SELECT t, CAST(sum(y) AS BIGINT) AS cwt FROM sw GROUP BY 1),
+    tot AS (SELECT CAST(sum(y) AS BIGINT) AS n FROM sw),
+    top AS (
+      SELECT t, cwt FROM cw ORDER BY cwt DESC, t LIMIT {_L107_TOPK}
+    ),
+    obs AS (
+      SELECT top.t, top.cwt,
+             CAST(sum(abs(sw.y * n - st.ns * top.cwt)) AS BIGINT) AS num_obs,
+             CAST(sum(st.ns) AS BIGINT) AS ns_obs
+      FROM top JOIN sw ON sw.t = top.t
+               JOIN st USING (source) CROSS JOIN tot
+      GROUP BY 1, 2
+    )
+    SELECT t AS term, cwt AS total_count,
+           CAST(num_obs + cwt * (n - ns_obs) AS BIGINT) AS dp_num,
+           (num_obs + cwt * 1.0 * (n - ns_obs)) / (2.0 * cwt * n) AS dp
+    FROM obs CROSS JOIN tot
+"""
+
+
+@_register("l107_dispersion_dp", _L107_SQL)
+def l107_dispersion_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gries' deviation-of-proportions (DP) dispersion for the
+    {_L107_TOPK} most frequent terms — the corpus-linguistics measure
+    of 'is this word everywhere or does one source own it' (DP=0:
+    perfectly dispersed in proportion to source sizes; ->1: one
+    source). The statistic is EXACT: DP = [sum over observed sources
+    |y*n - ns*cw| + cw*(n - sum observed ns)] / (2*cw*n) — the second
+    term closes the sum over sources where the term never occurs
+    without scanning them (their |0 - ns*cw/n| mass in one closed
+    form). Complements l106: l106 says WHICH terms mark a source, DP
+    says how concentrated each global term is.
+
+    Scale: the (source, term) frame is vocab x sources bounded; the
+    top-{_L107_TOPK} cut is a TakeOrdered on the vocab frame; the
+    dispersion join touches only top-term rows.
+
+    Reference parity: no reference equivalent; public measure (Gries
+    2008)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "source",
+        F.explode(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias("t"),
+    )
+    sw = w.groupBy("source", "t").agg(F.count("*").cast("long").alias("y"))
+    sw = sw.localCheckpoint()  # feeds marginals AND the dispersion join
+    st = sw.groupBy("source").agg(F.sum("y").cast("long").alias("ns"))
+    cw = sw.groupBy("t").agg(F.sum("y").cast("long").alias("cwt"))
+    tot = sw.agg(F.sum("y").cast("long").alias("n"))
+    top = cw.orderBy(F.desc("cwt"), "t").limit(_L107_TOPK)
+    # broadcast bounds: top is 30 rows, st is |sources| rows, tot is 1 row
+    obs = (
+        sw.join(F.broadcast(top), "t")
+        .join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("t", "cwt")
+        .agg(
+            F.sum(
+                F.abs(F.col("y") * F.col("n") - F.col("ns") * F.col("cwt"))
+            )
+            .cast("long")
+            .alias("num_obs"),
+            F.sum("ns").cast("long").alias("ns_obs"),
+        )
+    )
+    j = obs.crossJoin(F.broadcast(tot))
+    dp_num = F.col("num_obs") + F.col("cwt") * (F.col("n") - F.col("ns_obs"))
+    return j.select(
+        F.col("t").alias("term"),
+        F.col("cwt").alias("total_count"),
+        dp_num.cast("long").alias("dp_num"),
+        (
+            (
+                F.col("num_obs")
+                + F.col("cwt") * 1.0 * (F.col("n") - F.col("ns_obs"))
+            )
+            / (2.0 * F.col("cwt") * F.col("n"))
+        ).alias("dp"),
+    )

@@ -6875,3 +6875,84 @@ def r131_reach_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("active") - F.col("new_users")).cast("long").alias("returning"),
         F.sum("new_users").over(wd).cast("long").alias("cumulative_reach"),
     )
+
+
+_R132_SQL = """
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    ),
+    reg AS (
+      SELECT region, CAST(sum(cents) AS BIGINT) AS region_cents FROM rev
+      GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM rev)
+    SELECT rev.region, rev.nation, rev.cents AS nation_cents,
+           reg.region_cents,
+           rev.cents * 1.0 / reg.region_cents AS share_of_region,
+           reg.region_cents * 1.0 / tot.total_cents AS region_share_of_total
+    FROM rev JOIN reg USING (region) CROSS JOIN tot
+"""
+
+
+@_register("r132_share_of_parent", _R132_SQL)
+def r132_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level share-of-parent rollup over the TPC-H geography
+    hierarchy: each nation's revenue share WITHIN its region plus each
+    region's share of total — the ratio_to_report pattern every BI
+    tool emits for drill-down bars (r03 gives the absolute rollup;
+    this gives the normalized view whose shares sum to 1 at each
+    level, the closure invariant the test pins). Exact integer cents
+    until the two share divisions.
+
+    Scale: the star join broadcasts the nation/region dims (r47's
+    pattern); parent totals are nation-domain frames joined back by
+    region key — never a second pass over orders.
+
+    Reference parity: none in reference; public BI pattern
+    (RATIO_TO_REPORT) over the TPC-H schema."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    rev = rev.localCheckpoint()  # nation-domain; feeds parents AND output
+    reg = rev.groupBy("region").agg(
+        F.sum("cents").cast("long").alias("region_cents")
+    )
+    tot = rev.agg(F.sum("cents").cast("long").alias("total_cents"))
+    # broadcast bounds: reg is |regions| rows, tot is 1 row
+    return (
+        rev.join(F.broadcast(reg), "region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "region",
+            "nation",
+            F.col("cents").alias("nation_cents"),
+            "region_cents",
+            (F.col("cents") * 1.0 / F.col("region_cents")).alias(
+                "share_of_region"
+            ),
+            (F.col("region_cents") * 1.0 / F.col("total_cents")).alias(
+                "region_share_of_total"
+            ),
+        )
+    )

@@ -1665,3 +1665,36 @@ def test_l106_distinctive_terms_brute(spark, sf_dir):
         got[r.source].append((r.term, r.n_in_source, r.z_micro, r.rn))
     for src in want:
         assert sorted(got[src]) == sorted(want[src]), src
+
+
+def test_l107_dp_brute(spark, sf_dir):
+    """DP vs the textbook full-source sum (including zero cells)."""
+    import collections
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+
+    rows = [
+        (r.source, (r.text or "").split(" "))
+        for r in load_table(spark, sf_dir, "documents").collect()
+    ]
+    sw = collections.Counter()
+    st = collections.Counter()
+    cw = collections.Counter()
+    for src, toks in rows:
+        for t in toks:
+            sw[(src, t)] += 1
+            st[src] += 1
+            cw[t] += 1
+    n = sum(st.values())
+    top = sorted(cw, key=lambda t: (-cw[t], t))[:30]
+    got = {
+        r.term: (r.total_count, r.dp_num, round(r.dp, 12))
+        for r in llmops.QUERIES["l107_dispersion_dp"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(top)
+    for t in top:
+        num = sum(
+            abs(sw.get((s, t), 0) * n - st[s] * cw[t]) for s in st
+        )
+        dp = num / (2 * cw[t] * n)
+        assert got[t] == (cw[t], num, round(dp, 12)), t

@@ -853,3 +853,19 @@ def test_r131_reach_brute(spark, sf_dir):
         new = sum(1 for u in byday[d] if first[u] == d)
         reach += new
         assert got[d] == (len(byday[d]), new, len(byday[d]) - new, reach), d
+
+
+def test_r132_shares_close(spark, sf_dir):
+    """Shares sum to 1 within each region and across regions."""
+    import collections
+
+    rows = relational3.QUERIES["r132_share_of_parent"](spark, sf_dir).collect()
+    by_region = collections.defaultdict(float)
+    region_share = {}
+    for r in rows:
+        by_region[r.region] += r.share_of_region
+        region_share[r.region] = r.region_share_of_total
+        assert abs(r.nation_cents / r.region_cents - r.share_of_region) < 1e-12
+    for reg, s in by_region.items():
+        assert abs(s - 1.0) < 1e-9, reg
+    assert abs(sum(region_share.values()) - 1.0) < 1e-9

@@ -137,19 +137,17 @@ _CHECKED_R7 = (
 # registered 31 additions (s41-s49, m33-m39, l90-l97, r98-r104), so the
 # round-9 window is 47 never-checked rows (the 16 overflow + the 31 new,
 # in family order: s41-s49, m33-m39, l88-l97, r100-r104+r84-r99 by name)
-# plus the first 3 round-3 leftovers (r52-r54); r55-r61 and the round-4
-# vintage rotate through r10. Round-10 sync: the round-9 driver
-# artifacts never landed (no CORRECTNESS_r09.json / BENCH_r09.json in
-# the repo at round-10 start), so there is NO _CHECKED_R9 to fold in:
-# the 47 round-9 rows stay never-checked and keep sorting first,
-# joined by the 49 round-10 additions (r106-r121, m42-m56, l98-l103,
-# s50-s61) — 96 never-checked for a 50-slot window. The predicted
-# round-10 window is therefore pure never-checked work in family
-# order (s41-s61, m33-m56, l100-l103, l88); the ~46 overflow rows
-# sort first again next round. Whole-registry local parity at
-# 32/7/13-way is the compensating evidence (SCALE.md round-10
-# closing numbers). Round-11 sync: fold in whichever
-# CORRECTNESS_r{10,...}.json next appears.
+# plus the first 3 round-3 leftovers (r52-r54). NOTE: everything after
+# the r08 artifacts is ROUND-9 work (one long round; earlier SCALE.md
+# sections mislabel its middle as "round 10" — no CORRECTNESS_r09
+# existed when they were written). Round 9 ultimately registered 135
+# additions (s41-s77, m33-m77, l88-l107, r98-r132), so 151
+# never-checked rows compete for the 50-slot round-9 window; the
+# predicted window is the first 50 in family order (s41-s77 = 37, then
+# m33-m45), and the ~101 overflow rows sort first again in round 10.
+# Whole-registry local parity at 32/7/13-way is the compensating
+# evidence (SCALE.md round-9 closing numbers). Round-10 sync: fold in
+# CORRECTNESS_r09.json when it appears.
 _CHECKED_R8 = (
     {f"s{i:02d}" for i in range(25, 32)}
     | {f"s{i:02d}" for i in range(33, 41)}

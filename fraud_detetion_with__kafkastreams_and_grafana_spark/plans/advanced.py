@@ -9229,3 +9229,130 @@ def m77_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("e") * (1.0 - F.col("e") / F.col("n")))
         ).alias("hl_chi2"),
     )
+
+
+# AD cell discipline: each cell's term is ONE shared float sequence over
+# exact BIGINTs (doubled mid-counts keep H2/M2 integer under ties),
+# micro-rounded once, so both inner sums are order-free integers.
+_M78_SQL = """
+    WITH e AS (
+      SELECT CAST(isodow(ts) >= 6 AS INT) AS wk,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    h AS (
+      SELECT cents, CAST(sum(wk) AS BIGINT) AS c1,
+             CAST(count(*) - sum(wk) AS BIGINT) AS c2
+      FROM e GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+             CAST(sum(c1 + c2) AS BIGINT) AS n
+      FROM h
+    ),
+    cum AS (
+      SELECT c1, c2, c1 + c2 AS ch,
+             CAST(2 * (sum(c1) OVER w) - c1 AS BIGINT) AS m2a,
+             CAST(2 * (sum(c2) OVER w) - c2 AS BIGINT) AS m2b,
+             CAST(2 * (sum(c1 + c2) OVER w) - (c1 + c2) AS BIGINT) AS h2
+      FROM h
+      WINDOW w AS (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    cells AS (
+      SELECT
+        CAST(round(ch * (n * 1.0 * m2a - n1 * 1.0 * h2)
+                      * (n * 1.0 * m2a - n1 * 1.0 * h2)
+                   / (n * 1.0 * (h2 * 1.0 * (2 * n - h2) - n * 1.0 * ch))
+                   * 1000000.0, 0) AS BIGINT) AS t1_micro,
+        CAST(round(ch * (n * 1.0 * m2b - n2 * 1.0 * h2)
+                      * (n * 1.0 * m2b - n2 * 1.0 * h2)
+                   / (n * 1.0 * (h2 * 1.0 * (2 * n - h2) - n * 1.0 * ch))
+                   * 1000000.0, 0) AS BIGINT) AS t2_micro
+      FROM cum CROSS JOIN t WHERE ch < n
+    ),
+    s AS (
+      SELECT CAST(sum(t1_micro) AS BIGINT) AS s1_micro,
+             CAST(sum(t2_micro) AS BIGINT) AS s2_micro
+      FROM cells
+    )
+    SELECT n1, n2, s1_micro, s2_micro,
+           (n - 1.0) / n * (s1_micro * 1.0 / n1 + s2_micro * 1.0 / n2)
+             / 1000000.0 AS a2
+    FROM t CROSS JOIN s
+"""
+
+
+@_register("m78_anderson_darling", _M78_SQL)
+def m78_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson-Darling A^2 (Scholz & Stephens 1987, k=2,
+    ties-adjusted midrank form) between weekend and weekday purchase
+    amounts — the tail-SENSITIVE member completing the two-sample
+    suite (m22 KS: sup; m74 Kuiper: two sups; m64 EMD: mass; m57 U:
+    location): AD weights CDF gaps by 1/(F(1-F)), so divergence in the
+    tails counts most — exactly where fraud lives. Doubled mid-counts
+    (H2 = 2*cum - h, M2 likewise) keep every input integer under
+    ties; each cell's term is one shared float sequence micro-rounded
+    once, so both per-sample inner sums are order-free integers and
+    A^2 is three float ops off them.
+
+    Scale: the m57/m64/m74 posture — one scan to the value-domain
+    histogram, one cumulative walk, 1-row report.
+
+    Reference parity: none in reference; public test (Anderson &
+    Darling 1952; Scholz & Stephens 1987)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wkend = (F.expr("weekday(ts)") + 1) >= 6
+    e = ev.where(F.col("event_type") == "purchase").select(
+        wkend.cast("int").alias("wk"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    h = e.groupBy("cents").agg(
+        F.sum("wk").cast("long").alias("c1"),
+        (F.count("*") - F.sum("wk")).cast("long").alias("c2"),
+    )
+    h = h.localCheckpoint()  # value-domain bounded; feeds totals AND walk
+    t = h.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(F.col("c1") + F.col("c2")).cast("long").alias("n"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = h.select(
+        "c1",
+        "c2",
+        (F.col("c1") + F.col("c2")).alias("ch"),
+        (2 * F.sum("c1").over(w) - F.col("c1")).cast("long").alias("m2a"),
+        (2 * F.sum("c2").over(w) - F.col("c2")).cast("long").alias("m2b"),
+        (2 * F.sum(F.col("c1") + F.col("c2")).over(w)
+         - (F.col("c1") + F.col("c2"))).cast("long").alias("h2"),
+    )
+    # broadcast bound: t is 1 row
+    j = cum.crossJoin(F.broadcast(t)).where(F.col("ch") < F.col("n"))
+    n, n1, n2 = F.col("n"), F.col("n1"), F.col("n2")
+    den = n * 1.0 * (F.col("h2") * 1.0 * (2 * n - F.col("h2")) - n * 1.0 * F.col("ch"))
+    da = n * 1.0 * F.col("m2a") - n1 * 1.0 * F.col("h2")
+    db = n * 1.0 * F.col("m2b") - n2 * 1.0 * F.col("h2")
+    cells = j.select(
+        F.round(F.col("ch") * da * da / den * 1e6, 0).cast("long").alias("t1_micro"),
+        F.round(F.col("ch") * db * db / den * 1e6, 0).cast("long").alias("t2_micro"),
+    )
+    s = cells.agg(
+        F.sum("t1_micro").cast("long").alias("s1_micro"),
+        F.sum("t2_micro").cast("long").alias("s2_micro"),
+    )
+    # broadcast bound: s is 1 row
+    out = t.crossJoin(F.broadcast(s))
+    return out.select(
+        "n1",
+        "n2",
+        "s1_micro",
+        "s2_micro",
+        (
+            (n - 1.0) / n
+            * (F.col("s1_micro") * 1.0 / n1 + F.col("s2_micro") * 1.0 / n2)
+            / 1e6
+        ).alias("a2"),
+    )

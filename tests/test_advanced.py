@@ -1065,3 +1065,44 @@ def test_m76_m77_calibration_consistency(spark, sf_dir):
     r77 = advanced.QUERIES["m77_hosmer_lemeshow"](spark, sf_dir).collect()[0]
     assert (r77.n_bins, r77.n) == (len(bins), nt)
     assert abs(r77.hl_chi2 - hl) < 1e-6
+
+
+def test_m78_anderson_darling_brute(spark, sf_dir):
+    """A^2 vs a midrank-form walk over the pooled histogram, checked
+    against scipy's reference semantics shape: ties-adjusted Scholz-
+    Stephens with doubled mid-counts."""
+    import collections
+
+    pdf = _events_type_cents(spark, sf_dir)
+    p = pdf[pdf.event_type == "purchase"]
+    g1 = collections.Counter(
+        c for c, ts in zip(p.cents, p.ts) if ts.weekday() >= 5
+    )
+    g2 = collections.Counter(
+        c for c, ts in zip(p.cents, p.ts) if ts.weekday() < 5
+    )
+    n1, n2 = sum(g1.values()), sum(g2.values())
+    n = n1 + n2
+    s1 = s2 = 0
+    cum1 = cum2 = cumh = 0
+    for v in sorted(set(g1) | set(g2)):
+        c1, c2 = g1.get(v, 0), g2.get(v, 0)
+        ch = c1 + c2
+        m2a = 2 * (cum1 + c1) - c1
+        m2b = 2 * (cum2 + c2) - c2
+        h2 = 2 * (cumh + ch) - ch
+        cum1 += c1
+        cum2 += c2
+        cumh += ch
+        if cumh == n and ch == n:
+            continue
+        if cumh == n and (2 * n - h2) * h2 - n * ch == 0:
+            continue
+        den = n * (h2 * (2 * n - h2) - n * ch)
+        if ch < n:
+            s1 += _half_up(ch * (n * m2a - n1 * h2) ** 2 / den, 1e6)
+            s2 += _half_up(ch * (n * m2b - n2 * h2) ** 2 / den, 1e6)
+    a2 = (n - 1) / n * (s1 / n1 + s2 / n2) / 1e6
+    r = advanced.QUERIES["m78_anderson_darling"](spark, sf_dir).collect()[0]
+    assert (r.n1, r.n2, r.s1_micro, r.s2_micro) == (n1, n2, s1, s2)
+    assert abs(r.a2 - a2) < 1e-9

@@ -777,3 +777,36 @@ def test_r109_dormancy_two_frames_one_shuffle(spark, sf_dir):
     p = _plan(relational3.QUERIES["r109_dormancy_reactivation"](spark, sf_dir))
     assert p.count("Exchange hashpartitioning") == 1, p
     assert "Join" not in p, p
+
+
+def test_l104_span_corruption_is_shuffle_free(spark, sf_dir):
+    """The span transform is row-local array lambdas: zero exchanges,
+    zero windows — only counts and a digest leave the scan."""
+    p = _plan(llmops.QUERIES["l104_span_corruption"](spark, sf_dir))
+    assert "Exchange" not in p, p
+    assert "Window" not in p, p
+
+
+def test_r126_drawdown_windows_share_one_exchange(spark, sf_dir):
+    """Running sum + running max + the final keyed agg all ride ONE
+    user_id partitioning: two Window operators, one exchange."""
+    p = _plan(relational3.QUERIES["r126_max_drawdown"](spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert p.count("Window") == 2, p
+
+
+def test_r129_relaxations_are_equi_joins(spark, sf_dir):
+    """Every Bellman-Ford relaxation must be a keyed equi-join; a lost
+    join condition (CartesianProduct) would be quadratic in users."""
+    p = _plan(relational3.QUERIES["r129_khop_shortest_path"](spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+
+
+def test_l105_l106_vocab_joins_never_cartesian(spark, sf_dir):
+    """The pair->unigram / term-marginal joins are vocab-keyed
+    equi-joins with no explicit broadcast hint: at toy scale AQE may
+    broadcast (fine — it adapts on real sizes), but the equi-condition
+    must never degrade to a cross product."""
+    for name in ("l105_pmi_collocations", "l106_distinctive_terms"):
+        p = _plan(llmops.QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in p, (name, p)

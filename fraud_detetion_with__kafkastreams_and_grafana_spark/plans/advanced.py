@@ -9313,6 +9313,19 @@ def m78_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("wk").cast("long").alias("c1"),
         (F.count("*") - F.sum("wk")).cast("long").alias("c2"),
     )
+    return anderson_darling_from_cells(h)
+
+
+def anderson_darling_from_cells(h: DataFrame) -> DataFrame:
+    """(cents, c1, c2) two-sided value-histogram partials -> m78's
+    one-row report. Cell counts merge by keyed sum; shared by the s78
+    streaming twin."""
+    from pyspark.sql.window import Window
+
+    h = h.groupBy("cents").agg(
+        F.sum("c1").cast("long").alias("c1"),
+        F.sum("c2").cast("long").alias("c2"),
+    )
     h = h.localCheckpoint()  # value-domain bounded; feeds totals AND walk
     t = h.agg(
         F.sum("c1").cast("long").alias("n1"),
@@ -9355,4 +9368,66 @@ def m78_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("s1_micro") * 1.0 / n1 + F.col("s2_micro") * 1.0 / n2)
             / 1e6
         ).alias("a2"),
+    )
+
+
+_M79_SQL = """
+    WITH g AS (
+      SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM events GROUP BY 1
+    )
+    SELECT dow, n, x, x * 1.0 / n AS phat,
+           ((x * 1.0 / n) + 1.959963984540054 * 1.959963984540054 / (2.0 * n)
+            - 1.959963984540054
+              * sqrt((x * 1.0 / n) * (1.0 - x * 1.0 / n) / n
+                     + 1.959963984540054 * 1.959963984540054
+                       / (4.0 * n * n)))
+             / (1.0 + 1.959963984540054 * 1.959963984540054 / n) AS wilson_lo,
+           ((x * 1.0 / n) + 1.959963984540054 * 1.959963984540054 / (2.0 * n)
+            + 1.959963984540054
+              * sqrt((x * 1.0 / n) * (1.0 - x * 1.0 / n) / n
+                     + 1.959963984540054 * 1.959963984540054
+                       / (4.0 * n * n)))
+             / (1.0 + 1.959963984540054 * 1.959963984540054 / n) AS wilson_hi
+    FROM g
+"""
+
+
+@_register("m79_wilson_intervals", _M79_SQL)
+def m79_wilson_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% score intervals for the per-weekday purchase rate —
+    the interval the dashboard should draw around conversion tiles
+    instead of the Wald interval (Wilson never leaves [0,1] and stays
+    honest at small n; Brown, Cai & DasGupta 2001's recommendation).
+    Exact integer (n, x) per dow; the interval is one shared float
+    sequence with z pinned to its exact double (the m75 discipline).
+
+    Scale: one scan to 7 rows; pure projection after.
+
+    Reference parity: none in reference; public interval (Wilson
+    1927), the uncertainty layer under q2/q5's rate tiles."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        (F.expr("weekday(ts)") + 1).cast("long").alias("dow")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("long")
+        .alias("x"),
+    )
+    z = 1.959963984540054
+    n, x = F.col("n"), F.col("x")
+    phat = x * 1.0 / n
+    half = z * F.sqrt(phat * (1.0 - phat) / n + z * z / (4.0 * n * n))
+    denom = 1.0 + z * z / n
+    return g.select(
+        "dow",
+        "n",
+        "x",
+        phat.alias("phat"),
+        ((phat + z * z / (2.0 * n) - half) / denom).alias("wilson_lo"),
+        ((phat + z * z / (2.0 * n) + half) / denom).alias("wilson_hi"),
     )

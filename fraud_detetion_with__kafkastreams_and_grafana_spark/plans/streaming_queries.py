@@ -5459,3 +5459,47 @@ def s77_stream_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s77",
     )
     return ccf_from_daily(merged)
+
+
+def _m78_oracle_sql() -> str:
+    from .advanced import ORACLES as _ADV
+
+    return _ADV["m78_anderson_darling"]
+
+
+@_register("s78_stream_anderson_darling", _m78_oracle_sql())
+def s78_stream_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m78's tail-sensitive Anderson-Darling drift gauge maintained ON
+    INGEST from the SAME (cents, c1, c2) histogram partials s68's EMD
+    consumes — one ingestion frame, four live two-sample statistics
+    (EMD mass / KS sup via s33 / AD tails here / rank tests via s64) —
+    re-deriving through the shared tail (anderson_darling_from_cells).
+    Equal to batch m78, sharing its oracle verbatim.
+
+    Scale: partials bounded by distinct amounts per batch; the
+    cumulative walk runs on the merged histogram at refresh."""
+    from .advanced import anderson_darling_from_cells
+
+    wkend = (F.expr("weekday(ts)") + 1) >= 6
+    d = _events_proj_wire(
+        spark,
+        sf_dir,
+        lambda t: [
+            "event_type",
+            wkend.cast("int").alias("wk_flag"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ],
+    )
+    merged = _partial_replay(
+        spark,
+        d,
+        "event_type STRING, wk_flag INT, cents LONG",
+        lambda b: b.where(F.col("event_type") == "purchase")
+        .groupBy("cents")
+        .agg(
+            F.sum((F.col("wk_flag") == 1).cast("long")).cast("long").alias("c1"),
+            F.sum((F.col("wk_flag") == 0).cast("long")).cast("long").alias("c2"),
+        ),
+        "s78",
+    )
+    return anderson_darling_from_cells(merged)

@@ -1106,3 +1106,33 @@ def test_m78_anderson_darling_brute(spark, sf_dir):
     r = advanced.QUERIES["m78_anderson_darling"](spark, sf_dir).collect()[0]
     assert (r.n1, r.n2, r.s1_micro, r.s2_micro) == (n1, n2, s1, s2)
     assert abs(r.a2 - a2) < 1e-9
+
+
+def test_m79_wilson_brute(spark, sf_dir):
+    """Wilson bounds vs the closed form; bounds stay inside [0,1] and
+    bracket phat."""
+    import collections
+    import math
+
+    pdf = _events_type_cents(spark, sf_dir)
+    ni = collections.Counter()
+    xi = collections.Counter()
+    for t, ts in zip(pdf.event_type, pdf.ts):
+        w = ts.weekday() + 1
+        ni[w] += 1
+        xi[w] += t == "purchase"
+    got = {
+        r.dow: (r.n, r.x, r.phat, r.wilson_lo, r.wilson_hi)
+        for r in advanced.QUERIES["m79_wilson_intervals"](spark, sf_dir).collect()
+    }
+    z = 1.959963984540054
+    for w in ni:
+        n, x = ni[w], xi[w]
+        phat = x / n
+        half = z * math.sqrt(phat * (1 - phat) / n + z * z / (4 * n * n))
+        lo = (phat + z * z / (2 * n) - half) / (1 + z * z / n)
+        hi = (phat + z * z / (2 * n) + half) / (1 + z * z / n)
+        g = got[w]
+        assert (g[0], g[1]) == (n, x)
+        assert abs(g[3] - lo) < 1e-12 and abs(g[4] - hi) < 1e-12
+        assert 0.0 <= g[3] <= phat <= g[4] <= 1.0

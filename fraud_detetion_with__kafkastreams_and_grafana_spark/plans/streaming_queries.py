@@ -5503,3 +5503,71 @@ def s78_stream_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s78",
     )
     return anderson_darling_from_cells(merged)
+
+
+def _q6_oracle_sql() -> str:
+    from .analytics import Q6_SQL
+
+    return Q6_SQL
+
+
+@_register("s79_kstream_dsl", _q6_oracle_sql())
+def s79_kstream_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference topology re-written IN ITS OWN API — the
+    KStream fluent DSL (streaming/kstream.py) compiled to DataFrame
+    plans: stream -> mapValues(JSON parse, null on error) ->
+    filter(non-null) -> branch(amount > threshold, else)[0] ->
+    mapValues(serialize) -> filter(non-null) -> peek -> to, then the
+    downstream consumer parse + aggregate. A reference user keeps
+    their program shape verbatim (TransactionProcessor.java:26-55) and
+    gets Catalyst underneath: every DSL stage records a Column
+    transformation, so the whole topology fuses into one narrow
+    codegen span — which q6 (the raw-DataFrame form of the same
+    pipeline) pins by sharing its oracle with this query.
+
+    Scale: identical plan to q6 — stateless, no shuffle until the
+    final aggregate; the DSL adds zero runtime indirection.
+
+    Reference parity: TransactionProcessor.java:26-55, re-expressed
+    1:1 (mapValues/filter/branch/peek/to with first-match-wins branch
+    semantics)."""
+    from ..operators.detect import EVENTS_FRAUD_THRESHOLD, events_as_transactions, parse_wire
+    from ..schemas import TRANSACTION_DDL
+    from ..streaming.kstream import StreamsBuilder
+
+    tx = events_as_transactions(load_table(spark, sf_dir, "events"))
+    wire = tx.select(
+        F.col("userId").alias("key"),
+        F.to_json(
+            F.struct(
+                F.col("userId"),
+                F.col("amount"),
+                F.unix_timestamp(F.col("event_time").cast("timestamp")).alias(
+                    "timestamp"
+                ),
+            )
+        ).alias("value"),
+    )
+    builder = StreamsBuilder()
+    branches = (
+        builder.stream(wire)
+        .map_values(lambda v: F.from_json(v, TRANSACTION_DDL))
+        .filter(lambda k, v: v.isNotNull() & v["userId"].isNotNull())
+        .branch(
+            lambda k, v: v["amount"] > F.lit(EVENTS_FRAUD_THRESHOLD),
+            lambda k, v: F.lit(True),
+        )
+    )
+    out_wire = (
+        branches[0]
+        .map_values(lambda v: F.to_json(v))
+        .filter(lambda k, v: v.isNotNull())
+        .peek("fraud-alert")
+        .to_frame()
+    )
+    # the FraudAlertConsumer side: parse the output topic, aggregate
+    consumed = parse_wire(out_wire)
+    return consumed.groupBy("userId").agg(
+        F.round(F.sum("amount"), 2).alias("total_amount"),
+        F.count("*").alias("n_tx"),
+    )

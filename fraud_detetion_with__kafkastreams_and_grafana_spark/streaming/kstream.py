@@ -1,0 +1,120 @@
+"""Kafka-Streams-style fluent topology DSL, compiled to DataFrame plans.
+
+The reference's developer surface IS this API (StreamsBuilder ->
+stream -> mapValues -> filter -> branch -> peek -> to,
+TransactionProcessor.java:26-55); a user porting their own topology
+from the reference should be able to keep their program SHAPE and
+swap the engine. The facade is Spark-first: every stage records a
+COLUMN transformation (never a row-at-a-time Python lambda), so the
+whole chained topology compiles to one narrow whole-stage-codegen
+span — Catalyst sees straight through the DSL, exactly as if the
+user had written raw DataFrame code. Works identically over batch
+frames and readStream frames (the column algebra is the same; only
+the terminal sink differs).
+
+Semantics pinned to Kafka Streams:
+- ``branch(p1, p2, ...)`` is FIRST-MATCH-WINS: a record lands in the
+  first branch whose predicate accepts it and in no later branch
+  (KStream#branch javadoc); records matching NO predicate are
+  DROPPED.
+- ``map_values`` transforms only the value column; the key column
+  rides along untouched (mapValues never triggers repartitioning in
+  Kafka Streams — here, never a shuffle).
+- ``peek`` is non-semantic observation: it records the label and
+  returns the stream unchanged.
+
+Reference parity: TransactionProcessor.java:26-55 (the topology),
+FraudAlertConsumer.java (the downstream reader contract).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ValueFn = Callable[[Column], Column]
+PredFn = Callable[[Column, Column], Column]
+
+
+class KStream:
+    """A (key, value) stream stage; immutable, each op returns a new one."""
+
+    def __init__(
+        self, df: DataFrame, key: str = "key", value: str = "value"
+    ) -> None:
+        self._df = df
+        self._key = key
+        self._value = value
+        self.peeked: list[str] = []
+
+    # -- stateless ops (all narrow: no shuffle, codegen-fusable) ----------
+
+    def map_values(self, fn: ValueFn) -> "KStream":
+        """KStream#mapValues: value -> fn(value), key untouched."""
+        out = self._df.withColumn(self._value, fn(F.col(self._value)))
+        s = KStream(out, self._key, self._value)
+        s.peeked = list(self.peeked)
+        return s
+
+    def filter(self, fn: PredFn) -> "KStream":
+        """KStream#filter((key, value) -> bool)."""
+        out = self._df.where(fn(F.col(self._key), F.col(self._value)))
+        s = KStream(out, self._key, self._value)
+        s.peeked = list(self.peeked)
+        return s
+
+    def select_key(self, fn: ValueFn) -> "KStream":
+        """KStream#selectKey: key <- fn(value)."""
+        out = self._df.withColumn(self._key, fn(F.col(self._value)))
+        s = KStream(out, self._key, self._value)
+        s.peeked = list(self.peeked)
+        return s
+
+    def branch(self, *preds: PredFn) -> list["KStream"]:
+        """KStream#branch: first-match-wins routing; no-match drops.
+
+        Compiled as pred_i AND NOT (pred_1 OR ... OR pred_{i-1}) so each
+        branch is an independent filter over the SAME upstream frame —
+        Spark reuses the scan, and each branch stays a narrow plan.
+        """
+        out: list[KStream] = []
+        k, v = F.col(self._key), F.col(self._value)
+        for i in range(len(preds)):
+            cond = preds[i](k, v)
+            for j in range(i):
+                cond = cond & ~preds[j](k, v)
+            s = KStream(self._df.where(cond), self._key, self._value)
+            s.peeked = list(self.peeked)
+            out.append(s)
+        return out
+
+    def peek(self, label: str) -> "KStream":
+        """KStream#peek: non-semantic observation marker."""
+        s = KStream(self._df, self._key, self._value)
+        s.peeked = list(self.peeked) + [label]
+        return s
+
+    # -- terminals ---------------------------------------------------------
+
+    def to_frame(self) -> DataFrame:
+        """The compiled (key, value) DataFrame — hand to any sink
+        (writeStream for streams, write for batch replays), the analog
+        of KStream#to(topic)."""
+        return self._df.select(self._key, self._value)
+
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+
+class StreamsBuilder:
+    """StreamsBuilder#stream: wrap a (key, value) wire frame."""
+
+    def stream(
+        self, wire: DataFrame, key: str = "key", value: str = "value"
+    ) -> KStream:
+        if key not in wire.columns:
+            wire = wire.withColumn(key, F.lit(None).cast("string"))
+        return KStream(wire, key, value)

@@ -1383,3 +1383,55 @@ def test_s49_stream_leaderboard_equals_batch_r104(spark, sf_dir):
         ).collect()
     )
     assert got == want
+
+
+def test_kstream_branch_first_match_wins(spark):
+    """Kafka Streams branch semantics: a record matching several
+    predicates lands ONLY in the first matching branch; a record
+    matching none is dropped."""
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.streaming.kstream import StreamsBuilder
+
+    df = spark.createDataFrame(
+        [("a", 150), ("b", 60), ("c", 10)], "key STRING, value INT"
+    )
+    b = StreamsBuilder().stream(df).branch(
+        lambda k, v: v > 100,       # matches a
+        lambda k, v: v > 50,        # matches a AND b; must get only b
+        # c matches neither: dropped
+    )
+    assert [r.key for r in b[0].df.collect()] == ["a"]
+    assert [r.key for r in b[1].df.collect()] == ["b"]
+    total = b[0].df.count() + b[1].df.count()
+    assert total == 2  # c dropped, a not duplicated
+
+
+def test_kstream_map_values_keeps_key_and_peek_is_nonsemantic(spark):
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.streaming.kstream import StreamsBuilder
+
+    df = spark.createDataFrame([("k1", 2)], "key STRING, value INT")
+    s = (
+        StreamsBuilder().stream(df)
+        .map_values(lambda v: v * 10)
+        .peek("observe")
+        .map_values(lambda v: v + 1)
+    )
+    row = s.to_frame().collect()[0]
+    assert (row.key, row.value) == ("k1", 21)
+    assert s.peeked == ["observe"]
+
+
+def test_kstream_topology_compiles_to_narrow_plan(spark, sf_dir):
+    """The DSL must add zero runtime indirection: the compiled fraud
+    branch is a narrow scan->project->filter plan with NO exchange and
+    no Python eval anywhere."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import streaming_queries as sq
+
+    df = sq.QUERIES["s79_kstream_dsl"](spark, sf_dir)
+    # up to the aggregate there must be exactly the agg exchange
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p  # only the agg

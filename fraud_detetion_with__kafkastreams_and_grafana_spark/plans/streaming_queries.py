@@ -5571,3 +5571,63 @@ def s79_kstream_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("amount"), 2).alias("total_amount"),
         F.count("*").alias("n_tx"),
     )
+
+
+def _q4_oracle_sql() -> str:
+    from .analytics import Q4_SQL
+
+    return Q4_SQL
+
+
+@_register("s80_kstream_windowed_agg", _q4_oracle_sql())
+def s80_kstream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful half of the KStream DSL: groupByKey ->
+    windowedBy(TimeWindows.of(10 min)) -> aggregate, run over the
+    fraud branch of the reference topology and equal to q4's raw-
+    DataFrame windowed histogram (shared oracle). Kafka Streams and
+    Spark window() both align tumbling windows to the epoch, so the
+    DSL preserves bucket identity bit-for-bit; the aggregate is
+    declared Column algebra (sum + count), so Catalyst plans the
+    standard partial+final hash aggregation — the DSL compiles away.
+
+    Scale: one shuffle on (window, key), exactly q4's plan.
+
+    Reference parity: the KGroupedStream/TimeWindows surface
+    (Kafka Streams DSL) the reference's stack implies; semantics
+    pinned against q4 (screenshots/AmountHistogram.jpg)."""
+    from ..operators.detect import EVENTS_FRAUD_THRESHOLD, events_as_transactions
+    from ..streaming.kstream import StreamsBuilder
+
+    tx = events_as_transactions(load_table(spark, sf_dir, "events"))
+    # enter the DSL with typed value struct (the post-parse stage)
+    wire = tx.select(
+        F.col("userId").alias("key"),
+        F.struct("userId", "amount", "event_time").alias("value"),
+    )
+    fraud = (
+        StreamsBuilder()
+        .stream(wire)
+        .filter(lambda k, v: v["amount"] > F.lit(EVENTS_FRAUD_THRESHOLD))
+        .map_values(lambda v: v)  # identity mapValues: shape check
+    )
+    flat = fraud.df.select(
+        "key", F.col("value.amount").alias("amount"),
+        F.col("value.event_time").alias("event_time"),
+    )
+    from ..streaming.kstream import KStream
+
+    out = (
+        KStream(flat, key="key", value="amount")
+        .group_by_key()
+        .windowed_by("10 minutes", "event_time")
+        .aggregate(
+            F.round(F.sum("amount"), 2).alias("total_amount"),
+            F.count("*").alias("n_tx"),
+        )
+    )
+    return out.select(
+        "window_start",
+        F.col("key").alias("userId"),
+        "total_amount",
+        "n_tx",
+    )

@@ -96,6 +96,10 @@ class KStream:
         s.peeked = list(self.peeked) + [label]
         return s
 
+    def group_by_key(self) -> "KGroupedStream":
+        """KStream#groupByKey: the handle stateful ops hang off."""
+        return KGroupedStream(self)
+
     # -- terminals ---------------------------------------------------------
 
     def to_frame(self) -> DataFrame:
@@ -118,3 +122,58 @@ class StreamsBuilder:
         if key not in wire.columns:
             wire = wire.withColumn(key, F.lit(None).cast("string"))
         return KStream(wire, key, value)
+
+
+class KGroupedStream:
+    """KStream#groupByKey result: the handle stateful ops hang off."""
+
+    def __init__(self, ks: KStream) -> None:
+        self._ks = ks
+
+    def windowed_by(self, duration: str, time_col: str) -> "TimeWindowedKStream":
+        """TimeWindows.of(duration): epoch-aligned tumbling windows —
+        Kafka Streams and Spark's window() share this alignment, so
+        the two engines bucket identically."""
+        return TimeWindowedKStream(self._ks, duration, time_col)
+
+    def count(self, alias: str = "count") -> DataFrame:
+        """KGroupedStream#count -> KTable (here: its changelog frame)."""
+        ks = self._ks
+        return ks.df.groupBy(F.col(ks._key)).agg(
+            F.count("*").alias(alias)
+        )
+
+    def aggregate(self, *aggs: Column) -> DataFrame:
+        """KGroupedStream#aggregate with explicit Column aggregators —
+        Spark-first: the aggregator is declared algebra, not an opaque
+        Java lambda, so Catalyst plans partial+final automatically."""
+        ks = self._ks
+        return ks.df.groupBy(F.col(ks._key)).agg(*aggs)
+
+
+class TimeWindowedKStream:
+    """windowedBy(TimeWindows) result: windowed count/aggregate."""
+
+    def __init__(self, ks: KStream, duration: str, time_col: str) -> None:
+        self._ks = ks
+        self._duration = duration
+        self._time_col = time_col
+
+    def aggregate(self, *aggs: Column) -> DataFrame:
+        ks = self._ks
+        return (
+            ks.df.groupBy(
+                F.window(F.col(self._time_col), self._duration).alias("w"),
+                F.col(ks._key),
+            )
+            .agg(*aggs)
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col(ks._key),
+                "*",
+            )
+            .drop("w")
+        )
+
+    def count(self, alias: str = "count") -> DataFrame:
+        return self.aggregate(F.count("*").alias(alias))

@@ -1435,3 +1435,29 @@ def test_kstream_topology_compiles_to_narrow_plan(spark, sf_dir):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
     assert p.count("Exchange hashpartitioning") == 1, p  # only the agg
+
+
+def test_kstream_windowed_count_matches_raw_window(spark):
+    """DSL windowedBy buckets must equal raw F.window buckets."""
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.streaming.kstream import KStream
+
+    df = spark.createDataFrame(
+        [("u", 1.0, "2024-01-01 00:00:05"), ("u", 2.0, "2024-01-01 00:00:25"),
+         ("u", 4.0, "2024-01-01 00:00:35"), ("v", 8.0, "2024-01-01 00:00:59")],
+        "key STRING, amount DOUBLE, t STRING",
+    ).withColumn("t", F.to_timestamp("t"))
+    got = {
+        (str(r.window_start), r.key): r.n
+        for r in KStream(df, key="key", value="amount")
+        .group_by_key()
+        .windowed_by("30 seconds", "t")
+        .aggregate(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == {
+        ("2024-01-01 00:00:00", "u"): 2,
+        ("2024-01-01 00:00:30", "u"): 1,
+        ("2024-01-01 00:00:30", "v"): 1,
+    }

@@ -1461,3 +1461,54 @@ def test_kstream_windowed_count_matches_raw_window(spark):
         ("2024-01-01 00:00:30", "u"): 1,
         ("2024-01-01 00:00:30", "v"): 1,
     }
+
+
+def test_kstream_dsl_runs_as_real_stream(spark, sf_dir):
+    """The DSL is engine-agnostic column algebra: the SAME topology
+    object graph runs over readStream and equals its batch run."""
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators.detect import (
+        EVENTS_FRAUD_THRESHOLD,
+        events_as_transactions,
+    )
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.schemas import TRANSACTION_DDL
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.streaming.kstream import StreamsBuilder
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.streaming.replay import materialize_wire_dir
+
+    tx = events_as_transactions(load_table(spark, sf_dir, "events"))
+    wire = tx.select(
+        F.to_json(F.struct("userId", "amount")).alias("value")
+    )
+    d = materialize_wire_dir(wire)
+
+    def topology(frame):
+        return (
+            StreamsBuilder()
+            .stream(frame)
+            .map_values(lambda v: F.from_json(v, TRANSACTION_DDL))
+            .filter(lambda k, v: v.isNotNull())
+            .branch(
+                lambda k, v: v["amount"] > F.lit(EVENTS_FRAUD_THRESHOLD),
+                lambda k, v: F.lit(True),
+            )[0]
+            .map_values(lambda v: v["userId"])
+            .to_frame()
+        )
+
+    batch_n = topology(spark.read.text(d)).count()
+    stream = spark.readStream.schema("value STRING").text(d)
+    q = (
+        topology(stream)
+        .writeStream.format("memory")
+        .queryName("kstream_dsl_smoke")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stream_n = spark.sql("SELECT count(*) AS n FROM kstream_dsl_smoke").collect()[0].n
+    assert stream_n == batch_n > 0

@@ -5631,3 +5631,65 @@ def s80_kstream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_amount",
         "n_tx",
     )
+
+
+_S81_SQL = """
+    SELECT printf('user_%03d', a.user_id) AS userId,
+           a.value AS spike_amount,
+           date_trunc('second', a.ts) AS left_time,
+           b.value AS follow_amount,
+           date_trunc('second', b.ts) AS right_time
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.value > 300.0
+     AND date_trunc('second', b.ts) >= date_trunc('second', a.ts)
+     AND date_trunc('second', b.ts)
+         <= date_trunc('second', a.ts) + INTERVAL 6 HOUR
+"""
+
+
+@_register("s81_kstream_join", _S81_SQL)
+def s81_kstream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KStream#join through the DSL: the spike stream (amount > 300)
+    joined to the full event stream per user within
+    JoinWindows.of(0).after(6 hours) — s05's stream-stream correlation
+    re-expressed in the reference's own API (both window ends
+    inclusive, the Kafka Streams contract). The joiner merges both
+    values into a struct; the compiled plan is one key equi-join with
+    the interval as a residual filter (the r27 posture — never a
+    cross product).
+
+    Scale: co-partitioned by user key; the 6 h bound is what caps
+    per-key state in the true streaming deployment (s07's watermark
+    argument).
+
+    Reference parity: the KStream#join/JoinWindows surface the
+    reference's stack implies; semantics pinned by the s05 sibling."""
+    from ..streaming.kstream import KStream
+
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.date_trunc("second", F.col("ts")).cast("timestamp")
+    base = ev.select(
+        F.format_string("user_%03d", F.col("user_id")).alias("key"),
+        F.col("value").alias("amount"),
+        sec.alias("t"),
+    )
+    spikes = KStream(
+        base.where(F.col("amount") > 300.0), key="key", value="amount"
+    )
+    follows = KStream(base, key="key", value="amount")
+    joined = spikes.join(
+        follows,
+        lambda v1, v2: F.struct(
+            v1.alias("spike_amount"), v2.alias("follow_amount")
+        ),
+        time_col="t",
+        after="6 hours",
+    )
+    return joined.df.select(
+        F.col("key").alias("userId"),
+        F.col("amount.spike_amount").alias("spike_amount"),
+        "left_time",
+        F.col("amount.follow_amount").alias("follow_amount"),
+        "right_time",
+    )

@@ -100,6 +100,56 @@ class KStream:
         """KStream#groupByKey: the handle stateful ops hang off."""
         return KGroupedStream(self)
 
+    def join(
+        self,
+        other: "KStream",
+        joiner: Callable[[Column, Column], Column],
+        *,
+        time_col: str,
+        other_time_col: str | None = None,
+        before: str = "0 seconds",
+        after: str = "0 seconds",
+    ) -> "KStream":
+        """KStream#join(other, joiner, JoinWindows): key-equality plus
+        the time constraint t2 in [t1 - before, t1 + after], both ends
+        inclusive (JoinWindows.of/.before/.after semantics). Compiled
+        to ONE key equi-join with a range residual — Spark plans the
+        sort-merge join on the key and evaluates the interval as a
+        join filter (the r27 range-join posture: never a cross
+        product, co-partitioned by key at any scale).
+
+        The joined value is joiner(left_value, right_value); the two
+        event times survive as left_time/right_time columns.
+        """
+        ot = other_time_col or time_col
+        l = self._df.select(
+            F.col(self._key).alias("_jk"),
+            F.col(self._value).alias("_v1"),
+            F.col(time_col).alias("left_time"),
+        )
+        r = other._df.select(
+            F.col(other._key).alias("_jk"),
+            F.col(other._value).alias("_v2"),
+            F.col(ot).alias("right_time"),
+        )
+        cond = (
+            (F.col("right_time") >= F.col("left_time") - F.expr(f"INTERVAL {before}"))
+            & (F.col("right_time") <= F.col("left_time") + F.expr(f"INTERVAL {after}"))
+        )
+        out = (
+            l.join(r, "_jk")
+            .where(cond)
+            .select(
+                F.col("_jk").alias(self._key),
+                joiner(F.col("_v1"), F.col("_v2")).alias(self._value),
+                "left_time",
+                "right_time",
+            )
+        )
+        s = KStream(out, self._key, self._value)
+        s.peeked = list(self.peeked) + list(other.peeked)
+        return s
+
     # -- terminals ---------------------------------------------------------
 
     def to_frame(self) -> DataFrame:

@@ -1512,3 +1512,30 @@ def test_kstream_dsl_runs_as_real_stream(spark, sf_dir):
         q.stop()
     stream_n = spark.sql("SELECT count(*) AS n FROM kstream_dsl_smoke").collect()[0].n
     assert stream_n == batch_n > 0
+
+
+def test_kstream_join_window_inclusive_bounds(spark):
+    """JoinWindows semantics: both ends inclusive; key equality
+    required; before/after asymmetric windows honored."""
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.streaming.kstream import KStream
+
+    l = spark.createDataFrame(
+        [("k", 1.0, "2024-01-01 00:10:00")], "key STRING, v DOUBLE, t STRING"
+    ).withColumn("t", F.to_timestamp("t"))
+    r = spark.createDataFrame(
+        [("k", 2.0, "2024-01-01 00:10:00"),   # t2 == t1: inclusive
+         ("k", 3.0, "2024-01-01 00:16:00"),   # t1 + 6min: inclusive end
+         ("k", 4.0, "2024-01-01 00:16:01"),   # beyond after: out
+         ("k", 5.0, "2024-01-01 00:09:59"),   # before window 0: out
+         ("x", 6.0, "2024-01-01 00:10:00")],  # wrong key: out
+        "key STRING, v DOUBLE, t STRING",
+    ).withColumn("t", F.to_timestamp("t"))
+    out = KStream(l, key="key", value="v").join(
+        KStream(r, key="key", value="v"),
+        lambda a, b: b,
+        time_col="t",
+        after="6 minutes",
+    )
+    assert sorted(x.v for x in out.df.collect()) == [2.0, 3.0]

@@ -9431,3 +9431,236 @@ def m79_wilson_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((phat + z * z / (2.0 * n) - half) / denom).alias("wilson_lo"),
         ((phat + z * z / (2.0 * n) + half) / denom).alias("wilson_hi"),
     )
+
+
+_M80_SQL = """
+    WITH daily AS (
+      SELECT CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT)
+               // 86400 AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    span AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+    cal AS (
+      SELECT s.d, coalesce(daily.x, 0) AS x,
+             CAST((s.d + 3) // 7 AS BIGINT) AS wk,
+             CAST((s.d + 3) % 7 + 1 AS INT) AS dow
+      FROM (SELECT unnest(generate_series(lo, hi)) AS d FROM span) s
+      LEFT JOIN daily ON daily.d = s.d
+    ),
+    full_weeks AS (
+      SELECT wk FROM cal GROUP BY wk HAVING count(*) = 7
+    ),
+    b AS (SELECT cal.* FROM cal JOIN full_weeks USING (wk)),
+    cells AS (
+      SELECT wk, x, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT wk, x, c,
+             CAST(sum(c) OVER (PARTITION BY wk ORDER BY x
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - c AS BIGINT) AS before_
+      FROM cells
+    ),
+    ranked AS (
+      SELECT b.wk, b.dow,
+             CAST(2 * cum.before_ + cum.c + 1 AS BIGINT) AS r2
+      FROM b JOIN cum ON cum.wk = b.wk AND cum.x = b.x
+    ),
+    ties AS (
+      SELECT CAST(sum(c * c * c - c) AS BIGINT) AS tsum FROM cells
+    ),
+    rj AS (
+      SELECT dow, CAST(sum(r2) AS BIGINT) AS rj2 FROM ranked GROUP BY 1
+    ),
+    stat AS (
+      SELECT CAST((SELECT count(*) FROM full_weeks) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(rj2 * rj2) AS BIGINT) AS srj2
+      FROM rj
+    )
+    SELECT n, k,
+           (3.0 * srj2 - 3.0 * n * n * k * (k + 1) * (k + 1))
+             / (n * k * (k + 1.0)) AS q,
+           (3.0 * srj2 - 3.0 * n * n * k * (k + 1) * (k + 1))
+             / (n * k * (k + 1.0))
+             / (1.0 - tsum / (n * 1.0 * k * (k * 1.0 * k - 1))) AS q_tie_corrected
+    FROM stat CROSS JOIN ties
+"""
+
+
+@_register("m80_friedman_test", _M80_SQL)
+def m80_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test for a day-of-week effect on revenue with complete
+    calendar WEEKS as blocks — the repeated-measures nonparametric
+    ANOVA that m58's Kruskal-Wallis is NOT (KW pools all days; Friedman
+    ranks WITHIN each week, so week-to-week level shifts cancel):
+    doubled midranks within each 7-day block keep every rank sum an
+    exact integer (Q's numerator is 3*sum(Rj2^2) - 3n^2k(k+1)^2, pure
+    BIGINT), partial first/last weeks drop (blocks must be complete),
+    and the tie correction divides by 1 - sum(t^3-t)/(nk(k^2-1)).
+
+    Scale: day-bounded frames end-to-end after one corpus scan; the
+    within-week rank window partitions by week over 7-row groups.
+
+    Reference parity: none in reference; public test (Friedman 1937)
+    on the reference's revenue series."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    daily = (
+        ev.select(
+            (t / 86400).cast("long").alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").cast("long").alias("x"))
+    )
+    daily = daily.localCheckpoint()
+    span = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = (
+        span.select(F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d"))
+        .join(daily, "d", "left")
+        .select(
+            "d",
+            F.coalesce("x", F.lit(0)).alias("x"),
+            ((F.col("d") + 3) / 7).cast("long").alias("wk"),
+            ((F.col("d") + 3) % 7 + 1).cast("int").alias("dow"),
+        )
+    )
+    cal = cal.localCheckpoint()
+    full_weeks = cal.groupBy("wk").agg(F.count("*").alias("nd")).where(
+        F.col("nd") == 7
+    ).select("wk")
+    # broadcast bound: full_weeks is week-domain rows
+    b = cal.join(F.broadcast(full_weeks), "wk")
+    b = b.localCheckpoint()  # feeds cells AND the rank join
+    cells = b.groupBy("wk", "x").agg(F.count("*").cast("long").alias("c"))
+    ww = Window.partitionBy("wk").orderBy("x")
+    cum = cells.select(
+        "wk", "x", "c", (F.sum("c").over(ww) - F.col("c")).alias("before_")
+    )
+    ranked = b.join(cum, ["wk", "x"]).select(
+        "wk", "dow", (2 * F.col("before_") + F.col("c") + 1).cast("long").alias("r2")
+    )
+    ties = cells.agg(
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("tsum")
+    )
+    rj = ranked.groupBy("dow").agg(F.sum("r2").cast("long").alias("rj2"))
+    nw = full_weeks.agg(F.count("*").cast("long").alias("n"))
+    stat = (
+        rj.crossJoin(F.broadcast(nw))
+        .agg(
+            F.first("n").alias("n"),
+            F.count("*").cast("long").alias("k"),
+            F.sum(F.col("rj2") * F.col("rj2")).cast("long").alias("srj2"),
+        )
+    )
+    n, k = F.col("n"), F.col("k")
+    q = (3.0 * F.col("srj2") - 3.0 * n * n * k * (k + 1) * (k + 1)) / (
+        n * k * (k + 1.0)
+    )
+    corr = 1.0 - F.col("tsum") / (n * 1.0 * k * (k * 1.0 * k - 1))
+    # broadcast bound: ties is 1 row
+    return stat.crossJoin(F.broadcast(ties)).select(
+        "n", "k", q.alias("q"), (q / corr).alias("q_tie_corrected")
+    )
+
+
+_M81_SQL = """
+    WITH bounds AS (
+      SELECT min(CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT)
+               // 86400) AS lo,
+             max(CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT)
+               // 86400) AS hi
+      FROM events
+    ),
+    wk_ok AS (
+      SELECT CAST((d + 3) // 7 AS BIGINT) AS wk
+      FROM (SELECT unnest(generate_series(lo, hi)) AS d FROM bounds)
+      GROUP BY 1 HAVING count(*) = 7
+    ),
+    x AS (
+      SELECT DISTINCT user_id,
+             CAST((CAST(date_part('epoch', date_trunc('second', ts))
+                        AS BIGINT) // 86400 + 3) // 7 AS BIGINT) AS wk
+      FROM events WHERE event_type = 'purchase'
+    ),
+    xk AS (SELECT x.user_id, x.wk FROM x JOIN wk_ok USING (wk)),
+    ri AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS r FROM xk GROUP BY 1
+    ),
+    cj AS (SELECT wk, CAST(count(*) AS BIGINT) AS c FROM xk GROUP BY 1),
+    t AS (
+      SELECT CAST((SELECT count(*) FROM wk_ok) AS BIGINT) AS k,
+             CAST((SELECT count(*) FROM ri) AS BIGINT) AS n_blocks,
+             CAST((SELECT sum(r) FROM ri) AS BIGINT) AS nt,
+             CAST((SELECT sum(r * r) FROM ri) AS BIGINT) AS sr2,
+             CAST((SELECT sum(c * c) FROM cj) AS BIGINT) AS sc2
+      FROM (SELECT 1)
+    )
+    SELECT k, n_blocks, nt,
+           (k - 1.0) * (k * sc2 - nt * 1.0 * nt) / (k * 1.0 * nt - sr2) AS q
+    FROM t
+"""
+
+
+@_register("m81_cochran_q", _M81_SQL)
+def m81_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q for 'did each user purchase in week w' across the
+    complete calendar weeks — the k-treatment extension of m32's
+    McNemar (binary repeated measures: is purchase propensity stable
+    week over week for the SAME users?): Q = (k-1)(k*sum Cj^2 - N^2) /
+    (k*N - sum Ri^2) over exact integer row/column totals of the
+    user x week incidence matrix; users with no purchase in any
+    complete week drop (all-zero blocks carry no information and
+    cancel from both sums).
+
+    Scale: the incidence matrix never materializes as a grid — one
+    distinct (user, week) shuffle, two keyed aggs, a 1-row report.
+
+    Reference parity: none in reference; public test (Cochran 1950)
+    on the reference's conversion panel."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    d = (t / 86400).cast("long")
+    bounds = ev.agg(F.min(d).alias("lo"), F.max(d).alias("hi"))
+    wk_ok = (
+        bounds.select(F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("dd"))
+        .groupBy(((F.col("dd") + 3) / 7).cast("long").alias("wk"))
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") == 7)
+        .select("wk")
+    )
+    x = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", ((d + 3) / 7).cast("long").alias("wk"))
+        .distinct()
+    )
+    # broadcast bound: wk_ok is week-domain rows
+    xk = x.join(F.broadcast(wk_ok), "wk")
+    xk = xk.localCheckpoint()  # feeds row AND column totals
+    ri = xk.groupBy("user_id").agg(F.count("*").cast("long").alias("r"))
+    cj = xk.groupBy("wk").agg(F.count("*").cast("long").alias("c"))
+    kf = wk_ok.agg(F.count("*").cast("long").alias("k"))
+    rs = ri.agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum("r").cast("long").alias("nt"),
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("sr2"),
+    )
+    cs = cj.agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("sc2"))
+    # broadcast bounds: all three stat frames are 1 row
+    tj = kf.crossJoin(F.broadcast(rs)).crossJoin(F.broadcast(cs))
+    k, nt = F.col("k"), F.col("nt")
+    return tj.select(
+        "k",
+        "n_blocks",
+        "nt",
+        (
+            (k - 1.0) * (k * F.col("sc2") - nt * 1.0 * nt)
+            / (k * 1.0 * nt - F.col("sr2"))
+        ).alias("q"),
+    )

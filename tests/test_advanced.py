@@ -1136,3 +1136,70 @@ def test_m79_wilson_brute(spark, sf_dir):
         assert (g[0], g[1]) == (n, x)
         assert abs(g[3] - lo) < 1e-12 and abs(g[4] - hi) < 1e-12
         assert 0.0 <= g[3] <= phat <= g[4] <= 1.0
+
+
+def test_m80_friedman_brute(spark, sf_dir):
+    """Friedman Q vs a per-week midrank walk on complete weeks."""
+    import collections
+
+    pdf = _events_type_cents(spark, sf_dir)
+    daily = collections.Counter()
+    for ts, c in zip(pdf.ts, pdf.cents):
+        daily[int(ts.timestamp() // 86400)] += int(c)
+    lo, hi = min(daily), max(daily)
+    weeks = collections.defaultdict(dict)
+    for d in range(lo, hi + 1):
+        weeks[(d + 3) // 7][(d + 3) % 7 + 1] = daily.get(d, 0)
+    full = {w: v for w, v in weeks.items() if len(v) == 7}
+    n, k = len(full), 7
+    rj2 = collections.Counter()
+    tsum = 0
+    for w, days in full.items():
+        vals = sorted(days.values())
+        cnt = collections.Counter(vals)
+        tsum += sum(c**3 - c for c in cnt.values())
+        before = {}
+        pos = 0
+        for v in sorted(cnt):
+            before[v] = pos
+            pos += cnt[v]
+        for dow, v in days.items():
+            rj2[dow] += 2 * before[v] + cnt[v] + 1
+    srj2 = sum(r * r for r in rj2.values())
+    q = (3 * srj2 - 3 * n * n * k * (k + 1) ** 2) / (n * k * (k + 1))
+    corr = 1 - tsum / (n * k * (k * k - 1))
+    r = advanced.QUERIES["m80_friedman_test"](spark, sf_dir).collect()[0]
+    assert (r.n, r.k) == (n, k)
+    assert abs(r.q - q) < 1e-9
+    assert abs(r.q_tie_corrected - q / corr) < 1e-9
+
+
+def test_m81_cochran_q_brute(spark, sf_dir):
+    """Q vs a direct incidence-matrix walk on complete weeks."""
+    import collections
+
+    pdf = _events_type_cents(spark, sf_dir)
+    alld = [int(ts.timestamp() // 86400) for ts in pdf.ts]
+    lo, hi = min(alld), max(alld)
+    wk_days = collections.Counter((d + 3) // 7 for d in range(lo, hi + 1))
+    ok = {w for w, c in wk_days.items() if c == 7}
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    s = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    rows = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", (s / 86400).cast("long").alias("d")
+    ).collect()
+    inc = {(r.user_id, (r.d + 3) // 7) for r in rows if (r.d + 3) // 7 in ok}
+    ri = collections.Counter(u for u, _ in inc)
+    cj = collections.Counter(w for _, w in inc)
+    k = len(ok)
+    nt = sum(ri.values())
+    sr2 = sum(v * v for v in ri.values())
+    sc2 = sum(v * v for v in cj.values())
+    q = (k - 1) * (k * sc2 - nt * nt) / (k * nt - sr2)
+    r = advanced.QUERIES["m81_cochran_q"](spark, sf_dir).collect()[0]
+    assert (r.k, r.n_blocks, r.nt) == (k, len(ri), nt)
+    assert abs(r.q - q) < 1e-9

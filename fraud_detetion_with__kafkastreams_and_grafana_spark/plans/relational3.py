@@ -6956,3 +6956,56 @@ def r132_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_R133_SQL = """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_tx,
+           CAST(sum(CAST(round(
+             least(greatest(value / 100.0 - 0.5, 0.0), 1.0) * 1000000
+           ) AS BIGINT)) AS BIGINT) AS risk_micro_sum,
+           CAST(sum(CASE WHEN least(greatest(value / 100.0 - 0.5, 0.0), 1.0)
+                              > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+"""
+
+
+@_register("r133_sql_udf", _R133_SQL)
+def r133_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL user-defined functions (CREATE FUNCTION ... RETURN
+    expr) — the catalog-level abstraction layer a SQL-first team uses
+    instead of Python UDFs: a scalar risk() (u01's exact formula as a
+    declared SQL function) plus a second SQL function high_risk()
+    COMPOSED on top of it, both applied in plain SQL over events.
+    SQL UDFs inline into the Catalyst plan (no Python worker, no
+    serialization boundary — the plan is identical to writing the
+    expression inline, which is exactly what the shared oracle checks).
+
+    Scale: whole-stage codegen scan + one keyed agg; the function
+    layer costs nothing at runtime.
+
+    Reference parity: the reference's mapValues lambdas
+    (TransactionProcessor.java:29-36) as CATALOG functions rather than
+    topology code; public Spark 4 SQL UDF surface."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("r133_events")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION r133_risk(x DOUBLE) "
+        "RETURNS DOUBLE RETURN least(greatest(x / 100.0 - 0.5, 0.0), 1.0)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION r133_high(x DOUBLE) "
+        "RETURNS BOOLEAN RETURN r133_risk(x) > 0.5"
+    )
+    return spark.sql(
+        """
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_tx,
+               CAST(sum(CAST(round(r133_risk(value) * 1000000) AS BIGINT))
+                    AS BIGINT) AS risk_micro_sum,
+               CAST(sum(CASE WHEN r133_high(value) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_high
+        FROM r133_events WHERE event_type = 'purchase'
+        GROUP BY user_id
+        """
+    )

@@ -869,3 +869,16 @@ def test_r132_shares_close(spark, sf_dir):
     for reg, s in by_region.items():
         assert abs(s - 1.0) < 1e-9, reg
     assert abs(sum(region_share.values()) - 1.0) < 1e-9
+
+
+def test_r133_sql_udf_inlines_into_plan(spark, sf_dir):
+    """SQL UDFs must cost nothing at runtime: no Python eval operator
+    anywhere in the compiled plan, and the composed function
+    (high_risk calling risk) still inlines."""
+    df = relational3.QUERIES["r133_sql_udf"](spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    # behavioral spot-check: risk clamps to [0, 1]
+    rows = df.collect()
+    assert all(0 <= r.risk_micro_sum <= r.n_tx * 1000000 for r in rows)
+    assert all(r.n_high <= r.n_tx for r in rows)

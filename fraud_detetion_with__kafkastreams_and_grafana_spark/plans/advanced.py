@@ -9517,6 +9517,15 @@ def m80_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d")
         .agg(F.sum("cents").cast("long").alias("x"))
     )
+    return friedman_from_daily(daily)
+
+
+def friedman_from_daily(daily: "DataFrame") -> "DataFrame":
+    """(d, x) daily cents partials -> m80's one-row report. Daily
+    totals merge by keyed sum; shared by the s82 streaming twin."""
+    from pyspark.sql.window import Window
+
+    daily = daily.groupBy("d").agg(F.sum("x").cast("long").alias("x"))
     daily = daily.localCheckpoint()
     span = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
     cal = (
@@ -9663,4 +9672,68 @@ def m81_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (k - 1.0) * (k * F.col("sc2") - nt * 1.0 * nt)
             / (k * 1.0 * nt - F.col("sr2"))
         ).alias("q"),
+    )
+
+
+_M82_SQL = """
+    WITH e AS (
+      SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    gr AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(cents * cents) AS BIGINT) AS s2,
+             CAST(min(cents) AS BIGINT) AS mn,
+             CAST(max(cents) AS BIGINT) AS mx
+      FROM e GROUP BY 1
+    )
+    SELECT g AS event_type, n, mn AS min_cents, mx AS max_cents,
+           greatest(mx * 1.0 * n - s, s - mn * 1.0 * n)
+             / (n * sqrt((s2 - s * 1.0 * s / n) / (n - 1.0))) AS grubbs_g,
+           (mx - mn) / sqrt((s2 - s * 1.0 * s / n) / (n - 1.0))
+             AS studentized_range
+    FROM gr WHERE n > 1
+"""
+
+
+@_register("m82_grubbs_extremes", _M82_SQL)
+def m82_grubbs_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' statistic (max |x - mean| / sd) and the studentized
+    range (range / sd) per event type — the single-number extreme-
+    value screens behind m51's Tukey fences: G says how many sds the
+    worst point sits from the mean, q says how wide the whole
+    distribution is in sd units. Both collapse to exact integer
+    power sums + min/max (|max*n - s| vs |s - min*n| picks the worse
+    tail without materializing deviations): one scan, one float
+    sequence per type.
+
+    Scale: one map-side-combinable agg to |types| rows.
+
+    Reference parity: none in reference; public statistics (Grubbs
+    1950; Student 1927) on the reference's amount field."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    gr = e.groupBy("g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("s2"),
+        F.min("cents").cast("long").alias("mn"),
+        F.max("cents").cast("long").alias("mx"),
+    )
+    n, s, s2 = F.col("n"), F.col("s"), F.col("s2")
+    sd = F.sqrt((s2 - s * 1.0 * s / n) / (n - 1.0))
+    return gr.where(n > 1).select(
+        F.col("g").alias("event_type"),
+        "n",
+        F.col("mn").alias("min_cents"),
+        F.col("mx").alias("max_cents"),
+        (
+            F.greatest(F.col("mx") * 1.0 * n - s, s - F.col("mn") * 1.0 * n)
+            / (n * sd)
+        ).alias("grubbs_g"),
+        ((F.col("mx") - F.col("mn")) / sd).alias("studentized_range"),
     )

@@ -5693,3 +5693,41 @@ def s81_kstream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("amount.follow_amount").alias("follow_amount"),
         "right_time",
     )
+
+
+def _m80_oracle_sql() -> str:
+    from .advanced import ORACLES as _ADV
+
+    return _ADV["m80_friedman_test"]
+
+
+@_register("s82_stream_friedman", _m80_oracle_sql())
+def s82_stream_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m80's Friedman day-of-week test maintained ON INGEST from the
+    same (day, cents) partials as s75/s76 — THREE live day-domain
+    statistics off one ingestion frame — re-deriving the within-week
+    rank algebra through the shared tail (friedman_from_daily). The
+    re-derive is mandatory twice over: arriving mass re-ranks days
+    within their week AND can complete a previously-partial week,
+    adding a whole block to the test. Equal to batch m80, sharing its
+    oracle verbatim.
+
+    Scale: |days| partial rows per batch; week-bounded tail."""
+    from .advanced import friedman_from_daily
+
+    d = _events_proj_wire(
+        spark,
+        sf_dir,
+        lambda t: [
+            (t / 86400).cast("long").alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ],
+    )
+    merged = _partial_replay(
+        spark,
+        d,
+        "d LONG, cents LONG",
+        lambda b: b.groupBy("d").agg(F.sum("cents").alias("x")),
+        "s82",
+    )
+    return friedman_from_daily(merged)

@@ -1203,3 +1203,24 @@ def test_m81_cochran_q_brute(spark, sf_dir):
     r = advanced.QUERIES["m81_cochran_q"](spark, sf_dir).collect()[0]
     assert (r.k, r.n_blocks, r.nt) == (k, len(ri), nt)
     assert abs(r.q - q) < 1e-9
+
+
+def test_m82_grubbs_brute(spark, sf_dir):
+    """G and studentized range vs direct mean/sd arithmetic."""
+    import math
+    import statistics
+
+    pdf = _events_type_cents(spark, sf_dir)
+    got = {
+        r.event_type: (r.n, r.min_cents, r.max_cents,
+                       round(r.grubbs_g, 9), round(r.studentized_range, 9))
+        for r in advanced.QUERIES["m82_grubbs_extremes"](spark, sf_dir).collect()
+    }
+    for g, sub in pdf.groupby("event_type"):
+        xs = list(sub.cents)
+        n = len(xs)
+        mean = sum(xs) / n
+        sd = statistics.stdev(xs)
+        gg = max(max(xs) - mean, mean - min(xs)) / sd
+        q = (max(xs) - min(xs)) / sd
+        assert got[g] == (n, min(xs), max(xs), round(gg, 9), round(q, 9)), g

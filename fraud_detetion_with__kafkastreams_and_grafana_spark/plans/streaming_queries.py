@@ -5731,3 +5731,69 @@ def s82_stream_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s82",
     )
     return friedman_from_daily(merged)
+
+
+_S83_SQL = """
+    WITH latest AS (
+      SELECT user_id,
+             max_by(event_type,
+                    printf('%020d', CAST(epoch(date_trunc('second', ts))
+                                         AS BIGINT))
+                    || ':' || printf('%020d', event_id)) AS last_type
+      FROM events GROUP BY 1
+    )
+    SELECT latest.last_type,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events e JOIN latest USING (user_id)
+    WHERE e.event_type = 'purchase'
+    GROUP BY 1
+"""
+
+
+@_register("s83_kstream_table_join", _S83_SQL)
+def s83_kstream_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KStream#join(KTable) through the DSL — the canonical lookup
+    enrichment: the purchase stream joins each record to the user's
+    LATEST event type from a KTable built with KStream#toTable
+    (changelog compaction = max_by over a deterministic
+    (second, event_id) order — reproducible where Kafka wall-clock
+    arrival order is not), then aggregates purchase volume by that
+    enriched attribute. Inner join-semantics per Kafka Streams
+    (no-table-row records drop — vacuous here since the table derives
+    from the same keyspace).
+
+    Scale: compaction is ONE keyed max_by aggregation (never a
+    corpus-wide row_number window); the enrichment is a key equi-join
+    Catalyst sizes adaptively (broadcast small, shuffle big).
+
+    Reference parity: the KTable half of the Kafka Streams DSL the
+    reference's stack implies; compaction semantics pinned by the
+    deterministic order contract."""
+    from ..streaming.kstream import KStream
+
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    base = ev.select(
+        F.col("user_id").alias("key"),
+        F.col("event_type").alias("value"),
+        sec.alias("es"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    table = KStream(base, key="key", value="value").to_table(
+        ["es", "event_id"]
+    )
+    purchases = KStream(
+        base.where(F.col("value") == "purchase").select("key", F.col("cents").alias("value")),
+        key="key",
+        value="value",
+    )
+    enriched = purchases.join_table(
+        table, lambda cents, last_type: F.struct(cents.alias("cents"), last_type.alias("last_type"))
+    )
+    return enriched.df.groupBy(F.col("value.last_type").alias("last_type")).agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        F.sum("value.cents").cast("long").alias("total_cents"),
+    )

@@ -100,6 +100,47 @@ class KStream:
         """KStream#groupByKey: the handle stateful ops hang off."""
         return KGroupedStream(self)
 
+    def to_table(self, order_cols: list[str]) -> "KTable":
+        """KStream#toTable: latest value per key, 'latest' defined by
+        the caller's deterministic order columns (e.g. [event_time,
+        event_id] — the tie-break makes compaction reproducible, which
+        wall-clock arrival order in Kafka is not). Compiled to ONE
+        keyed max_by aggregation — never a corpus-wide row_number
+        window. The order key is a zero-padded string composite so the
+        same compaction is expressible in any engine (struct order
+        keys are Spark-only)."""
+        ordk = F.concat_ws(
+            ":", *[F.format_string("%020d", F.col(c)) for c in order_cols]
+        )
+        out = self._df.groupBy(F.col(self._key)).agg(
+            F.max_by(F.col(self._value), ordk).alias(self._value)
+        )
+        return KTable(out, self._key, self._value)
+
+    def join_table(
+        self,
+        table: "KTable",
+        joiner: Callable[[Column, Column], Column],
+    ) -> "KStream":
+        """KStream#join(KTable): per-record lookup enrichment. Inner
+        semantics (records with no table row drop, per Kafka Streams);
+        compiled to one key equi-join that Catalyst broadcasts when
+        the table is small and shuffles when it is not — the adaptive
+        call a hand-rolled enrichment cache gets wrong at scale."""
+        l = self._df.withColumnRenamed(self._value, "_sv")
+        r = table._df.select(
+            F.col(table._key).alias(self._key),
+            F.col(table._value).alias("_tv"),
+        )
+        out = (
+            l.join(r, self._key)
+            .withColumn(self._value, joiner(F.col("_sv"), F.col("_tv")))
+            .drop("_sv", "_tv")
+        )
+        s = KStream(out, self._key, self._value)
+        s.peeked = list(self.peeked)
+        return s
+
     def join(
         self,
         other: "KStream",
@@ -227,3 +268,37 @@ class TimeWindowedKStream:
 
     def count(self, alias: str = "count") -> DataFrame:
         return self.aggregate(F.count("*").alias(alias))
+
+
+class KTable:
+    """KTable: one row per key — the changelog-compacted view. In
+    batch replays this is the table's FINAL state (the fixed point a
+    caught-up Kafka Streams app converges to); the true streaming
+    deployment maintains it with the s12 stream-static / s41
+    view-maintenance postures."""
+
+    def __init__(self, df: DataFrame, key: str = "key", value: str = "value"):
+        self._df = df
+        self._key = key
+        self._value = value
+
+    def filter(self, fn: PredFn) -> "KTable":
+        return KTable(
+            self._df.where(fn(F.col(self._key), F.col(self._value))),
+            self._key,
+            self._value,
+        )
+
+    def map_values(self, fn: ValueFn) -> "KTable":
+        return KTable(
+            self._df.withColumn(self._value, fn(F.col(self._value))),
+            self._key,
+            self._value,
+        )
+
+    def to_stream(self) -> KStream:
+        return KStream(self._df, self._key, self._value)
+
+    @property
+    def df(self) -> DataFrame:
+        return self._df

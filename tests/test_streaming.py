@@ -1539,3 +1539,29 @@ def test_kstream_join_window_inclusive_bounds(spark):
         after="6 minutes",
     )
     assert sorted(x.v for x in out.df.collect()) == [2.0, 3.0]
+
+
+def test_ktable_compaction_and_stream_table_join(spark):
+    """toTable keeps the LATEST value per key by the declared order;
+    join(KTable) enriches with inner semantics (no-row keys drop)."""
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.streaming.kstream import KStream
+
+    changelog = spark.createDataFrame(
+        [("u", "old", 1, 1), ("u", "new", 2, 1), ("u", "tie", 2, 0),
+         ("v", "only", 1, 1)],
+        "key STRING, value STRING, t INT, eid INT",
+    )
+    table = KStream(changelog).to_table(["t", "eid"])
+    got = {r.key: r.value for r in table.df.collect()}
+    assert got == {"u": "new", "v": "only"}  # (2,1) beats (2,0) and (1,1)
+
+    stream = spark.createDataFrame(
+        [("u", 10.0), ("w", 99.0)], "key STRING, value DOUBLE"
+    )
+    out = KStream(stream).join_table(
+        table, lambda v, tv: F.concat(F.lit("x:"), tv)
+    )
+    rows = out.df.collect()
+    assert len(rows) == 1 and rows[0].key == "u" and rows[0].value == "x:new"

@@ -8946,6 +8946,16 @@ def m73_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("xi"),
     )
+    return trend_test_from_dow_counts(g)
+
+
+def trend_test_from_dow_counts(g: DataFrame) -> DataFrame:
+    """(w, ni, xi) dow count partials -> m73's one-row report.
+    Counts merge by keyed sum; shared by the s84 streaming twin."""
+    g = g.groupBy("w").agg(
+        F.sum("ni").cast("long").alias("ni"),
+        F.sum("xi").cast("long").alias("xi"),
+    )
     s = g.agg(
         F.sum("ni").cast("long").alias("n"),
         F.sum("xi").cast("long").alias("x"),
@@ -9418,6 +9428,21 @@ def m79_wilson_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("x"),
     )
+    return wilson_from_counts(g)
+
+
+def wilson_from_dow_counts(g: DataFrame) -> DataFrame:
+    """(w, ni, xi) dow count partials -> m79's report. Counts merge
+    by keyed sum; shared by the s85 streaming twin."""
+    g = g.groupBy("w").agg(
+        F.sum("ni").cast("long").alias("n"),
+        F.sum("xi").cast("long").alias("x"),
+    ).select(F.col("w").alias("dow"), "n", "x")
+    return wilson_from_counts(g)
+
+
+def wilson_from_counts(g: DataFrame) -> DataFrame:
+    """(dow, n, x) -> Wilson interval projection (m79's tail)."""
     z = 1.959963984540054
     n, x = F.col("n"), F.col("x")
     phat = x * 1.0 / n

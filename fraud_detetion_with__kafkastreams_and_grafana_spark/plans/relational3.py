@@ -7009,3 +7009,90 @@ def r133_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY user_id
         """
     )
+
+
+_R134_SQL = """
+    WITH e AS (
+      SELECT user_id, event_type AS t,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s
+      FROM events
+    ),
+    pat AS (
+      SELECT DISTINCT a.user_id, a.t AS ante, b.t AS cons
+      FROM e a JOIN e b
+        ON a.user_id = b.user_id
+       AND b.s > a.s AND b.s <= a.s + 3600
+       AND a.t <> b.t
+    ),
+    ab AS (
+      SELECT ante, cons, CAST(count(*) AS BIGINT) AS n_users_ab
+      FROM pat GROUP BY 1, 2
+    ),
+    ua AS (
+      SELECT t AS ante, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_a
+      FROM e GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM e)
+    SELECT ante, cons, n_users_ab, n_users_a,
+           n_users_ab * 1.0 / n_users AS support,
+           n_users_ab * 1.0 / n_users_a AS confidence
+    FROM ab JOIN ua USING (ante) CROSS JOIN tot
+"""
+
+
+@_register("r134_sequential_rules", _R134_SQL)
+def r134_sequential_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential association rules 'A then B within an hour' at user
+    granularity — the ORDERED complement to r96's co-occurrence rules
+    and the screen that separates browse->purchase (healthy) from
+    error->purchase (suspicious retry-fraud): support = users showing
+    the sequence / all users, confidence = / users with the
+    antecedent. The pattern set is DISTINCT per user before counting,
+    so one hyperactive user can't inflate a rule.
+
+    Scale: the candidate join is user-keyed with a 1-hour residual
+    (the r27/s81 posture — co-partitioned, bounded by per-user-hour
+    activity, never cross-user pairs); the rule frame is
+    |types|^2-bounded.
+
+    Reference parity: none in reference; public sequential-pattern
+    methodology (Agrawal & Srikant 1995) on the reference's journey
+    data."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    e = ev.select("user_id", F.col("event_type").alias("t"), sec.alias("s"))
+    e = e.localCheckpoint()  # feeds the pair join AND both supports
+    a = e.select("user_id", F.col("t").alias("ante"), F.col("s").alias("sa"))
+    b = e.select("user_id", F.col("t").alias("cons"), F.col("s").alias("sb"))
+    pat = (
+        a.join(b, "user_id")
+        .where(
+            (F.col("sb") > F.col("sa"))
+            & (F.col("sb") <= F.col("sa") + 3600)
+            & (F.col("ante") != F.col("cons"))
+        )
+        .select("user_id", "ante", "cons")
+        .distinct()
+    )
+    ab = pat.groupBy("ante", "cons").agg(
+        F.count("*").cast("long").alias("n_users_ab")
+    )
+    ua = e.groupBy(F.col("t").alias("ante")).agg(
+        F.countDistinct("user_id").cast("long").alias("n_users_a")
+    )
+    tot = e.agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    # broadcast bounds: ua is |types| rows, tot is 1 row
+    return (
+        ab.join(F.broadcast(ua), "ante")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "ante",
+            "cons",
+            "n_users_ab",
+            "n_users_a",
+            (F.col("n_users_ab") * 1.0 / F.col("n_users")).alias("support"),
+            (F.col("n_users_ab") * 1.0 / F.col("n_users_a")).alias(
+                "confidence"
+            ),
+        )
+    )

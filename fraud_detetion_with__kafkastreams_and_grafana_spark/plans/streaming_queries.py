@@ -5797,3 +5797,80 @@ def s83_kstream_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_purchases"),
         F.sum("value.cents").cast("long").alias("total_cents"),
     )
+
+
+def _m73_oracle_sql() -> str:
+    from .advanced import ORACLES as _ADV
+
+    return _ADV["m73_cochran_armitage"]
+
+
+@_register("s84_stream_trend_test", _m73_oracle_sql())
+def s84_stream_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m73's Cochran-Armitage trend test maintained ON INGEST:
+    per-batch partials are the 7-row (dow, n_i, x_i) count frame —
+    trivially mergeable keyed sums — and the score-sum z re-derives
+    through the shared tail. Equal to batch m73, sharing its oracle
+    verbatim. Paired with s85 off the SAME partials: one live frame
+    answers both 'is there a weekly trend' (here) and 'what are the
+    honest error bars per day' (s85).
+
+    Scale: 7 partial rows per batch; the tail is a projection."""
+    from .advanced import trend_test_from_dow_counts
+
+    d = _events_proj_wire(
+        spark,
+        sf_dir,
+        lambda t: [
+            (F.expr("weekday(ts)") + 1).cast("long").alias("w"),
+            (F.col("event_type") == "purchase").cast("long").alias("isp"),
+        ],
+    )
+    merged = _partial_replay(
+        spark,
+        d,
+        "w LONG, isp LONG",
+        lambda b: b.groupBy("w").agg(
+            F.count("*").cast("long").alias("ni"),
+            F.sum("isp").cast("long").alias("xi"),
+        ),
+        "s84",
+    )
+    return trend_test_from_dow_counts(merged)
+
+
+def _m79_oracle_sql() -> str:
+    from .advanced import ORACLES as _ADV
+
+    return _ADV["m79_wilson_intervals"]
+
+
+@_register("s85_stream_wilson", _m79_oracle_sql())
+def s85_stream_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m79's Wilson conversion intervals maintained ON INGEST from the
+    same (dow, n, x) partials as s84 — the live error bars under the
+    dashboard's per-day conversion tiles, shrinking batch by batch as
+    n grows. Equal to batch m79, sharing its oracle verbatim.
+
+    Scale: 7 partial rows per batch; projection tail."""
+    from .advanced import wilson_from_dow_counts
+
+    d = _events_proj_wire(
+        spark,
+        sf_dir,
+        lambda t: [
+            (F.expr("weekday(ts)") + 1).cast("long").alias("w"),
+            (F.col("event_type") == "purchase").cast("long").alias("isp"),
+        ],
+    )
+    merged = _partial_replay(
+        spark,
+        d,
+        "w LONG, isp LONG",
+        lambda b: b.groupBy("w").agg(
+            F.count("*").cast("long").alias("ni"),
+            F.sum("isp").cast("long").alias("xi"),
+        ),
+        "s85",
+    )
+    return wilson_from_dow_counts(merged)

@@ -882,3 +882,37 @@ def test_r133_sql_udf_inlines_into_plan(spark, sf_dir):
     rows = df.collect()
     assert all(0 <= r.risk_micro_sum <= r.n_tx * 1000000 for r in rows)
     assert all(r.n_high <= r.n_tx for r in rows)
+
+
+def test_r134_sequential_rules_brute(spark, sf_dir):
+    """Support/confidence vs a per-user ordered-pair walk."""
+    import collections
+
+    rows = _events_typed_secs(spark, sf_dir)
+    byu = collections.defaultdict(list)
+    for u, eid, s, t in rows:
+        byu[u].append((s, t))
+    pat = set()
+    users_with = collections.defaultdict(set)
+    for u, evs in byu.items():
+        evs.sort()
+        for i, (sa, ta) in enumerate(evs):
+            users_with[ta].add(u)
+            for sb, tb in evs[i + 1:]:
+                if sb > sa + 3600:
+                    break
+                if sb > sa and ta != tb:
+                    pat.add((u, ta, tb))
+    n_users = len(byu)
+    ab = collections.Counter((a, b) for _, a, b in pat)
+    got = {
+        (r.ante, r.cons): (r.n_users_ab, r.n_users_a,
+                           round(r.support, 12), round(r.confidence, 12))
+        for r in relational3.QUERIES["r134_sequential_rules"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(ab)
+    for (a, b), n_ab in ab.items():
+        na = len(users_with[a])
+        assert got[(a, b)] == (
+            n_ab, na, round(n_ab / n_users, 12), round(n_ab / na, 12),
+        ), (a, b)

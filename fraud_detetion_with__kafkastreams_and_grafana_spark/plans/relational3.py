@@ -7096,3 +7096,88 @@ def r134_sequential_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_R135_SQL = """
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    v AS (SELECT user_id, event_id, s FROM e WHERE event_type = 'view'),
+    p AS (SELECT user_id, event_id, s, cents FROM e
+          WHERE event_type = 'purchase'),
+    nxt AS (
+      SELECT v.event_id AS vid,
+             min(printf('%020d:%020d', p.s, p.event_id)) AS mk
+      FROM v JOIN p ON p.user_id = v.user_id AND p.s >= v.s
+      GROUP BY 1
+    ),
+    m AS (
+      SELECT v.user_id, v.event_id, v.s AS view_s,
+             p.s AS next_s, p.cents AS next_cents
+      FROM v
+      LEFT JOIN nxt ON nxt.vid = v.event_id
+      LEFT JOIN p ON printf('%020d:%020d', p.s, p.event_id) = nxt.mk
+    )
+    SELECT user_id, event_id,
+           CASE WHEN next_s IS NOT NULL AND next_s - view_s <= 7200
+                THEN next_cents END AS next_purchase_cents,
+           CASE WHEN next_s IS NOT NULL AND next_s - view_s <= 7200
+                THEN next_s - view_s END AS latency_s
+    FROM m
+"""
+
+
+@_register("r135_asof_forward", _R135_SQL)
+def r135_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with a 2-hour tolerance: each VIEW attaches
+    the user's NEXT purchase ("did the browse convert, and how fast")
+    — the time-direction mirror of r26's backward as-of, and a
+    different operator: backward answers 'state at event time',
+    forward answers 'outcome after event time'. Same single-shuffle
+    union formulation (operators/asof.py:asof_join_forward): one
+    key-partitioned descending time walk carries the nearest following
+    purchase; the tolerance applies as a post-filter on the exact
+    integer latency. Ties at the same second resolve to the smallest
+    (s, event_id) payload — pinned deterministic.
+
+    Scale: one shuffle on user_id, zero pair explosion (the naive
+    candidates-then-argmin join is |views| x |purchases| per user
+    before aggregating — this never materializes it).
+
+    Reference parity: none in reference; public point-in-time
+    methodology, forward direction (next-fill matching in market
+    data)."""
+    from ..operators.asof import asof_join_forward
+
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        sec.alias("s"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    v = e.where(F.col("event_type") == "view").select("user_id", "event_id", "s")
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("s").alias("ps"),
+        F.col("event_id").alias("pid"),
+        "cents",
+    )
+    j = asof_join_forward(
+        v, p, by=["user_id"], left_ts="s", right_ts="ps",
+        payload_cols=["ps", "pid", "cents"],
+    )
+    within = F.col("asof_ps").isNotNull() & (
+        F.col("asof_ps") - F.col("s") <= 7200
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        F.when(within, F.col("asof_cents")).alias("next_purchase_cents"),
+        F.when(within, F.col("asof_ps") - F.col("s")).alias("latency_s"),
+    )

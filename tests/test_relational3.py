@@ -916,3 +916,71 @@ def test_r134_sequential_rules_brute(spark, sf_dir):
         assert got[(a, b)] == (
             n_ab, na, round(n_ab / n_users, 12), round(n_ab / na, 12),
         ), (a, b)
+
+
+def test_asof_forward_semantics(spark):
+    """Inclusive boundary, tie-break to smallest payload, null when no
+    following right row."""
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 99, "b"), (2, 5, "c")], "k INT, t INT, tag STRING"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100), (1, 10, 50), (1, 20, 200)], "k INT, t INT, payload INT"
+    )
+    out = {
+        r.tag: r.asof_payload
+        for r in asof_join_forward(
+            left, right, by=["k"], left_ts="t", right_ts="t",
+            payload_cols=["t", "payload"],
+        ).select("tag", F.col("asof_payload")).collect()
+    }
+    assert out["a"] == 50   # t=10 inclusive; tie -> smallest payload
+    assert out["b"] is None  # nothing after t=99
+    assert out["c"] is None  # key 2 has no right rows
+
+    out_excl = {
+        r.tag: r.asof_payload
+        for r in asof_join_forward(
+            left, right, by=["k"], left_ts="t", right_ts="t",
+            payload_cols=["t", "payload"], inclusive=False,
+        ).select("tag", "asof_payload").collect()
+    }
+    assert out_excl["a"] == 200  # strict >: skips the t=10 rows
+
+
+def test_r135_forward_brute(spark, sf_dir):
+    """Next-purchase attachment vs a sorted per-user walk."""
+    import collections
+
+    rows = _events_typed_secs(spark, sf_dir)
+    views = [(u, eid, s) for u, eid, s, t in rows if t == "view"]
+    purch = collections.defaultdict(list)
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
+    for r in ev.where(F.col("event_type") == "purchase").select(
+        "user_id", sec.alias("s"), "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).collect():
+        purch[r.user_id].append((r.s, r.event_id, r.cents))
+    for v in purch.values():
+        v.sort()
+    want = {}
+    for u, eid, s in views:
+        nxt = next(((ps, c) for ps, _, c in purch.get(u, []) if ps >= s), None)
+        if nxt and nxt[0] - s <= 7200:
+            want[eid] = (nxt[1], nxt[0] - s)
+        else:
+            want[eid] = (None, None)
+    got = {
+        r.event_id: (r.next_purchase_cents, r.latency_s)
+        for r in relational3.QUERIES["r135_asof_forward"](spark, sf_dir).collect()
+    }
+    assert got == want

@@ -9749,6 +9749,20 @@ def m82_grubbs_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").cast("long").alias("mn"),
         F.max("cents").cast("long").alias("mx"),
     )
+    return grubbs_from_power_extremes(gr)
+
+
+def grubbs_from_power_extremes(gr: DataFrame) -> DataFrame:
+    """(g, n, s, s2, mn, mx) partials -> m82's per-type report.
+    Counts/sums merge by keyed sum, extremes by keyed min/max — the
+    textbook mergeable statistic pack; shared by the s86 twin."""
+    gr = gr.groupBy("g").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s").cast("long").alias("s"),
+        F.sum("s2").cast("long").alias("s2"),
+        F.min("mn").cast("long").alias("mn"),
+        F.max("mx").cast("long").alias("mx"),
+    )
     n, s, s2 = F.col("n"), F.col("s"), F.col("s2")
     sd = F.sqrt((s2 - s * 1.0 * s / n) / (n - 1.0))
     return gr.where(n > 1).select(
@@ -9761,4 +9775,146 @@ def m82_grubbs_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (n * sd)
         ).alias("grubbs_g"),
         ((F.col("mx") - F.col("mn")) / sd).alias("studentized_range"),
+    )
+
+
+_M83_SQL = """
+    WITH e AS (
+      SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    obs AS (
+      SELECT g, cents, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2
+    ),
+    pooled AS (
+      SELECT cents, CAST(sum(c) AS BIGINT) AS ch,
+             CAST(2 * (sum(sum(c)) OVER (ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                  - sum(c) AS BIGINT) AS h2
+      FROM obs GROUP BY cents
+    ),
+    gt AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng FROM obs GROUP BY 1),
+    t AS (
+      SELECT CAST(sum(ng) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k
+      FROM gt
+    ),
+    grid AS (
+      SELECT gt.g, gt.ng, pooled.cents, pooled.ch, pooled.h2,
+             coalesce(obs.c, 0) AS cg
+      FROM gt CROSS JOIN pooled
+      LEFT JOIN obs ON obs.g = gt.g AND obs.cents = pooled.cents
+    ),
+    walk AS (
+      SELECT g, ng, ch, h2,
+             CAST(2 * (sum(cg) OVER (PARTITION BY g ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                  - cg AS BIGINT) AS m2
+      FROM grid
+    ),
+    cells AS (
+      SELECT g, ng,
+             CAST(round(ch * (n * 1.0 * m2 - ng * 1.0 * h2)
+                           * (n * 1.0 * m2 - ng * 1.0 * h2)
+                        / (n * 1.0 * (h2 * 1.0 * (2 * n - h2)
+                                      - n * 1.0 * ch))
+                        * 1000000.0, 0) AS BIGINT) AS t_micro
+      FROM walk CROSS JOIN t WHERE ch < n
+    ),
+    si AS (
+      SELECT g, max(ng) AS ng, CAST(sum(t_micro) AS BIGINT) AS s_micro
+      FROM cells GROUP BY 1
+    )
+    SELECT n, k,
+           (n - 1.0) / n * sum(s_micro * 1.0 / ng) / 1000000.0 AS a2kn
+    FROM si CROSS JOIN t GROUP BY n, k
+"""
+
+
+@_register("m83_ksample_anderson_darling", _M83_SQL)
+def m83_ksample_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-sample Anderson-Darling across ALL five event types (Scholz &
+    Stephens 1987, ties-adjusted midrank form) — does ANY event type
+    draw its amounts from a different distribution, weighted toward
+    the tails (the k-group sibling of m58's Kruskal-Wallis the way m78
+    pairs with m57): per (pooled cell, group) the term reuses m78's
+    doubled-midcount float sequence micro-rounded once, so all k inner
+    sums are order-free integers. The per-group cumulative M2 needs
+    every group's count AT EVERY pooled value — the grid scaffold is
+    |distinct values| x k (value-domain bounded), built with one left
+    join, never a row-level sort.
+
+    Scale: one scan to the (g, cents) histogram; the grid walk
+    partitions by group over the value domain; the report is 1 row.
+
+    Reference parity: none in reference; public test (Scholz &
+    Stephens 1987)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    obs = e.groupBy("g", "cents").agg(F.count("*").cast("long").alias("c"))
+    obs = obs.localCheckpoint()  # feeds pooled, group totals AND the grid
+    wc = Window.orderBy("cents")
+    pooled = (
+        obs.groupBy("cents")
+        .agg(F.sum("c").cast("long").alias("ch"))
+        .select(
+            "cents",
+            "ch",
+            (2 * F.sum("ch").over(wc) - F.col("ch")).cast("long").alias("h2"),
+        )
+    )
+    gt = obs.groupBy("g").agg(F.sum("c").cast("long").alias("ng"))
+    t = gt.agg(
+        F.sum("ng").cast("long").alias("n"), F.count("*").cast("long").alias("k")
+    )
+    # grid scaffold: |values| x k rows (bounded); broadcast bound: gt is k rows
+    grid = (
+        F.broadcast(gt)
+        .crossJoin(pooled)
+        .join(obs, ["g", "cents"], "left")
+        .select(
+            "g", "ng", "cents", "ch", "h2",
+            F.coalesce("c", F.lit(0)).alias("cg"),
+        )
+    )
+    wg = Window.partitionBy("g").orderBy("cents")
+    walk = grid.select(
+        "g",
+        "ng",
+        "ch",
+        "h2",
+        (2 * F.sum("cg").over(wg) - F.col("cg")).cast("long").alias("m2"),
+    )
+    # broadcast bound: t is 1 row
+    j = walk.crossJoin(F.broadcast(t)).where(F.col("ch") < F.col("n"))
+    n = F.col("n")
+    d = n * 1.0 * F.col("m2") - F.col("ng") * 1.0 * F.col("h2")
+    den = n * 1.0 * (
+        F.col("h2") * 1.0 * (2 * n - F.col("h2")) - n * 1.0 * F.col("ch")
+    )
+    cells = j.select(
+        "g",
+        "ng",
+        F.round(F.col("ch") * d * d / den * 1e6, 0).cast("long").alias("t_micro"),
+    )
+    si = cells.groupBy("g").agg(
+        F.max("ng").alias("ng"), F.sum("t_micro").cast("long").alias("s_micro")
+    )
+    return (
+        si.crossJoin(F.broadcast(t))
+        .groupBy("n", "k")
+        .agg(
+            (
+                (F.col("n") - 1.0)
+                / F.col("n")
+                * F.sum(F.col("s_micro") * 1.0 / F.col("ng"))
+                / 1e6
+            ).alias("a2kn")
+        )
+        .select("n", "k", "a2kn")
     )

@@ -5874,3 +5874,48 @@ def s85_stream_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s85",
     )
     return wilson_from_dow_counts(merged)
+
+
+def _m82_oracle_sql() -> str:
+    from .advanced import ORACLES as _ADV
+
+    return _ADV["m82_grubbs_extremes"]
+
+
+@_register("s86_stream_grubbs", _m82_oracle_sql())
+def s86_stream_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m82's Grubbs/studentized-range extreme screens maintained ON
+    INGEST: per-batch partials are (type, n, s, s2, min, max) — the
+    textbook mergeable pack where counts and power sums merge by keyed
+    SUM and the extremes by keyed MIN/MAX — re-deriving through the
+    shared tail (grubbs_from_power_extremes). Equal to batch m82,
+    sharing its oracle verbatim. The live reading: 'is the worst
+    amount we have EVER seen still explainable at today's sd' —
+    extremes never expire, which is exactly why min/max are the only
+    non-windowed merge in the s-family.
+
+    Scale: |types| partial rows per batch; projection tail."""
+    from .advanced import grubbs_from_power_extremes
+
+    d = _events_proj_wire(
+        spark,
+        sf_dir,
+        lambda t: [
+            F.col("event_type").alias("g"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ],
+    )
+    merged = _partial_replay(
+        spark,
+        d,
+        "g STRING, cents LONG",
+        lambda b: b.groupBy("g").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("s"),
+            F.sum(F.col("cents") * F.col("cents")).cast("long").alias("s2"),
+            F.min("cents").cast("long").alias("mn"),
+            F.max("cents").cast("long").alias("mx"),
+        ),
+        "s86",
+    )
+    return grubbs_from_power_extremes(merged)

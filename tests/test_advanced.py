@@ -1224,3 +1224,35 @@ def test_m82_grubbs_brute(spark, sf_dir):
         gg = max(max(xs) - mean, mean - min(xs)) / sd
         q = (max(xs) - min(xs)) / sd
         assert got[g] == (n, min(xs), max(xs), round(gg, 9), round(q, 9)), g
+
+
+def test_m83_ksample_ad_brute(spark, sf_dir):
+    """k-sample A2kN vs a per-group midcount walk over all pooled
+    values (including each group's zero cells)."""
+    import collections
+
+    pdf = _events_type_cents(spark, sf_dir)
+    groups = {g: collections.Counter(sub.cents) for g, sub in pdf.groupby("event_type")}
+    vals = sorted(set().union(*groups.values()))
+    ng = {g: sum(c.values()) for g, c in groups.items()}
+    n = sum(ng.values())
+    pooled = {v: sum(c.get(v, 0) for c in groups.values()) for v in vals}
+    s_micro = {}
+    for g, cnt in groups.items():
+        cum = cumh = 0
+        s = 0
+        for v in vals:
+            cg = cnt.get(v, 0)
+            ch = pooled[v]
+            m2 = 2 * (cum + cg) - cg
+            h2 = 2 * (cumh + ch) - ch
+            cum += cg
+            cumh += ch
+            if ch < n:
+                den = n * (h2 * (2 * n - h2) - n * ch)
+                s += _half_up(ch * (n * m2 - ng[g] * h2) ** 2 / den, 1e6)
+        s_micro[g] = s
+    a2 = (n - 1) / n * sum(s_micro[g] / ng[g] for g in groups) / 1e6
+    r = advanced.QUERIES["m83_ksample_anderson_darling"](spark, sf_dir).collect()[0]
+    assert (r.n, r.k) == (n, len(groups))
+    assert abs(r.a2kn - a2) < 1e-9

@@ -6856,6 +6856,13 @@ def r131_reach_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     s = F.unix_timestamp(F.date_trunc("second", F.col("ts")).cast("timestamp"))
     ud = ev.select("user_id", (s / 86400).cast("long").alias("d")).distinct()
+    return reach_from_user_days(ud)
+
+
+def reach_from_user_days(ud: DataFrame) -> DataFrame:
+    """(user_id, d) active-day pairs -> r131's report. Partials merge
+    by distinct union (re-distinct here); shared by the s87 twin."""
+    ud = ud.distinct()
     ud = ud.localCheckpoint()  # feeds first-seen AND daily actives
     fs = ud.groupBy("user_id").agg(F.min("d").alias("f"))
     act = ud.groupBy("d").agg(F.count("*").cast("long").alias("active"))

@@ -5919,3 +5919,44 @@ def s86_stream_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s86",
     )
     return grubbs_from_power_extremes(merged)
+
+
+def _r131_oracle_sql() -> str:
+    from .relational3 import ORACLES as _R3
+
+    return _R3["r131_reach_curve"]
+
+
+@_register("s87_stream_reach_curve", _r131_oracle_sql())
+def s87_stream_reach_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r131's new/returning split + cumulative reach maintained ON
+    INGEST — the live growth-accounting board: per-batch partials are
+    the batch's DISTINCT (user, day) pairs (idempotent under merge —
+    re-distinct at refresh — so replayed or duplicated wire records
+    cannot double-count a user-day), and first-seen attribution plus
+    the reach cumsum re-derive through the shared tail
+    (reach_from_user_days). The re-derive matters: a late-arriving
+    older event can RE-ASSIGN a user's first-seen day, moving them
+    from 'new' on one day to 'returning' — incremental new-counters
+    get this wrong. Equal to batch r131, sharing its oracle verbatim.
+
+    Scale: partials bounded by active user-days per batch; the tail is
+    one keyed shuffle + day-bounded windows."""
+    from .relational3 import reach_from_user_days
+
+    d = _events_proj_wire(
+        spark,
+        sf_dir,
+        lambda t: [
+            "user_id",
+            (t / 86400).cast("long").alias("d"),
+        ],
+    )
+    merged = _partial_replay(
+        spark,
+        d,
+        "user_id LONG, d LONG",
+        lambda b: b.select("user_id", "d").distinct(),
+        "s87",
+    )
+    return reach_from_user_days(merged)

@@ -6561,7 +6561,7 @@ _M51_SQL = """
     ),
     q AS (
       SELECT event_type,
-             min(n) AS n,
+             CAST(min(n) AS BIGINT) AS n,
              min(cents) FILTER (4 * cum >= n) AS q1,
              min(cents) FILTER (4 * cum >= 3 * n) AS q3
       FROM cum GROUP BY 1

@@ -154,6 +154,19 @@ _CHECKED_R8 = (
     | {f"m{i:02d}" for i in range(15, 33)}
     | {f"l{i:02d}" for i in range(71, 88)}
 )
+# The actual r09 window (CORRECTNESS_r09.json, exactly 50 rows): the
+# never-checked head in family order — s41-s87 (47) + m33-m35 (3).
+# 49 green; s58 hash-red (oracle HUGEINT type leak shared with m51,
+# fixed round 10: CAST(min(n) AS BIGINT) in _M51_SQL — the value data
+# was already exact, so s58 still counts as checked for rotation).
+# That leaves 120 never-checked rows sorting first into the round-10
+# window: m36-m83 (48) then l100/l101 fill the 50; the overflow
+# (l88-l107 rest + r84-r135) rotates to rounds 11-12. Round 10 froze
+# registry growth (VERDICT r9 task 4) so the backlog only drains.
+_CHECKED_R9 = (
+    {f"s{i:02d}" for i in range(41, 88)}
+    | {f"m{i:02d}" for i in range(33, 36)}
+)
 _LAST_CHECKED: dict[str, int] = {}
 for _rnd, _qs in (
     (1, _CHECKED_R1),
@@ -164,6 +177,7 @@ for _rnd, _qs in (
     (6, _CHECKED_R6),
     (7, _CHECKED_R7),
     (8, _CHECKED_R8),
+    (9, _CHECKED_R9),
 ):
     for _q in _qs:
         _LAST_CHECKED[_q] = _rnd

@@ -8,9 +8,17 @@ swap the engine. The facade is Spark-first: every stage records a
 COLUMN transformation (never a row-at-a-time Python lambda), so the
 whole chained topology compiles to one narrow whole-stage-codegen
 span — Catalyst sees straight through the DSL, exactly as if the
-user had written raw DataFrame code. Works identically over batch
-frames and readStream frames (the column algebra is the same; only
-the terminal sink differs).
+user had written raw DataFrame code. The STATELESS core (mapValues/
+filter/selectKey/branch/peek) works identically over batch frames and
+readStream frames — the column algebra is the same; only the terminal
+sink differs (s79 drives it over a live stream). The STATEFUL surfaces
+(to_table, join_table, join, group_by_key aggregates) are batch-replay
+views of the changelog fixed point: under Structured Streaming they
+need caller-supplied watermarks/output modes (to_table's max_by is an
+unbounded-state complete-mode aggregate; join is a stream-stream join
+that requires watermarks on both sides) — the s12 stream-static and
+s41 view-maintenance postures are the streaming deployments of the
+same plans.
 
 Semantics pinned to Kafka Streams:
 - ``branch(p1, p2, ...)`` is FIRST-MATCH-WINS: a record lands in the
@@ -78,13 +86,22 @@ class KStream:
         Compiled as pred_i AND NOT (pred_1 OR ... OR pred_{i-1}) so each
         branch is an independent filter over the SAME upstream frame —
         Spark reuses the scan, and each branch stays a narrow plan.
+
+        Each predicate is null-coalesced to FALSE before composing:
+        Kafka Streams predicates are Java booleans, so a record whose
+        predicate would NPE/evaluate-null simply doesn't match that
+        branch and falls through to the next — under raw SQL
+        three-valued logic ``p_i & ~p_j`` with a NULL ``p_j`` would
+        instead drop the record from EVERY branch, including a
+        lit(True) catch-all.
         """
         out: list[KStream] = []
         k, v = F.col(self._key), F.col(self._value)
+        safe = [F.coalesce(p(k, v), F.lit(False)) for p in preds]
         for i in range(len(preds)):
-            cond = preds[i](k, v)
+            cond = safe[i]
             for j in range(i):
-                cond = cond & ~preds[j](k, v)
+                cond = cond & ~safe[j]
             s = KStream(self._df.where(cond), self._key, self._value)
             s.peeked = list(self.peeked)
             out.append(s)
@@ -108,10 +125,37 @@ class KStream:
         keyed max_by aggregation — never a corpus-wide row_number
         window. The order key is a zero-padded string composite so the
         same compaction is expressible in any engine (struct order
-        keys are Spark-only)."""
-        ordk = F.concat_ws(
-            ":", *[F.format_string("%020d", F.col(c)) for c in order_cols]
-        )
+        keys are Spark-only).
+
+        Encoding per order column: timestamps become epoch
+        microseconds, dates epoch days, numerics a long cast (the
+        fractional part of a float order column is truncated —
+        pre-scale if sub-unit order matters); NULL sorts FIRST (it ties
+        with the minimum encodable value); and every value is offset by
+        +10**18 before zero-padding so negative values order correctly
+        (lexicographic order over '-'-prefixed padded strings would be
+        reversed). Domain: order values must lie in
+        [-10**18, ~8.2*10**18] — epoch micros until year ~33658.
+        """
+        from pyspark.sql import types as T
+
+        offset = 10**18
+        parts = []
+        for c in order_cols:
+            dt = self._df.schema[c].dataType
+            col = F.col(c)
+            if isinstance(dt, T.TimestampNTZType):
+                col = col.cast("timestamp")
+                dt = T.TimestampType()
+            if isinstance(dt, T.TimestampType):
+                col = F.unix_micros(col)
+            elif isinstance(dt, T.DateType):
+                col = F.unix_date(col)
+            else:
+                col = col.cast("long")
+            col = F.coalesce(col, F.lit(-offset)) + F.lit(offset)
+            parts.append(F.format_string("%019d", col))
+        ordk = F.concat_ws(":", *parts)
         out = self._df.groupBy(F.col(self._key)).agg(
             F.max_by(F.col(self._value), ordk).alias(self._value)
         )
@@ -258,11 +302,11 @@ class TimeWindowedKStream:
                 F.col(ks._key),
             )
             .agg(*aggs)
-            .select(
-                F.col("w.start").alias("window_start"),
-                F.col(ks._key),
-                "*",
-            )
+            # '*' already carries the grouping key once — naming it
+            # again would emit a duplicate key column that breaks
+            # parquet/CSV writes (COLUMN_ALREADY_EXISTS) and makes
+            # downstream key references ambiguous.
+            .select(F.col("w.start").alias("window_start"), "*")
             .drop("w")
         )
 

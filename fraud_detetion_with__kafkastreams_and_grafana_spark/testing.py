@@ -65,6 +65,39 @@ def _values_match(a, b, rtol: float = 1e-6, atol: float = 1e-6) -> bool:
     return bool(a == b)
 
 
+def _is_null(x) -> bool:
+    if x is None or x is pd.NaT or x is pd.NA:
+        return True
+    return isinstance(x, float) and math.isnan(x)
+
+
+def _dtype_drift(col: str, sa: pd.Series, sb: pd.Series) -> str | None:
+    """Detect int-vs-float dtype drift the driver's value hash rejects.
+
+    The driver hashes Spark and oracle values with their types: oracle
+    2006.0 (float64, e.g. from an uncast DuckDB HUGEINT) never hashes
+    equal to Spark int 2006 even though ``math.isclose`` passes —
+    exactly how s58/m51 shipped red in CORRECTNESS_r09.  One relaxation:
+    a nullable integer column materializes as float64-with-NaN in
+    pandas on EITHER side, so an int/float pair is only a leak when the
+    float side is NaN-free (a genuinely float-typed column) or carries
+    a fractional value.
+    """
+    ka, kb = sa.dtype.kind, sb.dtype.kind
+    if ka in "iu" and kb in "iu":
+        return None
+    if (ka in "iu") != (kb in "iu") and {ka, kb} <= set("iuf"):
+        floatcol = sb if ka in "iu" else sa
+        finite = floatcol.dropna()
+        if floatcol.isna().any() and bool((finite == finite.round()).all()):
+            return None  # nullable-int materialization, not a type leak
+        return (
+            f"int/float dtype drift on '{col}': spark={sa.dtype} "
+            f"oracle={sb.dtype} (driver value hash would diverge)"
+        )
+    return None
+
+
 @dataclass
 class ParityResult:
     name: str
@@ -85,12 +118,14 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame)
         )
     if len(sp) != len(od):
         return ParityResult(name, False, f"row count {len(sp)} vs {len(od)}", len(sp), len(od))
+    for c in sp.columns:
+        drift = _dtype_drift(c, sp[c], od[c])
+        if drift:
+            return ParityResult(name, False, drift, len(sp), len(od))
     for i in range(len(sp)):
         for c in sp.columns:
             a, b = sp.iloc[i][c], od.iloc[i][c]
-            if (a is pd.NaT or (isinstance(a, float) and math.isnan(a)) or a is None) and (
-                b is pd.NaT or (isinstance(b, float) and math.isnan(b)) or b is None
-            ):
+            if _is_null(a) and _is_null(b):
                 continue
             if not _values_match(a, b):
                 res.mismatches.append((i, c, a, b))

@@ -1,0 +1,96 @@
+"""Guards on the local parity gate itself (VERDICT r9 tasks 2 & 6).
+
+Round 9 shipped s58/m51 driver-red because the shared oracle computed
+``min(n)`` over a DuckDB HUGEINT sum: pandas materialized the column as
+float64, the driver's typed value hash diverged, and the local gate —
+value-tolerant, dtype-blind — passed anyway.  These tests pin the two
+defenses that close that class:
+
+1. ``testing._dtype_drift`` red-flags int-vs-float column pairs (the
+   strict gate every parity test now runs through), with the one sound
+   relaxation for nullable-int → float64-with-NaN materialization.
+2. A registry-wide DESCRIBE sweep rejects any oracle emitting a
+   HUGEINT/UHUGEINT column (DuckDB ``sum(BIGINT)`` uncast — the exact
+   m51 slip), and doubles as a bind-time syntax check on all 422 SQLs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fraud_detetion_with__kafkastreams_and_grafana_spark import testing
+from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.registry import all_oracles
+
+
+def test_strict_gate_catches_the_s58_defect_shape():
+    # Oracle float64 2006.0 vs Spark int64 2006: value-identical, the
+    # pre-round-10 gate passed it, the driver hash rejected it.
+    spark_pdf = pd.DataFrame({"event_type": ["a"], "n": np.array([2006], dtype="int64")})
+    oracle_pdf = pd.DataFrame({"event_type": ["a"], "n": np.array([2006.0])})
+    res = testing.compare_frames("s58_shape", spark_pdf, oracle_pdf)
+    assert not res.ok
+    assert "dtype drift" in res.detail and "'n'" in res.detail
+
+
+def test_strict_gate_symmetric_spark_float_vs_oracle_int():
+    spark_pdf = pd.DataFrame({"k": [1], "v": np.array([3.0])})
+    oracle_pdf = pd.DataFrame({"k": [1], "v": np.array([3], dtype="int64")})
+    res = testing.compare_frames("sym", spark_pdf, oracle_pdf)
+    assert not res.ok and "dtype drift" in res.detail
+
+
+def test_strict_gate_allows_nullable_int_materialization():
+    # An int column with NULLs arrives as float64-with-NaN from either
+    # engine's pandas conversion — same driver-side canonical type, not
+    # a leak.
+    spark_pdf = pd.DataFrame({"k": [1, 2], "v": np.array([3.0, np.nan])})
+    oracle_pdf = pd.DataFrame({"k": [1, 2], "v": pd.array([3, None], dtype="Int64")})
+    res = testing.compare_frames("nullable", spark_pdf, oracle_pdf)
+    assert res.ok, res.detail
+
+
+def test_strict_gate_still_flags_fractional_float_vs_int():
+    spark_pdf = pd.DataFrame({"v": np.array([3], dtype="int64")})
+    oracle_pdf = pd.DataFrame({"v": np.array([3.5])})
+    res = testing.compare_frames("frac", spark_pdf, oracle_pdf)
+    assert not res.ok
+
+
+def test_strict_gate_int_widths_are_compatible():
+    spark_pdf = pd.DataFrame({"v": np.array([3], dtype="int32")})
+    oracle_pdf = pd.DataFrame({"v": np.array([3], dtype="int64")})
+    res = testing.compare_frames("widths", spark_pdf, oracle_pdf)
+    assert res.ok, res.detail
+
+
+def test_strict_gate_float_float_untouched():
+    spark_pdf = pd.DataFrame({"v": np.array([3.25], dtype="float32")})
+    oracle_pdf = pd.DataFrame({"v": np.array([3.25])})
+    res = testing.compare_frames("ff", spark_pdf, oracle_pdf)
+    assert res.ok, res.detail
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide oracle type sweep — bind-only (DESCRIBE), no execution.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = testing.duckdb_conn(sf_dir)
+    yield con
+    con.close()
+
+
+def test_no_oracle_emits_hugeint(duck):
+    offenders = []
+    for name, sql in all_oracles().items():
+        for col, typ, *_ in duck.execute(f"DESCRIBE ({sql})").fetchall():
+            if "HUGEINT" in typ.upper():
+                offenders.append((name, col, typ))
+    assert not offenders, (
+        "uncast DuckDB aggregate (HUGEINT materializes as float64 in "
+        f"pandas; driver hash diverges from Spark ints): {offenders}"
+    )

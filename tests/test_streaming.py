@@ -1565,3 +1565,70 @@ def test_ktable_compaction_and_stream_table_join(spark):
     )
     rows = out.df.collect()
     assert len(rows) == 1 and rows[0].key == "u" and rows[0].value == "x:new"
+
+
+def test_kstream_branch_null_predicate_falls_through(spark):
+    """ADVICE r9: a NULL-evaluating predicate must behave like Java
+    false — the record falls through to later branches (and reaches a
+    lit(True) catch-all) instead of being dropped from every branch by
+    three-valued logic."""
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.streaming.kstream import StreamsBuilder
+
+    df = spark.createDataFrame(
+        [("big", 500.0), ("null_amt", None), ("small", 5.0)],
+        "key STRING, value DOUBLE",
+    )
+    hi, rest = StreamsBuilder().stream(df).branch(
+        lambda k, v: v > 100.0,       # NULL for null_amt
+        lambda k, v: F.lit(True),     # catch-all
+    )
+    assert [r.key for r in hi.df.collect()] == ["big"]
+    assert sorted(r.key for r in rest.df.collect()) == ["null_amt", "small"]
+
+
+def test_kstream_windowed_aggregate_no_duplicate_key_column(spark, tmp_path):
+    """ADVICE r9: windowedBy().aggregate() must emit [window_start,
+    key, aggs...] with the key exactly once — the duplicate-column
+    schema broke parquet writes with COLUMN_ALREADY_EXISTS."""
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.streaming.kstream import KStream
+
+    df = spark.createDataFrame(
+        [("u", 1.0, "2024-01-01 00:00:05")], "key STRING, amount DOUBLE, t STRING"
+    ).withColumn("t", F.to_timestamp("t"))
+    out = (
+        KStream(df, key="key", value="amount")
+        .group_by_key()
+        .windowed_by("30 seconds", "t")
+        .count()
+    )
+    assert out.columns == ["window_start", "key", "count"]
+    out.write.mode("overwrite").parquet(str(tmp_path / "wagg"))  # must not raise
+
+
+def test_kstream_to_table_negative_and_null_order_values(spark):
+    """ADVICE r9: the compaction order key must order negative longs
+    numerically (not lexicographically over '-'-prefixed strings),
+    treat NULL as the minimum, and accept timestamp order columns."""
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.streaming.kstream import KStream
+
+    changelog = spark.createDataFrame(
+        [("u", "neg_small", -20), ("u", "neg_big", -1), ("u", "null_t", None),
+         ("v", "pos", 3), ("v", "neg", -3)],
+        "key STRING, value STRING, t LONG",
+    )
+    got = {r.key: r.value for r in KStream(changelog).to_table(["t"]).df.collect()}
+    assert got == {"u": "neg_big", "v": "pos"}  # -1 > -20; NULL sorts first
+
+    ts = spark.createDataFrame(
+        [("u", "early", "2024-01-01 00:00:00.100"),
+         ("u", "late", "2024-01-01 00:00:00.900")],
+        "key STRING, value STRING, t STRING",
+    ).withColumn("t", F.to_timestamp("t"))
+    got_ts = {r.key: r.value for r in KStream(ts).to_table(["t"]).df.collect()}
+    assert got_ts == {"u": "late"}  # sub-second order survives (epoch micros)

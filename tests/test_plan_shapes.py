@@ -810,3 +810,58 @@ def test_l105_l106_vocab_joins_never_cartesian(spark, sf_dir):
     for name in ("l105_pmi_collocations", "l106_distinctive_terms"):
         p = _plan(llmops.QUERIES[name](spark, sf_dir))
         assert "CartesianProduct" not in p, (name, p)
+
+
+def test_r10_window_plans_no_cartesian_no_python_bnlj_bounded(spark, sf_dir):
+    """Blanket scale pin over the round-10 driver window (m36-m83 +
+    l100/l101, the float-heavy statistics pack): no plan may contain a
+    CartesianProduct (unbounded all-pairs), a row-at-a-time
+    BatchEvalPython, or a BroadcastNestedLoopJoin whose build subtree
+    is not provably bounded (aggregate-rooted, checkpointed RDD,
+    reused exchange, or local table). This is the automated version of
+    the per-query 'broadcast bound' comments: a refactor that
+    cross-joins a corpus-sized raw scan fails here before it ships.
+    (Equi-join BroadcastHashJoins are NOT policed: those are Catalyst
+    size-threshold choices that auto-revert to shuffle joins at real
+    scale.)"""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    window = [
+        n for n in qs
+        if (n[0] == "m" and n[1:3].isdigit() and 36 <= int(n[1:3]) <= 83)
+    ] + ["l100_dup_bigram_rate", "l101_overlap_coefficient_pairs"]
+    assert len(window) == 50
+    # Waivers: BNLJ builds bounded by a LITERAL predicate instead of an
+    # aggregate — boundedness is in the filter constant, which a plan-
+    # string sweep can't prove. Each entry names the bound.
+    waived_bnlj = {
+        # eval frame is the fixed first-_M55_N_EVAL ids (vec_id < 100)
+        "m55_knn_loo_accuracy",
+    }
+    offenders = {}
+    for n in window:
+        p = _plan(qs[n](spark, sf_dir))
+        marks = [m for m in ("CartesianProduct", "BatchEvalPython") if m in p]
+        # Every BNLJ replicates its build side to every task AND cannot
+        # fall back to sort-merge at scale the way an equi-join
+        # BroadcastHashJoin does — so its build subtree must be provably
+        # bounded: rooted in an aggregate (1-row stats / group-count /
+        # value-domain-histogram frames), a checkpointed bounded RDD, a
+        # reused bounded exchange, or a literal local table. A raw
+        # corpus scan here would be the l84-class defect.
+        for sub in _subtrees(p, "BroadcastNestedLoopJoin"):
+            if n in waived_bnlj:
+                continue
+            txt = "\n".join(sub)
+            if "BroadcastExchange" not in txt and "ReusedExchange" not in txt:
+                continue  # build side reused from elsewhere in the plan
+            if not any(
+                k in txt
+                for k in ("Aggregate", "ReusedExchange", "Scan ExistingRDD",
+                          "LocalTableScan", "Subquery")
+            ):
+                marks.append(f"unbounded BNLJ build: {sub[0].strip()[:90]}")
+        if marks:
+            offenders[n] = marks
+    assert not offenders, offenders

@@ -813,8 +813,9 @@ def test_l105_l106_vocab_joins_never_cartesian(spark, sf_dir):
 
 
 def test_r10_window_plans_no_cartesian_no_python_bnlj_bounded(spark, sf_dir):
-    """Blanket scale pin over the round-10 driver window (m36-m83 +
-    l100/l101, the float-heavy statistics pack): no plan may contain a
+    """Blanket scale pin over the whole never-driver-checked backlog
+    (the round-10/11/12 windows: m36-m83, l88-l107, r84-r135 — 120
+    queries as of the r09 rotation sync): no plan may contain a
     CartesianProduct (unbounded all-pairs), a row-at-a-time
     BatchEvalPython, or a BroadcastNestedLoopJoin whose build subtree
     is not provably bounded (aggregate-rooted, checkpointed RDD,
@@ -824,14 +825,19 @@ def test_r10_window_plans_no_cartesian_no_python_bnlj_bounded(spark, sf_dir):
     (Equi-join BroadcastHashJoins are NOT policed: those are Catalyst
     size-threshold choices that auto-revert to shuffle joins at real
     scale.)"""
-    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.registry import all_queries
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.registry import (
+        _LAST_CHECKED,
+        all_queries,
+    )
 
     qs = all_queries()
     window = [
         n for n in qs
-        if (n[0] == "m" and n[1:3].isdigit() and 36 <= int(n[1:3]) <= 83)
-    ] + ["l100_dup_bigram_rate", "l101_overlap_coefficient_pairs"]
-    assert len(window) == 50
+        if _LAST_CHECKED.get(n.split("_", 1)[0], 0) == 0
+        and not n.startswith("s")  # s-twins EXECUTE on build; their
+        # batch plans are pinned via the batch queries they share
+    ]
+    assert len(window) >= 50
     # Waivers: BNLJ builds bounded by a LITERAL predicate instead of an
     # aggregate — boundedness is in the filter constant, which a plan-
     # string sweep can't prove. Each entry names the bound.

@@ -4123,17 +4123,27 @@ def s49_stream_decayed_leaderboard(
 
 
 def _events_proj_wire(spark: SparkSession, sf_dir: str, cols) -> str:
-    """JSON wire dir for an events projection (replay input)."""
+    """JSON wire dir for an events projection (replay input).
+
+    Session-cached by the PROJECTION EXPRESSION (VERDICT r9 task 8):
+    twins reading the same projection — e.g. the (d, cents) daily-cents
+    wire feeds three queries — share one serialized dir instead of each
+    re-materializing it, the same once-per-session policy as the plain
+    `_wire_dir` family. The struct Column's repr is a deterministic
+    render of the resolved expression tree, so identical projections
+    key identically and different ones never collide."""
     from ..streaming.replay import materialize_wire_dir
 
     ev = load_table(spark, sf_dir, "events")
     t = F.unix_timestamp(
         F.date_trunc("second", F.col("ts")).cast("timestamp")
     )
-    wire = ev.select(
-        F.to_json(F.struct(*cols(t))).alias("value")
-    )
-    return materialize_wire_dir(wire)
+    struct = F.struct(*cols(t))
+    key = ("proj", spark.sparkContext.applicationId, sf_dir, str(struct))
+    if key not in _WIRE_DIRS:
+        wire = ev.select(F.to_json(struct).alias("value"))
+        _WIRE_DIRS[key] = materialize_wire_dir(wire)
+    return _WIRE_DIRS[key]
 
 
 def _partial_replay(spark, wire_dir, schema, reduce_fn, prefix):

@@ -4719,3 +4719,59 @@ def test_clamped_balance_matches_sequential_recurrence(spark, rows):
             n += 1
         want[u] = (n, b, peak, hits)
     assert got == want
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["u", "v", "w"]),
+            st.integers(min_value=-(10**18), max_value=8 * 10**18),
+            st.one_of(st.none(), st.integers(min_value=-(10**18), max_value=8 * 10**18)),
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_kstream_to_table_order_matches_tuple_max(spark, rows):
+    """Property pin for the ADVICE-r9 to_table fix: for ANY mix of
+    negative / positive / NULL order values across the documented
+    domain, compaction picks exactly the row a Python tuple-max over
+    (t1, t2) picks — NULL ordering as the minimum, value ordering
+    numeric (never lexicographic over padded strings)."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.streaming.kstream import KStream
+
+    data = [(k, f"v{i}", t1, t2) for i, (k, t1, t2) in enumerate(rows)]
+    df = spark.createDataFrame(data, "key STRING, value STRING, t1 LONG, t2 LONG")
+    got = {r.key: r.value for r in KStream(df).to_table(["t1", "t2"]).df.collect()}
+
+    lo = -(10**18)
+    best: dict[str, tuple] = {}
+    for k, v, t1, t2 in data:
+        ordk = (t1 if t1 is not None else lo, t2 if t2 is not None else lo)
+        # ties: max_by is free to pick either; only assert on keys whose
+        # max order tuple is unique
+        if k not in best or ordk > best[k][0]:
+            best[k] = (ordk, v, 1)
+        elif ordk == best[k][0]:
+            best[k] = (ordk, best[k][1], best[k][2] + 1)
+    for k, (ordk, v, n_ties) in best.items():
+        if n_ties == 1:
+            assert got[k] == v, (k, ordk, got[k], v)
+
+
+def test_events_proj_wire_cache_shares_and_separates(spark):
+    """The projection-keyed wire cache must HIT for an identical
+    projection (same dir back) and MISS for a different one — a key
+    collision would silently feed one twin another twin's stream."""
+    from pyspark.sql import functions as F
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import streaming_queries as sq
+
+    sf_dir = "/root/testdata/sf0.001"
+    p1 = lambda t: [(t / 86400).cast("long").alias("d")]  # noqa: E731
+    p2 = lambda t: [(t / 3600).cast("long").alias("d")]  # noqa: E731
+    d1 = sq._events_proj_wire(spark, sf_dir, p1)
+    d1b = sq._events_proj_wire(spark, sf_dir, p1)
+    d2 = sq._events_proj_wire(spark, sf_dir, p2)
+    assert d1 == d1b and d1 != d2

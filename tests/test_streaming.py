@@ -1480,10 +1480,17 @@ def test_kstream_dsl_runs_as_real_stream(spark, sf_dir):
     tx = events_as_transactions(load_table(spark, sf_dir, "events"))
     wire = tx.select(
         F.to_json(F.struct("userId", "amount")).alias("value")
+    ).unionByName(
+        # a parseable record with a NULL amount: its branch-0 predicate
+        # evaluates NULL, so first-match-wins must route it to the
+        # catch-all (ADVICE-r9 null-safety), in streaming too
+        spark.createDataFrame(
+            [('{"userId":"user_null","amount":null}',)], "value STRING"
+        )
     )
     d = materialize_wire_dir(wire)
 
-    def topology(frame):
+    def topology(frame, branch_idx=0):
         return (
             StreamsBuilder()
             .stream(frame)
@@ -1492,12 +1499,18 @@ def test_kstream_dsl_runs_as_real_stream(spark, sf_dir):
             .branch(
                 lambda k, v: v["amount"] > F.lit(EVENTS_FRAUD_THRESHOLD),
                 lambda k, v: F.lit(True),
-            )[0]
+            )[branch_idx]
             .map_values(lambda v: v["userId"])
             .to_frame()
         )
 
+    total_n = spark.read.text(d).count()
     batch_n = topology(spark.read.text(d)).count()
+    batch_rest = topology(spark.read.text(d), 1)
+    # first-match-wins partitions parsed records exhaustively: the
+    # NULL-amount record lands in the catch-all, nothing vanishes
+    assert batch_n + batch_rest.count() == total_n
+    assert batch_rest.where(F.col("value") == "user_null").count() == 1
     stream = spark.readStream.schema("value STRING").text(d)
     q = (
         topology(stream)
@@ -1512,6 +1525,22 @@ def test_kstream_dsl_runs_as_real_stream(spark, sf_dir):
         q.stop()
     stream_n = spark.sql("SELECT count(*) AS n FROM kstream_dsl_smoke").collect()[0].n
     assert stream_n == batch_n > 0
+    # and the same null-routing holds under readStream execution
+    q2 = (
+        topology(spark.readStream.schema("value STRING").text(d), 1)
+        .writeStream.format("memory")
+        .queryName("kstream_dsl_smoke_rest")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    rest_n = spark.sql(
+        "SELECT count(*) AS n FROM kstream_dsl_smoke_rest"
+    ).collect()[0].n
+    assert stream_n + rest_n == total_n
 
 
 def test_kstream_join_window_inclusive_bounds(spark):

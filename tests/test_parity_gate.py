@@ -94,3 +94,26 @@ def test_no_oracle_emits_hugeint(duck):
         "uncast DuckDB aggregate (HUGEINT materializes as float64 in "
         f"pandas; driver hash diverges from Spark ints): {offenders}"
     )
+
+
+def test_strict_gate_catches_the_actual_r09_defect_end_to_end(spark, duck, sf_dir):
+    """Run the REAL m51 Spark plan against the PRE-round-10 oracle text
+    (min(n) uncast → HUGEINT → float64) and assert the strict gate
+    red-flags it — the exact end-to-end path that shipped s58 driver-red
+    in CORRECTNESS_r09 — then that the shipped (cast) oracle passes."""
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import advanced
+
+    fixed_sql = advanced.ORACLES["m51_tukey_fences"]
+    assert "CAST(min(n) AS BIGINT)" in fixed_sql
+    broken_sql = fixed_sql.replace("CAST(min(n) AS BIGINT) AS n", "min(n) AS n")
+    assert broken_sql != fixed_sql
+
+    spark_pdf = advanced.QUERIES["m51_tukey_fences"](spark, sf_dir).toPandas()
+    broken = testing.compare_frames(
+        "m51_broken_oracle", spark_pdf, duck.execute(broken_sql).df()
+    )
+    assert not broken.ok and "dtype drift" in broken.detail, broken.detail
+    fixed = testing.compare_frames(
+        "m51_fixed_oracle", spark_pdf, duck.execute(fixed_sql).df()
+    )
+    assert fixed.ok, fixed.detail

@@ -95,6 +95,20 @@ def _dtype_drift(col: str, sa: pd.Series, sb: pd.Series) -> str | None:
             f"int/float dtype drift on '{col}': spark={sa.dtype} "
             f"oracle={sb.dtype} (driver value hash would diverge)"
         )
+    # bool-vs-numeric: Python's True == 1 makes this class silent in a
+    # value comparison, but the driver hashes typed values — a Spark
+    # boolean column against an oracle 0/1 BIGINT (or vice versa)
+    # diverges exactly like the s58 int/float case.
+    if (ka == "b") != (kb == "b") and {ka, kb} <= set("biuf"):
+        return (
+            f"bool/numeric dtype drift on '{col}': spark={sa.dtype} "
+            f"oracle={sb.dtype} (True==1 passes locally, driver hash differs)"
+        )
+    # date-vs-timestamp cannot be decided from pandas dtypes alone
+    # (Spark DATE materializes as object datetime.date, DuckDB DATE as
+    # datetime64 — same logical type, different dtypes), so that class
+    # is audited at the LOGICAL level instead: Spark plan schema vs
+    # DuckDB DESCRIBE, tests/test_parity_gate.py.
     return None
 
 

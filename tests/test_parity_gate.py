@@ -117,3 +117,75 @@ def test_strict_gate_catches_the_actual_r09_defect_end_to_end(spark, duck, sf_di
         "m51_fixed_oracle", spark_pdf, duck.execute(fixed_sql).df()
     )
     assert fixed.ok, fixed.detail
+
+
+def test_strict_gate_flags_bool_vs_int():
+    # Python's True == 1 makes this silent in value comparison; the
+    # driver hashes typed values and diverges.
+    spark_pdf = pd.DataFrame({"flag": np.array([True, False])})
+    oracle_pdf = pd.DataFrame({"flag": np.array([1, 0], dtype="int64")})
+    res = testing.compare_frames("bool_int", spark_pdf, oracle_pdf)
+    assert not res.ok and "bool/numeric dtype drift" in res.detail
+
+
+def test_strict_gate_bool_bool_untouched():
+    spark_pdf = pd.DataFrame({"flag": np.array([True, False])})
+    oracle_pdf = pd.DataFrame({"flag": np.array([True, False])})
+    assert testing.compare_frames("bool_bool", spark_pdf, oracle_pdf).ok
+
+
+def test_logical_types_agree_bool_date_ts(spark, duck, sf_dir):
+    """Bind-level audit of the type classes the materialized gate can't
+    decide from pandas dtypes: for every BATCH oracle emitting BOOLEAN /
+    DATE / TIMESTAMP columns, the Spark plan schema must agree — except
+    the one driver-proven-safe direction, Spark TIMESTAMP vs oracle DATE
+    (both materialize datetime64; r19/r45 hash-green in CORRECTNESS
+    r01/r03/r05/r07). Spark DATE vs oracle TIMESTAMP would diverge
+    (object datetime.date vs datetime64) and fails here. s-twins are
+    excluded (they execute streams on build) — each shares a batch
+    query's oracle, so the batch row covers the contract."""
+    import pyspark.sql.types as T
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.registry import all_queries
+
+    qs = all_queries()
+
+    def scls(t):
+        if isinstance(t, T.BooleanType):
+            return "bool"
+        if isinstance(t, T.DateType):
+            return "date"
+        if isinstance(t, (T.TimestampType, T.TimestampNTZType)):
+            return "ts"
+        return "other"
+
+    def dclsname(t):
+        u = t.upper()
+        if u == "BOOLEAN":
+            return "bool"
+        if u == "DATE":
+            return "date"
+        if u.startswith("TIMESTAMP"):
+            return "ts"
+        return "other"
+
+    bad = []
+    for name, sql in all_oracles().items():
+        if name.startswith("s"):
+            continue
+        od = {
+            c: dclsname(t)
+            for c, t, *_ in duck.execute(f"DESCRIBE ({sql})").fetchall()
+            if dclsname(t) != "other"
+        }
+        if not od:
+            continue
+        sd = {f.name: scls(f.dataType) for f in qs[name](spark, sf_dir).schema.fields}
+        for c, oc in od.items():
+            sc = sd.get(c, "missing")
+            if sc == oc:
+                continue
+            if sc == "ts" and oc == "date":
+                continue  # driver-proven-safe direction
+            bad.append((name, c, f"spark={sc} oracle={oc}"))
+    assert not bad, bad

@@ -2252,7 +2252,10 @@ def m17_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two corpus scans (a 1-row min/max aggregate, then ONE pass
     whose hash aggregate combines map-side to <= |types| x 8 partial rows
     per map task); everything after runs on the ~40-row grid. No
-    corpus-sized join or window anywhere."""
+    corpus-sized join or window anywhere.
+
+    Reference parity: none in reference; public methodology (population stability index, credit-scoring practice).
+    """
     ev = load_table(spark, sf_dir, "events")
     split_s = m17_split_seconds(spark, sf_dir)
     return m17_psi_from_counts(m17_bucket_counts(ev, split_s))

@@ -137,7 +137,10 @@ def l02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     length-bucket) so the self-join is per-block rather than O(n^2);
     oversized blocks route through prefix filtering (operators/dedup).
     First touch materializes the pair graph for this (session, dataset);
-    l20/l30/l33 read the same materialized pairs."""
+    l20/l30/l33 read the same materialized pairs.
+
+    Reference parity: none in reference; public methodology (Broder 1997 resemblance / n-gram Jaccard).
+    """
     return _dup_pairs(spark, sf_dir)
 
 
@@ -2083,7 +2086,10 @@ def l43_minhash_oracle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the build side is the whole corpus, broadcast would OOM) + id-keyed
     verify join; rows are ids + r longs. The weaker mixer costs some
     LSH recall smoothness, never precision (exact verification gates
-    the output)."""
+    the output).
+
+    Reference parity: none in reference; public methodology (Broder 1997 MinHash) — the value-hash-oracled twin of l03.
+    """
     docs = load_table(spark, sf_dir, "documents")
     return DD.minhash_pairs_polyhash(docs, threshold=0.7)
 
@@ -2144,7 +2150,10 @@ def l44_simhash_oracle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: same plan as l04 — explode + ONE 62-column grouped aggregate
     (map-side combined sign votes), sign-bit packing, pigeonhole chunk
     equi-join, exact bit_count(xor) verification; _spread parallelizes
-    the single-file local scan."""
+    the single-file local scan.
+
+    Reference parity: none in reference; public methodology (Charikar 2002 SimHash) — the value-hash-oracled twin of l04.
+    """
     docs = load_table(spark, sf_dir, "documents")
     return DD.simhash_pairs_polyhash(docs, max_hamming=3)
 
@@ -2722,7 +2731,10 @@ def l50_ann_lsh_oracle_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast query bands, candidates-only rerank; the signature is pure
     whole-stage-codegen expressions (zero Python), trading l07's BLAS
     matmul for expression-tree dots, the right trade at 16x64 and wrong
-    at 64x768 (which is why l07's matmul stays the production path)."""
+    at 64x768 (which is why l07's matmul stays the production path).
+
+    Reference parity: none in reference; public methodology (Indyk-Motwani LSH) — the value-hash-oracled twin of l07.
+    """
     em = load_table(spark, sf_dir, "embeddings")
     return SIM.ann_lsh_topk_hashplanes(
         em, em.filter(F.col("vec_id") == 0), k=10
@@ -2803,7 +2815,10 @@ def l51_ivf_oracle_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     BROADCAST centroid list — a narrow projection, no corpus x nlist
     shuffle (the oracle's window formulation is semantically identical
     but intentionally not the engine shape); probing is the same
-    array_contains broadcast join l13 uses."""
+    array_contains broadcast join l13 uses.
+
+    Reference parity: none in reference; public methodology (IVF coarse quantization, Jegou et al. 2011) — the value-hash-oracled twin of l13.
+    """
     em = load_table(spark, sf_dir, "embeddings")
     return SIM.ivf_topk_exprs(em, em.filter(F.col("vec_id") == 0), k=10)
 
@@ -3160,7 +3175,10 @@ def l56_semdedup_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection over the scan (centroids ride a broadcast, no corpus
     shuffle: plan-pinned for the shared helper by l51's test), the pair
     join shuffles on the cluster key (merge-hinted, never a corpus
-    broadcast) and is quadratic only within a cluster."""
+    broadcast) and is quadratic only within a cluster.
+
+    Reference parity: none in reference; public methodology (SemDeDup, Abbas et al. 2023) — the value-hash-oracled twin of l28.
+    """
     em = load_table(spark, sf_dir, "embeddings")
     # localCheckpoint: the assignment feeds three plan branches (both
     # self-join sides + the final left join); materializing it once
@@ -3206,7 +3224,10 @@ def l57_png_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: same contract as l52/l53 — payloads are built and consumed
     inside the Arrow batch, never crossing a shuffle or the driver; the
     decode is C-speed per byte (zlib) plus a pure-Python unfilter loop
-    bounded by the tiny closed-form geometry."""
+    bounded by the tiny closed-form geometry.
+
+    Reference parity: none in reference; public format (PNG, RFC 2083 / zlib RFC 1950-1951).
+    """
     docs = load_table(spark, sf_dir, "documents")
     return MM.png_roundtrip_features(docs)
 
@@ -3808,7 +3829,10 @@ def l63_gif_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny images.
 
     Scale: the l52/l53/l57 contract — payloads are built and consumed
-    inside the Arrow batch, never crossing a shuffle or the driver."""
+    inside the Arrow batch, never crossing a shuffle or the driver.
+
+    Reference parity: none in reference; public format (GIF89a specification, LZW).
+    """
     docs = load_table(spark, sf_dir, "documents")
     return MM.gif_roundtrip_features(docs)
 
@@ -4315,7 +4339,10 @@ def l67_jpeg_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the l52/l53/l57/l63 contract — payloads are built and
     consumed inside the Arrow batch, never crossing a shuffle or the
-    driver."""
+    driver.
+
+    Reference parity: none in reference; public format (baseline JPEG, ITU-T T.81).
+    """
     docs = load_table(spark, sf_dir, "documents")
     return MM.jpeg_roundtrip_features(docs)
 
@@ -4586,7 +4613,10 @@ def l77_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1-row broadcast. Per-query ranking partitions by query_id — no
     global sort. At production scale tf/dl are the materialized inverted
     index + doc-length table every search engine persists; this query is
-    the probe path."""
+    the probe path.
+
+    Reference parity: none in reference; public methodology (Okapi BM25, Robertson & Sparck Jones).
+    """
     scores = _l77_scores(spark, sf_dir)
     from pyspark.sql.window import Window
 

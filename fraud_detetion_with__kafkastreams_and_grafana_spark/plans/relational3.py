@@ -860,7 +860,10 @@ def r59_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the shuffle, never a per-row re-execution) over one hash-agg,
     joined back to `region` by broadcast. Verified via .explain: no
     nested-loop, no cartesian, top-2 pruning happens before the exchange
-    — the decorrelated plan is what you'd hand-write at 100 TB."""
+    — the decorrelated plan is what you'd hand-write at 100 TB.
+
+    Reference parity: none in reference; ANSI SQL LATERAL (per-group top-n, the q1-style leaderboard generalized).
+    """
     from ..sources.tables import register_views
 
     register_views(spark, sf_dir)
@@ -1745,7 +1748,10 @@ def r78_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas). Small-file pressure is the real 100 TB concern — at
     scale the materialization step would pack payloads into parquet
     binary columns (l52/l57's layout) or stream archives, keeping this
-    source for the raw-ingest hop only."""
+    source for the raw-ingest hop only.
+
+    Reference parity: none in reference; public Spark binaryFile data source API.
+    """
     from ..operators.multimodal import png_payload_features
 
     d = _png_file_dir(spark, sf_dir)

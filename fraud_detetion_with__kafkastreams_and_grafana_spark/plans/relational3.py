@@ -5190,7 +5190,7 @@ _R112_SQL = """
       FROM h GROUP BY 1
     )
     SELECT user_id, n, hours_active,
-           ln(CAST(n AS DOUBLE)) - slc / n AS entropy_nats
+           round(ln(CAST(n AS DOUBLE)) - slc / n, 9) AS entropy_nats
     FROM u
 """
 
@@ -5202,7 +5202,11 @@ def r112_hourly_profile_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     H = ln(n) - (sum c*ln c)/n — bots and scripted card-testing show
     near-uniform (high) or single-spike (near-zero) entropy where
     humans sit in between. Both engines evaluate the same 24-term
-    float sum on identical integer counts.
+    float sum on identical integer counts; the result is NANO-ROUNDED
+    (9 dp) on both sides because libm ln() differs by ulps between
+    the JVM and DuckDB — at sf0.1 the raw doubles diverged in the
+    last bits for 3 of 1500 users (accumulated term error ~1e-13,
+    five orders below the rounding quantum, so the round is exact).
 
     Scale: (user, hour) agg then user agg — the second agg reuses the
     first's user-side partitioning; 24 rows max per user. No windows,
@@ -5225,9 +5229,9 @@ def r112_hourly_profile_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "n",
         "hours_active",
-        (F.log(F.col("n").cast("double")) - F.col("slc") / F.col("n")).alias(
-            "entropy_nats"
-        ),
+        F.round(
+            F.log(F.col("n").cast("double")) - F.col("slc") / F.col("n"), 9
+        ).alias("entropy_nats"),
     )
 
 

@@ -167,6 +167,27 @@ _CHECKED_R9 = (
     {f"s{i:02d}" for i in range(41, 88)}
     | {f"m{i:02d}" for i in range(33, 36)}
 )
+# The actual r10 window (CORRECTNESS_r10.json, exactly 50 rows, 50/50
+# green — the predicted window verbatim): m36-m83 (48) + l100/l101.
+# The freeze held (430 registered, zero additions), so 70 never-checked
+# rows remain and sort first into the round-11 window: l88-l99 +
+# l102-l107 (18) then the lexicographic r-tail head r100-r131 (32).
+# The round-12 window is the remaining 20 (r132-r135 + r84-r99) plus
+# ~30 rotation slots for the stalest vintages — which is where s58
+# (last seen RED in r09; its shared _M51_SQL fix is driver-confirmed
+# via m51 green in r10) must resurface: _LAST_RED below pins it ahead
+# of every green row regardless of vintage.
+_CHECKED_R10 = (
+    {f"m{i:02d}" for i in range(36, 84)}
+    | {"l100", "l101"}
+)
+# Queries whose LAST driver observation was a red row (fix shipped but
+# never directly re-hashed by the driver). They outrank every green row
+# of any vintage — only never-checked rows sort ahead — so the next
+# window with spare slots re-checks them first. Remove an entry when a
+# later CORRECTNESS_r{N} shows it green (and record that round in the
+# _CHECKED_R{N} set instead).
+_LAST_RED: set[str] = {"s58"}
 _LAST_CHECKED: dict[str, int] = {}
 for _rnd, _qs in (
     (1, _CHECKED_R1),
@@ -178,15 +199,20 @@ for _rnd, _qs in (
     (7, _CHECKED_R7),
     (8, _CHECKED_R8),
     (9, _CHECKED_R9),
+    (10, _CHECKED_R10),
 ):
     for _q in _qs:
         _LAST_CHECKED[_q] = _rnd
 
 
-def _registry_order(name: str) -> tuple[int, int, str]:
+def _registry_order(name: str) -> tuple[float, int, str]:
     family = _FAMILY_RANK.get(name[0], 9)
-    # Never-checked → 0 (front of the window); else ascending staleness.
-    rank = _LAST_CHECKED.get(name.split("_", 1)[0], 0)
+    key = name.split("_", 1)[0]
+    # Never-checked → 0 (front of the window); last-seen-red → 0.5
+    # (ahead of every green vintage); else ascending staleness.
+    rank: float = _LAST_CHECKED.get(key, 0)
+    if key in _LAST_RED:
+        rank = 0.5
     return rank, family, name
 
 

@@ -77,11 +77,20 @@ def test_registry_window_rotation_order():
     query plus the stalest (round-1-vintage) slice."""
     from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.registry import (
         _LAST_CHECKED,
+        _LAST_RED,
         all_queries,
     )
 
     names = list(all_queries())
-    ranks = [_LAST_CHECKED.get(n.split("_", 1)[0], 0) for n in names]
+
+    def _rank(n: str) -> float:
+        key = n.split("_", 1)[0]
+        # Mirror _registry_order: last-seen-red rows outrank every green
+        # vintage (s58's fix is driver-confirmed only transitively via
+        # m51; it must re-hash directly in the first window with slots).
+        return 0.5 if key in _LAST_RED else _LAST_CHECKED.get(key, 0)
+
+    ranks = [_rank(n) for n in names]
     assert ranks == sorted(ranks), "registry must order by ascending staleness"
     window = set(names[:50])
     never = {n for n, r in zip(names, ranks) if r == 0}

@@ -10,6 +10,8 @@ sort, or starts shuffling text instead of hashes.
 
 from __future__ import annotations
 
+import pytest
+
 from fraud_detetion_with__kafkastreams_and_grafana_spark.plans import (
     llmops,
     relational3,
@@ -837,7 +839,11 @@ def test_r10_window_plans_no_cartesian_no_python_bnlj_bounded(spark, sf_dir):
         and not n.startswith("s")  # s-twins EXECUTE on build; their
         # batch plans are pinned via the batch queries they share
     ]
-    assert len(window) >= 50
+    # The backlog shrinks by ~50/round under the freeze (70 after the
+    # r10 sync, ~20 after r11); once it fully drains this sweep is
+    # vacuous and the per-query pins take over.
+    if not window:
+        pytest.skip("driver backlog fully drained — nothing never-checked")
     # Waivers: BNLJ builds bounded by a LITERAL predicate instead of an
     # aggregate — boundedness is in the filter constant, which a plan-
     # string sweep can't prove. Each entry names the bound.
@@ -861,9 +867,24 @@ def test_r10_window_plans_no_cartesian_no_python_bnlj_bounded(spark, sf_dir):
                 continue
             txt = "\n".join(sub)
             if "BroadcastExchange" not in txt and "ReusedExchange" not in txt:
-                continue  # build side reused from elsewhere in the plan
-            if not any(
-                k in txt
+                # A BNLJ subtree with NO visible broadcast node is either
+                # a truncated extraction or an unexpected plan form —
+                # fail loudly instead of waiving it (r10 verdict task 4).
+                marks.append(f"un-attributable BNLJ build: {sub[0].strip()[:90]}")
+                continue
+            # Scope the bound-keyword scan to the BUILD subtree (the
+            # BroadcastExchange/ReusedExchange child), not the whole
+            # join text: an Aggregate on the PROBE side must not vouch
+            # for an unbounded build (ADVICE r10). A ReusedExchange
+            # build is bounded iff the exchange it reuses is — and every
+            # originating BroadcastExchange in the plan is itself swept
+            # here, so reuse inherits the originator's verdict.
+            builds = _subtrees(txt, "BroadcastExchange")
+            build_txt = "\n".join(
+                line for b in builds for line in b
+            ) + "\n".join(line for line in txt.splitlines() if "ReusedExchange" in line)
+            if builds and not any(
+                k in build_txt
                 for k in ("Aggregate", "ReusedExchange", "Scan ExistingRDD",
                           "LocalTableScan", "Subquery")
             ):

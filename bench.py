@@ -19,6 +19,75 @@ from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.registry import a
 from fraud_detetion_with__kafkastreams_and_grafana_spark.session import get_spark
 
 
+class _CpuMeter:
+    """Per-query executor-CPU attribution via the UI REST status API.
+
+    Wall time alone cannot distinguish a real plan regression from bench
+    host load (the r10 driver run inflated 1.42x with zero plan changes
+    — VERDICT r10 task 2). Executor CPU can: CPU flat + wall up = host
+    load / scheduling latency; CPU up = the plans genuinely got more
+    expensive. Reads ``/api/v1/applications/{id}/stages?status=complete``
+    and sums ``executorCpuTime`` (ns) over stages NEWLY observed since
+    the previous read — eviction-safe because each stage is counted at
+    the read immediately after its query finishes (retainedStages is
+    raised well above any single query's stage count)."""
+
+    def __init__(self, spark) -> None:
+        self._url = None
+        ui = spark.sparkContext.uiWebUrl
+        if ui:
+            app_id = spark.sparkContext.applicationId
+            self._url = f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
+        self._seen: set[tuple[int, int]] = set()
+
+    def read_new_cpu_s(self) -> float:
+        """Executor CPU seconds of completed stages not yet attributed."""
+        if not self._url:
+            return -1.0
+        import urllib.request
+
+        try:
+            with urllib.request.urlopen(self._url, timeout=10) as r:
+                stages = json.load(r)
+        except Exception:  # noqa: BLE001 — metrics must never fail the bench
+            return -1.0
+        new_ns = 0
+        for st in stages:
+            key = (st.get("stageId", -1), st.get("attemptId", 0))
+            if key in self._seen:
+                continue
+            self._seen.add(key)
+            new_ns += st.get("executorCpuTime", 0) or 0
+        return new_ns / 1e9
+
+
+def _make_batch_counter():
+    """Streaming micro-batch counter (one onQueryProgress per triggered
+    batch). Replay-twin wall time is dominated by micro-batch scheduling
+    latency, not CPU — the batch count makes that share explicit.
+    Listener events are dispatched asynchronously, so per-query counts
+    can lag by a batch under load; totals are exact once drained."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _BatchCounter(StreamingQueryListener):
+        def __init__(self) -> None:
+            self.n = 0
+
+        def onQueryStarted(self, event) -> None:  # noqa: N802
+            pass
+
+        def onQueryProgress(self, event) -> None:  # noqa: N802
+            self.n += 1
+
+        def onQueryIdle(self, event) -> None:  # noqa: N802
+            pass
+
+        def onQueryTerminated(self, event) -> None:  # noqa: N802
+            pass
+
+    return _BatchCounter()
+
+
 def _warmup(spark, sf_dir: str) -> None:
     """One-time JVM warmup outside the timed loop: first-job scheduling,
     whole-stage codegen compilation, parquet footer reads, and the Arrow /
@@ -144,24 +213,47 @@ def main() -> int:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     only = sys.argv[1:] or None
 
-    spark = get_spark("bench")
+    # UI on (bench only — the engine default stays off): the REST status
+    # API is the public source of executor-CPU per stage. retainedStages
+    # must exceed any single query's stage count (replay twins peak at
+    # ~100) so no stage is evicted before the read that attributes it.
+    spark = get_spark(
+        "bench",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "0",
+            "spark.ui.retainedStages": "4000",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
     if only:
         queries = {k: v for k, v in queries.items() if k in only}
 
+    batches = _make_batch_counter()
+    spark.streams.addListener(batches)
+
     _warmup(spark, sf_dir)
 
+    meter = _CpuMeter(spark)
+    meter.read_new_cpu_s()  # absorb warmup stages into the baseline
+    warm_batches = batches.n
+
     timings: dict[str, float] = {}
+    cpu_s: dict[str, float] = {}
+    n_batches: dict[str, int] = {}
     t_total0 = time.perf_counter()
     for name, fn in queries.items():
         t0 = time.perf_counter()
+        b0 = batches.n
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as e:  # noqa: BLE001
             timings[name] = -1.0
             print(f"# BENCH ERROR {name}: {e!r}", file=sys.stderr)
+        cpu_s[name] = round(meter.read_new_cpu_s(), 3)
+        n_batches[name] = batches.n - b0
     total = round(time.perf_counter() - t_total0, 3)
 
     print(
@@ -171,6 +263,9 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cpu_s": cpu_s,
+                "batches": {k: v for k, v in n_batches.items() if v},
+                "warmup_batches": warm_batches,
                 "sf": float(sf),
                 "n_queries": len(timings),
             }
@@ -193,6 +288,14 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": slowest,
+                # Executor-CPU + micro-batch count for the top-10: wall
+                # >> cpu with a high batch count = micro-batch scheduling
+                # latency (host load), not plan cost. total_cpu_s spans
+                # ALL queries, so a driver wall inflation is diagnosable
+                # even for queries outside the top-10.
+                "cpu_s": {k: cpu_s.get(k, -1.0) for k in slowest},
+                "batches": {k: n_batches.get(k, 0) for k in slowest},
+                "total_cpu_s": round(sum(v for v in cpu_s.values() if v > 0), 1),
                 "sf": float(sf),
                 "n_queries": len(timings),
                 "n_errors": len(errors),

@@ -6864,7 +6864,10 @@ def gopher_report_from_slice_partials(p: DataFrame) -> DataFrame:
 
 _L102_ITERS = 3  # fixed unrolled power-iteration steps from e_1
 
-_L102_SQL = """
+# Shared CTE chain for l102 (batch, quantized outputs) and s63 (streaming
+# partials twin, raw-double outputs — see pca_from_moment_partials for why
+# the two quantize differently).
+_PCA_INNER_SQL = """
     WITH el AS (
       SELECT vec_id, generate_subscripts(embedding, 1) AS i,
              CAST(unnest(embedding) AS DOUBLE) AS v
@@ -6897,6 +6900,21 @@ _L102_SQL = """
       SELECT sum(v3a.v * g.g * v3b.v) AS lam
       FROM g JOIN v3 v3a ON v3a.i = g.i JOIN v3 v3b ON v3b.i = g.j
     )
+"""
+
+_L102_SQL = _PCA_INNER_SQL + """
+    SELECT CAST(v3.i AS INT) AS dim,
+           CAST(round(v3.v * 1000000000.0, 0) AS BIGINT) AS component_nanos,
+           CAST(round(ray.lam * 1000000.0, 0) AS BIGINT) AS rayleigh_micros
+    FROM v3, ray
+"""
+
+# s63's raw-double variant: the streaming twin's micro-batch partials merge
+# in batch order, which moves components by ~1e-9 absolute (vs l102's
+# single-pass 1-3 ulp) — fixed-precision quantization would straddle
+# boundaries, so s63 compares raw doubles exactly as it did when
+# driver-green in r09.
+_PCA_RAW_SQL = _PCA_INNER_SQL + """
     SELECT CAST(v3.i AS INT) AS dim, v3.v AS component, ray.lam AS rayleigh
     FROM v3, ray
 """
@@ -6948,12 +6966,19 @@ def l102_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_from_moment_partials(s, musum)
 
 
-def pca_from_moment_partials(s: DataFrame, musum: DataFrame) -> DataFrame:
+def pca_from_moment_partials(
+    s: DataFrame, musum: DataFrame, quantize: bool = True
+) -> DataFrame:
     """(i, j, s) second-moment partials + (i, sv, n) mean-sum partials
     -> l102's output. Both frames merge by keyed sum — the Gram
     matrix and mean vector are classic associative statistics — so
     the entire PCA chain re-derives from micro-batch partials.
-    Shared by the s63 streaming twin."""
+    Shared by the s63 streaming twin, with ``quantize=False``: the
+    twin's partials merge in micro-batch order, which shifts the
+    centered Gram entries (catastrophic cancellation in S - n*mu*mu'
+    amplifies summation-order ulps) and moves components by ~1e-9
+    absolute — three orders above l102's single-pass libm drift, so
+    only the batch path can hold the exact-integer representation."""
     s = s.groupBy("i", "j").agg(F.sum("s").alias("s"))
     mu = musum.groupBy("i").agg(
         F.sum("sv").alias("sv"), F.sum("n").alias("n")
@@ -6998,11 +7023,28 @@ def pca_from_moment_partials(s: DataFrame, musum: DataFrame) -> DataFrame:
             F.sum(F.col("rva") * F.col("g") * F.col("rvb")).alias("lam")
         )
     )
-    # broadcast bound: ray is 1 row
-    return v.crossJoin(F.broadcast(ray)).select(
+    # broadcast bound: ray is 1 row. Batch outputs compared in the
+    # exact-integer nano/micro representation (house recipe): three
+    # unrolled normalizations of libm sqrt accumulate 1-3-ulp
+    # JVM-vs-DuckDB drift (round-10 bit-exact audit) — quantizing the
+    # SAME scaled double on both engines hashes exactly unless a value
+    # sits within ~1e-4 integer units of a .5 boundary, audited absent
+    # on the actual sf data (tests/test_parity_gate.py).
+    out = v.crossJoin(F.broadcast(ray))
+    if not quantize:
+        return out.select(
+            F.col("i").cast("int").alias("dim"),
+            F.col("v").alias("component"),
+            F.col("lam").alias("rayleigh"),
+        )
+    return out.select(
         F.col("i").cast("int").alias("dim"),
-        F.col("v").alias("component"),
-        F.col("lam").alias("rayleigh"),
+        F.round(F.col("v") * F.lit(1000000000.0), 0)
+        .cast("long")
+        .alias("component_nanos"),
+        F.round(F.col("lam") * F.lit(1000000.0), 0)
+        .cast("long")
+        .alias("rayleigh_micros"),
     )
 
 

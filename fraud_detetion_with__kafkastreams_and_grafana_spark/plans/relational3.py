@@ -5190,7 +5190,8 @@ _R112_SQL = """
       FROM h GROUP BY 1
     )
     SELECT user_id, n, hours_active,
-           round(ln(CAST(n AS DOUBLE)) - slc / n, 9) AS entropy_nats
+           CAST(round((ln(CAST(n AS DOUBLE)) - slc / n) * 1000000000.0, 0)
+                AS BIGINT) AS entropy_nanonats
     FROM u
 """
 
@@ -5202,11 +5203,17 @@ def r112_hourly_profile_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     H = ln(n) - (sum c*ln c)/n — bots and scripted card-testing show
     near-uniform (high) or single-spike (near-zero) entropy where
     humans sit in between. Both engines evaluate the same 24-term
-    float sum on identical integer counts; the result is NANO-ROUNDED
-    (9 dp) on both sides because libm ln() differs by ulps between
-    the JVM and DuckDB — at sf0.1 the raw doubles diverged in the
-    last bits for 3 of 1500 users (accumulated term error ~1e-13,
-    five orders below the rounding quantum, so the round is exact).
+    float sum on identical integer counts; the result is compared in
+    the exact-integer NANO-NAT representation (the house
+    ``CAST(round(x*1e9) AS BIGINT)`` recipe) because libm ln() differs
+    by ulps between the JVM and DuckDB — at sf0.1 the raw doubles
+    diverged in the last bits for 3 of 1500 users (accumulated term
+    error ~1e-13). Quantizing the SAME scaled double on both engines
+    removes the Spark-BigDecimal-HALF_UP vs DuckDB-scaled-double
+    divergence a ``round(x, 9)`` double output would retain; the
+    residual risk is only a value within ~1e-4 integer units of a
+    .5 boundary, audited absent on the actual sf0.001/0.01/0.1 data
+    (min margin recorded in tests/test_relational3.py).
 
     Scale: (user, hour) agg then user agg — the second agg reuses the
     first's user-side partitioning; 24 rows max per user. No windows,
@@ -5230,8 +5237,12 @@ def r112_hourly_profile_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "hours_active",
         F.round(
-            F.log(F.col("n").cast("double")) - F.col("slc") / F.col("n"), 9
-        ).alias("entropy_nats"),
+            (F.log(F.col("n").cast("double")) - F.col("slc") / F.col("n"))
+            * F.lit(1000000000.0),
+            0,
+        )
+        .cast("long")
+        .alias("entropy_nanonats"),
     )
 
 

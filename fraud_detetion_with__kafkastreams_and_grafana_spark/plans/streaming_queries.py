@@ -4811,13 +4811,18 @@ def s62_stream_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_outliers_from_daily(merged)
 
 
-def _l102_oracle_sql() -> str:
-    from .llmops import ORACLES as _LL
+def _pca_raw_oracle_sql() -> str:
+    # Raw-double variant of l102's oracle: the partials twin merges in
+    # micro-batch order, so its components sit ~1e-9 off the single-pass
+    # values — fixed-precision quantization would straddle rounding
+    # boundaries (measured round 11), while the raw doubles were
+    # driver-hash-green in r09.
+    from .llmops import _PCA_RAW_SQL
 
-    return _LL["l102_pca_power_iteration"]
+    return _PCA_RAW_SQL
 
 
-@_register("s63_stream_pca", _l102_oracle_sql())
+@_register("s63_stream_pca", _pca_raw_oracle_sql())
 def s63_stream_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """l102's principal component maintained ON INGEST — streaming
     LINEAR ALGEBRA via moment partials: each micro-batch of vectors
@@ -4825,10 +4830,11 @@ def s63_stream_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     v_j) and d mean-sum rows; Gram matrices and mean vectors are sums
     of per-row outer products, so the partials merge by keyed sum and
     the fixed 3-step power iteration re-derives at refresh through
-    the shared tail. Equal to batch l102, sharing its oracle
-    verbatim — embedding-drift monitoring (does the dominant
-    direction rotate as new data streams in?) with zero streaming
-    state.
+    the shared tail. Equal to batch l102 up to partial-merge float
+    order (raw-double outputs against the raw oracle variant; l102
+    itself compares in exact-integer quanta) — embedding-drift
+    monitoring (does the dominant direction rotate as new data
+    streams in?) with zero streaming state.
 
     Scale: partial volume is d^2 + d rows per batch REGARDLESS of
     batch size — the whole corpus never re-scans; the iteration tail
@@ -4885,7 +4891,7 @@ def s63_stream_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = merged.where(F.col("kind") == 0).select("i", "j", "s")
     musum = merged.where(F.col("kind") == 1).select("i", "sv", "n")
-    return pca_from_moment_partials(s, musum)
+    return pca_from_moment_partials(s, musum, quantize=False)
 
 
 def _m58_oracle_sql() -> str:

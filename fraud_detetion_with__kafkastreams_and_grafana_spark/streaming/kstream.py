@@ -135,11 +135,16 @@ class KStream:
         +10**18 before zero-padding so negative values order correctly
         (lexicographic order over '-'-prefixed padded strings would be
         reversed). Domain: order values must lie in
-        [-10**18, ~8.2*10**18] — epoch micros until year ~33658.
+        [-10**18, ~8.2*10**18] — epoch micros until year ~33658. The
+        domain is ENFORCED map-side: a value outside it would silently
+        wrap negative under non-ANSI addition and elect a wrong
+        compaction winner, so the encoder raises instead.
         """
         from pyspark.sql import types as T
 
         offset = 10**18
+        # Long.MaxValue - offset: largest value whose encoding cannot wrap.
+        hi = 9223372036854775807 - offset
         parts = []
         for c in order_cols:
             dt = self._df.schema[c].dataType
@@ -153,6 +158,16 @@ class KStream:
                 col = F.unix_date(col)
             else:
                 col = col.cast("long")
+            col = F.when(
+                (col < F.lit(-offset)) | (col > F.lit(hi)),
+                F.raise_error(
+                    F.format_string(
+                        "to_table order column '" + c
+                        + "' outside encodable domain [-1e18, ~8.22e18]: %s",
+                        col,
+                    )
+                ).cast("long"),
+            ).otherwise(col)
             col = F.coalesce(col, F.lit(-offset)) + F.lit(offset)
             parts.append(F.format_string("%019d", col))
         ordk = F.concat_ws(":", *parts)

@@ -1661,3 +1661,34 @@ def test_kstream_to_table_negative_and_null_order_values(spark):
     ).withColumn("t", F.to_timestamp("t"))
     got_ts = {r.key: r.value for r in KStream(ts).to_table(["t"]).df.collect()}
     assert got_ts == {"u": "late"}  # sub-second order survives (epoch micros)
+
+
+def test_kstream_to_table_rejects_out_of_domain_order(spark):
+    """ADVICE r10: an order value outside [-1e18, ~8.22e18] would
+    silently wrap negative under non-ANSI addition and elect a wrong
+    compaction winner — the encoder must raise instead. In-domain
+    values (same magnitude, just inside) still compact fine."""
+    import pytest as _pytest
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.streaming.kstream import KStream
+
+    bad = spark.createDataFrame(
+        [("u", "wraps", 9 * 10**18), ("u", "ok", 1)],
+        "key STRING, value STRING, t LONG",
+    )
+    with _pytest.raises(Exception, match="outside encodable domain"):
+        KStream(bad).to_table(["t"]).df.collect()
+
+    low = spark.createDataFrame(
+        [("u", "too_low", -2 * 10**18), ("u", "ok", 1)],
+        "key STRING, value STRING, t LONG",
+    )
+    with _pytest.raises(Exception, match="outside encodable domain"):
+        KStream(low).to_table(["t"]).df.collect()
+
+    edge = spark.createDataFrame(
+        [("u", "min_edge", -(10**18)), ("u", "max_edge", 8 * 10**18)],
+        "key STRING, value STRING, t LONG",
+    )
+    got = {r.key: r.value for r in KStream(edge).to_table(["t"]).df.collect()}
+    assert got == {"u": "max_edge"}

@@ -227,3 +227,57 @@ def test_quantized_transcendentals_clear_rounding_boundaries():
         assert comp > 1e-4, (sf, "l102 component margin", comp)
         assert ray > 1e-3, (sf, "l102 rayleigh margin", ray)
         assert ent > 1e-3, (sf, "r112 entropy margin", ent)
+
+
+def test_logical_types_agree_int_float(spark, duck, sf_dir):
+    """Bind-level audit of the int-vs-float logical class (ADVICE r10):
+    the materialized gate's nullable-int relaxation passes any int
+    column whose float side is NaN-carrying and integral, so an
+    s58-class type leak on a column that happens to contain NULLs is
+    invisible to it. Here the Spark plan schema's integral/floating
+    class must match DuckDB's DESCRIBE class for every batch oracle —
+    no NULL blind spot, because declared types don't depend on the
+    data. HUGEINT is classed integral (a dedicated sweep already bans
+    it). DECIMAL is classed floating: duckdb .df() materializes it
+    float64, which is what the driver hashes."""
+    import pyspark.sql.types as T
+
+    from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.registry import all_queries
+
+    qs = all_queries()
+
+    def scls(t):
+        if isinstance(t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return "int"
+        if isinstance(t, (T.FloatType, T.DoubleType)):
+            return "float"
+        if isinstance(t, T.DecimalType):
+            return "float"
+        return "other"
+
+    def dcls(t):
+        u = t.upper()
+        if u in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+                 "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+            return "int"
+        if u in ("FLOAT", "DOUBLE", "REAL") or u.startswith("DECIMAL"):
+            return "float"
+        return "other"
+
+    bad = []
+    for name, sql in all_oracles().items():
+        if name.startswith("s"):
+            continue
+        od = {
+            c: dcls(t)
+            for c, t, *_ in duck.execute(f"DESCRIBE ({sql})").fetchall()
+            if dcls(t) != "other"
+        }
+        if not od:
+            continue
+        sd = {f.name: scls(f.dataType) for f in qs[name](spark, sf_dir).schema.fields}
+        for c, oc in od.items():
+            sc = sd.get(c, "missing")
+            if sc != oc:
+                bad.append((name, c, f"spark={sc} oracle={oc}"))
+    assert not bad, bad

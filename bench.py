@@ -217,27 +217,34 @@ def main() -> int:
     # API is the public source of executor-CPU per stage. retainedStages
     # must exceed any single query's stage count (replay twins peak at
     # ~100) so no stage is evicted before the read that attributes it.
+    # SPARK_GRAFT_BENCH_METRICS=0 disables the instrumentation for A/B
+    # runs isolating its own overhead from host load.
+    metrics_on = os.environ.get("SPARK_GRAFT_BENCH_METRICS", "1") != "0"
     spark = get_spark(
         "bench",
         extra_conf={
             "spark.ui.enabled": "true",
             "spark.ui.port": "0",
             "spark.ui.retainedStages": "4000",
-        },
+        }
+        if metrics_on
+        else {},
     )
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
     if only:
         queries = {k: v for k, v in queries.items() if k in only}
 
-    batches = _make_batch_counter()
-    spark.streams.addListener(batches)
+    batches = _make_batch_counter() if metrics_on else None
+    if batches is not None:
+        spark.streams.addListener(batches)
 
     _warmup(spark, sf_dir)
 
-    meter = _CpuMeter(spark)
-    meter.read_new_cpu_s()  # absorb warmup stages into the baseline
-    warm_batches = batches.n
+    meter = _CpuMeter(spark) if metrics_on else None
+    if meter is not None:
+        meter.read_new_cpu_s()  # absorb warmup stages into the baseline
+    warm_batches = batches.n if batches is not None else 0
 
     timings: dict[str, float] = {}
     cpu_s: dict[str, float] = {}
@@ -245,15 +252,17 @@ def main() -> int:
     t_total0 = time.perf_counter()
     for name, fn in queries.items():
         t0 = time.perf_counter()
-        b0 = batches.n
+        b0 = batches.n if batches is not None else 0
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as e:  # noqa: BLE001
             timings[name] = -1.0
             print(f"# BENCH ERROR {name}: {e!r}", file=sys.stderr)
-        cpu_s[name] = round(meter.read_new_cpu_s(), 3)
-        n_batches[name] = batches.n - b0
+        if meter is not None:
+            cpu_s[name] = round(meter.read_new_cpu_s(), 3)
+        if batches is not None:
+            n_batches[name] = batches.n - b0
     total = round(time.perf_counter() - t_total0, 3)
 
     print(

@@ -252,14 +252,19 @@ def u08_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     one. The oracle proves result-set equality with the unsalted join:
     replication+salting must neither drop nor duplicate a single row."""
     tx = _tx(spark, sf_dir).select("userId", "event_id", "amount")
+    # The numeric suffix is 'user_%03d' — WIDTH GROWS past 999, so take
+    # everything after the prefix, never a fixed 3 chars (a fixed-length
+    # substring silently mis-cohorted user_1000+ at sf0.1; caught by the
+    # round-11 whole-registry sf0.1 sweep).
     dim = (
         tx.select("userId")
         .distinct()
         .select(
             "userId",
-            F.pmod(F.substring("userId", 6, 3).cast("long"), F.lit(5)).alias(
-                "cohort"
-            ),
+            F.pmod(
+                F.regexp_extract("userId", r"(\d+)$", 1).cast("long"),
+                F.lit(5),
+            ).alias("cohort"),
         )
     )
     return SK.replicate_broadcast_join(tx, dim, "userId")

@@ -181,6 +181,21 @@ _CHECKED_R10 = (
     {f"m{i:02d}" for i in range(36, 84)}
     | {"l100", "l101"}
 )
+# The actual r11 window (CORRECTNESS_r11.json, exactly 50 rows, 50/50
+# green — the predicted window verbatim): l88-l99 + l102-l107 (18) plus
+# the lexicographic r-tail head r100-r131 (32). The freeze held again
+# (430 registered, zero additions), so 20 never-checked rows remain and
+# sort first into the round-12 window: r84-r99 + r132-r135 (20, all
+# pre-verified green by both the builder's sf0.1/3-way sweeps and the
+# round-11 judge's independent parity run). s58 (_LAST_RED) takes the
+# next slot, then the stalest vintages fill the rest: round-3 leftovers
+# r52-r61 (10), then the round-4 head in family order (q8, s18-s22,
+# u10, m03-m07, l32-l38 = 19). That drains ever-checked to 430/430.
+_CHECKED_R11 = (
+    {f"l{i}" for i in range(88, 100)}
+    | {f"l{i}" for i in range(102, 108)}
+    | {f"r{i}" for i in range(100, 132)}
+)
 # Queries whose LAST driver observation was a red row (fix shipped but
 # never directly re-hashed by the driver). They outrank every green row
 # of any vintage — only never-checked rows sort ahead — so the next
@@ -200,6 +215,7 @@ for _rnd, _qs in (
     (8, _CHECKED_R8),
     (9, _CHECKED_R9),
     (10, _CHECKED_R10),
+    (11, _CHECKED_R11),
 ):
     for _q in _qs:
         _LAST_CHECKED[_q] = _rnd

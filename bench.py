@@ -30,7 +30,15 @@ class _CpuMeter:
     and sums ``executorCpuTime`` (ns) over stages NEWLY observed since
     the previous read — eviction-safe because each stage is counted at
     the read immediately after its query finishes (retainedStages is
-    raised well above any single query's stage count)."""
+    raised well above any single query's stage count).
+
+    Attribution lag caveat (ADVICE r11, same class as the batch-count
+    caveat below): the status API publishes stage completion
+    asynchronously, so a stage that lands after this read is silently
+    attributed to the NEXT query. Per-query cpu_s can therefore shift
+    by one stage under load; the total (and the flat-vs-up host-load
+    signal it feeds) is exact. Accepted rather than settled-and-reread:
+    a sleep per query would add ~430x its length to the bench wall."""
 
     def __init__(self, spark) -> None:
         self._url = None

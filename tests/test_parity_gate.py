@@ -16,9 +16,13 @@ defenses that close that class:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
+
+import conftest
 
 from fraud_detetion_with__kafkastreams_and_grafana_spark import testing
 from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.registry import all_oracles
@@ -218,8 +222,18 @@ def test_quantized_transcendentals_clear_rounding_boundaries():
                            * 1000000000.0) % 1 - 0.5)) AS ent_margin
         FROM u"""
 
-    for sf in ("sf0.001", "sf0.01", "sf0.1"):
-        con = testing.duckdb_conn(f"/root/testdata/{sf}")
+    # Audit every generated SF, anchored on the conftest override (ADVICE
+    # r11): hosts without a given sf dir skip that point instead of
+    # erroring — the margin claim is per-dataset, not per-host.
+    candidates = dict.fromkeys(
+        [conftest.SF_DIR, conftest.SF_DIR_MEDIUM]
+        + [f"{os.path.dirname(conftest.SF_DIR_MEDIUM)}/sf0.1"]
+    )
+    dirs = [d for d in candidates if os.path.isdir(d)]
+    if not dirs:
+        pytest.skip("no generated SF dirs on this host")
+    for sf in dirs:
+        con = testing.duckdb_conn(sf)
         comp, ray = con.execute(l102_margin).fetchone()
         (ent,) = con.execute(r112_margin).fetchone()
         con.close()
@@ -251,8 +265,13 @@ def test_logical_types_agree_int_float(spark, duck, sf_dir):
             return "int"
         if isinstance(t, (T.FloatType, T.DoubleType)):
             return "float"
-        if isinstance(t, T.DecimalType):
-            return "float"
+        # DecimalType is deliberately "other" (ADVICE r11): Spark
+        # toPandas materializes decimals as object(decimal.Decimal),
+        # NOT float64, so a DecimalType column would hash differently
+        # from a DuckDB DECIMAL (which .df() materializes float64)
+        # even though both are "decimal". Classing it other forces
+        # every plan to cast to double explicitly; the materialized
+        # dtype-strict gate remains the backstop.
         return "other"
 
     def dcls(t):

@@ -880,9 +880,14 @@ def test_r10_window_plans_no_cartesian_no_python_bnlj_bounded(spark, sf_dir):
             # originating BroadcastExchange in the plan is itself swept
             # here, so reuse inherits the originator's verdict.
             builds = _subtrees(txt, "BroadcastExchange")
+            # Single join over ONE combined list (ADVICE r11): two
+            # concatenated joins would fuse the last build line with the
+            # first ReusedExchange line, letting a keyword match across
+            # the seam.
             build_txt = "\n".join(
-                line for b in builds for line in b
-            ) + "\n".join(line for line in txt.splitlines() if "ReusedExchange" in line)
+                [line for b in builds for line in b]
+                + [line for line in txt.splitlines() if "ReusedExchange" in line]
+            )
             if builds and not any(
                 k in build_txt
                 for k in ("Aggregate", "ReusedExchange", "Scan ExistingRDD",

@@ -243,6 +243,84 @@ def test_quantized_transcendentals_clear_rounding_boundaries():
         assert ent > 1e-3, (sf, "r112 entropy margin", ent)
 
 
+# Queries whose quantized arithmetic is IEEE-deterministic cross-engine
+# (VERDICT r11 task 6): only +,-,*,/,abs over bit-identical parquet
+# inputs and integer aggregates — the rational-sigmoid fixed-point
+# recipe. Both engines compute the SAME double at every site, so the
+# margin may be arbitrarily small; mechanically guarded below by
+# requiring the whole oracle SQL to be free of libm drift tokens.
+_QUANT_EXACT = {
+    "m08_gd_trained_scorer":
+        "fixed-point GD: rational sigmoid z/(1+abs(z)); gradients "
+        "quantized to BIGINT before summation; weights exact rationals",
+    "m14_pairwise_preference_trainer":
+        "same fixed-point recipe as m08 over pairwise deltas",
+    "m31_brier_decomposition":
+        "rational sigmoid quantized to BIGINT pm immediately; every "
+        "aggregate is an integer sum; later sites divide exact integers",
+}
+
+
+def test_every_quantized_output_clears_its_boundary_envelope():
+    """Registry-wide extension of the l102/r112 margin audit (VERDICT
+    r11 task 6): mechanically instrument EVERY integer-quantization
+    site in every oracle (tests/quantaudit.py rewrites the EXPR through
+    a recording UDF) and assert the observed boundary margin exceeds
+    10x the self-calibrated drift envelope max_abs * 2^-52 * 128 —
+    r112's hand-measured ~1e-4 envelope at max_abs ~3e9 reproduces this
+    formula, and 1e6-scaled sites (BM25 et al.) get a proportionally
+    tighter bound instead of a meaningless global threshold. A future
+    data regeneration that parks a drift-exposed value near a boundary
+    fails here instead of shipping driver-red. sf0.1 joins the audit
+    under SPARK_GRAFT_ROUND_CLOSE=1 (it costs ~8 min alone)."""
+    import quantaudit
+
+    oracles = all_oracles()
+    candidates = dict.fromkeys(
+        [conftest.SF_DIR, conftest.SF_DIR_MEDIUM]
+        + (
+            [f"{os.path.dirname(conftest.SF_DIR_MEDIUM)}/sf0.1"]
+            if os.environ.get("SPARK_GRAFT_ROUND_CLOSE") == "1"
+            else []
+        )
+    )
+    dirs = [d for d in candidates if os.path.isdir(d)]
+    if not dirs:
+        pytest.skip("no generated SF dirs on this host")
+    for sf in dirs:
+        results = quantaudit.audit(sf, oracles)
+        # the recipe is pervasive — a scan that stops finding it means
+        # the instrumentation regressed, not that quantization vanished
+        assert len(results) > 100, (sf, len(results))
+        bad = []
+        for name, r in sorted(results.items()):
+            if r["err"]:
+                bad.append((name, "audit error", r["err"]))
+                continue
+            if name in _QUANT_EXACT:
+                if quantaudit.DRIFT_TOKEN.search(oracles[name]):
+                    bad.append((name, "declared EXACT but oracle has a "
+                                      "libm drift token"))
+                continue
+            for kind, n_sites in (("round", r["n_round"]), ("floor", r["n_floor"])):
+                if not n_sites:
+                    continue
+                margin = r["min_margin"][kind]
+                if margin == float("inf"):
+                    # every observed value sat bit-exactly ON the
+                    # boundary: exact integer-valued arithmetic, both
+                    # engines agree by policy (see quantaudit docstring)
+                    continue
+                bound = 10 * quantaudit.envelope(r["max_abs"][kind])
+                if not margin > bound:
+                    bad.append((name, kind, f"margin {margin:.3e} <= "
+                               f"10x envelope {bound:.3e} "
+                               f"(max_abs {r['max_abs'][kind]:.2e})"))
+        assert not bad, (sf, bad)
+    stale = set(_QUANT_EXACT) - set(results)
+    assert not stale, f"stale _QUANT_EXACT entries (no sites found): {stale}"
+
+
 def test_logical_types_agree_int_float(spark, duck, sf_dir):
     """Bind-level audit of the int-vs-float logical class (ADVICE r10):
     the materialized gate's nullable-int relaxation passes any int

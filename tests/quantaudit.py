@@ -121,7 +121,12 @@ def instrument(sql: str) -> tuple[str, int, int]:
             n_floor += 1
         out.append(sql[pos:arg_start])
         out.append(f"{wrapper}(CAST(")
-        out.append(sql[arg_start:arg_end])
+        # recurse: a quantization site nested inside this EXPR must be
+        # instrumented too, not copied through verbatim
+        inner, ir, inner_f = instrument(sql[arg_start:arg_end])
+        n_round += ir
+        n_floor += inner_f
+        out.append(inner)
         out.append(" AS DOUBLE))")
         pos = arg_end
     return "".join(out), n_round, n_floor

@@ -125,12 +125,22 @@ def test_registry_window_rotation_order():
         | {f"r{i:02d}" for i in range(62, 76)}
     )
     checked_in_window = [n for n in names[:50] if n not in never]
-    assert all(n.split("_", 1)[0] in stale_slice for n in checked_in_window), (
-        "checked window slots must be stale-slice rows: "
-        f"{[n for n in checked_in_window if n.split('_', 1)[0] not in stale_slice]}"
+    # _LAST_RED rows (rank 0.5) are deliberately pinned AHEAD of every
+    # green vintage — they occupy the first checked slots, before the
+    # stale slice (s58 entered the window this way after the r11 sync).
+    red_in_window = [
+        n for n in checked_in_window if n.split("_", 1)[0] in _LAST_RED
+    ]
+    assert checked_in_window[: len(red_in_window)] == red_in_window, (
+        "last-seen-red rows must occupy the first checked slots"
+    )
+    stale_in_window = checked_in_window[len(red_in_window):]
+    assert all(n.split("_", 1)[0] in stale_slice for n in stale_in_window), (
+        "checked window slots must be red-pin or stale-slice rows: "
+        f"{[n for n in stale_in_window if n.split('_', 1)[0] not in stale_slice]}"
     )
     vintage_names = [n for n in names if n.split("_", 1)[0] in stale_slice]
-    assert checked_in_window == vintage_names[: len(checked_in_window)], (
+    assert stale_in_window == vintage_names[: len(stale_in_window)], (
         "additions must evict the vintage's registry-order tail only"
     )
 

@@ -196,6 +196,14 @@ _CHECKED_R11 = (
     | {f"l{i}" for i in range(102, 108)}
     | {f"r{i}" for i in range(100, 132)}
 )
+# SYNC CHECKLIST for whoever adds _CHECKED_R12 (and every later sync):
+# the stale-slice pin in tests/test_relational.py::
+# test_registry_window_rotation_order describes the PREVIOUS window's
+# stale tail and goes stale the moment this table advances — update the
+# pin in the SAME commit, then run the FULL default suite (the
+# round-close gate does not include that file; the r11 sync learned
+# this the hard way). After a zero-addition r13 sync the pin must
+# cover l39-l60, r62-r75, q1-q7, s01-s05, u11, m08.
 # Queries whose LAST driver observation was a red row (fix shipped but
 # never directly re-hashed by the driver). They outrank every green row
 # of any vintage — only never-checked rows sort ahead — so the next

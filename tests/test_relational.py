@@ -116,6 +116,11 @@ def test_registry_window_rotation_order():
     # head (through l43) — every checked slot in the window must come
     # from that stale slice, and the rows evicted must be exactly the
     # vintage's registry-order tail (l44-l55, r62-r75).
+    # PINNED PER SYNC: this set describes the stale tail feeding the
+    # CURRENT round's window and must be advanced in the same commit as
+    # each _CHECKED_R{N} table in plans/registry.py (see the SYNC
+    # CHECKLIST comment there) — it is an independently-written
+    # expectation, not derived from _registry_order, which is the point.
     stale_slice = (
         {f"r{i:02d}" for i in range(52, 62)}
         | {"q8", "u10"}

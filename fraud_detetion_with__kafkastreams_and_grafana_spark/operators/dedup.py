@@ -41,6 +41,21 @@ def _persist_reused(df: DataFrame) -> DataFrame:
     return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
+def _materialize_reused(df: DataFrame) -> DataFrame:
+    """EAGERLY materialize an expensive intermediate whose consumers run
+    CONCURRENTLY (the two map stages of an LSH band/chunk self-join).
+    A lazy ``persist`` is populated by whichever stage computes a
+    partition first — but Spark submits both join sides at once, so the
+    signature computation raced itself and ran TWICE (measured: the two
+    banded exchanges of l03/l43 each carried the full shingle+hash CPU).
+    An eager localCheckpoint computes the frame exactly once and every
+    consumer scans the stored blocks (guide §2.4: remove duplicated
+    passes before tuning what's inside them); it also truncates lineage,
+    which keeps downstream planning cheap. At 100 TB the equivalent is
+    writing the signature table once and reusing it."""
+    return df.localCheckpoint(eager=True)
+
+
 def normalized_text(text_col="text") -> F.Column:
     """Canonical form for exact dedup: lowercase, collapse whitespace."""
     return F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " ")
@@ -61,6 +76,155 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
         .select("keep_id", "n_copies")
     )
+
+
+# --- Arrow-vectorized twins of the shingle/hash expressions -----------------
+#
+# Spark's higher-order array functions (transform/aggregate with lambdas)
+# are CodegenFallback: every element evaluates an interpreted expression
+# tree with boxing. Measured at sf0.1 (guide §1/§4): the 3-gram
+# `shingles()` expression alone cost ~11-18 executor-CPU-seconds per
+# evaluation over 5,000 documents — dwarfing the hash math it feeds. The
+# pandas_udf twins below do the identical string work batch-wise in the
+# Python worker (guide §4.2: hand whole Arrow batches to native/loop code
+# instead of per-element interpreted trees) and were verified
+# element-for-element equal to the expression forms on the full corpus
+# (and stay oracle-checked through l43/l44 value hashes). Only the
+# worker-side implementation changes; the produced VALUES are identical.
+
+_SH_JAVA_WS = None  # compiled [ \t\n\x0b\f\r]+ — Java's \s, NOT Python's
+
+
+def _shingle_arrow(n: int):
+    """pandas_udf twin of ``shingles(col, n)`` (distinct word n-grams,
+    first-occurrence order, Java-\\s tokenization, space-only trim)."""
+    import re
+
+    import pandas as pd
+
+    global _SH_JAVA_WS
+    if _SH_JAVA_WS is None:
+        _SH_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+    ws = _SH_JAVA_WS
+
+    def sh(texts):
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            toks = ws.split(t.strip(" "))
+            if n == 1:
+                out.append(list(dict.fromkeys(toks)))
+                continue
+            m = max(len(toks) - (n - 1), 1)
+            out.append(
+                list(
+                    dict.fromkeys(
+                        " ".join(toks[i : i + n]) for i in range(m)
+                    )
+                )
+            )
+        return pd.Series(out)
+
+    return F.pandas_udf(sh, "array<string>")
+
+
+def _minhash_poly_arrow(num_hashes: int):
+    """One-pass pandas_udf for the l43 base: text -> struct(sh, sig).
+
+    Computes — with values identical to the expression forms — the
+    distinct word 3-gram shingles, the polynomial rolling hash of each
+    (h = (31*h + codepoint) mod 1e9+7, the exact `polyhash` fold), and
+    the `num_hashes` affine-permutation minima
+    min_j (a_i*h_j + b_i) mod p as an int64 numpy matrix op
+    (a_i*h_j < p^2 < 2^63, so numpy int64 arithmetic is exact). One
+    Arrow pass replaces three CodegenFallback higher-order expressions."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    p = 1_000_000_007
+    a = np.array(MINHASH_A[:num_hashes], dtype=np.int64)[:, None]
+    b = np.array(MINHASH_B[:num_hashes], dtype=np.int64)[:, None]
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java's \s, NOT Python's
+    # 31^k mod p. The per-string fold h=(31h+cp)%p equals
+    # (sum_j cp_j * 31^(L-1-j)) mod p; with cp < 0x110000 and factors < p,
+    # each product is < 1.2e15 and a sum over strings up to ~7,000 chars
+    # stays inside int64 — so the whole batch reduces to one vectorized
+    # multiply + segmented sum. Shingles are 3 words; the guard below
+    # falls back to the scalar fold if an absurd string ever shows up.
+    _pow31 = np.ones(4096, dtype=np.int64)
+    for _k in range(1, 4096):
+        _pow31[_k] = (_pow31[_k - 1] * 31) % p
+
+    def f(texts):
+        shs = []
+        doc_nsh = []
+        flat: list[str] = []
+        for t in texts:
+            if t is None:
+                shs.append(None)
+                doc_nsh.append(0)
+                continue
+            toks = ws.split(t.strip(" "))
+            m = max(len(toks) - 2, 1)
+            sh = list(
+                dict.fromkeys(" ".join(toks[i : i + 3]) for i in range(m))
+            )
+            shs.append(sh)
+            doc_nsh.append(len(sh))
+            flat.extend(sh)
+        if flat:
+            lens = np.fromiter(
+                (len(s) for s in flat), dtype=np.int64, count=len(flat)
+            )
+            if int(lens.max()) >= 4096:  # pathological: exact scalar fold
+                hs_flat = np.array(
+                    [
+                        _poly_scalar(s, p)
+                        for s in flat
+                    ],
+                    dtype=np.int64,
+                )
+            else:
+                cps = np.frombuffer(
+                    "".join(flat).encode("utf-32-le"), dtype="<u4"
+                ).astype(np.int64)
+                ends = np.cumsum(lens)
+                starts = ends - lens
+                exps = np.repeat(ends - 1, lens) - np.arange(len(cps))
+                prod = cps * _pow31[exps]
+                # zero-length shingles contribute an empty segment:
+                # reduceat needs strictly valid offsets, so sum via
+                # add.reduceat over starts with empty-run correction
+                hs_flat = np.zeros(len(flat), dtype=np.int64)
+                nz = lens > 0
+                if nz.any():
+                    seg = np.add.reduceat(prod, starts[nz])
+                    # reduceat with duplicate offsets never occurs here
+                    # (starts of nonzero-length segments are distinct)
+                    hs_flat[nz] = seg % p
+            sig_all = ((a * hs_flat[None, :] + b) % p).astype(np.int64)
+        sigs = []
+        pos = 0
+        for n_sh, sh in zip(doc_nsh, shs):
+            if sh is None:
+                sigs.append(None)
+                continue
+            sigs.append(sig_all[:, pos : pos + n_sh].min(axis=1).tolist())
+            pos += n_sh
+        return pd.DataFrame({"sh": shs, "sig": sigs})
+
+    return F.pandas_udf(f, "struct<sh: array<string>, sig: array<long>>")
+
+
+def _poly_scalar(s: str, p: int) -> int:
+    h = 0
+    for c in s:
+        h = (h * 31 + ord(c)) % p
+    return h
 
 
 def shingles(text_col, n: int = 1) -> F.Column:
@@ -140,15 +304,39 @@ def minhash_near_dups(
     verification join.
     """
     rows_per_band = num_hashes // bands
-    base = _persist_reused(
-        _spread(df, id_col)
-        .select(
-            F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
+    # Arrow shingler (see _shingle_arrow), materialized ONCE; the k seeded
+    # minhashes then run ROW-SHAPED: explode the shingles and compute all
+    # k xxhash64(s, seed) minima in one grouped aggregate — plain codegen
+    # projections + map-side-combined mins instead of k CodegenFallback
+    # array transforms (measured ~10x the CPU for identical values). The
+    # groupBy(id) reuses _spread's hash partitioning — no extra exchange.
+    # A NULL-text doc (none in any SF) drops at the explode instead of
+    # carrying a NULL signature; output-identical either way, because a
+    # NULL band tuple never equi-joins.
+    base = _materialize_reused(
+        _spread(df, id_col).select(
+            F.col(id_col).alias("id"),
+            _shingle_arrow(shingle_n)(F.col(text_col)).alias("sh"),
         )
-        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    )
+    sig_frame = _materialize_reused(
+        base.select("id", F.explode("sh").alias("s"))
+        .groupBy("id")
+        .agg(
+            *[
+                F.min(F.xxhash64("s", F.lit(i))).alias(f"m{i}")
+                for i in range(num_hashes)
+            ]
+        )
+        .select(
+            "id",
+            F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias(
+                "sig"
+            ),
+        )
     )
 
-    banded = base.select(
+    banded = sig_frame.select(
         "id",
         F.explode(
             F.array(
@@ -250,7 +438,7 @@ def simhash_near_dups(
     to be exact.
     """
     bits_per_chunk = 64 // chunks  # 16 for 4 chunks over a 62-bit hash
-    sigs = _persist_reused(simhash_signatures(df, id_col, text_col))
+    sigs = _materialize_reused(simhash_signatures(df, id_col, text_col))
     chunked = sigs.select(
         "id",
         "sim",
@@ -727,35 +915,15 @@ def minhash_pairs_polyhash(
     Same shuffle shape as minhash_near_dups: banded equi-join + id-keyed
     verify join, 8-byte-dominated rows.
     """
-    from ..functions.text import polyhash
-
-    p = 1_000_000_007
     rows_per_band = num_hashes // bands
 
-    def _perm(i: int):
-        a, b = MINHASH_A[i], MINHASH_B[i]
-
-        def h(h0):
-            return (h0 * F.lit(a) + F.lit(b)) % F.lit(p)
-
-        return h
-
-    base = _persist_reused(
+    base = _materialize_reused(
         _spread(df.filter(F.trim(F.col(text_col)) != ""), id_col)
         .select(
             F.col(id_col).alias("id"),
-            shingles(F.col(text_col), 3).alias("sh"),
+            _minhash_poly_arrow(num_hashes)(F.col(text_col)).alias("x"),
         )
-        .withColumn("hs", F.transform("sh", polyhash))
-        .withColumn(
-            "sig",
-            F.array(
-                *[
-                    F.array_min(F.transform("hs", _perm(i)))
-                    for i in range(num_hashes)
-                ]
-            ),
-        )
+        .select("id", F.col("x.sh").alias("sh"), F.col("x.sig").alias("sig"))
     )
 
     banded = base.select(
@@ -866,7 +1034,7 @@ def simhash_pairs_polyhash(
             .cast("long")
         )
         packed = term if packed is None else packed + term
-    sigs = _persist_reused(votes.select("id", packed.alias("sim")))
+    sigs = _materialize_reused(votes.select("id", packed.alias("sim")))
 
     chunked = sigs.select(
         "id",

@@ -4571,7 +4571,12 @@ def _l77_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.lower(F.trim("text")), "[^a-z0-9]+")).alias("t"),
     ).filter(F.col("t") != "")
-    tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("tf")).persist()
+    # Eager localCheckpoint, not lazy persist: the dfq and stats
+    # BROADCAST builds run as concurrent futures, and each would compute
+    # the tokenize+tf pipeline before the cache is populated (the same
+    # race fixed in operators/dedup.py). Materializing once also
+    # truncates the lineage every consumer replans.
+    tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("tf")).localCheckpoint()
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
@@ -4582,12 +4587,17 @@ def _l77_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t")
         .agg(F.count("*").alias("df"))
     )
+    # c is per-(term, doc) — compute it on the index-sized postings
+    # BEFORE the query join replicates rows (see l84; guide §2.3). The
+    # dfq inner join prunes to query-term postings exactly as the q join
+    # did, so the same rows survive; the expression string is unchanged.
     contrib = (
-        tf.join(F.broadcast(q), "t")
-        .join(F.broadcast(dfq), "t")
+        tf.join(F.broadcast(dfq), "t")
         .join(dl.hint("merge"), "doc_id")
         .crossJoin(F.broadcast(stats))
-        .selectExpr("query_id", "doc_id", f"{_L77_CONTRIB} AS c")
+        .selectExpr("t", "doc_id", f"{_L77_CONTRIB} AS c")
+        .join(F.broadcast(q), "t")
+        .select("query_id", "doc_id", "c")
     )
     return contrib.groupBy("query_id", "doc_id").agg(
         F.sum("c").alias("score_micro")
@@ -5236,12 +5246,26 @@ def l84_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .where(5 * F.col("df") <= F.col("n_docs"))
     )
+    # Per-term-per-doc BM25 contribution c depends only on
+    # (tf, df, dl, corpus stats) — never on query_id — so it is computed
+    # ONCE per surviving POSTING (index-sized) and only then replicated
+    # by the query join (guide §2.3: project before the exchange; §1.2:
+    # fix the algorithm before the per-row code). Before, the identical
+    # expression (decimal-promoted literals -> BigDecimal per row) ran on
+    # the EXPLODED (query x posting) frame, which additionally paid an
+    # Exchange+Sort by doc_id for the dl merge join — measured 178 of
+    # l84's 184 executor-CPU seconds in that single stage. The dl join
+    # now rides the index-sized frame, the exploded join output goes
+    # straight into the map-side partial aggregate, and one corpus-sized
+    # Exchange disappears. Same expression string, same per-(t,doc)
+    # values, same sums — bit-identical output.
     contrib = (
         # broadcast bound: dfq is term-TYPE rows (post-cut vocabulary)
         tf.join(F.broadcast(dfq), "t")
-        .join(qtok.hint("merge"), "t")
         .join(dl.hint("merge"), "doc_id")
-        .selectExpr("query_id", "doc_id", f"{_L77_CONTRIB} AS c")
+        .selectExpr("t", "doc_id", f"{_L77_CONTRIB} AS c")
+        .join(qtok.hint("merge"), "t")
+        .select("query_id", "doc_id", "c")
     )
     win = Window.partitionBy("query_id").orderBy(
         F.desc("score_micro"), F.asc("doc_id")

@@ -2724,12 +2724,16 @@ def s36_stream_bm25_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("t")
             .agg(F.count("*").alias("df"))
         )
+        # c is per-(term, doc): compute it on the index-sized postings
+        # BEFORE the request join replicates rows (the l77/l84
+        # restructure; guide §2.3) — identical expression, same values.
         contrib = (
-            tf.join(F.broadcast(q), "t")
-            .join(F.broadcast(dfq), "t")
+            tf.join(F.broadcast(dfq), "t")
             .join(dl.hint("merge"), "doc_id")
             .crossJoin(F.broadcast(stats))
-            .selectExpr("query_id", "doc_id", f"{_L77_CONTRIB} AS c")
+            .selectExpr("t", "doc_id", f"{_L77_CONTRIB} AS c")
+            .join(F.broadcast(q), "t")
+            .select("query_id", "doc_id", "c")
         )
         win = Window.partitionBy("query_id").orderBy(
             F.desc("score_micro"), F.asc("doc_id")

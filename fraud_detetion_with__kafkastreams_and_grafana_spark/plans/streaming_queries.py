@@ -2569,6 +2569,7 @@ def s35_stream_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from .relational3 import (
+        _R91_KEY_COLS,
         _R91_NUM_COLS,
         _R91_STR_COLS,
         _R91_TS_COLS,
@@ -2604,7 +2605,7 @@ def s35_stream_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         (
             r91_long_form(b)
-            .groupBy("col_name", "vk")
+            .groupBy("col_name", *_R91_KEY_COLS)
             .agg(
                 F.count("*").alias("c"),
                 F.min("vn").alias("mn"),
@@ -2634,7 +2635,7 @@ def s35_stream_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     merged = (
         spark.read.parquet(out)
-        .groupBy("col_name", "vk")
+        .groupBy("col_name", *_R91_KEY_COLS)
         .agg(
             F.sum("c").alias("c"),
             F.min("mn").alias("mn"),

@@ -36,6 +36,22 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
+def _spread_deficient_scan(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Scale-adaptive parallelism floor for a Python-heavy map stage
+    (guide §2.5: repartition a deficient-parallelism input right after
+    the read). The local test fixture is ONE parquet split, so a
+    per-document codec pass ran on a single Python worker (l67 measured
+    3.8 s task run time at ~0 JVM CPU — all of it single-threaded
+    Python). When the scan's parallelism is below the session default,
+    spread the tiny (id, metadata) rows by id; at production scale the
+    scan is already wider than defaultParallelism and this is a no-op —
+    no constant tuned to either environment."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism, F.col(id_col))
+    return df
+
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -1652,9 +1668,9 @@ def jpeg_roundtrip_features(docs: DataFrame) -> DataFrame:
                 out["pix_sum"].append(psum)
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id", "n_chars").mapInPandas(
-        batches, schema=JPEG_FEATURE_SCHEMA
-    )
+    return _spread_deficient_scan(
+        docs.select("doc_id", "n_chars")
+    ).mapInPandas(batches, schema=JPEG_FEATURE_SCHEMA)
 
 
 # Closed forms a decoded encode_jpeg(doc_id, n_chars) must yield: block b

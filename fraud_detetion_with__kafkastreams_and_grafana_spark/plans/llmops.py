@@ -6836,19 +6836,24 @@ def l101_overlap_coefficient_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     arr = ws.select(
         "doc_id", F.array_distinct(grams).alias("garr")
     ).localCheckpoint()
+    # Postings join on xxhash64(gram), not the ~20-char gram string: the
+    # intersection count only needs shingle IDENTITY, so 8-byte keys
+    # cross the shuffle and the merge join sorts longs (guide §2.3 /
+    # §8: shuffle keys and hashes, not payloads; collision odds are the
+    # documented l01/dedup_exact n^2/2^64 negligible).
     g = arr.select(
         "doc_id",
         F.size("garr").alias("n"),
         F.explode("garr").alias("gram"),
-    )
+    ).select("doc_id", "n", F.xxhash64("gram").alias("gh"))
     a = g.select(
-        F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "gram"
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "gh"
     )
     b = g.select(
-        F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "gram"
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "gh"
     )
     j = (
-        a.join(b, "gram")
+        a.join(b, "gh")
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(
@@ -7143,8 +7148,14 @@ def l103_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     practice (C4/Gopher/RefinedWeb curation tables)."""
     d = load_table(spark, sf_dir, "documents")
     nt = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    norm = d.select("doc_id", "source", nt.alias("nt"))
-    keepers = norm.groupBy("nt").agg(F.min("doc_id").alias("keep_id"))
+    # Group/join survivorship on xxhash64(nt), not on the normalized
+    # text itself: the nt-keyed join shuffled and sort-merge-compared
+    # full document texts TWICE (32 MB / 10.9 CPU s of this query's
+    # 14 at sf0.1); 8-byte hashes carry the identical grouping
+    # (collision odds ~n^2/2^64 — the documented l01/dedup_exact
+    # posture, and exactly guide §2.3's "shuffle keys, not payloads").
+    norm = d.select("doc_id", "source", F.xxhash64(nt).alias("nth"))
+    keepers = norm.groupBy("nth").agg(F.min("doc_id").alias("keep_id"))
     pairs = l101_overlap_coefficient_pairs(spark, sf_dir)
     flagged = (
         pairs.select(F.col("doc_a").alias("doc_id"))
@@ -7153,7 +7164,7 @@ def l103_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("flg", F.lit(1))
     )
     per_doc = (
-        norm.join(keepers, "nt")
+        norm.join(keepers, "nth")
         .join(flagged, "doc_id", "left")
         .select(
             "doc_id",

@@ -374,12 +374,21 @@ def test_l84_query_frame_never_broadcasts(spark, sf_dir):
 
 def test_l67_jpeg_roundtrip_is_one_scan_no_shuffle(spark, sf_dir):
     """The JPEG roundtrip must be the l52/l53/l57/l63 shape: one parquet
-    scan feeding one Arrow-batched python runner, zero exchanges —
-    payloads never cross a shuffle or the driver."""
+    scan feeding one Arrow-batched python runner — payloads never cross
+    a shuffle or the driver. The ONLY exchange allowed is the
+    scale-adaptive (doc_id, n_chars) spread BEFORE the python runner
+    (multimodal._spread_deficient_scan: a one-split local fixture would
+    otherwise serialize the whole decode onto one Python worker); it
+    carries 16-byte metadata rows, never payloads, and disappears when
+    the scan is already wide."""
     p = _plan(llmops.QUERIES["l67_jpeg_decode_roundtrip"](spark, sf_dir))
-    assert "Exchange" not in p, p
+    assert p.count("Exchange") <= 1, p
     assert p.count("Scan parquet") == 1, p
     assert "MapInPandas" in p, p
+    if "Exchange" in p:
+        # the spread must sit BELOW the python runner (metadata in,
+        # features out — decoded payload bytes never cross it)
+        assert p.index("MapInPandas") < p.index("Exchange"), p
 
 
 def test_l69_mulaw_roundtrip_is_one_scan_no_shuffle(spark, sf_dir):

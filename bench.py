@@ -117,6 +117,27 @@ def _warmup(spark, sf_dir: str) -> None:
         _identity("v")
     ).write.format("noop").mode("overwrite").save()
 
+    # Spawn the FULL Python worker pool once, here: a session's first
+    # parallelism-wide Arrow stage forks one worker per concurrent task
+    # and each pays pandas/numpy + engine-package imports (~1 s apiece —
+    # measured ~30 task-seconds on the first 32-wide stage). The groupBy
+    # warmup above gets AQE-coalesced to one partition, so it warms ONE
+    # worker; this explicit-width repartition warms them all, and
+    # spark.python.worker.reuse (default) keeps the pool for every timed
+    # query. Engine modules import inside the UDF so the workers also
+    # hold the package the dedup/codec UDFs ship.
+    def _warm_pool(s):
+        import fraud_detetion_with__kafkastreams_and_grafana_spark.operators.dedup  # noqa: F401
+        import fraud_detetion_with__kafkastreams_and_grafana_spark.operators.multimodal  # noqa: F401
+
+        return s
+
+    _warm_pool_udf = pandas_udf(_warm_pool, "double")
+    n_pool = spark.sparkContext.defaultParallelism
+    df.repartition(n_pool, "event_id").select(
+        _warm_pool_udf("value")
+    ).write.format("noop").mode("overwrite").save()
+
     # Touch every table once (footer read, schema resolution, timestamp
     # layout sniffing) so the first query that happens to reference a
     # table doesn't absorb its one-time open cost — a registry reorder

@@ -111,7 +111,10 @@ def _shingle_arrow(n: int):
         out = []
         for t in texts:
             if t is None:
-                out.append(None)
+                # expression-form faithful: n=1 is array_distinct(split)
+                # over NULL -> NULL; n>=2 walks greatest(size(NULL)-k, 1)
+                # = 1 index over NULL tokens -> concat_ws of NULLs -> [""]
+                out.append(None if n == 1 else [""])
                 continue
             toks = ws.split(t.strip(" "))
             if n == 1:
@@ -165,8 +168,15 @@ def _minhash_poly_arrow(num_hashes: int):
         flat: list[str] = []
         for t in texts:
             if t is None:
-                shs.append(None)
-                doc_nsh.append(0)
+                # expression-form faithful (unreachable behind the
+                # trim(text) != '' filter, but keep the twin exact):
+                # the n=3 shingle of NULL text is [""], see _shingle_arrow
+                toks = [""]
+                m = 1
+                sh = [""]
+                shs.append(sh)
+                doc_nsh.append(1)
+                flat.extend(sh)
                 continue
             toks = ws.split(t.strip(" "))
             m = max(len(toks) - 2, 1)

@@ -134,7 +134,11 @@ def _warmup(spark, sf_dir: str) -> None:
 
     _warm_pool_udf = pandas_udf(_warm_pool, "double")
     n_pool = spark.sparkContext.defaultParallelism
-    df.repartition(n_pool, "event_id").select(
+    # Round-robin repartition(n), not hash-by-event_id: hash skew can
+    # leave partitions empty and their workers cold, so a timed query
+    # would pay that worker's first-use import cost (ADVICE r12).
+    # Keyless repartition guarantees n_pool non-empty partitions.
+    df.repartition(n_pool).select(
         _warm_pool_udf("value")
     ).write.format("noop").mode("overwrite").save()
 

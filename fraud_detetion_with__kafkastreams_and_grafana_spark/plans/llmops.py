@@ -5262,9 +5262,9 @@ def l84_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrib = (
         # broadcast bound: dfq is term-TYPE rows (post-cut vocabulary)
         tf.join(F.broadcast(dfq), "t")
-        .join(dl.hint("merge"), "doc_id")
+        .join(dl.hint("shuffle_hash"), "doc_id")
         .selectExpr("t", "doc_id", f"{_L77_CONTRIB} AS c")
-        .join(qtok.hint("merge"), "t")
+        .join(qtok.hint("shuffle_hash"), "t")
         .select("query_id", "doc_id", "c")
     )
     win = Window.partitionBy("query_id").orderBy(
@@ -6836,11 +6836,28 @@ def l101_overlap_coefficient_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     arr = ws.select(
         "doc_id", F.array_distinct(grams).alias("garr")
     ).localCheckpoint()
-    # Postings join on xxhash64(gram), not the ~20-char gram string: the
-    # intersection count only needs shingle IDENTITY, so 8-byte keys
-    # cross the shuffle and the merge join sorts longs (guide §2.3 /
-    # §8: shuffle keys and hashes, not payloads; collision odds are the
-    # documented l01/dedup_exact n^2/2^64 negligible).
+    return _l101_pairs_from_arr(arr)
+
+
+def _l101_pairs_from_arr(arr: DataFrame) -> DataFrame:
+    """(doc_id, distinct-shingle array) -> overlap-coefficient pair
+    report. Split from l101 so the skew harness can drive the postings
+    self-join with an adversarial hot-shingle fixture
+    (tests/test_udfs_skew.py): a stopword-like shingle at corpus scale
+    makes one gh partition quadratic — the r12 verdict's l101 concern —
+    and the mitigation is AQE's skew-split on exactly this join (the
+    join is deliberately UNhinted: a merge hint would pin the plan but
+    also veto the runtime OptimizeSkewedJoin rewrite; the downstream
+    (doc_a, doc_b) aggregate re-partitions anyway, so the split's extra
+    exchange costs nothing). Results are partitioning-invariant —
+    integer counts and exact-integer ppm — so the skew split is
+    result-identical by construction.
+
+    Postings join on xxhash64(gram), not the ~20-char gram string: the
+    intersection count only needs shingle IDENTITY, so 8-byte keys
+    cross the shuffle and the join compares longs (guide §2.3 /
+    §8: shuffle keys and hashes, not payloads; collision odds are the
+    documented l01/dedup_exact n^2/2^64 negligible)."""
     g = arr.select(
         "doc_id",
         F.size("garr").alias("n"),

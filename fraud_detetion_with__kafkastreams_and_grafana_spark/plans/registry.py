@@ -196,21 +196,54 @@ _CHECKED_R11 = (
     | {f"l{i}" for i in range(102, 108)}
     | {f"r{i}" for i in range(100, 132)}
 )
-# SYNC CHECKLIST for whoever adds _CHECKED_R12 (and every later sync):
+# The actual r12 window (CORRECTNESS_r12.json, exactly 50 rows, 49
+# green + m03's documented no-oracle rows-only row — counted checked):
+# the 20 remaining never-checked (r84-r99, r132-r135), s58 via
+# _LAST_RED (now green → removed from that set below), then the stale
+# fill r52-r61, q8, s18-s22, u10, m03-m07, l32-l38. Ever-checked is
+# now 430/430 — rank 0 is empty until the registry grows again.
+_CHECKED_R12 = (
+    {f"r{i}" for i in range(132, 136)}
+    | {f"r{i:02d}" for i in range(84, 100)}
+    | {"s58"}
+    | {f"r{i:02d}" for i in range(52, 62)}
+    | {"q8", "u10"}
+    | {f"s{i:02d}" for i in range(18, 23)}
+    | {f"m{i:02d}" for i in range(3, 8)}
+    | {f"l{i:02d}" for i in range(32, 39)}
+)
+# SYNC CHECKLIST for whoever adds _CHECKED_R13 (and every later sync):
 # the stale-slice pin in tests/test_relational.py::
 # test_registry_window_rotation_order describes the PREVIOUS window's
 # stale tail and goes stale the moment this table advances — update the
 # pin in the SAME commit, then run the FULL default suite (the
 # round-close gate does not include that file; the r11 sync learned
-# this the hard way). After a zero-addition r13 sync the pin must
-# cover l39-l60, r62-r75, q1-q7, s01-s05, u11, m08.
+# this the hard way). Also prune _TOUCHED below: drop every entry the
+# new CORRECTNESS_r{N} shows green (its round goes in _CHECKED_R{N}),
+# keep entries the window didn't reach.
 # Queries whose LAST driver observation was a red row (fix shipped but
 # never directly re-hashed by the driver). They outrank every green row
 # of any vintage — only never-checked rows sort ahead — so the next
 # window with spare slots re-checks them first. Remove an entry when a
 # later CORRECTNESS_r{N} shows it green (and record that round in the
 # _CHECKED_R{N} set instead).
-_LAST_RED: set[str] = {"s58"}
+_LAST_RED: set[str] = set()
+# Queries whose computation was REWRITTEN by an optimization round after
+# their last driver hash (r12 verdict, "Next round" item 2: the rotation
+# ranked only never-checked > red > stalest, so an optimization round's
+# rewrites were systematically the LAST thing the driver re-hashed).
+# They sort behind red rows but ahead of every green vintage, so the
+# next window re-hashes them first. Maintenance mirrors _LAST_RED:
+# add on rewrite, remove when a later CORRECTNESS_r{N} shows the row
+# (and record that round in _CHECKED_R{N}).
+# r12 rewrites never driver-hashed post-change (r91 WAS in-window),
+# plus the r13 rewrites (r91 again — long-form narrowing; s47 — the
+# single-pass melt; l84 — shuffled-hash probe joins):
+_TOUCHED: set[str] = {
+    "l03", "l04", "l43", "l44", "l77", "l84", "l85",
+    "l101", "l103", "s35", "s36", "l67", "u02",
+    "r91", "s47",
+}
 _LAST_CHECKED: dict[str, int] = {}
 for _rnd, _qs in (
     (1, _CHECKED_R1),
@@ -224,6 +257,7 @@ for _rnd, _qs in (
     (9, _CHECKED_R9),
     (10, _CHECKED_R10),
     (11, _CHECKED_R11),
+    (12, _CHECKED_R12),
 ):
     for _q in _qs:
         _LAST_CHECKED[_q] = _rnd
@@ -232,11 +266,14 @@ for _rnd, _qs in (
 def _registry_order(name: str) -> tuple[float, int, str]:
     family = _FAMILY_RANK.get(name[0], 9)
     key = name.split("_", 1)[0]
-    # Never-checked → 0 (front of the window); last-seen-red → 0.5
-    # (ahead of every green vintage); else ascending staleness.
+    # Never-checked → 0 (front of the window); last-seen-red → 0.5;
+    # rewritten-since-last-hash → 0.75 (both ahead of every green
+    # vintage); else ascending staleness.
     rank: float = _LAST_CHECKED.get(key, 0)
     if key in _LAST_RED:
         rank = 0.5
+    elif key in _TOUCHED and rank > 0:
+        rank = 0.75
     return rank, family, name
 
 

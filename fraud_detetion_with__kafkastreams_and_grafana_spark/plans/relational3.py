@@ -3076,19 +3076,17 @@ def r91_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: no reference equivalent (the reference holds no
     table state at all); public ANALYZE semantics."""
     li = load_table(spark, sf_dir, "lineitem")
-    per_val = r91_long_form(li).groupBy("col_name", *_R91_KEY_COLS).agg(
-        F.count("*").alias("c"),
-        F.min("vn").alias("mn"),
-        F.max("vn").alias("mx"),
+    per_val = r91_long_form(li).groupBy("cid", *_R91_KEY_COLS).agg(
+        F.count("*").alias("c")
     )
     return r91_stats_from_long(per_val)
 
 
 def r91_long_form(li: DataFrame) -> DataFrame:
-    """(col_name, kl/kd/ks typed value-key, vn numeric-view) exploded
-    long form of the stats input — the shape whose per-(col, key)
-    count/min/max partials merge associatively, shared by the batch
-    ANALYZE (r91) and its on-ingest maintenance (s35).
+    """(cid tinyint column id, kl/kd/ks typed value-key) exploded long
+    form of the stats input — the shape whose per-(col, key) count
+    partials merge associatively, shared by the batch ANALYZE (r91)
+    and its on-ingest maintenance (s35).
 
     The value key is TYPED (kl BIGINT for integer/timestamp columns —
     micros-exact via unix_micros; kd DOUBLE for floating columns; ks
@@ -3100,7 +3098,17 @@ def r91_long_form(li: DataFrame) -> DataFrame:
     distinct-key count per column — exact NDV — is unchanged. (For
     doubles it now matches the oracle's count(DISTINCT) even on -0.0,
     which the old string key double-counted; integers stay exact past
-    2^53 where a double key could not.)"""
+    2^53 where a double key could not.)
+
+    Round 13 (same guide section): the column label is a 1-byte cid
+    (index into _R91_ALL_COLS) instead of a 12-17 char name, and the
+    numeric view `vn` plus its min/max buffers are GONE — within a
+    column the key is injective in the value, so min/max are functions
+    of the key set and r91_stats_from_long re-derives them from
+    min/max over kl/kd directly (long-exact for integers, micros-exact
+    for timestamps). The per-key partials carry only a count: ~24
+    fewer bytes per row across every exchange and the s35 sink, and
+    two fewer aggregate buffers on the hot map side."""
     dtypes = dict(li.dtypes)
     structs = []
     null_l = F.lit(None).cast("long")
@@ -3113,55 +3121,61 @@ def r91_long_form(li: DataFrame) -> DataFrame:
             kl, kd = null_l, F.col(c).cast("double")
         structs.append(
             F.struct(
-                F.lit(c).alias("col_name"),
+                F.lit(_R91_ALL_COLS.index(c)).cast("tinyint").alias("cid"),
                 kl.alias("kl"),
                 kd.alias("kd"),
                 null_s.alias("ks"),
-                F.col(c).cast("double").alias("vn"),
             )
         )
     for c in _R91_STR_COLS:
         structs.append(
             F.struct(
-                F.lit(c).alias("col_name"),
+                F.lit(_R91_ALL_COLS.index(c)).cast("tinyint").alias("cid"),
                 null_l.alias("kl"),
                 null_d.alias("kd"),
                 F.col(c).alias("ks"),
-                null_d.alias("vn"),
             )
         )
     for c in _R91_TS_COLS:
         structs.append(
             F.struct(
-                F.lit(c).alias("col_name"),
+                F.lit(_R91_ALL_COLS.index(c)).cast("tinyint").alias("cid"),
                 F.unix_micros(F.col(c).cast("timestamp")).alias("kl"),
                 null_d.alias("kd"),
                 null_s.alias("ks"),
-                F.unix_timestamp(F.date_trunc("second", F.col(c)))
-                .cast("double")
-                .alias("vn"),
             )
         )
     return li.select(F.explode(F.array(*structs)).alias("s")).select(
-        "s.col_name", "s.kl", "s.kd", "s.ks", "s.vn"
+        "s.cid", "s.kl", "s.kd", "s.ks"
     )
 
 
 _R91_KEY_COLS = ["kl", "kd", "ks"]
+_R91_ALL_COLS = _R91_NUM_COLS + _R91_STR_COLS + _R91_TS_COLS
+# integer-typed members of _R91_NUM_COLS (dtype-checked at plan build
+# in r91_long_form; this static list only drives the min/max re-derive
+# and matches the generator's fixed lineitem schema)
+_R91_INT_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
 
 
 def r91_stats_from_long(per_val: DataFrame) -> DataFrame:
-    """(col_name, kl, kd, ks, c, mn, mx) merged partials -> the 11-row
-    stats report. Shared by r91 and s35; exact NDV falls out of the
-    distinct typed-key set the partials preserve (exactly one of
-    kl/kd/ks is non-null for a non-null value; all three null marks the
-    column's NULL group)."""
+    """(cid, kl, kd, ks, c) merged partials -> the 11-row stats report.
+    Shared by r91 and s35; exact NDV falls out of the distinct
+    typed-key set the partials preserve (exactly one of kl/kd/ks is
+    non-null for a non-null value; all three null marks the column's
+    NULL group). min/max re-derive from the key set: min/max over kl
+    (long-exact) cast to double for integer columns, over kd for
+    floating columns, and floor(kl micros / 1e6) seconds for the
+    timestamp column — floor commutes with min/max (monotone), and the
+    integer floor-division is exact where a double division could
+    round. Varchar columns report NULL min/max (collation order is not
+    cross-engine comparable)."""
     has_key = (
         F.col("kl").isNotNull()
         | F.col("kd").isNotNull()
         | F.col("ks").isNotNull()
     )
-    stats = per_val.groupBy("col_name").agg(
+    stats = per_val.groupBy("cid").agg(
         F.sum("c").cast("long").alias("n_rows"),
         F.coalesce(
             F.sum(F.when(~has_key, F.col("c"))), F.lit(0)
@@ -3171,19 +3185,47 @@ def r91_stats_from_long(per_val: DataFrame) -> DataFrame:
         F.count(F.when(has_key, F.lit(1)))
         .cast("long")
         .alias("ndv"),
-        F.min("mn").alias("min_val"),
-        F.max("mx").alias("max_val"),
+        F.min("kl").alias("mnl"),
+        F.max("kl").alias("mxl"),
+        F.min("kd").alias("mnd"),
+        F.max("kd").alias("mxd"),
     )
-    # varchar columns report NULL min/max (collation order is not
-    # cross-engine comparable); numerics pass through.
-    is_str = F.col("col_name").isin(_R91_STR_COLS)
+    name = F.element_at(
+        F.array(*[F.lit(c) for c in _R91_ALL_COLS]), F.col("cid") + 1
+    )
+    is_int = F.col("cid").isin(
+        [_R91_ALL_COLS.index(c) for c in _R91_INT_COLS]
+    )
+    is_ts = F.col("cid").isin(
+        [_R91_ALL_COLS.index(c) for c in _R91_TS_COLS]
+    )
+    is_flt = F.col("cid").isin(
+        [
+            _R91_ALL_COLS.index(c)
+            for c in _R91_NUM_COLS
+            if c not in _R91_INT_COLS
+        ]
+    )
+
+    def _minmax(lcol: str, dcol: str):
+        # exact floor to seconds: kl - pmod(kl, 1e6) is a multiple of
+        # 1e6, so the integer `div` is exact for any sign
+        secs = F.expr(
+            f"({lcol} - pmod({lcol}, 1000000)) div 1000000"
+        ).cast("double")
+        return (
+            F.when(is_int, F.col(lcol).cast("double"))
+            .when(is_flt, F.col(dcol))
+            .when(is_ts, secs)
+        )
+
     return stats.select(
-        "col_name",
+        name.alias("col_name"),
         "n_rows",
         "n_nulls",
         "ndv",
-        F.when(~is_str, F.col("min_val")).alias("min_val"),
-        F.when(~is_str, F.col("max_val")).alias("max_val"),
+        _minmax("mnl", "mnd").alias("min_val"),
+        _minmax("mxl", "mxd").alias("max_val"),
     )
 
 

@@ -1557,15 +1557,34 @@ def s23_stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").where(F.trim("text") != "")
     md5f, grams = _incremental_index_frames(docs.where(F.col("doc_id") < 400), 5)
-    md5_min = md5f.groupBy("t_md5").agg(F.min("doc_id").alias("exact_id"))
-    gram_min = grams.groupBy("h").agg(F.min("doc_id").alias("h_near_id"))
+    # Materialize the two probe tables, not just their inputs: every
+    # micro-batch action re-planned these groupBys from the checkpointed
+    # index frames (N batches x 2 aggregate jobs of pure recompute —
+    # the same static-side re-evaluation class fixed in dedup.py, guide
+    # §2.4). In production these ARE the persisted (key -> min doc)
+    # index generation the gate serves from.
+    md5_min = (
+        md5f.groupBy("t_md5")
+        .agg(F.min("doc_id").alias("exact_id"))
+        .localCheckpoint()
+    )
+    gram_min = (
+        grams.groupBy("h")
+        .agg(F.min("doc_id").alias("h_near_id"))
+        .localCheckpoint()
+    )
 
     wire = docs.where(F.col("doc_id") >= 400).select(
         F.to_json(F.struct("doc_id", "text")).alias("value")
     )
     from ..streaming.replay import materialize_wire_dir
 
-    d = materialize_wire_dir(wire)
+    # 4 files / 2 micro-batches — the documented replay-twin knee (2
+    # batches prove cross-batch replay; each doc classifies against the
+    # STATIC index only, so the sink union is batch-count-invariant and
+    # the default 8-file/4-batch replay bought nothing but 2 extra
+    # rounds of micro-batch scheduling + sink-commit latency).
+    d = materialize_wire_dir(wire, n_files=4)
     out = tempfile.mkdtemp(prefix="spark_graft_s23_sink_")
     ckpt = tempfile.mkdtemp(prefix="spark_graft_s23_ckpt_")
     atexit.register(shutil.rmtree, out, ignore_errors=True)
@@ -2603,14 +2622,14 @@ def s35_stream_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         b = batch_df.select(F.from_json("value", schema).alias("r")).select(
             "r.*"
         )
+        # narrowed partials (see r91_long_form): (cid, typed key, count)
+        # only — min/max re-derive from the key set at report time, so
+        # the per-batch shuffle, the sink, and the merge all drop the
+        # vn/mn/mx payload (guide §2.3)
         (
             r91_long_form(b)
-            .groupBy("col_name", *_R91_KEY_COLS)
-            .agg(
-                F.count("*").alias("c"),
-                F.min("vn").alias("mn"),
-                F.max("vn").alias("mx"),
-            )
+            .groupBy("cid", *_R91_KEY_COLS)
+            .agg(F.count("*").alias("c"))
             .withColumn("_batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -2635,12 +2654,8 @@ def s35_stream_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     merged = (
         spark.read.parquet(out)
-        .groupBy("col_name", *_R91_KEY_COLS)
-        .agg(
-            F.sum("c").alias("c"),
-            F.min("mn").alias("mn"),
-            F.max("mx").alias("mx"),
-        )
+        .groupBy("cid", *_R91_KEY_COLS)
+        .agg(F.sum("c").alias("c"))
     )
     return r91_stats_from_long(merged)
 
@@ -3890,14 +3905,28 @@ def s47_stream_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.from_json("value", "q DOUBLE, p DOUBLE").alias("r")
         ).select("r.q", "r.p")
         b = b.where(F.col("q").isNotNull())
-        vals = b.selectExpr(
-            "'l_quantity' AS col", "CAST(round(q) AS BIGINT) AS v"
-        ).unionByName(
-            b.selectExpr(
-                "'price_dollars' AS col",
-                "CAST(round(p * 100) AS BIGINT) div 100 AS v",
-            )
-        )
+        # melt by exploding a 2-struct array, NOT a union of two
+        # projections: each union branch re-read and re-parsed the
+        # batch's JSON wire (2x the from_json cost — guide §2.4 remove
+        # duplicated passes). Same rows, same values: the batch twin
+        # r100 keeps the union because its branches are two pruned
+        # columnar scans, which ARE the cheap form there.
+        vals = b.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("l_quantity").alias("col"),
+                        F.expr("CAST(round(q) AS BIGINT)").alias("v"),
+                    ),
+                    F.struct(
+                        F.lit("price_dollars").alias("col"),
+                        F.expr(
+                            "CAST(round(p * 100) AS BIGINT) div 100"
+                        ).alias("v"),
+                    ),
+                )
+            ).alias("s")
+        ).select("s.col", "s.v")
         (
             vals.groupBy("col", "v")
             .agg(F.count("*").alias("c"))

@@ -34,6 +34,10 @@ EDGE_TEXTS = [
     (9, "café résumé 你好 tokens"),  # non-ASCII cps
     (10, None),                   # NULL text
     (11, " \t \n "),              # whitespace-only
+    # astral (non-BMP) codepoints — ADVICE r12: Python ord() sees one
+    # codepoint where a UTF-16 engine might see a surrogate pair; the
+    # twin equality below is the pin that the two paths agree
+    (12, "emoji 😀 and deseret 𐐀 mix"),
 ]
 
 

@@ -358,10 +358,13 @@ def test_l84_query_frame_never_broadcasts(spark, sf_dir):
     query vocabulary, the post-cut df table) and 1-row stats may
     broadcast: every scan under a BroadcastExchange must have an
     aggregate above it inside that subtree, and the query-side join
-    must be sort-merge."""
+    must be a SHUFFLE join — since round 13 a shuffled-HASH join
+    (guide §3.1: both sides still shuffle by t, so the 100 TB
+    never-broadcast posture is identical, but the per-partition hash
+    build replaces two corpus-proportional sorts)."""
     p = _plan(llmops.QUERIES["l84_retrieval_eval"](spark, sf_dir))
     assert "CartesianProduct" not in p, p
-    assert "SortMergeJoin" in p, p
+    assert "ShuffledHashJoin" in p, p
     for sub in _subtrees(p, "BroadcastExchange"):
         for k, line in enumerate(sub):
             if "Scan parquet" in line or "Scan ExistingRDD" in line:

@@ -78,6 +78,7 @@ def test_registry_window_rotation_order():
     from fraud_detetion_with__kafkastreams_and_grafana_spark.plans.registry import (
         _LAST_CHECKED,
         _LAST_RED,
+        _TOUCHED,
         all_queries,
     )
 
@@ -86,9 +87,16 @@ def test_registry_window_rotation_order():
     def _rank(n: str) -> float:
         key = n.split("_", 1)[0]
         # Mirror _registry_order: last-seen-red rows outrank every green
-        # vintage (s58's fix is driver-confirmed only transitively via
-        # m51; it must re-hash directly in the first window with slots).
-        return 0.5 if key in _LAST_RED else _LAST_CHECKED.get(key, 0)
+        # vintage, and rewritten-since-last-hash rows come right behind
+        # them (r12 verdict item 2: an optimization round's rewrites
+        # must be the FIRST thing the next driver window re-hashes, not
+        # the last).
+        if key in _LAST_RED:
+            return 0.5
+        checked = _LAST_CHECKED.get(key, 0)
+        if key in _TOUCHED and checked > 0:
+            return 0.75
+        return checked
 
     ranks = [_rank(n) for n in names]
     assert ranks == sorted(ranks), "registry must order by ascending staleness"
@@ -107,44 +115,60 @@ def test_registry_window_rotation_order():
         assert window <= never, f"checked rows displaced new work: {window - never}"
         never_ordered = [n for n in names if n in never]
         assert never_ordered[:50] == names[:50]
-    # After the r08 sync (window = 50 round-8 additions; l88/l89/r84-r97
-    # overflowed never-checked) the stalest slice is unchanged from last
-    # round: the 10 round-3 leftovers r52-r61 (evicted twice running)
-    # followed by the round-4 vintage (q8, s18-s22, u10, m03-m07,
-    # l32-l55, r62-r75 = 44). The r09 window is the 16 never-checked
-    # overflow rows, then r52-r61, then the vintage's registry-order
-    # head (through l43) — every checked slot in the window must come
-    # from that stale slice, and the rows evicted must be exactly the
-    # vintage's registry-order tail (l44-l55, r62-r75).
+    # After the r12 sync (ever-checked = 430/430; _TOUCHED holds the 13
+    # r12 rewrites the driver has not re-hashed) the stalest slice is
+    # the round-4 remainder (l39-l55, r62-r75 = 31) followed by the
+    # round-5 vintage in family order (q1-q7, s01-s05, u11, m08,
+    # l56-l60). The r13 window is the 13 touched rows, then l39-l55 +
+    # r62-r75, then the round-5 head (q1-q6) — every checked slot in
+    # the window must come from touched rows or that stale slice, and
+    # the rows evicted must be exactly the slice's registry-order tail.
     # PINNED PER SYNC: this set describes the stale tail feeding the
     # CURRENT round's window and must be advanced in the same commit as
     # each _CHECKED_R{N} table in plans/registry.py (see the SYNC
     # CHECKLIST comment there) — it is an independently-written
     # expectation, not derived from _registry_order, which is the point.
     stale_slice = (
-        {f"r{i:02d}" for i in range(52, 62)}
-        | {"q8", "u10"}
-        | {f"s{i:02d}" for i in range(18, 23)}
-        | {f"m{i:02d}" for i in range(3, 8)}
-        | {f"l{i:02d}" for i in range(32, 56)}
+        {f"l{i:02d}" for i in range(39, 61)}
         | {f"r{i:02d}" for i in range(62, 76)}
+        | {f"q{i}" for i in range(1, 8)}
+        | {f"s{i:02d}" for i in range(1, 6)}
+        | {"u11", "m08"}
     )
     checked_in_window = [n for n in names[:50] if n not in never]
     # _LAST_RED rows (rank 0.5) are deliberately pinned AHEAD of every
     # green vintage — they occupy the first checked slots, before the
     # stale slice (s58 entered the window this way after the r11 sync).
+    # _TOUCHED rows (rank 0.75, rewritten since their last driver hash)
+    # take the slots right behind them.
     red_in_window = [
         n for n in checked_in_window if n.split("_", 1)[0] in _LAST_RED
     ]
     assert checked_in_window[: len(red_in_window)] == red_in_window, (
         "last-seen-red rows must occupy the first checked slots"
     )
-    stale_in_window = checked_in_window[len(red_in_window):]
+    after_red = checked_in_window[len(red_in_window):]
+    touched_in_window = [
+        n for n in after_red if n.split("_", 1)[0] in _TOUCHED
+    ]
+    assert after_red[: len(touched_in_window)] == touched_in_window, (
+        "rewritten-since-last-hash rows must precede the stale slice"
+    )
+    stale_in_window = after_red[len(touched_in_window):]
     assert all(n.split("_", 1)[0] in stale_slice for n in stale_in_window), (
         "checked window slots must be red-pin or stale-slice rows: "
         f"{[n for n in stale_in_window if n.split('_', 1)[0] not in stale_slice]}"
     )
-    vintage_names = [n for n in names if n.split("_", 1)[0] in stale_slice]
+    # Touched/red rows may fall inside the pinned name ranges (l43/l44
+    # do); they enter the window via their priority rank, not the
+    # vintage rotation, so they don't consume vintage slots here.
+    vintage_names = [
+        n
+        for n in names
+        if n.split("_", 1)[0] in stale_slice
+        and n.split("_", 1)[0] not in _TOUCHED
+        and n.split("_", 1)[0] not in _LAST_RED
+    ]
     assert stale_in_window == vintage_names[: len(stale_in_window)], (
         "additions must evict the vintage's registry-order tail only"
     )

@@ -3,7 +3,7 @@
 sink on a UI-enabled session and report, per query, wall seconds plus the
 per-stage executor CPU / run time and top stages — the measurement loop
 behind OPTIMIZATION_r12.md. Optionally writes .explain("formatted") to
-plans/r12/<query>_<tag>.txt.
+plans/$SPARK_GRAFT_PLANS_DIR(default r13)/<query>_<tag>.txt.
 
 Usage: python tools/profile_query.py [--explain TAG] [--runs N] name...
 """
@@ -73,8 +73,9 @@ def main() -> int:
             df = fn(spark, sf_dir)
             t_build = time.perf_counter() - t0
             if explain_tag and run == 0:
-                os.makedirs("plans/r12", exist_ok=True)
-                with open(f"plans/r12/{name}_{explain_tag}.txt", "w") as fh:
+                pdir = os.path.join("plans", os.environ.get("SPARK_GRAFT_PLANS_DIR", "r13"))
+                os.makedirs(pdir, exist_ok=True)
+                with open(f"{pdir}/{name}_{explain_tag}.txt", "w") as fh:
                     fh.write(df._sc._jvm.PythonSQLUtils.explainString(
                         df._jdf.queryExecution(), "formatted"))
             t1 = time.perf_counter()

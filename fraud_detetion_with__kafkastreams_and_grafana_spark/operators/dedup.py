@@ -1259,26 +1259,40 @@ def index_compaction_report(
     )
 
     src = docs.select("doc_id", "source")
-    m_new = md5f.join(new_ids.hint("merge"), "doc_id", "semi")
-    g_new = grams.join(new_ids.hint("merge"), "doc_id", "semi")
+    # shuffle_hash, not merge, for the key-table-vs-id joins: both
+    # sides still shuffle by doc_id (the never-broadcast posture is
+    # unchanged — id/source frames are corpus-doc-count sized), but
+    # the per-partition hash build of the ID side replaces sorting the
+    # key tables, whose rows are ~5x wider (md5 strings) — guide §3.1.
+    m_new = md5f.join(new_ids.hint("shuffle_hash"), "doc_id", "semi")
+    g_new = grams.join(new_ids.hint("shuffle_hash"), "doc_id", "semi")
 
-    ms = (
-        m_new.join(src.hint("merge"), "doc_id")
-        .groupBy("source")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.countDistinct("t_md5").cast("long").alias("n_md5_distinct"),
-            F.bit_xor(_key_digest("doc_id", "t_md5")).alias("md5_xor"),
+    def _keyed_summary(rows: DataFrame, key: str, n_rows: str,
+                       n_distinct: str, xor: str) -> DataFrame:
+        # Two-level aggregate instead of countDistinct-next-to-plain
+        # aggs: the mixed form plans an Expand that DOUBLES the rows
+        # into the partial aggregate (guide §2.3 aggregate before you
+        # shuffle). Level 1 reduces to per-(source, key) partials
+        # (count + xor — both associative); level 2 counts the keys
+        # (= exact distinct), sums the counts, re-xors the xors.
+        # Identical integers: keys are non-null, xor is commutative.
+        lvl1 = rows.groupBy("source", key).agg(
+            F.count("*").alias("_c"),
+            F.bit_xor(_key_digest("doc_id", key)).alias("_x"),
         )
+        return lvl1.groupBy("source").agg(
+            F.sum("_c").cast("long").alias(n_rows),
+            F.count("*").cast("long").alias(n_distinct),
+            F.bit_xor("_x").alias(xor),
+        )
+
+    ms = _keyed_summary(
+        m_new.join(src.hint("shuffle_hash"), "doc_id"),
+        "t_md5", "n_docs", "n_md5_distinct", "md5_xor",
     )
-    gs = (
-        g_new.join(src.hint("merge"), "doc_id")
-        .groupBy("source")
-        .agg(
-            F.count("*").cast("long").alias("n_pass_rows"),
-            F.countDistinct("h").cast("long").alias("n_pass_distinct"),
-            F.bit_xor(_key_digest("doc_id", "h")).alias("pass_xor"),
-        )
+    gs = _keyed_summary(
+        g_new.join(src.hint("shuffle_hash"), "doc_id"),
+        "h", "n_pass_rows", "n_pass_distinct", "pass_xor",
     )
     bs = (
         docs.where(is_batch)

@@ -7173,7 +7173,15 @@ def l103_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # posture, and exactly guide §2.3's "shuffle keys, not payloads").
     norm = d.select("doc_id", "source", F.xxhash64(nt).alias("nth"))
     keepers = norm.groupBy("nth").agg(F.min("doc_id").alias("keep_id"))
-    pairs = l101_overlap_coefficient_pairs(spark, sf_dir)
+    # Materialize the QUALIFYING pairs (near-dup-density sized — 256
+    # rows at sf0.1) before the either-side union: each union branch
+    # otherwise re-derives the whole l101 candidate join (the plan
+    # showed the postings self-join + pair aggregate TWICE — 2 joins /
+    # 4 shingle Generates — exactly the duplicated-subtree class of
+    # guide §2.4, and the docstring's own "no signal recomputed twice"
+    # contract). The checkpoint pays 256 rows to halve the dominant
+    # stage.
+    pairs = l101_overlap_coefficient_pairs(spark, sf_dir).localCheckpoint()
     flagged = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select("doc_b"))

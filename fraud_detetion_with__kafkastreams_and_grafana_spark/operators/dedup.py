@@ -1356,8 +1356,10 @@ def two_generation_ingestion_report(
     Scale: same posture as l64/l68 — admission is one A-vs-index
     equi-join + anti-join on md5 keys; gen-2 membership is an 8-byte-id
     frame materialized once and applied to the persisted index tables
-    as semi-joins; batch-B probes are merge-hinted equi-joins against
-    those index frames (corpus-sized sides never broadcast); text never
+    as semi-joins; batch-B probes are shuffled-hash equi-joins against
+    those index frames (both sides shuffle — corpus-sized sides never
+    broadcast — and the partition-local hash build of the narrower
+    side replaces sorting the wide key tables, guide §3.1); text never
     crosses a shuffle."""
     docs = docs.where(F.trim("text") != "")
     md5f, grams = _incremental_index_frames(docs, k)
@@ -1365,9 +1367,17 @@ def two_generation_ingestion_report(
     is_a = (F.col("doc_id") >= gen1_split) & (F.col("doc_id") < gen2_split)
     is_b = F.col("doc_id") >= gen2_split
 
+    # shuffle_hash, not merge, throughout (the l68 rationale, guide
+    # §3.1): every join still shuffles both sides — nothing broadcasts
+    # — but the partition-local hash build of the narrower side
+    # replaces sorting md5/window-key frames whose rows are ~5x wider.
     exact_a = (
         md5f.where(is_a)
-        .join(md5f.where(is_g1).select("t_md5").hint("merge"), "t_md5", "semi")
+        .join(
+            md5f.where(is_g1).select("t_md5").hint("shuffle_hash"),
+            "t_md5",
+            "semi",
+        )
         .select("doc_id")
     )
     gen2_ids = (
@@ -1376,17 +1386,18 @@ def two_generation_ingestion_report(
         .unionByName(
             md5f.where(is_a)
             .select("doc_id")
-            .join(exact_a.hint("merge"), "doc_id", "anti")
+            .join(exact_a.hint("shuffle_hash"), "doc_id", "anti")
         )
         .localCheckpoint()
     )
 
-    m_idx = md5f.join(gen2_ids.hint("merge"), "doc_id", "semi")
-    g_idx = grams.join(gen2_ids.hint("merge"), "doc_id", "semi")
+    m_idx = md5f.join(gen2_ids.hint("shuffle_hash"), "doc_id", "semi")
+    g_idx = grams.join(gen2_ids.hint("shuffle_hash"), "doc_id", "semi")
     exact_m = (
         md5f.where(is_b)
         .join(
-            m_idx.select(F.col("doc_id").alias("i_id"), "t_md5").hint("merge"),
+            m_idx.select(F.col("doc_id").alias("i_id"), "t_md5")
+            .hint("shuffle_hash"),
             "t_md5",
         )
         .groupBy("doc_id")
@@ -1395,7 +1406,8 @@ def two_generation_ingestion_report(
     near_m = (
         grams.where(is_b)
         .join(
-            g_idx.select(F.col("doc_id").alias("i_id"), "h").hint("merge"),
+            g_idx.select(F.col("doc_id").alias("i_id"), "h")
+            .hint("shuffle_hash"),
             "h",
         )
         .groupBy("doc_id")
